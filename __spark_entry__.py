@@ -1,8 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship query smoke check at sf0.001.
-``queries()`` — one entry per implemented operator from SURVEY.md §2.
-``oracle_sql()`` — DuckDB-equivalent SQL for the correctness gate.
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+(+ the training-data-pipeline extensions: dedup families, similarity
+search, text analysis).
+``oracle_sql()`` — DuckDB-equivalent SQL for the correctness gate; keys
+absent here (minhash/simhash/LSH — engine-specific hashes) get the
+driver's weaker rows-only check and are instead recall-tested in tests/.
 """
 
 from __future__ import annotations
@@ -11,7 +15,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wurzel_spark.queries import relational
+from wurzel_spark.operators import dedup, similarity, textstats
+from wurzel_spark.queries import events, relational
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,11 +26,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # relational (SURVEY §2.3/§2.7/§2.9 declarations)
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
+        "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
+        "setop_nation_overlap": relational.setop_nation_overlap,
+        "window_order_rank": relational.window_order_rank,
+        "distribution_stats": relational.distribution_stats,
+        "topk_parts_by_size": relational.topk_parts_by_size,
+        "grouping_rollup_orders": relational.grouping_rollup_orders,
+        # events (batch form; streaming twins in wurzel_spark.streaming)
+        "events_hourly_stats": events.events_hourly_stats,
+        "events_type_breakdown": events.events_type_breakdown,
+        "sessionize": events.sessionize,
+        # text analysis (documents)
+        "doc_metrics": textstats.q_doc_metrics,
+        "token_stats": textstats.q_token_stats,
+        "lang_id": textstats.q_lang_id,
+        "quality_score": textstats.q_quality_score,
+        "fingerprints": textstats.q_fingerprints,
+        # dedup family
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_first_per_source": dedup.q_dedup_first_per_source,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard,
+        "minhash_lsh_pairs": dedup.q_minhash_pairs,
+        "simhash_near_pairs": dedup.q_simhash_pairs,
+        # similarity search (embeddings)
+        "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
+        "embedding_norms": similarity.q_embedding_norms,
+        "cosine_near_dup_pairs": similarity.q_cosine_near_dup_pairs,
+        "ann_topk_lsh": similarity.q_ann_topk_lsh,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": relational.Q1_SQL,
+        "q3_shipping_priority": relational.Q3_SQL,
+        "q5_local_supplier_volume": relational.Q5_SQL,
+        "join_semi_orders_with_big_items": relational.SEMI_SQL,
+        "join_anti_customers_without_orders": relational.ANTI_SQL,
+        "setop_nation_overlap": relational.SETOP_SQL,
+        "window_order_rank": relational.WINDOW_SQL,
+        "distribution_stats": relational.DIST_SQL,
+        "topk_parts_by_size": relational.TOPK_PARTS_SQL,
+        "grouping_rollup_orders": relational.ROLLUP_SQL,
+        "events_hourly_stats": events.EVENTS_HOURLY_SQL,
+        "events_type_breakdown": events.EVENTS_TYPES_SQL,
+        "sessionize": events.SESSIONIZE_SQL,
+        "doc_metrics": textstats.DOC_METRICS_SQL,
+        "token_stats": textstats.TOKEN_STATS_SQL,
+        "lang_id": textstats.LANG_ID_SQL,
+        "quality_score": textstats.QUALITY_SQL,
+        "fingerprints": textstats.FINGERPRINTS_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_first_per_source": dedup.DEDUP_FIRST_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "ann_topk_bruteforce": similarity.ANN_TOPK_SQL,
+        "embedding_norms": similarity.EMB_NORMS_SQL,
+        "cosine_near_dup_pairs": similarity.COSINE_PAIRS_SQL,
+        # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-
+        # specific hashing → rows-only check; recall asserted in tests/.
     }

@@ -1,0 +1,95 @@
+"""Text Column builders — pure `pyspark.sql.functions` compositions.
+
+Everything here compiles into whole-stage codegen (no Python in the hot
+path) and has an exact ANSI-SQL twin for the DuckDB oracle.
+
+Reference parity (SURVEY §2.8): whitespace tokenizer
+(wurzel/steps/embedding/step.py:35,172-175), content hashes
+(wurzel/steps/qdrant/step.py:259-283), keyword list parse
+(wurzel/datacontract/common.py:150), per-doc metrics (common.py:149-157).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_ws(col: Column) -> Column:
+    """Collapse runs of whitespace to single spaces and trim."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization → array<string>. Empty/blank input → []."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def char_len(col: Column) -> Column:
+    return F.length(col)
+
+
+def line_count(col: Column) -> Column:
+    """Number of lines (md_line_count, common.py:153)."""
+    return F.size(F.split(col, "\n"))
+
+
+def keywords_count(col: Column) -> Column:
+    """Count of non-blank comma-separated keywords (common.py:150)."""
+    return F.size(F.filter(F.split(col, ","), lambda k: F.trim(k) != ""))
+
+
+def sha256_hex(col: Column) -> Column:
+    """Content hash (qdrant/step.py:282, semantic_splitter.py:808-811)."""
+    return F.sha2(col, 256)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: sha256 over lowercased, whitespace-normalized
+    text — stable under formatting-only edits.
+    """
+    return sha256_hex(normalize_ws(F.lower(col)))
+
+
+def substr_count(col: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring.
+
+    (length(x) - length(replace(x, needle))) / len(needle) — chosen because
+    the identical expression exists in every SQL dialect, so oracle queries
+    stay bit-exact.
+    """
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle)))) / F.lit(len(needle))
+    ).cast("long")
+
+
+def marker_word_count(col: Column, word: str) -> Column:
+    """Occurrences of a whole word (space-delimited) in text."""
+    return substr_count(F.concat(F.lit(" "), normalize_ws(col), F.lit(" ")), f" {word} ")
+
+
+def replace_urls(col: Column, token: str = "LINK") -> Column:
+    """URL → sentinel replacement (embedding/step.py:214-233, URL regex :36)."""
+    return F.regexp_replace(col, r"https?://\S+", token)
+
+
+def strip_markdown(col: Column) -> Column:
+    """Markdown → plain text, regex approximation of
+    wurzel/steps/embedding/step.py:187-212 (strip headings, emphasis,
+    links→text, images, code fences, tables pipes).
+    """
+    c = F.regexp_replace(col, r"```[\s\S]*?```", " ")  # code fences
+    c = F.regexp_replace(c, r"!\[[^\]]*\]\([^)]*\)", " ")  # images
+    c = F.regexp_replace(c, r"\[([^\]]*)\]\([^)]*\)", r"$1")  # links → text
+    c = F.regexp_replace(c, r"(?m)^#{1,6}\s+", "")  # headings
+    c = F.regexp_replace(c, r"[*_`|>]+", " ")  # emphasis/table/quote chars
+    return normalize_ws(c)
+
+
+def first_heading(col: Column) -> Column:
+    """First `# ` heading (decagon/step.py:100-103, docling_step.py:92-109)."""
+    return F.regexp_extract(col, r"(?m)^# (.+)$", 1)

@@ -1,0 +1,358 @@
+"""Deduplication operator family: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the scale path for corpus dedup at 100 TB.
+
+Reference parity: DropDuplicationStep (wurzel/steps/duplication.py:21-51,
+default key ["md"]), content-hash identity (datacontract.py:194-206), TLSH
+near-dup hashing (wurzel/steps/qdrant/step.py:264-283 — stored but never
+joined; here we go further and do the candidate join, per the north star).
+
+Scale notes:
+  - exact dedup = map-side sha256 + hash-groupBy: one shuffle on the hash,
+    never on the document body (project the hash FIRST, drop text before
+    the shuffle).
+  - MinHash-LSH: signatures are computed in a single pass with xxhash64
+    (JVM codegen, no Python); banding turns all-pairs O(n²) into a groupBy
+    on band keys. Candidate verification re-joins only the candidate ids.
+  - SimHash: 64-bit signature via per-bit majority vote of token hashes;
+    near-dup = identical signature bands (hamming ≤ k via band partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wurzel_spark.functions import text as TXT
+from wurzel_spark.tables import table
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the first row per key group (pandas drop_duplicates semantics,
+    duplication.py:35-40, made deterministic by ordering on ``order_col`` —
+    SURVEY §2.3).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group documents by content hash; emit one row per distinct content
+    with the representative (min id) and the copy count.
+
+    At scale: hash projected before the shuffle so only (hash64, id) moves.
+    """
+    return (
+        df.select(F.col(id_col), TXT.sha256_hex(F.col(text_col)).alias("text_sha256"))
+        .groupBy("text_sha256")
+        .agg(F.min(id_col).alias("representative_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+def shingles(text_col, n: int = 3):
+    """Distinct word-level n-gram shingles as an array column.
+
+    Built from pure array functions (split → sequence → transform →
+    array_distinct) — deterministic, codegen'd, no UDF.
+    """
+    ws = TXT.words(text_col)
+    k = F.size(ws) - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(ws, " ")))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    Exact (not approximate): explode distinct shingles, self-join on the
+    shingle to count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+    The shingle join is the shuffle; at 100 TB you'd pre-filter with
+    MinHash-LSH (below) and use this only to verify candidates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# -------------------------------------------------------------- MinHash
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: min over shingles of
+    xxhash64(shingle, seed_i) for each of ``num_hashes`` seeded hash
+    functions — a single map pass, all JVM-side.
+    """
+    sh = shingles(F.col(text_col), n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values; documents sharing any band hash are candidate
+    near-duplicates. groupBy on (band_idx, band_hash) replaces the O(n²)
+    comparison — the core trick that makes near-dedup feasible at 100 TB.
+    """
+    banded = sig_df.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: signatures → band candidates → exact
+    Jaccard verification on candidates only.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    # verify candidates with exact jaccard on shingle sets
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# -------------------------------------------------------------- SimHash
+
+_SIMHASH_EXPR = """
+aggregate(
+  transform(sequence(0, 63), j ->
+    CASE WHEN aggregate(__hs, 0L,
+                        (acc, h) -> acc + CASE WHEN shiftright(h, j) & 1L = 1L THEN 1 ELSE -1 END) > 0
+         THEN CASE WHEN j < 63 THEN shiftleft(1L, j) ELSE -9223372036854775808L END
+         ELSE 0L END),
+  0L, (acc, x) -> acc | x)
+"""
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over xxhash64(token).
+
+    bit_j(sig) = 1 iff Σ over tokens of sign(bit_j(hash(token))) > 0.
+    Expressed as a SQL higher-order expression (transform/aggregate over 64
+    bit positions) — one map pass, no shuffle, no Python in the hot path.
+    """
+    toks = TXT.words(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("__hs"),
+        )
+        .select("id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k, using the 4-band
+    pigeonhole trick: if hamming(a,b) ≤ 3, at least one of the four 16-bit
+    bands is identical → join on band equality, then verify with bit_count.
+    """
+    sigs = simhash64(df, id_col, text_col)
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(table(spark, sf_dir, "documents"), "text", "doc_id").orderBy(
+        "representative_id"
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS text_sha256,
+       MIN(doc_id) AS representative_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+ORDER BY representative_id
+"""
+
+
+def q_dedup_first_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropDuplicationStep semantics (duplication.py:21-51): first row per
+    key, key = source, deterministic order by doc_id.
+    """
+    return (
+        exact_dedup(table(spark, sf_dir, "documents"), ["source"], "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_FIRST_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id AS id, DISTINCT_SHINGLE AS shingle FROM (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [array_to_string(ws, ' ')] END)) AS DISTINCT_SHINGLE
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+          FROM documents)
+  )
+), sizes AS (
+  SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup (rows-only check: xxhash64 is Spark-specific,
+    no cross-engine oracle — the exact-Jaccard twin above is the oracle'd
+    variant; tests assert LSH recall against it).
+    """
+    return minhash_dedup_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (rows-only check, same reason as MinHash)."""
+    return simhash_near_pairs(table(spark, sf_dir, "documents"), max_hamming=3)

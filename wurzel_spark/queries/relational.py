@@ -48,6 +48,313 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: revenue of unshipped orders for one market segment.
+
+    Join graph customer⋈orders⋈lineitem — customer is small relative to
+    lineitem, so Catalyst broadcasts it (verified in .explain); the
+    orders⋈lineitem join shuffles on o_orderkey, which is also the group key,
+    so the aggregation reuses the join's partitioning (one shuffle, not two).
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join, revenue per nation within one region.
+
+    Dimension chain region→nation is tiny → broadcast all the way; the only
+    real shuffles are orders⋈lineitem and lineitem⋈supplier. At 100 TB the
+    c_nationkey = s_nationkey correlation filter runs after the joins; AQE
+    handles any nation skew.
+    """
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def join_semi_orders_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders that have at least one high-quantity
+    lineitem. Semi joins never duplicate the left side — at scale this avoids
+    materializing the N:M blowup a plain join + distinct would create.
+
+    Reference parity: the prune-stale anti/semi pattern of the KB sinks
+    (wurzel/steps/wonderful/step.py:207, elevenlabs/step.py:284).
+    """
+    orders = table(spark, sf_dir, "orders")
+    big = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+SEMI_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+ORDER BY o_orderkey
+"""
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers that never placed an order.
+
+    Reference parity: prune-stale anti-join against remote KB listings
+    (wurzel/steps/wonderful/step.py:207-246).
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def setop_nation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: nations that have customers INTERSECT nations that have
+    suppliers, minus (EXCEPT) nations in region 0 — exercises
+    INTERSECT/EXCEPT distinct semantics.
+    """
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    nat0 = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+    return cust.intersect(supp).exceptAll(nat0).orderBy("nationkey")
+
+
+SETOP_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+EXCEPT
+SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0
+ORDER BY nationkey
+"""
+
+
+def window_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer order sequence (row_number) + running
+    spend (decimal running sum → order-independent exactness) + rank by price.
+
+    Reference parity: chunk_index/chunks_count enumeration declared as
+    row_number (SURVEY §2.9, semantic_splitter.py:776-798).
+    """
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("order_seq"),
+            F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("orders_count"),
+            F.sum(_dec("o_totalprice"))
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+       COUNT(*) OVER (PARTITION BY o_custkey) AS orders_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+ORDER BY o_custkey, order_seq
+"""
+
+
+def distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical aggregation: embedding-distribution stats
+    {mean, std, var, min, p5, p25, median, p75, p95, max}
+    (wurzel/steps/embedding/step.py:89-121), declared over
+    lineitem.l_extendedprice.
+
+    Moments are computed from exact decimal power sums (sum, sum of squares)
+    so the result is order-independent and bit-identical to the oracle;
+    Spark's native stddev/variance would drift in the last ulp.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = _dec("l_extendedprice")
+    n = F.count(F.lit(1))
+    s1 = F.sum(x).cast("double")
+    s2 = F.sum(x * x).cast("double")
+    return li.agg(
+        (s1 / n).alias("mean"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("std"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var"),
+        F.min("l_extendedprice").alias("min"),
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p5"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.max("l_extendedprice").alias("max"),
+    )
+
+
+DIST_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+  SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+       / (COUNT(*) - 1)) AS std,
+  (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+       / (COUNT(*) - 1) AS var,
+  MIN(l_extendedprice) AS min,
+  quantile_cont(l_extendedprice, 0.05) AS p5,
+  quantile_cont(l_extendedprice, 0.25) AS p25,
+  quantile_cont(l_extendedprice, 0.5) AS median,
+  quantile_cont(l_extendedprice, 0.75) AS p75,
+  quantile_cont(l_extendedprice, 0.95) AS p95,
+  MAX(l_extendedprice) AS max
+FROM lineitem
+"""
+
+
+def topk_parts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation + HAVING + deterministic top-k: avg retail price per brand
+    for mid-size parts. avg goes through exact decimal sum / count.
+    """
+    part = table(spark, sf_dir, "part")
+    return (
+        part.filter((F.col("p_size") >= 10) & (F.col("p_size") <= 40))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(_dec("p_retailprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .filter(F.col("n_parts") >= 2)
+        .orderBy(F.desc("n_parts"), "p_brand")
+        .limit(15)
+    )
+
+
+TOPK_PARTS_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS n_parts
+FROM part
+WHERE p_size BETWEEN 10 AND 40
+GROUP BY p_brand
+HAVING COUNT(*) >= 2
+ORDER BY n_parts DESC, p_brand
+LIMIT 15
+"""
+
+
+def grouping_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (o_orderstatus, o_orderpriority): subtotals + grand total.
+    Catalyst expands rollup into a single expand+agg — one shuffle.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 Q1_SQL = """
 SELECT
   l_returnflag,
