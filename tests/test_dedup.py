@@ -1,0 +1,59 @@
+"""Dedup family: exact semantics + LSH recall against exact Jaccard."""
+
+from pyspark.sql import functions as F
+
+from wurzel_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+
+def _corpus(spark):
+    """Synthetic corpus with planted exact + near duplicates."""
+    base = " ".join(f"tok{i}" for i in range(120))
+    near = " ".join(f"tok{i}" for i in range(118)) + " changed tail"
+    other = " ".join(f"different{i}" for i in range(120))
+    rows = [
+        (0, base),
+        (1, base),          # exact dup of 0
+        (2, near),          # near dup of 0
+        (3, other),
+        (4, "short unique text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark):
+    out = {r["representative_id"]: r["n_copies"] for r in exact_dup_groups(_corpus(spark), "text", "doc_id").collect()}
+    assert out[0] == 2  # docs 0,1 collapse
+    assert out[3] == 1
+
+
+def test_exact_dedup_keeps_first(spark):
+    kept = exact_dedup(_corpus(spark), ["text"], "doc_id").select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [0, 2, 3, 4]  # doc 1 dropped (first-by-doc_id wins)
+
+
+def test_jaccard_finds_planted_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_corpus(spark)).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(_corpus(spark), threshold=0.5).collect()}
+    assert exact, "planted near-dups must exist"
+    recall = len(exact & lsh) / len(exact)
+    assert recall == 1.0  # high-sim pairs must survive banding
+    assert lsh <= exact  # verification step removes false positives
+
+
+def test_simhash_finds_exact_and_near(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(_corpus(spark), max_hamming=3).collect()}
+    assert (0, 1) in pairs  # identical text → hamming 0

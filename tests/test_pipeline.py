@@ -1,0 +1,56 @@
+"""Stage/Pipeline composition, contracts, lineage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wurzel_spark.contracts import MARKDOWN_DOC, Contract, ContractError, StaticTypeError, struct
+from wurzel_spark.sources.markdown import read_markdown_folder
+from wurzel_spark.stage import Pipeline, Stage
+import pyspark.sql.types as T
+
+
+def test_pipeline_composes_and_stamps_history(spark, md_folder):
+    pipe = (
+        Pipeline(lambda s: read_markdown_folder(s, md_folder))
+        >> Stage("Dedup", lambda df: df.dropDuplicates(["md"]), MARKDOWN_DOC, MARKDOWN_DOC)
+        >> Stage("Upper", lambda df: df.withColumn("keywords", F.upper("keywords")))
+    )
+    out = pipe.run(spark)
+    assert pipe.history() == "Dedup-Upper"
+    assert out.select("history").distinct().collect()[0][0] == "Dedup-Upper"
+
+
+def test_static_type_check_rejects_incompatible(spark):
+    a = Contract("A", struct(("x", T.StringType(), False)))
+    b = Contract("B", struct(("y", T.LongType(), False)))
+    with pytest.raises(StaticTypeError):
+        (
+            Pipeline(lambda s: s.range(1))
+            >> Stage("one", lambda df: df, None, a)
+            >> Stage("two", lambda df: df, b, None)
+        )
+
+
+def test_dynamic_validation_raises_on_missing_column(spark):
+    df = spark.createDataFrame([("x",)], "md string")
+    with pytest.raises(ContractError, match="missing column"):
+        MARKDOWN_DOC.validate(df)
+
+
+def test_dynamic_validation_raises_on_nulls(spark):
+    df = spark.createDataFrame(
+        [(None, "k", "u", None)],
+        "md string, keywords string, url string, metadata map<string,string>",
+    )
+    with pytest.raises(ContractError, match="violations"):
+        MARKDOWN_DOC.validate(df)
+
+
+def test_materialization_roundtrip(spark, md_folder, tmp_path):
+    pipe = Pipeline(lambda s: read_markdown_folder(s, md_folder)) >> Stage(
+        "Dedup", lambda df: df.dropDuplicates(["md"])
+    )
+    out = pipe.run(spark, materialize_dir=str(tmp_path / "stages"), with_reports=True)
+    assert out.count() == 5
+    assert (tmp_path / "stages" / "Dedup").exists()
+    assert pipe.reports and pipe.reports[0].stage == "Dedup"

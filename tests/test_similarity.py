@@ -1,0 +1,60 @@
+"""Similarity search: brute-force correctness + LSH/IVF recall."""
+
+from pyspark.sql import functions as F
+
+from wurzel_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    lsh_topk,
+)
+from wurzel_spark.tables import table
+
+
+def test_brute_force_topk_matches_local(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    got = brute_force_topk(emb, q, k=5).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    # local recompute
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qv = vecs[0]
+    sims = {
+        vid: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    expected = [vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    assert [r["neighbor_id"] for r in got] == expected
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    planes = [r["embedding"] for r in emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()]
+    exact = brute_force_topk(emb, q, k=10).collect()
+    approx = lsh_topk(emb, q, planes, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q_] & approx_sets.get(q_, set())) / len(exact_sets[q_])
+        for q_ in exact_sets
+    ]
+    # 3 hyperplanes → 8 buckets over 500 vectors; recall is partial but must
+    # be well above random (10/500 = 2%)
+    assert sum(recalls) / len(recalls) > 0.2
+
+
+def test_ivf_assign_covers_all(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    cells = ivf_assign(emb, cents)
+    assert cells.count() == emb.count()
+    n_cells = cells.select("cell").distinct().count()
+    assert 1 < n_cells <= 8

@@ -1,0 +1,82 @@
+"""Sink protocols: versioned collections, snapshot, KB upload+prune."""
+
+import json
+import os
+
+from wurzel_spark.sinks.kb import KBUploaderSink, LocalKBClient, doc_name
+from wurzel_spark.sinks.snapshot import write_snapshot
+from wurzel_spark.sinks.versioned import LocalCollectionBackend, VersionedCollectionWriter
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"text{i}") for i in ids], "doc_id long, text string")
+
+
+def test_versioned_write_creates_v1_then_v2(spark, tmp_path):
+    root = str(tmp_path / "store")
+    writer = VersionedCollectionWriter(lambda: LocalCollectionBackend(root), "kb")
+    name1 = writer.write(_df(spark, range(5)), "doc_id")
+    assert name1 == "kb_v1"
+    be = LocalCollectionBackend(root)
+    assert be.get_alias("kb") == "kb_v1"
+    name2 = writer.write(_df(spark, range(3)), "doc_id")
+    assert name2 == "kb_v2"
+    assert be.get_alias("kb") == "kb_v2"
+    assert "kb_v1" in be.list_collections()  # kept (history_len 10)
+
+
+def test_versioned_ids_deterministic(spark, tmp_path):
+    root = str(tmp_path / "store2")
+    writer = VersionedCollectionWriter(lambda: LocalCollectionBackend(root), "kb")
+    writer.write(_df(spark, [30, 10, 20]), "doc_id")
+    rows = []
+    cdir = tmp_path / "store2" / "kb_v1"
+    for part in sorted(os.listdir(cdir)):
+        if part.startswith("part-"):
+            rows += [json.loads(line) for line in open(cdir / part)]
+    by_doc = {r["doc_id"]: r["id"] for r in rows}
+    assert by_doc == {10: 1, 20: 2, 30: 3}  # row_number over doc_id
+
+
+def test_retirement_keeps_newest(spark, tmp_path):
+    root = str(tmp_path / "store3")
+    writer = VersionedCollectionWriter(
+        lambda: LocalCollectionBackend(root), "kb", history_len=2
+    )
+    for _ in range(4):
+        writer.write(_df(spark, range(2)), "doc_id")
+    be = LocalCollectionBackend(root)
+    cols = be.list_collections()
+    assert "kb_v1" not in cols and "kb_v2" not in cols
+    assert "kb_v3" in cols and "kb_v4" in cols
+
+
+def test_snapshot_writes_latest_and_skips_empty(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    df = _df(spark, range(4))
+    m = write_snapshot(df, root, "2026-01-01T000000Z")
+    assert m["rows"] == 4
+    assert os.path.exists(os.path.join(root, "latest.json"))
+    latest = json.load(open(os.path.join(root, "latest.json")))
+    assert [r["doc_id"] for r in latest] == [0, 1, 2, 3]  # sorted by first col
+    # empty input never clobbers latest (s3/step.py:71-77)
+    empty = df.filter("doc_id < 0")
+    m2 = write_snapshot(empty, root, "2026-01-02T000000Z")
+    assert m2["skipped"] is True
+    assert json.load(open(os.path.join(root, "latest.json"))) == latest
+
+
+def test_kb_upload_and_prune(spark, tmp_path):
+    root = str(tmp_path / "kb")
+    client = LocalKBClient(root)
+    df1 = spark.createDataFrame(
+        [("http://a", "A"), ("http://b", "B")], "url string, text string"
+    )
+    sink = KBUploaderSink(lambda: LocalKBClient(root), history="Src-Split")
+    sink.write(df1)
+    assert len(client.list_docs("Src-Split")) == 2
+    # second run without http://b → prune removes it (anti-join semantics)
+    df2 = spark.createDataFrame([("http://a", "A2")], "url string, text string")
+    sink.write(df2)
+    names = client.list_docs("Src-Split")
+    assert names == [doc_name("http://a", "Src-Split")]

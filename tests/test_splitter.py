@@ -1,0 +1,97 @@
+"""Splitter semantics (reference golden behaviors,
+tests/splitter/splitter_test.py + FIXTURES §6)."""
+
+import hashlib
+
+from wurzel_spark.functions import tokens as TK
+from wurzel_spark.operators.splitter import (
+    split_markdown_document,
+    split_markdown_table,
+    split_sentences,
+    split_stage,
+)
+
+
+def test_short_doc_passes_through_unchanged():
+    # splitter_test.py:29-42
+    md = "# Title\n\nOne short paragraph."
+    chunks = split_markdown_document(md, "kw", "http://u")
+    assert len(chunks) == 1
+    assert chunks[0]["md"] == md
+    assert chunks[0]["metadata"]["chunk_index"] == "0"
+    assert chunks[0]["metadata"]["chunks_count"] == "1"
+
+
+def test_heading_only_doc_unchanged():
+    # splitter_test.py:44-56
+    md = "# Just a heading"
+    chunks = split_markdown_document(md)
+    assert len(chunks) == 1
+    assert chunks[0]["md"] == md
+
+
+def test_long_doc_splits_with_metadata():
+    sections = [
+        f"## Section {i}\n\n" + " ".join(f"word{j}" for j in range(220)) for i in range(4)
+    ]
+    md = "# Guide\n\n" + "\n\n".join(sections)
+    chunks = split_markdown_document(md, "kw", "u", token_limit=256)
+    assert len(chunks) > 1
+    n = len(chunks)
+    src = hashlib.sha256(md.encode()).hexdigest()
+    count = TK.token_counter()
+    for i, c in enumerate(chunks):
+        meta = c["metadata"]
+        assert meta["chunk_index"] == str(i)
+        assert meta["chunks_count"] == str(n)
+        assert meta["source_sha256_hash"] == src  # splitter_test.py:112
+        assert int(meta["token_len"]) == count(c["md"])
+        assert int(meta["char_len"]) == len(c["md"])
+
+
+def test_heading_path_reattached():
+    body = " ".join(f"w{j}" for j in range(400))
+    md = f"# Top\n\n## Sub\n\n{body}"
+    chunks = split_markdown_document(md, token_limit=128)
+    # chunks from the Sub section carry '# Top - Sub' (semantic_splitter.py:728-744)
+    assert any(c["md"].startswith("# Top - Sub") for c in chunks)
+
+
+def test_table_split_repeats_header_never_mid_row():
+    # markdown_table_splitter.py:48-66
+    header = "| id | name | value |"
+    sep = "|---|---|---|"
+    rows = [f"| {i} | name{i} | value{i} |" for i in range(80)]
+    table = "\n".join([header, sep, *rows])
+    count = TK.token_counter()
+    chunks = split_markdown_table(table, 100, count)
+    assert len(chunks) > 1
+    for c in chunks:
+        lines = c.split("\n")
+        assert lines[0] == header  # header repeated
+        assert lines[1] == sep
+        for ln in lines[2:]:
+            assert ln.startswith("|") and ln.endswith("|")  # never mid-row
+    # all rows preserved
+    got = [ln for c in chunks for ln in c.split("\n")[2:]]
+    assert got == rows
+
+
+def test_sentence_splitter_abbreviations():
+    # sentence_splitter_test_cases.py semantics: abbreviations don't split
+    s = split_sentences("Dr. Smith went home. He slept.")
+    assert s == ["Dr. Smith went home.", "He slept."]
+    s2 = split_sentences("This costs ca. 5 euros. Cheap.")
+    assert s2 == ["This costs ca. 5 euros.", "Cheap."]
+
+
+def test_split_stage_explodes(spark):
+    body = " ".join(f"tok{j}" for j in range(600))
+    df = spark.createDataFrame(
+        [("# Big\n\n" + body, "kw", "http://x", None)],
+        "md string, keywords string, url string, metadata map<string,string>",
+    )
+    out = split_stage(df).collect()
+    assert len(out) > 1
+    assert all(r["metadata"]["chunks_count"] == str(len(out)) for r in out)
+    assert all(r["keywords"] == "kw" for r in out)

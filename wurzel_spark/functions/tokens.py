@@ -1,0 +1,103 @@
+"""Tokenizer adapters (reference: wurzel/utils/tokenizers.py:16-201).
+
+The reference wraps tiktoken (``:52-76``) or HuggingFace tokenizers
+(``:170-201``) behind a Tokenizer protocol with ``encode / decode /
+limit_token_count`` and a ``from_name`` factory (``:78-127``). We keep the
+same protocol; when neither library is installed (this container) the
+default is a deterministic regex tokenizer that approximates BPE behavior:
+words are split further into ≤4-char pieces, punctuation is its own token.
+
+On Spark executors, tokenizers are process-level lazy singletons — never
+pickled into closures (SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+try:  # pragma: no cover - not installed in this container
+    import tiktoken
+
+    HAS_TIKTOKEN = True
+except ImportError:
+    HAS_TIKTOKEN = False
+
+_WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+class RegexTokenizer:
+    """Deterministic BPE-ish tokenizer: unicode words + punctuation, words
+    longer than ``piece`` chars split into fixed-size pieces (public
+    rule-of-thumb: ~4 chars/token for BPE vocabularies).
+    """
+
+    def __init__(self, piece: int = 4):
+        self.piece = piece
+
+    def encode(self, text: str) -> list[str]:
+        out: list[str] = []
+        for m in _WORD_RE.finditer(text):
+            w = m.group(0)
+            if len(w) <= self.piece:
+                out.append(w)
+            else:
+                out.extend(w[i : i + self.piece] for i in range(0, len(w), self.piece))
+        return out
+
+    def token_count(self, text: str) -> int:
+        return len(self.encode(text))
+
+
+class TiktokenTokenizer:  # pragma: no cover - optional dependency
+    """tiktoken adapter (tokenizers.py:52-76)."""
+
+    def __init__(self, encoding: str = "cl100k_base"):
+        self.enc = tiktoken.get_encoding(encoding)
+
+    def encode(self, text: str):
+        return self.enc.encode(text)
+
+    def token_count(self, text: str) -> int:
+        return len(self.enc.encode(text))
+
+
+_SINGLETONS: dict[str, object] = {}
+
+
+def from_name(name: str = "regex") -> object:
+    """Factory (tokenizers.py:78-127): 'regex' always works; tiktoken
+    encodings when installed. Cached per process (executor-side singleton).
+    """
+    if name not in _SINGLETONS:
+        if name == "regex" or not HAS_TIKTOKEN:
+            _SINGLETONS[name] = RegexTokenizer()
+        else:  # pragma: no cover
+            _SINGLETONS[name] = TiktokenTokenizer(name)
+    return _SINGLETONS[name]
+
+
+def token_counter(name: str = "regex") -> Callable[[str], int]:
+    tok = from_name(name)
+    return tok.token_count
+
+
+def limit_token_count(text: str, limit: int, name: str = "regex") -> str:
+    """Truncate text to ≤ limit tokens preserving original spacing
+    (tokenizers.py:170-201 uses offset mapping; the regex tokenizer can
+    reconstruct via match offsets).
+    """
+    tok = from_name(name)
+    if isinstance(tok, RegexTokenizer):
+        count = 0
+        end = 0
+        for m in _WORD_RE.finditer(text):
+            w = m.group(0)
+            n = max(1, -(-len(w) // tok.piece)) if len(w) > tok.piece else 1
+            if count + n > limit:
+                break
+            count += n
+            end = m.end()
+        return text[:end]
+    ids = tok.encode(text)[:limit]  # pragma: no cover
+    return tok.enc.decode(ids)  # pragma: no cover

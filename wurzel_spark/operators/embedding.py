@@ -1,0 +1,191 @@
+"""Embedding operators (SURVEY §2.5).
+
+Reference parity:
+  - EmbeddingStep (wurzel/steps/embedding/step.py:281-292, base run
+    :239-278): split → clean text → embed → EmbeddingResult rows
+  - TruncatedEmbeddingStep (:295-346): truncate to token window instead of
+    splitting
+  - EmbeddingMultiVectorStep (step_multivector.py:34-123): keep ALL chunk
+    vectors per source document
+  - PrefixedAPIEmbeddings (huggingface.py:155-188): model-dependent query
+    prefix ({'e5-': 'query: '}, settings.py:58-60)
+  - md→plain cleaning + stopword "simple context" (step.py:123-181)
+
+Spark shape: embedding backends run per-partition with a process-level
+client (one HTTP session per partition, batched requests — the reference's
+N_JOBS thread pool becomes partition parallelism). For tests/offline runs a
+deterministic hash embedder (sha256-seeded unit vector) replaces the HTTP
+call — same schema, reproducible values (FIXTURES: "vectors = seeded hash of
+text").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct as _struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wurzel_spark.functions import text as TXT
+
+#: model-name → query prefix (embedding/settings.py:58-60)
+DEFAULT_PREFIX_MAP = {"e5-": "query: "}
+
+
+def clean_for_embedding(df: DataFrame, md_col: str = "md") -> DataFrame:
+    """Markdown → embedding input text (step.py:123-140): replace URLs with
+    'LINK', strip markdown furniture, collapse whitespace. Pure column ops.
+    """
+    return df.withColumn(
+        "embedding_input_text", TXT.strip_markdown(TXT.replace_urls(F.col(md_col)))
+    )
+
+
+def simple_context(df: DataFrame, keywords_col: str = "keywords", stopwords: tuple[str, ...] = ()) -> DataFrame:
+    """Stopword-filtered keyword context (step.py:168-181): tokenize
+    keywords, drop stopwords, re-join. Stopword set folds to a literal array
+    (broadcast by constant folding).
+    """
+    stop_arr = F.array(*[F.lit(s) for s in stopwords]) if stopwords else F.array()
+    toks = F.split(F.col(keywords_col), r"([.,!?]+)?\s+")
+    kept = F.filter(toks, lambda t: (t != "") & ~F.array_contains(stop_arr, F.lower(t)))
+    return df.withColumn("keywords", F.array_join(kept, " "))
+
+
+def hash_embedding(text: str, dim: int = 64) -> list[float]:
+    """Deterministic unit vector from sha256(text) — the offline embedding
+    backend. Each float is derived from the digest stream; the vector is
+    L2-normalized. Pure function of the input text.
+    """
+    out: list[float] = []
+    counter = 0
+    raw = text.encode("utf-8")
+    while len(out) < dim:
+        h = hashlib.sha256(raw + counter.to_bytes(4, "big")).digest()
+        for i in range(0, 32, 4):
+            if len(out) >= dim:
+                break
+            (u,) = _struct.unpack(">I", h[i : i + 4])
+            out.append((u / 2**31) - 1.0)  # [-1, 1)
+        counter += 1
+    n = math.sqrt(sum(x * x for x in out)) or 1.0
+    return [x / n for x in out]
+
+
+def _embed_series(texts: pd.Series, dim: int) -> pd.Series:
+    return pd.Series([hash_embedding(t or "", dim) for t in texts])
+
+
+def embed_stage(
+    df: DataFrame,
+    dim: int = 64,
+    prefix: str = "",
+    backend: str = "hash",
+) -> DataFrame:
+    """MarkdownDataContract chunks → EmbeddingResult
+    {text, vector, url, keywords, embedding_input_text, metadata}
+    (wurzel/steps/data.py:11-21).
+
+    backend='hash' is the deterministic offline embedder; backend='tei'
+    posts to a Text-Embeddings-Inference server per partition (gated — needs
+    network; the request/batching protocol mirrors huggingface.py:43-153).
+    """
+    if backend != "hash":  # pragma: no cover - needs a live TEI server
+        raise NotImplementedError(
+            "TEI backend requires a reachable server; use backend='hash' offline. "
+            "Protocol: POST /embed {'inputs': [texts]} in batches, skip failed "
+            "batches, raise if ALL fail (embedding/step.py:263-272)."
+        )
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        return _embed_series(texts, dim)
+
+    cleaned = clean_for_embedding(df)
+    inp = F.concat(F.lit(prefix), F.col("embedding_input_text"))
+    return cleaned.select(
+        F.col("md").alias("text"),
+        _embed(inp).alias("vector"),
+        "url",
+        "keywords",
+        "embedding_input_text",
+        "metadata",
+    )
+
+
+def embed_multivector_stage(df: DataFrame, dim: int = 64) -> DataFrame:
+    """EmbeddingMultiVectorStep (step_multivector.py:34-123): group chunks
+    back to their source document, keeping every chunk vector + chunk text.
+
+    Chunk order inside arrays is made deterministic by sorting on
+    metadata.chunk_index (collect_list alone is order-nondeterministic under
+    shuffle — SURVEY §7 determinism rule).
+    """
+    embedded = embed_stage(df, dim)
+    keyed = embedded.withColumn(
+        "__idx", F.col("metadata")["chunk_index"].cast("int")
+    ).withColumn("__src", F.col("metadata")["source_sha256_hash"])
+    packed = (
+        keyed.groupBy("__src")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__idx", "vector", F.col("text").alias("t")))
+            ).alias("parts"),
+            F.first("url").alias("url"),
+            F.first("keywords").alias("keywords"),
+        )
+    )
+    return packed.select(
+        F.array_join(F.transform("parts", lambda p: p["t"]), "\n\n").alias("text"),
+        F.transform("parts", lambda p: p["vector"]).alias("vectors"),
+        "url",
+        "keywords",
+        F.transform("parts", lambda p: p["t"]).alias("splits"),
+    )
+
+
+def truncated_embed_stage(df: DataFrame, dim: int = 64, token_limit: int = 256) -> DataFrame:
+    """TruncatedEmbeddingStep (step.py:295-346): truncate each document to
+    the token window (no splitting), then embed. Truncation runs in the same
+    pandas UDF pass as the embedding — one Python boundary crossing.
+    """
+    from wurzel_spark.functions import tokens as TK
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed_trunc(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [hash_embedding(TK.limit_token_count(t or "", token_limit), dim) for t in texts]
+        )
+
+    cleaned = clean_for_embedding(df)
+    return cleaned.select(
+        F.col("md").alias("text"),
+        _embed_trunc("embedding_input_text").alias("vector"),
+        "url",
+        "keywords",
+        "embedding_input_text",
+        "metadata",
+    )
+
+
+def embedding_distribution_stats(df: DataFrame, vector_col: str = "vector") -> DataFrame:
+    """The reference's vector-distribution logging (step.py:89-121) as a
+    first-class aggregation: stats over every vector component.
+    """
+    comp = df.select(F.explode(vector_col).alias("x"))
+    return comp.agg(
+        F.mean("x").alias("mean"),
+        F.expr("percentile(x, 0.5)").alias("median"),
+        F.stddev("x").alias("std"),
+        F.variance("x").alias("var"),
+        F.min("x").alias("min"),
+        F.expr("percentile(x, 0.05)").alias("p5"),
+        F.expr("percentile(x, 0.25)").alias("p25"),
+        F.expr("percentile(x, 0.75)").alias("p75"),
+        F.expr("percentile(x, 0.95)").alias("p95"),
+        F.max("x").alias("max"),
+    )

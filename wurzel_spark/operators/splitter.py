@@ -1,0 +1,366 @@
+"""Semantic markdown splitter — the reference's largest algorithmic unit
+(wurzel/utils/splitters/semantic_splitter.py, ~810 LoC + table splitter
+~475 LoC), re-implemented as a pure function wrapped in a vectorized UDF.
+
+Semantics preserved (SURVEY §2.4):
+  - documents within the token window pass through unchanged
+    (splitter_test.py:29-56)
+  - split at heading levels 1..6 first (LEVEL_MAPPING,
+    semantic_splitter.py:28-39), then structure: code fences and tables are
+    atomic blocks; paragraphs pack greedily to token_limit(±buffer)
+    (_split_by_sentence, :448-494)
+  - oversized tables split at row boundaries, never mid-row, repeating the
+    header row per chunk (markdown_table_splitter.py:48-66)
+  - oversized paragraphs split at sentence boundaries (regex strategy,
+    sentence_splitter.py:115-226) and packed
+  - parent headings re-attached as '# H1 - H2' (:704-761)
+  - chunks stamped with metadata {chunk_index, chunks_count, token_len,
+    char_len, source_sha256_hash} (:763-798)
+  - chunks ≤ token_limit_min are dropped (with the remainder merged back
+    where possible, :601-702)
+
+Spark shape: one pandas UDF producing array<struct> per document, then
+posexplode — the reference's joblib thread batching (splitter.py:100-110)
+is replaced by partition parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wurzel_spark.functions import tokens as TK
+
+DEFAULT_TOKEN_LIMIT = 256
+DEFAULT_TOKEN_BUFFER = 32
+DEFAULT_TOKEN_MIN = 64
+
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
+_TABLE_ROW_RE = re.compile(r"^\s*\|.*\|\s*$")
+_TABLE_SEP_RE = re.compile(r"^\s*\|?[\s:|-]+\|?\s*$")  # |---|:--:| separator
+# regex sentence splitting with abbreviation merge-back
+# (sentence_splitter.py:115-226, simplified)
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9„\"'(])")
+_ABBREV_RE = re.compile(
+    r"(?:\b[A-Za-z]\.|\bz\.B\.|\bd\.h\.|\bDr\.|\bProf\.|\bNr\.|\bca\.|\bvgl\.|\be\.g\.|\bi\.e\.|\betc\.|\d+\.)\s*$"
+)
+
+
+def split_sentences(text: str) -> list[str]:
+    """Regex sentence splitter with abbreviation merge-back."""
+    parts = _SENT_SPLIT_RE.split(text)
+    out: list[str] = []
+    for p in parts:
+        if out and _ABBREV_RE.search(out[-1]):
+            out[-1] = out[-1] + " " + p
+        else:
+            out.append(p)
+    return [p for p in out if p.strip()]
+
+
+# ----------------------------------------------------------- block parsing
+
+def _parse_blocks(md: str) -> list[tuple[str, object, str]]:
+    """Scan lines into (kind, payload, text) blocks.
+
+    kind ∈ {'heading', 'code', 'table', 'para'}; payload = heading level for
+    headings, None otherwise. Tables/code fences are atomic.
+    """
+    lines = md.split("\n")
+    blocks: list[tuple[str, object, str]] = []
+    i, n = 0, len(lines)
+    para: list[str] = []
+
+    def flush_para():
+        nonlocal para
+        text = "\n".join(para).strip("\n")
+        if text.strip():
+            blocks.append(("para", None, text))
+        para = []
+
+    while i < n:
+        line = lines[i]
+        m = _HEADING_RE.match(line)
+        if m:
+            flush_para()
+            blocks.append(("heading", len(m.group(1)), line))
+            i += 1
+        elif line.lstrip().startswith("```"):
+            flush_para()
+            j = i + 1
+            while j < n and not lines[j].lstrip().startswith("```"):
+                j += 1
+            blocks.append(("code", None, "\n".join(lines[i : min(j + 1, n)])))
+            i = j + 1
+        elif _TABLE_ROW_RE.match(line):
+            flush_para()
+            j = i
+            while j < n and (_TABLE_ROW_RE.match(lines[j]) or _TABLE_SEP_RE.match(lines[j])):
+                j += 1
+            blocks.append(("table", None, "\n".join(lines[i:j])))
+            i = j
+        elif not line.strip():
+            flush_para()
+            i += 1
+        else:
+            para.append(line)
+            i += 1
+    flush_para()
+    return blocks
+
+
+# ----------------------------------------------------- table splitting
+
+def split_markdown_table(table_md: str, token_limit: int, count) -> list[str]:
+    """Split an oversized markdown table at row boundaries; repeat the
+    header (+ separator) per chunk; never split mid-row
+    (markdown_table_splitter.py:48-66, :357, :455). An oversized single row
+    is split at column boundaries (:166+), keeping the row's leading cells
+    together with a repeated header.
+    """
+    rows = [r for r in table_md.split("\n") if r.strip()]
+    if len(rows) < 2:
+        return [table_md]
+    header, sep = rows[0], (rows[1] if _TABLE_SEP_RE.match(rows[1]) else None)
+    body = rows[2:] if sep else rows[1:]
+    head_block = header + ("\n" + sep if sep else "")
+    head_tokens = count(head_block)
+
+    chunks: list[str] = []
+    cur: list[str] = []
+    cur_tokens = head_tokens
+
+    def flush():
+        nonlocal cur, cur_tokens
+        if cur:
+            chunks.append(head_block + "\n" + "\n".join(cur))
+        cur, cur_tokens = [], head_tokens
+
+    for row in body:
+        rt = count(row)
+        if head_tokens + rt > token_limit and rt > token_limit:
+            # oversized row: split at column boundaries (:166+)
+            flush()
+            cells = [c for c in row.strip().strip("|").split("|")]
+            part: list[str] = []
+            for cell in cells:
+                cand = "|" + "|".join(part + [cell]) + "|"
+                if part and head_tokens + count(cand) > token_limit:
+                    chunks.append(head_block + "\n" + "|" + "|".join(part) + "|")
+                    part = [cell]
+                else:
+                    part.append(cell)
+            if part:
+                chunks.append(head_block + "\n" + "|" + "|".join(part) + "|")
+            continue
+        if cur and cur_tokens + rt > token_limit:
+            flush()
+        cur.append(row)
+        cur_tokens += rt
+    flush()
+    return chunks or [table_md]
+
+
+# ------------------------------------------------------- document splitting
+
+def _hard_split(text: str, token_limit: int, count) -> list[str]:
+    """Last-resort cut at word boundaries for a piece with no structural or
+    sentence boundaries (the reference cuts with discard-logging,
+    semantic_splitter.py:583-599; we keep all content).
+    """
+    ws = text.split()
+    chunks: list[str] = []
+    cur: list[str] = []
+    cur_tokens = 0
+    for w in ws:
+        wt = count(w)
+        if cur and cur_tokens + wt > token_limit:
+            chunks.append(" ".join(cur))
+            cur, cur_tokens = [], 0
+        cur.append(w)
+        cur_tokens += wt
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks or [text]
+
+
+def _pack(pieces: list[str], token_limit: int, count, sep: str = "\n\n") -> list[str]:
+    """Greedy packing of pieces into chunks ≤ token_limit
+    (_split_by_sentence, semantic_splitter.py:448-494)."""
+    chunks: list[str] = []
+    cur: list[str] = []
+    cur_tokens = 0
+    for p in pieces:
+        pt = count(p)
+        if cur and cur_tokens + pt > token_limit:
+            chunks.append(sep.join(cur))
+            cur, cur_tokens = [], 0
+        cur.append(p)
+        cur_tokens += pt
+    if cur:
+        chunks.append(sep.join(cur))
+    return chunks
+
+
+def _split_blocks(
+    blocks: list[tuple[str, object, str]],
+    heading_path: list[str],
+    token_limit: int,
+    count,
+) -> list[str]:
+    """Recursive split: by child headings first (LEVEL_MAPPING order,
+    semantic_splitter.py:372-445, :601-702), then structural packing.
+    Returns chunk texts WITH their heading-path prefix re-attached
+    (:704-761).
+    """
+    total = sum(count(t) for _, _, t in blocks)
+    prefix = ("# " + " - ".join(heading_path) + "\n\n") if heading_path else ""
+
+    if total <= token_limit:
+        body = "\n\n".join(t for _, _, t in blocks)
+        return [prefix + body] if body.strip() else []
+
+    # find the shallowest heading level present
+    levels = [lv for kind, lv, _ in blocks if kind == "heading"]
+    if levels:
+        top = min(levels)  # type: ignore[type-var]
+        # partition into sections at top-level headings
+        sections: list[tuple[str | None, list]] = []
+        cur_title: str | None = None
+        cur_blocks: list = []
+        for b in blocks:
+            if b[0] == "heading" and b[1] == top:
+                if cur_blocks or cur_title is not None:
+                    sections.append((cur_title, cur_blocks))
+                cur_title = _HEADING_RE.match(b[2]).group(2).strip()  # type: ignore[union-attr]
+                cur_blocks = []
+            else:
+                cur_blocks.append(b)
+        sections.append((cur_title, cur_blocks))
+        out: list[str] = []
+        for title, sec in sections:
+            if not sec:
+                continue
+            path = heading_path + ([title] if title else [])
+            out.extend(_split_blocks(sec, path, token_limit, count))
+        if out:
+            return out
+
+    # no headings: split structurally, tables/code atomic, paragraphs by
+    # sentences when oversized
+    pieces: list[str] = []
+    for kind, _, text in blocks:
+        if kind == "table" and count(text) > token_limit:
+            pieces.extend(split_markdown_table(text, token_limit, count))
+        elif kind == "para" and count(text) > token_limit:
+            sents: list[str] = []
+            for s in split_sentences(text):
+                sents.extend(_hard_split(s, token_limit, count) if count(s) > token_limit else [s])
+            pieces.extend(_pack(sents, token_limit, count, sep=" "))
+        elif kind == "code" and count(text) > token_limit:
+            # oversized code fence: split by lines, re-fencing each part
+            lines = text.split("\n")
+            fence = lines[0] if lines[0].lstrip().startswith("```") else "```"
+            inner = lines[1:-1] if len(lines) > 2 else lines
+            for part in _pack(inner, token_limit, count, sep="\n"):
+                pieces.append(f"{fence}\n{part}\n```")
+        else:
+            pieces.append(text)
+    return [prefix + c for c in _pack(pieces, token_limit, count)]
+
+
+def split_markdown_document(
+    md: str,
+    keywords: str = "",
+    url: str = "",
+    token_limit: int = DEFAULT_TOKEN_LIMIT,
+    token_limit_buffer: int = DEFAULT_TOKEN_BUFFER,
+    token_limit_min: int = DEFAULT_TOKEN_MIN,
+    tokenizer_name: str = "regex",
+) -> list[dict]:
+    """Pure function MDC → list[MDC-chunk]
+    (semantic_splitter.py:800-812, defaults :183-186).
+    """
+    count = TK.token_counter(tokenizer_name)
+    source_hash = hashlib.sha256(md.encode("utf-8")).hexdigest()
+
+    if count(md) <= token_limit + token_limit_buffer:
+        chunks = [md]
+    else:
+        blocks = _parse_blocks(md)
+        chunks = _split_blocks(blocks, [], token_limit, count)
+        # drop tiny chunks, merging into the previous chunk where possible
+        # (:601-702 discard-with-logging; we merge-back to avoid data loss)
+        merged: list[str] = []
+        for c in chunks:
+            if merged and count(c) <= token_limit_min:
+                merged[-1] = merged[-1] + "\n\n" + c
+            else:
+                merged.append(c)
+        chunks = merged or [md]
+
+    n = len(chunks)
+    return [
+        {
+            "md": c,
+            "keywords": keywords,
+            "url": url,
+            "metadata": {
+                "chunk_index": str(i),
+                "chunks_count": str(n),
+                "token_len": str(count(c)),
+                "char_len": str(len(c)),
+                "source_sha256_hash": source_hash,
+            },
+        }
+        for i, c in enumerate(chunks)
+    ]
+
+
+# --------------------------------------------------------------- Spark op
+
+_CHUNK_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("md", T.StringType(), False),
+            T.StructField("keywords", T.StringType(), True),
+            T.StructField("url", T.StringType(), True),
+            T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+        ]
+    )
+)
+
+
+def split_stage(
+    df: DataFrame,
+    token_limit: int = DEFAULT_TOKEN_LIMIT,
+    token_limit_buffer: int = DEFAULT_TOKEN_BUFFER,
+    token_limit_min: int = DEFAULT_TOKEN_MIN,
+) -> DataFrame:
+    """SimpleSplitterStep (wurzel/steps/splitter.py:71-119): explode each
+    document into chunks. Raises downstream if ALL docs fail (reference
+    raises on all-skipped, splitter.py:64-65) — here the pure function never
+    fails, so empty-in → empty-out is the only degenerate case.
+    """
+
+    @F.pandas_udf(_CHUNK_SCHEMA)
+    def _split(md: pd.Series, kw: pd.Series, url: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                split_markdown_document(
+                    m or "", k or "", u or "", token_limit, token_limit_buffer, token_limit_min
+                )
+                for m, k, u in zip(md, kw, url)
+            ]
+        )
+
+    return (
+        df.withColumn("__chunks", _split("md", "keywords", "url"))
+        .select(F.explode("__chunks").alias("c"))
+        .select("c.md", "c.keywords", "c.url", "c.metadata")
+    )

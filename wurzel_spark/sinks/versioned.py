@@ -1,0 +1,178 @@
+"""Versioned-collection sink protocol.
+
+Reference parity (SURVEY §2.6): every vector-store sink follows
+create `{COLLECTION}_v{n+1}` → bulk insert → flip alias → retire old
+(QdrantConnectorStep wurzel/steps/qdrant/step.py:35-283, version regex
+:246-257, alias :224-236; CollectionRetirer retirement.py:21-117 keeps the
+newest N=10, settings.py:36; MilvusConnectorStep milvus/step.py:26-155).
+
+Design for Spark:
+  - the bulk insert is ``df.foreachPartition(upload_batch)`` with
+    client-side batching (1024 points/batch, qdrant/settings.py:46) and
+    DETERMINISTIC point ids (row_number over a declared ordering — the
+    reference's insertion counter, qdrant/step.py:72-77, is not
+    reproducible under task retries; deterministic ids make uploads
+    idempotent, SURVEY §7 hard parts)
+  - create/alias/retire are driver-side metadata calls AFTER the
+    distributed write completes (step.finalize parity, qdrant/step.py:66-70)
+
+Backends implement a 6-method protocol; LocalCollectionBackend (filesystem)
+ships for tests and offline runs; Qdrant/Milvus clients plug in behind the
+same protocol (gated import — not installed here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BATCH_SIZE = 1024  # qdrant/settings.py:46
+HISTORY_LEN = 10  # qdrant/settings.py:36
+_VERSION_RE = re.compile(r"^(?P<base>.+)_v(?P<n>\d+)$")  # qdrant/step.py:246-257
+
+
+class CollectionBackend:
+    """Protocol: what a vector store must support (the subset of the
+    qdrant/milvus client APIs the reference uses)."""
+
+    def list_collections(self) -> list[str]:
+        raise NotImplementedError
+
+    def create_collection(self, name: str, schema: dict) -> None:
+        raise NotImplementedError
+
+    def upsert_batch(self, name: str, points: list[dict]) -> None:
+        raise NotImplementedError
+
+    def set_alias(self, alias: str, name: str) -> None:
+        raise NotImplementedError
+
+    def get_alias(self, alias: str) -> str | None:
+        raise NotImplementedError
+
+    def drop_collection(self, name: str) -> None:
+        raise NotImplementedError
+
+
+class LocalCollectionBackend(CollectionBackend):
+    """Filesystem-backed collection store: one dir per collection version,
+    JSONL part files, alias as a JSON pointer file. Used by tests; also a
+    reasonable offline artifact format.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def list_collections(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(self._p(d))
+        )
+
+    def create_collection(self, name: str, schema: dict) -> None:
+        os.makedirs(self._p(name), exist_ok=True)
+        with open(os.path.join(self._p(name), "_schema.json"), "w") as f:
+            json.dump(schema, f)
+
+    def upsert_batch(self, name: str, points: list[dict]) -> None:
+        # idempotent under retries: file named by the batch's min id
+        if not points:
+            return
+        part = os.path.join(self._p(name), f"part-{points[0]['id']:012d}.jsonl")
+        with open(part, "w") as f:
+            for p in points:
+                f.write(json.dumps(p, sort_keys=True) + "\n")
+
+    def set_alias(self, alias: str, name: str) -> None:
+        with open(os.path.join(self.root, f"{alias}.alias.json"), "w") as f:
+            json.dump({"alias": alias, "collection": name}, f)
+
+    def get_alias(self, alias: str) -> str | None:
+        p = os.path.join(self.root, f"{alias}.alias.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["collection"]
+
+    def drop_collection(self, name: str) -> None:
+        shutil.rmtree(self._p(name), ignore_errors=True)
+
+
+@dataclass
+class VersionedCollectionWriter:
+    """The create→insert→alias→retire protocol, backend-agnostic."""
+
+    backend_factory: object  # Callable[[], CollectionBackend], picklable
+    collection: str
+    history_len: int = HISTORY_LEN
+    batch_size: int = BATCH_SIZE
+
+    def next_version(self, backend: CollectionBackend) -> str:
+        """{COLLECTION}_v{n+1} from existing versions (qdrant/step.py:238-257)."""
+        n = 0
+        for c in backend.list_collections():
+            m = _VERSION_RE.match(c)
+            if m and m.group("base") == self.collection:
+                n = max(n, int(m.group("n")))
+        return f"{self.collection}_v{n + 1}"
+
+    def write(self, df: DataFrame, order_col: str, history: str = "") -> str:
+        """Distributed bulk insert with deterministic ids, then finalize.
+
+        ids = row_number over ``order_col`` (dense, reproducible — replaces
+        the reference's in-process counter, qdrant/step.py:72-77). The
+        foreachPartition upload batches ``batch_size`` points per call
+        (qdrant/step.py:144-155) and is idempotent under Spark task retries.
+        """
+        backend = self.backend_factory()
+        name = self.next_version(backend)
+        backend.create_collection(name, {"columns": df.columns})
+
+        w = Window.orderBy(order_col)
+        ids = df.withColumn("id", F.row_number().over(w)).withColumn(
+            "collection", F.lit(name)
+        )
+        if history:
+            ids = ids.withColumn("history", F.lit(history))
+
+        factory = self.backend_factory
+        batch_size = self.batch_size
+
+        def upload(rows) -> None:
+            be = factory()
+            batch: list[dict] = []
+            for r in rows:
+                batch.append(r.asDict(recursive=True))
+                if len(batch) >= batch_size:
+                    be.upsert_batch(name, batch)
+                    batch = []
+            be.upsert_batch(name, batch)
+
+        ids.foreachPartition(upload)
+        self.finalize(backend, name)
+        return name
+
+    def finalize(self, backend: CollectionBackend, name: str) -> None:
+        """Alias flip + retirement (qdrant/step.py:66-70, :224-236;
+        retirement.py:21-117: keep newest ``history_len``, never the aliased
+        one)."""
+        backend.set_alias(self.collection, name)
+        versions = sorted(
+            (int(m.group("n")), c)
+            for c in backend.list_collections()
+            if (m := _VERSION_RE.match(c)) and m.group("base") == self.collection
+        )
+        keep = {name} | {c for _, c in versions[-self.history_len:]}
+        for _, c in versions:
+            if c not in keep:
+                backend.drop_collection(c)
