@@ -1,0 +1,87 @@
+"""CLI (reference parity: wurzel/cli/_main.py — run / inspect / env).
+
+    python -m wurzel_spark run manifest.yaml [--materialize-dir DIR] [--out DIR]
+    python -m wurzel_spark inspect manifest.yaml
+    python -m wurzel_spark env manifest.yaml
+
+``generate`` is intentionally absent: the reference compiles pipelines to
+DVC/Argo artifacts that re-enter the CLI per step (SURVEY §3.2); a Spark
+pipeline IS the artifact — submit this module with spark-submit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_run(args) -> int:
+    from wurzel_spark import get_spark
+    from wurzel_spark.manifest import Manifest, run_manifest
+
+    m = Manifest.from_file(args.manifest)
+    spark = get_spark(m.name)
+    outs = run_manifest(spark, m, materialize_dir=args.materialize_dir)
+    for name, df in outs.items():
+        n = df.count()
+        print(f"{name}: {n} rows, schema={df.schema.simpleString()}")
+        if args.out:
+            import os
+
+            df.orderBy(df.columns[0]).write.mode("overwrite").parquet(
+                os.path.join(args.out, name)
+            )
+    return 0
+
+
+def _cmd_inspect(args) -> int:
+    from wurzel_spark.manifest import Manifest
+
+    m = Manifest.from_file(args.manifest)
+    print(f"pipeline: {m.name}")
+    if m.schedule:
+        print(f"schedule: {m.schedule}")
+    for name in m.topo_order():
+        s = m.steps[name]
+        deps = f" <- {', '.join(s.depends_on)}" if s.depends_on else " (leaf)"
+        print(f"  {name}: {s.uses}{deps}")
+    print(f"terminals: {', '.join(m.terminals())}")
+    return 0
+
+
+def _cmd_env(args) -> int:
+    """Print the env vars each step would read ({STEP}__{FIELD},
+    core/settings.py:44)."""
+    from wurzel_spark.manifest import Manifest
+
+    m = Manifest.from_file(args.manifest)
+    for name in m.topo_order():
+        for k in m.steps[name].settings:
+            print(f"{name.upper()}__{k.upper()}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="wurzel_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a pipeline manifest")
+    r.add_argument("manifest")
+    r.add_argument("--materialize-dir", default=None)
+    r.add_argument("--out", default=None)
+    r.set_defaults(fn=_cmd_run)
+
+    i = sub.add_parser("inspect", help="show the step graph")
+    i.add_argument("manifest")
+    i.set_defaults(fn=_cmd_inspect)
+
+    e = sub.add_parser("env", help="list env vars the steps read")
+    e.add_argument("manifest")
+    e.set_defaults(fn=_cmd_env)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

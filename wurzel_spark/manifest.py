@@ -1,0 +1,221 @@
+"""Pipeline manifests: YAML → validated step graph → one composed Spark job.
+
+Reference parity (SURVEY §3.3):
+  - PipelineManifest model (wurzel/manifest/models.py:135-141; steps with
+    class/dependsOn/settings :57-64)
+  - ManifestValidator: dangling dependsOn refs (manifest/validator.py:49-57)
+    and cycle detection via DFS coloring (:59+)
+  - ManifestBuilder: import each step, wire parent >> child
+    (manifest/builder.py:72-89), find terminal steps (:91-100)
+  - env-var settings override: {STEPNAME_UPPER}__{FIELD}
+    (core/settings.py:44, manifest/generator.py:27-46)
+
+The crucial difference (SURVEY §3.2): generate_artifact compiles to
+*nothing*. Where the reference emits dvc.yaml / Argo workflows that re-enter
+the CLI once per step (one process/pod per step, data via files/S3), here
+the step graph composes into ONE Catalyst plan; per-step materialization is
+an optional flag, not an execution requirement.
+
+Manifest format:
+
+    pipeline:
+      name: demo
+      schedule: "0 3 * * *"     # informational — external scheduler
+    steps:
+      source:
+        uses: markdown_source    # registry name OR "module:callable"
+        settings: {path: /data/md, url_prefix: "kb:"}
+      dedup:
+        uses: dedup
+        dependsOn: [source]
+      split:
+        uses: split
+        dependsOn: [dedup]
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+from dataclasses import dataclass, field
+
+import yaml
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManifestError(ValueError):
+    pass
+
+
+@dataclass
+class StepSpec:
+    name: str
+    uses: str
+    depends_on: list[str] = field(default_factory=list)
+    settings: dict = field(default_factory=dict)
+
+
+@dataclass
+class Manifest:
+    name: str
+    steps: dict[str, StepSpec]
+    schedule: str | None = None
+
+    @classmethod
+    def from_yaml(cls, text: str) -> "Manifest":
+        data = yaml.safe_load(text)
+        if not isinstance(data, dict) or "steps" not in data:
+            raise ManifestError("manifest needs a 'steps' mapping")
+        pipe = data.get("pipeline", {})
+        steps = {}
+        for name, spec in data["steps"].items():
+            if "uses" not in spec:
+                raise ManifestError(f"step '{name}' missing 'uses'")
+            steps[name] = StepSpec(
+                name=name,
+                uses=spec["uses"],
+                depends_on=list(spec.get("dependsOn", [])),
+                settings=dict(spec.get("settings", {})),
+            )
+        m = cls(name=pipe.get("name", "pipeline"), steps=steps, schedule=pipe.get("schedule"))
+        m.validate()
+        return m
+
+    @classmethod
+    def from_file(cls, path: str) -> "Manifest":
+        with open(path) as f:
+            return cls.from_yaml(f.read())
+
+    def validate(self) -> None:
+        """Dangling refs + cycle detection (validator.py:49+, DFS coloring)."""
+        for s in self.steps.values():
+            for dep in s.depends_on:
+                if dep not in self.steps:
+                    raise ManifestError(f"step '{s.name}' dependsOn unknown step '{dep}'")
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = {n: WHITE for n in self.steps}
+
+        def dfs(n: str, path: list[str]) -> None:
+            color[n] = GRAY
+            for dep in self.steps[n].depends_on:
+                if color[dep] == GRAY:
+                    raise ManifestError(f"cycle: {' -> '.join([*path, n, dep])}")
+                if color[dep] == WHITE:
+                    dfs(dep, [*path, n])
+            color[n] = BLACK
+
+        for n in self.steps:
+            if color[n] == WHITE:
+                dfs(n, [])
+
+    def topo_order(self) -> list[str]:
+        order: list[str] = []
+        seen: set[str] = set()
+
+        def visit(n: str) -> None:
+            if n in seen:
+                return
+            seen.add(n)
+            for dep in self.steps[n].depends_on:
+                visit(dep)
+            order.append(n)
+
+        for n in sorted(self.steps):
+            visit(n)
+        return order
+
+    def terminals(self) -> list[str]:
+        """Steps nothing depends on (builder.py:91-100)."""
+        referenced = {d for s in self.steps.values() for d in s.depends_on}
+        return [n for n in self.steps if n not in referenced]
+
+    def env_settings(self, step: str) -> dict:
+        """Merge manifest settings with {STEP}__{FIELD} env overrides
+        (core/settings.py:44; env wins, as in pydantic-settings)."""
+        spec = self.steps[step]
+        merged = dict(spec.settings)
+        prefix = f"{step.upper()}__"
+        for k, v in os.environ.items():
+            if k.startswith(prefix):
+                merged[k[len(prefix):].lower()] = v
+        return merged
+
+
+# ------------------------------------------------------------ step registry
+
+def _resolve(uses: str):
+    """'module:callable' import or registry lookup (cli/_main.py:89-121)."""
+    if ":" in uses:
+        mod, attr = uses.split(":", 1)
+        return getattr(importlib.import_module(mod), attr)
+    if uses in REGISTRY:
+        return REGISTRY[uses]
+    raise ManifestError(f"unknown step '{uses}' (registry: {sorted(REGISTRY)})")
+
+
+def _markdown_source(spark: SparkSession, inputs, *, path: str, url_prefix: str = ""):
+    from wurzel_spark.sources.markdown import read_markdown_folder
+
+    return read_markdown_folder(spark, path, url_prefix)
+
+
+def _dedup(spark, inputs, *, fields: str = "md"):
+    (df,) = inputs
+    keys = df.columns if fields == "*" else [f.strip() for f in fields.split(",")]
+    return df.dropDuplicates(keys)  # duplication.py:21-51 incl. '*' mode
+
+
+def _split(spark, inputs, *, token_limit: int = 256, token_limit_buffer: int = 32, token_limit_min: int = 64):
+    from wurzel_spark.operators.splitter import split_stage
+
+    (df,) = inputs
+    return split_stage(df, int(token_limit), int(token_limit_buffer), int(token_limit_min))
+
+
+def _embed(spark, inputs, *, dim: int = 64, prefix: str = ""):
+    from wurzel_spark.operators.embedding import embed_stage
+
+    (df,) = inputs
+    return embed_stage(df, dim=int(dim), prefix=prefix)
+
+
+def _union(spark, inputs):
+    """Multi-input union (executor feeds inputs separately; SURVEY §2.3)."""
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, inputs)
+
+
+def _parquet_sink(spark, inputs, *, path: str):
+    (df,) = inputs
+    df.orderBy(df.columns[0]).write.mode("overwrite").parquet(path)
+    return df
+
+
+REGISTRY = {
+    "markdown_source": _markdown_source,
+    "dedup": _dedup,
+    "split": _split,
+    "embed": _embed,
+    "union": _union,
+    "parquet_sink": _parquet_sink,
+}
+
+
+def run_manifest(
+    spark: SparkSession, manifest: Manifest, materialize_dir: str | None = None
+) -> dict[str, DataFrame]:
+    """Execute the step graph as one composed plan; returns terminal outputs."""
+    outputs: dict[str, DataFrame] = {}
+    for name in manifest.topo_order():
+        spec = manifest.steps[name]
+        fn = _resolve(spec.uses)
+        inputs = [outputs[d] for d in spec.depends_on]
+        df = fn(spark, inputs, **manifest.env_settings(name))
+        if materialize_dir is not None:
+            path = os.path.join(materialize_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+        outputs[name] = df
+    return {t: outputs[t] for t in manifest.terminals()}

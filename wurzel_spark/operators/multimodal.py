@@ -1,0 +1,204 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed via Arrow-batched ``mapInPandas`` operators.
+
+The reference's DoclingStep (wurzel/steps/docling/docling_step.py:63-141)
+is the same shape — opaque bytes (PDF/DOCX) decoded per document into
+text + metadata — so this module generalizes that pattern to media.
+
+Spark plumbing (all real and tested):
+  - schema: {asset_id long, kind string, content binary,
+             meta struct<mime,width,height,duration_ms,sample_rate>}
+  - decode / feature-extract / resize / frame-sample as mapInPandas
+    operators — iterator of pandas batches in/out, so one decoder init per
+    partition and bounded memory per batch
+  - partitioning: assets repartitioned by byte-size bins so one giant video
+    doesn't skew a partition
+
+The codec itself is STUBBED: this container has no image/audio libraries.
+``decoder='fake'`` is a deterministic synthetic decoder (content-hash-seeded
+pixels/samples) exercising the exact same plumbing; ``decoder='pil'`` etc.
+raise NotImplementedError with the integration point documented.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def _fake_pixels(content: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic pixels from the content hash — the stub decoder.
+    Real integration point: PIL.Image.open(io.BytesIO(content))."""
+    seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big") % 2**32
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def decode_images(df: DataFrame, decoder: str = "fake", max_pixels: int = 64 * 64) -> DataFrame:
+    """binary → decoded feature row {asset_id, width, height, mean_r/g/b,
+    phash64}. mapInPandas: one decoder per partition, Arrow batches.
+    """
+    if decoder != "fake":  # pragma: no cover
+        raise NotImplementedError(
+            f"decoder '{decoder}' needs an image library (PIL/opencv) not present "
+            "in this container; plug it into _fake_pixels's slot."
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("mean_r", T.DoubleType(), False),
+            T.StructField("mean_g", T.DoubleType(), False),
+            T.StructField("mean_b", T.DoubleType(), False),
+            T.StructField("phash64", T.LongType(), False),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
+                w = int(meta["width"] or 32) if meta is not None else 32
+                h = int(meta["height"] or 32) if meta is not None else 32
+                w, h = min(w, 64), min(h, 64)
+                px = _fake_pixels(bytes(content), w, h)
+                means = px.reshape(-1, 3).mean(axis=0)
+                # perceptual-hash-ish: 8x8 luma > median bitmap
+                luma = px.mean(axis=2)
+                small = luma[:: max(1, h // 8), :: max(1, w // 8)][:8, :8]
+                bits = (small > np.median(small)).flatten()
+                ph = 0
+                for i, b in enumerate(bits[:63]):
+                    ph |= int(b) << i
+                rows.append((int(aid), w, h, float(means[0]), float(means[1]), float(means[2]), ph))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b", "phash64"]
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(op, out_schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
+    """binary → re-encoded binary at new dimensions (stub re-encodes the
+    deterministic pixel array as raw bytes). Same row count, updated meta.
+    """
+    if decoder != "fake":  # pragma: no cover
+        raise NotImplementedError("real resize needs PIL/opencv")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            contents, metas = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                px = _fake_pixels(bytes(content), width, height)
+                contents.append(px.tobytes())
+                m = dict(meta) if meta is not None else {}
+                m.update({"width": width, "height": height})
+                metas.append(m)
+            out["content"] = contents
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(op, ASSET_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000, decoder: str = "fake") -> DataFrame:
+    """video binary → one row per sampled frame {asset_id, frame_idx, ts_ms,
+    frame_bytes}. Explodes 1→N inside mapInPandas (bounded by duration).
+    """
+    if decoder != "fake":  # pragma: no cover
+        raise NotImplementedError("real frame sampling needs ffmpeg/opencv")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("ts_ms", T.LongType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
+                dur = int(meta["duration_ms"] or 0) if meta is not None else 0
+                for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
+                    frame = _fake_pixels(bytes(content) + ts.to_bytes(8, "big"), 16, 16)
+                    rows.append((int(aid), i, ts, frame.tobytes()))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "ts_ms", "frame"])
+
+    return df.filter(F.col("kind") == "video").mapInPandas(op, out_schema)
+
+
+def audio_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """audio binary → {asset_id, duration_ms, rms, zero_crossings}."""
+    if decoder != "fake":  # pragma: no cover
+        raise NotImplementedError("real audio decode needs soundfile/librosa")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("duration_ms", T.LongType(), False),
+            T.StructField("rms", T.DoubleType(), False),
+            T.StructField("zero_crossings", T.LongType(), False),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
+                seed = int.from_bytes(hashlib.sha256(bytes(content)).digest()[:8], "big") % 2**32
+                rng = np.random.default_rng(seed)
+                n = 1600
+                samples = rng.normal(0, 0.3, n)
+                dur = int(meta["duration_ms"] or 100) if meta is not None else 100
+                rms = float(np.sqrt((samples**2).mean()))
+                zc = int(((samples[:-1] * samples[1:]) < 0).sum())
+                rows.append((int(aid), dur, rms, zc))
+            yield pd.DataFrame(rows, columns=["asset_id", "duration_ms", "rms", "zero_crossings"])
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(op, out_schema)
+
+
+def repartition_by_size(df: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Skew guard: bin assets by cumulative byte size so a partition holds
+    ~target_bytes of media regardless of per-asset size variance. At 100 TB
+    this is the difference between a smooth stage and one 2-hour straggler.
+    """
+    sized = df.withColumn("__sz", F.length("content").cast("long"))
+    n = max(
+        1,
+        int((sized.agg(F.sum("__sz")).collect()[0][0] or 0) / target_bytes),
+    )
+    return sized.repartitionByRange(n, F.col("__sz"), F.col("asset_id")).drop("__sz")
