@@ -89,6 +89,33 @@ def shingles(text_col, n: int = 3):
     return F.array_distinct(grams)
 
 
+def shingle_hashes(text_col, n: int = 3):
+    """Distinct 64-bit shingle hashes: xxhash64 each WORD once, then combine
+    n word hashes with a rolling polynomial (acc*P + h, long overflow wraps).
+
+    This is the scale path for every near-dup operator below: each word is
+    hashed exactly once (vs. hashing every n-word shingle string), shuffles
+    carry 8-byte longs instead of shingle strings, and set ops (intersect /
+    distinct) compare primitives. 64-bit collisions are negligible at corpus
+    scale (~n²/2⁶⁵ birthday bound).
+    """
+    whs = F.transform(TXT.words(text_col), lambda w: F.xxhash64(w))
+
+    def grams(hs):
+        # ``hs`` is a lambda-bound variable: the word-hash array is evaluated
+        # once per row, not once per shingle position (HOF lambdas re-evaluate
+        # captured subexpressions on every call — the let-binding avoids
+        # O(words²) hashing). xxhash64 over the long slice avoids arithmetic
+        # overflow under ANSI mode.
+        k = F.size(hs) - F.lit(n - 1)
+        return F.when(
+            k > 0,
+            F.transform(F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.slice(hs, i, n))),
+        ).otherwise(F.array(F.xxhash64(hs)))
+
+    return F.array_distinct(F.element_at(F.transform(F.array(whs), grams), 1))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -105,7 +132,7 @@ def ngram_jaccard_pairs(
     """
     sh = _parallelize(df).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("shingle"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -131,29 +158,29 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 32, n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: min over shingles of
-    xxhash64(shingle, seed_i) for each of ``num_hashes`` seeded hash
-    functions.
+    """MinHash signature per document: min over shingle hashes of
+    xxhash64(h, seed_i) for each of ``num_hashes`` seeded hash functions.
 
-    Implemented as ONE left-to-right fold over the shingle array that keeps
-    a running min-vector (zip_with + least) — a single pass hashing each
-    shingle ``num_hashes`` times. The naive per-seed ``array_min(transform)``
-    formulation duplicates the whole shingle-construction subtree per seed
-    (Catalyst doesn't CSE across aggregate args) and ran ~30× slower.
+    Shape: explode shingle hashes → groupBy(id) with ``num_hashes`` min()
+    aggregates. Unlike a higher-order-function fold (which Spark evaluates
+    interpreted, allocating an array per shingle), hash-aggregate min() runs
+    inside whole-stage codegen with primitive buffers and map-side partial
+    aggregation — the shuffle carries one partial signature per (doc,
+    partition), never the shingles. Each mix is xxhash64 over two fixed-width
+    primitives, so cost per shingle is num_hashes primitive hashes, not
+    num_hashes string hashes.
     """
-    max_long = 9223372036854775807
-    fold = f"""
-    aggregate(
-      __sh,
-      transform(sequence(1, {num_hashes}), x -> {max_long}L),
-      (acc, s) -> zip_with(acc,
-                           transform(sequence(0, {num_hashes - 1}), i -> xxhash64(s, i)),
-                           (a, b) -> least(a, b)))
-    """
+    ex = _parallelize(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("h"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}") for i in range(num_hashes)
+    ]
     return (
-        _parallelize(df)
-        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__sh"))
-        .select("id", F.expr(fold).alias("signature"))
+        ex.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("signature"))
     )
 
 
@@ -206,12 +233,27 @@ def minhash_dedup_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    # Materialize the (small) candidate list once: it feeds two joins below,
+    # and without this the whole signature+banding pipeline would be
+    # recomputed per join. localCheckpoint keeps it distributed (executor
+    # block storage); on a long-lived cluster use a checkpoint dir instead
+    # for lineage resilience.
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint()
     # Verify candidates with exact jaccard on shingle sets. The candidate
-    # set is tiny relative to the corpus → broadcast it so the full shingle
-    # arrays never shuffle (only candidate docs' arrays are joined).
-    sh = _parallelize(df).select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    # set is tiny relative to the corpus → broadcast-semi-join the candidate
+    # ids FIRST so shingle arrays are recomputed only for candidate docs
+    # (a full corpus re-shingle pass dominated this query's runtime), and
+    # broadcast the pair list so the arrays never shuffle.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("cid"))
+        .union(cands.select(F.col("id_b")))
+        .distinct()
+    )
+    needed = df.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
+    )
+    sh = _parallelize(needed).select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh")
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -228,39 +270,38 @@ def minhash_dedup_pairs(
 
 # -------------------------------------------------------------- SimHash
 
-_SIMHASH_EXPR = """
-aggregate(
-  zip_with(
-    aggregate(
-      __hs,
-      transform(sequence(0, 63), j -> 0L),
-      (acc, h) -> zip_with(acc,
-                           transform(sequence(0, 63),
-                                     j -> CASE WHEN shiftright(h, j) & 1L = 1L THEN 1L ELSE -1L END),
-                           (a, b) -> a + b)),
-    sequence(0, 63),
-    (v, j) -> CASE WHEN v > 0
-                   THEN CASE WHEN j < 63 THEN shiftleft(1L, j) ELSE -9223372036854775808L END
-                   ELSE 0L END),
-  0L, (acc, x) -> acc | x)
-"""
-
-
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per-bit majority vote over xxhash64(token).
 
     bit_j(sig) = 1 iff Σ over tokens of sign(bit_j(hash(token))) > 0.
-    Expressed as a SQL higher-order expression (transform/aggregate over 64
-    bit positions) — one map pass, no shuffle, no Python in the hot path.
+    Shape: explode token hashes → groupBy(id) with 64 conditional-sum
+    aggregates, then reassemble the signature from the sign of each sum.
+    Hash-aggregate sums are whole-stage-codegen'd with map-side partials (the
+    shuffle carries 64 longs per (doc, partition)) — an order of magnitude
+    faster than the equivalent higher-order-function fold, which Spark
+    evaluates interpreted with a 64-element array allocation per token.
     """
-    toks = TXT.words(F.col(text_col))
-    return (
-        _parallelize(df).select(
-            F.col(id_col).alias("id"),
-            F.transform(toks, lambda t: F.xxhash64(t)).alias("__hs"),
-        )
-        .select("id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+    import functools
+
+    ex = _parallelize(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(TXT.words(F.col(text_col)), lambda w: F.xxhash64(w))).alias("h"),
     )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    bits = [
+        F.when(
+            F.col(f"s{j}") > 0,
+            F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    sig = functools.reduce(lambda a, b: a.bitwiseOR(b), bits)
+    return ex.groupBy("id").agg(*votes).select("id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(
