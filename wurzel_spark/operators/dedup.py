@@ -130,24 +130,26 @@ def ngram_jaccard_pairs(
     The shingle join is the shuffle; at 100 TB you'd pre-filter with
     MinHash-LSH (below) and use this only to verify candidates.
     """
+    # Each exploded row carries its document's set size, so |A| and |B| ride
+    # along through the join and no separate size-aggregate joins are needed
+    # — the text→shingle pipeline is evaluated once per join side instead of
+    # three times, with zero extra shuffles.
     sh = _parallelize(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(F.col(text_col), n)).alias("shingle"),
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("arr")
+    ).select("id", F.size("arr").alias("n"), F.explode("arr").alias("shingle"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -203,9 +205,12 @@ def lsh_candidate_pairs(
                        transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}),
                                  x -> cast(x AS string)), ','))))[0]
     """
+    # Materialized once: the band table (one small row per doc×band) feeds
+    # both sides of the self-join; without this the whole signature pipeline
+    # runs twice.
     banded = sig_df.selectExpr(
         "id", f"posexplode({band_arr}) AS (band_idx, band_hash)"
-    )
+    ).localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -314,12 +319,13 @@ def simhash_near_pairs(
     sigs = simhash64(df, id_col, text_col)
     # let-bind simhash once (see lsh_candidate_pairs) — 4 direct band
     # references would inline the 64-bit vote fold 4×.
+    # Materialized once — feeds both self-join sides (see lsh_candidate_pairs).
     banded = sigs.selectExpr(
         "id",
         "simhash",
         "posexplode(transform(array(simhash), s -> transform(sequence(0, 3),"
         " b -> shiftright(s, 16 * b) & 65535))[0]) AS (band_idx, band_val)",
-    )
+    ).localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
