@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Wide aggregates (e.g. the 64-column SimHash bit-vote, 32-column
+        # MinHash signature) blow past the default 100-field cap and silently
+        # fall out of whole-stage codegen into interpreted mode (~3× slower).
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
