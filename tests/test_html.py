@@ -1,0 +1,104 @@
+"""HTML→Markdown function library (SURVEY §2.8; reference
+wurzel/utils/to_markdown/html2md.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wurzel_spark.functions import html as H
+
+DOC = """
+<html><head><title>x</title><style>p{color:red}</style></head>
+<body>
+<nav><a href="/home">Home</a></nav>
+<main>
+<h1>Title &amp; More</h1>
+<p>Hello <strong>bold</strong> and <em>soft</em> text with a
+   <a href="/rel/path">link</a>.</p>
+<ul><li>one</li><li>two <code>c()</code></li></ul>
+<ol><li>first</li><li>second</li></ol>
+<pre>code block
+  indented</pre>
+<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>
+<img src="pic.png" alt="a pic"/>
+<script>alert(1)</script>
+</main>
+<footer>contact us</footer>
+</body></html>
+"""
+
+
+def test_to_markdown_structure():
+    md = H.to_markdown(DOC)
+    assert "# Title & More" in md
+    assert "**bold**" in md and "*soft*" in md
+    assert "[link](/rel/path)" in md
+    assert "- one" in md and "- two `c()`" in md
+    assert "1. first" in md and "2. second" in md
+    assert "```\ncode block\n  indented\n```" in md
+    assert "| A | B |" in md and "| 1 | 2 |" in md
+    assert "![a pic](pic.png)" in md
+    # dropped subtrees (clean_tree list)
+    assert "alert" not in md and "color:red" not in md
+    assert "contact us" not in md  # footer dropped
+    # single blank line between blocks
+    assert "\n\n\n" not in md
+
+
+def test_clean_html_drops_subtrees():
+    out = H.clean_html(DOC)
+    assert "script" not in out and "style" not in out and "footer" not in out
+    assert "<h1>" in out
+
+
+def test_normalize_urls():
+    out = H.normalize_urls(
+        '<a href="/a/b">x</a><img src="img.png"/><a href="https://abs/">y</a><a href="#frag">z</a>',
+        "https://example.com/docs/page.html",
+    )
+    assert 'href="https://example.com/a/b"' in out
+    assert 'src="https://example.com/docs/img.png"' in out
+    assert 'href="https://abs/"' in out  # absolute untouched
+    assert 'href="#frag"' in out  # fragment untouched
+
+
+def test_extract_main_fallbacks():
+    assert "<h1>" in H.extract_main(DOC) and "footer" not in H.extract_main(DOC)
+    no_main = "<html><body><p>b</p></body></html>"
+    assert H.extract_main(no_main) == "<p>b</p>"
+    bare = "<p>solo</p>"
+    assert H.extract_main(bare) == "<p>solo</p>"
+
+
+def test_html_to_text():
+    txt = H.html_to_text("<p>one</p><p>two <b>three</b></p>")
+    assert txt == "one\ntwo three"
+
+
+def test_remove_images_preserves_front_matter():
+    md = "---\nurl: x\n---\nText ![alt](a.png) more\n\n---\n\nend"
+    out = H.remove_images(md)
+    assert out.startswith("---\nurl: x\n---\n")
+    assert "![" not in out
+    assert "\n---\n" not in out[len("---\nurl: x\n---\n"):]
+
+
+def test_unclosed_tags_tolerated():
+    md = H.to_markdown("<p>open <b>bold<p>next para")
+    assert "open" in md and "next para" in md
+
+
+def test_spark_udfs(spark):
+    df = spark.createDataFrame(
+        [(DOC, "https://ex.com/p/"), (None, None)], ["html", "base"]
+    )
+    out = df.select(
+        H.html_to_md(F.col("html")).alias("md"),
+        H.html_text(F.col("html")).alias("txt"),
+        H.html_main(F.col("html")).alias("main"),
+        H.html_normalize_urls(F.col("html"), F.col("base")).alias("norm"),
+    ).collect()
+    assert "# Title & More" in out[0]["md"]
+    assert "Hello" in out[0]["txt"]
+    assert 'href="https://ex.com/rel/path"' in out[0]["norm"]
+    assert out[1]["md"] is None and out[1]["txt"] is None

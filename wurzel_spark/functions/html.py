@@ -1,0 +1,391 @@
+"""HTML → Markdown scalar function library (SURVEY §2.8).
+
+Reference parity (wurzel/utils/to_markdown/html2md.py):
+  - ``to_markdown``      — html2md.py:54-105 (external Go binary there; a
+    pure-Python converter here, so it runs inside executor UDFs with no
+    per-platform binary distribution problem)
+  - ``clean_html``       — html2md.py:137-166 (drop script/link/style/svg/
+    footer/nav/... subtrees)
+  - ``normalize_urls``   — html2md.py:167-223 (absolutize href/src against a
+    base URL, DOM-aware)
+  - ``remove_images``    — html2md.py:107-136 (strip image tokens + thematic
+    breaks from markdown)
+  - ``html_to_text``     — html2md.py:224+ (tag-stripped text)
+  - ``extract_main``     — the scraper's ``//main`` body filter
+    (wurzel/steps/scraperapi/settings.py:24, step.py:104-106)
+
+All functions are pure ``str -> str`` built on stdlib ``html.parser`` (no
+lxml in this container). Spark surface: Arrow-batched pandas UDFs — one
+Python boundary crossing per batch, compiled parser state reused across the
+batch. At 100 TB this stage is embarrassingly parallel map work: no shuffle,
+scales linearly with partitions.
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape, unescape
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Subtrees dropped entirely (html2md.py:137-166's clean_tree list).
+DROP_TAGS = {
+    "script", "style", "svg", "link", "meta", "noscript", "iframe",
+    "footer", "nav", "form", "button", "head",
+}
+
+VOID_TAGS = {
+    "br", "hr", "img", "input", "area", "base", "col", "embed",
+    "source", "track", "wbr", "link", "meta",
+}
+
+_BLOCK_TAGS = {
+    "p", "div", "section", "article", "main", "body", "html", "ul", "ol",
+    "li", "table", "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6",
+}
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict | None = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []  # _Node | str
+
+
+class _TreeBuilder(HTMLParser):
+    """Builds a lenient DOM tree; unclosed tags are tolerated (stack pop
+    searches for the nearest matching open tag, like browsers do).
+    """
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> _Node:
+    b = _TreeBuilder()
+    b.feed(html or "")
+    return b.root
+
+
+# ------------------------------------------------------------------ clean
+
+def _clean(node: _Node) -> None:
+    node.children = [
+        c for c in node.children
+        if not (isinstance(c, _Node) and c.tag in DROP_TAGS)
+    ]
+    for c in node.children:
+        if isinstance(c, _Node):
+            _clean(c)
+
+
+def _render_html(node: _Node) -> str:
+    out: list[str] = []
+    for c in node.children:
+        if isinstance(c, str):
+            out.append(escape(c, quote=False))
+        else:
+            attrs = "".join(f' {k}="{escape(str(v or ""))}"' for k, v in c.attrs.items())
+            if c.tag in VOID_TAGS:
+                out.append(f"<{c.tag}{attrs}/>")
+            else:
+                out.append(f"<{c.tag}{attrs}>{_render_html(c)}</{c.tag}>")
+    return "".join(out)
+
+
+def clean_html(html: str) -> str:
+    """Drop script/style/svg/footer/nav/... subtrees (html2md.py:137-166)."""
+    tree = parse_html(html)
+    _clean(tree)
+    return _render_html(tree)
+
+
+# -------------------------------------------------------- URL normalizing
+
+def _normalize(node: _Node, base: str) -> None:
+    for c in node.children:
+        if isinstance(c, _Node):
+            for attr in ("href", "src"):
+                v = c.attrs.get(attr)
+                if v and not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", v) and not v.startswith("#"):
+                    c.attrs[attr] = urljoin(base, v)
+            _normalize(c, base)
+
+
+def normalize_urls(html: str, base: str) -> str:
+    """Absolutize relative href/src against ``base`` (html2md.py:167-223).
+    DOM-aware — regex replacement can't distinguish attribute context.
+    """
+    tree = parse_html(html)
+    _normalize(tree, base)
+    return _render_html(tree)
+
+
+# ------------------------------------------------------------ text / main
+
+def _text(node: _Node, out: list[str]) -> None:
+    for c in node.children:
+        if isinstance(c, str):
+            out.append(c)
+        else:
+            _text(c, out)
+            if c.tag in _BLOCK_TAGS:
+                out.append("\n")
+
+
+def html_to_text(html: str) -> str:
+    """Tag-stripped text content (html2md.py:224+)."""
+    out: list[str] = []
+    tree = parse_html(html)
+    _clean(tree)
+    _text(tree, out)
+    return re.sub(r"\n{3,}", "\n\n", "".join(out)).strip()
+
+
+def _find(node: _Node, tag: str) -> _Node | None:
+    for c in node.children:
+        if isinstance(c, _Node):
+            if c.tag == tag:
+                return c
+            found = _find(c, tag)
+            if found is not None:
+                return found
+    return None
+
+
+def extract_main(html: str) -> str:
+    """The scraper's ``//main`` body filter (scraperapi/step.py:104-106):
+    keep only the <main> subtree; fall back to <body>, then the whole doc.
+    """
+    tree = parse_html(html)
+    node = _find(tree, "main") or _find(tree, "body") or tree
+    return _render_html(node)
+
+
+# ------------------------------------------------------------- to_markdown
+
+_WS_RE = re.compile(r"[ \t\r\n]+")
+
+
+def _inline(node, md_ctx) -> str:
+    if isinstance(node, str):
+        return _WS_RE.sub(" ", node)
+    t = node.tag
+    inner = "".join(_inline(c, md_ctx) for c in node.children)
+    if t == "br":
+        return "\n"
+    if t in ("strong", "b"):
+        s = inner.strip()
+        return f"**{s}**" if s else ""
+    if t in ("em", "i"):
+        s = inner.strip()
+        return f"*{s}*" if s else ""
+    if t == "code":
+        return f"`{inner.strip()}`"
+    if t == "a":
+        href = node.attrs.get("href", "")
+        s = inner.strip() or href
+        return f"[{s}]({href})" if href else s
+    if t == "img":
+        alt = node.attrs.get("alt", "")
+        src = node.attrs.get("src", "")
+        return f"![{alt}]({src})"
+    return inner
+
+
+def _table_md(node: _Node) -> str:
+    rows: list[list[str]] = []
+    header_seen = False
+
+    def walk(n):
+        nonlocal header_seen
+        for c in n.children:
+            if isinstance(c, _Node):
+                if c.tag == "tr":
+                    cells = [
+                        _inline(cell, None).strip()
+                        for cell in c.children
+                        if isinstance(cell, _Node) and cell.tag in ("td", "th")
+                    ]
+                    if cells:
+                        rows.append(cells)
+                        if any(
+                            isinstance(cell, _Node) and cell.tag == "th"
+                            for cell in c.children
+                        ) and len(rows) == 1:
+                            header_seen = True
+                else:
+                    walk(c)
+
+    walk(node)
+    if not rows:
+        return ""
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    out = ["| " + " | ".join(rows[0]) + " |", "|" + " --- |" * width]
+    for r in rows[1:]:
+        out.append("| " + " | ".join(r) + " |")
+    return "\n".join(out)
+
+
+def _block(node: _Node, depth: int = 0) -> list[str]:
+    """Render a node's children as markdown blocks."""
+    blocks: list[str] = []
+    inline_buf: list[str] = []
+
+    def flush():
+        txt = "".join(inline_buf).strip()
+        inline_buf.clear()
+        if txt:
+            blocks.append(txt)
+
+    for c in node.children:
+        if isinstance(c, str) or (isinstance(c, _Node) and c.tag not in _BLOCK_TAGS):
+            inline_buf.append(_inline(c, None))
+            continue
+        flush()
+        t = c.tag
+        if t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            blocks.append("#" * int(t[1]) + " " + _inline(c, None).strip())
+        elif t == "pre":
+            code = _raw_text(c)
+            blocks.append("```\n" + code.strip("\n") + "\n```")
+        elif t in ("ul", "ol"):
+            blocks.append("\n".join(_list_items(c, t == "ol", depth)))
+        elif t == "table":
+            md = _table_md(c)
+            if md:
+                blocks.append(md)
+        elif t == "blockquote":
+            inner = "\n\n".join(_block(c, depth))
+            blocks.append("\n".join("> " + ln for ln in inner.splitlines()))
+        else:  # p, div, section, article, main, body, html, li
+            blocks.extend(_block(c, depth))
+    flush()
+    return blocks
+
+
+def _raw_text(node: _Node) -> str:
+    out: list[str] = []
+
+    def walk(n):
+        for c in n.children:
+            if isinstance(c, str):
+                out.append(c)
+            else:
+                walk(c)
+
+    walk(node)
+    return "".join(out)
+
+
+def _list_items(node: _Node, ordered: bool, depth: int) -> list[str]:
+    items: list[str] = []
+    idx = 0
+    for c in node.children:
+        if isinstance(c, _Node) and c.tag == "li":
+            idx += 1
+            bullet = f"{idx}." if ordered else "-"
+            inner = _block(c, depth + 1)
+            pad = "  " * depth
+            first = f"{pad}{bullet} {inner[0] if inner else ''}"
+            items.append(first)
+            for extra in inner[1:]:
+                items.extend("  " * (depth + 1) + ln for ln in extra.splitlines())
+    return items
+
+
+def to_markdown(html: str) -> str:
+    """HTML → Markdown (html2md.py:54-105's contract, pure Python).
+    Deterministic text→text; whitespace collapsed, blocks separated by one
+    blank line.
+    """
+    tree = parse_html(unescape_entities_safe(html))
+    _clean(tree)
+    return "\n\n".join(_block(tree)).strip()
+
+
+def unescape_entities_safe(html: str) -> str:
+    # convert_charrefs in the parser already unescapes character data;
+    # this hook exists for raw fragments that bypass the parser.
+    return html or ""
+
+
+# ---------------------------------------------------- markdown post-passes
+
+_IMG_MD_RE = re.compile(r"!\[[^\]]*\]\([^)]*\)")
+_HR_RE = re.compile(r"(?m)^(\s*)(---+|\*\*\*+|___+)\s*$")
+
+
+def remove_images(md: str) -> str:
+    """Strip image tokens + thematic breaks from markdown
+    (html2md.py:107-136 removes Image/ThematicBreak AST tokens).
+    YAML front-matter fences (leading ``---``) are preserved.
+    """
+    if md is None:
+        return md
+    body = md
+    prefix = ""
+    if body.startswith("---\n"):
+        end = body.find("\n---\n", 4)
+        if end != -1:
+            prefix, body = body[: end + 5], body[end + 5 :]
+    body = _IMG_MD_RE.sub("", body)
+    body = _HR_RE.sub("", body)
+    body = re.sub(r"\n{3,}", "\n\n", body)
+    return prefix + body
+
+
+# ------------------------------------------------------------ Spark UDFs
+
+def _make_str_udf(fn):
+    @F.pandas_udf(T.StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: fn(x) if x is not None else None)
+
+    return _udf
+
+
+#: Arrow-batched column functions — the Spark-facing surface.
+html_to_md = _make_str_udf(to_markdown)
+html_clean = _make_str_udf(clean_html)
+html_text = _make_str_udf(html_to_text)
+html_main = _make_str_udf(extract_main)
+md_remove_images = _make_str_udf(remove_images)
+
+
+@F.pandas_udf(T.StringType())
+def html_normalize_urls(html: pd.Series, base: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            normalize_urls(h, b or "") if h is not None else None
+            for h, b in zip(html, base)
+        ]
+    )
