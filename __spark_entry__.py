@@ -37,6 +37,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_stats": relational.distribution_stats,
         "topk_parts_by_size": relational.topk_parts_by_size,
         "grouping_rollup_orders": relational.grouping_rollup_orders,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q4_order_priority": relational.q4_order_priority,
+        "q10_returned_items": relational.q10_returned_items,
+        "join_left_outer_order_counts": relational.join_left_outer_order_counts,
+        "cube_order_stats": relational.cube_order_stats,
+        "string_funcs_parts": relational.string_funcs_parts,
+        "date_funcs_orders": relational.date_funcs_orders,
+        "subquery_above_avg_orders": relational.subquery_above_avg_orders,
+        "corr_quantity_price": relational.corr_quantity_price,
         # events (batch form; streaming twins in wurzel_spark.streaming)
         "events_hourly_stats": events.events_hourly_stats,
         "events_type_breakdown": events.events_type_breakdown,
@@ -73,6 +82,15 @@ def oracle_sql() -> dict[str, str]:
         "distribution_stats": relational.DIST_SQL,
         "topk_parts_by_size": relational.TOPK_PARTS_SQL,
         "grouping_rollup_orders": relational.ROLLUP_SQL,
+        "q6_forecast_revenue": relational.Q6_SQL,
+        "q4_order_priority": relational.Q4_SQL,
+        "q10_returned_items": relational.Q10_SQL,
+        "join_left_outer_order_counts": relational.LEFT_OUTER_SQL,
+        "cube_order_stats": relational.CUBE_SQL,
+        "string_funcs_parts": relational.STRING_FUNCS_SQL,
+        "date_funcs_orders": relational.DATE_FUNCS_SQL,
+        "subquery_above_avg_orders": relational.SUBQUERY_AVG_SQL,
+        "corr_quantity_price": relational.CORR_SQL,
         "events_hourly_stats": events.EVENTS_HOURLY_SQL,
         "events_type_breakdown": events.EVENTS_TYPES_SQL,
         "sessionize": events.SESSIONIZE_SQL,

@@ -26,6 +26,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "window_order_rank",
     "distribution_stats",
     "events_hourly_stats",

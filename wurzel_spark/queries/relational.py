@@ -369,3 +369,311 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + single aggregate — the canonical
+    predicate-pushdown probe. All three filters reach the parquet scan
+    (PushedFilters in .explain); no shuffle at all except the final
+    single-row reduce.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: order-priority histogram of orders having at least
+    one late-shipped item (EXISTS → left-semi, never duplicates orders).
+    """
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    late = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") > F.col("l_shipdate").cast("date").cast("timestamp"))
+        | (F.col("l_quantity") >= 30)
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND (l_shipdate > CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP)
+                     OR l_quantity >= 30))
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returns per customer, top 20.
+    customer is broadcast; orders⋈lineitem shuffles on orderkey; the final
+    per-customer agg re-shuffles on custkey (unavoidable key change).
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + null-aware aggregates: every customer with order
+    count and total spend, zero-order customers included (count of a null
+    join column is 0; sum coalesced).
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_spend"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+LEFT_OUTER_SQL = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (o_orderstatus, o_orderpriority): all four grouping-set
+    combinations in one expand+agg pass.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function battery (SURVEY §2.8 parity surface): upper /
+    lower / length / substring / replace / trim / lpad / regexp_extract /
+    concat — row-level, no shuffle, fully codegen'd.
+    """
+    part = table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.lower("p_brand").alias("brand_lower"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_type", 1, 6).alias("type_prefix"),
+            F.regexp_replace("p_name", "a", "@").alias("name_at"),
+            F.trim(F.lpad("p_brand", 12, "_")).alias("brand_padded"),
+            F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_type, 1, 6) AS type_prefix,
+       REGEXP_REPLACE(p_name, 'a', '@', 'g') AS name_at,
+       TRIM(LPAD(p_brand, 12, '_')) AS brand_padded,
+       REGEXP_EXTRACT(p_type, '^(\\w+)', 1) AS type_first_word,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-function battery: date_trunc / year / quarter / month /
+    dayofmonth / last_day / datediff, grouped to monthly order stats.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.datediff(
+                F.lit("1998-12-31").cast("timestamp"), F.col("o_orderdate")
+            ).alias("days_to_eoy"),
+            _dec("o_totalprice").alias("price"),
+        )
+        .groupBy("month_start", "yr", "qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("days_to_eoy").alias("min_days_to_eoy"),
+            F.sum("price").cast("double").alias("monthly_total"),
+        )
+        .orderBy("month_start")
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
+       EXTRACT(YEAR FROM o_orderdate) AS yr,
+       EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+       COUNT(*) AS n_orders,
+       MIN(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS min_days_to_eoy,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_total
+FROM orders
+GROUP BY DATE_TRUNC('month', o_orderdate), EXTRACT(YEAR FROM o_orderdate), EXTRACT(QUARTER FROM o_orderdate)
+ORDER BY month_start
+"""
+
+
+def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: orders above the global average price. The
+    single-row aggregate is broadcast against the fact table (no shuffle of
+    orders; at 100 TB this is a metadata-sized broadcast).
+    Average via exact decimal sum / count → bit-identical across engines.
+    """
+    orders = table(spark, sf_dir, "orders")
+    avg_df = orders.agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice", "avg_price")
+        .orderBy("o_orderkey")
+    )
+
+
+SUBQUERY_AVG_SQL = """
+SELECT o_orderkey, o_totalprice,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders) AS avg_price
+FROM orders
+WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+ORDER BY o_orderkey
+"""
+
+
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance of quantity vs extended price,
+    computed from exact decimal power sums (n, Σx, Σy, Σxy, Σx², Σy²) so the
+    result is order-independent and bit-identical to the oracle — Spark's
+    native corr()/covar_samp() accumulate in floating point and drift.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    return li.agg(
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_samp"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr"),
+    )
+
+
+CORR_SQL = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem)
+SELECT (sxy - sx * sy / n) / (n - 1.0) AS covar_samp,
+       (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+FROM s
+"""
