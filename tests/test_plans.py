@@ -1,0 +1,63 @@
+"""Plan-quality regression tests: pushdown, pruning, join strategy.
+
+These lock in the 100 TB-relevant plan properties — a regression here is a
+silent scale problem even when results stay correct.
+"""
+
+import pytest
+
+from wurzel_spark.plans import (
+    assert_no_sort_merge_join,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    broadcast_join_count,
+    plan_report,
+)
+from wurzel_spark.queries import relational
+
+LINEITEM_COLS = {
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+}
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    # scan must not read join keys / part keys for a pure aggregate
+    assert_read_schema_only(
+        df,
+        LINEITEM_COLS,
+        {"l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"},
+    )
+
+
+def test_q6_all_filters_pushed(spark, sf_dir):
+    df = relational.q6_forecast_revenue(spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert_pushed_filter(df, col)
+
+
+def test_join_queries_broadcast_dimensions(spark, sf_dir):
+    for q in (
+        relational.q3_shipping_priority,
+        relational.q5_local_supplier_volume,
+        relational.q10_returned_items,
+    ):
+        df = q(spark, sf_dir)
+        assert broadcast_join_count(df) >= 1
+        assert_no_sort_merge_join(df)
+
+
+def test_no_python_in_relational_hot_path(spark, sf_dir):
+    """Relational queries must stay JVM-side end to end."""
+    for q in (
+        relational.q1_pricing_summary,
+        relational.q3_shipping_priority,
+        relational.q6_forecast_revenue,
+        relational.string_funcs_parts,
+        relational.date_funcs_orders,
+    ):
+        assert plan_report(q(spark, sf_dir))["python_evals"] == 0
