@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stats": events.events_hourly_stats,
         "events_type_breakdown": events.events_type_breakdown,
         "sessionize": events.sessionize,
+        "events_json_props": events.events_json_props,
+        "events_funnel": events.events_funnel,
         # text analysis (documents)
         "doc_metrics": textstats.q_doc_metrics,
         "token_stats": textstats.q_token_stats,
@@ -94,6 +96,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stats": events.EVENTS_HOURLY_SQL,
         "events_type_breakdown": events.EVENTS_TYPES_SQL,
         "sessionize": events.SESSIONIZE_SQL,
+        "events_json_props": events.EVENTS_JSON_SQL,
+        "events_funnel": events.EVENTS_FUNNEL_SQL,
         "doc_metrics": textstats.DOC_METRICS_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,
         "lang_id": textstats.LANG_ID_SQL,

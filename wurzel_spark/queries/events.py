@@ -125,3 +125,79 @@ SELECT user_id, event_id,
 FROM flagged
 ORDER BY user_id, event_id
 """
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON handling: extract ``props.$.k`` per event and
+    aggregate per event type. JSON parsing stays JVM-side
+    (get_json_object); at scale this is pure map work feeding the same
+    one-shuffle aggregate as any groupBy.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, first occurrence of each step (conditional
+    min over epoch micros — integer, cross-engine exact) and whether the
+    user converted view → purchase in order. One shuffle on user_id.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(
+            F.when(F.col("event_type") == t, F.unix_micros(F.col("ts")))
+        ).alias(f"first_{t}_us")
+
+    per_user = ev.groupBy("user_id").agg(first_ts("view"), first_ts("purchase"))
+    converted = (
+        F.col("first_view_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_view_us") < F.col("first_purchase_us"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("first_view_us").isNotNull().cast("long")).alias("n_viewed"),
+        F.sum(F.col("first_purchase_us").isNotNull().cast("long")).alias("n_purchased"),
+        F.sum(converted.cast("long")).alias("n_converted"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+  FROM events
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+       SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased,
+       SUM(CASE WHEN first_view_us IS NOT NULL AND first_purchase_us IS NOT NULL
+                 AND first_view_us < first_purchase_us THEN 1 ELSE 0 END) AS n_converted
+FROM per_user
+"""
