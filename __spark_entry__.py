@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wurzel_spark.operators import dedup, similarity, textstats
+from wurzel_spark.operators import dedup, similarity, splitter, textstats
 from wurzel_spark.queries import events, relational
 
 
@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textstats.q_lang_id,
         "quality_score": textstats.q_quality_score,
         "fingerprints": textstats.q_fingerprints,
+        # document splitting (rows-only: tokenizer-defined chunk boundaries;
+        # golden-value tests in tests/test_splitter.py)
+        "semantic_split_chunks": splitter.q_semantic_split,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_first_per_source": dedup.q_dedup_first_per_source,

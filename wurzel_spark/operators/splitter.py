@@ -364,3 +364,32 @@ def split_stage(
         .select(F.explode("__chunks").alias("c"))
         .select("c.md", "c.keywords", "c.url", "c.metadata")
     )
+
+
+# ---------------------------------------------------------------- queries
+
+def q_semantic_split(spark, sf_dir: str) -> DataFrame:
+    """Driver-visible splitter run over the documents table (rows-only
+    check: chunk boundaries are tokenizer-algorithm-defined, not
+    SQL-expressible; golden-value tests live in tests/test_splitter.py).
+
+    Tight token window (32±8) so the ~50-word synthetic docs actually split;
+    output is one row per chunk with its enumeration + length metadata,
+    deterministically ordered.
+    """
+    from wurzel_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("text").alias("md"),
+        F.col("source").alias("keywords"),
+        F.col("doc_id").cast("string").alias("url"),
+    )
+    chunks = split_stage(docs, token_limit=32, token_limit_buffer=8, token_limit_min=8)
+    return chunks.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("metadata")["chunk_index"].cast("int").alias("chunk_index"),
+        F.col("metadata")["chunks_count"].cast("int").alias("chunks_count"),
+        F.col("metadata")["token_len"].cast("int").alias("token_len"),
+        F.col("metadata")["char_len"].cast("int").alias("char_len"),
+        F.col("metadata")["source_sha256_hash"].alias("source_sha256_hash"),
+    ).orderBy("doc_id", "chunk_index")
