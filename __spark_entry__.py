@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": similarity.q_embedding_norms,
         "cosine_near_dup_pairs": similarity.q_cosine_near_dup_pairs,
         "ann_topk_lsh": similarity.q_ann_topk_lsh,
+        "ann_topk_ivf": similarity.q_ann_topk_ivf,
     }
 
 

@@ -58,3 +58,30 @@ def test_ivf_assign_covers_all(spark, sf_dir):
     assert cells.count() == emb.count()
     n_cells = cells.select("cell").distinct().count()
     assert 1 < n_cells <= 8
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.operators.similarity import brute_force_topk, ivf_topk
+    from wurzel_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    query = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, query, k=10).collect()
+    approx = ivf_topk(emb, query, centroids, k=10, nprobe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # every query must return k candidates from its probed cells, and the
+    # probe must recover a nontrivial share of the exact neighbors
+    assert all(len(v) == 10 for v in approx_sets.values())
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.2

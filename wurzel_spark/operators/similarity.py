@@ -154,6 +154,54 @@ def ivf_assign(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors are assigned to their nearest-centroid
+    cell once (at 100 TB: written out partitioned by cell); each query scores
+    only the ``nprobe`` cells whose centroids are nearest to it. Candidate
+    fraction ≈ nprobe / n_cells. Recall vs brute force asserted in tests.
+    """
+    from pyspark.sql import Window as W
+
+    cells = ivf_assign(emb, centroids, id_col, vec_col)
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    wq = W.partitionBy("query_id").orderBy(F.desc("sim"), "cell")
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "query_vec",
+            F.col("centroid_id").alias("cell"),
+            cosine(F.col("query_vec"), F.col("centroid_vec")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "query_vec", "cell")
+    )
+    scored = cells.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("query_vec"), F.col(vec_col)).alias("cos_sim"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,3 +297,14 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = [r.embedding for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
     query = emb.filter(F.col("vec_id") < 3)
     return lsh_topk(emb, query, planes, k=10)
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only check: cell assignment is
+    engine-internal; recall vs brute force asserted in tests).
+    Centroids are the first 8 corpus vectors — deterministic.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    query = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, query, centroids, k=10, nprobe=3)
