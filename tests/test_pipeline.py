@@ -54,3 +54,43 @@ def test_materialization_roundtrip(spark, md_folder, tmp_path):
     assert out.count() == 5
     assert (tmp_path / "stages" / "Dedup").exists()
     assert pipe.reports and pipe.reports[0].stage == "Dedup"
+
+
+def test_incremental_memoization(spark, tmp_path):
+    """Cross-run DVC-parity: unchanged stages are read from cache, changed
+    fingerprints invalidate the chain."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.stage import Pipeline, Stage
+
+    mat = str(tmp_path / "stages")
+    executions = []
+
+    def make_pipeline(marker):
+        def src(s):
+            return s.range(10).select(F.col("id").alias("md"))
+
+        def double(df):
+            executions.append(marker)
+            return df.withColumn("md2", F.col("md") * 2)
+
+        return Pipeline(src) >> Stage("double", double)
+
+    out1 = make_pipeline("run1").run(
+        spark, materialize_dir=mat, incremental=True, cache_fingerprint="v1"
+    )
+    assert out1.count() == 10
+    assert executions == ["run1"]
+
+    # same fingerprint + same code -> stage skipped (cache read)
+    out2 = make_pipeline("run2").run(
+        spark, materialize_dir=mat, incremental=True, cache_fingerprint="v1"
+    )
+    assert out2.count() == 10
+    assert executions == ["run1"]  # run2 never executed
+
+    # changed source fingerprint -> recomputed
+    make_pipeline("run3").run(
+        spark, materialize_dir=mat, incremental=True, cache_fingerprint="v2"
+    )
+    assert executions == ["run1", "run3"]

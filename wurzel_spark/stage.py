@@ -89,11 +89,27 @@ class Pipeline:
         """Lineage string: '-'-joined stage names (core/history.py:16)."""
         return "-".join(s.name for s in self.stages)
 
+    def _stage_key(self, prev_key: str, st: Stage) -> str:
+        """Cache key chain: upstream key + stage name + stage fn source.
+        Mirrors DVC's dependency checksums (SURVEY §4: stage deps = upstream
+        outputs + step source file) — editing a stage's code invalidates its
+        cache and everything downstream."""
+        import hashlib
+        import inspect
+
+        try:
+            src = inspect.getsource(st.fn)
+        except (OSError, TypeError):  # builtins / C callables / REPL lambdas
+            src = st.name
+        return hashlib.sha256(f"{prev_key}|{st.name}|{src}".encode()).hexdigest()
+
     def run(
         self,
         spark: SparkSession,
         materialize_dir: str | None = None,
         with_reports: bool = False,
+        incremental: bool = False,
+        cache_fingerprint: str = "",
     ) -> DataFrame:
         """Compose all stages into one Catalyst plan.
 
@@ -101,15 +117,45 @@ class Pipeline:
         Parquet and re-read (wurzel's per-step artifact dirs / DVC stage
         cache) — inspectable and incrementally re-runnable, at the cost of
         breaking plan fusion. Default is full fusion.
+
+        With ``incremental=True`` (requires ``materialize_dir``), a stage
+        whose stored cache key matches is NOT recomputed — its Parquet
+        output is read back instead, and computation resumes at the first
+        stage whose key changed. This is the reference's cross-run DVC
+        memoization (backend_dvc.py:182-237) without the per-step process
+        model. ``cache_fingerprint`` should identify the source inputs
+        (e.g. a content/snapshot hash); leaves with always-fresh inputs can
+        pass a changing fingerprint (DVC's ``always_changed``).
         """
         df = self.source(spark)
+        key = f"src|{cache_fingerprint}"
         for st in self.stages:
+            key = self._stage_key(key, st)
             t0 = time.perf_counter()
-            df = st(df)
             if materialize_dir:
                 path = os.path.join(materialize_dir, st.name)
+                keyfile = os.path.join(path, "_wurzel_cache_key")
+                if incremental and os.path.isfile(keyfile):
+                    with open(keyfile, encoding="utf-8") as f:
+                        if f.read().strip() == key:
+                            df = spark.read.parquet(path)
+                            if with_reports:
+                                self.reports.append(
+                                    StageReport(
+                                        f"{st.name} (cached)",
+                                        df.count() if with_reports else None,
+                                        time.perf_counter() - t0,
+                                    )
+                                )
+                            continue
+                df = st(df)
                 df.write.mode("overwrite").parquet(path)
+                # Spark readers ignore underscore-prefixed files in the dir.
+                with open(keyfile, "w", encoding="utf-8") as f:
+                    f.write(key)
                 df = spark.read.parquet(path)
+            else:
+                df = st(df)
             if with_reports:
                 self.reports.append(
                     StageReport(
