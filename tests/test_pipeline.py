@@ -94,3 +94,25 @@ def test_incremental_memoization(spark, tmp_path):
         spark, materialize_dir=mat, incremental=True, cache_fingerprint="v2"
     )
     assert executions == ["run1", "run3"]
+
+
+def test_self_consuming_source(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.stage import self_consuming_source
+
+    prev = str(tmp_path / "prev_output")
+    spark.range(5).select(F.col("id").alias("md")).write.parquet(prev)
+
+    fresh = self_consuming_source(
+        lambda s: s.range(3).select(F.col("id").alias("md")), prev
+    )
+    assert fresh(spark).count() == 3  # fresh input wins
+
+    empty = self_consuming_source(
+        lambda s: s.range(0).select(F.col("id").alias("md")), prev
+    )
+    assert empty(spark).count() == 5  # falls back to own previous output
+
+    broken = self_consuming_source(lambda s: (_ for _ in ()).throw(IOError("down")), prev)
+    assert broken(spark).count() == 5  # unavailable input falls back

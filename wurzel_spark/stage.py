@@ -173,3 +173,28 @@ class Pipeline:
         """
         first = df.columns[0]
         df.orderBy(first).write.mode("overwrite").format(fmt).save(path)
+
+
+def self_consuming_source(
+    read_input: Callable[[SparkSession], DataFrame | None],
+    own_output_path: str,
+) -> Callable[[SparkSession], DataFrame]:
+    """SelfConsumingLeafStep parity (wurzel/executors/self_consuming_step.py
+    :12-27, base_executor.py:290-297): a leaf that, when its external input
+    is unavailable or empty, re-reads its OWN previous persisted output —
+    the reference uses this for sources whose upstream is flaky (keep
+    serving yesterday's corpus rather than emptying the knowledge base).
+
+    ``read_input`` returns None (or raises) when no fresh input exists.
+    """
+
+    def src(spark: SparkSession) -> DataFrame:
+        try:
+            df = read_input(spark)
+        except Exception:  # noqa: BLE001 - unavailable input falls back
+            df = None
+        if df is not None and len(df.take(1)) > 0:
+            return df
+        return spark.read.parquet(own_output_path)
+
+    return src
