@@ -393,3 +393,36 @@ def q_semantic_split(spark, sf_dir: str) -> DataFrame:
         F.col("metadata")["char_len"].cast("int").alias("char_len"),
         F.col("metadata")["source_sha256_hash"].alias("source_sha256_hash"),
     ).orderBy("doc_id", "chunk_index")
+
+
+def sentence_splitter(strategy: str = "regex"):
+    """Strategy factory (sentence_splitter.py:30-96, factory :61):
+    'regex' (always available, abbreviation merge-back), 'spacy'
+    (sentence_splitter.py:99-112) and 'sat' (:229-249) gated on their
+    optional model libraries. On executors the model variants must be
+    process-level lazy singletons — never pickled into closures.
+    """
+    if strategy == "regex":
+        return split_sentences
+    if strategy == "spacy":  # pragma: no cover - optional dependency
+        try:
+            import spacy  # type: ignore  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "spacy is not installed; use strategy='regex' or install a "
+                "spacy pipeline (xx_sent_ud_sm in the reference)"
+            ) from e
+        _nlp = {}
+
+        def _spacy_split(text: str) -> list[str]:
+            if "m" not in _nlp:
+                _nlp["m"] = spacy.blank("xx")
+                _nlp["m"].add_pipe("sentencizer")
+            return [s.text for s in _nlp["m"](text).sents]
+
+        return _spacy_split
+    if strategy == "sat":  # pragma: no cover - optional dependency
+        raise NotImplementedError(
+            "SaT (segment-any-text) models are not installed; use 'regex'"
+        )
+    raise ValueError(f"unknown sentence splitter strategy: {strategy}")
