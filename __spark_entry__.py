@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_funcs_orders": relational.date_funcs_orders,
         "subquery_above_avg_orders": relational.subquery_above_avg_orders,
         "corr_quantity_price": relational.corr_quantity_price,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q18_large_orders": relational.q18_large_orders,
+        "q19_bracketed_revenue": relational.q19_bracketed_revenue,
         # events (batch form; streaming twins in wurzel_spark.streaming)
         "events_hourly_stats": events.events_hourly_stats,
         "events_type_breakdown": events.events_type_breakdown,
@@ -97,6 +100,9 @@ def oracle_sql() -> dict[str, str]:
         "date_funcs_orders": relational.DATE_FUNCS_SQL,
         "subquery_above_avg_orders": relational.SUBQUERY_AVG_SQL,
         "corr_quantity_price": relational.CORR_SQL,
+        "q14_promo_revenue": relational.Q14_SQL,
+        "q18_large_orders": relational.Q18_SQL,
+        "q19_bracketed_revenue": relational.Q19_SQL,
         "events_hourly_stats": events.EVENTS_HOURLY_SQL,
         "events_type_breakdown": events.EVENTS_TYPES_SQL,
         "sessionize": events.SESSIONIZE_SQL,
