@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q18_large_orders": relational.q18_large_orders,
         "q19_bracketed_revenue": relational.q19_bracketed_revenue,
+        "window_funcs_battery": relational.window_funcs_battery,
+        "sql_api_status_revenue": relational.sql_api_status_revenue,
         # events (batch form; streaming twins in wurzel_spark.streaming)
         "events_hourly_stats": events.events_hourly_stats,
         "events_type_breakdown": events.events_type_breakdown,
@@ -103,6 +105,8 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": relational.Q14_SQL,
         "q18_large_orders": relational.Q18_SQL,
         "q19_bracketed_revenue": relational.Q19_SQL,
+        "window_funcs_battery": relational.WINDOW_FUNCS_SQL,
+        "sql_api_status_revenue": relational.SQL_API_SQL,
         "events_hourly_stats": events.EVENTS_HOURLY_SQL,
         "events_type_breakdown": events.EVENTS_TYPES_SQL,
         "sessionize": events.SESSIONIZE_SQL,

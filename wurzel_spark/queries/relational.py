@@ -798,3 +798,78 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+def window_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: lag / lead / dense_rank / ntile /
+    percent_rank / first / last over per-customer order sequences. One
+    shuffle on o_custkey serves every window (same partitioning + ordering).
+    """
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.dense_rank().over(w).alias("drank"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("prank"),
+            F.first("o_orderkey").over(wr).alias("first_orderkey"),
+            F.last("o_orderkey").over(wr).alias("last_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_FUNCS_SQL = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey) OVER w AS prev_orderkey,
+       LEAD(o_orderkey) OVER w AS next_orderkey,
+       DENSE_RANK() OVER w AS drank,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS prank,
+       FIRST_VALUE(o_orderkey) OVER wr AS first_orderkey,
+       LAST_VALUE(o_orderkey) OVER wr AS last_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def sql_api_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: the same declarative plan expressed through
+    ``spark.sql`` over registered temp views — users of the reference's
+    pipeline YAML can drop to raw SQL and get identical Catalyst treatment.
+    """
+    from wurzel_spark.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+SQL_API_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
