@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wurzel_spark.operators import dedup, similarity, splitter, textstats
+from wurzel_spark.operators import dedup, embedding, similarity, splitter, textstats
 from wurzel_spark.queries import events, relational
 
 
@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # document splitting (rows-only: tokenizer-defined chunk boundaries;
         # golden-value tests in tests/test_splitter.py)
         "semantic_split_chunks": splitter.q_semantic_split,
+        # embedding (rows-only: offline hash embedder is engine-internal)
+        "embed_documents": embedding.q_embed_documents,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_first_per_source": dedup.q_dedup_first_per_source,

@@ -189,3 +189,36 @@ def embedding_distribution_stats(df: DataFrame, vector_col: str = "vector") -> D
         F.expr("percentile(x, 0.95)").alias("p95"),
         F.max("x").alias("max"),
     )
+
+
+# ---------------------------------------------------------------- queries
+
+def q_embed_documents(spark, sf_dir: str) -> DataFrame:
+    """Driver-visible EmbeddingStep run over the documents table (rows-only
+    check: the offline hash embedder is engine-internal; schema/determinism
+    tested in tests/test_embedding.py). Returns one row per document with
+    the vector dimension and L2 norm — norm ≈ 1 proves normalization.
+    """
+    from wurzel_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("text").alias("md"),
+        F.col("source").alias("keywords"),
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("metadata"),
+    )
+    emb = embed_stage(docs, dim=64)
+    return emb.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.size("vector").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("vector", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+    ).orderBy("doc_id")
