@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_bracketed_revenue": relational.q19_bracketed_revenue,
         "window_funcs_battery": relational.window_funcs_battery,
         "sql_api_status_revenue": relational.sql_api_status_revenue,
+        "q2_top_supplier_per_nation": relational.q2_top_supplier_per_nation,
         # events (batch form; streaming twins in wurzel_spark.streaming)
         "events_hourly_stats": events.events_hourly_stats,
         "events_type_breakdown": events.events_type_breakdown,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_bracketed_revenue": relational.Q19_SQL,
         "window_funcs_battery": relational.WINDOW_FUNCS_SQL,
         "sql_api_status_revenue": relational.SQL_API_SQL,
+        "q2_top_supplier_per_nation": relational.Q2_SQL,
         "events_hourly_stats": events.EVENTS_HOURLY_SQL,
         "events_type_breakdown": events.EVENTS_TYPES_SQL,
         "sessionize": events.SESSIONIZE_SQL,

@@ -61,3 +61,23 @@ def test_no_python_in_relational_hot_path(spark, sf_dir):
         relational.date_funcs_orders,
     ):
         assert plan_report(q(spark, sf_dir))["python_evals"] == 0
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """Date-partitioned table: an equality filter on the partition column
+    must show up in PartitionFilters (directory pruning), not as a data
+    filter over a full scan."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.plans.inspect import partition_filters
+    from wurzel_spark.tables import table
+
+    path = str(tmp_path / "events_by_day")
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    some_day = spark.read.parquet(path).select("day").limit(1).collect()[0]["day"]
+    pruned = spark.read.parquet(path).filter(F.col("day") == F.lit(some_day))
+    pf = " ".join(partition_filters(pruned))
+    assert "day" in pf, f"no partition filter pushed; got {pf!r}"
+    assert pruned.count() > 0

@@ -68,3 +68,10 @@ def assert_no_sort_merge_join(df: DataFrame) -> None:
     SortMergeJoin appearing means a broadcast hint or stats went missing."""
     n = plan_report(df)["sort_merge_joins"]
     assert n == 0, f"plan contains {n} SortMergeJoin(s) at broadcastable scale"
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters pushed to a partitioned scan — the partition-pruning
+    proof (a date-partitioned 100 TB table must read only matching
+    directories, not list-then-filter)."""
+    return re.findall(r"PartitionFilters: \[([^\]]*)\]", plan_text(df))

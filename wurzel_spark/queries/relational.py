@@ -873,3 +873,40 @@ FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated subquery: the supplier with the maximum
+    account balance per nation (ties broken by key). Expressed as a window
+    argmax — one shuffle on nationkey replaces the per-row correlated
+    rescans a naive engine would do.
+    """
+    from pyspark.sql import Window as W
+
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    best = (
+        supp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(nation), best.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("n_name")
+    )
+
+
+Q2_SQL = """
+SELECT n_name, s_suppkey, s_name, s_acctbal
+FROM (
+  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM supplier
+) s
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+ORDER BY n_name
+"""
