@@ -245,3 +245,68 @@ SELECT doc_id,
        sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS normalized_fingerprint
 FROM documents ORDER BY doc_id
 """
+
+
+def q_pipeline_filter_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composed pipeline under the exact-match gate: quality
+    filter → exact dedup (first doc per content hash) → per-source corpus
+    stats. This is the canonical training-data-curation shape (score, gate,
+    dedup, report) as ONE Catalyst plan: the filter prunes before the dedup
+    shuffle, the dedup key is a 64-char hash (never the text), and the final
+    stats are exact integer sums.
+    """
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_words = TXT.word_count(c)
+    n_chars = TXT.char_len(c)
+    n_digit = n_chars - TXT.char_len(F.regexp_replace(c, r"[0-9]", ""))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        (n_digit.cast("double") / n_chars).alias("digit_ratio"),
+    )
+    gated = scored.filter((F.col("n_words") >= 20) & (F.col("digit_ratio") <= 0.5))
+    w = W.partitionBy(TXT.sha256_hex(c)).orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.sum("n_words")).alias("chars_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_STATS_SQL = """
+WITH scored AS (
+  SELECT doc_id, source, text,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS n_words,
+         length(text) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+           / length(text) AS digit_ratio
+  FROM documents
+), gated AS (
+  SELECT * FROM scored WHERE n_words >= 20 AND digit_ratio <= 0.5
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_words) AS total_words,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_words) AS chars_per_word
+FROM deduped
+GROUP BY source
+ORDER BY source
+"""
