@@ -64,3 +64,39 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, events_dir, tmp_path):
     # session numbering consistent for the overwhelming majority; require
     # exact agreement
     assert got == expected
+
+
+def test_json_props_stream_matches_batch(spark, sf_dir, tmp_path):
+    """AvailableNow streaming of the JSON-props aggregation reproduces the
+    batch numbers exactly (summed back over windows)."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.queries.events import events_json_props
+    from wurzel_spark.streaming.events import (
+        json_props_agg,
+        read_event_stream,
+        run_available_now,
+    )
+    from wurzel_spark.tables import table
+
+    src = str(tmp_path / "events_src")
+    table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src)
+    agg = json_props_agg(stream)
+    run_available_now(agg, str(tmp_path / "ckpt"), query_name="json_props_stream")
+
+    streamed = (
+        spark.table("json_props_stream")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_k").alias("sum_k"),
+            F.min("min_k").alias("min_k"),
+            F.max("max_k").alias("max_k"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    batch = events_json_props(spark, sf_dir).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]

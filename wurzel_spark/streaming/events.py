@@ -66,3 +66,29 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def json_props_agg(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of queries.events.events_json_props: per-event-type
+    stats over the JSON props column, windowed so state stays bounded.
+    JSON extraction (get_json_object) runs identically in micro-batches.
+    """
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_k",
+            "min_k",
+            "max_k",
+        )
+    )
