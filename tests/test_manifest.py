@@ -80,3 +80,50 @@ def test_cli_inspect_and_run(md_folder, tmp_path):
         capture_output=True, text=True, cwd="/root/repo", env=env, timeout=120,
     )
     assert "SPLIT__TOKEN_LIMIT" in r2.stdout
+
+
+def test_extended_registry_pipeline(spark, md_folder, tmp_path):
+    """Full-surface manifest: source -> clean -> dedup -> truncate -> split
+    -> metrics, plus a snapshot sink terminal."""
+    import yaml as _yaml
+
+    from wurzel_spark.manifest import Manifest, run_manifest
+
+    manifest = Manifest.from_yaml(
+        f"""
+pipeline: {{name: full}}
+steps:
+  source:
+    uses: markdown_source
+    settings: {{path: {md_folder}}}
+  clean:
+    uses: clean_md
+    dependsOn: [source]
+  dedup:
+    uses: dedup
+    dependsOn: [clean]
+  truncate:
+    uses: truncate
+    settings: {{token_limit: 64}}
+    dependsOn: [dedup]
+  split:
+    uses: split
+    settings: {{token_limit: 32, token_limit_buffer: 8, token_limit_min: 4}}
+    dependsOn: [truncate]
+  metrics:
+    uses: doc_metrics
+    dependsOn: [split]
+  snap:
+    uses: snapshot_sink
+    settings: {{root: {tmp_path}/snaps, timestamp: "2026-01-01T000000Z"}}
+    dependsOn: [metrics]
+"""
+    )
+    outs = run_manifest(spark, manifest)
+    assert list(outs) == ["snap"]
+    rows = outs["snap"].collect()
+    assert len(rows) >= 5  # every doc produced at least one chunk row
+    assert {"md_char_len", "md_line_count", "keywords_count"} <= set(outs["snap"].columns)
+    import os
+
+    assert os.path.exists(f"{tmp_path}/snaps/latest.json")

@@ -39,6 +39,7 @@ import importlib
 import os
 from dataclasses import dataclass, field
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
 import yaml
 
 from pyspark.sql import DataFrame, SparkSession
@@ -193,13 +194,91 @@ def _parquet_sink(spark, inputs, *, path: str):
     return df
 
 
+def _scrape_source(spark, inputs, *, urls_path: str):
+    """URL list (one per line) → scraped MarkdownDataContract rows."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.sources.scraper import scrape_stage
+
+    urls = spark.read.text(urls_path).select(F.trim("value").alias("url")).filter(
+        F.col("url") != ""
+    )
+    return scrape_stage(urls)
+
+
+def _docling_source(spark, inputs, *, path: str, glob: str = "*"):
+    from wurzel_spark.sources.docling import convert_stage, read_binary_docs
+
+    return convert_stage(read_binary_docs(spark, path, glob))
+
+
+def _clean_md(spark, inputs, *, strip_images: str = "true"):
+    """md cleanup: URL → LINK replacement, optional image removal (§2.8)."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.functions import text as TXT
+    from wurzel_spark.functions.html import md_remove_images
+
+    (df,) = inputs
+    out = df.withColumn("md", TXT.replace_urls(F.col("md")))
+    if strip_images.lower() == "true":
+        out = out.withColumn("md", md_remove_images(F.col("md")))
+    return out
+
+
+def _truncate(spark, inputs, *, token_limit: int = 256):
+    """Token-window truncation of md (TruncatedEmbeddingStep's first half)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wurzel_spark.functions import tokens as TK
+
+    (df,) = inputs
+    limit = int(token_limit)
+
+    @F.pandas_udf(T.StringType())
+    def _trunc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: TK.limit_token_count(t or "", limit))
+
+    return df.withColumn("md", _trunc("md"))
+
+
+def _embed_multivector(spark, inputs, *, dim: int = 64):
+    from wurzel_spark.operators.embedding import embed_multivector_stage
+
+    (df,) = inputs
+    return embed_multivector_stage(df, dim=int(dim))
+
+
+def _doc_metrics(spark, inputs):
+    from wurzel_spark.sources.markdown import doc_metrics
+
+    (df,) = inputs
+    return doc_metrics(df)
+
+
+def _snapshot_sink(spark, inputs, *, root: str, timestamp: str, history: str = ""):
+    from wurzel_spark.sinks.snapshot import write_snapshot
+
+    (df,) = inputs
+    write_snapshot(df, root, timestamp, history=history)
+    return df
+
+
 REGISTRY = {
     "markdown_source": _markdown_source,
+    "scrape_source": _scrape_source,
+    "docling_source": _docling_source,
     "dedup": _dedup,
+    "clean_md": _clean_md,
+    "truncate": _truncate,
     "split": _split,
     "embed": _embed,
+    "embed_multivector": _embed_multivector,
+    "doc_metrics": _doc_metrics,
     "union": _union,
     "parquet_sink": _parquet_sink,
+    "snapshot_sink": _snapshot_sink,
 }
 
 
