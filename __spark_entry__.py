@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_split_chunks": splitter.q_semantic_split,
         # embedding (rows-only: offline hash embedder is engine-internal)
         "embed_documents": embedding.q_embed_documents,
+        "embed_multivector_docs": embedding.q_embed_multivector,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_first_per_source": dedup.q_dedup_first_per_source,

@@ -222,3 +222,26 @@ def q_embed_documents(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("l2_norm"),
     ).orderBy("doc_id")
+
+
+def q_embed_multivector(spark, sf_dir: str) -> DataFrame:
+    """Driver-visible EmbeddingMultiVectorStep run (rows-only): documents →
+    semantic chunks → per-chunk vectors regrouped per source doc. Checks the
+    collect_list determinism path (chunks sorted by chunk_index).
+    """
+    from wurzel_spark.operators.splitter import split_stage
+    from wurzel_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("text").alias("md"),
+        F.col("source").alias("keywords"),
+        F.col("doc_id").cast("string").alias("url"),
+    )
+    chunks = split_stage(docs, token_limit=32, token_limit_buffer=8, token_limit_min=8)
+    mv = embed_multivector_stage(chunks, dim=16)
+    return mv.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.size("vectors").alias("n_vectors"),
+        F.size("splits").alias("n_splits"),
+        F.length("text").alias("joined_len"),
+    ).orderBy("doc_id")
