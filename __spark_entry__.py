@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wurzel_spark.operators import asof, dedup, embedding, similarity, splitter, textstats
+from wurzel_spark.operators import asof, rangejoin, dedup, embedding, similarity, splitter, textstats
 from wurzel_spark.queries import events, relational
 
 
@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": events.events_json_props,
         "events_funnel": events.events_funnel,
         "asof_last_order_before_event": asof.q_asof_last_order_before_event,
+        "range_join_clicks_before_purchase": rangejoin.q_clicks_before_purchase,
         # text analysis (documents)
         "doc_metrics": textstats.q_doc_metrics,
         "token_stats": textstats.q_token_stats,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": events.EVENTS_JSON_SQL,
         "events_funnel": events.EVENTS_FUNNEL_SQL,
         "asof_last_order_before_event": asof.ASOF_SQL,
+        "range_join_clicks_before_purchase": rangejoin.RANGE_JOIN_SQL,
         "doc_metrics": textstats.DOC_METRICS_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,
         "lang_id": textstats.LANG_ID_SQL,
