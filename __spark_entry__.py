@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.q_quality_score,
         "fingerprints": textstats.q_fingerprints,
         "pipeline_filter_dedup_stats": textstats.q_pipeline_filter_dedup_stats,
+        "stratified_sample_docs": textstats.q_stratified_sample,
         # document splitting (rows-only: tokenizer-defined chunk boundaries;
         # golden-value tests in tests/test_splitter.py)
         "semantic_split_chunks": splitter.q_semantic_split,
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.QUALITY_SQL,
         "fingerprints": textstats.FINGERPRINTS_SQL,
         "pipeline_filter_dedup_stats": textstats.PIPELINE_STATS_SQL,
+        "stratified_sample_docs": textstats.STRATIFIED_SAMPLE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_first_per_source": dedup.DEDUP_FIRST_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,

@@ -310,3 +310,48 @@ FROM deduped
 GROUP BY source
 ORDER BY source
 """
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fraction: float,
+    order_col: str,
+) -> DataFrame:
+    """Deterministic stratified sampling: exactly ceil(fraction × n_g) rows
+    per group, chosen by a stable order. Unlike df.sample(), re-runs (and
+    re-tries of failed tasks) pick identical rows — the property a
+    training-data pipeline needs for reproducible corpus cuts. One window
+    shuffle on the group key.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(order_col)
+    wc = W.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn", "__n")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% per-source deterministic sample of the documents corpus."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "source", 0.10, "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+) WHERE rn <= CEIL(n * 0.10)
+ORDER BY doc_id
+"""
