@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events.events_funnel,
         "asof_last_order_before_event": asof.q_asof_last_order_before_event,
         "range_join_clicks_before_purchase": rangejoin.q_clicks_before_purchase,
+        "events_daily_from_hourly": events.events_daily_from_hourly,
         # text analysis (documents)
         "doc_metrics": textstats.q_doc_metrics,
         "token_stats": textstats.q_token_stats,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": events.EVENTS_FUNNEL_SQL,
         "asof_last_order_before_event": asof.ASOF_SQL,
         "range_join_clicks_before_purchase": rangejoin.RANGE_JOIN_SQL,
+        "events_daily_from_hourly": events.EVENTS_DAILY_SQL,
         "doc_metrics": textstats.DOC_METRICS_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,
         "lang_id": textstats.LANG_ID_SQL,

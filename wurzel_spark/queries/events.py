@@ -201,3 +201,42 @@ SELECT COUNT(*) AS n_users,
                  AND first_view_us < first_purchase_us THEN 1 ELSE 0 END) AS n_converted
 FROM per_user
 """
+
+
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (continuous-aggregate) rollup: daily stats computed by
+    RE-AGGREGATING an hourly pre-aggregate instead of the raw events. At
+    100 TB the hourly rollup is what you materialize (timescale-style
+    continuous aggregate); dashboards re-aggregate the tiny rollup. Exact
+    because the partial states are decomposable (counts + decimal sums —
+    no distinct, no percentile). Oracle computes daily straight from raw:
+    agreement proves the two-level aggregation is lossless.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value_dec"),
+        )
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
+       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
