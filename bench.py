@@ -43,6 +43,10 @@ HEADLINE = [
     "simhash_near_pairs",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "asof_last_order_before_event",
+    "range_join_clicks_before_purchase",
+    "pipeline_filter_dedup_stats",
+    "events_daily_from_hourly",
 ]
 
 
