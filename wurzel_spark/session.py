@@ -43,6 +43,12 @@ def get_spark(
         # MinHash signature) blow past the default 100-field cap and silently
         # fall out of whole-stage codegen into interpreted mode (~3× slower).
         .config("spark.sql.codegen.maxFields", "256")
+        # Straggler insurance: one stalled core (noisy neighbor on this VM,
+        # slow node on a real cluster) stalls a whole task wave; speculative
+        # re-execution bounds the tail at the cost of some duplicate work.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "2")
+        .config("spark.speculation.quantile", "0.9")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
