@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs_battery": relational.window_funcs_battery,
         "sql_api_status_revenue": relational.sql_api_status_revenue,
         "q2_top_supplier_per_nation": relational.q2_top_supplier_per_nation,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q21_multi_supplier_orders": relational.q21_multi_supplier_orders,
         # events (batch form; streaming twins in wurzel_spark.streaming)
         "events_hourly_stats": events.events_hourly_stats,
         "events_type_breakdown": events.events_type_breakdown,
@@ -117,6 +120,9 @@ def oracle_sql() -> dict[str, str]:
         "window_funcs_battery": relational.WINDOW_FUNCS_SQL,
         "sql_api_status_revenue": relational.SQL_API_SQL,
         "q2_top_supplier_per_nation": relational.Q2_SQL,
+        "q7_volume_shipping": relational.Q7_SQL,
+        "q15_top_supplier": relational.Q15_SQL,
+        "q21_multi_supplier_orders": relational.Q21_SQL,
         "events_hourly_stats": events.EVENTS_HOURLY_SQL,
         "events_type_breakdown": events.EVENTS_TYPES_SQL,
         "sessionize": events.SESSIONIZE_SQL,
