@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": textstats.q_fingerprints,
         "pipeline_filter_dedup_stats": textstats.q_pipeline_filter_dedup_stats,
         "stratified_sample_docs": textstats.q_stratified_sample,
+        "corpus_metrics": textstats.q_corpus_metrics,
         # document splitting (rows-only: tokenizer-defined chunk boundaries;
         # golden-value tests in tests/test_splitter.py)
         "semantic_split_chunks": splitter.q_semantic_split,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": textstats.FINGERPRINTS_SQL,
         "pipeline_filter_dedup_stats": textstats.PIPELINE_STATS_SQL,
         "stratified_sample_docs": textstats.STRATIFIED_SAMPLE_SQL,
+        "corpus_metrics": textstats.CORPUS_METRICS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_first_per_source": dedup.DEDUP_FIRST_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,

@@ -79,3 +79,10 @@ def test_sentence_split_preserves_content(parts):
     sents = split_sentences(text)
     # no characters lost (modulo the split whitespace)
     assert "".join(sents).replace(" ", "") == text.replace(" ", "")
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTISH)
+def test_normalize_markdown_idempotent(md):
+    once = H.normalize_markdown(md)
+    assert H.normalize_markdown(once) == once

@@ -389,3 +389,28 @@ def html_normalize_urls(html: pd.Series, base: pd.Series) -> pd.Series:
             for h, b in zip(html, base)
         ]
     )
+
+
+# ------------------------------------------------- markdown normalization
+
+_TRAILING_WS_RE = re.compile(r"[ \t]+$", re.MULTILINE)
+_HEADING_NORM_RE = re.compile(r"(?m)^(#{1,6})[ \t]+")
+_BULLET_NORM_RE = re.compile(r"(?m)^(\s*)[*+](\s+)")
+
+
+def normalize_markdown(md: str) -> str:
+    """mdformat-lite normalization (reference semantic_splitter.py:107-119
+    runs mdformat after splitting): trailing whitespace stripped, heading
+    markers single-spaced, * / + bullets unified to -, ≥2 blank lines
+    collapsed to one, single trailing newline. Idempotent (property-tested).
+    """
+    if md is None:
+        return md
+    out = _TRAILING_WS_RE.sub("", md)
+    out = _HEADING_NORM_RE.sub(r"\1 ", out)
+    out = _BULLET_NORM_RE.sub(r"\1-\2", out)
+    out = re.sub(r"\n{3,}", "\n\n", out)
+    return out.strip("\n") + "\n" if out.strip() else ""
+
+
+md_normalize = _make_str_udf(normalize_markdown)

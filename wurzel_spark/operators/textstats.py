@@ -355,3 +355,29 @@ SELECT doc_id, source FROM (
 ) WHERE rn <= CEIL(n * 0.10)
 ORDER BY doc_id
 """
+
+
+def q_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-metrics aggregation (SURVEY §2.7; reference
+    datacontract.py:22-69 sums per-item metrics into corpus totals):
+    corpus-level sums of the per-document metric columns, plus a
+    consistency check that the stored n_chars column matches the text.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.size(F.split("text", "\n", -1))).alias("total_lines"),
+        F.sum((F.col("n_chars") != F.length("text")).cast("long")).alias(
+            "n_chars_mismatches"
+        ),
+    )
+
+
+CORPUS_METRICS_SQL = """
+SELECT COUNT(*) AS total_docs,
+       SUM(LENGTH(text)) AS total_chars,
+       SUM(LENGTH(text) - LENGTH(REPLACE(text, CHR(10), '')) + 1) AS total_lines,
+       SUM(CASE WHEN n_chars != LENGTH(text) THEN 1 ELSE 0 END) AS n_chars_mismatches
+FROM documents
+"""
