@@ -55,6 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q15_top_supplier": relational.q15_top_supplier,
         "q21_multi_supplier_orders": relational.q21_multi_supplier_orders,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q12_priority_shipping": relational.q12_priority_shipping,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q22_dormant_customers": relational.q22_dormant_customers,
         # events (batch form; streaming twins in wurzel_spark.streaming)
         "events_hourly_stats": events.events_hourly_stats,
         "events_type_breakdown": events.events_type_breakdown,
@@ -124,6 +130,12 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": relational.Q7_SQL,
         "q15_top_supplier": relational.Q15_SQL,
         "q21_multi_supplier_orders": relational.Q21_SQL,
+        "q8_market_share": relational.Q8_SQL,
+        "q9_product_profit": relational.Q9_SQL,
+        "q12_priority_shipping": relational.Q12_SQL,
+        "q13_customer_distribution": relational.Q13_SQL,
+        "q17_small_quantity_revenue": relational.Q17_SQL,
+        "q22_dormant_customers": relational.Q22_SQL,
         "events_hourly_stats": events.EVENTS_HOURLY_SQL,
         "events_type_breakdown": events.EVENTS_TYPES_SQL,
         "sessionize": events.SESSIONIZE_SQL,

@@ -81,3 +81,34 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     pf = " ".join(partition_filters(pruned))
     assert "day" in pf, f"no partition filter pushed; got {pf!r}"
     assert pruned.count() > 0
+
+
+def test_q8_q9_dimension_broadcasts_and_pushdown(spark, sf_dir):
+    """The 6-table Q8 join tree must broadcast every dimension (no
+    sort-merge cascade) and push the p_type / r_name / o_orderdate filters
+    into their scans."""
+    df8 = relational.q8_market_share(spark, sf_dir)
+    assert broadcast_join_count(df8) >= 5
+    assert_no_sort_merge_join(df8)
+    for col in ("p_type", "r_name", "o_orderdate"):
+        assert_pushed_filter(df8, col)
+    df9 = relational.q9_product_profit(spark, sf_dir)
+    assert_pushed_filter(df9, "p_name")
+    assert_no_sort_merge_join(df9)
+
+
+def test_q17_decorrelated_single_pass_pruning(spark, sf_dir):
+    """Q17's decorrelated subquery must still prune lineitem to the three
+    columns it needs and push the p_type filter to the part scan."""
+    df = relational.q17_small_quantity_revenue(spark, sf_dir)
+    assert_pushed_filter(df, "p_type")
+    assert_read_schema_only(
+        df, LINEITEM_COLS, {"l_partkey", "l_quantity", "l_extendedprice"}
+    )
+
+
+def test_q22_anti_join_date_pushdown(spark, sf_dir):
+    """The anti-join side of Q22 must scan only date-filtered orders."""
+    df = relational.q22_dormant_customers(spark, sf_dir)
+    assert_pushed_filter(df, "o_orderdate")
+    assert_pushed_filter(df, "c_acctbal")
