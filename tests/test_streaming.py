@@ -100,3 +100,66 @@ def test_json_props_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     batch = events_json_props(spark, sf_dir).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """Streaming exact dedup keeps exactly one row per content hash — the
+    same distinct-hash set as the batch DropDuplicationStep twin."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.streaming.dedup import dedup_stream, with_content_hash
+
+    src = str(tmp_path / "docs_src")
+    docs = table(spark, sf_dir, "documents")
+    # inject exact duplicates (2 copies of every doc) across several files
+    docs.unionByName(docs).repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_stream(with_content_hash(stream), ["content_hash"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.table("t_dedup_docs")
+    expected_hashes = {
+        r[0]
+        for r in with_content_hash(docs).select("content_hash").distinct().collect()
+    }
+    assert got.count() == len(expected_hashes)
+    assert {r["content_hash"] for r in got.collect()} == expected_hashes
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """At-least-once replay: the same events delivered twice within the
+    watermark window come out exactly once."""
+    from wurzel_spark.streaming.dedup import dedup_stream_within_watermark
+    from wurzel_spark.streaming.events import read_event_stream
+
+    src = str(tmp_path / "events_dup")
+    ev = table(spark, sf_dir, "events")
+    ev.unionByName(ev).repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src)
+    out = dedup_stream_within_watermark(stream, ["event_id"], ts_col="ts", delay="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_events")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    n_distinct = ev.select("event_id").distinct().count()
+    assert spark.table("t_dedup_events").count() == n_distinct
