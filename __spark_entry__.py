@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": relational.q13_customer_distribution,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q22_dormant_customers": relational.q22_dormant_customers,
+        "q11_important_part_values": relational.q11_important_part_values,
+        "q16_supplier_part_types": relational.q16_supplier_part_types,
+        "q20_excess_shippers": relational.q20_excess_shippers,
+        "grouping_sets_orders": relational.grouping_sets_orders,
         # events (batch form; streaming twins in wurzel_spark.streaming)
         "events_hourly_stats": events.events_hourly_stats,
         "events_type_breakdown": events.events_type_breakdown,
@@ -136,6 +140,10 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": relational.Q13_SQL,
         "q17_small_quantity_revenue": relational.Q17_SQL,
         "q22_dormant_customers": relational.Q22_SQL,
+        "q11_important_part_values": relational.Q11_SQL,
+        "q16_supplier_part_types": relational.Q16_SQL,
+        "q20_excess_shippers": relational.Q20_SQL,
+        "grouping_sets_orders": relational.GROUPING_SETS_SQL,
         "events_hourly_stats": events.EVENTS_HOURLY_SQL,
         "events_type_breakdown": events.EVENTS_TYPES_SQL,
         "sessionize": events.SESSIONIZE_SQL,

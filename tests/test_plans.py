@@ -112,3 +112,42 @@ def test_q22_anti_join_date_pushdown(spark, sf_dir):
     df = relational.q22_dormant_customers(spark, sf_dir)
     assert_pushed_filter(df, "o_orderdate")
     assert_pushed_filter(df, "c_acctbal")
+
+
+def test_q11_q16_q20_broadcast_and_pushdown(spark, sf_dir):
+    """Q11's decorrelated total joins as a 1-row broadcast; Q16 broadcasts
+    part and the exclusion anti-join; Q20's dominance filter must not
+    re-shuffle after the (partkey, suppkey) aggregate. All dimension filters
+    reach the scans."""
+    df11 = relational.q11_important_part_values(spark, sf_dir)
+    assert broadcast_join_count(df11) >= 2
+    assert_no_sort_merge_join(df11)
+    assert_read_schema_only(
+        df11, LINEITEM_COLS, {"l_partkey", "l_suppkey", "l_extendedprice", "l_discount"}
+    )
+
+    df16 = relational.q16_supplier_part_types(spark, sf_dir)
+    assert broadcast_join_count(df16) >= 2
+    assert_no_sort_merge_join(df16)
+    for col in ("p_type", "p_size"):
+        assert_pushed_filter(df16, col)
+    assert_read_schema_only(df16, LINEITEM_COLS, {"l_partkey", "l_suppkey"})
+
+    df20 = relational.q20_excess_shippers(spark, sf_dir)
+    assert_pushed_filter(df20, "l_shipdate")
+    assert_pushed_filter(df20, "p_name")
+    assert_read_schema_only(
+        df20, LINEITEM_COLS, {"l_partkey", "l_suppkey", "l_quantity", "l_shipdate"}
+    )
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """GROUPING SETS must compile to ONE Expand over one scan — not one
+    scan per set (that's the whole point at 100 TB)."""
+    from wurzel_spark.plans.inspect import plan_text
+
+    df = relational.grouping_sets_orders(spark, sf_dir)
+    txt = plan_text(df)
+    assert txt.count("Expand") >= 1
+    # formatted mode lists each node twice (tree + details) — one scan = 2
+    assert txt.lower().count("scan parquet") <= 2, "orders scanned more than once"

@@ -1335,3 +1335,194 @@ WHERE c_acctbal > (
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts whose shipped value (from NATION_7 suppliers)
+    exceeds 0.1% of the nation's total shipped value. The testdata has no
+    partsupp, so value = discounted revenue from lineitem.
+
+    The HAVING > fraction-of-total scalar subquery is decorrelated into a
+    1-row global aggregate broadcast back over the per-part aggregate
+    (BroadcastNestedLoopJoin on one row — free). The threshold compare is
+    kept in exact DECIMAL on both sides (value*1000 > total) so the filter
+    set is bit-identical; division never happens.
+    """
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    part_vals = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("value_dec"))
+    )
+    total = part_vals.agg(F.sum("value_dec").cast("decimal(38,4)").alias("total_dec"))
+    return (
+        part_vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("decimal(38,4)") * F.lit(1000) > F.col("total_dec"))
+        .select(F.col("l_partkey"), F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH part_vals AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier
+      WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7'))
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM part_vals
+WHERE CAST(value_dec AS DECIMAL(38,4)) * 1000 > (SELECT CAST(SUM(value_dec) AS DECIMAL(38,4)) FROM part_vals)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: how many distinct suppliers ship each surviving
+    (brand, type, size) combination. The complaint-supplier NOT IN becomes
+    a broadcast anti-join on the (tiny, pre-filtered) supplier exclusion
+    list (no s_comment in testdata — s_acctbal < 0 stands in); part is
+    filtered then broadcast. COUNT(DISTINCT) shuffles on the 3 group keys
+    with AQE-sized partitions — the only shuffle in the plan.
+    """
+    part = table(spark, sf_dir, "part").filter(
+        (~F.col("p_type").startswith("PROMO")) & (F.col("p_size") < 15)
+    )
+    excl = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type NOT LIKE 'PROMO%'
+  AND p_size < 15
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: NATION_3 suppliers who dominated shipments of a
+    'blue' part in 1997 (their quantity > 1/4 of that part's total; the
+    availqty comparison is re-based on shipped quantity — no partsupp).
+
+    Per-(part,supplier) sums reuse one shuffle; the per-part total is a
+    window over the already-partitioned aggregate (no second shuffle of
+    lineitem). The dominance compare multiplies in exact DECIMAL
+    (qty*4 > total) — no division. Suppliers then arrive via semi-join.
+    """
+    from pyspark.sql import Window as W
+
+    part_green = (
+        table(spark, sf_dir, "part").filter(F.col("p_name").contains("blue")).select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qty = (
+        li.join(F.broadcast(part_green), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+    )
+    w = W.partitionBy("l_partkey")
+    cand = (
+        qty.withColumn("total_dec", F.sum("qty_dec").over(w))
+        .filter(F.col("qty_dec") * F.lit(4) > F.col("total_dec"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(cand, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%blue%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+), cand AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, qty_dec,
+           SUM(qty_dec) OVER (PARTITION BY l_partkey) AS total_dec
+    FROM qty)
+  WHERE qty_dec * 4 > total_dec
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM cand)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+ORDER BY s_name, s_suppkey
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status), (priority), ()) over orders — the explicit
+    multi-granularity form (rollup/cube are covered separately). grouping_id
+    disambiguates which set produced a row (same bit convention — leftmost
+    column is the most significant bit — in Spark and DuckDB/Postgres).
+    Spark expands the sets with a single Expand node over one scan: one
+    shuffle regardless of how many sets.
+    NULLS FIRST is forced on both engines (Spark ASC default) since DuckDB
+    defaults to NULLS LAST.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
