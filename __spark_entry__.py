@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_types": relational.q16_supplier_part_types,
         "q20_excess_shippers": relational.q20_excess_shippers,
         "grouping_sets_orders": relational.grouping_sets_orders,
+        "rolling_revenue_7d": relational.rolling_revenue_7d,
         # events (batch form; streaming twins in wurzel_spark.streaming)
         "events_hourly_stats": events.events_hourly_stats,
         "events_type_breakdown": events.events_type_breakdown,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_part_types": relational.Q16_SQL,
         "q20_excess_shippers": relational.Q20_SQL,
         "grouping_sets_orders": relational.GROUPING_SETS_SQL,
+        "rolling_revenue_7d": relational.ROLLING_7D_SQL,
         "events_hourly_stats": events.EVENTS_HOURLY_SQL,
         "events_type_breakdown": events.EVENTS_TYPES_SQL,
         "sessionize": events.SESSIONIZE_SQL,

@@ -1526,3 +1526,48 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
+
+
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per customer: a time-based sliding window
+    (RANGE BETWEEN INTERVAL) — the rolling-aggregate shape of a hypertable
+    rollup. Ordering and frame bounds are epoch-microsecond integers in both
+    engines (Spark rangeBetween takes longs; DuckDB RANGE takes numerics),
+    and the windowed sum stays in DECIMAL — bit-exact across engines.
+
+    One shuffle on o_custkey; the frame scan is a per-partition sorted
+    sliding sum, O(rows) total. At 100 TB, partition by customer and let AQE
+    size the shuffle; no self-join (the naive formulation) ever happens.
+    """
+    from pyspark.sql import Window as W
+
+    seven_days_us = 7 * 24 * 3600 * 1_000_000
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-seven_days_us, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("revenue_7d"),
+            F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .limit(2000)
+    )
+
+
+ROLLING_7D_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS revenue_7d,
+       COUNT(*) OVER w AS n_orders_7d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+LIMIT 2000
+"""
