@@ -1,12 +1,16 @@
-"""CLI (reference parity: wurzel/cli/_main.py — run / inspect / env).
+"""CLI (reference parity: wurzel/cli/_main.py — run / inspect / env / generate).
 
     python -m wurzel_spark run manifest.yaml [--materialize-dir DIR] [--out DIR]
+                                             [--only STEP]
     python -m wurzel_spark inspect manifest.yaml
     python -m wurzel_spark env manifest.yaml
+    python -m wurzel_spark generate manifest.yaml --backend {dvc,argo}
 
-``generate`` is intentionally absent: the reference compiles pipelines to
-DVC/Argo artifacts that re-enter the CLI per step (SURVEY §3.2); a Spark
-pipeline IS the artifact — submit this module with spark-submit.
+``run`` without ``--only`` composes the whole graph into ONE Catalyst plan —
+a Spark pipeline IS the artifact. ``generate`` exists for reference parity
+(SURVEY §3.2): it emits dvc.yaml / Argo Workflow YAML whose per-step cmds
+re-enter this CLI with ``--only STEP``, for environments that want DVC's
+cross-run memoization or pod-per-step isolation.
 """
 
 from __future__ import annotations
@@ -17,10 +21,17 @@ import sys
 
 def _cmd_run(args) -> int:
     from wurzel_spark import get_spark
-    from wurzel_spark.manifest import Manifest, run_manifest
+    from wurzel_spark.manifest import Manifest, run_manifest, run_single_step
 
     m = Manifest.from_file(args.manifest)
     spark = get_spark(m.name)
+    if args.only:
+        if not args.materialize_dir:
+            print("--only requires --materialize-dir", file=sys.stderr)
+            return 2
+        df = run_single_step(spark, m, args.only, args.materialize_dir)
+        print(f"{args.only}: {df.count()} rows, schema={df.schema.simpleString()}")
+        return 0
     outs = run_manifest(spark, m, materialize_dir=args.materialize_dir)
     for name, df in outs.items():
         n = df.count()
@@ -61,6 +72,18 @@ def _cmd_env(args) -> int:
     return 0
 
 
+def _cmd_generate(args) -> int:
+    from wurzel_spark.backends import generate_argo, generate_dvc
+    from wurzel_spark.manifest import Manifest
+
+    m = Manifest.from_file(args.manifest)
+    if args.backend == "dvc":
+        print(generate_dvc(m, args.manifest, args.data_dir), end="")
+    else:
+        print(generate_argo(m, args.manifest, args.data_dir, args.image), end="")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="wurzel_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -69,7 +92,15 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("manifest")
     r.add_argument("--materialize-dir", default=None)
     r.add_argument("--out", default=None)
+    r.add_argument("--only", default=None, help="run a single step (backend re-entry)")
     r.set_defaults(fn=_cmd_run)
+
+    g = sub.add_parser("generate", help="emit a DVC/Argo backend artifact")
+    g.add_argument("manifest")
+    g.add_argument("--backend", choices=["dvc", "argo"], default="dvc")
+    g.add_argument("--data-dir", default="data")
+    g.add_argument("--image", default="spark:latest")
+    g.set_defaults(fn=_cmd_generate)
 
     i = sub.add_parser("inspect", help="show the step graph")
     i.add_argument("manifest")

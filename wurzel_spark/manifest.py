@@ -298,3 +298,24 @@ def run_manifest(
             df = spark.read.parquet(path)
         outputs[name] = df
     return {t: outputs[t] for t in manifest.terminals()}
+
+
+def run_single_step(
+    spark: SparkSession, manifest: Manifest, step: str, materialize_dir: str
+) -> DataFrame:
+    """Single-step re-entry for generated backend artifacts (SURVEY §3.2).
+
+    The DVC/Argo artifacts from wurzel_spark.backends run each step in its
+    own process (the reference's execution model, base_executor.py:302-309):
+    parent outputs are read back from their materialization dirs, only this
+    step's fn runs, and its result is written to its own dir for children.
+    """
+    spec = manifest.steps[step]
+    fn = _resolve(spec.uses)
+    inputs = [
+        spark.read.parquet(os.path.join(materialize_dir, d)) for d in spec.depends_on
+    ]
+    df = fn(spark, inputs, **manifest.env_settings(step))
+    path = os.path.join(materialize_dir, step)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
