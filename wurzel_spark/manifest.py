@@ -282,16 +282,35 @@ REGISTRY = {
 }
 
 
+def _execute_step(spark, manifest, name, inputs, chain=None):
+    """One step through the middleware chain (SURVEY §3.4): secrets resolve
+    before the fn sees its settings; prometheus times/pushes around it."""
+    from wurzel_spark.metrics import resolve_run_id
+    from wurzel_spark.middleware import StepContext, chain_from_env
+
+    spec = manifest.steps[name]
+    fn = _resolve(spec.uses)
+    chain = chain if chain is not None else chain_from_env()
+    ctx = StepContext(
+        step_name=name,
+        settings=manifest.env_settings(name),
+        run_id=resolve_run_id(spark),
+    )
+    return chain.execute(ctx, lambda c: fn(spark, inputs, **c.settings))
+
+
 def run_manifest(
-    spark: SparkSession, manifest: Manifest, materialize_dir: str | None = None
+    spark: SparkSession,
+    manifest: Manifest,
+    materialize_dir: str | None = None,
+    chain=None,
 ) -> dict[str, DataFrame]:
     """Execute the step graph as one composed plan; returns terminal outputs."""
     outputs: dict[str, DataFrame] = {}
     for name in manifest.topo_order():
         spec = manifest.steps[name]
-        fn = _resolve(spec.uses)
         inputs = [outputs[d] for d in spec.depends_on]
-        df = fn(spark, inputs, **manifest.env_settings(name))
+        df = _execute_step(spark, manifest, name, inputs, chain=chain)
         if materialize_dir is not None:
             path = os.path.join(materialize_dir, name)
             df.write.mode("overwrite").parquet(path)
@@ -311,11 +330,10 @@ def run_single_step(
     step's fn runs, and its result is written to its own dir for children.
     """
     spec = manifest.steps[step]
-    fn = _resolve(spec.uses)
     inputs = [
         spark.read.parquet(os.path.join(materialize_dir, d)) for d in spec.depends_on
     ]
-    df = fn(spark, inputs, **manifest.env_settings(step))
+    df = _execute_step(spark, manifest, step, inputs)
     path = os.path.join(materialize_dir, step)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
