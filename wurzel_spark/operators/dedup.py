@@ -327,7 +327,20 @@ def simhash_near_pairs(
         " b -> shiftright(s, 16 * b) & 65535))[0]) AS (band_idx, band_val)",
     ).localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ham = F.bit_count(xor)
+    # A pair with j identical bands surfaces j times from the band join.
+    # The XOR already says WHICH bands are identical, so keep each pair only
+    # at its first zero band — a per-row filter, replacing the distinct()
+    # that cost a full extra shuffle + exchange barrier over the pair set.
+    first_zero_band = F.coalesce(
+        *[
+            F.when(
+                F.shiftright(xor, 16 * j).bitwiseAND(F.lit(65535)) == 0, F.lit(j)
+            )
+            for j in range(4)
+        ]
+    )
     return (
         a.join(
             b,
@@ -335,13 +348,13 @@ def simhash_near_pairs(
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(F.col("a.band_idx") == first_zero_band)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
         .orderBy("id_a", "id_b")
     )
 
