@@ -207,11 +207,20 @@ def lsh_candidate_pairs(
     """
     # Materialized once: the band table (one small row per doc×band) feeds
     # both sides of the self-join; without this the whole signature pipeline
-    # runs twice.
-    banded = sig_df.selectExpr(
-        "id", f"posexplode({band_arr}) AS (band_idx, band_hash)"
-    ).localCheckpoint()
+    # runs twice. Each exploded row also carries the doc's full band-hash
+    # array (``bands`` longs — cheap) so the join can keep each pair only at
+    # its FIRST shared band, replacing the distinct() that cost a full extra
+    # shuffle over the candidate-pair set (pairs sharing j bands would
+    # otherwise surface j times).
+    banded = (
+        sig_df.selectExpr("id", f"{band_arr} AS bhs")
+        .selectExpr("id", "bhs", "posexplode(bhs) AS (band_idx, band_hash)")
+        .localCheckpoint()
+    )
     a, b = banded.alias("a"), banded.alias("b")
+    first_shared = F.expr(
+        "array_position(zip_with(a.bhs, b.bhs, (x, y) -> x = y), true) - 1"
+    )
     return (
         a.join(
             b,
@@ -219,8 +228,8 @@ def lsh_candidate_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(F.col("a.band_idx") == first_shared)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
 
 
