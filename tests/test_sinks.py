@@ -80,3 +80,58 @@ def test_kb_upload_and_prune(spark, tmp_path):
     sink.write(df2)
     names = client.list_docs("Src-Split")
     assert names == [doc_name("http://a", "Src-Split")]
+
+
+def test_content_hash_stamping(spark, tmp_path):
+    """hash_col stamps text_sha256_hash + text_tlsh_hash on every point
+    (qdrant/step.py:259-283 payload parity)."""
+    root = str(tmp_path / "store")
+    writer = VersionedCollectionWriter(lambda: LocalCollectionBackend(root), "kb")
+    writer.write(_df(spark, range(3)), "doc_id", hash_col="text")
+    be = LocalCollectionBackend(root)
+    import glob
+
+    points = []
+    for part in glob.glob(os.path.join(root, "kb_v1", "part-*.jsonl")):
+        with open(part) as f:
+            points += [json.loads(line) for line in f]
+    assert len(points) == 3
+    for p in points:
+        assert len(p["text_sha256_hash"]) == 64
+        assert len(p["text_tlsh_hash"]) == 64
+    # determinism: same text -> same digests across versions
+    writer.write(_df(spark, range(3)), "doc_id", hash_col="text")
+    p2 = {}
+    for part in glob.glob(os.path.join(root, "kb_v2", "part-*.jsonl")):
+        with open(part) as f:
+            for line in f:
+                r = json.loads(line)
+                p2[r["doc_id"]] = r
+    for p in points:
+        assert p2[p["doc_id"]]["text_tlsh_hash"] == p["text_tlsh_hash"]
+        assert p2[p["doc_id"]]["text_sha256_hash"] == p["text_sha256_hash"]
+
+
+def test_tlsh_like_digest_locality(spark):
+    """Near-duplicate texts share digest segments; unrelated texts don't.
+    Blank text -> the documented all-zeros digest."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.functions.text import tlsh_like_digest
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base + "and then naps"
+    far = "completely different content about spark shuffles " * 10
+    df = spark.createDataFrame(
+        [("base", base), ("near", near), ("far", far), ("blank", "  ")],
+        "name string, text string",
+    )
+    d = {
+        r["name"]: r["dig"]
+        for r in df.select("name", tlsh_like_digest(F.col("text")).alias("dig")).collect()
+    }
+    segs = lambda x: {x[i : i + 16] for i in range(0, 64, 16)}
+    assert all(len(v) == 64 for v in d.values())
+    assert len(segs(d["base"]) & segs(d["near"])) >= 2  # high word-set overlap
+    assert not segs(d["base"]) & segs(d["far"])
+    assert d["blank"] == "0" * 64

@@ -93,3 +93,43 @@ def strip_markdown(col: Column) -> Column:
 def first_heading(col: Column) -> Column:
     """First `# ` heading (decagon/step.py:100-103, docling_step.py:92-109)."""
     return F.regexp_extract(col, r"(?m)^# (.+)$", 1)
+
+
+def tlsh_like_digest(col: Column) -> Column:
+    """Locality-sensitive content digest filling the reference's
+    ``text_tlsh_hash`` slot (qdrant/step.py:264-283 — computed with the tlsh
+    C library there, gated behind HAS_TLSH, stored but never joined).
+
+    The tlsh library isn't available here, so this is a 64-hex-char
+    **minwise digest**, not TLSH wire format: 4 seeded min-hashes over the
+    word-hash set, each rendered as 16 hex chars. Near-duplicate texts agree
+    on whole 16-char segments with probability ≈ their word-set Jaccard per
+    segment — so unlike TLSH's distance score, segment equality is directly
+    GROUP BY-able / joinable at scale (the upgrade the north star asks for).
+
+    Pure pyspark.sql.functions — no Python on executors. The word-hash
+    array is let-bound via transform(array(...), arr -> ...)[0] so the 4
+    seeded folds share ONE evaluation of the tokenize+hash pipeline (HOF
+    lambdas re-evaluate captured subexpressions per element otherwise).
+    Empty/blank text → 64 zeros.
+    """
+    hashes = F.transform(words(col), lambda w: F.xxhash64(w))
+    return F.transform(
+        F.array(hashes),
+        lambda arr: F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda seed: F.lpad(
+                    F.hex(
+                        F.coalesce(
+                            F.array_min(F.transform(arr, lambda h: F.xxhash64(h, seed))),
+                            F.lit(0),
+                        )
+                    ),
+                    16,
+                    "0",
+                ),
+            ),
+        ),
+    )[0]

@@ -126,14 +126,32 @@ class VersionedCollectionWriter:
                 n = max(n, int(m.group("n")))
         return f"{self.collection}_v{n + 1}"
 
-    def write(self, df: DataFrame, order_col: str, history: str = "") -> str:
+    def write(
+        self,
+        df: DataFrame,
+        order_col: str,
+        history: str = "",
+        hash_col: str | None = None,
+    ) -> str:
         """Distributed bulk insert with deterministic ids, then finalize.
 
         ids = row_number over ``order_col`` (dense, reproducible — replaces
         the reference's in-process counter, qdrant/step.py:72-77). The
         foreachPartition upload batches ``batch_size`` points per call
         (qdrant/step.py:144-155) and is idempotent under Spark task retries.
+
+        ``hash_col`` names the text column to stamp with the reference's
+        payload hashes (qdrant/step.py:259-283): ``text_sha256_hash`` plus
+        the TLSH-slot locality digest ``text_tlsh_hash`` — both computed
+        map-side during the upload pass, no extra job.
         """
+        if hash_col is not None:
+            from wurzel_spark.functions import text as TXT
+
+            df = df.withColumn(
+                "text_sha256_hash", TXT.sha256_hex(F.col(hash_col))
+            ).withColumn("text_tlsh_hash", TXT.tlsh_like_digest(F.col(hash_col)))
+
         backend = self.backend_factory()
         name = self.next_version(backend)
         backend.create_collection(name, {"columns": df.columns})
