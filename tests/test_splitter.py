@@ -3,6 +3,8 @@ tests/splitter/splitter_test.py + FIXTURES §6)."""
 
 import hashlib
 
+import pytest
+
 from wurzel_spark.functions import tokens as TK
 from wurzel_spark.operators.splitter import (
     split_markdown_document,
@@ -95,3 +97,57 @@ def test_split_stage_explodes(spark):
     assert len(out) > 1
     assert all(r["metadata"]["chunks_count"] == str(len(out)) for r in out)
     assert all(r["keywords"] == "kw" for r in out)
+
+
+# Case corpus modeled on the reference's sentence-splitter coverage
+# dimensions (tests/splitter/sentence_splitter_test_cases.py: abbreviations,
+# initials, ordinals/dates, decimals, quotes/parens, ellipses, lowercase
+# continuations) — cases written fresh against OUR documented semantics.
+SENTENCE_CASES = [
+    # (text, expected sentence list)
+    ("Dr. Smith met Prof. Jones. They talked.",
+     ["Dr. Smith met Prof. Jones.", "They talked."]),
+    ("J. R. R. Tolkien wrote it. It was long.",
+     ["J. R. R. Tolkien wrote it.", "It was long."]),
+    ("Das kostet z.B. 5 Euro. Billig.",
+     ["Das kostet z.B. 5 Euro.", "Billig."]),
+    ("Am 3. Januar war es kalt. Dann nicht.",
+     ["Am 3. Januar war es kalt.", "Dann nicht."]),
+    ("Pi is 3.14159 roughly. Indeed.",
+     ["Pi is 3.14159 roughly.", "Indeed."]),
+    ("Wait... What happened? Nothing!",
+     ["Wait...", "What happened?", "Nothing!"]),
+    ('He said "Stop." Then he left.',
+     ['He said "Stop."', "Then he left."]),
+    ('She asked: "Why?" Nobody answered.',
+     ['She asked: "Why?"', "Nobody answered."]),
+    ("Visit https://example.com. Then report back.",
+     ["Visit https://example.com.", "Then report back."]),
+    ("It works (see Fig. 2). Great.",
+     ["It works (see Fig. 2).", "Great."]),
+    ("Nr. 7 ist frei. Nr. 8 nicht.",
+     ["Nr. 7 ist frei.", "Nr. 8 nicht."]),
+    ("First sentence! Second sentence? Third.",
+     ["First sentence!", "Second sentence?", "Third."]),
+    ("i.e. this merges. e.g. this too.",
+     ["i.e. this merges. e.g. this too."]),
+    ("Vgl. Abschnitt 4. Dort steht mehr.",
+     ["Vgl. Abschnitt 4. Dort steht mehr."]),
+    ("Das gilt usw. Aber nicht immer.",
+     ["Das gilt usw. Aber nicht immer."]),
+    ("Mr. Brown met Mrs. Green. Hello.",
+     ["Mr. Brown met Mrs. Green.", "Hello."]),
+    # trailing "4." is treated as a potential German ordinal -> stays joined
+    ("Siehe Abb. 3 bzw. Abb. 4. Fertig.",
+     ["Siehe Abb. 3 bzw. Abb. 4. Fertig."]),
+    ("no caps after. period stays joined.",
+     ["no caps after. period stays joined."]),
+]
+
+
+@pytest.mark.parametrize("text,expected", SENTENCE_CASES)
+def test_sentence_case_corpus(text, expected):
+    got = split_sentences(text)
+    assert got == expected
+    # lossless modulo inter-sentence whitespace
+    assert " ".join(got).split() == text.split()

@@ -44,10 +44,16 @@ _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
 _TABLE_ROW_RE = re.compile(r"^\s*\|.*\|\s*$")
 _TABLE_SEP_RE = re.compile(r"^\s*\|?[\s:|-]+\|?\s*$")  # |---|:--:| separator
 # regex sentence splitting with abbreviation merge-back
-# (sentence_splitter.py:115-226, simplified)
-_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9„\"'(])")
+# (sentence_splitter.py:115-226, simplified). Boundary = terminal
+# punctuation, optionally inside a closing quote/paren ("Stop." Then / 2).
+# Next) — two alternated fixed-width lookbehinds because Python's re
+# requires each lookbehind branch to be fixed-width.
+_SENT_SPLIT_RE = re.compile(
+    r"(?:(?<=[.!?])|(?<=[.!?][\"'”’)]))\s+(?=[A-Z0-9„\"'(])"
+)
 _ABBREV_RE = re.compile(
-    r"(?:\b[A-Za-z]\.|\bz\.B\.|\bd\.h\.|\bDr\.|\bProf\.|\bNr\.|\bca\.|\bvgl\.|\be\.g\.|\bi\.e\.|\betc\.|\d+\.)\s*$"
+    r"(?:\b[A-Za-z]\.|\bz\.B\.|\bd\.h\.|\bu\.a\.|\bDr\.|\bProf\.|\bNr\.|\bFig\.|\bAbb\.|\bbzw\.|\busw\.|\bggf\.|\bevtl\.|\binkl\.|\bsog\.|\bca\.|\bvgl\.|\bMr\.|\bMrs\.|\bMs\.|\bSt\.|\bvs\.|\be\.g\.|\bi\.e\.|\betc\.|\d+\.)\s*$",
+    re.IGNORECASE,
 )
 
 
