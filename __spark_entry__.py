@@ -25,56 +25,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so the driver's 50-query correctness window covers every
+    # operator FAMILY: the pipeline extensions (dedup, similarity, text
+    # analysis, splitter, embedding, events/time-series) come first, then
+    # the most distinctive relational declarations. The tail (51+) is
+    # redundant relational variants, all hash-green in CORRECTNESS_r01.
     return {
-        # relational (SURVEY §2.3/§2.7/§2.9 declarations)
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
-        "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
-        "setop_nation_overlap": relational.setop_nation_overlap,
-        "window_order_rank": relational.window_order_rank,
-        "distribution_stats": relational.distribution_stats,
-        "topk_parts_by_size": relational.topk_parts_by_size,
-        "grouping_rollup_orders": relational.grouping_rollup_orders,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q4_order_priority": relational.q4_order_priority,
-        "q10_returned_items": relational.q10_returned_items,
-        "join_left_outer_order_counts": relational.join_left_outer_order_counts,
-        "cube_order_stats": relational.cube_order_stats,
-        "string_funcs_parts": relational.string_funcs_parts,
-        "date_funcs_orders": relational.date_funcs_orders,
-        "subquery_above_avg_orders": relational.subquery_above_avg_orders,
-        "corr_quantity_price": relational.corr_quantity_price,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q18_large_orders": relational.q18_large_orders,
-        "q19_bracketed_revenue": relational.q19_bracketed_revenue,
-        "window_funcs_battery": relational.window_funcs_battery,
-        "sql_api_status_revenue": relational.sql_api_status_revenue,
-        "q2_top_supplier_per_nation": relational.q2_top_supplier_per_nation,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q21_multi_supplier_orders": relational.q21_multi_supplier_orders,
-        "q8_market_share": relational.q8_market_share,
-        "q9_product_profit": relational.q9_product_profit,
-        "q12_priority_shipping": relational.q12_priority_shipping,
-        "q13_customer_distribution": relational.q13_customer_distribution,
-        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-        "q22_dormant_customers": relational.q22_dormant_customers,
-        "q11_important_part_values": relational.q11_important_part_values,
-        "q16_supplier_part_types": relational.q16_supplier_part_types,
-        "q20_excess_shippers": relational.q20_excess_shippers,
-        "grouping_sets_orders": relational.grouping_sets_orders,
-        "rolling_revenue_7d": relational.rolling_revenue_7d,
-        # events (batch form; streaming twins in wurzel_spark.streaming)
-        "events_hourly_stats": events.events_hourly_stats,
-        "events_type_breakdown": events.events_type_breakdown,
-        "sessionize": events.sessionize,
-        "events_json_props": events.events_json_props,
-        "events_funnel": events.events_funnel,
-        "asof_last_order_before_event": asof.q_asof_last_order_before_event,
-        "range_join_clicks_before_purchase": rangejoin.q_clicks_before_purchase,
-        "events_daily_from_hourly": events.events_daily_from_hourly,
+        # dedup family (training-data pipeline flagships)
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_first_per_source": dedup.q_dedup_first_per_source,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard,
+        "minhash_lsh_pairs": dedup.q_minhash_pairs,
+        "simhash_near_pairs": dedup.q_simhash_pairs,
+        # similarity search (embeddings)
+        "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
+        "embedding_norms": similarity.q_embedding_norms,
+        "cosine_near_dup_pairs": similarity.q_cosine_near_dup_pairs,
+        "ann_topk_lsh": similarity.q_ann_topk_lsh,
+        "ann_topk_ivf": similarity.q_ann_topk_ivf,
         # text analysis (documents)
         "doc_metrics": textstats.q_doc_metrics,
         "token_stats": textstats.q_token_stats,
@@ -90,18 +58,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding (rows-only: offline hash embedder is engine-internal)
         "embed_documents": embedding.q_embed_documents,
         "embed_multivector_docs": embedding.q_embed_multivector,
-        # dedup family
-        "dedup_exact": dedup.q_dedup_exact,
-        "dedup_first_per_source": dedup.q_dedup_first_per_source,
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard,
-        "minhash_lsh_pairs": dedup.q_minhash_pairs,
-        "simhash_near_pairs": dedup.q_simhash_pairs,
-        # similarity search (embeddings)
-        "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
-        "embedding_norms": similarity.q_embedding_norms,
-        "cosine_near_dup_pairs": similarity.q_cosine_near_dup_pairs,
-        "ann_topk_lsh": similarity.q_ann_topk_lsh,
-        "ann_topk_ivf": similarity.q_ann_topk_ivf,
+        # events / time-series (batch form; streaming twins in
+        # wurzel_spark.streaming)
+        "events_hourly_stats": events.events_hourly_stats,
+        "events_type_breakdown": events.events_type_breakdown,
+        "sessionize": events.sessionize,
+        "events_json_props": events.events_json_props,
+        "events_funnel": events.events_funnel,
+        "asof_last_order_before_event": asof.q_asof_last_order_before_event,
+        "range_join_clicks_before_purchase": rangejoin.q_clicks_before_purchase,
+        "events_daily_from_hourly": events.events_daily_from_hourly,
+        # relational (SURVEY §2.3/§2.7/§2.9 declarations) — most
+        # distinctive shapes inside the window
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q12_priority_shipping": relational.q12_priority_shipping,
+        "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
+        "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
+        "join_left_outer_order_counts": relational.join_left_outer_order_counts,
+        "setop_nation_overlap": relational.setop_nation_overlap,
+        "window_order_rank": relational.window_order_rank,
+        "window_funcs_battery": relational.window_funcs_battery,
+        "rolling_revenue_7d": relational.rolling_revenue_7d,
+        "distribution_stats": relational.distribution_stats,
+        "topk_parts_by_size": relational.topk_parts_by_size,
+        "grouping_rollup_orders": relational.grouping_rollup_orders,
+        "cube_order_stats": relational.cube_order_stats,
+        "grouping_sets_orders": relational.grouping_sets_orders,
+        "string_funcs_parts": relational.string_funcs_parts,
+        "date_funcs_orders": relational.date_funcs_orders,
+        "subquery_above_avg_orders": relational.subquery_above_avg_orders,
+        "corr_quantity_price": relational.corr_quantity_price,
+        # ---- driver 50-query window boundary (entries above are the
+        # per-family representatives; below are additional TPC-H analogs,
+        # all hash-green in CORRECTNESS_r01) ----
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q18_large_orders": relational.q18_large_orders,
+        "q19_bracketed_revenue": relational.q19_bracketed_revenue,
+        "sql_api_status_revenue": relational.sql_api_status_revenue,
+        "q2_top_supplier_per_nation": relational.q2_top_supplier_per_nation,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q21_multi_supplier_orders": relational.q21_multi_supplier_orders,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q4_order_priority": relational.q4_order_priority,
+        "q10_returned_items": relational.q10_returned_items,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q22_dormant_customers": relational.q22_dormant_customers,
+        "q11_important_part_values": relational.q11_important_part_values,
+        "q16_supplier_part_types": relational.q16_supplier_part_types,
+        "q20_excess_shippers": relational.q20_excess_shippers,
     }
 
 

@@ -62,6 +62,16 @@ def compare(name, spark_pdf, duck_pdf) -> bool:
     exact = True
     for sr, dr in zip(srows, drows):
         for a, b in zip(sr, dr):
+            if a is not None and b is not None and type(a) is not type(b):
+                # The driver stringifies values before hashing, so 12 vs 12.0
+                # is a hash failure even though Python's == says equal
+                # (classic trap: DuckDB SUM(int) → HUGEINT → pandas float64).
+                print(
+                    f"  [{name}] TYPE MISMATCH {a!r} ({type(a).__name__}) vs"
+                    f" {b!r} ({type(b).__name__}) — driver hash WILL fail"
+                )
+                ok = False
+                break
             if a == b:
                 continue
             if isinstance(a, float) and isinstance(b, float):

@@ -161,7 +161,7 @@ WITH w AS (
 )
 SELECT doc_id,
        len(ws) AS n_tokens_ws,
-       list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS n_tokens_bpe_est,
+       CAST(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe_est,
        CAST(length(text) AS DOUBLE) / len(ws) AS chars_per_token
 FROM w ORDER BY doc_id
 """
@@ -303,8 +303,8 @@ WITH scored AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_words) AS total_words,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / SUM(n_words) AS chars_per_word
 FROM deduped
 GROUP BY source
@@ -376,8 +376,8 @@ def q_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_METRICS_SQL = """
 SELECT COUNT(*) AS total_docs,
-       SUM(LENGTH(text)) AS total_chars,
-       SUM(LENGTH(text) - LENGTH(REPLACE(text, CHR(10), '')) + 1) AS total_lines,
-       SUM(CASE WHEN n_chars != LENGTH(text) THEN 1 ELSE 0 END) AS n_chars_mismatches
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, CHR(10), '')) + 1) AS BIGINT) AS total_lines,
+       CAST(SUM(CASE WHEN n_chars != LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatches
 FROM documents
 """

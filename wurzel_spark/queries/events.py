@@ -70,11 +70,11 @@ def events_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_TYPES_SQL = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
        COUNT(*) AS n_total
 FROM events
 GROUP BY user_id
@@ -120,8 +120,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, event_id,
-       SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
 FROM flagged
 ORDER BY user_id, event_id
 """
@@ -151,7 +151,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -195,10 +195,10 @@ WITH per_user AS (
   GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-       SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased,
-       SUM(CASE WHEN first_view_us IS NOT NULL AND first_purchase_us IS NOT NULL
-                 AND first_view_us < first_purchase_us THEN 1 ELSE 0 END) AS n_converted
+       CAST(SUM(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+       CAST(SUM(CASE WHEN first_view_us IS NOT NULL AND first_purchase_us IS NOT NULL
+                 AND first_view_us < first_purchase_us THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM per_user
 """
 
