@@ -38,6 +38,26 @@ def test_versioned_ids_deterministic(spark, tmp_path):
     assert by_doc == {10: 1, 20: 2, 30: 3}  # row_number over doc_id
 
 
+def test_versioned_ids_dense_across_partitions(spark, tmp_path):
+    # 500 shuffled rows span many range partitions; ids must still be the
+    # dense 1-based rank over order_col with no global single-task window.
+    import random
+
+    root = str(tmp_path / "store_dense")
+    writer = VersionedCollectionWriter(lambda: LocalCollectionBackend(root), "kb")
+    keys = list(range(1000, 1500))
+    random.Random(7).shuffle(keys)
+    writer.write(_df(spark, keys).repartition(16), "doc_id")
+    rows = []
+    cdir = tmp_path / "store_dense" / "kb_v1"
+    for part in sorted(os.listdir(cdir)):
+        if part.startswith("part-"):
+            rows += [json.loads(line) for line in open(cdir / part)]
+    assert len(rows) == 500
+    by_doc = {r["doc_id"]: r["id"] for r in rows}
+    assert by_doc == {k: i + 1 for i, k in enumerate(range(1000, 1500))}
+
+
 def test_retirement_keeps_newest(spark, tmp_path):
     root = str(tmp_path / "store3")
     writer = VersionedCollectionWriter(

@@ -38,6 +38,18 @@ def doc_name(url: str, history: str) -> str:
     return hashlib.sha256(f"{history}::{url}".encode()).hexdigest()[:32]
 
 
+def doc_name_col(url, history: str):
+    """Column twin of :func:`doc_name` — JVM-side sha2/concat, no Python UDF."""
+    return F.substring(
+        F.sha2(
+            F.concat(F.lit(f"{history}::"), F.coalesce(url, F.lit(""))).cast("binary"),
+            256,
+        ),
+        1,
+        32,
+    )
+
+
 def retry_call(fn, *args, max_retries: int = MAX_RETRIES, base: float = BACKOFF_BASE):
     """Full-jitter exponential backoff (elevenlabs/step.py:108-121)."""
     for attempt in range(max_retries + 1):
@@ -140,9 +152,10 @@ class KBUploaderSink:
             remote_df = spark.createDataFrame(
                 [(n,) for n in remote] or [(None,)], "name string"
             ).filter(F.col("name").isNotNull())
-            name_udf = F.udf(lambda u: doc_name(u or "", history))
-            current = df.select(name_udf("url").alias("name")).distinct()
+            current = df.select(doc_name_col(F.col("url"), history).alias("name")).distinct()
             stale = remote_df.join(current, "name", "left_anti")
+            # KB listings are service-bounded (thousands of docs, not data
+            # rows) — the collect() here is a small control-plane result.
             for row in stale.collect():
                 retry_call(client.delete_doc, row["name"])
 

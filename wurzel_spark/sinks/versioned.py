@@ -29,7 +29,7 @@ import re
 import shutil
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BATCH_SIZE = 1024  # qdrant/settings.py:46
@@ -85,13 +85,17 @@ class LocalCollectionBackend(CollectionBackend):
             json.dump(schema, f)
 
     def upsert_batch(self, name: str, points: list[dict]) -> None:
-        # idempotent under retries: file named by the batch's min id
+        # idempotent under retries: file named by the batch's min id;
+        # written via temp + os.replace so a speculative duplicate attempt
+        # can never interleave with (or truncate under) the winner.
         if not points:
             return
         part = os.path.join(self._p(name), f"part-{points[0]['id']:012d}.jsonl")
-        with open(part, "w") as f:
+        tmp = f"{part}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             for p in points:
                 f.write(json.dumps(p, sort_keys=True) + "\n")
+        os.replace(tmp, part)
 
     def set_alias(self, alias: str, name: str) -> None:
         with open(os.path.join(self.root, f"{alias}.alias.json"), "w") as f:
@@ -135,10 +139,18 @@ class VersionedCollectionWriter:
     ) -> str:
         """Distributed bulk insert with deterministic ids, then finalize.
 
-        ids = row_number over ``order_col`` (dense, reproducible — replaces
-        the reference's in-process counter, qdrant/step.py:72-77). The
-        foreachPartition upload batches ``batch_size`` points per call
-        (qdrant/step.py:144-155) and is idempotent under Spark task retries.
+        ids are dense 1-based ranks over ``order_col`` (reproducible —
+        replaces the reference's in-process counter, qdrant/step.py:72-77),
+        assigned WITHOUT a global window: a range repartition on
+        ``order_col`` + within-partition sort gives a total order across
+        ordered partitions; a cheap per-partition count job (whose shuffle
+        map stage is reused — skipped — by the upload job) yields prefix-sum
+        offsets, and each upload task numbers its rows from its partition's
+        offset (zipWithIndex pattern). A single-task ``Window.orderBy`` would
+        funnel the whole dataset through one executor — fatal at 100 TB.
+        The foreachPartition upload batches ``batch_size`` points per call
+        (qdrant/step.py:144-155) and is idempotent under Spark task retries
+        (same partition ⇒ same sorted rows ⇒ same ids).
 
         ``hash_col`` names the text column to stamp with the reference's
         payload hashes (qdrant/step.py:259-283): ``text_sha256_hash`` plus
@@ -156,27 +168,54 @@ class VersionedCollectionWriter:
         name = self.next_version(backend)
         backend.create_collection(name, {"columns": df.columns})
 
-        w = Window.orderBy(order_col)
-        ids = df.withColumn("id", F.row_number().over(w)).withColumn(
-            "collection", F.lit(name)
-        )
+        staged = df.withColumn("collection", F.lit(name))
         if history:
-            ids = ids.withColumn("history", F.lit(history))
+            staged = staged.withColumn("history", F.lit(history))
+
+        # Explicit partition count so AQE cannot re-coalesce differently
+        # between the count job and the upload job (partition ids must
+        # agree across both).
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        parted = staged.repartitionByRange(n_parts, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+
+        # Per-partition counts → prefix-sum offsets. Tiny collect (one row
+        # per partition); the upload job below skips the already-computed
+        # range-shuffle map stage.
+        counts = (
+            parted.select(F.spark_partition_id().alias("__pid"))
+            .groupBy("__pid")
+            .count()
+            .collect()
+        )
+        by_pid = {int(r["__pid"]): int(r["count"]) for r in counts}
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in range(max(by_pid, default=-1) + 1):
+            offsets[pid] = acc
+            acc += by_pid.get(pid, 0)
 
         factory = self.backend_factory
         batch_size = self.batch_size
 
         def upload(rows) -> None:
+            from pyspark import TaskContext
+
             be = factory()
+            next_id = offsets.get(TaskContext.get().partitionId(), 0) + 1
             batch: list[dict] = []
             for r in rows:
-                batch.append(r.asDict(recursive=True))
+                d = r.asDict(recursive=True)
+                d["id"] = next_id
+                next_id += 1
+                batch.append(d)
                 if len(batch) >= batch_size:
                     be.upsert_batch(name, batch)
                     batch = []
             be.upsert_batch(name, batch)
 
-        ids.foreachPartition(upload)
+        parted.foreachPartition(upload)
         self.finalize(backend, name)
         return name
 
