@@ -163,14 +163,45 @@ class QdrantHTTPBackend(CollectionBackend):
         self._req("POST", "/collections/aliases", {"actions": actions})
 
     def get_alias(self, alias: str) -> str | None:
+        return self.list_aliases().get(alias)
+
+    def list_aliases(self) -> dict[str, str]:
         out = self._req("GET", "/aliases")
-        for a in out.get("result", {}).get("aliases", []):
-            if a.get("alias_name") == alias:
-                return a.get("collection_name")
-        return None
+        return {
+            a["alias_name"]: a["collection_name"]
+            for a in out.get("result", {}).get("aliases", [])
+        }
 
     def drop_collection(self, name: str) -> None:
         self._req("DELETE", f"/collections/{name}")
+
+    def usage_timestamps(self, details_level: int = 6) -> dict[str, "Any"]:
+        """collection -> most recent responded-at timestamp across shards,
+        from ``GET /telemetry`` (qdrant retirement telemetry,
+        retirement.py:58-117). Fits ``CollectionRetirer.usage_fetcher``."""
+        from datetime import datetime
+
+        out = self._req("GET", f"/telemetry?details_level={details_level}")
+        cols = out.get("result", {}).get("collections", {}).get("collections") or []
+        usage: dict[str, Any] = {}
+        for col in cols:
+            stamps = []
+            for shard in col.get("shards") or []:
+                opt = (
+                    (shard.get("local") or {}).get("optimizations", {}).get("optimizations")
+                    or {}
+                )
+                if opt.get("last_responded"):
+                    stamps.append(opt["last_responded"])
+                for remote in shard.get("remote") or []:
+                    searches = remote.get("searches") or {}
+                    if searches.get("last_responded"):
+                        stamps.append(searches["last_responded"])
+            if stamps:
+                usage[col["id"]] = max(
+                    datetime.fromisoformat(s.replace("Z", "+00:00")) for s in stamps
+                )
+        return usage
 
 
 # ── Milvus ────────────────────────────────────────────────────────────────

@@ -56,6 +56,12 @@ class CollectionBackend:
     def get_alias(self, alias: str) -> str | None:
         raise NotImplementedError
 
+    def list_aliases(self) -> dict[str, str]:
+        """alias -> collection for every alias the store knows. Backends
+        without a listing endpoint may return {} (retirement then protects
+        only history_len-recent versions, not foreign aliases)."""
+        return {}
+
     def drop_collection(self, name: str) -> None:
         raise NotImplementedError
 
@@ -107,6 +113,15 @@ class LocalCollectionBackend(CollectionBackend):
             return None
         with open(p) as f:
             return json.load(f)["collection"]
+
+    def list_aliases(self) -> dict[str, str]:
+        out = {}
+        for f in os.listdir(self.root):
+            if f.endswith(".alias.json"):
+                with open(os.path.join(self.root, f)) as fh:
+                    d = json.load(fh)
+                out[d["alias"]] = d["collection"]
+        return out
 
     def drop_collection(self, name: str) -> None:
         shutil.rmtree(self._p(name), ignore_errors=True)
@@ -219,17 +234,24 @@ class VersionedCollectionWriter:
         self.finalize(backend, name)
         return name
 
-    def finalize(self, backend: CollectionBackend, name: str) -> None:
+    def finalize(
+        self,
+        backend: CollectionBackend,
+        name: str,
+        dry_run: bool = False,
+        retirement_enabled: bool = True,
+        usage_fetcher=None,
+    ) -> None:
         """Alias flip + retirement (qdrant/step.py:66-70, :224-236;
-        retirement.py:21-117: keep newest ``history_len``, never the aliased
-        one)."""
+        retirement.py:21-117: keep newest ``history_len``, never an aliased
+        or recently-used one; ``dry_run`` only logs)."""
+        from wurzel_spark.sinks.retirement import CollectionRetirer
+
         backend.set_alias(self.collection, name)
-        versions = sorted(
-            (int(m.group("n")), c)
-            for c in backend.list_collections()
-            if (m := _VERSION_RE.match(c)) and m.group("base") == self.collection
-        )
-        keep = {name} | {c for _, c in versions[-self.history_len:]}
-        for _, c in versions:
-            if c not in keep:
-                backend.drop_collection(c)
+        CollectionRetirer(
+            backend,
+            history_len=self.history_len,
+            dry_run=dry_run,
+            enabled=retirement_enabled,
+            usage_fetcher=usage_fetcher,
+        ).retire(self.collection)
