@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_part_values": relational.q11_important_part_values,
         "q16_supplier_part_types": relational.q16_supplier_part_types,
         "q20_excess_shippers": relational.q20_excess_shippers,
+        "combined_near_dup_pairs": dedup.q_combined_near_dup,
     }
 
 

@@ -3,10 +3,14 @@
 from pyspark.sql import functions as F
 
 from wurzel_spark.operators.dedup import (
+    combined_near_dup_pairs,
+    combined_near_dup_signatures,
     exact_dedup,
     exact_dup_groups,
     minhash_dedup_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
+    simhash64,
     simhash_near_pairs,
 )
 
@@ -57,3 +61,22 @@ def test_minhash_lsh_recall_vs_exact(spark):
 def test_simhash_finds_exact_and_near(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(_corpus(spark), max_hamming=3).collect()}
     assert (0, 1) in pairs  # identical text → hamming 0
+
+
+def test_combined_signatures_match_single_family_ops(spark):
+    # one-pass signatures must be bit-identical to the per-family operators
+    df = _corpus(spark)
+    combo = {r["id"]: r for r in combined_near_dup_signatures(df).collect()}
+    for r in simhash64(df).collect():
+        assert combo[r["id"]]["simhash"] == r["simhash"]
+    for r in minhash_signatures(df).collect():
+        assert combo[r["id"]]["signature"] == r["signature"]
+
+
+def test_combined_pairs_match_union_of_families(spark):
+    df = _corpus(spark)
+    got = combined_near_dup_pairs(df).collect()
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(df, threshold=0.5).collect()}
+    sh = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(df, max_hamming=3).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in got if r["method"] == "minhash"} == mh
+    assert {(r["id_a"], r["id_b"]) for r in got if r["method"] == "simhash"} == sh

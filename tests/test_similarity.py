@@ -85,3 +85,43 @@ def test_ivf_topk_recall(spark, sf_dir):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) > 0.2
+
+
+def test_cosine_lsh_pairs_subset_of_exact_and_no_nested_loop(spark, sf_dir):
+    from wurzel_spark.operators.similarity import (
+        cosine_exact_pairs,
+        cosine_lsh_near_dup_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = [
+        r["embedding"] for r in emb.filter(F.col("vec_id") < 24).orderBy("vec_id").collect()
+    ]
+    lsh = cosine_lsh_near_dup_pairs(emb, planes, bands=4, threshold=0.5)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan  # equi band join, no cartesian
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in lsh.collect()}
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_exact_pairs(emb, threshold=0.5).collect()
+    }
+    assert set(got) <= set(exact)  # LSH verification is exact → no false positives
+    for pair, sim in got.items():
+        assert abs(sim - exact[pair]) < 1e-12
+
+
+def test_cosine_lsh_pairs_find_planted_duplicate(spark):
+    from wurzel_spark.operators.similarity import cosine_lsh_near_dup_pairs
+
+    # 40 corpus vectors + a planted near-identical pair (ids 100, 101)
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)], 0) for i in range(40)]
+    base = rng.randn(16)
+    rows.append((100, [float(x) for x in base], 0))
+    rows.append((101, [float(x) for x in base + 0.01 * rng.randn(16)], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    planes = [r[0] for r in emb.filter(F.col("vec_id") < 24).select("embedding").orderBy("vec_id").collect()]
+    got = {(r["id_a"], r["id_b"]) for r in cosine_lsh_near_dup_pairs(emb, planes, bands=4, threshold=0.9).collect()}
+    assert (100, 101) in got

@@ -89,31 +89,36 @@ def shingles(text_col, n: int = 3):
     return F.array_distinct(grams)
 
 
+def _shingle_hashes_from(hs, n: int):
+    """Distinct shingle hashes from an ALREADY-hashed word array (``hs`` must
+    be a lambda-bound variable so the word-hash array is evaluated once per
+    row, not once per shingle position). xxhash64 over the long slice avoids
+    arithmetic overflow under ANSI mode."""
+    k = F.size(hs) - F.lit(n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.slice(hs, i, n))),
+        ).otherwise(F.array(F.xxhash64(hs)))
+    )
+
+
 def shingle_hashes(text_col, n: int = 3):
     """Distinct 64-bit shingle hashes: xxhash64 each WORD once, then combine
-    n word hashes with a rolling polynomial (acc*P + h, long overflow wraps).
+    n word hashes with xxhash64 over the slice.
 
     This is the scale path for every near-dup operator below: each word is
     hashed exactly once (vs. hashing every n-word shingle string), shuffles
     carry 8-byte longs instead of shingle strings, and set ops (intersect /
     distinct) compare primitives. 64-bit collisions are negligible at corpus
-    scale (~n²/2⁶⁵ birthday bound).
+    scale (~n²/2⁶⁵ birthday bound). The transform(array(...)) wrapper is a
+    let-binding — HOF lambdas re-evaluate captured subexpressions per
+    element, and binding the word-hash array avoids O(words²) hashing.
     """
     whs = F.transform(TXT.words(text_col), lambda w: F.xxhash64(w))
-
-    def grams(hs):
-        # ``hs`` is a lambda-bound variable: the word-hash array is evaluated
-        # once per row, not once per shingle position (HOF lambdas re-evaluate
-        # captured subexpressions on every call — the let-binding avoids
-        # O(words²) hashing). xxhash64 over the long slice avoids arithmetic
-        # overflow under ANSI mode.
-        k = F.size(hs) - F.lit(n - 1)
-        return F.when(
-            k > 0,
-            F.transform(F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.slice(hs, i, n))),
-        ).otherwise(F.array(F.xxhash64(hs)))
-
-    return F.array_distinct(F.element_at(F.transform(F.array(whs), grams), 1))
+    return F.element_at(
+        F.transform(F.array(whs), lambda hs: _shingle_hashes_from(hs, n)), 1
+    )
 
 
 def ngram_jaccard_pairs(
@@ -233,39 +238,40 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_dedup_pairs(
+# Candidate sets up to this many distinct ids verify via a driver-collected
+# IN-list pushed into the parquet scan; beyond it, a broadcast semi-join
+# (no driver materialization). ~100k longs ≈ 1 MB on the driver.
+_ISIN_PUSHDOWN_MAX_IDS = 100_000
+
+
+def _verify_jaccard_pairs(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-    n: int = 3,
+    cands: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dedup: signatures → band candidates → exact
-    Jaccard verification on candidates only.
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
+
+    Shingle arrays are recomputed only for candidate docs (a full corpus
+    re-shingle pass dominated this query's runtime). Candidate ids reach
+    the scan as an IN-list filter when small — predicate pushdown into
+    parquet, zero extra join stages — else as a broadcast semi-join. The
+    pair list itself is always broadcast so shingle arrays never shuffle.
+    ``cands`` must be materialized (localCheckpoint) by the caller.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    # Materialize the (small) candidate list once: it feeds two joins below,
-    # and without this the whole signature+banding pipeline would be
-    # recomputed per join. localCheckpoint keeps it distributed (executor
-    # block storage); on a long-lived cluster use a checkpoint dir instead
-    # for lineage resilience.
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint()
-    # Verify candidates with exact jaccard on shingle sets. The candidate
-    # set is tiny relative to the corpus → broadcast-semi-join the candidate
-    # ids FIRST so shingle arrays are recomputed only for candidate docs
-    # (a full corpus re-shingle pass dominated this query's runtime), and
-    # broadcast the pair list so the arrays never shuffle.
     cand_ids = (
         cands.select(F.col("id_a").alias("cid"))
         .union(cands.select(F.col("id_b")))
         .distinct()
     )
-    needed = df.join(
-        F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
-    )
+    n_ids = cand_ids.count()  # cheap: reads the checkpointed pair list
+    if n_ids <= _ISIN_PUSHDOWN_MAX_IDS:
+        ids = [r["cid"] for r in cand_ids.collect()]
+        needed = df.filter(F.col(id_col).isin(ids)) if ids else df.limit(0)
+    else:
+        needed = df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi")
     sh = _parallelize(needed).select(
         F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh")
     )
@@ -280,6 +286,29 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: signatures → band candidates → exact
+    Jaccard verification on candidates only.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    # Materialize the (small) candidate list once: it feeds the id filter
+    # and the pair join below, and without this the whole signature+banding
+    # pipeline would be recomputed per use. localCheckpoint keeps it
+    # distributed (executor block storage); on a long-lived cluster use a
+    # checkpoint dir instead for lineage resilience.
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint()
+    return _verify_jaccard_pairs(df, cands, id_col, text_col, threshold, n)
 
 
 # -------------------------------------------------------------- SimHash
@@ -318,16 +347,13 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return ex.groupBy("id").agg(*votes).select("id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
-) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ k, using the 4-band
-    pigeonhole trick: if hamming(a,b) ≤ 3, at least one of the four 16-bit
-    bands is identical → join on band equality, then verify with bit_count.
-    """
-    sigs = simhash64(df, id_col, text_col)
+def simhash_band_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs from an ``(id, simhash)`` signature table, using the
+    4-band pigeonhole trick: if hamming(a,b) ≤ 3, at least one of the four
+    16-bit bands is identical → join on band equality, verify with
+    bit_count."""
     # let-bind simhash once (see lsh_candidate_pairs) — 4 direct band
-    # references would inline the 64-bit vote fold 4×.
+    # references would inline the signature expression 4×.
     # Materialized once — feeds both self-join sides (see lsh_candidate_pairs).
     banded = sigs.selectExpr(
         "id",
@@ -365,6 +391,133 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k (see
+    :func:`simhash_band_pairs`)."""
+    return simhash_band_pairs(simhash64(df, id_col, text_col), max_hamming)
+
+
+# ------------------------------------------------- combined (single pass)
+
+
+def combined_near_dup_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """BOTH near-dup signature families — 64-bit SimHash and the
+    ``num_hashes``-slot MinHash signature — from ONE corpus pass.
+
+    MinHash wants shingle hashes, SimHash wants word hashes, but both start
+    from xxhash64(word): tag each hash with its kind (0 = word occurrence,
+    1 = distinct shingle), explode the concatenated array once, and compute
+    the 64 vote-sums and ``num_hashes`` mins in a single hash aggregate.
+    Halves the scan/tokenize/explode/shuffle cost vs running
+    :func:`simhash64` and :func:`minhash_signatures` separately — at 100 TB
+    the corpus pass IS the cost, so a pipeline wanting both families should
+    use this and feed :func:`simhash_band_pairs` / :func:`lsh_candidate_pairs`
+    from the shared result.
+
+    Output: (id, simhash, signature). Values are bit-identical to the
+    single-family operators (same mixing), with one edge difference: a doc
+    with zero words still gets a row here (simhash 0) while simhash64 drops
+    it — degenerate either way.
+    """
+    import functools
+
+    whs = F.transform(TXT.words(F.col(text_col)), lambda w: F.xxhash64(w))
+    tagged = F.element_at(
+        F.transform(
+            F.array(whs),
+            lambda hs: F.concat(
+                F.transform(
+                    hs, lambda h: F.struct(F.lit(0).alias("k"), h.alias("h"))
+                ),
+                F.transform(
+                    _shingle_hashes_from(hs, n),
+                    lambda h: F.struct(F.lit(1).alias("k"), h.alias("h")),
+                ),
+            ),
+        ),
+        1,
+    )
+    ex = (
+        _parallelize(df)
+        .select(F.col(id_col).alias("id"), F.explode(tagged).alias("e"))
+        .select("id", F.col("e.k").alias("k"), F.col("e.h").alias("h"))
+    )
+    is_word = F.col("k") == 0
+    votes = [
+        F.sum(
+            F.when(
+                is_word,
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            ).otherwise(0)
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    mins = [
+        F.min(F.when(~is_word, F.xxhash64(F.col("h"), F.lit(i)))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    bits = [
+        F.when(
+            F.col(f"s{j}") > 0,
+            F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    sig = functools.reduce(lambda a, b: a.bitwiseOR(b), bits)
+    return (
+        ex.groupBy("id")
+        .agg(*votes, *mins)
+        .select(
+            "id",
+            sig.alias("simhash"),
+            F.array(*[f"m{i}" for i in range(num_hashes)]).alias("signature"),
+        )
+    )
+
+
+def combined_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """MinHash-LSH and SimHash near-dup pairs from one shared signature
+    pass: ``method`` column says which family found the pair, ``score`` is
+    the verified Jaccard (minhash) or hamming distance (simhash)."""
+    sigs = combined_near_dup_signatures(df, id_col, text_col, num_hashes, n)
+    # one materialization feeds both pair pipelines
+    sigs = sigs.localCheckpoint()
+    cands = lsh_candidate_pairs(
+        sigs.select("id", "signature"), bands, num_hashes // bands
+    ).localCheckpoint()
+    mh = _verify_jaccard_pairs(df, cands, id_col, text_col, threshold, n)
+    sh = simhash_band_pairs(sigs.select("id", "simhash"), max_hamming)
+    return mh.select(
+        "id_a", "id_b", F.lit("minhash").alias("method"), F.col("jaccard").alias("score")
+    ).unionByName(
+        sh.select(
+            "id_a",
+            "id_b",
+            F.lit("simhash").alias("method"),
+            F.col("hamming").cast("double").alias("score"),
+        )
     )
 
 
@@ -450,3 +603,11 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup (rows-only check, same reason as MinHash)."""
     return simhash_near_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_combined_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both near-dup families from one shared signature pass (rows-only
+    check; tests assert parity with the separate operators)."""
+    return combined_near_dup_pairs(table(spark, sf_dir, "documents")).orderBy(
+        "method", "id_a", "id_b"
+    )

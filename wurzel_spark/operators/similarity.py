@@ -125,6 +125,55 @@ def lsh_topk(
     )
 
 
+def cosine_lsh_near_dup_pairs(
+    emb: DataFrame,
+    planes: list[list[float]],
+    bands: int = 4,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup via banded random-hyperplane LSH.
+
+    The sign-bit string over ``planes`` is split into ``bands`` bands; a
+    pair is a candidate iff it shares at least one band (per-band match
+    prob (1-θ/π)^r — at cos ≥ 0.95 with 4 bands × 6 bits recall ≈ 0.95).
+    Candidates join on (band_idx, band_value) — an equi hash join, never a
+    cartesian/BroadcastNestedLoop — then the EXACT cosine verifies each
+    pair. A pair sharing j bands surfaces j times; the carried band-value
+    array keeps it only at its first shared band (same trick as
+    minhash/simhash — no distinct() shuffle over the pair set).
+    """
+    nb = len(planes) // bands
+    bucketed = hyperplane_lsh_buckets(emb, planes, id_col, vec_col)
+    band_arr = F.array(
+        *[F.substring("bucket", i * nb + 1, nb) for i in range(bands)]
+    )
+    banded = bucketed.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), band_arr.alias("bvs")
+    ).selectExpr("id", "vec", "bvs", "posexplode(bvs) AS (band_idx, bv)")
+    a, b = banded.alias("a"), banded.alias("b")
+    first_shared = F.expr(
+        "array_position(zip_with(a.bvs, b.bvs, (x, y) -> x = y), true) - 1"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(F.col("a.band_idx") == first_shared)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -258,32 +307,79 @@ ORDER BY label
 """
 
 
-def q_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs with cosine ≥ 0.9 within a blocked
-    subset (id % 7 == 0 → keeps the all-pairs join bounded at any sf; the
-    full-corpus path is LSH-bucketed, see lsh_topk).
-    """
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+def cosine_exact_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact cosine ≥ threshold — O(n²), the VERIFIER for the
+    LSH-bucketed operator (tests assert lsh ⊆ exact). Never the scale path."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.9)
+        .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
 
 
+_N_PLANES = 24  # 4 bands × 6 bits
+_N_BANDS = 4
+
+
+def q_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus embedding-cosine near-dup through the banded LSH
+    bucketer (equi band join, no cartesian). Planes are the first 24 corpus
+    vectors — deterministic, mirrored exactly by the SQL oracle (including
+    the banding, so results agree at any threshold). The synthetic corpus
+    has no true near-dups (max pairwise cosine ≈ 0.51) — threshold 0.4
+    keeps the correctness gate exercised with real rows.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    planes = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < _N_PLANES).orderBy("vec_id").collect()
+    ]
+    return cosine_lsh_near_dup_pairs(emb, planes, bands=_N_BANDS, threshold=0.4)
+
+
 COSINE_PAIRS_SQL = """
-WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_sim
-FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.9
+WITH planes AS (
+  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pvec
+  FROM embeddings WHERE vec_id < 24
+),
+bits AS (
+  SELECT e.vec_id,
+         p.pid,
+         CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pvec) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY pid) AS bucket
+  FROM bits GROUP BY vec_id
+),
+bandrows AS (
+  SELECT vec_id, t.band_idx, substring(bucket, CAST(t.band_idx * 6 + 1 AS INT), 6) AS bv
+  FROM buckets, range(4) t(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bandrows a
+  JOIN bandrows b ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) >= 0.4
 ORDER BY id_a, id_b
 """
 
