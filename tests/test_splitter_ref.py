@@ -1,0 +1,131 @@
+"""Reference-fixture splitter tests (tokenizer-independent invariants).
+
+Fixtures are ported verbatim from the reference's test data
+(tests/data/splitter/table_splitter/*/input.md and the German FAQ from
+tests/splitter/splitter_test.py:58-117). The reference's pinned chunk
+CONTENTS depend on its tiktoken/spacy tokenizer, which is not in this
+environment — so these tests assert the invariants that hold under ANY
+tokenizer:
+
+  - the source hash is sha256 of the raw source markdown (byte-exact vs
+    the reference's pinned value for the German FAQ),
+  - chunk_index / chunks_count metadata are consistent,
+  - table chunks are never split mid-row and repeat the header row
+    (table_splitter_test.py semantics),
+  - no table data row is lost across chunks,
+  - chunk counts stay within a small band of the reference's counts
+    (tokenizer drift moves boundaries, not the order of magnitude).
+"""
+
+from pathlib import Path
+
+import pytest
+
+from wurzel_spark.operators.splitter import split_markdown_document
+
+FIXDIR = Path(__file__).parent / "data" / "ref_splitter"
+
+# reference chunk counts with its tokenizer (see expected_count.txt files)
+TABLE_CASES = {
+    "long_table_and_long_text": 6,
+    "many_columns_table": 7,
+    "many_rows_table": 4,
+    "many_rows_table_dont_repeat_header": 3,
+    "short_table": 1,
+    "standalone_table": 2,
+    "table_and_text": 3,
+}
+
+# splitter_test.py:58-117 — German FAQ, 5 chunks, pinned source hash
+GERMAN_FAQ_HASH = "1b5098dbc4584f019bb00cbbb42a36ef27e908b216f40e09ae77f30ca1cddc2f"
+
+
+def _table_rows(md: str) -> list[str]:
+    return [
+        line.strip()
+        for line in md.splitlines()
+        if line.strip().startswith("|") and not set(line.strip()) <= {"|", "-", " ", ":"}
+    ]
+
+
+def test_german_faq_reference_fixture():
+    text = (FIXDIR / "german_faq.md").read_text()
+    chunks = split_markdown_document(
+        text, keywords="TV Fehlerbehebung", url="https://example.com/faq"
+    )
+    n = len(chunks)
+    # reference: exactly 5 with tiktoken; regex tokenizer counts differently
+    # but must stay in the same band
+    assert 3 <= n <= 8, f"chunk count {n} way off the reference's 5"
+    # pinned source hash is tokenizer-independent: sha256 of the raw source
+    hashes = {c["metadata"]["source_sha256_hash"] for c in chunks}
+    assert hashes == {GERMAN_FAQ_HASH}
+    # index/count metadata consistent across all chunks
+    assert [int(c["metadata"]["chunk_index"]) for c in chunks] == list(range(n))
+    assert {int(c["metadata"]["chunks_count"]) for c in chunks} == {n}
+    # tail content must land in the final chunk (splitter_test.py:104)
+    assert "TV HD Recorder Fehlerbehebun" in chunks[-1]["md"]
+    # no content loss: every non-empty source line's text survives somewhere
+    joined = "\n".join(c["md"] for c in chunks)
+    for probe in (
+        "Die Box lässt sich nicht einschalten",
+        "Neuer Mock absatz",
+        "Dolby Digital",
+    ):
+        assert probe in joined
+
+
+def test_short_document_stays_whole():
+    # splitter_test.py:29-56 — short docs must come back unchanged
+    text = (
+        "# PurpureusTV Fehlercode F30102\n\n"
+        "#### Eine Anmeldung ist nicht möglich.\n\n"
+        'Wenden Sie sich mit dem Stichwort "Störung" an unser '
+        '[Service-Team](/kontakt "Kontakt").'
+    )
+    chunks = split_markdown_document(text, keywords="k", url="u")
+    assert len(chunks) == 1
+    assert chunks[0]["md"] == text
+
+
+def _cells(row: str) -> list[str]:
+    return [c.strip() for c in row.strip().strip("|").split("|") if c.strip()]
+
+
+@pytest.mark.parametrize("case", sorted(TABLE_CASES))
+def test_table_fixture_invariants(case):
+    text = (FIXDIR / case / "input.md").read_text()
+    expected_n = TABLE_CASES[case]
+    chunks = split_markdown_document(text, keywords="pytest", url="test")
+    n = len(chunks)
+    # chunk counts are tokenizer-DEPENDENT (boundaries move with the token
+    # estimate); assert the same order of magnitude as the reference
+    assert expected_n / 3 <= n <= 3 * expected_n + 2, (
+        f"{case}: {n} chunks vs reference {expected_n}"
+    )
+
+    src_rows = _table_rows(text)
+    if not src_rows:
+        return
+    header = src_rows[0]
+    header_first_cell = _cells(header)[0]
+    out_cells: set[str] = set()
+    for c in chunks:
+        rows = _table_rows(c["md"])
+        if not rows:
+            continue
+        # never split mid-row/mid-cell: every table line is a complete row
+        for r in rows:
+            assert r.endswith("|"), f"{case}: truncated table row {r!r}"
+        # header repeated in every table-bearing chunk (oversized rows are
+        # column-split, so the repeat may carry a column SUBSET of the
+        # header — its first cell is the anchor)
+        assert _cells(rows[0])[0] == header_first_cell, (
+            f"{case}: chunk table missing header repeat"
+        )
+        for r in rows:
+            out_cells.update(_cells(r))
+    # no table data lost, cell-level (column splits rearrange rows)
+    src_cells = {c for r in src_rows for c in _cells(r)}
+    missing = {c for c in src_cells - out_cells if len(c) > 1}
+    assert not missing, f"{case}: table cells lost: {sorted(missing)[:3]}"

@@ -23,26 +23,33 @@ try:  # pragma: no cover - not installed in this container
 except ImportError:
     HAS_TIKTOKEN = False
 
-_WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+# words, or runs of one repeated punctuation char (---- ==== ....):
+# BPE vocabularies encode long same-char runs as single tokens, so a
+# markdown table separator row must not count one token per dash.
+_WORD_RE = re.compile(r"\w+|([^\w\s])\1*", re.UNICODE)
+_RUN_PIECE = 16  # ~chars of a same-char punctuation run per BPE token
 
 
 class RegexTokenizer:
     """Deterministic BPE-ish tokenizer: unicode words + punctuation, words
     longer than ``piece`` chars split into fixed-size pieces (public
-    rule-of-thumb: ~4 chars/token for BPE vocabularies).
+    rule-of-thumb: ~4 chars/token for BPE vocabularies); same-char
+    punctuation runs count ~``_RUN_PIECE`` chars per token.
     """
 
     def __init__(self, piece: int = 4):
         self.piece = piece
 
+    def _pieces(self, w: str) -> list[str]:
+        size = self.piece if (w[0].isalnum() or w[0] == "_") else _RUN_PIECE
+        if len(w) <= size:
+            return [w]
+        return [w[i : i + size] for i in range(0, len(w), size)]
+
     def encode(self, text: str) -> list[str]:
         out: list[str] = []
         for m in _WORD_RE.finditer(text):
-            w = m.group(0)
-            if len(w) <= self.piece:
-                out.append(w)
-            else:
-                out.extend(w[i : i + self.piece] for i in range(0, len(w), self.piece))
+            out.extend(self._pieces(m.group(0)))
         return out
 
     def token_count(self, text: str) -> int:
@@ -92,8 +99,7 @@ def limit_token_count(text: str, limit: int, name: str = "regex") -> str:
         count = 0
         end = 0
         for m in _WORD_RE.finditer(text):
-            w = m.group(0)
-            n = max(1, -(-len(w) // tok.piece)) if len(w) > tok.piece else 1
+            n = len(tok._pieces(m.group(0)))
             if count + n > limit:
                 break
             count += n

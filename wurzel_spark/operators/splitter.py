@@ -52,7 +52,11 @@ _SENT_SPLIT_RE = re.compile(
     r"(?:(?<=[.!?])|(?<=[.!?][\"'”’)]))\s+(?=[A-Z0-9„\"'(])"
 )
 _ABBREV_RE = re.compile(
-    r"(?:\b[A-Za-z]\.|\bz\.B\.|\bd\.h\.|\bu\.a\.|\bDr\.|\bProf\.|\bNr\.|\bFig\.|\bAbb\.|\bbzw\.|\busw\.|\bggf\.|\bevtl\.|\binkl\.|\bsog\.|\bca\.|\bvgl\.|\bMr\.|\bMrs\.|\bMs\.|\bSt\.|\bvs\.|\be\.g\.|\bi\.e\.|\betc\.|\d+\.)\s*$",
+    # the numeric branch matches only short enumeration tokens ("2." "14.")
+    # standing alone — NOT any sentence that happens to end in a number
+    # ("founded in 1999." must stay a boundary), hence the \s-or-start guard
+    # and the 1-3 digit cap
+    r"(?:\b[A-Za-z]\.|\bz\.B\.|\bd\.h\.|\bu\.a\.|\bDr\.|\bProf\.|\bNr\.|\bFig\.|\bAbb\.|\bbzw\.|\busw\.|\bggf\.|\bevtl\.|\binkl\.|\bsog\.|\bca\.|\bvgl\.|\bMr\.|\bMrs\.|\bMs\.|\bSt\.|\bvs\.|\be\.g\.|\bi\.e\.|\betc\.|(?:(?<=\s)|(?<=^))\d{1,3}\.)\s*$",
     re.IGNORECASE,
 )
 
