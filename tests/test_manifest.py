@@ -189,3 +189,32 @@ def test_run_only_single_step_reentry(spark, md_folder, tmp_path):
     assert sorted(r["md"] for r in df.collect()) == sorted(
         r["md"] for r in composed.collect()
     )
+
+
+def test_step_env_encapsulation_restores(monkeypatch):
+    import os
+
+    from wurzel_spark.manifest import step_env_encapsulation
+
+    monkeypatch.setenv("KEEP_ME", "original")
+    with step_env_encapsulation({"api_key": "s3cret", "batch": 1024, "tags": ["a", "b"]}):
+        assert os.environ["api_key"] == "s3cret"
+        assert os.environ["batch"] == "1024"
+        assert os.environ["tags"] == '["a", "b"]'
+        assert os.environ["KEEP_ME"] == "original"
+    assert "api_key" not in os.environ  # virtual env fully restored
+    assert "batch" not in os.environ
+    assert os.environ["KEEP_ME"] == "original"
+
+
+def test_manifest_dedup_is_deterministic(spark):
+    from wurzel_spark.manifest import REGISTRY
+
+    df = spark.createDataFrame(
+        [("dup", 3, "keep-lowest"), ("dup", 1, "winner"), ("dup", 2, "mid"), ("uniq", 9, "x")],
+        "md string, ord long, tag string",
+    )
+    out = REGISTRY["dedup"](spark, [df], fields="md", order_by="ord")
+    got = {r["md"]: r["tag"] for r in out.collect()}
+    # first row per key under the declared ordering — NOT an arbitrary one
+    assert got == {"dup": "winner", "uniq": "x"}

@@ -89,7 +89,9 @@ def test_chain_from_env_selects_builtins(monkeypatch):
     assert len(chain_from_env("secret_resolver,prometheus").middlewares) == 2
     monkeypatch.setenv("MIDDLEWARES", "prometheus")
     assert len(chain_from_env().middlewares) == 1
-    with pytest.raises(SecretResolverError, match="unknown middleware"):
+    from wurzel_spark.middleware import MiddlewareError
+
+    with pytest.raises(MiddlewareError, match="unknown middleware"):
         chain_from_env("nope")
 
 

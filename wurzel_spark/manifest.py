@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import importlib
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import pandas as pd  # module-level: pandas_udf type hints resolve via globals
@@ -161,10 +162,18 @@ def _markdown_source(spark: SparkSession, inputs, *, path: str, url_prefix: str 
     return read_markdown_folder(spark, path, url_prefix)
 
 
-def _dedup(spark, inputs, *, fields: str = "md"):
+def _dedup(spark, inputs, *, fields: str = "md", order_by: str = ""):
+    """duplication.py:21-51 incl. '*' mode — DETERMINISTIC: first row per
+    key group under ``order_by`` (default: first non-key column, else the
+    key itself). dropDuplicates keeps an arbitrary row per group, which
+    flips run-to-run under retries/AQE and would break the repo's
+    repeatability contract."""
+    from wurzel_spark.operators.dedup import exact_dedup
+
     (df,) = inputs
     keys = df.columns if fields == "*" else [f.strip() for f in fields.split(",")]
-    return df.dropDuplicates(keys)  # duplication.py:21-51 incl. '*' mode
+    order_col = order_by or next((c for c in df.columns if c not in keys), keys[0])
+    return exact_dedup(df, keys, order_col)
 
 
 def _split(spark, inputs, *, token_limit: int = 256, token_limit_buffer: int = 32, token_limit_min: int = 64):
@@ -282,9 +291,32 @@ REGISTRY = {
 }
 
 
+@contextmanager
+def step_env_encapsulation(settings: dict):
+    """Virtual env for one step (executors/base_executor.py:107-144):
+    the step's RESOLVED settings are exported as plain (unprefixed) env
+    vars for the step's duration — libraries the step calls read their
+    usual variable names — and the previous environment is restored
+    afterwards, so one step's settings can never leak into the next.
+    Container values are JSON-encoded, everything else str()'d."""
+    import json
+
+    old = os.environ.copy()
+    try:
+        for k, v in settings.items():
+            os.environ[k] = (
+                json.dumps(v) if isinstance(v, (list, dict, tuple, set)) else str(v)
+            )
+        yield
+    finally:
+        os.environ.clear()
+        os.environ.update(old)
+
+
 def _execute_step(spark, manifest, name, inputs, chain=None):
     """One step through the middleware chain (SURVEY §3.4): secrets resolve
-    before the fn sees its settings; prometheus times/pushes around it."""
+    before the fn sees its settings; prometheus times/pushes around it;
+    settings are env-encapsulated for the step's duration."""
     from wurzel_spark.metrics import resolve_run_id
     from wurzel_spark.middleware import StepContext, chain_from_env
 
@@ -296,7 +328,12 @@ def _execute_step(spark, manifest, name, inputs, chain=None):
         settings=manifest.env_settings(name),
         run_id=resolve_run_id(spark),
     )
-    return chain.execute(ctx, lambda c: fn(spark, inputs, **c.settings))
+
+    def _run(c):
+        with step_env_encapsulation(c.settings):
+            return fn(spark, inputs, **c.settings)
+
+    return chain.execute(ctx, _run)
 
 
 def run_manifest(

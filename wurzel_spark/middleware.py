@@ -65,6 +65,10 @@ class MiddlewareChain:
 
 # ----------------------------------------------------------------- builtins
 
+class MiddlewareError(ValueError):
+    """Unknown middleware name / malformed chain configuration."""
+
+
 class SecretResolverError(ValueError):
     pass
 
@@ -169,7 +173,7 @@ def chain_from_env(env_value: str | None = None) -> MiddlewareChain:
     mws = []
     for n in names:
         if n not in MIDDLEWARE_REGISTRY:
-            raise SecretResolverError(
+            raise MiddlewareError(
                 f"unknown middleware '{n}' (registry: {sorted(MIDDLEWARE_REGISTRY)})"
             )
         mws.append(MIDDLEWARE_REGISTRY[n]())
