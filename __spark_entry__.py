@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard,
         "minhash_lsh_pairs": dedup.q_minhash_pairs,
         "simhash_near_pairs": dedup.q_simhash_pairs,
+        "dedup_near_keep": dedup.q_dedup_near_keep,
+        "dedup_clusters": dedup.q_dedup_clusters,
         # similarity search (embeddings)
         "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
         "embedding_norms": similarity.q_embedding_norms,
@@ -52,6 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_filter_dedup_stats": textstats.q_pipeline_filter_dedup_stats,
         "stratified_sample_docs": textstats.q_stratified_sample,
         "corpus_metrics": textstats.q_corpus_metrics,
+        "repetition_stats": textstats.q_repetition_stats,
+        "distinctive_terms": textstats.q_distinctive_terms,
+        "mixture_sample": textstats.q_mixture_sample,
         # document splitting (rows-only: tokenizer-defined chunk boundaries;
         # golden-value tests in tests/test_splitter.py)
         "semantic_split_chunks": splitter.q_semantic_split,
@@ -80,20 +85,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left_outer_order_counts": relational.join_left_outer_order_counts,
         "setop_nation_overlap": relational.setop_nation_overlap,
         "window_order_rank": relational.window_order_rank,
-        "window_funcs_battery": relational.window_funcs_battery,
         "rolling_revenue_7d": relational.rolling_revenue_7d,
         "distribution_stats": relational.distribution_stats,
         "topk_parts_by_size": relational.topk_parts_by_size,
         "grouping_rollup_orders": relational.grouping_rollup_orders,
-        "cube_order_stats": relational.cube_order_stats,
-        "grouping_sets_orders": relational.grouping_sets_orders,
-        "string_funcs_parts": relational.string_funcs_parts,
         "date_funcs_orders": relational.date_funcs_orders,
         "subquery_above_avg_orders": relational.subquery_above_avg_orders,
         "corr_quantity_price": relational.corr_quantity_price,
         # ---- driver 50-query window boundary (entries above are the
-        # per-family representatives; below are additional TPC-H analogs,
-        # all hash-green in CORRECTNESS_r01) ----
+        # per-family representatives; below are additional TPC-H analogs
+        # and relational variants, all hash-green in CORRECTNESS_r01) ----
+        "window_funcs_battery": relational.window_funcs_battery,
+        "cube_order_stats": relational.cube_order_stats,
+        "grouping_sets_orders": relational.grouping_sets_orders,
+        "string_funcs_parts": relational.string_funcs_parts,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q18_large_orders": relational.q18_large_orders,
         "q19_bracketed_revenue": relational.q19_bracketed_revenue,
@@ -176,6 +181,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_first_per_source": dedup.DEDUP_FIRST_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "dedup_near_keep": dedup.DEDUP_NEAR_KEEP_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "repetition_stats": textstats.REPETITION_STATS_SQL,
+        "distinctive_terms": textstats.DISTINCTIVE_TERMS_SQL,
+        "mixture_sample": textstats.MIXTURE_SAMPLE_SQL,
         "ann_topk_bruteforce": similarity.ANN_TOPK_SQL,
         "embedding_norms": similarity.EMB_NORMS_SQL,
         "cosine_near_dup_pairs": similarity.COSINE_PAIRS_SQL,

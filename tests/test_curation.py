@@ -1,0 +1,97 @@
+"""Corpus-curation operators: repetition stats, distinctive terms,
+deterministic mixture sampling, near-dedup keep-set, dup clusters."""
+
+from pyspark.sql import functions as F
+
+from wurzel_spark.operators import dedup, textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    rows = [
+        (1, "s", "click here click here click here now"),
+        (2, "s", "entirely unique words with no repeats at all today"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_stats(_docs(spark, rows)).collect()
+    }
+    assert out[1]["top_2gram"] == "click here"
+    assert out[1]["top_2gram_count"] == 3
+    # "click here" x3 = 30 chars of 36
+    assert abs(out[1]["top_2gram_char_frac"] - 30 / 36) < 1e-12
+    assert out[2]["top_2gram_count"] == 1
+    # doc 1: 5-grams of 6 words = 2, both distinct? ["click here click here click",
+    # "here click here click here"] -> distinct -> dup frac 0
+    assert out[1]["dup_5gram_frac"] == 0.0
+
+
+def test_repetition_dup_5gram_fraction():
+    # pure-python twin of the column algebra on a crafted repeat
+    words = ("a b c d e " * 3).split()
+    ngrams = [" ".join(words[i : i + 5]) for i in range(len(words) - 4)]
+    assert (len(ngrams) - len(set(ngrams))) / len(ngrams) > 0.5
+
+
+def test_repetition_dup_5gram_on_spark(spark):
+    rows = [(1, "s", "a b c d e " * 3)]
+    row = textstats.repetition_stats(_docs(spark, rows)).collect()[0]
+    words = ("a b c d e " * 3).split()
+    ngrams = [" ".join(words[i : i + 5]) for i in range(len(words) - 4)]
+    expect = (len(ngrams) - len(set(ngrams))) / len(ngrams)
+    assert abs(row["dup_5gram_frac"] - expect) < 1e-12
+
+
+def test_distinctive_terms_ranks_rare_terms_first(spark):
+    rows = [
+        (1, "a", "zebra zebra zebra common"),
+        (2, "b", "common common yak yak yak"),
+    ]
+    out = textstats.distinctive_terms_per_source(_docs(spark, rows), k=1).collect()
+    top = {r["source"]: r for r in out}
+    # 'common' appears in both sources; zebra/yak are exclusive AND more
+    # frequent within their source -> they win rank 1
+    assert top["a"]["term"] == "zebra" and top["a"]["df_sources"] == 1
+    assert top["b"]["term"] == "yak" and top["b"]["n_sources"] == 2
+
+
+def test_mixture_sample_deterministic_and_rate_shaped(spark):
+    rows = [(i, f"src{i % 20}", "x") for i in range(2000)]
+    df = _docs(spark, rows)
+    a = textstats.mixture_sample(df, textstats.MIXTURE_PERMILLE)
+    b = textstats.mixture_sample(df, textstats.MIXTURE_PERMILLE)
+    ids_a = sorted(r.doc_id for r in a.collect())
+    assert ids_a == sorted(r.doc_id for r in b.collect())
+    by_src = {
+        r["source"]: r["n"]
+        for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # full-rate sources keep everything; low-rate sources keep visibly less
+    assert by_src["src0"] == 100
+    assert by_src.get("src19", 0) < 35
+
+
+def test_near_dedup_keep_stats_drops_larger_ids(spark):
+    docs = _docs(
+        spark,
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, "b", "w")],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    out = {
+        r["source"]: r
+        for r in dedup.near_dedup_keep_stats(docs, pairs).collect()
+    }
+    assert out["a"]["n_dropped"] == 1 and out["a"]["n_kept"] == 1  # doc 2
+    assert out["b"]["n_dropped"] == 1 and out["b"]["n_kept"] == 1  # doc 4
+
+
+def test_near_dup_clusters_chain_converges(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["cluster_id"]: r["size"] for r in dedup.near_dup_clusters(pairs).collect()}
+    assert out == {1: 4, 10: 2}

@@ -611,3 +611,171 @@ def q_combined_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combined_near_dup_pairs(table(spark, sf_dir, "documents")).orderBy(
         "method", "id_a", "id_b"
     )
+
+
+# ------------------------------------------------ dedup keep-set / clusters
+
+def near_dedup_keep_stats(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """End-to-end near-dedup outcome: drop every document that appears as
+    the larger id of a near-duplicate pair (the standard keep-first rule —
+    deterministic, order-free, idempotent), then report per-group how much
+    of the corpus survived.
+
+    ``pairs`` is any (id_a < id_b) near-dup pair source — exact Jaccard
+    here (oracle-able); at 100 TB you swap in ``minhash_dedup_pairs``
+    unchanged since only the id_b projection is consumed. The dropped-id
+    set is tiny relative to the corpus, so the anti-join broadcasts.
+    """
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    flagged = df.join(
+        F.broadcast(dropped.withColumn("__dropped", F.lit(1))), id_col, "left"
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__dropped"), F.lit(0))).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("__dropped"), F.lit(0)))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return near_dedup_keep_stats(docs, pairs)
+
+
+_JACCARD_PAIRS_CTE = """
+sh AS (
+  SELECT doc_id AS id, DISTINCT_SHINGLE AS shingle FROM (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [array_to_string(ws, ' ')] END)) AS DISTINCT_SHINGLE
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+          FROM documents)
+  )
+), sizes AS (
+  SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+)"""
+
+
+DEDUP_NEAR_KEEP_SQL = f"""
+WITH {_JACCARD_PAIRS_CTE},
+dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+def near_dup_clusters(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every node starts labeled with its own id; each round a
+    node adopts the minimum label among itself and its neighbors; converged
+    when a round changes nothing. The cluster id is therefore the minimum
+    doc_id in the component — deterministic.
+
+    Scale shape: each round is two keyed shuffles (edge join + min
+    aggregate), and rounds needed = graph diameter, which for near-dup
+    graphs is tiny (dup clusters are cliques or near-cliques — typically
+    2-3 rounds). ``localCheckpoint`` cuts the growing lineage so round N
+    doesn't replay rounds 1..N-1. For adversarial long-chain graphs you'd
+    switch to the large-star/small-star algorithm (Kiveris et al. 2014);
+    the keyed-join building block is the same.
+
+    Returns one row per component with ≥2 members: (cluster_id, size).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy("cluster_id")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return near_dup_clusters(ngram_jaccard_pairs(docs, threshold=0.5))
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS label FROM reach GROUP BY src
+)
+SELECT label AS cluster_id, COUNT(*) AS size
+FROM labels GROUP BY label ORDER BY cluster_id
+"""

@@ -357,6 +357,253 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------- repetition filters
+
+def _ngrams_from(ws, n: int):
+    k = F.size(ws) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(ws, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text_col, n: int):
+    """Word n-grams as `"w1 w2 ... wn"` strings. The transform(array(...))
+    wrapper let-binds the word array once — HOF lambdas re-evaluate captured
+    subexpressions per element, and without the binding the whitespace split
+    would run once per n-gram (O(words²) work).
+    """
+    ws = TXT.words(text_col)
+    return F.element_at(F.transform(F.array(ws), lambda w: _ngrams_from(w, n)), 1)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1): the fraction of characters taken up by
+    the single most-frequent word 2-gram, and the fraction of word 5-grams
+    that are duplicates. High values flag boilerplate / machine-generated
+    text for corpus filtering.
+
+    Scale shape: the 5-gram duplicate fraction is computed entirely inside
+    the row (`array_distinct` on the bound n-gram array — no shuffle); the
+    top-2-gram needs a per-(doc, ngram) count, done as explode → two keyed
+    hash aggregations on doc_id with map-side partial combine. Nothing
+    global; partitions by doc_id like every other per-doc operator.
+
+    Deterministic tie-break: among 2-grams with the maximal count the
+    lexicographically smallest wins (min over a (-count, ngram) struct —
+    same ordering the oracle's ``ORDER BY cnt DESC, ngram ASC`` yields).
+    """
+    c = F.col(text_col)
+    ng5 = word_ngrams(c, 5)
+    base = df.select(
+        "doc_id",
+        F.length(c).alias("n_chars"),
+        word_ngrams(c, 2).alias("ng2"),
+        F.when(
+            F.size(ng5) > 0,
+            (F.size(ng5) - F.size(F.array_distinct(ng5))).cast("double") / F.size(ng5),
+        ).alias("dup_5gram_frac"),
+    )
+    counts = (
+        base.select("doc_id", "n_chars", "dup_5gram_frac", F.explode("ng2").alias("ngram"))
+        .groupBy("doc_id", "ngram")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("n_chars").alias("n_chars"),
+            F.first("dup_5gram_frac").alias("dup_5gram_frac"),
+        )
+    )
+    best = counts.groupBy("doc_id").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("ngram").alias("ngram"))
+        ).alias("b"),
+        F.first("n_chars").alias("n_chars"),
+        F.first("dup_5gram_frac").alias("dup_5gram_frac"),
+    )
+    top_cnt = -F.col("b.neg_cnt")
+    return best.select(
+        "doc_id",
+        F.col("b.ngram").alias("top_2gram"),
+        top_cnt.alias("top_2gram_count"),
+        ((top_cnt * F.length("b.ngram")).cast("double") / F.col("n_chars")).alias(
+            "top_2gram_char_frac"
+        ),
+        "dup_5gram_frac",
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+REPETITION_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+              ELSE [] END AS ng2,
+         CASE WHEN len(ws) >= 5
+              THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+              ELSE [] END AS ng5
+  FROM base
+), scal AS (
+  SELECT doc_id, n_chars, ng2,
+         CASE WHEN len(ng5) > 0
+              THEN CAST(len(ng5) - len(list_distinct(ng5)) AS DOUBLE) / len(ng5)
+              END AS dup_5gram_frac
+  FROM grams
+), ex AS (
+  SELECT doc_id, n_chars, dup_5gram_frac, unnest(ng2) AS ngram FROM scal
+), cnts AS (
+  SELECT doc_id, ngram, COUNT(*) AS cnt,
+         ANY_VALUE(n_chars) AS n_chars, ANY_VALUE(dup_5gram_frac) AS dup_5gram_frac
+  FROM ex GROUP BY doc_id, ngram
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ngram ASC) AS rn
+  FROM cnts
+)
+SELECT doc_id, ngram AS top_2gram, CAST(cnt AS BIGINT) AS top_2gram_count,
+       CAST(cnt * length(ngram) AS DOUBLE) / n_chars AS top_2gram_char_frac,
+       dup_5gram_frac
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------- distinctive terms (tf/df)
+
+def distinctive_terms_per_source(
+    df: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Top-k distinctive terms per source: rank by term frequency within the
+    source (desc), then document-source frequency of the term across the
+    corpus (asc — rarer is more distinctive), then the term itself. This is
+    tf-idf with the idf kept as the exact integer source-count instead of a
+    float log: `ln` differs between engines in the last ulp, and a
+    monotone-in-each-argument integer rank is bit-stable everywhere while
+    ordering near-ties identically.
+
+    Scale shape: explode words → hash-aggregate on (source, term) → one
+    window over term (document frequency) → one window over source (rank).
+    The small global scalar (number of sources) rides in via a broadcast
+    cross-join of a 1-row aggregate, never a driver collect.
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        df.select("source", F.explode(TXT.words(F.col(text_col))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.withColumn(
+        "df_sources", F.count(F.lit(1)).over(W.partitionBy("term"))
+    )
+    n_sources = df.agg(F.countDistinct("source").alias("n_sources"))
+    ranked = dfreq.crossJoin(F.broadcast(n_sources)).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.col("tf").desc(), F.col("df_sources").asc(), F.col("term").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "source", "term", "tf", "df_sources", "n_sources", "rank"
+    )
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinctive_terms_per_source(table(spark, sf_dir, "documents")).orderBy(
+        "source", "rank"
+    )
+
+
+DISTINCTIVE_TERMS_SQL = """
+WITH tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS term
+    FROM documents
+  ) GROUP BY source, term
+), dfreq AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY term) AS df_sources FROM tf
+), ranked AS (
+  SELECT *,
+         (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY tf DESC, df_sources ASC, term ASC) AS rank
+  FROM dfreq
+)
+SELECT source, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df_sources AS BIGINT) AS df_sources,
+       CAST(n_sources AS BIGINT) AS n_sources, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY source, rank
+"""
+
+
+# ------------------------------------------------- deterministic mixture
+
+# Per-source sampling rates in permille — the "domain mixing" table of a
+# training-data pipeline (e.g. upweight curated sources, downweight crawl).
+MIXTURE_PERMILLE: dict[str, int] = {
+    **{f"src{i}": 1000 for i in range(5)},
+    **{f"src{i}": 500 for i in range(5, 10)},
+    **{f"src{i}": 250 for i in range(10, 15)},
+    **{f"src{i}": 100 for i in range(15, 20)},
+}
+
+
+def mixture_sample(df: DataFrame, rates_permille: dict[str, int]) -> DataFrame:
+    """Deterministic weighted mixture sampling: keep a row iff a Knuth
+    multiplicative hash of its doc_id lands under the source's permille
+    rate. Pure integer arithmetic that any engine reproduces bit-exactly
+    (no RNG, no xxhash), stable under retries, and a zero-shuffle map-only
+    filter — the property corpus mixing needs so every re-run of a 100 TB
+    pipeline samples the identical subset.
+
+    The doc_id is folded mod 1000003 (prime) first so the product stays
+    far inside int64 even for petabyte-scale id spaces.
+    """
+    h = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % F.lit(4294967296) % F.lit(
+        1000
+    )
+    rate = F.lit(None).cast("long")
+    expr = None
+    for src, permille in rates_permille.items():
+        cond = F.col("source") == src
+        expr = F.when(cond, permille) if expr is None else expr.when(cond, permille)
+    rate = expr.otherwise(F.lit(0))
+    return df.filter(h < rate)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        mixture_sample(table(spark, sf_dir, "documents"), MIXTURE_PERMILLE)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _mixture_sql() -> str:
+    case = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIXTURE_PERMILLE.items()
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000
+      < (CASE {case} ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
+MIXTURE_SAMPLE_SQL = _mixture_sql()
+
+
 def q_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract-metrics aggregation (SURVEY §2.7; reference
     datacontract.py:22-69 sums per-item metrics into corpus totals):
