@@ -16,8 +16,11 @@ the engine-native implementation the north star asks for.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
 
 from wurzel_spark.tables import table
 
@@ -39,6 +42,37 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Vectorized twins of the fold-based column math above. Spark evaluates
+# higher-order functions interpreted (one closure call per element), so the
+# hot similarity paths pay ~100 ops of interpreter per dot product. The
+# Arrow-batched kernels below do the same arithmetic as numpy array ops —
+# BIT-IDENTICAL to the fold: products first, then additions strictly
+# left-to-right over dimensions (vectorized across the rows of the batch),
+# starting from 0.0 exactly like F.aggregate's init. numpy's own
+# sum()/dot() would pairwise-sum (different rounding) — never use them here.
+
+def _fold_rows(prod: np.ndarray) -> np.ndarray:
+    acc = np.zeros(prod.shape[0], dtype=np.float64)
+    for j in range(prod.shape[1]):
+        acc = acc + prod[:, j]
+    return acc
+
+
+def _stack64(s: pd.Series) -> np.ndarray:
+    return np.stack(s.to_numpy()).astype(np.float64)
+
+
+@F.pandas_udf(DoubleType())
+def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype=np.float64)
+    A, B = _stack64(a), _stack64(b)
+    d = _fold_rows(A * B)
+    na = np.sqrt(_fold_rows(A * A))
+    nb = np.sqrt(_fold_rows(B * B))
+    return pd.Series(d / (na * nb))
+
+
 def brute_force_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -58,7 +92,7 @@ def brute_force_topk(
     scored = emb.alias("e").crossJoin(F.broadcast(q)).select(
         "query_id",
         F.col(f"e.{id_col}").alias("neighbor_id"),
-        cosine(F.col("query_vec"), F.col(f"e.{vec_col}")).alias("cos_sim"),
+        cosine_pd(F.col("query_vec"), F.col(f"e.{vec_col}")).alias("cos_sim"),
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     from pyspark.sql import Window as W
 
@@ -80,13 +114,30 @@ def hyperplane_lsh_buckets(
     """Random-hyperplane LSH: bucket = sign-bit string of ⟨v, plane_j⟩.
     Deterministic planes are supplied by the caller (derived from corpus
     vectors or a seeded generator) — no runtime randomness.
+
+    One Arrow-batched kernel computes all plane dots (sequential fold over
+    dims, same rounding as the column algebra — the sign near zero depends
+    on it); the interpreted-HOF form paid |planes|·|dims| closure calls per
+    row.
     """
-    bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
-        for p in planes
-    ]
+    P = np.array(planes, dtype=np.float64)
+
+    @F.pandas_udf(StringType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = _stack64(v)
+        acc = np.zeros((V.shape[0], P.shape[0]), dtype=np.float64)
+        for j in range(V.shape[1]):
+            acc = acc + V[:, j : j + 1] * P[None, :, j]
+        bits = np.where(acc >= 0, "1", "0")
+        out = bits[:, 0]
+        for p in range(1, P.shape[0]):
+            out = np.char.add(out, bits[:, p])
+        return pd.Series(out)
+
     return emb.select(
-        F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
+        F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col)).alias("bucket")
     )
 
 
@@ -112,7 +163,7 @@ def lsh_topk(
     scored = be.join(F.broadcast(bq), "bucket").select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("query_vec"), F.col(vec_col)).alias("cos_sim"),
+        cosine_pd(F.col("query_vec"), F.col(vec_col)).alias("cos_sim"),
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     from pyspark.sql import Window as W
 
@@ -167,7 +218,7 @@ def cosine_lsh_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+            cosine_pd(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
@@ -191,7 +242,7 @@ def ivf_assign(
         id_col,
         vec_col,
         "centroid_id",
-        cosine(F.col(vec_col), F.col("centroid_vec")).alias("sim"),
+        cosine_pd(F.col(vec_col), F.col("centroid_vec")).alias("sim"),
     )
     from pyspark.sql import Window as W
 
@@ -231,7 +282,7 @@ def ivf_topk(
             "query_id",
             "query_vec",
             F.col("centroid_id").alias("cell"),
-            cosine(F.col("query_vec"), F.col("centroid_vec")).alias("sim"),
+            cosine_pd(F.col("query_vec"), F.col("centroid_vec")).alias("sim"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
@@ -240,7 +291,7 @@ def ivf_topk(
     scored = cells.join(F.broadcast(probes), "cell").select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("query_vec"), F.col(vec_col)).alias("cos_sim"),
+        cosine_pd(F.col("query_vec"), F.col(vec_col)).alias("cos_sim"),
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -319,7 +370,7 @@ def cosine_exact_pairs(
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select("id_a", "id_b", cosine_pd(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
