@@ -151,3 +151,33 @@ def test_sentence_case_corpus(text, expected):
     assert got == expected
     # lossless modulo inter-sentence whitespace
     assert " ".join(got).split() == text.split()
+
+
+def test_punkt_learns_corpus_abbreviations(spark):
+    # "qrt." is an invented abbreviation the static list can't know: it
+    # always carries a period and is followed by a capitalized name.
+    # "meeting" ends sentences sometimes but mostly appears bare — the
+    # length discount and period-free penalty must reject it.
+    sents = (
+        ["We met Qrt. Smith at noon today."] * 12
+        + ["The meeting ran long."] * 4
+        + ["That meeting was short and the next meeting happened fast."] * 8
+    )
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sents)], "doc_id long, text string"
+    )
+    from wurzel_spark.operators.splitter import (
+        learn_punkt_abbreviations,
+        sentence_splitter,
+    )
+
+    learned = learn_punkt_abbreviations(df)
+    assert "qrt" in learned
+    assert "meeting" not in learned
+
+    punkt = sentence_splitter("punkt", abbreviations=learned)
+    got = punkt("We met Qrt. Smith at noon. He waved back.")
+    assert got == ["We met Qrt. Smith at noon.", "He waved back."]
+    # without the learned set the same text over-splits at "Qrt."
+    regex = sentence_splitter("regex")
+    assert regex("We met Qrt. Smith at noon. He waved back.")[0] == "We met Qrt."

@@ -73,6 +73,96 @@ def split_sentences(text: str) -> list[str]:
     return [p for p in out if p.strip()]
 
 
+# ----------------------------------- learned (punkt-style) sentence strategy
+
+_LAST_TOKEN_RE = re.compile(r"(\S+)$")
+_QUOTE_TRAIL = "\"'”’)»"
+
+
+def train_punkt_abbreviations(df: DataFrame, text_col: str = "text", threshold: float = 0.3) -> DataFrame:
+    """Unsupervised abbreviation learning in the spirit of Kiss & Strunk
+    (2006), "Unsupervised Multilingual Sentence Boundary Detection": a token
+    type is an abbreviation if it collocates with a trailing period far more
+    often than the corpus base rate predicts (Dunning log-likelihood ratio
+    against p=0.99), discounted by type length (long types ending in periods
+    are usually sentence ends) and penalized for period-free occurrences.
+
+    This is the vendored stand-in for the reference's model-backed
+    strategies (sentence_splitter.py:99-112 spacy, :229-249 SaT — libraries
+    unavailable in this environment): the "training" is one distributed
+    aggregation over the corpus, and the learned set broadcasts into the
+    splitting closure. Returns (abbrev_type, score, c_period, c_total),
+    score ≥ threshold.
+    """
+    from wurzel_spark.functions import text as TXT
+
+    toks = df.select(F.explode(TXT.words(F.col(text_col))).alias("tok"))
+    typed = toks.select(
+        F.lower(F.regexp_replace("tok", r"\.+$", "")).alias("typ"),
+        F.col("tok").endswith(".").cast("long").alias("p"),
+    ).filter(F.col("typ") != "")
+    totals = typed.agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("p").alias("n_periods")
+    )
+    per = typed.groupBy("typ").agg(
+        F.count(F.lit(1)).alias("c_total"), F.sum("p").alias("c_period")
+    )
+    cand = (
+        per.filter(
+            (F.col("c_period") > 0) & F.col("typ").rlike(r"^[^\W\d_][\w.]*$")
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p1 = F.least(F.col("n_periods").cast("double") / F.col("n_tokens"), F.lit(0.5))
+    p2 = F.lit(0.99)
+    c_t, c_p = F.col("c_total").cast("double"), F.col("c_period").cast("double")
+    null_ll = c_p * F.log(p1) + (c_t - c_p) * F.log(F.lit(1.0) - p1)
+    alt_ll = c_p * F.log(p2) + (c_t - c_p) * F.log(F.lit(1.0) - p2)
+    ll = F.lit(-2.0) * (null_ll - alt_ll)
+    n_letters = F.length(F.regexp_replace("typ", r"\.", ""))
+    f_length = F.exp(-n_letters.cast("double"))
+    f_periods = (F.length("typ") - n_letters + 1).cast("double")
+    f_penalty = F.pow(n_letters.cast("double"), -(c_t - c_p))
+    score = ll * f_length * f_periods * f_penalty
+    return (
+        cand.select(
+            F.col("typ").alias("abbrev_type"),
+            score.alias("score"),
+            "c_period",
+            "c_total",
+        )
+        .filter(F.col("score") >= threshold)
+        .orderBy(F.desc("score"), "abbrev_type")
+    )
+
+
+def learn_punkt_abbreviations(df: DataFrame, text_col: str = "text", threshold: float = 0.3) -> frozenset[str]:
+    """Train and collect the learned abbreviation set. The collect is
+    bounded: abbreviation TYPES are vocabulary-bounded (thousands, not
+    corpus-sized) — capped at 100k as insurance."""
+    rows = train_punkt_abbreviations(df, text_col, threshold).limit(100_000).collect()
+    return frozenset(r["abbrev_type"] for r in rows)
+
+
+def split_sentences_learned(text: str, abbreviations: frozenset[str]) -> list[str]:
+    """Sentence split with the learned abbreviation set: a candidate
+    boundary is suppressed when the preceding token is a learned
+    abbreviation (or matches the static fallback list)."""
+    parts = _SENT_SPLIT_RE.split(text)
+    out: list[str] = []
+    for p in parts:
+        if out:
+            last = out[-1].rstrip()
+            m = _LAST_TOKEN_RE.search(last)
+            tok = m.group(1).rstrip(_QUOTE_TRAIL) if m else ""
+            learned = tok.endswith(".") and tok.rstrip(".").lower() in abbreviations
+            if learned or _ABBREV_RE.search(last):
+                out[-1] = out[-1] + " " + p
+                continue
+        out.append(p)
+    return [p for p in out if p.strip()]
+
+
 # ----------------------------------------------------------- block parsing
 
 def _parse_blocks(md: str) -> list[tuple[str, object, str]]:
@@ -405,15 +495,21 @@ def q_semantic_split(spark, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_index")
 
 
-def sentence_splitter(strategy: str = "regex"):
+def sentence_splitter(strategy: str = "regex", abbreviations: frozenset[str] | None = None):
     """Strategy factory (sentence_splitter.py:30-96, factory :61):
-    'regex' (always available, abbreviation merge-back), 'spacy'
+    'regex' (always available, abbreviation merge-back), 'punkt' (vendored
+    corpus-trained Kiss-Strunk boundary detector — pass ``abbreviations``
+    from :func:`learn_punkt_abbreviations`), 'spacy'
     (sentence_splitter.py:99-112) and 'sat' (:229-249) gated on their
     optional model libraries. On executors the model variants must be
-    process-level lazy singletons — never pickled into closures.
+    process-level lazy singletons — never pickled into closures (the punkt
+    set is a plain frozenset, safe and cheap to ship in the closure).
     """
     if strategy == "regex":
         return split_sentences
+    if strategy == "punkt":
+        ab = abbreviations or frozenset()
+        return lambda text: split_sentences_learned(text, ab)
     if strategy == "spacy":  # pragma: no cover - optional dependency
         try:
             import spacy  # type: ignore  # noqa: F401
