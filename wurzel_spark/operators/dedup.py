@@ -19,8 +19,11 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from wurzel_spark.functions import text as TXT
 from wurzel_spark.tables import table
@@ -162,33 +165,138 @@ def ngram_jaccard_pairs(
 
 # -------------------------------------------------------------- MinHash
 
+# SplitMix64 finalizer (Steele, Lea & Flood 2014; public domain constants) —
+# the seeded hash family for MinHash slots. numpy uint64 arithmetic wraps
+# mod 2^64 exactly like the reference C, so the whole family vectorizes.
+_SM_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_MIX2 = np.uint64(0x94D049BB133111EB)
+_SM_PHI = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    z = z ^ (z >> np.uint64(30))
+    z = z * _SM_MIX1
+    z = z ^ (z >> np.uint64(27))
+    z = z * _SM_MIX2
+    return z ^ (z >> np.uint64(31))
+
+
+def _pad_hash_matrix(arrs) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a batch of variable-length int64 hash arrays into a padded
+    (rows, max_len) uint64 matrix + validity mask."""
+    n = len(arrs)
+    w = max((len(a) for a in arrs), default=1) or 1
+    H = np.zeros((n, w), dtype=np.uint64)
+    M = np.zeros((n, w), dtype=bool)
+    for i, a in enumerate(arrs):
+        la = len(a)
+        if la:
+            H[i, :la] = np.asarray(a, dtype=np.int64).view(np.uint64)
+            M[i, :la] = True
+    return H, M
+
+
+def _shingle_rows(H: np.ndarray, M: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row-wise word-level n-gram shingle hashes from a padded word-hash
+    matrix: shingle j = splitmix64 rolling mix of H[j..j+n-1]. Rows with
+    fewer than n words degenerate to one whole-row shingle (mirroring
+    :func:`shingles`' semantics). Returns a padded (rows, max_shingles)
+    uint64 matrix + mask. Duplicate shingles are NOT removed — min() is
+    duplicate-insensitive, so MinHash needs no distinct.
+    """
+    nrows, w = H.shape
+    lens = M.sum(axis=1)
+    k = w - (n - 1)
+    with np.errstate(over="ignore"):
+        if k < 1:  # every row shorter than n words
+            acc = H[:, 0].copy()
+            for t in range(1, w):
+                nxt = _splitmix64(acc) ^ H[:, t]
+                acc = np.where(M[:, t], nxt, acc)
+            return _splitmix64(acc)[:, None], np.ones((nrows, 1), dtype=bool)
+        S = H[:, :k].copy()
+        for t in range(1, n):
+            S = _splitmix64(S) ^ H[:, t : t + k]
+        S = _splitmix64(S)
+        SM = M[:, n - 1 :].copy()
+        # degenerate rows (< n words): one shingle folding all their words
+        short = lens < n
+        if short.any():
+            idx = np.nonzero(short)[0]
+            for i in idx:
+                li = int(lens[i])
+                acc = H[i, 0]
+                for t in range(1, max(li, 1)):
+                    acc = _splitmix64(acc) ^ H[i, t]
+                S[i, 0] = _splitmix64(acc)
+                SM[i, :] = False
+                SM[i, 0] = True
+    return S, SM
+
+
+def _minhash_rows(H: np.ndarray, M: np.ndarray, num_hashes: int, n: int) -> np.ndarray:
+    """(rows, num_hashes) MinHash matrix over the rows' shingle hashes:
+    slot i = min over valid shingles of splitmix64(sh ^ seed_i)."""
+    S, SM = _shingle_rows(H, M, n)
+    sig = np.empty((S.shape[0], num_hashes), dtype=np.uint64)
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        for i in range(num_hashes):
+            seed = _splitmix64(np.uint64(i + 1) * _SM_PHI)
+            mixed = np.where(SM, _splitmix64(S ^ seed), sentinel)
+            sig[:, i] = mixed.min(axis=1)
+    return sig.view(np.int64)
+
+
+def _minhash_udf(num_hashes: int, n: int):
+    @F.pandas_udf(ArrayType(LongType()))
+    def f(whs: pd.Series) -> pd.Series:
+        arrs = whs.to_numpy()
+        if len(arrs) == 0:
+            return pd.Series([], dtype=object)
+        H, M = _pad_hash_matrix(arrs)
+        sig = _minhash_rows(H, M, num_hashes, n)
+        return pd.Series(list(sig))
+
+    return f
+
+
+def _word_hashes(text_col):
+    """xxhash64 per word occurrence — the ONLY shape safe as an Arrow-kernel
+    argument: a plain transform over the split. Wrapping it in the
+    element_at(transform(array(...), ...)) let-binding (as shingle_hashes
+    does for JVM-side consumers) breaks Spark 4.1's Python-UDF extraction —
+    the UDF silently stays in the Project and dies at runtime with
+    INTERNAL_ERROR "Cannot evaluate expression" on any post-first-action
+    plan.
+    """
+    return F.transform(TXT.words(text_col), lambda w: F.xxhash64(w))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 32, n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: min over shingle hashes of
-    xxhash64(h, seed_i) for each of ``num_hashes`` seeded hash functions.
+    """MinHash signature per document: min over the doc's shingle hashes of
+    a seeded splitmix64 re-hash, one slot per hash function.
 
-    Shape: explode shingle hashes → groupBy(id) with ``num_hashes`` min()
-    aggregates. Unlike a higher-order-function fold (which Spark evaluates
-    interpreted, allocating an array per shingle), hash-aggregate min() runs
-    inside whole-stage codegen with primitive buffers and map-side partial
-    aggregation — the shuffle carries one partial signature per (doc,
-    partition), never the shingles. Each mix is xxhash64 over two fixed-width
-    primitives, so cost per shingle is num_hashes primitive hashes, not
-    num_hashes string hashes.
+    Shape: word hashes computed JVM-side (xxhash64 per occurrence), then a
+    map-only Arrow kernel derives shingle hashes (rolling splitmix64 over n
+    consecutive word hashes) and takes the ``num_hashes`` masked
+    column-mins — zero shuffles. This replaced an explode →
+    ``num_hashes``-way min() hash aggregate: codegen'd and
+    partial-combined, but it still shuffled a partial signature per (doc,
+    partition) and re-hashed every shingle ``num_hashes`` times in the JVM
+    expression interpreter; the kernel does the same work as vectorized
+    passes over one padded uint64 matrix per Arrow batch. (The shingle→slot
+    hash family here is splitmix64-based and intentionally independent of
+    the xxhash64 slice hashes :func:`ngram_jaccard_pairs` uses — MinHash
+    only needs internal consistency, asserted against the exact twin by the
+    recall tests.)
     """
-    ex = _parallelize(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(F.col(text_col), n)).alias("h"),
-    )
-    mins = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}") for i in range(num_hashes)
-    ]
-    return (
-        ex.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("signature"))
-    )
+    base = _parallelize(df).select(
+        F.col(id_col).alias("id"), _word_hashes(F.col(text_col)).alias("whs")
+    ).filter(F.size("whs") > 0)
+    return base.select("id", _minhash_udf(num_hashes, n)("whs").alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -210,17 +318,20 @@ def lsh_candidate_pairs(
                        transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}),
                                  x -> cast(x AS string)), ','))))[0]
     """
-    # Materialized once: the band table (one small row per doc×band) feeds
-    # both sides of the self-join; without this the whole signature pipeline
-    # runs twice. Each exploded row also carries the doc's full band-hash
-    # array (``bands`` longs — cheap) so the join can keep each pair only at
-    # its FIRST shared band, replacing the distinct() that cost a full extra
+    # Materialize the signature table once: it feeds both sides of the
+    # self-join (without this the whole signature pipeline runs twice), and
+    # the checkpoint also pins the Arrow-kernel signature column as a plain
+    # attribute — projection collapse would otherwise inline the Python UDF
+    # call into the band-hash HOF argument, where Spark cannot evaluate it.
+    # Each exploded row also carries the doc's full band-hash array
+    # (``bands`` longs — cheap) so the join can keep each pair only at its
+    # FIRST shared band, replacing the distinct() that cost a full extra
     # shuffle over the candidate-pair set (pairs sharing j bands would
     # otherwise surface j times).
     banded = (
-        sig_df.selectExpr("id", f"{band_arr} AS bhs")
+        sig_df.localCheckpoint()
+        .selectExpr("id", f"{band_arr} AS bhs")
         .selectExpr("id", "bhs", "posexplode(bhs) AS (band_idx, band_hash)")
-        .localCheckpoint()
     )
     a, b = banded.alias("a"), banded.alias("b")
     first_shared = F.expr(
@@ -313,38 +424,47 @@ def minhash_dedup_pairs(
 
 # -------------------------------------------------------------- SimHash
 
+def _simhash_rows(H: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """Row-wise 64-bit SimHash over a padded uint64 hash matrix: per-bit
+    majority vote, bit_j = 1 iff Σ over valid tokens of ±1 (sign of
+    bit_j(hash)) is > 0."""
+    sig = np.zeros(H.shape[0], dtype=np.uint64)
+    one = np.uint64(1)
+    for j in range(64):
+        bits = ((H >> np.uint64(j)) & one).astype(np.int64)
+        votes = np.where(M, bits * 2 - 1, 0).sum(axis=1)
+        sig |= (votes > 0).astype(np.uint64) << np.uint64(j)
+    return sig.view(np.int64)
+
+
+@F.pandas_udf(LongType())
+def _simhash_kernel(hs: pd.Series) -> pd.Series:
+    """Arrow-batched SimHash: rows pad into an (N, max_words) uint64
+    matrix, then 64 masked vote-sums — no explode, no shuffle. Same vote
+    rule as :func:`combined_near_dup_signatures` (parity asserted in
+    tests)."""
+    arrs = hs.to_numpy()
+    if len(arrs) == 0:
+        return pd.Series([], dtype=np.int64)
+    H, M = _pad_hash_matrix(arrs)
+    return pd.Series(_simhash_rows(H, M))
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per-bit majority vote over xxhash64(token).
 
-    bit_j(sig) = 1 iff Σ over tokens of sign(bit_j(hash(token))) > 0.
-    Shape: explode token hashes → groupBy(id) with 64 conditional-sum
-    aggregates, then reassemble the signature from the sign of each sum.
-    Hash-aggregate sums are whole-stage-codegen'd with map-side partials (the
-    shuffle carries 64 longs per (doc, partition)) — an order of magnitude
-    faster than the equivalent higher-order-function fold, which Spark
-    evaluates interpreted with a 64-element array allocation per token.
+    Shape: word hashes computed JVM-side (xxhash64 per occurrence), then a
+    map-only Arrow kernel folds them into the signature — zero shuffles.
+    This replaced an explode → 64-conditional-sum hash aggregate: correct
+    and codegen'd, but the 64-column vote aggregate alone cost more than
+    the entire rest of the pipeline (measured 2.2 s of a 3.0 s total at
+    sf0.1), and at 100 TB it shuffled 64 longs per (doc, partition) that
+    the map-only form never materializes.
     """
-    import functools
-
-    ex = _parallelize(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.transform(TXT.words(F.col(text_col)), lambda w: F.xxhash64(w))).alias("h"),
-    )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(64)
-    ]
-    bits = [
-        F.when(
-            F.col(f"s{j}") > 0,
-            F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
-    sig = functools.reduce(lambda a, b: a.bitwiseOR(b), bits)
-    return ex.groupBy("id").agg(*votes).select("id", sig.alias("simhash"))
+    base = _parallelize(df).select(
+        F.col(id_col).alias("id"), _word_hashes(F.col(text_col)).alias("hs")
+    ).filter(F.size("hs") > 0)
+    return base.select("id", _simhash_kernel("hs").alias("simhash"))
 
 
 def simhash_band_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -353,14 +473,15 @@ def simhash_band_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     16-bit bands is identical → join on band equality, verify with
     bit_count."""
     # let-bind simhash once (see lsh_candidate_pairs) — 4 direct band
-    # references would inline the signature expression 4×.
-    # Materialized once — feeds both self-join sides (see lsh_candidate_pairs).
-    banded = sigs.selectExpr(
+    # references would inline the signature expression 4×. Materialized
+    # once — feeds both self-join sides, and pins the kernel output as an
+    # attribute before the HOF references it (see lsh_candidate_pairs).
+    banded = sigs.localCheckpoint().selectExpr(
         "id",
         "simhash",
         "posexplode(transform(array(simhash), s -> transform(sequence(0, 3),"
         " b -> shiftright(s, 16 * b) & 65535))[0]) AS (band_idx, band_val)",
-    ).localCheckpoint()
+    )
     a, b = banded.alias("a"), banded.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ham = F.bit_count(xor)
@@ -426,66 +547,39 @@ def combined_near_dup_signatures(
     from the shared result.
 
     Output: (id, simhash, signature). Values are bit-identical to the
-    single-family operators (same mixing), with one edge difference: a doc
-    with zero words still gets a row here (simhash 0) while simhash64 drops
-    it — degenerate either way.
-    """
-    import functools
+    single-family operators (same hashing/mixing), with one edge
+    difference: a doc with zero words still gets a row here (simhash 0)
+    while simhash64 drops it — degenerate either way.
 
-    whs = F.transform(TXT.words(F.col(text_col)), lambda w: F.xxhash64(w))
-    tagged = F.element_at(
-        F.transform(
-            F.array(whs),
-            lambda hs: F.concat(
-                F.transform(
-                    hs, lambda h: F.struct(F.lit(0).alias("k"), h.alias("h"))
-                ),
-                F.transform(
-                    _shingle_hashes_from(hs, n),
-                    lambda h: F.struct(F.lit(1).alias("k"), h.alias("h")),
-                ),
-            ),
-        ),
-        1,
+    Both signatures come from ONE map-only Arrow kernel over ONE shared
+    word-hash array in ONE scan — the earlier form was a shared explode
+    into a 64-vote + ``num_hashes``-min hash aggregate, which was
+    codegen'd but shuffled partial signatures; this shape shuffles
+    nothing, and the shingle hashes MinHash needs derive from the word
+    hashes inside the kernel (see :func:`minhash_signatures`).
+    """
+    out_type = StructType(
+        [
+            StructField("simhash", LongType()),
+            StructField("signature", ArrayType(LongType())),
+        ]
     )
-    ex = (
-        _parallelize(df)
-        .select(F.col(id_col).alias("id"), F.explode(tagged).alias("e"))
-        .select("id", F.col("e.k").alias("k"), F.col("e.h").alias("h"))
+
+    @F.pandas_udf(out_type)
+    def _combined(whs: pd.Series) -> pd.DataFrame:
+        arrs = whs.to_numpy()
+        if len(arrs) == 0:
+            return pd.DataFrame({"simhash": [], "signature": []})
+        H, M = _pad_hash_matrix(arrs)
+        sig = _minhash_rows(H, M, num_hashes, n)
+        return pd.DataFrame({"simhash": _simhash_rows(H, M), "signature": list(sig)})
+
+    base = _parallelize(df).select(
+        F.col(id_col).alias("id"), _word_hashes(F.col(text_col)).alias("whs")
     )
-    is_word = F.col("k") == 0
-    votes = [
-        F.sum(
-            F.when(
-                is_word,
-                F.when(
-                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            ).otherwise(0)
-        ).alias(f"s{j}")
-        for j in range(64)
-    ]
-    mins = [
-        F.min(F.when(~is_word, F.xxhash64(F.col("h"), F.lit(i)))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    bits = [
-        F.when(
-            F.col(f"s{j}") > 0,
-            F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
-    sig = functools.reduce(lambda a, b: a.bitwiseOR(b), bits)
-    return (
-        ex.groupBy("id")
-        .agg(*votes, *mins)
-        .select(
-            "id",
-            sig.alias("simhash"),
-            F.array(*[f"m{i}" for i in range(num_hashes)]).alias("signature"),
-        )
-    )
+    return base.select(
+        "id", _combined("whs").alias("c")
+    ).select("id", F.col("c.simhash").alias("simhash"), F.col("c.signature").alias("signature"))
 
 
 def combined_near_dup_pairs(
