@@ -163,3 +163,33 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
 
     n_distinct = ev.select("event_id").distinct().count()
     assert spark.table("t_dedup_events").count() == n_distinct
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    from wurzel_spark.streaming.funnel import funnel_stream
+    from wurzel_spark.queries.events import events_funnel
+
+    stream = read_event_stream(spark, events_dir)
+    out = funnel_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM t_funnel"
+    ).collect()
+    # latest row per user (availableNow may emit once per micro-batch)
+    latest = {r["user_id"]: r for r in rows}
+    n_users = len(latest)
+    n_viewed = sum(1 for r in latest.values() if r["first_view_us"] is not None)
+    n_purchased = sum(1 for r in latest.values() if r["first_purchase_us"] is not None)
+    n_converted = sum(1 for r in latest.values() if r["converted"])
+    b = events_funnel(spark, sf_dir).collect()[0]
+    assert (n_users, n_viewed, n_purchased, n_converted) == (
+        b["n_users"], b["n_viewed"], b["n_purchased"], b["n_converted"]
+    )
