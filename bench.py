@@ -47,6 +47,12 @@ HEADLINE = [
     "range_join_clicks_before_purchase",
     "pipeline_filter_dedup_stats",
     "events_daily_from_hourly",
+    # round 2: corpus-curation flagships
+    "repetition_stats",
+    "distinctive_terms",
+    "mixture_sample",
+    "dedup_near_keep",
+    "dedup_clusters",
 ]
 
 

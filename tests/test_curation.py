@@ -95,3 +95,90 @@ def test_near_dup_clusters_chain_converges(spark):
     )
     out = {r["cluster_id"]: r["size"] for r in dedup.near_dup_clusters(pairs).collect()}
     assert out == {1: 4, 10: 2}
+
+
+# ---------------- kernel property tests (no Spark session needed) ----------
+
+def _py_splitmix64(z: int) -> int:
+    mask = (1 << 64) - 1
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) & mask
+    z ^= z >> 27
+    z = (z * 0x94D049BB133111EB) & mask
+    return z ^ (z >> 31)
+
+
+def _py_minhash(words: list[int], num_hashes: int, n: int) -> list[int]:
+    mask = (1 << 64) - 1
+    if len(words) >= n:
+        shingles = []
+        for j in range(len(words) - n + 1):
+            acc = words[j] & mask
+            for t in range(1, n):
+                acc = _py_splitmix64(acc) ^ (words[j + t] & mask)
+            shingles.append(_py_splitmix64(acc))
+    else:
+        acc = words[0] & mask
+        for t in range(1, len(words)):
+            acc = _py_splitmix64(acc) ^ (words[t] & mask)
+        shingles = [_py_splitmix64(acc)]
+    out = []
+    for i in range(num_hashes):
+        seed = _py_splitmix64(((i + 1) * 0x9E3779B97F4A7C15) & mask)
+        m = min(_py_splitmix64(h ^ seed) for h in shingles)
+        out.append(m - (1 << 64) if m >= (1 << 63) else m)
+    return out
+
+
+def _py_simhash(words: list[int]) -> int:
+    mask = (1 << 64) - 1
+    sig = 0
+    for j in range(64):
+        votes = sum(1 if ((w & mask) >> j) & 1 else -1 for w in words)
+        if votes > 0:
+            sig |= 1 << j
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_minhash_kernel_matches_python_reference():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+    from wurzel_spark.operators.dedup import _minhash_rows, _pad_hash_matrix
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=12),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(rows):
+        H, M = _pad_hash_matrix([np.array(r, dtype=np.int64) for r in rows])
+        got = _minhash_rows(H, M, 8, 3)
+        for i, r in enumerate(rows):
+            assert list(got[i]) == _py_minhash(r, 8, 3)
+
+    check()
+
+
+def test_simhash_kernel_matches_python_reference():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+    from wurzel_spark.operators.dedup import _simhash_rows, _pad_hash_matrix
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=12),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(rows):
+        H, M = _pad_hash_matrix([np.array(r, dtype=np.int64) for r in rows])
+        got = _simhash_rows(H, M)
+        for i, r in enumerate(rows):
+            assert int(got[i]) == _py_simhash(r)
+
+    check()
