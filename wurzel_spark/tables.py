@@ -31,11 +31,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Parquet scan → Catalyst gets pushdown + pruning.
 
-    The ``events`` table stores nanosecond timestamps, which Spark rejects by
-    default (PARQUET_TYPE_ILLEGAL). We read them as LongType via the
-    runtime-settable ``nanosAsLong`` conf and truncate to microseconds with
-    integer division — bit-identical to how DuckDB reads the same file
-    (verified on every row at sf0.01).
+    The ``events`` table's ``ts`` column has shipped in two physical forms
+    across driver testdata generations: int64 *nanosecond* timestamps (which
+    Spark rejects by default, PARQUET_TYPE_ILLEGAL — read as LongType via the
+    runtime-settable ``nanosAsLong`` conf and truncated to micros), and naive
+    ``timestamp[us]`` (isAdjustedToUTC=false, which Spark 4 reads as
+    TIMESTAMP_NTZ). Both are normalized to TIMESTAMP: the session timezone is
+    pinned to UTC (session.py), so the NTZ→LTZ cast maps wall time to the
+    identical epoch micros DuckDB sees for the same naive values —
+    cross-engine bit-exact either way (verified on every row at sf0.01).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -43,6 +47,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
