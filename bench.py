@@ -90,20 +90,32 @@ def main() -> None:
             fn(spark, sf_dir).count()
             _gc_tick()
 
+    # Median of 3 timed executions per query: this box's host occasionally
+    # steals 2-3× wall-clock from one run (PERF.md documents the same code
+    # at 2.6 s and 8.6 s minutes apart) — a single sample turns that noise
+    # into the recorded number. The median discards one arbitrary stall
+    # per query while still charging every real cost.
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        _gc_tick()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
+        samples = []
+        n = 0
+        for _ in range(3):
+            _gc_tick()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        dt = sorted(samples)[1]
         times[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s median of {[round(s, 3) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     # Pinned comparison point: the identical oracle SQL on single-process
     # DuckDB over the same parquet — the de-facto baseline this repo is

@@ -130,6 +130,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    sort: bool = True,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
@@ -156,11 +157,12 @@ def ngram_jaccard_pairs(
         )
     )
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        pairs.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
+    out = pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
+    # Consumers that immediately re-shuffle (clustering, keep-set joins)
+    # pass sort=False — a global sort before another exchange is pure waste.
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 # -------------------------------------------------------------- MinHash
@@ -261,6 +263,25 @@ def _minhash_udf(num_hashes: int, n: int):
     return f
 
 
+def _band_hashes_rows(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(rows, bands) LSH band hashes: per band, a seeded splitmix64
+    hash-fold of its ``rows_per_band`` signature slots. Two docs share a
+    band hash iff they share the band's slot values (modulo 64-bit
+    collisions) — the same equality classes the banding needs, at a few
+    vectorized integer ops per slot instead of per-band string building."""
+    su = sig.view(np.uint64)
+    out = np.empty((su.shape[0], bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            h = np.full(
+                su.shape[0], _splitmix64(np.uint64(b + 1) * _SM_PHI), dtype=np.uint64
+            )
+            for r in range(rows_per_band):
+                h = _splitmix64(h ^ su[:, b * rows_per_band + r])
+            out[:, b] = h
+    return out.view(np.int64)
+
+
 def _word_hashes(text_col):
     """xxhash64 per word occurrence — the ONLY shape safe as an Arrow-kernel
     argument: a plain transform over the split. Wrapping it in the
@@ -299,6 +320,44 @@ def minhash_signatures(
     return base.select("id", _minhash_udf(num_hashes, n)("whs").alias("signature"))
 
 
+def minhash_banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, signature, bhs): MinHash signature plus its LSH band hashes,
+    both from the ONE Arrow kernel pass — the band fold costs a few
+    vectorized ops on numbers already in cache, vs. a separate JVM
+    projection that stringified each band to feed xxhash64."""
+    rows_per_band = num_hashes // bands
+    out_type = StructType(
+        [
+            StructField("signature", ArrayType(LongType())),
+            StructField("bhs", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _sig_bands(whs: pd.Series) -> pd.DataFrame:
+        arrs = whs.to_numpy()
+        if len(arrs) == 0:
+            return pd.DataFrame({"signature": [], "bhs": []})
+        H, M = _pad_hash_matrix(arrs)
+        sig = _minhash_rows(H, M, num_hashes, n)
+        bhs = _band_hashes_rows(sig, bands, rows_per_band)
+        return pd.DataFrame({"signature": list(sig), "bhs": list(bhs)})
+
+    base = _parallelize(df).select(
+        F.col(id_col).alias("id"), _word_hashes(F.col(text_col)).alias("whs")
+    ).filter(F.size("whs") > 0)
+    return base.select("id", _sig_bands("whs").alias("c")).select(
+        "id", F.col("c.signature").alias("signature"), F.col("c.bhs").alias("bhs")
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
@@ -306,17 +365,6 @@ def lsh_candidate_pairs(
     ``rows_per_band`` values; documents sharing any band hash are candidate
     near-duplicates. groupBy on (band_idx, band_hash) replaces the O(n²)
     comparison — the core trick that makes near-dedup feasible at 100 TB.
-    """
-    # transform(array(signature), sig -> ...) is a let-binding: the (large,
-    # folded) signature expression appears exactly ONCE in the plan even
-    # after Catalyst collapses projections — element_at per band position
-    # would inline it bands×rows times.
-    band_arr = f"""
-    transform(array(signature), sig ->
-      transform(sequence(0, {bands - 1}),
-                b -> xxhash64(array_join(
-                       transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}),
-                                 x -> cast(x AS string)), ','))))[0]
     """
     # Materialize the signature table once: it feeds both sides of the
     # self-join (without this the whole signature pipeline runs twice), and
@@ -328,10 +376,27 @@ def lsh_candidate_pairs(
     # FIRST shared band, replacing the distinct() that cost a full extra
     # shuffle over the candidate-pair set (pairs sharing j bands would
     # otherwise surface j times).
-    banded = (
-        sig_df.localCheckpoint()
-        .selectExpr("id", f"{band_arr} AS bhs")
-        .selectExpr("id", "bhs", "posexplode(bhs) AS (band_idx, band_hash)")
+    ckpt = sig_df.localCheckpoint()
+    if "bhs" in ckpt.columns:
+        # band hashes precomputed inside the signature kernel
+        # (minhash_banded_signatures / combined_near_dup_signatures)
+        with_bands = ckpt.select("id", "bhs")
+    else:
+        # derive from the raw signature JVM-side. transform(array(signature),
+        # sig -> ...) is a let-binding: the (large, folded) signature
+        # expression appears exactly ONCE in the plan even after Catalyst
+        # collapses projections — element_at per band position would inline
+        # it bands×rows times.
+        band_arr = f"""
+        transform(array(signature), sig ->
+          transform(sequence(0, {bands - 1}),
+                    b -> xxhash64(array_join(
+                           transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}),
+                                     x -> cast(x AS string)), ','))))[0]
+        """
+        with_bands = ckpt.selectExpr("id", f"{band_arr} AS bhs")
+    banded = with_bands.selectExpr(
+        "id", "bhs", "posexplode(bhs) AS (band_idx, band_hash)"
     )
     a, b = banded.alias("a"), banded.alias("b")
     first_shared = F.expr(
@@ -412,7 +477,7 @@ def minhash_dedup_pairs(
     Jaccard verification on candidates only.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sigs = minhash_banded_signatures(df, id_col, text_col, num_hashes, n, bands)
     # Materialize the (small) candidate list once: it feeds the id filter
     # and the pair join below, and without this the whole signature+banding
     # pipeline would be recomputed per use. localCheckpoint keeps it
@@ -532,6 +597,7 @@ def combined_near_dup_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     n: int = 3,
+    bands: int = 8,
 ) -> DataFrame:
     """BOTH near-dup signature families — 64-bit SimHash and the
     ``num_hashes``-slot MinHash signature — from ONE corpus pass.
@@ -558,10 +624,12 @@ def combined_near_dup_signatures(
     nothing, and the shingle hashes MinHash needs derive from the word
     hashes inside the kernel (see :func:`minhash_signatures`).
     """
+    rows_per_band = num_hashes // bands
     out_type = StructType(
         [
             StructField("simhash", LongType()),
             StructField("signature", ArrayType(LongType())),
+            StructField("bhs", ArrayType(LongType())),
         ]
     )
 
@@ -569,17 +637,23 @@ def combined_near_dup_signatures(
     def _combined(whs: pd.Series) -> pd.DataFrame:
         arrs = whs.to_numpy()
         if len(arrs) == 0:
-            return pd.DataFrame({"simhash": [], "signature": []})
+            return pd.DataFrame({"simhash": [], "signature": [], "bhs": []})
         H, M = _pad_hash_matrix(arrs)
         sig = _minhash_rows(H, M, num_hashes, n)
-        return pd.DataFrame({"simhash": _simhash_rows(H, M), "signature": list(sig)})
+        bhs = _band_hashes_rows(sig, bands, rows_per_band)
+        return pd.DataFrame(
+            {"simhash": _simhash_rows(H, M), "signature": list(sig), "bhs": list(bhs)}
+        )
 
     base = _parallelize(df).select(
         F.col(id_col).alias("id"), _word_hashes(F.col(text_col)).alias("whs")
     )
-    return base.select(
-        "id", _combined("whs").alias("c")
-    ).select("id", F.col("c.simhash").alias("simhash"), F.col("c.signature").alias("signature"))
+    return base.select("id", _combined("whs").alias("c")).select(
+        "id",
+        F.col("c.simhash").alias("simhash"),
+        F.col("c.signature").alias("signature"),
+        F.col("c.bhs").alias("bhs"),
+    )
 
 
 def combined_near_dup_pairs(
@@ -595,11 +669,11 @@ def combined_near_dup_pairs(
     """MinHash-LSH and SimHash near-dup pairs from one shared signature
     pass: ``method`` column says which family found the pair, ``score`` is
     the verified Jaccard (minhash) or hamming distance (simhash)."""
-    sigs = combined_near_dup_signatures(df, id_col, text_col, num_hashes, n)
+    sigs = combined_near_dup_signatures(df, id_col, text_col, num_hashes, n, bands)
     # one materialization feeds both pair pipelines
     sigs = sigs.localCheckpoint()
     cands = lsh_candidate_pairs(
-        sigs.select("id", "signature"), bands, num_hashes // bands
+        sigs.select("id", "bhs"), bands, num_hashes // bands
     ).localCheckpoint()
     mh = _verify_jaccard_pairs(df, cands, id_col, text_col, threshold, n)
     sh = simhash_band_pairs(sigs.select("id", "simhash"), max_hamming)
@@ -744,7 +818,7 @@ def near_dedup_keep_stats(
 
 def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, sort=False)
     return near_dedup_keep_stats(docs, pairs)
 
 
@@ -811,19 +885,33 @@ def near_dup_clusters(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     edges = edges.localCheckpoint(eager=True)
+    # The edge set is orders of magnitude smaller than the corpus (it's the
+    # post-threshold near-dup graph), so size the iteration's parallelism to
+    # IT, not to spark.sql.shuffle.partitions: a few-hundred-edge graph
+    # iterating over 32 mostly-empty shuffle partitions pays ~32× the task
+    # overhead per round for nothing. ~100k edges per partition keeps a
+    # 100 TB-scale dup graph distributed on the same formula.
+    n_edges = edges.count()  # cheap: checkpointed
+    n_parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    edges = edges.repartition(n_parts, "dst")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # Under min-label propagation every label is non-increasing, so the
+    # label SUM is strictly monotone until convergence — comparing sums is
+    # an exact changed-test and replaces the join+filter+count probe that
+    # cost a full extra shuffle per round.
+    prev_sum = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -833,16 +921,12 @@ def near_dup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # decimal(38,0) sum: immune to int64 overflow (ANSI would throw)
+        # for arbitrarily large id domains.
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("size"))
@@ -852,7 +936,7 @@ def near_dup_clusters(
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return near_dup_clusters(ngram_jaccard_pairs(docs, threshold=0.5))
+    return near_dup_clusters(ngram_jaccard_pairs(docs, threshold=0.5, sort=False))
 
 
 DEDUP_CLUSTERS_SQL = f"""

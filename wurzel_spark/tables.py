@@ -48,7 +48,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # NTZ wall time must map to the identical epoch DuckDB computes
+            # for the same naive values, i.e. be interpreted as UTC. The
+            # cast below resolves through the *session* timezone, so that
+            # only holds when the session is pinned to UTC — fail loudly if
+            # a caller built a session without session.py's pin, rather
+            # than silently shifting every epoch.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise RuntimeError(
+                    f"events.ts is TIMESTAMP_NTZ and requires a UTC session "
+                    f"timezone for epoch-correct conversion; got {tz!r}. "
+                    "Use wurzel_spark.session.get_spark() or set "
+                    "spark.sql.session.timeZone=UTC."
+                )
+            # Explicit TimestampType: cast("timestamp") resolves via
+            # spark.sql.timestampType and would no-op under TIMESTAMP_NTZ.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
     return spark.read.parquet(path)
 
