@@ -15,7 +15,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wurzel_spark.operators import asof, rangejoin, dedup, embedding, similarity, splitter, textstats
+from wurzel_spark.operators import (
+    asof,
+    rangejoin,
+    dedup,
+    embedding,
+    multimodal,
+    similarity,
+    splitter,
+    textstats,
+)
 from wurzel_spark.queries import events, relational
 
 
@@ -39,12 +48,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": dedup.q_simhash_pairs,
         "dedup_near_keep": dedup.q_dedup_near_keep,
         "dedup_clusters": dedup.q_dedup_clusters,
+        "containment_pairs": dedup.q_containment_pairs,
         # similarity search (embeddings)
         "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
         "embedding_norms": similarity.q_embedding_norms,
         "cosine_near_dup_pairs": similarity.q_cosine_near_dup_pairs,
         "ann_topk_lsh": similarity.q_ann_topk_lsh,
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
+        "ann_range_search": similarity.q_ann_range_search,
         # text analysis (documents)
         "doc_metrics": textstats.q_doc_metrics,
         "token_stats": textstats.q_token_stats,
@@ -57,6 +68,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": textstats.q_repetition_stats,
         "distinctive_terms": textstats.q_distinctive_terms,
         "mixture_sample": textstats.q_mixture_sample,
+        "pii_scan": textstats.q_pii_scan,
+        "bigram_lm_score": textstats.q_bigram_lm_score,
+        # multimodal (binary columns + mapInPandas decode plumbing)
+        "multimodal_manifest": multimodal.q_multimodal_manifest,
+        "multimodal_decode_stats": multimodal.q_multimodal_decode_stats,
         # document splitting (rows-only: tokenizer-defined chunk boundaries;
         # golden-value tests in tests/test_splitter.py)
         "semantic_split_chunks": splitter.q_semantic_split,
@@ -77,9 +93,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinctive shapes inside the window
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q12_priority_shipping": relational.q12_priority_shipping,
         "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
         "join_left_outer_order_counts": relational.join_left_outer_order_counts,
@@ -89,12 +102,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_stats": relational.distribution_stats,
         "topk_parts_by_size": relational.topk_parts_by_size,
         "grouping_rollup_orders": relational.grouping_rollup_orders,
+        # ---- driver 50-query window boundary (entries above are the
+        # per-family representatives; below are additional TPC-H analogs
+        # and relational variants, all hash-green in CORRECTNESS_r01/r02;
+        # q5/q6/q12/date_funcs/subquery/corr moved below the boundary in
+        # round 3 to admit the new curation/multimodal families — they
+        # remain oracle-verified by tools/verify_local.py) ----
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q12_priority_shipping": relational.q12_priority_shipping,
         "date_funcs_orders": relational.date_funcs_orders,
         "subquery_above_avg_orders": relational.subquery_above_avg_orders,
         "corr_quantity_price": relational.corr_quantity_price,
-        # ---- driver 50-query window boundary (entries above are the
-        # per-family representatives; below are additional TPC-H analogs
-        # and relational variants, all hash-green in CORRECTNESS_r01) ----
         "window_funcs_battery": relational.window_funcs_battery,
         "cube_order_stats": relational.cube_order_stats,
         "grouping_sets_orders": relational.grouping_sets_orders,
@@ -189,6 +208,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": similarity.ANN_TOPK_SQL,
         "embedding_norms": similarity.EMB_NORMS_SQL,
         "cosine_near_dup_pairs": similarity.COSINE_PAIRS_SQL,
+        "ann_range_search": similarity.ANN_RANGE_SQL,
+        "containment_pairs": dedup.CONTAINMENT_SQL,
+        "pii_scan": textstats.PII_SCAN_SQL,
+        "bigram_lm_score": textstats.BIGRAM_LM_SQL,
+        "multimodal_manifest": multimodal.MULTIMODAL_MANIFEST_SQL,
+        # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-
         # specific hashing → rows-only check; recall asserted in tests/.
     }

@@ -1,0 +1,98 @@
+"""Round-3 curation operators: PII scan, bigram LM familiarity,
+containment pairs, ANN range search, multimodal manifest."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from wurzel_spark.operators import multimodal, similarity, textstats
+from wurzel_spark.operators.dedup import containment_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_pii_scan_counts(spark):
+    rows = [
+        (1, "s", "contact a@b.com or c.d@example.org, call +49 171 1234567"),
+        (2, "s", "server at 10.0.0.1 and http://example.com/x plus https://y.z/a?b=1"),
+        (3, "s", "no pii here just words"),
+        (4, "s", "numbers 42 and 7 but no identifiers"),
+    ]
+    out = {r["doc_id"]: r for r in textstats.pii_scan(_docs(spark, rows)).collect()}
+    assert out[1]["n_emails"] == 2
+    assert out[1]["n_phones"] == 1
+    assert out[1]["pii_flag"] is True
+    assert out[2]["n_ipv4"] == 1
+    assert out[2]["n_urls"] == 2
+    assert out[2]["pii_flag"] is True  # ipv4 counts as identifier
+    assert out[3]["pii_flag"] is False
+    assert out[4]["n_numbers"] == 2
+    assert out[4]["pii_flag"] is False
+
+
+def test_bigram_lm_scores_corpus_typical_text_higher(spark):
+    # "the cat sat" bigrams dominate the corpus; doc 4 is gibberish with
+    # bigrams seen nowhere else -> lowest familiarity.
+    rows = [
+        (1, "s", "the cat sat on the mat"),
+        (2, "s", "the cat sat on the rug"),
+        (3, "s", "the cat sat on the floor"),
+        (4, "s", "zyx qwv jkl pqr"),
+    ]
+    out = {
+        r["doc_id"]: r for r in textstats.bigram_lm_score(_docs(spark, rows)).collect()
+    }
+    assert out[4]["familiarity"] < out[1]["familiarity"]
+    assert out[1]["n_bigrams"] == 5
+    # hand-check doc 4: 3 bigrams each with corpus count 1; prefix counts 1;
+    # V = distinct PREFIX words across the corpus (doc-final words like
+    # mat/rug/floor/pqr are never bigram prefixes)
+    v = len({"the", "cat", "sat", "on", "zyx", "qwv", "jkl"})
+    expect = (3 + 3) / (3 + 3 * v)
+    assert math.isclose(out[4]["familiarity"], expect, rel_tol=1e-12)
+
+
+def test_containment_detects_subset_doc(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "s", base),
+        (2, "s", base + " extra words appended here making it much longer " * 3),
+        (3, "s", "totally different content with no shared shingles at all ok"),
+    ]
+    out = containment_pairs(_docs(spark, rows), threshold=0.6).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # every shingle of doc 1 appears in doc 2
+    assert r["containment_a_in_b"] == 1.0
+    assert r["containment_b_in_a"] < 1.0
+    assert r["jaccard"] < 0.6  # symmetric measure would have missed it
+    assert not any(3 in p for p in pairs)
+
+
+def test_range_search_threshold_and_exclusion(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.range_search(emb, emb.filter(F.col("vec_id") == 0), threshold=0.9)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert got == {(0, 1)}  # vec 2 orthogonal, self excluded
+
+
+def test_multimodal_manifest_and_decode(spark, sf_dir):
+    man = multimodal.q_multimodal_manifest(spark, sf_dir)
+    rows = man.collect()
+    assert len(rows) == 500
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    assert all(len(r["content_sha256"]) == 64 for r in rows[:10])
+    dec = multimodal.q_multimodal_decode_stats(spark, sf_dir)
+    drows = dec.collect()
+    # only image-kind assets decode; deterministic fake codec
+    assert len(drows) == sum(1 for r in rows if r["kind"] == "image")
+    assert all(0.0 <= r["mean_r"] <= 255.0 for r in drows[:10])

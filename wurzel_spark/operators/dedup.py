@@ -957,3 +957,78 @@ labels AS (
 SELECT label AS cluster_id, COUNT(*) AS size
 FROM labels GROUP BY label ORDER BY cluster_id
 """
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle-set containment
+    ``|A∩B| / |A|`` in both directions. Catches near-SUBSET duplication —
+    a doc embedded in a longer one — which symmetric Jaccard dilutes
+    toward 0 as the length gap grows (the standard curation companion to
+    :func:`ngram_jaccard_pairs`; cf. Broder's containment measure).
+
+    Same single-shuffle shape as the Jaccard operator: each exploded
+    shingle row carries its doc's set size, so both containments and the
+    Jaccard come out of one shingle equi-join + count. Pairs pass when
+    EITHER direction reaches the threshold. Floats are each a single
+    IEEE division of exact int64s — bit-reproducible in any row order.
+    """
+    sh = _parallelize(df).select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("arr")
+    ).select("id", F.size("arr").alias("n"), F.explode("arr").alias("shingle"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+    )
+    inter = F.col("n_inter").cast("double")
+    cont_a = inter / F.col("n_a").cast("double")
+    cont_b = inter / F.col("n_b").cast("double")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cont_a.alias("containment_a_in_b"),
+            cont_b.alias("containment_b_in_a"),
+            (
+                inter / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(table(spark, sf_dir, "documents"), threshold=0.6)
+
+
+CONTAINMENT_SQL = f"""
+WITH {_JACCARD_PAIRS_CTE.split(', pairs AS')[0]}, inter2 AS (
+  SELECT id_a, id_b, n_inter, sa.n_shingles AS n_a, sb.n_shingles AS n_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a_in_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b_in_a,
+       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+FROM inter2
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.6
+   OR CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) >= 0.6
+ORDER BY id_a, id_b
+"""

@@ -202,3 +202,90 @@ def repartition_by_size(df: DataFrame, target_bytes: int = 128 * 1024 * 1024) ->
         int((sized.agg(F.sum("__sz")).collect()[0][0] or 0) / target_bytes),
     )
     return sized.repartitionByRange(n, F.col("__sz"), F.col("asset_id")).drop("__sz")
+
+
+# ---------------------------------------------------------------- queries
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic multimodal asset table derived from ``documents``:
+    content = the utf-8 bytes of the text (an opaque blob as far as every
+    operator here is concerned), kind/mime assigned round-robin by doc_id,
+    dimensions from the byte length. This is the driver-checkable stand-in
+    for a real asset lake — the binary column, metadata struct, and every
+    mapInPandas operator run exactly as they would on real media bytes.
+    """
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    nb = F.octet_length("text")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            mime.alias("mime"),
+            (nb % 48 + 16).cast("int").alias("width"),
+            # integer division (div) — double `/` plus a truncating cast
+            # rounds differently across engines
+            (F.expr("octet_length(text) div 7") % 48 + 16).cast("int").alias("height"),
+            (nb * 20).cast("long").alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_manifest(spark, sf_dir: str) -> DataFrame:
+    """Asset-lake manifest: per-asset byte size + content digest + typed
+    metadata — the first query any multimodal pipeline runs (dedup by
+    digest, size-binned partition planning). Exercises the binary column
+    end-to-end; the digest/size math is SQL-expressible so the driver's
+    oracle checks it exactly.
+    """
+    from wurzel_spark.tables import table as _table
+
+    assets = assets_from_documents(_table(spark, sf_dir, "documents"))
+    return assets.select(
+        "asset_id",
+        "kind",
+        F.col("meta.mime").alias("mime"),
+        F.length("content").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha256"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    ).orderBy("asset_id")
+
+
+MULTIMODAL_MANIFEST_SQL = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS content_sha256,
+       CAST(octet_length(encode(text)) % 48 + 16 AS INT) AS width,
+       CAST((octet_length(encode(text)) // 7) % 48 + 16 AS INT) AS height,
+       CAST(octet_length(encode(text)) * 20 AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY asset_id
+"""
+
+
+def q_multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
+    """Image-decode feature extraction over the asset table's image slice —
+    the real mapInPandas decode path (deterministic stub codec; rows-only
+    driver check since the codec is engine-internal by construction)."""
+    from wurzel_spark.tables import table as _table
+
+    assets = assets_from_documents(_table(spark, sf_dir, "documents"))
+    return decode_images(repartition_by_size(assets)).orderBy("asset_id")

@@ -455,3 +455,62 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < 8)
     query = emb.filter(F.col("vec_id") < 3)
     return ivf_topk(emb, query, centroids, k=10, nprobe=3)
+
+
+def range_search(
+    emb: DataFrame,
+    query: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) search: every corpus vector within a cosine
+    threshold of each query vector — the other half of the standard ANN
+    API next to top-k.
+
+    Same 100 TB shape as :func:`brute_force_topk` minus the window: one
+    scan, queries broadcast, and the threshold filter runs inside the
+    scan's codegen stage, so the shuffle carries only matches (for a
+    selective threshold, almost nothing). An LSH/IVF pre-filter composes
+    in front of it exactly as for top-k when the radius is tight.
+    """
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    return (
+        emb.alias("e")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col(f"e.{id_col}").alias("neighbor_id"),
+            cosine_pd(F.col("query_vec"), F.col(f"e.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("cos_sim") >= threshold)
+        )
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All neighbors of the first 3 vectors with cosine ≥ 0.3 (the
+    synthetic corpus tops out near 0.51, so the radius is selective but
+    non-empty)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return range_search(emb, emb.filter(F.col("vec_id") < 3), threshold=0.3)
+
+
+ANN_RANGE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3)
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id != q.query_id
+  AND list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) >= 0.3
+ORDER BY query_id, neighbor_id
+"""

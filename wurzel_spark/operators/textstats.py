@@ -628,3 +628,160 @@ SELECT COUNT(*) AS total_docs,
        CAST(SUM(CASE WHEN n_chars != LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatches
 FROM documents
 """
+
+
+# ----------------------------------------------------- PII / contamination
+
+# RE2-safe patterns (no lookaround, no backrefs) so the Java-regex (Spark)
+# and RE2 (DuckDB oracle) engines find identical matches.
+PII_PATTERNS: dict[str, str] = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^\s]+",
+    "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "n_phones": r"\+\d[\d\-\. ]{7,}\d",
+    "n_numbers": r"\d+",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII / contamination counters: emails, URLs, IPv4s,
+    phone-ish numbers, digit runs — the pre-training redaction/filter scan
+    a 100 TB curation pipeline runs before anything else.
+
+    Pure ``regexp_count`` column algebra: one scan, no UDFs, no shuffle —
+    each pattern is a codegen'd regex pass over the text column. The
+    reference's closest analog is its URL regex replacement
+    (wurzel/steps/embedding/step.py:36,214-233); this generalizes it to
+    the standard contamination screen.
+    """
+    c = F.col(text_col)
+    counters = [
+        F.regexp_count(c, F.lit(p)).cast("long").alias(name)
+        for name, p in PII_PATTERNS.items()
+    ]
+    flag = (
+        (F.regexp_count(c, F.lit(PII_PATTERNS["n_emails"])) > 0)
+        | (F.regexp_count(c, F.lit(PII_PATTERNS["n_ipv4"])) > 0)
+        | (F.regexp_count(c, F.lit(PII_PATTERNS["n_phones"])) > 0)
+    )
+    return df.select("doc_id", *counters, flag.alias("pii_flag")).orderBy("doc_id")
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scan(table(spark, sf_dir, "documents"))
+
+
+def _pii_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS {name}"
+        for name, p in PII_PATTERNS.items()
+    )
+    return f"""
+SELECT doc_id,
+       {cols},
+       (len(regexp_extract_all(text, '{PII_PATTERNS["n_emails"]}')) > 0
+        OR len(regexp_extract_all(text, '{PII_PATTERNS["n_ipv4"]}')) > 0
+        OR len(regexp_extract_all(text, '{PII_PATTERNS["n_phones"]}')) > 0) AS pii_flag
+FROM documents
+ORDER BY doc_id
+"""
+
+
+PII_SCAN_SQL = _pii_sql()
+
+
+# --------------------------------------------------- bigram LM familiarity
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-bigram familiarity score — a self-trained language-model
+    fluency proxy: how corpus-typical each document's word bigrams are.
+
+    Per doc: ``score = (Σ c(w1,w2) + n) / (Σ c(w1) + n·V)`` over the doc's
+    ``n`` bigrams, where ``c`` are CORPUS bigram/prefix counts and ``V``
+    the corpus prefix vocabulary — a pooled add-one-smoothed conditional
+    probability (ratio of sums, not mean of ratios: the sums stay exact
+    int64 until ONE final IEEE division, which is bit-reproducible across
+    engines and row orders; per-bigram double averaging would be neither).
+    Boilerplate scores high, gibberish scores low — the cheap LM-quality
+    filter a curation pipeline applies corpus-wide.
+
+    Scale shape: one bigram explode (zip of two array slices — no
+    self-join), two count aggregations over (w1,w2)/(w1), a re-join of the
+    doc bigrams against those counts, and a per-doc aggregate. All keys
+    are the bigram/prefix strings themselves so the DuckDB oracle can
+    reproduce counts exactly; a production variant would xxhash64 the
+    words first so shuffles carry longs (collision-merge odds ~n²/2⁶⁵).
+    """
+    ws = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    toks = df.select(F.col("doc_id"), ws.alias("ws")).filter(F.size("ws") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                F.slice("ws", 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = bg.select(F.countDistinct("w1").alias("v"))
+    return (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cbg").alias("sum_cbg"),
+            F.sum("cu").alias("sum_cu"),
+        )
+        .crossJoin(v)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_cbg",
+            "sum_cu",
+            (
+                (F.col("sum_cbg") + F.col("n_bigrams")).cast("double")
+                / (F.col("sum_cu") + F.col("n_bigrams") * F.col("v")).cast("double")
+            ).alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_score(table(spark, sf_dir, "documents"))
+
+
+BIGRAM_LM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), eligible AS (
+  SELECT doc_id, ws FROM toks WHERE len(ws) >= 2
+), bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM eligible, UNNEST(range(1, len(ws))) AS t(i)
+), cbg AS (
+  SELECT w1, w2, COUNT(*) AS cbg FROM bg GROUP BY w1, w2
+), cu AS (
+  SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT w1) AS v FROM bg
+), per_doc AS (
+  SELECT bg.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(cbg.cbg) AS BIGINT) AS sum_cbg,
+         CAST(SUM(cu.cu) AS BIGINT) AS sum_cu
+  FROM bg JOIN cbg ON bg.w1 = cbg.w1 AND bg.w2 = cbg.w2
+          JOIN cu ON bg.w1 = cu.w1
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, sum_cbg, sum_cu,
+       CAST(sum_cbg + n_bigrams AS DOUBLE)
+         / CAST(sum_cu + n_bigrams * v.v AS DOUBLE) AS familiarity
+FROM per_doc CROSS JOIN v
+ORDER BY doc_id
+"""
