@@ -53,6 +53,14 @@ HEADLINE = [
     "mixture_sample",
     "dedup_near_keep",
     "dedup_clusters",
+    # round 3: contamination / LM-quality / containment / radius-search /
+    # multimodal manifest + the one-pass combined near-dup family
+    "pii_scan",
+    "bigram_lm_score",
+    "containment_pairs",
+    "ann_range_search",
+    "multimodal_manifest",
+    "combined_near_dup_pairs",
 ]
 
 

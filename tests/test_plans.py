@@ -151,3 +151,55 @@ def test_grouping_sets_single_expand(spark, sf_dir):
     assert txt.count("Expand") >= 1
     # formatted mode lists each node twice (tree + details) — one scan = 2
     assert txt.lower().count("scan parquet") <= 2, "orders scanned more than once"
+
+
+def test_pii_scan_stays_jvm_and_prunes(spark, sf_dir):
+    """PII counters are pure regexp_count algebra: zero Python evals, scan
+    reads only (doc_id, text)."""
+    from wurzel_spark.operators import textstats
+
+    df = textstats.q_pii_scan(spark, sf_dir)
+    rep = plan_report(df)
+    assert rep["python_evals"] == 0
+    assert_read_schema_only(
+        df, {"doc_id", "text", "lang", "source", "n_chars"}, {"doc_id", "text"}
+    )
+
+
+def test_bigram_lm_no_python_and_pruned_scan(spark, sf_dir):
+    from wurzel_spark.operators import textstats
+
+    df = textstats.q_bigram_lm_score(spark, sf_dir)
+    rep = plan_report(df)
+    assert rep["python_evals"] == 0
+    assert_read_schema_only(
+        df, {"doc_id", "text", "lang", "source", "n_chars"}, {"doc_id", "text"}
+    )
+
+
+def test_minhash_banding_has_no_string_band_hashing(spark, sf_dir):
+    """Band hashes come from the Arrow kernel: the pair-join plan must not
+    rebuild them via array_join/cast-to-string over the signature."""
+    from wurzel_spark.operators import dedup
+    from wurzel_spark.plans.inspect import plan_text
+    from wurzel_spark.tables import table
+
+    df = dedup.minhash_dedup_pairs(table(spark, sf_dir, "documents"))
+    s = plan_text(df)
+    assert "array_join" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_range_search_broadcasts_queries(spark, sf_dir):
+    """Radius search must broadcast the (tiny) query side — the corpus scan
+    must not shuffle."""
+    from wurzel_spark.operators import similarity
+    from wurzel_spark.plans.inspect import plan_text
+    from wurzel_spark.tables import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    df = similarity.range_search(emb, emb.filter(F.col("vec_id") < 3), 0.3)
+    s = plan_text(df)
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+    assert s.count("SortMergeJoin") == 0
