@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_keep": dedup.q_dedup_near_keep,
         "dedup_clusters": dedup.q_dedup_clusters,
         "containment_pairs": dedup.q_containment_pairs,
+        "duplicated_spans": dedup.q_duplicated_spans,
         # similarity search (embeddings)
         "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
         "embedding_norms": similarity.q_embedding_norms,
@@ -101,13 +102,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue_7d": relational.rolling_revenue_7d,
         "distribution_stats": relational.distribution_stats,
         "topk_parts_by_size": relational.topk_parts_by_size,
-        "grouping_rollup_orders": relational.grouping_rollup_orders,
         # ---- driver 50-query window boundary (entries above are the
         # per-family representatives; below are additional TPC-H analogs
         # and relational variants, all hash-green in CORRECTNESS_r01/r02;
         # q5/q6/q12/date_funcs/subquery/corr moved below the boundary in
         # round 3 to admit the new curation/multimodal families — they
         # remain oracle-verified by tools/verify_local.py) ----
+        "grouping_rollup_orders": relational.grouping_rollup_orders,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q12_priority_shipping": relational.q12_priority_shipping,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dup_pairs": similarity.COSINE_PAIRS_SQL,
         "ann_range_search": similarity.ANN_RANGE_SQL,
         "containment_pairs": dedup.CONTAINMENT_SQL,
+        "duplicated_spans": dedup.DUP_SPANS_SQL,
         "pii_scan": textstats.PII_SCAN_SQL,
         "bigram_lm_score": textstats.BIGRAM_LM_SQL,
         "multimodal_manifest": multimodal.MULTIMODAL_MANIFEST_SQL,

@@ -58,6 +58,7 @@ HEADLINE = [
     "pii_scan",
     "bigram_lm_score",
     "containment_pairs",
+    "duplicated_spans",
     "ann_range_search",
     "multimodal_manifest",
     "combined_near_dup_pairs",

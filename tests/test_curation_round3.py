@@ -96,3 +96,23 @@ def test_multimodal_manifest_and_decode(spark, sf_dir):
     # only image-kind assets decode; deterministic fake codec
     assert len(drows) == sum(1 for r in rows if r["kind"] == "image")
     assert all(0.0 <= r["mean_r"] <= 255.0 for r in drows[:10])
+
+
+def test_duplicated_spans_finds_shared_boilerplate(spark):
+    from wurzel_spark.operators.dedup import duplicated_span_stats
+
+    boiler = " ".join(f"b{i}" for i in range(20))  # a 20-token shared span
+    rows = [
+        (1, "s", boiler + " unique one tail here"),
+        (2, "s", "different head words then " + boiler),
+        (3, "s", " ".join(f"u{i}" for i in range(30))),
+        (4, "s", "short doc"),  # < n tokens -> single whole-doc span
+        (5, "s", "short doc"),  # exact dup of 4 -> cross-doc duplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in duplicated_span_stats(df, n=20).collect()}
+    assert out[1]["n_dup_spans"] >= 1  # the boilerplate span matched doc 2
+    assert out[2]["n_dup_spans"] >= 1
+    assert out[3]["n_dup_spans"] == 0
+    assert out[4]["n_spans"] == 1 and out[4]["dup_span_frac"] == 1.0
+    assert out[5]["dup_span_frac"] == 1.0

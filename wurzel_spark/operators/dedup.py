@@ -1032,3 +1032,89 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.6
    OR CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) >= 0.6
 ORDER BY id_a, id_b
 """
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN statistics: for every token position,
+    does the ``n``-token span starting there also occur in some OTHER
+    document? Span-level exact-substring dedup (the Lee et al. 2022
+    "Deduplicating Training Data" shape) — catches shared boilerplate
+    paragraphs that document-level Jaccard/MinHash dilute away.
+
+    Per doc: ``n_spans`` (token positions), ``n_dup_spans`` (positions
+    whose span occurs in ≥1 other doc), ``dup_span_frac`` (one IEEE
+    division of exact int64s — cross-engine bit-stable).
+
+    Scale shape: spans are NON-distinct rolling xxhash64 n-grams (one long
+    per token position — linear in corpus tokens); one groupBy(hash) →
+    distinct-doc count, one join back on the hash, one per-doc aggregate.
+    Shuffles carry (hash, id) longs only — the text never moves. The
+    DuckDB oracle builds literal span strings instead of hashes; counts
+    agree since 64-bit collisions are negligible (~positions²/2⁶⁵).
+    """
+    whs = F.transform(TXT.words(F.col(text_col)), lambda w: F.xxhash64(w))
+    k = F.size("whs") - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.slice("whs", i, n))),
+    ).otherwise(F.array(F.xxhash64("whs")))
+    spans = (
+        _parallelize(df)
+        .select(F.col(id_col).alias("id"), whs.alias("whs"))
+        .filter(F.size("whs") > 0)
+        .select("id", F.explode(grams).alias("h"))
+    )
+    counts = spans.groupBy("h").agg(F.count_distinct("id").alias("n_docs"))
+    return (
+        spans.join(counts, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "n_dup_spans",
+            (
+                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double")
+            ).alias("dup_span_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicated_span_stats(table(spark, sf_dir, "documents"), n=20)
+
+
+DUP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, ws FROM toks WHERE len(ws) > 0
+), spans AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 20
+              THEN array_to_string(ws[i:i+19], ' ')
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM nonempty, UNNEST(range(1, GREATEST(len(ws) - 18, 2))) AS t(i)
+), counts AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS n_docs FROM spans GROUP BY g
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_span_frac
+FROM spans s JOIN counts c ON s.g = c.g
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
