@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.q_dedup_clusters,
         "containment_pairs": dedup.q_containment_pairs,
         "duplicated_spans": dedup.q_duplicated_spans,
+        "decontamination_overlap": dedup.q_decontamination,
         # similarity search (embeddings)
         "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
         "embedding_norms": similarity.q_embedding_norms,
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": similarity.q_ann_topk_lsh,
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "ann_range_search": similarity.q_ann_range_search,
+        "kmeans_cell_stats": similarity.q_kmeans_cell_stats,
         # text analysis (documents)
         "doc_metrics": textstats.q_doc_metrics,
         "token_stats": textstats.q_token_stats,
@@ -100,14 +102,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_nation_overlap": relational.setop_nation_overlap,
         "window_order_rank": relational.window_order_rank,
         "rolling_revenue_7d": relational.rolling_revenue_7d,
-        "distribution_stats": relational.distribution_stats,
-        "topk_parts_by_size": relational.topk_parts_by_size,
         # ---- driver 50-query window boundary (entries above are the
         # per-family representatives; below are additional TPC-H analogs
         # and relational variants, all hash-green in CORRECTNESS_r01/r02;
         # q5/q6/q12/date_funcs/subquery/corr moved below the boundary in
         # round 3 to admit the new curation/multimodal families — they
         # remain oracle-verified by tools/verify_local.py) ----
+        "distribution_stats": relational.distribution_stats,
+        "topk_parts_by_size": relational.topk_parts_by_size,
         "grouping_rollup_orders": relational.grouping_rollup_orders,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
@@ -212,6 +214,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_range_search": similarity.ANN_RANGE_SQL,
         "containment_pairs": dedup.CONTAINMENT_SQL,
         "duplicated_spans": dedup.DUP_SPANS_SQL,
+        "decontamination_overlap": dedup.DECONTAMINATION_SQL,
+        "kmeans_cell_stats": similarity.KMEANS_CELLS_SQL,
         "pii_scan": textstats.PII_SCAN_SQL,
         "bigram_lm_score": textstats.BIGRAM_LM_SQL,
         "multimodal_manifest": multimodal.MULTIMODAL_MANIFEST_SQL,

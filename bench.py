@@ -59,7 +59,9 @@ HEADLINE = [
     "bigram_lm_score",
     "containment_pairs",
     "duplicated_spans",
+    "decontamination_overlap",
     "ann_range_search",
+    "kmeans_cell_stats",
     "multimodal_manifest",
     "combined_near_dup_pairs",
 ]

@@ -116,3 +116,33 @@ def test_duplicated_spans_finds_shared_boilerplate(spark):
     assert out[3]["n_dup_spans"] == 0
     assert out[4]["n_spans"] == 1 and out[4]["dup_span_frac"] == 1.0
     assert out[5]["dup_span_frac"] == 1.0
+
+
+def test_decontamination_overlap_direction(spark):
+    from wurzel_spark.operators.dedup import decontamination_overlap
+
+    bench = " ".join(f"e{i}" for i in range(13))  # a 13-token eval span
+    corpus_rows = [
+        (1, "s", "lead in words " + bench + " trailing things"),
+        (2, "s", " ".join(f"c{i}" for i in range(30))),
+    ]
+    eval_rows = [(100, "eval", bench)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, source string, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in decontamination_overlap(corpus, ev, n=13).collect()}
+    assert out[1]["n_contaminated"] == 1  # exactly the planted span
+    assert out[2]["n_contaminated"] == 0
+    assert 0 < out[1]["contamination_frac"] < 1
+
+
+def test_kmeans_cell_stats_partitions_all_vectors(spark, sf_dir):
+    from wurzel_spark.operators import similarity
+    from wurzel_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.q_kmeans_cell_stats(spark, sf_dir).collect()
+    assert sum(r["n_vectors"] for r in out) == emb.count()  # total partition
+    assert all(r["max_sim"] >= r["min_sim"] for r in out)
+    # every seed vector lands in its own cell with sim 1.0
+    cells = {r["cell"]: r for r in out}
+    assert all(abs(cells[i]["max_sim"] - 1.0) < 1e-12 for i in cells)

@@ -1118,3 +1118,99 @@ FROM spans s JOIN counts c ON s.g = c.g
 GROUP BY s.doc_id
 ORDER BY s.doc_id
 """
+
+
+def decontamination_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    ``n``-token spans that occur anywhere in an evaluation set — the
+    pre-training hygiene check (13-gram overlap is the published GPT-3
+    appendix-C convention) run before any benchmark number is reported.
+
+    Asymmetric by design: eval spans form a (deduplicated) reference set;
+    corpus docs are scored against it. Scale shape: the eval span table is
+    usually tiny relative to the corpus → distinct span hashes + LEFT SEMI
+    join against it (broadcast when small, shuffle-hash otherwise — AQE
+    decides); the corpus side streams one (hash, id) long pair per token
+    position. Counts use hashed spans; the DuckDB oracle uses literal span
+    strings — identical up to negligible 64-bit collisions.
+    """
+    def span_hashes(df: DataFrame) -> DataFrame:
+        whs = F.transform(TXT.words(F.col(text_col)), lambda w: F.xxhash64(w))
+        k = F.size("whs") - F.lit(n - 1)
+        grams = F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.slice("whs", i, n))
+            ),
+        ).otherwise(F.array(F.xxhash64("whs")))
+        return (
+            _parallelize(df)
+            .select(F.col(id_col).alias("id"), whs.alias("whs"))
+            .filter(F.size("whs") > 0)
+            .select("id", F.explode(grams).alias("h"))
+        )
+
+    eval_spans = span_hashes(eval_set).select("h").distinct()
+    marked = span_hashes(corpus).join(
+        eval_spans.withColumn("contaminated", F.lit(1)), "h", "left"
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("contaminated"), F.lit(0)).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_spans").cast("double")
+            ).alias("contamination_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scored against a stand-in eval set (every 100th document)."""
+    docs = table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 100 == 0)
+    return decontamination_overlap(docs.filter(F.col("doc_id") % 100 != 0), eval_set, n=13)
+
+
+DECONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, ws FROM toks WHERE len(ws) > 0
+), spans AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 13
+              THEN array_to_string(ws[i:i+12], ' ')
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM nonempty, UNNEST(range(1, GREATEST(len(ws) - 11, 2))) AS t(i)
+), eval_spans AS (
+  SELECT DISTINCT g FROM spans WHERE doc_id % 100 = 0
+), corpus AS (
+  SELECT doc_id, g FROM spans WHERE doc_id % 100 != 0
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS contamination_frac
+FROM corpus c LEFT JOIN eval_spans e ON c.g = e.g
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""

@@ -514,3 +514,78 @@ WHERE e.vec_id != q.query_id
            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) >= 0.3
 ORDER BY query_id, neighbor_id
 """
+
+
+def cell_stats(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-assignment statistics — one Lloyd/IVF assignment step made
+    driver-checkable: per nearest-centroid cell, member count and the
+    min/max member-to-centroid cosine (min/max chosen over mean because
+    they are order-independent, so the result is bit-stable across any
+    partitioning; a mean of doubles is not).
+
+    This is the balance/occupancy readout an embedding-clustering pipeline
+    watches (skewed cells → re-seed or split) and the partition-planning
+    input for IVF search at 100 TB (cells map to partitions).
+    """
+    from pyspark.sql import Window as W
+
+    c = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid_vec")
+    )
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "cell",
+        cosine_pd(F.col(vec_col), F.col("centroid_vec")).alias("sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("sim"), "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("sim").alias("min_sim"),
+            F.max("sim").alias("max_sim"),
+        )
+        .orderBy("cell")
+    )
+
+
+def q_kmeans_cell_stats(spark, sf_dir: str) -> DataFrame:
+    """Assignment step over 8 deterministic seeds (first 8 vectors)."""
+    from wurzel_spark.tables import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return cell_stats(emb, emb.filter(F.col("vec_id") < 8))
+
+
+KMEANS_CELLS_SQL = """
+WITH c AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cell, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+  FROM scored
+)
+SELECT cell,
+       COUNT(*) AS n_vectors,
+       MIN(sim) AS min_sim,
+       MAX(sim) AS max_sim
+FROM assigned WHERE rn = 1
+GROUP BY cell
+ORDER BY cell
+"""
