@@ -146,3 +146,71 @@ def test_kmeans_cell_stats_partitions_all_vectors(spark, sf_dir):
     # every seed vector lands in its own cell with sim 1.0
     cells = {r["cell"]: r for r in out}
     assert all(abs(cells[i]["max_sim"] - 1.0) < 1e-12 for i in cells)
+
+
+def test_duplicated_spans_matches_pure_python_on_random_corpus(spark):
+    """Seeded random corpus vs a pure-Python twin — exact row equality."""
+    import random
+
+    from wurzel_spark.operators.dedup import duplicated_span_stats
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    n = 5
+    rows = [
+        (i, "s", " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(50)
+    ]
+    # pure-python expected
+    span_docs = {}
+    doc_spans = {}
+    for i, _, text in rows:
+        ws = text.split()
+        grams = (
+            [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+            if len(ws) >= n
+            else [" ".join(ws)]
+        )
+        doc_spans[i] = grams
+        for g in grams:
+            span_docs.setdefault(g, set()).add(i)
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in duplicated_span_stats(df, n=n).collect()}
+    for i, _, _ in rows:
+        grams = doc_spans[i]
+        dup = sum(1 for g in grams if len(span_docs[g]) >= 2)
+        assert got[i]["n_spans"] == len(grams), i
+        assert got[i]["n_dup_spans"] == dup, i
+
+
+def test_bigram_lm_matches_pure_python_on_random_corpus(spark):
+    import random
+
+    from wurzel_spark.operators import textstats
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (i, "s", " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 25))))
+        for i in range(40)
+    ]
+    cbg, cu = {}, {}
+    doc_bg = {}
+    for i, _, text in rows:
+        ws = text.split()
+        bgs = list(zip(ws, ws[1:]))
+        doc_bg[i] = bgs
+        for a, b in bgs:
+            cbg[(a, b)] = cbg.get((a, b), 0) + 1
+            cu[a] = cu.get(a, 0) + 1
+    v = len(cu)
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in textstats.bigram_lm_score(df).collect()}
+    for i, _, _ in rows:
+        bgs = doc_bg[i]
+        scbg = sum(cbg[p] for p in bgs)
+        scu = sum(cu[p[0]] for p in bgs)
+        assert got[i]["sum_cbg"] == scbg, i
+        assert got[i]["sum_cu"] == scu, i
+        expect = (scbg + len(bgs)) / (scu + len(bgs) * v)
+        assert abs(got[i]["familiarity"] - expect) < 1e-15, i
