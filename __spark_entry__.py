@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": textstats.q_mixture_sample,
         "pii_scan": textstats.q_pii_scan,
         "bigram_lm_score": textstats.q_bigram_lm_score,
+        "gopher_quality_flags": textstats.q_gopher_quality,
         # multimodal (binary columns + mapInPandas decode plumbing)
         "multimodal_manifest": multimodal.q_multimodal_manifest,
         "multimodal_decode_stats": multimodal.q_multimodal_decode_stats,
@@ -98,16 +99,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
-        "join_left_outer_order_counts": relational.join_left_outer_order_counts,
         "setop_nation_overlap": relational.setop_nation_overlap,
         "window_order_rank": relational.window_order_rank,
-        "rolling_revenue_7d": relational.rolling_revenue_7d,
         # ---- driver 50-query window boundary (entries above are the
         # per-family representatives; below are additional TPC-H analogs
         # and relational variants, all hash-green in CORRECTNESS_r01/r02;
         # q5/q6/q12/date_funcs/subquery/corr moved below the boundary in
         # round 3 to admit the new curation/multimodal families — they
         # remain oracle-verified by tools/verify_local.py) ----
+        "join_left_outer_order_counts": relational.join_left_outer_order_counts,
+        "rolling_revenue_7d": relational.rolling_revenue_7d,
         "distribution_stats": relational.distribution_stats,
         "topk_parts_by_size": relational.topk_parts_by_size,
         "grouping_rollup_orders": relational.grouping_rollup_orders,
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cell_stats": similarity.KMEANS_CELLS_SQL,
         "pii_scan": textstats.PII_SCAN_SQL,
         "bigram_lm_score": textstats.BIGRAM_LM_SQL,
+        "gopher_quality_flags": textstats.GOPHER_SQL,
         "multimodal_manifest": multimodal.MULTIMODAL_MANIFEST_SQL,
         # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-

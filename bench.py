@@ -57,6 +57,7 @@ HEADLINE = [
     # multimodal manifest + the one-pass combined near-dup family
     "pii_scan",
     "bigram_lm_score",
+    "gopher_quality_flags",
     "containment_pairs",
     "duplicated_spans",
     "decontamination_overlap",

@@ -214,3 +214,21 @@ def test_bigram_lm_matches_pure_python_on_random_corpus(spark):
         assert got[i]["sum_cu"] == scu, i
         expect = (scbg + len(bgs)) / (scu + len(bgs) * v)
         assert abs(got[i]["familiarity"] - expect) < 1e-15, i
+
+
+def test_gopher_flags_on_crafted_docs(spark):
+    from wurzel_spark.operators import textstats
+
+    good = "the data and results show that we have agreement with theory " * 10
+    rows = [
+        (1, "s", good),                              # passes everything
+        (2, "s", "tiny doc"),                        # fails word count
+        (3, "s", "### " * 60 + good),                # symbol ratio blown
+        (4, "s", "\n".join("- item" for _ in range(20))),  # all bullets
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in textstats.gopher_quality_flags(df).collect()}
+    assert out[1]["gopher_keep"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["gopher_keep"] is False
+    assert out[3]["ok_symbol_ratio"] is False
+    assert out[4]["ok_bullet_lines"] is False

@@ -826,3 +826,109 @@ SELECT doc_id, n_bigrams, sum_cbg, sum_cu,
 FROM per_doc CROSS JOIN v
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------ Gopher rule battery
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher quality-filter rule battery (Rae et al. 2021, §A1.1) —
+    the standard pre-training document filter, one boolean per rule plus
+    the combined keep/drop verdict:
+
+      - word count in [50, 100_000]
+      - mean word length in [3, 10] characters
+      - symbol-to-word ratio (# or ...) ≤ 0.1
+      - ≤ 90% of lines start with a bullet ('-' or '*')
+      - ≤ 30% of lines end with an ellipsis
+      - ≥ 80% of words contain at least one alphabetic character
+      - contains ≥ 2 distinct stop words
+
+    Pure column algebra over one scan (ratios are single IEEE divisions of
+    exact int64 counts — cross-engine bit-stable); the filter itself is a
+    `WHERE gopher_keep` away, which Catalyst pushes into the parquet scan
+    region of any downstream pipeline.
+    """
+    c = F.col(text_col)
+    ws = TXT.words(c)
+    n_words = F.size(ws)
+    n_chars_in_words = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"(#|\.\.\.)"), 0))
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: F.trim(x).rlike("^[-*]")))
+    n_ellipsis = F.size(F.filter(lines, lambda x: F.trim(x).rlike("\\.\\.\\.$")))
+    n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = sum(
+        F.array_contains(ws, w).cast("int") for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    mean_wl = n_chars_in_words.cast("double") / n_words.cast("double")
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "ok_symbol_ratio": n_symbols.cast("double") / n_words.cast("double") <= 0.1,
+        "ok_bullet_lines": n_bullet.cast("double") / n_lines.cast("double") <= 0.9,
+        "ok_ellipsis_lines": n_ellipsis.cast("double") / n_lines.cast("double") <= 0.3,
+        "ok_alpha_words": n_alpha_words.cast("double") / n_words.cast("double") >= 0.8,
+        "ok_stop_words": n_stop >= 2,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("gopher_keep"),
+    ).orderBy("doc_id")
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_flags(table(spark, sf_dir, "documents"))
+
+
+GOPHER_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws,
+         list_filter(regexp_split_to_array(text, '\n'), x -> trim(x) != '') AS lines,
+         len(regexp_extract_all(text, '(#|\.\.\.)')) AS n_symbols
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         list_sum(list_transform(ws, w -> length(w))) AS n_chars_in_words,
+         n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*]'))) AS n_bullet,
+         len(list_filter(lines, x -> regexp_matches(trim(x), '\.\.\.$'))) AS n_ellipsis,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+         (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END) AS n_stop
+  FROM base
+), f AS (
+  SELECT doc_id, n_words,
+         (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+         (CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+          AND CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0) AS ok_mean_word_len,
+         (CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1) AS ok_symbol_ratio,
+         (CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9) AS ok_bullet_lines,
+         (CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3) AS ok_ellipsis_lines,
+         (CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8) AS ok_alpha_words,
+         (n_stop >= 2) AS ok_stop_words
+  FROM m
+)
+SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+       ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stop_words,
+       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet_lines
+        AND ok_ellipsis_lines AND ok_alpha_words AND ok_stop_words) AS gopher_keep
+FROM f
+ORDER BY doc_id
+"""
