@@ -193,3 +193,54 @@ def test_stateful_funnel_matches_batch(spark, sf_dir, events_dir, tmp_path):
     assert (n_users, n_viewed, n_purchased, n_converted) == (
         b["n_users"], b["n_viewed"], b["n_purchased"], b["n_converted"]
     )
+
+
+def test_streaming_curation_into_versioned_sink(spark, sf_dir, tmp_path):
+    """readStream docs → Gopher+PII filter + dedup → versioned sink via
+    foreachBatch; the published collection must equal the batch pipeline's
+    result on the same data."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.operators.textstats import gopher_quality_flags, pii_scan
+    from wurzel_spark.sinks.versioned import LocalCollectionBackend, VersionedCollectionWriter
+    from wurzel_spark.streaming.dedup import curate_stream_to_versioned_sink
+    from wurzel_spark.tables import table
+
+    docs_dir = str(tmp_path / "docs_stream")
+    docs = table(spark, sf_dir, "documents")
+    docs.repartition(2).write.mode("overwrite").parquet(docs_dir)
+
+    root = str(tmp_path / "collections")
+    writer = VersionedCollectionWriter(
+        backend_factory=lambda: LocalCollectionBackend(root), collection="curated"
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(docs_dir)
+    q = curate_stream_to_versioned_sink(stream, str(tmp_path / "ckpt"), writer)
+    q.awaitTermination()
+
+    # batch twin
+    keep = gopher_quality_flags(docs).filter(
+        F.col("ok_mean_word_len") & F.col("ok_symbol_ratio")
+    ).select("doc_id")
+    clean = pii_scan(docs).filter(~F.col("pii_flag")).select("doc_id")
+    expected = (
+        docs.join(keep, "doc_id", "left_semi")
+        .join(clean, "doc_id", "left_semi")
+        .dropDuplicates(["text"])
+        .count()
+    )
+    assert expected > 0
+
+    # read back the aliased collection
+    backend = LocalCollectionBackend(root)
+    published = backend.get_alias("curated")
+    assert published is not None
+    rows = 0
+    coll_dir = os.path.join(root, published)
+    for fn in os.listdir(coll_dir):
+        if fn.endswith(".jsonl"):
+            rows += sum(1 for _ in open(os.path.join(coll_dir, fn)))
+    assert rows == expected

@@ -55,3 +55,50 @@ def dedup_stream_within_watermark(
     reaped once the watermark passes it. Exactly-once semantics for
     at-least-once sources whose redelivery lag is < `delay`."""
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def curate_stream_to_versioned_sink(
+    stream,
+    checkpoint_dir: str,
+    writer,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """End-to-end STREAMING curation: a document stream is quality-filtered
+    (Gopher rule battery) and PII-flag-filtered, exact-deduplicated within
+    the stream by content hash, and published through the versioned-
+    collection sink — one collection version per micro-batch, alias always
+    pointing at the newest complete one (the reference's atomic
+    publish-by-rename semantics, applied per micro-batch).
+
+    ``foreachBatch`` is the right bridge: the sink's create→insert→alias→
+    retire protocol is driver-coordinated and batch-shaped, so each
+    micro-batch runs the SAME code path as the batch pipeline — no twin
+    drift. Returns the StreamingQuery (availableNow).
+    """
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.operators.textstats import gopher_quality_flags, pii_scan
+
+    def _process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keep_ids = (
+            gopher_quality_flags(batch_df, text_col)
+            .filter(F.col("ok_mean_word_len") & F.col("ok_symbol_ratio"))
+            .select("doc_id")
+        )
+        clean_ids = pii_scan(batch_df, text_col).filter(~F.col("pii_flag")).select("doc_id")
+        curated = (
+            batch_df.join(keep_ids, "doc_id", "left_semi")
+            .join(clean_ids, "doc_id", "left_semi")
+            .dropDuplicates([text_col])
+        )
+        writer.write(curated, order_col=order_col, history=f"stream-batch-{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
