@@ -93,13 +93,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_order_before_event": asof.q_asof_last_order_before_event,
         "range_join_clicks_before_purchase": rangejoin.q_clicks_before_purchase,
         "events_daily_from_hourly": events.events_daily_from_hourly,
+        "cohort_retention": events.cohort_retention,
         # relational (SURVEY §2.3/§2.7/§2.9 declarations) — most
         # distinctive shapes inside the window
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
-        "setop_nation_overlap": relational.setop_nation_overlap,
         "window_order_rank": relational.window_order_rank,
         # ---- driver 50-query window boundary (entries above are the
         # per-family representatives; below are additional TPC-H analogs
@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q5/q6/q12/date_funcs/subquery/corr moved below the boundary in
         # round 3 to admit the new curation/multimodal families — they
         # remain oracle-verified by tools/verify_local.py) ----
+        "setop_nation_overlap": relational.setop_nation_overlap,
         "join_left_outer_order_counts": relational.join_left_outer_order_counts,
         "rolling_revenue_7d": relational.rolling_revenue_7d,
         "distribution_stats": relational.distribution_stats,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_order_before_event": asof.ASOF_SQL,
         "range_join_clicks_before_purchase": rangejoin.RANGE_JOIN_SQL,
         "events_daily_from_hourly": events.EVENTS_DAILY_SQL,
+        "cohort_retention": events.COHORT_RETENTION_SQL,
         "doc_metrics": textstats.DOC_METRICS_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,
         "lang_id": textstats.LANG_ID_SQL,

@@ -47,6 +47,7 @@ HEADLINE = [
     "range_join_clicks_before_purchase",
     "pipeline_filter_dedup_stats",
     "events_daily_from_hourly",
+    "cohort_retention",
     # round 2: corpus-curation flagships
     "repetition_stats",
     "distinctive_terms",

@@ -240,3 +240,48 @@ FROM events
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of their
+    FIRST event; each (cohort_week, week_offset) cell counts the distinct
+    cohort members active that week. The standard product-analytics
+    readout, and a representative two-level aggregation: a per-user min, a
+    broadcastable cohort map joined back to the fact stream, then a
+    distinct-count grid. All integers — cross-engine exact.
+
+    Scale shape: the per-user first-event aggregate and the final
+    (cohort, offset) count are both key-partitioned hash aggregates with
+    map-side partials; the cohort map joins back on user_id (at 100 TB:
+    sort-merge on the same hash partitioning, reused exchange).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts) AS week FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+)
+SELECT f.cohort_week,
+       date_diff('day', f.cohort_week, e.week) // 7 AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_active_users
+FROM ev e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
