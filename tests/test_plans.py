@@ -203,3 +203,39 @@ def test_range_search_broadcasts_queries(spark, sf_dir):
     s = plan_text(df)
     assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
     assert s.count("SortMergeJoin") == 0
+
+
+def test_gopher_flags_single_scan_no_python(spark, sf_dir):
+    from wurzel_spark.operators import textstats
+
+    df = textstats.q_gopher_quality(spark, sf_dir)
+    rep = plan_report(df)
+    assert rep["python_evals"] == 0
+    assert_read_schema_only(
+        df, {"doc_id", "text", "lang", "source", "n_chars"}, {"doc_id", "text"}
+    )
+
+
+def test_cohort_retention_prunes_to_two_columns(spark, sf_dir):
+    from wurzel_spark.queries import events
+
+    df = events.cohort_retention(spark, sf_dir)
+    rep = plan_report(df)
+    assert rep["python_evals"] == 0
+    assert_read_schema_only(
+        df,
+        {"event_id", "ts", "user_id", "event_type", "value", "props"},
+        {"user_id", "ts"},
+    )
+
+
+def test_duplicated_spans_single_window_shuffle(spark, sf_dir):
+    """The span stream must shuffle exactly twice (window by hash, agg by
+    doc) on top of the parallelize repartition — no extra join exchanges."""
+    from wurzel_spark.operators import dedup
+    from wurzel_spark.plans.inspect import plan_text
+    from wurzel_spark.tables import table
+
+    df = dedup.duplicated_span_stats(table(spark, sf_dir, "documents"))
+    s = plan_text(df)
+    assert s.count("SortMergeJoin") == 0 and s.count("BroadcastHashJoin") == 0
