@@ -414,12 +414,6 @@ def lsh_candidate_pairs(
     )
 
 
-# Candidate sets up to this many distinct ids verify via a driver-collected
-# IN-list pushed into the parquet scan; beyond it, a broadcast semi-join
-# (no driver materialization). ~100k longs ≈ 1 MB on the driver.
-_ISIN_PUSHDOWN_MAX_IDS = 100_000
-
-
 def _verify_jaccard_pairs(
     df: DataFrame,
     cands: DataFrame,
@@ -432,9 +426,13 @@ def _verify_jaccard_pairs(
 
     Shingle arrays are recomputed only for candidate docs (a full corpus
     re-shingle pass dominated this query's runtime). Candidate ids reach
-    the scan as an IN-list filter when small — predicate pushdown into
-    parquet, zero extra join stages — else as a broadcast semi-join. The
-    pair list itself is always broadcast so shingle arrays never shuffle.
+    the corpus scan via a broadcast LEFT SEMI join — fully lazy, no driver
+    materialization, and the measured winner: an earlier adaptive variant
+    collected the ids and pushed an IN-list into the parquet scan when
+    small, but its two extra driver actions (count + collect) cost ~1 s at
+    sf0.1, more than the pushdown saved; the semi-join is also the only
+    shape that works unchanged when the candidate set is huge. The pair
+    list itself is always broadcast so shingle arrays never shuffle.
     ``cands`` must be materialized (localCheckpoint) by the caller.
     """
     cand_ids = (
@@ -442,12 +440,7 @@ def _verify_jaccard_pairs(
         .union(cands.select(F.col("id_b")))
         .distinct()
     )
-    n_ids = cand_ids.count()  # cheap: reads the checkpointed pair list
-    if n_ids <= _ISIN_PUSHDOWN_MAX_IDS:
-        ids = [r["cid"] for r in cand_ids.collect()]
-        needed = df.filter(F.col(id_col).isin(ids)) if ids else df.limit(0)
-    else:
-        needed = df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi")
+    needed = df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi")
     sh = _parallelize(needed).select(
         F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh")
     )
