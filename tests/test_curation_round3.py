@@ -232,3 +232,24 @@ def test_gopher_flags_on_crafted_docs(spark):
     assert out[2]["ok_word_count"] is False and out[2]["gopher_keep"] is False
     assert out[3]["ok_symbol_ratio"] is False
     assert out[4]["ok_bullet_lines"] is False
+
+
+def test_cluster_paths_agree(spark):
+    """Driver union-find and distributed min-label propagation must produce
+    identical components."""
+    from wurzel_spark.operators import dedup as D
+
+    rows = [
+        (1, 2), (2, 3),          # chain -> component {1,2,3}
+        (10, 11),                # pair
+        (20, 21), (21, 22), (20, 22),  # triangle
+    ]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    a = {(r["cluster_id"], r["size"]) for r in D.near_dup_clusters(pairs).collect()}
+    old = D._DRIVER_UNION_FIND_MAX_EDGES
+    try:
+        D._DRIVER_UNION_FIND_MAX_EDGES = 0
+        b = {(r["cluster_id"], r["size"]) for r in D.near_dup_clusters(pairs).collect()}
+    finally:
+        D._DRIVER_UNION_FIND_MAX_EDGES = old
+    assert a == b == {(1, 3), (10, 2), (20, 3)}

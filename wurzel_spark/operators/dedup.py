@@ -855,6 +855,43 @@ ORDER BY d.source
 """
 
 
+# Graphs at or under this many (directed) edges cluster driver-side via
+# union-find — ≤ ~16 MB of long pairs, milliseconds of CPU — instead of
+# paying per-round distributed job overhead. Above it, distributed
+# min-label propagation runs; both produce min-member-id labels.
+_DRIVER_UNION_FIND_MAX_EDGES = 1_000_000
+
+
+def _union_find_clusters(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a (src, dst) edge list; returns
+    (cluster_id = min member id, size) for components with ≥2 members."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edges.collect():
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min id keeps the label = component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    sizes: dict[int, int] = {}
+    for node in parent:
+        sizes[find(node)] = sizes.get(find(node), 0) + 1
+    rows = sorted((label, n) for label, n in sizes.items())
+    return spark.createDataFrame(rows, "cluster_id long, size long")
+
+
 def near_dup_clusters(
     pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:
@@ -885,6 +922,13 @@ def near_dup_clusters(
     # overhead per round for nothing. ~100k edges per partition keeps a
     # 100 TB-scale dup graph distributed on the same formula.
     n_edges = edges.count()  # cheap: checkpointed
+    if n_edges <= _DRIVER_UNION_FIND_MAX_EDGES:
+        # Same size-guarded reasoning as a broadcast join: a graph this
+        # small (≤16 MB of long pairs) clusters in milliseconds with
+        # driver-side union-find, vs 2+ shuffle rounds × job overhead per
+        # label-propagation iteration. Identical output: the component
+        # label is the minimum member id in both paths.
+        return _union_find_clusters(pairs.sparkSession, edges)
     n_parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     edges = edges.repartition(n_parts, "dst")
     labels = (
