@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "ann_range_search": similarity.q_ann_range_search,
         "kmeans_cell_stats": similarity.q_kmeans_cell_stats,
+        "text_embedding_join": similarity.q_text_embedding_join,
         # text analysis (documents)
         "doc_metrics": textstats.q_doc_metrics,
         "token_stats": textstats.q_token_stats,
@@ -99,7 +100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
-        "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
         "window_order_rank": relational.window_order_rank,
         # ---- driver 50-query window boundary (entries above are the
         # per-family representatives; below are additional TPC-H analogs
@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q5/q6/q12/date_funcs/subquery/corr moved below the boundary in
         # round 3 to admit the new curation/multimodal families — they
         # remain oracle-verified by tools/verify_local.py) ----
+        "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
         "setop_nation_overlap": relational.setop_nation_overlap,
         "join_left_outer_order_counts": relational.join_left_outer_order_counts,
         "rolling_revenue_7d": relational.rolling_revenue_7d,
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicated_spans": dedup.DUP_SPANS_SQL,
         "decontamination_overlap": dedup.DECONTAMINATION_SQL,
         "kmeans_cell_stats": similarity.KMEANS_CELLS_SQL,
+        "text_embedding_join": similarity.TEXT_EMB_JOIN_SQL,
         "pii_scan": textstats.PII_SCAN_SQL,
         "bigram_lm_score": textstats.BIGRAM_LM_SQL,
         "gopher_quality_flags": textstats.GOPHER_SQL,

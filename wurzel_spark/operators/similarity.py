@@ -589,3 +589,41 @@ FROM assigned WHERE rn = 1
 GROUP BY cell
 ORDER BY cell
 """
+
+
+def q_text_embedding_join(spark, sf_dir: str) -> DataFrame:
+    """Cross-modal fusion: documents joined to their embedding rows
+    (doc_id = vec_id), emitting text-side quality signals next to
+    vector-side geometry — the canonical shape for quality-weighted
+    vector indexing (filter on text stats, partition by label, index the
+    survivors). One broadcastable equi-join; norms are the same
+    sequential-fold kernel the ANN queries use, so floats hash-match the
+    oracle bit-for-bit.
+    """
+    from wurzel_spark.functions import text as TXT
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    emb = _table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "label",
+            TXT.word_count(F.col("text")).alias("n_words"),
+            F.length("text").alias("n_chars"),
+            norm(F.col("embedding")).alias("l2_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_EMB_JOIN_SQL = r"""
+SELECT d.doc_id,
+       e.label,
+       len(list_filter(regexp_split_to_array(trim(d.text), '\s+'), x -> x != '')) AS n_words,
+       length(d.text) AS n_chars,
+       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS l2_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+"""
