@@ -64,6 +64,7 @@ HEADLINE = [
     "decontamination_overlap",
     "ann_range_search",
     "kmeans_cell_stats",
+    "text_embedding_join",
     "multimodal_manifest",
     "combined_near_dup_pairs",
 ]
