@@ -253,3 +253,24 @@ def test_cluster_paths_agree(spark):
     finally:
         D._DRIVER_UNION_FIND_MAX_EDGES = old
     assert a == b == {(1, 3), (10, 2), (20, 3)}
+
+
+def test_jaccard_max_df_drops_boilerplate_shingles(spark):
+    from wurzel_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "standard legal disclaimer follows here always"
+    rows = [(i, "s", f"unique{i}a unique{i}b unique{i}c " + boiler) for i in range(10)]
+    # two genuinely similar docs sharing non-boilerplate content
+    rows += [
+        (100, "s", "alpha beta gamma delta epsilon zeta eta"),
+        (101, "s", "alpha beta gamma delta epsilon zeta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # without the cap: the 10 boilerplate docs all pair up
+    plain = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert sum(1 for a, b in plain if a < 10 and b < 10) > 10
+    # with the cap: boilerplate shingles (df=10 > 5) vanish; only the real
+    # near-dup pair survives
+    capped = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=5).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 10 and b < 10 for a, b in capped)

@@ -131,6 +131,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     sort: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
@@ -138,6 +139,15 @@ def ngram_jaccard_pairs(
     shingle to count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
     The shingle join is the shuffle; at 100 TB you'd pre-filter with
     MinHash-LSH (below) and use this only to verify candidates.
+
+    ``max_df`` guards the quadratic hazard in the self-join: a shingle
+    present in d documents contributes d² join rows, so one boilerplate
+    phrase shared by 100k docs would alone produce 10¹⁰ rows. With
+    ``max_df`` set, shingles whose DOCUMENT frequency exceeds it are
+    dropped from both the join and the set sizes (the standard df-cap used
+    by production shingle dedup) — results then measure similarity over
+    discriminative shingles only, which is why the oracle-checked queries
+    leave it off: exactness at test scale, cap documented for real corpora.
     """
     # Each exploded row carries its document's set size, so |A| and |B| ride
     # along through the join and no separate size-aggregate joins are needed
@@ -146,6 +156,20 @@ def ngram_jaccard_pairs(
     sh = _parallelize(df).select(
         F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("arr")
     ).select("id", F.size("arr").alias("n"), F.explode("arr").alias("shingle"))
+    if max_df is not None:
+        # hyper-frequent shingles form a SMALL set (by definition each
+        # appears in many docs) → broadcast anti-join; sizes recomputed so
+        # containment/jaccard denominators stay consistent with the kept set
+        frequent = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        kept = sh.join(F.broadcast(frequent), "shingle", "left_anti")
+        from pyspark.sql import Window as W
+
+        sh = kept.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
