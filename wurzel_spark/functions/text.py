@@ -133,3 +133,13 @@ def tlsh_like_digest(col: Column) -> Column:
             ),
         ),
     )[0]
+
+
+def marker_words_count(col: Column, markers: tuple[str, ...]) -> Column:
+    """Total occurrences of any of ``markers`` as whole (whitespace-
+    delimited) words. One pass over the word ARRAY — the padded-string
+    ``replace``-count trick needed a full string scan PER marker and
+    undercounted adjacent repeats ("the the" counted once: the shared
+    space is consumed by the first non-overlapping match)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words(col), lambda w: F.array_contains(arr, w)))

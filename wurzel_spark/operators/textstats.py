@@ -85,7 +85,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         "lang",
         *[
-            sum(TXT.marker_word_count(c, w) for w in ws).alias(f"score_{lang}")
+            TXT.marker_words_count(c, ws).cast("long").alias(f"score_{lang}")
             for lang, ws in LANG_MARKERS.items()
         ],
     )
@@ -112,7 +112,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = TXT.char_len(c)
     n_punct = n_chars - TXT.char_len(F.regexp_replace(c, r"[.,;:!?]", ""))
     n_digit = n_chars - TXT.char_len(F.regexp_replace(c, r"[0-9]", ""))
-    stop_hits = sum(TXT.marker_word_count(c, w) for w in STOPWORDS)
+    stop_hits = TXT.marker_words_count(c, STOPWORDS)
     return df.select(
         "doc_id",
         n_chars.alias("n_chars_computed"),
@@ -175,16 +175,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-def _dd_marker(word: str) -> str:
-    pad = f"' ' || trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' '"
+def _dd_markers(markers) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
     return (
-        f"CAST((length({pad}) - length(replace({pad}, ' {word} ', ''))) / {len(word) + 2} AS BIGINT)"
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        f" w -> list_contains([{lst}], w))) AS BIGINT)"
     )
 
 
 def _lang_id_sql() -> str:
     score_cols = ",\n       ".join(
-        " + ".join(_dd_marker(w) for w in ws) + f" AS score_{lang}"
+        _dd_markers(ws) + f" AS score_{lang}"
         for lang, ws in LANG_MARKERS.items()
     )
     langs = list(LANG_MARKERS)
@@ -214,7 +215,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_sql() -> str:
-    stop_sum = " + ".join(_dd_marker(w) for w in STOPWORDS)
+    stop_sum = _dd_markers(STOPWORDS)
     return f"""
 WITH base AS (
   SELECT doc_id, text,
