@@ -1026,6 +1026,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection: shingle-set containment
     ``|A∩B| / |A|`` in both directions. Catches near-SUBSET duplication —
@@ -1038,10 +1039,23 @@ def containment_pairs(
     Jaccard come out of one shingle equi-join + count. Pairs pass when
     EITHER direction reaches the threshold. Floats are each a single
     IEEE division of exact int64s — bit-reproducible in any row order.
+    ``max_df`` caps shingle document frequency exactly as in
+    :func:`ngram_jaccard_pairs` (the d² self-join hazard is identical).
     """
     sh = _parallelize(df).select(
         F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("arr")
     ).select("id", F.size("arr").alias("n"), F.explode("arr").alias("shingle"))
+    if max_df is not None:
+        frequent = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        kept = sh.join(F.broadcast(frequent), "shingle", "left_anti")
+        from pyspark.sql import Window as W
+
+        sh = kept.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
