@@ -274,3 +274,39 @@ def test_jaccard_max_df_drops_boilerplate_shingles(spark):
     capped = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=5).collect()}
     assert (100, 101) in capped
     assert not any(a < 10 and b < 10 for a, b in capped)
+
+
+def test_incremental_near_dup_matches_full_recompute(spark):
+    """New-vs-corpus pairs from the incremental index path must equal the
+    cross-corpus subset of a full recompute over the union."""
+    from wurzel_spark.operators.dedup import (
+        build_near_dup_index,
+        incremental_near_dup_pairs,
+        minhash_dedup_pairs,
+    )
+
+    base = [
+        (i, "s", f"doc {i} body " + " ".join(f"w{i}_{j}" for j in range(30)))
+        for i in range(20)
+    ]
+    # two new docs: one near-dups corpus doc 3, one is fresh
+    new = [
+        (100, "s", base[3][2] + " tiny tail"),
+        (101, "s", " ".join(f"fresh{j}" for j in range(30))),
+    ]
+    corpus = spark.createDataFrame(base, "doc_id long, source string, text string")
+    newdf = spark.createDataFrame(new, "doc_id long, source string, text string")
+    index = build_near_dup_index(corpus).localCheckpoint()
+
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_near_dup_pairs(newdf, corpus, index).collect()
+    }
+    full = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in minhash_dedup_pairs(corpus.unionByName(newdf)).collect()
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)  # cross new/corpus only
+    }
+    assert inc == full
+    assert (100, 3) in inc
+    assert not any(a == 101 for a, _ in inc)

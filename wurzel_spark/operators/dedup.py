@@ -1301,3 +1301,95 @@ FROM corpus c LEFT JOIN eval_spans e ON c.g = e.g
 GROUP BY c.doc_id
 ORDER BY c.doc_id
 """
+
+
+def build_near_dup_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """The persistable near-dup INDEX for a corpus: (id, signature, bhs).
+
+    Write it out partitioned/bucketed and the daily-ingest path never
+    re-touches old text: new batches compute their own signatures and
+    band-join against this table (:func:`incremental_near_dup_pairs`).
+    At 100 TB the index is ~300 bytes/doc — three orders smaller than the
+    corpus it summarizes.
+    """
+    return minhash_banded_signatures(df, id_col, text_col, num_hashes, n, bands)
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an already-indexed corpus —
+    the incremental form of :func:`minhash_dedup_pairs` for continuous
+    ingestion. Cost is proportional to the new batch: signatures are
+    computed for new docs only, the banded join touches the (tiny) index
+    rather than corpus text, and exact-Jaccard verification re-shingles
+    only candidate docs from either side (broadcast semi-joins).
+
+    Emits (id_a=new doc, id_b=matched corpus doc, jaccard ≥ threshold).
+    New-vs-new duplicates are intentionally out of scope here — run the
+    batch through :func:`minhash_dedup_pairs` for those; a daily pipeline
+    does both (new-vs-corpus, then new-vs-new) and unions the results.
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_banded_signatures(new_docs, id_col, text_col, num_hashes, n, bands)
+    nb = (
+        new_sigs.localCheckpoint()
+        .select("id", "bhs")
+        .selectExpr("id", "posexplode(bhs) AS (band_idx, band_hash)")
+    )
+    ib = corpus_index.select("id", "bhs").selectExpr(
+        "id", "posexplode(bhs) AS (band_idx, band_hash)"
+    )
+    # every (new, corpus) pair surfaces once per shared band → groupBy
+    # dedups; the pair set is small (it's the candidate list)
+    cands = (
+        nb.alias("a")
+        .join(
+            ib.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    new_needed = new_docs.join(
+        F.broadcast(cands.select(F.col("id_a").alias("cid")).distinct()),
+        F.col(id_col) == F.col("cid"),
+        "left_semi",
+    )
+    old_needed = corpus_docs.join(
+        F.broadcast(cands.select(F.col("id_b").alias("cid")).distinct()),
+        F.col(id_col) == F.col("cid"),
+        "left_semi",
+    )
+    sh_new = _parallelize(new_needed).select(
+        F.col(id_col).alias("id_a"), shingle_hashes(F.col(text_col), n).alias("sh_a")
+    )
+    sh_old = _parallelize(old_needed).select(
+        F.col(id_col).alias("id_b"), shingle_hashes(F.col(text_col), n).alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        sh_new.join(F.broadcast(cands), "id_a")
+        .join(sh_old, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
