@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_types": relational.q16_supplier_part_types,
         "q20_excess_shippers": relational.q20_excess_shippers,
         "combined_near_dup_pairs": dedup.q_combined_near_dup,
+        # multimodal tail (rows-only; stub codecs, real mapInPandas plumbing)
+        "multimodal_frame_stats": multimodal.q_multimodal_frame_stats,
+        "multimodal_audio_features": multimodal.q_multimodal_audio_features,
     }
 
 

@@ -289,3 +289,29 @@ def q_multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
 
     assets = assets_from_documents(_table(spark, sf_dir, "documents"))
     return decode_images(repartition_by_size(assets)).orderBy("asset_id")
+
+
+def q_multimodal_frame_stats(spark, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the asset table (1 frame/second of fake
+    duration, capped by duration_ms): real 1→N mapInPandas explode."""
+    from wurzel_spark.tables import table as _table
+
+    assets = assets_from_documents(_table(spark, sf_dir, "documents"))
+    frames = sample_video_frames(assets, every_ms=2000)
+    return (
+        frames.groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("ts_ms").alias("last_ts_ms"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+def q_multimodal_audio_features(spark, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (RMS / zero crossings) over audio-kind
+    assets — deterministic stub codec, real Arrow plumbing."""
+    from wurzel_spark.tables import table as _table
+
+    assets = assets_from_documents(_table(spark, sf_dir, "documents"))
+    return audio_features(assets.filter(F.col("kind") == "audio")).orderBy("asset_id")
