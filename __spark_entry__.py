@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": textstats.q_pii_scan,
         "bigram_lm_score": textstats.q_bigram_lm_score,
         "gopher_quality_flags": textstats.q_gopher_quality,
+        "curation_pipeline_stats": textstats.q_curation_pipeline,
         # multimodal (binary columns + mapInPandas decode plumbing)
         "multimodal_manifest": multimodal.q_multimodal_manifest,
         "multimodal_decode_stats": multimodal.q_multimodal_decode_stats,
@@ -99,7 +100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinctive shapes inside the window
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
-        "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
         "window_order_rank": relational.window_order_rank,
         # ---- driver 50-query window boundary (entries above are the
         # per-family representatives; below are additional TPC-H analogs
@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q5/q6/q12/date_funcs/subquery/corr moved below the boundary in
         # round 3 to admit the new curation/multimodal families — they
         # remain oracle-verified by tools/verify_local.py) ----
+        "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
         "setop_nation_overlap": relational.setop_nation_overlap,
         "join_left_outer_order_counts": relational.join_left_outer_order_counts,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": textstats.PII_SCAN_SQL,
         "bigram_lm_score": textstats.BIGRAM_LM_SQL,
         "gopher_quality_flags": textstats.GOPHER_SQL,
+        "curation_pipeline_stats": textstats.CURATION_PIPELINE_SQL,
         "multimodal_manifest": multimodal.MULTIMODAL_MANIFEST_SQL,
         # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-

@@ -59,6 +59,7 @@ HEADLINE = [
     "pii_scan",
     "bigram_lm_score",
     "gopher_quality_flags",
+    "curation_pipeline_stats",
     "containment_pairs",
     "duplicated_spans",
     "decontamination_overlap",

@@ -933,3 +933,108 @@ SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
 FROM f
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- end-to-end curation run
+
+def curation_pipeline_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full curation funnel as ONE declarative plan: Gopher quality
+    rules → PII screen → exact dedup (first doc per content hash) → per-
+    source survival counts and surviving token volume.
+
+    Every stage is a column predicate or a hash-groupBy, so Catalyst fuses
+    the whole funnel into a handful of stages; at 100 TB the only
+    shuffles are the dedup groupBy and the final per-source aggregate.
+    Counts are exact integers — cross-engine hash-stable.
+    """
+    from wurzel_spark.operators.dedup import exact_dedup
+
+    c = F.col(text_col)
+    ws = TXT.words(c)
+    n_words = F.size(ws)
+    chars_in_words = F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    mean_wl = chars_in_words.cast("double") / n_words.cast("double")
+    gopher_ok = (
+        (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (
+            F.size(F.regexp_extract_all(c, F.lit(r"(#|\.\.\.)"), 0)).cast("double")
+            / n_words.cast("double")
+            <= 0.1
+        )
+    )
+    pii_ok = (
+        (F.regexp_count(c, F.lit(PII_PATTERNS["n_emails"])) == 0)
+        & (F.regexp_count(c, F.lit(PII_PATTERNS["n_ipv4"])) == 0)
+        & (F.regexp_count(c, F.lit(PII_PATTERNS["n_phones"])) == 0)
+    )
+    staged = df.select(
+        "doc_id", "source", c.alias("text"), gopher_ok.alias("g_ok"), pii_ok.alias("p_ok")
+    )
+    survivors = exact_dedup(
+        staged.filter(F.col("g_ok") & F.col("p_ok")), ["text"], "doc_id"
+    ).select("doc_id", "source", F.size(TXT.words(F.col("text"))).alias("n_tokens"))
+    per_source = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("g_ok").cast("long")).alias("n_gopher_ok"),
+        F.sum((F.col("g_ok") & F.col("p_ok")).cast("long")).alias("n_pii_ok"),
+    )
+    out_counts = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum("n_tokens").alias("surviving_tokens"),
+    )
+    return (
+        per_source.join(out_counts, "source", "left")
+        .select(
+            "source",
+            "n_input",
+            "n_gopher_ok",
+            "n_pii_ok",
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("surviving_tokens", F.lit(0)).alias("surviving_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_pipeline_stats(table(spark, sf_dir, "documents"))
+
+
+CURATION_PIPELINE_SQL = rf"""
+WITH staged AS (
+  SELECT doc_id, source, text,
+         (CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) >= 3.0
+          AND CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) <= 10.0
+          AND CAST(len(regexp_extract_all(text, '(#|\.\.\.)')) AS DOUBLE) / len(ws) <= 0.1) AS g_ok,
+         (len(regexp_extract_all(text, '{PII_PATTERNS["n_emails"]}')) = 0
+          AND len(regexp_extract_all(text, '{PII_PATTERNS["n_ipv4"]}')) = 0
+          AND len(regexp_extract_all(text, '{PII_PATTERNS["n_phones"]}')) = 0) AS p_ok
+  FROM (
+    SELECT doc_id, source, text,
+           list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+    FROM documents
+  )
+), surv AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS n_tokens
+  FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM staged WHERE g_ok AND p_ok
+  ) WHERE rn = 1
+), per_source AS (
+  SELECT source, COUNT(*) AS n_input,
+         CAST(SUM(CASE WHEN g_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_ok,
+         CAST(SUM(CASE WHEN g_ok AND p_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_ok
+  FROM staged GROUP BY source
+), outc AS (
+  SELECT source, COUNT(*) AS n_final, CAST(SUM(n_tokens) AS BIGINT) AS surviving_tokens
+  FROM surv GROUP BY source
+)
+SELECT p.source, p.n_input, p.n_gopher_ok, p.n_pii_ok,
+       COALESCE(o.n_final, 0) AS n_final,
+       COALESCE(o.surviving_tokens, 0) AS surviving_tokens
+FROM per_source p LEFT JOIN outc o ON p.source = o.source
+ORDER BY p.source
+"""
