@@ -239,3 +239,16 @@ def test_duplicated_spans_single_window_shuffle(spark, sf_dir):
     df = dedup.duplicated_span_stats(table(spark, sf_dir, "documents"))
     s = plan_text(df)
     assert s.count("SortMergeJoin") == 0 and s.count("BroadcastHashJoin") == 0
+
+
+def test_curation_funnel_prunes_and_stays_jvm(spark, sf_dir):
+    from wurzel_spark.operators import textstats
+
+    df = textstats.q_curation_pipeline(spark, sf_dir)
+    rep = plan_report(df)
+    assert rep["python_evals"] == 0
+    assert_read_schema_only(
+        df,
+        {"doc_id", "text", "lang", "source", "n_chars"},
+        {"doc_id", "source", "text"},
+    )
