@@ -7,8 +7,10 @@ content hashes (wurzel/steps/qdrant/step.py:259-283), whitespace tokenizer
 operators are the training-data-pipeline extensions the reference implies
 (stopword lists, data/german_stopwords_full.txt) but only does single-node.
 
-All operators are pure `pyspark.sql.functions` column algebra — no UDFs, so
-they run inside whole-stage codegen and scale linearly with the scan.
+Operators are pure `pyspark.sql.functions` column algebra (whole-stage
+codegen, linear in the scan) with one measured exception: the repetition
+top-ngram uses a row-local Arrow kernel because it beat the explode+
+aggregate form 2.8× while keeping the work inside its partition.
 """
 
 from __future__ import annotations
