@@ -310,3 +310,40 @@ def test_incremental_near_dup_matches_full_recompute(spark):
     assert inc == full
     assert (100, 3) in inc
     assert not any(a == 101 for a, _ in inc)
+
+
+def test_curation_ops_on_empty_corpus(spark):
+    """Every curation operator must return an empty (or all-zero) result on
+    an empty corpus without raising — guards the div-by-zero and empty-agg
+    edges that only show up on day-one pipelines."""
+    from wurzel_spark.operators import textstats
+    from wurzel_spark.operators.dedup import (
+        duplicated_span_stats,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert textstats.pii_scan(empty).count() == 0
+    assert textstats.gopher_quality_flags(empty).count() == 0
+    assert textstats.bigram_lm_score(empty).count() == 0
+    assert textstats.repetition_stats(empty).count() == 0
+    assert textstats.curation_pipeline_stats(empty).count() == 0
+    assert duplicated_span_stats(empty).count() == 0
+    pairs = ngram_jaccard_pairs(empty)
+    assert pairs.count() == 0
+    assert near_dup_clusters(pairs).count() == 0
+
+
+def test_curation_ops_on_degenerate_docs(spark):
+    """Whitespace-only and single-word docs flow through without errors."""
+    from wurzel_spark.operators import textstats
+    from wurzel_spark.operators.dedup import duplicated_span_stats
+
+    rows = [(1, "s", "   "), (2, "s", "word"), (3, "s", "")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in textstats.gopher_quality_flags(df).collect()}
+    assert got[1]["n_words"] == 0 and got[1]["gopher_keep"] is False
+    spans = {r["doc_id"]: r for r in duplicated_span_stats(df).collect()}
+    # blank docs have no words -> no span rows; the single word doc gets one
+    assert set(spans) == {2} and spans[2]["n_spans"] == 1

@@ -67,11 +67,14 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
     )
+    nw = F.size(ws)
     return df.select(
         "doc_id",
-        F.size(ws).alias("n_tokens_ws"),
+        nw.alias("n_tokens_ws"),
         subword.alias("n_tokens_bpe_est"),
-        (F.length(c).cast("double") / F.size(ws)).alias("chars_per_token"),
+        # NULL (not an ANSI DIVIDE_BY_ZERO crash) for zero-word docs;
+        # oracle mirrors with NULLIF
+        (F.length(c).cast("double") / F.when(nw > 0, nw)).alias("chars_per_token"),
     )
 
 
@@ -115,14 +118,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = n_chars - TXT.char_len(F.regexp_replace(c, r"[.,;:!?]", ""))
     n_digit = n_chars - TXT.char_len(F.regexp_replace(c, r"[0-9]", ""))
     stop_hits = TXT.marker_words_count(c, STOPWORDS)
+    nc = F.when(n_chars > 0, n_chars)  # NULL ratios for empty docs, not a crash
+    nw = F.when(n_words > 0, n_words)
     return df.select(
         "doc_id",
         n_chars.alias("n_chars_computed"),
         n_words.alias("n_words"),
-        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
-        (n_digit.cast("double") / n_chars).alias("digit_ratio"),
-        (stop_hits.cast("double") / n_words).alias("stopword_ratio"),
-        (n_chars.cast("double") / n_words).alias("chars_per_word"),
+        (n_punct.cast("double") / nc).alias("punct_ratio"),
+        (n_digit.cast("double") / nc).alias("digit_ratio"),
+        (stop_hits.cast("double") / nw).alias("stopword_ratio"),
+        (n_chars.cast("double") / nw).alias("chars_per_word"),
     )
 
 
@@ -168,7 +173,7 @@ WITH w AS (
 SELECT doc_id,
        len(ws) AS n_tokens_ws,
        CAST(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe_est,
-       CAST(length(text) AS DOUBLE) / len(ws) AS chars_per_token
+       CAST(length(text) AS DOUBLE) / NULLIF(len(ws), 0) AS chars_per_token
 FROM w ORDER BY doc_id
 """
 
@@ -231,10 +236,10 @@ WITH base AS (
 SELECT doc_id,
        n_chars AS n_chars_computed,
        n_words,
-       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-       CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio,
-       CAST(stop_hits AS DOUBLE) / n_words AS stopword_ratio,
-       CAST(n_chars AS DOUBLE) / n_words AS chars_per_word
+       CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0) AS punct_ratio,
+       CAST(n_digit AS DOUBLE) / NULLIF(n_chars, 0) AS digit_ratio,
+       CAST(stop_hits AS DOUBLE) / NULLIF(n_words, 0) AS stopword_ratio,
+       CAST(n_chars AS DOUBLE) / NULLIF(n_words, 0) AS chars_per_word
 FROM base ORDER BY doc_id
 """
 
@@ -866,16 +871,26 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = sum(
         F.array_contains(ws, w).cast("int") for w in ("the", "be", "to", "of", "and", "that", "have", "with")
     )
-    mean_wl = n_chars_in_words.cast("double") / n_words.cast("double")
+    # Denominator guards: zero-word / zero-line documents fail every
+    # word/line-based rule outright — and ANSI mode makes an unguarded
+    # division a runtime DIVIDE_BY_ZERO, not a quiet NULL.
+    has_words = n_words > 0
+    has_lines = n_lines > 0
+    mean_wl = n_chars_in_words.cast("double") / F.when(has_words, n_words).cast("double")
     flags = {
         "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
-        "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
-        "ok_symbol_ratio": n_symbols.cast("double") / n_words.cast("double") <= 0.1,
-        "ok_bullet_lines": n_bullet.cast("double") / n_lines.cast("double") <= 0.9,
-        "ok_ellipsis_lines": n_ellipsis.cast("double") / n_lines.cast("double") <= 0.3,
-        "ok_alpha_words": n_alpha_words.cast("double") / n_words.cast("double") >= 0.8,
+        "ok_mean_word_len": has_words & (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "ok_symbol_ratio": has_words
+        & (n_symbols.cast("double") / F.when(has_words, n_words).cast("double") <= 0.1),
+        "ok_bullet_lines": has_lines
+        & (n_bullet.cast("double") / F.when(has_lines, n_lines).cast("double") <= 0.9),
+        "ok_ellipsis_lines": has_lines
+        & (n_ellipsis.cast("double") / F.when(has_lines, n_lines).cast("double") <= 0.3),
+        "ok_alpha_words": has_words
+        & (n_alpha_words.cast("double") / F.when(has_words, n_words).cast("double") >= 0.8),
         "ok_stop_words": n_stop >= 2,
     }
+    flags = {k: F.coalesce(v, F.lit(False)) for k, v in flags.items()}
     keep = None
     for f in flags.values():
         keep = f if keep is None else (keep & f)
@@ -919,12 +934,17 @@ WITH base AS (
 ), f AS (
   SELECT doc_id, n_words,
          (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
-         (CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
-          AND CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0) AS ok_mean_word_len,
-         (CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1) AS ok_symbol_ratio,
-         (CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9) AS ok_bullet_lines,
-         (CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3) AS ok_ellipsis_lines,
-         (CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8) AS ok_alpha_words,
+         COALESCE(n_words > 0
+          AND CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+          AND CAST(n_chars_in_words AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0, FALSE) AS ok_mean_word_len,
+         COALESCE(n_words > 0
+          AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1, FALSE) AS ok_symbol_ratio,
+         COALESCE(n_lines > 0
+          AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9, FALSE) AS ok_bullet_lines,
+         COALESCE(n_lines > 0
+          AND CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3, FALSE) AS ok_ellipsis_lines,
+         COALESCE(n_words > 0
+          AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8, FALSE) AS ok_alpha_words,
          (n_stop >= 2) AS ok_stop_words
   FROM m
 )
@@ -955,15 +975,18 @@ def curation_pipeline_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ws = TXT.words(c)
     n_words = F.size(ws)
     chars_in_words = F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
-    mean_wl = chars_in_words.cast("double") / n_words.cast("double")
-    gopher_ok = (
-        (mean_wl >= 3.0)
+    has_words = n_words > 0
+    mean_wl = chars_in_words.cast("double") / F.when(has_words, n_words).cast("double")
+    gopher_ok = F.coalesce(
+        has_words
+        & (mean_wl >= 3.0)
         & (mean_wl <= 10.0)
         & (
             F.size(F.regexp_extract_all(c, F.lit(r"(#|\.\.\.)"), 0)).cast("double")
-            / n_words.cast("double")
+            / F.when(has_words, n_words).cast("double")
             <= 0.1
-        )
+        ),
+        F.lit(False),
     )
     pii_ok = (
         (F.regexp_count(c, F.lit(PII_PATTERNS["n_emails"])) == 0)
@@ -1006,9 +1029,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURATION_PIPELINE_SQL = rf"""
 WITH staged AS (
   SELECT doc_id, source, text,
-         (CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) >= 3.0
+         COALESCE(len(ws) > 0
+          AND CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) >= 3.0
           AND CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) <= 10.0
-          AND CAST(len(regexp_extract_all(text, '(#|\.\.\.)')) AS DOUBLE) / len(ws) <= 0.1) AS g_ok,
+          AND CAST(len(regexp_extract_all(text, '(#|\.\.\.)')) AS DOUBLE) / len(ws) <= 0.1, FALSE) AS g_ok,
          (len(regexp_extract_all(text, '{PII_PATTERNS["n_emails"]}')) = 0
           AND len(regexp_extract_all(text, '{PII_PATTERNS["n_ipv4"]}')) = 0
           AND len(regexp_extract_all(text, '{PII_PATTERNS["n_phones"]}')) = 0) AS p_ok
