@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": dedup.q_containment_pairs,
         "duplicated_spans": dedup.q_duplicated_spans,
         "decontamination_overlap": dedup.q_decontamination,
+        "duplicated_sentences": dedup.q_duplicated_sentences,
         # similarity search (embeddings)
         "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
         "embedding_norms": similarity.q_embedding_norms,
@@ -100,13 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinctive shapes inside the window
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
-        "window_order_rank": relational.window_order_rank,
         # ---- driver 50-query window boundary (entries above are the
         # per-family representatives; below are additional TPC-H analogs
         # and relational variants, all hash-green in CORRECTNESS_r01/r02;
         # q5/q6/q12/date_funcs/subquery/corr moved below the boundary in
         # round 3 to admit the new curation/multimodal families — they
         # remain oracle-verified by tools/verify_local.py) ----
+        "window_order_rank": relational.window_order_rank,
         "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
         "setop_nation_overlap": relational.setop_nation_overlap,
@@ -223,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": dedup.CONTAINMENT_SQL,
         "duplicated_spans": dedup.DUP_SPANS_SQL,
         "decontamination_overlap": dedup.DECONTAMINATION_SQL,
+        "duplicated_sentences": dedup.DUP_SENTENCES_SQL,
         "kmeans_cell_stats": similarity.KMEANS_CELLS_SQL,
         "text_embedding_join": similarity.TEXT_EMB_JOIN_SQL,
         "pii_scan": textstats.PII_SCAN_SQL,

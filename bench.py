@@ -62,6 +62,7 @@ HEADLINE = [
     "curation_pipeline_stats",
     "containment_pairs",
     "duplicated_spans",
+    "duplicated_sentences",
     "decontamination_overlap",
     "ann_range_search",
     "kmeans_cell_stats",

@@ -347,3 +347,24 @@ def test_curation_ops_on_degenerate_docs(spark):
     spans = {r["doc_id"]: r for r in duplicated_span_stats(df).collect()}
     # blank docs have no words -> no span rows; the single word doc gets one
     assert set(spans) == {2} and spans[2]["n_spans"] == 1
+
+
+def test_duplicated_sentences_catch_templated_docs(spark):
+    from wurzel_spark.operators.dedup import duplicated_sentence_stats
+
+    boiler = "All rights reserved contact support for details."
+    rows = [
+        (1, "s", f"Unique opening line one here. {boiler}"),
+        (2, "s", f"Different unique line over here. {boiler}"),
+        (3, "s", "Totally original sentence only here. Another original one follows."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in duplicated_sentence_stats(df).collect()}
+    assert out[1]["n_dup_sentences"] == 1 and out[1]["n_sentences"] == 2
+    assert out[2]["n_dup_sentences"] == 1
+    assert out[3]["n_dup_sentences"] == 0
+    # case/whitespace normalization: variant spacing still matches
+    rows2 = rows + [(4, "s", "ALL   rights  reserved contact support for details.")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string, text string")
+    out2 = {r["doc_id"]: r for r in duplicated_sentence_stats(df2).collect()}
+    assert out2[4]["n_dup_sentences"] == 1

@@ -1393,3 +1393,92 @@ def incremental_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def duplicated_sentence_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 10,
+) -> DataFrame:
+    """Sentence-granularity duplicate detection (the CCNet-style boilerplate
+    screen): per document, how many of its sentences occur verbatim in at
+    least one OTHER document. Near-dup operators miss templated pages that
+    share only scattered sentences; this catches them at the granularity
+    removal actually happens.
+
+    Sentences are normalized (trim + whitespace collapse + casefold) and
+    split on terminal punctuation — deliberately the simple regex form so
+    the DuckDB oracle is the identical expression (the linguistically
+    careful splitter with abbreviation merge-back lives in
+    operators/splitter.py for the chunking pipeline). Sentences under
+    ``min_chars`` are ignored (fragments pair everything with everything).
+
+    Same one-shuffle shape as :func:`duplicated_span_stats`: hash each kept
+    sentence, min/max doc id over the hash via a window, per-doc aggregate.
+    """
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.lower(F.trim(F.regexp_replace(s, r"\s+", " "))),
+        ),
+        lambda s: F.length(s) >= min_chars,
+    )
+    rows = (
+        _parallelize(df)
+        .select(F.col(id_col).alias("id"), sents.alias("ss"))
+        .filter(F.size("ss") > 0)
+        .select("id", F.explode("ss").alias("s"))
+        .select("id", F.xxhash64("s").alias("h"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("h")
+    marked = rows.withColumn(
+        "dup", (F.min("id").over(w) != F.max("id").over(w)).cast("long")
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("dup").alias("n_dup_sentences"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_sentences",
+            "n_dup_sentences",
+            (
+                F.col("n_dup_sentences").cast("double")
+                / F.col("n_sentences").cast("double")
+            ).alias("dup_sentence_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q_duplicated_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicated_sentence_stats(table(spark, sf_dir, "documents"))
+
+
+DUP_SENTENCES_SQL = r"""
+WITH sents AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[.!?]+'),
+                          s -> lower(trim(regexp_replace(s, '\s+', ' ', 'g')))),
+           s -> length(s) >= 10) AS ss
+  FROM documents
+), rows_ AS (
+  SELECT doc_id, unnest(ss) AS s FROM sents WHERE len(ss) > 0
+), counts AS (
+  SELECT s, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM rows_ GROUP BY s
+)
+SELECT r.doc_id,
+       COUNT(*) AS n_sentences,
+       CAST(SUM(CASE WHEN c.mn != c.mx THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sentences,
+       CAST(SUM(CASE WHEN c.mn != c.mx THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_sentence_frac
+FROM rows_ r JOIN counts c ON r.s = c.s
+GROUP BY r.doc_id
+ORDER BY r.doc_id
+"""
