@@ -57,7 +57,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": similarity.q_embedding_norms,
         "cosine_near_dup_pairs": similarity.q_cosine_near_dup_pairs,
         "ann_topk_lsh": similarity.q_ann_topk_lsh,
-        "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "ann_range_search": similarity.q_ann_range_search,
         "kmeans_cell_stats": similarity.q_kmeans_cell_stats,
         "text_embedding_join": similarity.q_text_embedding_join,
@@ -85,7 +84,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_split_chunks": splitter.q_semantic_split,
         # embedding (rows-only: offline hash embedder is engine-internal)
         "embed_documents": embedding.q_embed_documents,
-        "embed_multivector_docs": embedding.q_embed_multivector,
         # events / time-series (batch form; streaming twins in
         # wurzel_spark.streaming)
         "events_hourly_stats": events.events_hourly_stats,
@@ -101,14 +99,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinctive shapes inside the window
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
+        "window_order_rank": relational.window_order_rank,
         # ---- driver 50-query window boundary (entries above are the
         # per-family representatives; below are additional TPC-H analogs
         # and relational variants, all hash-green in CORRECTNESS_r01/r02;
         # q5/q6/q12/date_funcs/subquery/corr moved below the boundary in
         # round 3 to admit the new curation/multimodal families — they
         # remain oracle-verified by tools/verify_local.py) ----
-        "window_order_rank": relational.window_order_rank,
-        "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
+        "ann_topk_ivf": similarity.q_ann_topk_ivf,
+        "embed_multivector_docs": embedding.q_embed_multivector,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
         "setop_nation_overlap": relational.setop_nation_overlap,
         "join_left_outer_order_counts": relational.join_left_outer_order_counts,
