@@ -111,6 +111,7 @@ def main() -> None:
     # at 2.6 s and 8.6 s minutes apart) — a single sample turns that noise
     # into the recorded number. The median discards one arbitrary stall
     # per query while still charging every real cost.
+    n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -119,13 +120,13 @@ def main() -> None:
             continue
         samples = []
         n = 0
-        for _ in range(3):
+        for _ in range(n_samples):
             _gc_tick()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             samples.append(time.perf_counter() - t0)
-        dt = sorted(samples)[1]
+        dt = sorted(samples)[len(samples) // 2]
         times[name] = round(dt, 3)
         total += dt
         print(
