@@ -252,3 +252,21 @@ def test_curation_funnel_prunes_and_stays_jvm(spark, sf_dir):
         {"doc_id", "text", "lang", "source", "n_chars"},
         {"doc_id", "source", "text"},
     )
+
+
+def test_sentence_dedup_single_window_no_joins(spark, sf_dir):
+    from wurzel_spark.operators import dedup
+    from wurzel_spark.plans.inspect import plan_text
+    from wurzel_spark.tables import table
+
+    df = dedup.duplicated_sentence_stats(table(spark, sf_dir, "documents"))
+    s = plan_text(df)
+    assert s.count("SortMergeJoin") == 0 and s.count("BroadcastHashJoin") == 0
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+
+
+def test_text_embedding_join_broadcasts_or_hashes(spark, sf_dir):
+    from wurzel_spark.operators import similarity
+
+    df = similarity.q_text_embedding_join(spark, sf_dir)
+    assert_no_sort_merge_join(df)

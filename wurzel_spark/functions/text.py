@@ -55,23 +55,6 @@ def fingerprint(col: Column) -> Column:
     return sha256_hex(normalize_ws(F.lower(col)))
 
 
-def substr_count(col: Column, needle: str) -> Column:
-    """Non-overlapping occurrence count of a literal substring.
-
-    (length(x) - length(replace(x, needle))) / len(needle) — chosen because
-    the identical expression exists in every SQL dialect, so oracle queries
-    stay bit-exact.
-    """
-    return (
-        (F.length(col) - F.length(F.replace(col, F.lit(needle)))) / F.lit(len(needle))
-    ).cast("long")
-
-
-def marker_word_count(col: Column, word: str) -> Column:
-    """Occurrences of a whole word (space-delimited) in text."""
-    return substr_count(F.concat(F.lit(" "), normalize_ws(col), F.lit(" ")), f" {word} ")
-
-
 def replace_urls(col: Column, token: str = "LINK") -> Column:
     """URL → sentinel replacement (embedding/step.py:214-233, URL regex :36)."""
     return F.regexp_replace(col, r"https?://\S+", token)
