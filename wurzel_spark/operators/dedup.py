@@ -1415,7 +1415,11 @@ def duplicated_sentence_stats(
     ``min_chars`` are ignored (fragments pair everything with everything).
 
     Same one-shuffle shape as :func:`duplicated_span_stats`: hash each kept
-    sentence, min/max doc id over the hash via a window, per-doc aggregate.
+    sentence, min/max doc id over the hash via a window, per-doc aggregate —
+    and the same skew tradeoff: a sentence duplicated across millions of
+    docs makes one giant window partition; a corpus like that should
+    pre-aggregate the duplicated-hash set and broadcast-join it (the
+    :func:`decontamination_overlap` shape) instead of windowing.
     """
     sents = F.filter(
         F.transform(
