@@ -34,79 +34,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the driver's 50-query correctness window covers every
-    # operator FAMILY: the pipeline extensions (dedup, similarity, text
-    # analysis, splitter, embedding, events/time-series) come first, then
-    # the most distinctive relational declarations. The tail (51+) is
-    # redundant relational variants, all hash-green in CORRECTNESS_r01.
+    # Round-4 window rotation (VERDICT r3 #7): the driver checks the FIRST
+    # 50 entries; r3's window (the curation/similarity/events families) is
+    # hash-green in CORRECTNESS_r03, so this round promotes the relational
+    # tail (green only in r01/r02) back into the window, plus every query
+    # whose OPERATOR changed this round (capped twins are new;
+    # duplicated_spans/sentences got the skew-safe shape; repetition_stats
+    # changed its degenerate-doc row set) — so the union of r3+r4 driver
+    # rows covers all oracle-able queries with nothing older than 2 rounds.
     return {
-        # dedup family (training-data pipeline flagships)
-        "dedup_exact": dedup.q_dedup_exact,
-        "dedup_first_per_source": dedup.q_dedup_first_per_source,
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard,
-        "minhash_lsh_pairs": dedup.q_minhash_pairs,
-        "simhash_near_pairs": dedup.q_simhash_pairs,
-        "dedup_near_keep": dedup.q_dedup_near_keep,
-        "dedup_clusters": dedup.q_dedup_clusters,
-        "containment_pairs": dedup.q_containment_pairs,
+        # new/changed this round — must be driver-checked in r4
+        "ngram_jaccard_capped": dedup.q_ngram_jaccard_capped,
+        "containment_capped": dedup.q_containment_capped,
         "duplicated_spans": dedup.q_duplicated_spans,
-        "decontamination_overlap": dedup.q_decontamination,
         "duplicated_sentences": dedup.q_duplicated_sentences,
-        # similarity search (embeddings)
-        "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
-        "embedding_norms": similarity.q_embedding_norms,
-        "cosine_near_dup_pairs": similarity.q_cosine_near_dup_pairs,
-        "ann_topk_lsh": similarity.q_ann_topk_lsh,
-        "ann_range_search": similarity.q_ann_range_search,
-        "kmeans_cell_stats": similarity.q_kmeans_cell_stats,
-        "text_embedding_join": similarity.q_text_embedding_join,
-        # text analysis (documents)
-        "doc_metrics": textstats.q_doc_metrics,
-        "token_stats": textstats.q_token_stats,
-        "lang_id": textstats.q_lang_id,
-        "quality_score": textstats.q_quality_score,
-        "fingerprints": textstats.q_fingerprints,
-        "pipeline_filter_dedup_stats": textstats.q_pipeline_filter_dedup_stats,
-        "stratified_sample_docs": textstats.q_stratified_sample,
-        "corpus_metrics": textstats.q_corpus_metrics,
         "repetition_stats": textstats.q_repetition_stats,
-        "distinctive_terms": textstats.q_distinctive_terms,
-        "mixture_sample": textstats.q_mixture_sample,
-        "pii_scan": textstats.q_pii_scan,
-        "bigram_lm_score": textstats.q_bigram_lm_score,
-        "gopher_quality_flags": textstats.q_gopher_quality,
-        "curation_pipeline_stats": textstats.q_curation_pipeline,
-        # multimodal (binary columns + mapInPandas decode plumbing)
-        "multimodal_manifest": multimodal.q_multimodal_manifest,
-        "multimodal_decode_stats": multimodal.q_multimodal_decode_stats,
-        # document splitting (rows-only: tokenizer-defined chunk boundaries;
-        # golden-value tests in tests/test_splitter.py)
-        "semantic_split_chunks": splitter.q_semantic_split,
-        # embedding (rows-only: offline hash embedder is engine-internal)
-        "embed_documents": embedding.q_embed_documents,
-        # events / time-series (batch form; streaming twins in
-        # wurzel_spark.streaming)
-        "events_hourly_stats": events.events_hourly_stats,
-        "events_type_breakdown": events.events_type_breakdown,
-        "sessionize": events.sessionize,
-        "events_json_props": events.events_json_props,
-        "events_funnel": events.events_funnel,
-        "asof_last_order_before_event": asof.q_asof_last_order_before_event,
-        "range_join_clicks_before_purchase": rangejoin.q_clicks_before_purchase,
-        "events_daily_from_hourly": events.events_daily_from_hourly,
-        "cohort_retention": events.cohort_retention,
-        # relational (SURVEY §2.3/§2.7/§2.9 declarations) — most
-        # distinctive shapes inside the window
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
-        "window_order_rank": relational.window_order_rank,
-        # ---- driver 50-query window boundary (entries above are the
-        # per-family representatives; below are additional TPC-H analogs
-        # and relational variants, all hash-green in CORRECTNESS_r01/r02;
-        # q5/q6/q12/date_funcs/subquery/corr moved below the boundary in
-        # round 3 to admit the new curation/multimodal families — they
-        # remain oracle-verified by tools/verify_local.py) ----
+        # relational tail rotated into the window (last green r01/r02)
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "embed_multivector_docs": embedding.q_embed_multivector,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
@@ -148,6 +91,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal tail (rows-only; stub codecs, real mapInPandas plumbing)
         "multimodal_frame_stats": multimodal.q_multimodal_frame_stats,
         "multimodal_audio_features": multimodal.q_multimodal_audio_features,
+        # family representatives kept in-window
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_clusters": dedup.q_dedup_clusters,
+        "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
+        "sessionize": events.sessionize,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        # ---- driver 50-query window boundary (entries below were ALL
+        # hash-green in CORRECTNESS_r03 — the r3 window — and remain
+        # oracle-verified by tools/verify_local.py every round) ----
+        "dedup_first_per_source": dedup.q_dedup_first_per_source,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard,
+        "minhash_lsh_pairs": dedup.q_minhash_pairs,
+        "simhash_near_pairs": dedup.q_simhash_pairs,
+        "dedup_near_keep": dedup.q_dedup_near_keep,
+        "containment_pairs": dedup.q_containment_pairs,
+        "decontamination_overlap": dedup.q_decontamination,
+        "embedding_norms": similarity.q_embedding_norms,
+        "cosine_near_dup_pairs": similarity.q_cosine_near_dup_pairs,
+        "ann_topk_lsh": similarity.q_ann_topk_lsh,
+        "ann_range_search": similarity.q_ann_range_search,
+        "kmeans_cell_stats": similarity.q_kmeans_cell_stats,
+        "text_embedding_join": similarity.q_text_embedding_join,
+        "doc_metrics": textstats.q_doc_metrics,
+        "token_stats": textstats.q_token_stats,
+        "lang_id": textstats.q_lang_id,
+        "quality_score": textstats.q_quality_score,
+        "fingerprints": textstats.q_fingerprints,
+        "pipeline_filter_dedup_stats": textstats.q_pipeline_filter_dedup_stats,
+        "stratified_sample_docs": textstats.q_stratified_sample,
+        "corpus_metrics": textstats.q_corpus_metrics,
+        "distinctive_terms": textstats.q_distinctive_terms,
+        "mixture_sample": textstats.q_mixture_sample,
+        "pii_scan": textstats.q_pii_scan,
+        "bigram_lm_score": textstats.q_bigram_lm_score,
+        "gopher_quality_flags": textstats.q_gopher_quality,
+        "curation_pipeline_stats": textstats.q_curation_pipeline,
+        "multimodal_manifest": multimodal.q_multimodal_manifest,
+        "multimodal_decode_stats": multimodal.q_multimodal_decode_stats,
+        "semantic_split_chunks": splitter.q_semantic_split,
+        "embed_documents": embedding.q_embed_documents,
+        "events_hourly_stats": events.events_hourly_stats,
+        "events_type_breakdown": events.events_type_breakdown,
+        "events_json_props": events.events_json_props,
+        "events_funnel": events.events_funnel,
+        "asof_last_order_before_event": asof.q_asof_last_order_before_event,
+        "range_join_clicks_before_purchase": rangejoin.q_clicks_before_purchase,
+        "events_daily_from_hourly": events.events_daily_from_hourly,
+        "cohort_retention": events.cohort_retention,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
+        "window_order_rank": relational.window_order_rank,
     }
 
 
@@ -212,6 +206,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_first_per_source": dedup.DEDUP_FIRST_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "ngram_jaccard_capped": dedup.NGRAM_JACCARD_CAPPED_SQL,
+        "containment_capped": dedup.CONTAINMENT_CAPPED_SQL,
         "dedup_near_keep": dedup.DEDUP_NEAR_KEEP_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "repetition_stats": textstats.REPETITION_STATS_SQL,

@@ -368,3 +368,32 @@ def test_duplicated_sentences_catch_templated_docs(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, source string, text string")
     out2 = {r["doc_id"]: r for r in duplicated_sentence_stats(df2).collect()}
     assert out2[4]["n_dup_sentences"] == 1
+
+
+def test_repetition_stats_degenerate_docs_match_oracle(spark):
+    """Docs with <2 words (empty / whitespace / one word) must be absent
+    from the output — exactly the row set the DuckDB oracle's
+    unnest(ng2) → GROUP BY path emits (ADVICE r3 #1)."""
+    import duckdb
+    import pandas as pd
+
+    from wurzel_spark.operators.textstats import REPETITION_STATS_SQL, repetition_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["", "   ", "word", "two words", "a b a b a b", "x\n\ty  z"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = repetition_stats(df).orderBy("doc_id").toPandas()
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = con.execute(REPETITION_STATS_SQL).df()
+
+    assert list(got["doc_id"]) == list(exp["doc_id"]) == [4, 5, 6]
+    assert list(got["top_2gram"]) == list(exp["top_2gram"])
+    assert list(got["top_2gram_count"]) == [int(v) for v in exp["top_2gram_count"]]
+    for a, b in zip(got["dup_5gram_frac"], exp["dup_5gram_frac"]):
+        assert (pd.isna(a) and pd.isna(b)) or a == b

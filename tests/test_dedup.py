@@ -80,3 +80,21 @@ def test_combined_pairs_match_union_of_families(spark):
     sh = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(df, max_hamming=3).collect()}
     assert {(r["id_a"], r["id_b"]) for r in got if r["method"] == "minhash"} == mh
     assert {(r["id_a"], r["id_b"]) for r in got if r["method"] == "simhash"} == sh
+
+
+def test_combined_signatures_drop_empty_docs(spark):
+    """Zero-word docs must be dropped by ALL three signature builders
+    (empty docs share all-sentinel signatures ⇒ O(e²) LSH pairs)."""
+    from wurzel_spark.operators.dedup import (
+        combined_near_dup_pairs,
+        combined_near_dup_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, ""), (3, "   "), (4, "\n\t")],
+        ["doc_id", "text"],
+    )
+    sigs = combined_near_dup_signatures(df)
+    assert [r["id"] for r in sigs.collect()] == [1]
+    # and no empty-vs-empty candidate pairs survive end to end
+    assert combined_near_dup_pairs(df).count() == 0

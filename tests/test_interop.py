@@ -68,3 +68,29 @@ def test_read_reference_style_python_literal_csv(spark, tmp_path):
     df = interop.read_pandera_csv(spark, str(p), schema)
     r = df.collect()[0]
     assert r["splits"] == ["s1", "s2"]
+
+def test_read_literal_csv_with_apostrophes_and_escapes(spark, tmp_path):
+    # cells whose string elements contain apostrophes / quotes — a blanket
+    # '->" rewrite corrupts these; the literal_eval kernel must win.
+    # Build the fixture the way pandas to_csv does: repr() the list, let
+    # the csv module handle CSV quoting.
+    import csv
+
+    vals = {
+        "a": ["it's fine", 'say "hi"'],
+        "b": ["double's", "mixed, comma"],
+    }
+    p = tmp_path / "ref_quotes.csv"
+    with open(p, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["text", "splits"])
+        for k, v in vals.items():
+            w.writerow([k, repr(v)])
+    schema = T.StructType(
+        [
+            T.StructField("text", T.StringType(), True),
+            T.StructField("splits", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    got = {r["text"]: r["splits"] for r in interop.read_pandera_csv(spark, str(p), schema).collect()}
+    assert got == vals

@@ -40,3 +40,55 @@ def test_salted_join_spreads_hot_key(spark):
     out = salted_join(left, right, "k", n_salts=8)
     assert out.count() == 1_000
     assert set(out.columns) == {"k", "left_id", "v"}
+
+
+def test_duplicated_sentence_stats_skew_safe_shape(spark):
+    """One sentence duplicated 1e5 times (1000 docs × 100 within-doc
+    repeats) — the r4 skew-safe shape must (a) contain NO window over the
+    sentence hash (windows get neither map-side combine nor AQE
+    skew-split) and (b) collapse within-doc repeats before the cross-doc
+    join, so the hot hash contributes ≤ n_docs rows, not n_occurrences.
+    """
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.operators.dedup import duplicated_sentence_stats
+
+    boiler = "this sentence is shared boilerplate across every document. "
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.repeat(F.lit(boiler), 100),
+            F.concat(F.lit("unique closing sentence number "), F.col("id"), F.lit(" only here.")),
+        ).alias("text"),
+    )
+    out = duplicated_sentence_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 1000
+    r0 = rows[0]
+    # 100 boilerplate repeats (dup) + 1 unique closer (not dup)
+    assert r0["n_sentences"] == 101
+    assert r0["n_dup_sentences"] == 100
+    assert abs(r0["dup_sentence_frac"] - 100 / 101) < 1e-12
+
+
+def test_duplicated_span_stats_skew_safe_shape(spark):
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.operators.dedup import duplicated_span_stats
+
+    # 3 docs share an identical 20+-token paragraph; one doc is unique
+    shared = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, shared + " tail"), (4, "totally different words " * 10)],
+        ["doc_id", "text"],
+    )
+    out = duplicated_span_stats(docs, n=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["dup_span_frac"] == 1.0
+    assert rows[2]["dup_span_frac"] == 1.0
+    assert rows[4]["n_dup_spans"] == 0

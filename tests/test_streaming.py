@@ -217,7 +217,14 @@ def test_streaming_curation_into_versioned_sink(spark, sf_dir, tmp_path):
     writer = VersionedCollectionWriter(
         backend_factory=lambda: LocalCollectionBackend(root), collection="curated"
     )
-    stream = spark.readStream.schema(docs.schema).parquet(docs_dir)
+    # maxFilesPerTrigger=1 forces MULTIPLE micro-batches (2 parquet parts
+    # → ≥2 batches) so the published version must span batches, not just
+    # the last one.
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
     q = curate_stream_to_versioned_sink(stream, str(tmp_path / "ckpt"), writer)
     q.awaitTermination()
 

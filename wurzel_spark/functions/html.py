@@ -395,7 +395,7 @@ def html_normalize_urls(html: pd.Series, base: pd.Series) -> pd.Series:
 
 _TRAILING_WS_RE = re.compile(r"[ \t]+$", re.MULTILINE)
 _HEADING_NORM_RE = re.compile(r"(?m)^(#{1,6})[ \t]+")
-_BULLET_NORM_RE = re.compile(r"(?m)^(\s*)[*+](\s+)")
+_BULLET_NORM_RE = re.compile(r"(?m)^(\s*)[*+](\s+|$)")
 
 
 def normalize_markdown(md: str) -> str:

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -72,29 +73,78 @@ def write_contract_json(df: DataFrame, path: str, single_file: bool = True) -> N
         df.orderBy(first).write.mode("overwrite").json(path)
 
 
+def _string_bearing(dt: T.DataType) -> bool:
+    """True if any leaf of a (possibly nested) complex type is a string —
+    the case where a cell's Python literal may contain quotes/apostrophes
+    that a naive '→" rewrite would corrupt."""
+    if isinstance(dt, T.StringType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _string_bearing(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _string_bearing(dt.keyType) or _string_bearing(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_string_bearing(f.dataType) for f in dt.fields)
+    return False
+
+
+@F.pandas_udf(T.StringType())
+def _pyliteral_to_json(cells: "pd.Series") -> "pd.Series":
+    """Python-literal cell → canonical JSON string (the reference's
+    ``literal_eval`` semantics, datacontract.py:96-115) so ``from_json``
+    can finish the parse JVM-side. Handles apostrophes inside strings,
+    escaped quotes, None/True/False, tuples. Unparseable cells pass
+    through unchanged (from_json then yields NULL, matching the
+    reference's failure mode)."""
+    import ast
+
+    def conv(s):
+        if s is None:
+            return None
+        try:
+            return json.dumps(ast.literal_eval(s))
+        except (ValueError, SyntaxError):
+            return s
+
+    return cells.map(conv)
+
+
 def read_pandera_csv(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
     """Read a reference ``.csv`` artifact into ``schema``, re-parsing
     stringified array/struct/map cells (pandas ``to_csv`` writes Python
     literals; the reference re-parses with ``literal_eval``,
-    datacontract.py:96-115). Array/map columns are parsed JVM-side with
-    ``from_json`` — Python list literals for numbers/strings are valid
-    JSON after quote normalization, so no Python UDF is needed.
+    datacontract.py:96-115).
+
+    Numeric-only complex columns (e.g. ``EmbeddingResult.vector``) are
+    parsed entirely JVM-side with ``from_json`` — their literals contain
+    no quotes, so they are already valid JSON. String-bearing complex
+    columns go through an Arrow-batched ``literal_eval``→JSON kernel
+    first: a blanket '→" rewrite would corrupt any cell containing an
+    apostrophe (``"it's"``) or an escaped quote, which the reference's
+    ``literal_eval`` handles fine.
     """
     str_fields = [
         T.StructField(f.name, T.StringType() if not isinstance(f.dataType, (T.StringType,)) else f.dataType, True)
         for f in schema.fields
     ]
-    raw = spark.read.option("header", "true").schema(T.StructType(str_fields)).csv(path)
+    # pandas to_csv escapes embedded quotes by DOUBLING them (RFC 4180);
+    # Spark's default escape is backslash — set escape='"' to match.
+    raw = (
+        spark.read.option("header", "true")
+        .option("escape", '"')
+        .schema(T.StructType(str_fields))
+        .csv(path)
+    )
     out = []
     for f in schema.fields:
         c = F.col(f.name)
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
-            # Python repr quotes with ' — normalize to JSON's " before parse.
-            out.append(
-                F.from_json(F.regexp_replace(c, "'", '"'), f.dataType).alias(f.name)
-            )
+            if _string_bearing(f.dataType):
+                out.append(F.from_json(_pyliteral_to_json(c), f.dataType).alias(f.name))
+            else:
+                out.append(F.from_json(c, f.dataType).alias(f.name))
         else:
             out.append(c.cast(f.dataType).alias(f.name))
     return raw.select(*out)

@@ -630,9 +630,10 @@ def combined_near_dup_signatures(
     from the shared result.
 
     Output: (id, simhash, signature). Values are bit-identical to the
-    single-family operators (same hashing/mixing), with one edge
-    difference: a doc with zero words still gets a row here (simhash 0)
-    while simhash64 drops it — degenerate either way.
+    single-family operators (same hashing/mixing), and zero-word docs are
+    dropped — the same empty-doc policy as minhash_signatures /
+    minhash_banded_signatures (all-sentinel signatures would pair every
+    empty doc with every other).
 
     Both signatures come from ONE map-only Arrow kernel over ONE shared
     word-hash array in ONE scan — the earlier form was a shared explode
@@ -665,6 +666,10 @@ def combined_near_dup_signatures(
     base = _parallelize(df).select(
         F.col(id_col).alias("id"), _word_hashes(F.col(text_col)).alias("whs")
     )
+    # Same empty-doc policy as minhash_signatures / minhash_banded_signatures:
+    # zero-word docs get all-sentinel signatures that land in IDENTICAL band
+    # buckets, so e empty docs would create O(e²) LSH candidate pairs.
+    base = base.filter(F.size("whs") > 0)
     return base.select("id", _combined("whs").alias("c")).select(
         "id",
         F.col("c.simhash").alias("simhash"),
@@ -1109,6 +1114,87 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------- capped (df-guarded) twins
+
+# The scale configuration of the exact shingle self-join: shingles whose
+# DOCUMENT frequency exceeds this are dropped before the join (the d²
+# hazard — one phrase in 100k docs alone yields 10¹⁰ join rows). The
+# uncapped queries above stay registered as the exactness verifiers; these
+# twins oracle-check the capped path itself (VERDICT r3 #3). 4 sits below
+# the testdata's max shingle df (7–9 across sf0.001–0.01) so the cap
+# actually drops shingles at every test scale; a production corpus would
+# set it orders of magnitude higher (it only needs to kill the d² tail).
+CAPPED_MAX_DF = 4
+
+_CAPPED_SHINGLES_CTE = f"""
+sh0 AS (
+  SELECT doc_id AS id, DISTINCT_SHINGLE AS shingle FROM (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [array_to_string(ws, ' ')] END)) AS DISTINCT_SHINGLE
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+          FROM documents)
+  )
+), freq AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > {CAPPED_MAX_DF}
+), sh AS (
+  SELECT s.id, s.shingle FROM sh0 s ANTI JOIN freq f ON s.shingle = f.shingle
+), sizes AS (
+  SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)"""
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard with the df-cap ON — the configuration you would run
+    at corpus scale (oracle mirrors the cap exactly)."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5, max_df=CAPPED_MAX_DF
+    )
+
+
+NGRAM_JACCARD_CAPPED_SQL = f"""
+WITH {_CAPPED_SHINGLES_CTE}
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.6, max_df=CAPPED_MAX_DF
+    )
+
+
+CONTAINMENT_CAPPED_SQL = f"""
+WITH {_CAPPED_SHINGLES_CTE}, inter2 AS (
+  SELECT id_a, id_b, n_inter, sa.n_shingles AS n_a, sb.n_shingles AS n_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a_in_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b_in_a,
+       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+FROM inter2
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.6
+   OR CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
 def duplicated_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1144,25 +1230,27 @@ def duplicated_span_stats(
         .filter(F.size("whs") > 0)
         .select("id", F.explode(grams).alias("h"))
     )
-    # "occurs in another doc" ⇔ min(id) != max(id) over the span hash — a
-    # window over h needs ONE shuffle and ONE scan of the span stream,
-    # measured 2× faster than the groupBy(count_distinct)+join form (which
-    # scans and shuffles the stream twice). Tradeoff at extreme skew: a
-    # span duplicated millions of times makes one giant window partition
-    # with no map-side combine; a corpus like that should pre-aggregate
-    # the duplicated-hash set and broadcast-join it instead (the
-    # decontamination_overlap shape below).
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("h")
-    marked = spans.withColumn(
-        "dup", (F.min("id").over(w) != F.max("id").over(w)).cast("long")
+    # "occurs in another doc" ⇔ min(id) != max(id) over the span hash.
+    # SKEW-SAFE shape (default since r4): collapse to distinct (id, h)
+    # with per-doc occurrence counts first (map-side combine), aggregate
+    # min/max id per h (map-side combine again), join the tiny per-h dup
+    # flag back on h. A mega-duplicated span (license header in millions
+    # of docs) is then ≤1 row per doc in the hot join partition — which
+    # AQE's skew-join split can further divide — instead of EVERY
+    # occurrence landing in ONE window partition with no partial
+    # aggregation (windows get neither combine nor skew-split). The
+    # earlier `W.partitionBy("h")` window was ~equal at bench scale but
+    # was the likeliest 100 TB straggler in the repo (VERDICT r3 #2).
+    per_doc = spans.groupBy("id", "h").agg(F.count(F.lit(1)).alias("c"))
+    dup_flags = per_doc.groupBy("h").agg(
+        (F.min("id") != F.max("id")).cast("long").alias("dup")
     )
+    marked = per_doc.join(dup_flags, "h")
     return (
         marked.groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum("dup").alias("n_dup_spans"),
+            F.sum("c").alias("n_spans"),
+            F.sum(F.col("c") * F.col("dup")).alias("n_dup_spans"),
         )
         .select(
             F.col("id").alias(id_col),
@@ -1414,12 +1502,12 @@ def duplicated_sentence_stats(
     operators/splitter.py for the chunking pipeline). Sentences under
     ``min_chars`` are ignored (fragments pair everything with everything).
 
-    Same one-shuffle shape as :func:`duplicated_span_stats`: hash each kept
-    sentence, min/max doc id over the hash via a window, per-doc aggregate —
-    and the same skew tradeoff: a sentence duplicated across millions of
-    docs makes one giant window partition; a corpus like that should
-    pre-aggregate the duplicated-hash set and broadcast-join it (the
-    :func:`decontamination_overlap` shape) instead of windowing.
+    Same skew-safe shape as :func:`duplicated_span_stats`: hash each kept
+    sentence, collapse to distinct (id, hash) with counts (map-side
+    combine), min/max doc id per hash, join the per-hash dup flag back.
+    A boilerplate sentence shared by millions of docs contributes one row
+    per doc to the hot join partition (AQE skew-split handles the rest)
+    instead of every occurrence piling into one window partition.
     """
     sents = F.filter(
         F.transform(
@@ -1435,17 +1523,16 @@ def duplicated_sentence_stats(
         .select("id", F.explode("ss").alias("s"))
         .select("id", F.xxhash64("s").alias("h"))
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("h")
-    marked = rows.withColumn(
-        "dup", (F.min("id").over(w) != F.max("id").over(w)).cast("long")
+    per_doc = rows.groupBy("id", "h").agg(F.count(F.lit(1)).alias("c"))
+    dup_flags = per_doc.groupBy("h").agg(
+        (F.min("id") != F.max("id")).cast("long").alias("dup")
     )
+    marked = per_doc.join(dup_flags, "h")
     return (
         marked.groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_sentences"),
-            F.sum("dup").alias("n_dup_sentences"),
+            F.sum("c").alias("n_sentences"),
+            F.sum(F.col("c") * F.col("dup")).alias("n_dup_sentences"),
         )
         .select(
             F.col("id").alias(id_col),

@@ -463,7 +463,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             (F.size(ng5) - F.size(F.array_distinct(ng5))).cast("double") / F.size(ng5),
         ).alias("dup_5gram_frac"),
     )
-    return base.select(
+    # Docs with <2 words have no 2-gram: drop them (the oracle's
+    # unnest(ng2) → GROUP BY path emits no row for them, and so did the
+    # pre-kernel explode form — the kernel must not widen the row set).
+    return base.filter(F.size("ng2") > 0).select(
         "doc_id", _top2("ng2").alias("t"), "n_chars", "dup_5gram_frac"
     ).select(
         "doc_id",

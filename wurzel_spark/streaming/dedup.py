@@ -63,22 +63,36 @@ def curate_stream_to_versioned_sink(
     writer,
     order_col: str = "doc_id",
     text_col: str = "text",
+    staging_dir: str | None = None,
 ):
     """End-to-end STREAMING curation: a document stream is quality-filtered
-    (Gopher rule battery) and PII-flag-filtered, exact-deduplicated within
-    the stream by content hash, and published through the versioned-
-    collection sink — one collection version per micro-batch, alias always
-    pointing at the newest complete one (the reference's atomic
-    publish-by-rename semantics, applied per micro-batch).
+    (Gopher rule battery) and PII-flag-filtered, exact-deduplicated, and
+    published through the versioned-collection sink as ONE collection
+    version per RUN (the reference's atomic publish-by-rename semantics).
 
-    ``foreachBatch`` is the right bridge: the sink's create→insert→alias→
-    retire protocol is driver-coordinated and batch-shaped, so each
-    micro-batch runs the SAME code path as the batch pipeline — no twin
-    drift. Returns the StreamingQuery (availableNow).
+    The source may split the input into several micro-batches
+    (file-count/size admission limits), so per-batch publishing would leave
+    the alias pointing at only the LAST batch's rows. Instead each
+    micro-batch stages its curated rows to ``staging/batch_id=N`` parquet
+    (overwrite per batch id ⇒ idempotent under replay), and after the
+    availableNow stream drains, the staged union is deduplicated globally
+    (first ``order_col`` per content wins — deterministic) and written
+    once: one version, one alias flip, no dropped batches. Dedup is thus
+    cross-batch, not within-batch-only.
+
+    ``foreachBatch`` is the right bridge: the per-batch curation runs the
+    SAME operators as the batch pipeline — no twin drift — while the
+    driver-coordinated create→insert→alias→retire protocol runs exactly
+    once per run. Blocks until published; returns the (terminated)
+    StreamingQuery.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from wurzel_spark.operators.textstats import gopher_quality_flags, pii_scan
+
+    staging = staging_dir or f"{checkpoint_dir.rstrip('/')}_staging"
+    spark = stream.sparkSession
 
     def _process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -92,13 +106,29 @@ def curate_stream_to_versioned_sink(
         curated = (
             batch_df.join(keep_ids, "doc_id", "left_semi")
             .join(clean_ids, "doc_id", "left_semi")
-            .dropDuplicates([text_col])
+            .dropDuplicates([text_col])  # within-batch shrink before staging
         )
-        writer.write(curated, order_col=order_col, history=f"stream-batch-{batch_id}")
+        curated.write.mode("overwrite").parquet(f"{staging}/batch_id={batch_id}")
 
-    return (
+    q = (
         stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    q.awaitTermination()
+
+    staged = spark.read.option("recursiveFileLookup", "true").parquet(staging)
+    if not staged.isEmpty():
+        # Global (cross-batch) dedup, deterministic representative:
+        # smallest order_col per content hash wins.
+        w = Window.partitionBy(F.sha2(F.col(text_col).cast("string"), 256)).orderBy(
+            order_col
+        )
+        final = (
+            staged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        writer.write(final, order_col=order_col, history="stream-run")
+    return q
