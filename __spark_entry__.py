@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": dedup.q_duplicated_spans,
         "duplicated_sentences": dedup.q_duplicated_sentences,
         "repetition_stats": textstats.q_repetition_stats,
+        "kmeans_train_stats": similarity.q_kmeans_train_stats,
         # relational tail rotated into the window (last green r01/r02)
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "embed_multivector_docs": embedding.q_embed_multivector,
@@ -96,10 +97,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.q_dedup_clusters,
         "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
         "sessionize": events.sessionize,
-        "q1_pricing_summary": relational.q1_pricing_summary,
         # ---- driver 50-query window boundary (entries below were ALL
         # hash-green in CORRECTNESS_r03 — the r3 window — and remain
         # oracle-verified by tools/verify_local.py every round) ----
+        "q1_pricing_summary": relational.q1_pricing_summary,
         "dedup_first_per_source": dedup.q_dedup_first_per_source,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard,
         "minhash_lsh_pairs": dedup.q_minhash_pairs,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination_overlap": dedup.DECONTAMINATION_SQL,
         "duplicated_sentences": dedup.DUP_SENTENCES_SQL,
         "kmeans_cell_stats": similarity.KMEANS_CELLS_SQL,
+        "kmeans_train_stats": similarity.KMEANS_TRAIN_SQL,
         "text_embedding_join": similarity.TEXT_EMB_JOIN_SQL,
         "pii_scan": textstats.PII_SCAN_SQL,
         "bigram_lm_score": textstats.BIGRAM_LM_SQL,

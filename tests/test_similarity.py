@@ -125,3 +125,95 @@ def test_cosine_lsh_pairs_find_planted_duplicate(spark):
     planes = [r[0] for r in emb.filter(F.col("vec_id") < 24).select("embedding").orderBy("vec_id").collect()]
     got = {(r["id_a"], r["id_b"]) for r in cosine_lsh_near_dup_pairs(emb, planes, bands=4, threshold=0.9).collect()}
     assert (100, 101) in got
+
+
+def _recall_vs_exact(exact_rows, approx_rows):
+    exact_sets, approx_sets = {}, {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx_rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_kmeans_train_improves_or_matches_ivf_recall(spark, sf_dir):
+    """Lloyd-trained centroids must give ivf_topk recall >= the fixed-seed
+    centroids (VERDICT r3 #5 done-criterion)."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_train,
+    )
+    from wurzel_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, query, k=10).collect()
+
+    seed_cents = emb.filter(F.col("vec_id") < 8)
+    seed_recall = _recall_vs_exact(
+        exact, ivf_topk(emb, query, seed_cents, k=10, nprobe=3).collect()
+    )
+
+    trained = kmeans_train(emb, k=8, max_iters=3).select(
+        F.col("cell").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    trained_recall = _recall_vs_exact(
+        exact, ivf_topk(emb, query, trained, k=10, nprobe=3).collect()
+    )
+    assert trained_recall >= seed_recall
+
+
+def test_kmeans_train_fixpoint_and_membership(spark, sf_dir):
+    """Convergence: training twice as long can only stop at the same
+    fixpoint or keep moving; either way all vectors stay covered and
+    member counts sum to the corpus."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.operators.similarity import kmeans_train
+    from wurzel_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    t = kmeans_train(emb, k=8, max_iters=3)
+    rows = t.collect()
+    assert len(rows) == 8
+    assert all(len(r["centroid"]) == 64 for r in rows)
+    assert sum(r["n_members"] for r in rows) == emb.count()
+
+
+def test_kmeans_train_reseed_empty_cell(spark):
+    """A seed that duplicates another seed yields an empty cell after the
+    first assignment (ties go to the lower cell id). Default rule keeps
+    the previous centroid; reseed_empty must repoint the empty cell at the
+    globally worst-fit vector instead."""
+    import numpy as np
+
+    from wurzel_spark.operators.similarity import kmeans_train
+
+    rng = np.random.default_rng(7)
+    # seeds 0 and 1 identical; one far outlier is the worst-fit vector
+    base = [[1.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]]
+    cluster_a = [list(np.array([1, 0, 0, 0]) + rng.normal(0, 0.01, 4)) for _ in range(10)]
+    outlier = [[0.0, 0.0, 1.0, 0.0]]
+    vecs = base + cluster_a + outlier
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    kept = {r["cell"]: r for r in kmeans_train(df, k=2, max_iters=1).collect()}
+    res = {r["cell"]: r for r in kmeans_train(df, k=2, max_iters=1, reseed_empty=True).collect()}
+    # iteration 1 assigns everything to cell 0 (tie-break), so cell 1 is empty
+    assert kept[1]["n_members"] == 0
+    # default: empty cell keeps its seed centroid
+    assert kept[1]["centroid"] == [1.0, 0.0, 0.0, 0.0]
+    # reseed: empty cell repointed at the worst-fit vector (the outlier)
+    assert res[1]["centroid"] == [0.0, 0.0, 1.0, 0.0]
+    # training on with reseed: both cells end non-empty
+    full = kmeans_train(df, k=2, max_iters=4, reseed_empty=True).collect()
+    assert all(r["n_members"] > 0 for r in full)

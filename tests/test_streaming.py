@@ -251,3 +251,70 @@ def test_streaming_curation_into_versioned_sink(spark, sf_dir, tmp_path):
         if fn.endswith(".jsonl"):
             rows += sum(1 for _ in open(os.path.join(coll_dir, fn)))
     assert rows == expected
+
+
+def test_stateful_cohort_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Latest per-user cohort row, exploded into the (cohort_week,
+    week_offset) grid, must equal batch cohort_retention exactly."""
+    import datetime
+
+    from wurzel_spark.queries.events import cohort_retention
+    from wurzel_spark.streaming.cohort import cohort_stream
+
+    stream = read_event_stream(spark, events_dir)
+    out = cohort_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cohort")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cohort"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink in update mode appends updated rows; latest per user =
+    # the one with the SMALLEST cohort (cohort only ever decreases) and,
+    # within equal cohorts, the largest offset set — rebuild from all rows
+    # the one with the smallest cohort and largest offset set
+    grid = {}
+    latest = {}
+    for r in spark.sql("SELECT * FROM t_cohort").collect():
+        cur = latest.get(r["user_id"])
+        key = (r["cohort_week_day"], -len(r["week_offsets"]))
+        if cur is None or key < (cur["cohort_week_day"], -len(cur["week_offsets"])):
+            latest[r["user_id"]] = r
+    for r in latest.values():
+        cohort = datetime.datetime.utcfromtimestamp(r["cohort_week_day"] * 86400)
+        for off in r["week_offsets"]:
+            grid[(cohort, off)] = grid.get((cohort, off), 0) + 1
+    expected = {
+        (r["cohort_week"].replace(tzinfo=None), r["week_offset"]): r["n_active_users"]
+        for r in cohort_retention(spark, sf_dir).collect()
+    }
+    assert grid == expected
+
+
+def test_streaming_curation_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Cross-batch funnel counts (with the dedup ledger) must equal the
+    one-shot batch curation_pipeline_stats on the same corpus."""
+    from wurzel_spark.operators.textstats import curation_pipeline_stats
+    from wurzel_spark.streaming.curation import curation_funnel_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    d = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)  # force >=3 micro-batches
+        .parquet(d)
+    )
+    got = curation_funnel_stream(stream, str(tmp_path / "ckpt_cur")).collect()
+    exp = curation_pipeline_stats(docs).collect()
+    as_map = lambda rows: {
+        r["source"]: (
+            r["n_input"], r["n_gopher_ok"], r["n_pii_ok"], r["n_final"], r["surviving_tokens"]
+        )
+        for r in rows
+    }
+    assert as_map(got) == as_map(exp)

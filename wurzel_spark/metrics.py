@@ -84,16 +84,62 @@ def file_pusher(path: str) -> Callable[[str], None]:
     return push
 
 
-def http_pusher(gateway_url: str, job: str = "wurzel_spark") -> Callable[[str], None]:  # pragma: no cover - needs gateway
-    """POST to a Prometheus pushgateway (the reference pushes per step run)."""
-    import requests
+def http_pusher(
+    gateway: str,
+    job: str = "wurzel_spark",
+    grouping: dict[str, str] | None = None,
+    session_factory: Callable[[], object] | None = None,
+    swallow_errors: bool = True,
+    timeout: float = 10.0,
+) -> Callable[[str], None]:
+    """PUT the exposition payload to a Prometheus pushgateway — the
+    reference's ``push_to_gateway(GATEWAY, job=JOB, registry=...)`` exit
+    hook (prometheus/prometheus.py:70-120; settings default gateway
+    "localhost:9091", i.e. scheme-less — http:// is prepended, matching
+    prometheus_client).
+
+    ``grouping`` adds grouping-key path segments after the job (e.g.
+    {"run_id": ...} so concurrent runs don't overwrite each other's
+    series). ``session_factory`` is the same fake-transport seam as
+    sinks/http_backends: tests inject an object with
+    ``.put(url, data=..., headers=..., timeout=...)`` returning an object
+    with ``status_code``/``text``. Push failures are logged and swallowed
+    by default — the reference treats a dead gateway as a warning, never a
+    pipeline failure.
+    """
+    from urllib.parse import quote
+
+    url = gateway if "://" in gateway else f"http://{gateway}"
+    path = f"{url.rstrip('/')}/metrics/job/{quote(job, safe='')}"
+    for k, v in (grouping or {}).items():
+        path += f"/{quote(k, safe='')}/{quote(v, safe='')}"
+
+    if session_factory is None:
+        def session_factory():  # pragma: no cover - needs requests + gateway
+            import requests
+
+            return requests.Session()
 
     def push(payload: str) -> None:
-        requests.put(
-            f"{gateway_url.rstrip('/')}/metrics/job/{job}",
-            data=payload.encode("utf-8"),
-            timeout=10,
-        ).raise_for_status()
+        from logging import getLogger
+
+        try:
+            resp = session_factory().put(
+                path,
+                data=payload.encode("utf-8"),
+                headers={"Content-Type": "text/plain; version=0.0.4"},
+                timeout=timeout,
+            )
+            if not (200 <= resp.status_code < 300):
+                raise RuntimeError(
+                    f"pushgateway HTTP {resp.status_code}: {getattr(resp, 'text', '')[:200]}"
+                )
+        except Exception:
+            if not swallow_errors:
+                raise
+            getLogger(__name__).warning(
+                "Could not push prometheus metrics to gateway", exc_info=True
+            )
 
     return push
 

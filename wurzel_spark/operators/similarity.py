@@ -564,6 +564,218 @@ def q_kmeans_cell_stats(spark, sf_dir: str) -> DataFrame:
     return cell_stats(emb, emb.filter(F.col("vec_id") < 8))
 
 
+# ------------------------------------------------------- k-means training
+
+# Fixed-point quantization scale for centroid sums: floor(x · 2^40) is an
+# exact, rounding-mode-free integer in every engine (floor is unambiguous;
+# the ×2^40 double multiply is a power-of-two — exact). 64-dim components
+# are |x| < 1, so per-component |q| < 2^40 and a BIGINT sum holds ~2^23
+# members per cell before overflow; a 100 TB corpus would widen to
+# DECIMAL(38,0) (same exactness, no other change).
+_KMEANS_SCALE = float(1 << 40)
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    max_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reseed_empty: bool = False,
+) -> DataFrame:
+    """Lloyd's algorithm over cosine similarity, engine-reproducibly.
+
+    The trick that makes TRAINED clustering oracle-able (no other engine
+    could bit-match iterated float means): cosine is scale-invariant, so
+    the centroid never needs the mean — the exact per-dimension SUM of its
+    members points in the same direction. Sums are fixed-point integers
+    (floor(x·2^40), exact in any engine), so after any number of
+    iterations both engines hold IDENTICAL centroid arrays, and every
+    downstream cosine is the same sequential fold the ANN queries already
+    bit-match.
+
+    Per iteration: one broadcast-assign pass (argmax cosine over k
+    centroids, ties to the lower cell id), one posexplode →
+    groupBy(cell, dim) fixed-point sum (map-side combine; k·dim result
+    rows collected to the driver — bytes, not data). Convergence probe:
+    when the integer sums and counts of every cell are unchanged, the
+    centroids are a fixpoint and further iterations are identity — stop.
+    (Running extra iterations past the fixpoint is also identity, which is
+    why a fixed-iteration SQL unrolling matches an early-stopped run.)
+
+    Empty cells keep their previous centroid by default (the oracle-able
+    rule). ``reseed_empty=True`` instead re-seeds each empty cell on the
+    WORST-FIT member (globally lowest assignment similarity, ties to the
+    lower vector id) — the practical rebalancing rule; engine-internal, so
+    parity is pytest-checked, not oracle-checked.
+
+    Returns (cell, centroid: array<double>, n_members); n_members counts
+    the LAST training assignment (an assignment against the returned
+    centroids is what :func:`cell_stats` computes — identical when
+    training reached the fixpoint). Feed straight into :func:`cell_stats`
+    / :func:`ivf_topk`.
+    """
+    spark = emb.sparkSession
+    seeds = emb.orderBy(id_col).limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)
+    ]
+    n_members: dict[int, int] = {}
+    prev_state = None
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(_KMEANS_SCALE)).cast("long"),
+    )
+
+    for _ in range(max_iters):
+        cdf = spark.createDataFrame(cents, ["cell", "cvec"])
+        assigned = _argmax_cell(emb, cdf, id_col, vec_col)
+        rows = (
+            assigned.select("cell", F.posexplode(qv).alias("pos", "q"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[int, dict[int, int]] = {}
+        n_members = {}
+        for r in rows:
+            sums.setdefault(int(r["cell"]), {})[int(r["pos"])] = int(r["s"])
+            n_members[int(r["cell"])] = int(r["n"])
+        state = tuple(sorted((c, tuple(sorted(d.items()))) for c, d in sums.items()))
+        if state == prev_state:
+            break  # fixpoint: next assignment would be identical
+        prev_state = state
+
+        new_cents = []
+        empty = []
+        for cell, cvec in cents:
+            if cell in sums:
+                d = sums[cell]
+                new_cents.append(
+                    (cell, [float(d[p]) for p in range(len(cvec))])
+                )
+            else:
+                empty.append(cell)
+                new_cents.append((cell, cvec))  # keep-previous (oracle rule)
+        if empty and reseed_empty:
+            worst = (
+                assigned.orderBy("sim", id_col).limit(len(empty)).collect()
+            )
+            by_cell = dict(zip(sorted(empty), worst))
+            new_cents = [
+                (c, [float(x) for x in by_cell[c][vec_col]]) if c in by_cell else (c, v)
+                for c, v in new_cents
+            ]
+        cents = new_cents
+
+    out = [
+        (cell, cvec, n_members.get(cell, 0)) for cell, cvec in cents
+    ]
+    return spark.createDataFrame(out, ["cell", "centroid", "n_members"])
+
+
+def _argmax_cell(
+    emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, cell, sim): nearest centroid by cosine, ties to the lower
+    cell id. ``centroids`` is (cell, cvec)."""
+    from pyspark.sql import Window as W
+
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "cell",
+        cosine_pd(F.col(vec_col), F.col("cvec")).alias("sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("sim"), "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def q_kmeans_train_stats(spark, sf_dir: str) -> DataFrame:
+    """Cell stats AFTER 3 Lloyd iterations from the first-8-vector seeds —
+    the trained counterpart of q_kmeans_cell_stats (oracle: the same
+    iterations unrolled in SQL over the fixed-point sums)."""
+    from wurzel_spark.tables import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    trained = kmeans_train(emb, k=8, max_iters=3)
+    return cell_stats(
+        emb,
+        trained.select(
+            F.col("cell").alias("vec_id"), F.col("centroid").alias("embedding")
+        ),
+    )
+
+
+def _kmeans_unrolled_sql(k: int, iters: int) -> str:
+    """DuckDB twin of q_kmeans_train_stats: ``iters`` Lloyd iterations
+    unrolled as CTE stages (assignment → fixed-point sums → coalesce with
+    the previous centroids for empty cells), then the cell_stats readout.
+    Bit-exact because every stage is integer-exact or the shared
+    sequential-fold cosine."""
+    scale = int(_KMEANS_SCALE)
+
+    def cos(vec: str, cvec: str) -> str:
+        return (
+            f"list_dot_product(CAST({vec} AS DOUBLE[]), {cvec})"
+            f" / (sqrt(list_dot_product(CAST({vec} AS DOUBLE[]), CAST({vec} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product({cvec}, {cvec})))"
+        )
+
+    parts = [
+        f"""c0 AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), s{t} AS (
+  SELECT cell, i,
+         SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)) AS s
+  FROM a{t}, UNNEST(range(1, len(embedding) + 1)) AS t_(i)
+  GROUP BY cell, i
+), c{t} AS (
+  SELECT c.cell, COALESCE(n.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN (
+    SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE) ORDER BY i) AS cvec
+    FROM s{t} GROUP BY cell
+  ) n ON n.cell = c.cell
+)"""
+        )
+    return f"""
+WITH {', '.join(parts)},
+final_assign AS (
+  SELECT vec_id, cell, sim FROM (
+    SELECT e.vec_id, c.cell, {cos("e.embedding", "c.cvec")} AS sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+    FROM embeddings e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)
+SELECT cell, COUNT(*) AS n_vectors, MIN(sim) AS min_sim, MAX(sim) AS max_sim
+FROM final_assign
+GROUP BY cell
+ORDER BY cell
+"""
+
+
+KMEANS_TRAIN_SQL = _kmeans_unrolled_sql(k=8, iters=3)
+
+
 KMEANS_CELLS_SQL = """
 WITH c AS (
   SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec

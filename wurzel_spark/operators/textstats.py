@@ -962,18 +962,11 @@ ORDER BY doc_id
 
 # ------------------------------------------------- end-to-end curation run
 
-def curation_pipeline_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """The full curation funnel as ONE declarative plan: Gopher quality
-    rules → PII screen → exact dedup (first doc per content hash) → per-
-    source survival counts and surviving token volume.
-
-    Every stage is a column predicate or a hash-groupBy, so Catalyst fuses
-    the whole funnel into a handful of stages; at 100 TB the only
-    shuffles are the dedup groupBy and the final per-source aggregate.
-    Counts are exact integers — cross-engine hash-stable.
-    """
-    from wurzel_spark.operators.dedup import exact_dedup
-
+def curation_stage_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document funnel-stage flags (doc_id, source, text, g_ok, p_ok):
+    the Gopher quality gate and the PII screen as pure column predicates.
+    Shared by the batch funnel and the streaming twin so the two can never
+    drift (each micro-batch evaluates the SAME expressions)."""
     c = F.col(text_col)
     ws = TXT.words(c)
     n_words = F.size(ws)
@@ -996,9 +989,24 @@ def curation_pipeline_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.regexp_count(c, F.lit(PII_PATTERNS["n_ipv4"])) == 0)
         & (F.regexp_count(c, F.lit(PII_PATTERNS["n_phones"])) == 0)
     )
-    staged = df.select(
+    return df.select(
         "doc_id", "source", c.alias("text"), gopher_ok.alias("g_ok"), pii_ok.alias("p_ok")
     )
+
+
+def curation_pipeline_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full curation funnel as ONE declarative plan: Gopher quality
+    rules → PII screen → exact dedup (first doc per content hash) → per-
+    source survival counts and surviving token volume.
+
+    Every stage is a column predicate or a hash-groupBy, so Catalyst fuses
+    the whole funnel into a handful of stages; at 100 TB the only
+    shuffles are the dedup groupBy and the final per-source aggregate.
+    Counts are exact integers — cross-engine hash-stable.
+    """
+    from wurzel_spark.operators.dedup import exact_dedup
+
+    staged = curation_stage_flags(df, text_col)
     survivors = exact_dedup(
         staged.filter(F.col("g_ok") & F.col("p_ok")), ["text"], "doc_id"
     ).select("doc_id", "source", F.size(TXT.words(F.col("text"))).alias("n_tokens"))
