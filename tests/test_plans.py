@@ -229,16 +229,19 @@ def test_cohort_retention_prunes_to_two_columns(spark, sf_dir):
     )
 
 
-def test_duplicated_spans_single_window_shuffle(spark, sf_dir):
-    """The span stream must shuffle exactly twice (window by hash, agg by
-    doc) on top of the parallelize repartition — no extra join exchanges."""
+def test_duplicated_spans_skew_safe_no_window(spark, sf_dir):
+    """r4 skew-safe shape: NO window over the span hash (windows get
+    neither map-side combine nor AQE skew-split); the cross-doc dup flag
+    arrives via aggregate + join, and all kernels stay JVM-side."""
     from wurzel_spark.operators import dedup
     from wurzel_spark.plans.inspect import plan_text
     from wurzel_spark.tables import table
 
     df = dedup.duplicated_span_stats(table(spark, sf_dir, "documents"))
     s = plan_text(df)
-    assert s.count("SortMergeJoin") == 0 and s.count("BroadcastHashJoin") == 0
+    assert "Window" not in s
+    assert ("SortMergeJoin" in s) or ("BroadcastHashJoin" in s) or ("ShuffledHashJoin" in s)
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
 
 
 def test_curation_funnel_prunes_and_stays_jvm(spark, sf_dir):
@@ -254,14 +257,14 @@ def test_curation_funnel_prunes_and_stays_jvm(spark, sf_dir):
     )
 
 
-def test_sentence_dedup_single_window_no_joins(spark, sf_dir):
+def test_sentence_dedup_skew_safe_no_window(spark, sf_dir):
     from wurzel_spark.operators import dedup
     from wurzel_spark.plans.inspect import plan_text
     from wurzel_spark.tables import table
 
     df = dedup.duplicated_sentence_stats(table(spark, sf_dir, "documents"))
     s = plan_text(df)
-    assert s.count("SortMergeJoin") == 0 and s.count("BroadcastHashJoin") == 0
+    assert "Window" not in s
     assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
 
 

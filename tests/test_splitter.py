@@ -181,3 +181,25 @@ def test_punkt_learns_corpus_abbreviations(spark):
     # without the learned set the same text over-splits at "Qrt."
     regex = sentence_splitter("regex")
     assert regex("We met Qrt. Smith at noon. He waved back.")[0] == "We met Qrt."
+
+
+def test_split_stage_with_bpe_tokenizer_distributed(spark, sf_dir):
+    """The BPE vocab must load executor-side (package data, not closure):
+    run the distributed splitter with tokenizer_name='bpe' and check every
+    chunk respects the limit under the same tokenizer."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.functions import tokens as TK
+    from wurzel_spark.operators.splitter import split_stage
+    from wurzel_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(50).select(
+        F.col("text").alias("md"),
+        F.col("source").alias("keywords"),
+        F.col("doc_id").cast("string").alias("url"),
+    )
+    chunks = split_stage(docs, token_limit=32, token_limit_buffer=8,
+                         token_limit_min=8, tokenizer_name="bpe").collect()
+    assert len(chunks) >= 50
+    count = TK.token_counter("bpe")
+    assert all(count(r["md"]) <= 40 for r in chunks)

@@ -72,12 +72,26 @@ class TiktokenTokenizer:  # pragma: no cover - optional dependency
 _SINGLETONS: dict[str, object] = {}
 
 
+def _vendored_bpe_path() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "data", "german_faq_bpe.tiktoken")
+
+
 def from_name(name: str = "regex") -> object:
-    """Factory (tokenizers.py:78-127): 'regex' always works; tiktoken
-    encodings when installed. Cached per process (executor-side singleton).
+    """Factory (tokenizers.py:78-127): 'regex' always works; 'bpe' loads
+    the vendored pure-Python byte-level BPE vocab (functions/bpe.py);
+    'bpe:<path>' loads any public ``.tiktoken`` vocab file (drop in the
+    real cl100k_base file for tiktoken-identical ids); other names use
+    tiktoken when installed. Cached per process (executor-side singleton).
     """
     if name not in _SINGLETONS:
-        if name == "regex" or not HAS_TIKTOKEN:
+        if name == "bpe" or name.startswith("bpe:"):
+            from wurzel_spark.functions.bpe import load_tiktoken_file
+
+            path = name[4:] if name.startswith("bpe:") else _vendored_bpe_path()
+            _SINGLETONS[name] = load_tiktoken_file(path, name)
+        elif name == "regex" or not HAS_TIKTOKEN:
             _SINGLETONS[name] = RegexTokenizer()
         else:  # pragma: no cover
             _SINGLETONS[name] = TiktokenTokenizer(name)
@@ -105,5 +119,7 @@ def limit_token_count(text: str, limit: int, name: str = "regex") -> str:
             count += n
             end = m.end()
         return text[:end]
+    if hasattr(tok, "limit_token_count"):  # BPE (and any protocol tokenizer)
+        return tok.limit_token_count(text, limit)
     ids = tok.encode(text)[:limit]  # pragma: no cover
     return tok.enc.decode(ids)  # pragma: no cover

@@ -441,11 +441,16 @@ def split_stage(
     token_limit: int = DEFAULT_TOKEN_LIMIT,
     token_limit_buffer: int = DEFAULT_TOKEN_BUFFER,
     token_limit_min: int = DEFAULT_TOKEN_MIN,
+    tokenizer_name: str = "regex",
 ) -> DataFrame:
     """SimpleSplitterStep (wurzel/steps/splitter.py:71-119): explode each
     document into chunks. Raises downstream if ALL docs fail (reference
     raises on all-skipped, splitter.py:64-65) — here the pure function never
     fails, so empty-in → empty-out is the only degenerate case.
+
+    ``tokenizer_name`` ships as a string; each executor materialises the
+    tokenizer once via the process-level singleton (tokens.from_name) —
+    the BPE vocab loads from the installed package, never the closure.
     """
 
     @F.pandas_udf(_CHUNK_SCHEMA)
@@ -453,7 +458,8 @@ def split_stage(
         return pd.Series(
             [
                 split_markdown_document(
-                    m or "", k or "", u or "", token_limit, token_limit_buffer, token_limit_min
+                    m or "", k or "", u or "", token_limit, token_limit_buffer,
+                    token_limit_min, tokenizer_name,
                 )
                 for m, k, u in zip(md, kw, url)
             ]
