@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows covers all oracle-able queries with nothing older than 2 rounds.
     return {
         # new/changed this round — must be driver-checked in r4
+        "semdedup_keep": similarity.q_semdedup_keep,
+        "bm25_topk": textstats.q_bm25_topk,
         "ngram_jaccard_capped": dedup.q_ngram_jaccard_capped,
         "containment_capped": dedup.q_containment_capped,
         "duplicated_spans": dedup.q_duplicated_spans,
@@ -148,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "semdedup_keep": similarity.SEMDEDUP_SQL,
+        "bm25_topk": textstats.BM25_TOPK_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_local_supplier_volume": relational.Q5_SQL,

@@ -1,0 +1,92 @@
+"""10x scale probe (VERDICT r3 #9): time the near-dup + span/sentence +
+ANN families at the driver's bench sf (sf0.1, 5k docs / 2k embeddings)
+and at a locally generated ~sf1 (10x) dataset, and report the growth
+factor per query.
+
+Linear-shape operators (everything here except the d^2-bounded exact
+verifiers) should grow ~= data ratio x shuffle constant — well under the
+~12x bar PERF.md documents; a quadratic regression (missed cap, skewed
+window) shows up as >>10x growth.
+
+Usage:
+  python tools/gen_scale_probe.py /tmp/sfprobe 10
+  python tools/scale_probe.py [probe_dir] [repeats]
+Prints a markdown table (paste into PERF.md) and exits nonzero if any
+probed query grew more than MAX_GROWTH.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "/root/testdata/sf0.1"
+MAX_GROWTH = 14.0  # 10x data * headroom for the host's noisy cores
+
+# (name, needs) — every query reads only documents/embeddings so the
+# probe dir doesn't need the TPC-H tables.
+QUERIES = [
+    "dedup_exact",
+    "dedup_clusters",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "combined_near_dup_pairs",
+    "ngram_jaccard_capped",
+    "containment_capped",
+    "duplicated_spans",
+    "duplicated_sentences",
+    "decontamination_overlap",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "cosine_near_dup_pairs",
+    "kmeans_cell_stats",
+]
+
+
+def main(probe_dir: str = "/tmp/sfprobe", repeats: int = 2) -> int:
+    import __spark_entry__ as entrymod
+    from wurzel_spark.session import get_spark
+
+    spark = get_spark()
+    qs = entrymod.queries()
+    # warmup: JIT + codegen caches, so the first timed query isn't paying
+    # session startup.
+    qs["dedup_exact"](spark, BASE).count()
+
+    rows = []
+    fail = False
+    for name in QUERIES:
+        fn = qs[name]
+        times = {}
+        for label, d in (("sf0.1", BASE), ("sf1-probe", probe_dir)):
+            best = None
+            n = None
+            for _ in range(repeats):
+                t0 = time.monotonic()
+                n = fn(spark, d).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = (best, n)
+        g = times["sf1-probe"][0] / max(times["sf0.1"][0], 1e-9)
+        flag = "" if g <= MAX_GROWTH else " **SUPRALINEAR**"
+        if g > MAX_GROWTH:
+            fail = True
+        rows.append(
+            f"| {name} | {times['sf0.1'][0]:.2f} | {times['sf1-probe'][0]:.2f} "
+            f"| {g:.1f}x{flag} | {times['sf0.1'][1]} | {times['sf1-probe'][1]} |"
+        )
+        print(rows[-1], flush=True)
+    print()
+    print("| query | sf0.1 s | sf1 s | growth | rows sf0.1 | rows sf1 |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(r)
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    probe = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfprobe"
+    rep = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    raise SystemExit(main(probe, rep))

@@ -839,3 +839,115 @@ SELECT d.doc_id,
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+def semdedup_keep(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al. 2023, SemDeDup): cluster the
+    embedding space, then within each cluster drop every vector that is
+    within ``threshold`` cosine of a HIGHER-ranked clustermate, where rank
+    orders members by similarity-to-centroid descending (ties to the lower
+    id). Dropping the later-ranked member of each close pair keeps the
+    LOWEST-centroid-similarity representative of every semantic-duplicate
+    chain — the paper's keep rule (far-from-centroid examples carry the
+    most diverse signal).
+
+    Scale shape (the paper's own design point): pairwise similarity is
+    computed only WITHIN a cell, so total cost is Σ|cell|², bounded by
+    cluster granularity — k grows with the corpus (SemDeDup used 50k
+    clusters for LAION) keeping cells ~constant-sized. In Spark that is
+    one broadcast-assign pass (k centroids) + an equi-join on ``cell``
+    (shuffle join, never a cartesian) + a left-anti join of the dropped
+    ids. The ranking window partitions by cell — same bounded-cell
+    guarantee, no mega-partition hazard.
+
+    Replaces the reference's within-collection duplicate screens for the
+    embedding modality (wurzel/steps/duplication/step.py:21-34 handles
+    only text hashes). Returns kept rows: (id, cell, centroid_sim).
+    """
+    from pyspark.sql import Window as W
+
+    c = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+    assigned = _argmax_cell(emb, c, id_col, vec_col)
+    w = W.partitionBy("cell").orderBy(F.desc("sim"), id_col)
+    ranked = assigned.withColumn("r", F.row_number().over(w))
+    a = ranked.select(
+        "cell",
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("r").alias("ar"),
+    )
+    b = ranked.select(
+        "cell",
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("r").alias("br"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("br") < F.col("ar"))
+        .withColumn("pc", cosine_pd(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("pc") >= F.lit(threshold))
+        .select("cell", F.col("a_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped, ["cell", id_col], "left_anti")
+        .select(id_col, "cell", F.col("sim").alias("centroid_sim"))
+        .orderBy(id_col)
+    )
+
+
+def q_semdedup_keep(spark, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list with the first-8-vector seed centroids (the
+    kmeans_cell_stats cells). Threshold 0.4 is test-scale: the synthetic
+    corpus has no true semantic dups (max pairwise cosine ≈ 0.51), so 0.4
+    exercises real drops; production would sit at ~0.95+."""
+    emb = table(spark, sf_dir, "embeddings")
+    return semdedup_keep(emb, emb.filter(F.col("vec_id") < 8), threshold=0.4)
+
+
+SEMDEDUP_SQL = """
+WITH c AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+  SELECT vec_id, embedding, cell, sim FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(c.cvec, c.cvec))) DESC, c.cell) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, embedding, cell, sim,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS r
+  FROM assigned
+),
+dropped AS (
+  SELECT DISTINCT a.cell, a.vec_id
+  FROM ranked a JOIN ranked b ON a.cell = b.cell AND b.r < a.r
+  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        >= 0.4
+)
+SELECT r.vec_id, r.cell, r.sim AS centroid_sim
+FROM ranked r
+LEFT JOIN dropped d ON d.cell = r.cell AND d.vec_id = r.vec_id
+WHERE d.vec_id IS NULL
+ORDER BY r.vec_id
+"""

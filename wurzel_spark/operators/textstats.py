@@ -1075,3 +1075,163 @@ SELECT p.source, p.n_input, p.n_gopher_ok, p.n_pii_ok,
 FROM per_source p LEFT JOIN outc o ON p.source = o.source
 ORDER BY p.source
 """
+
+
+# ------------------------------------------------------------------- BM25
+
+_BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("spark", "join"),
+    1: ("hash", "table", "scan"),
+    2: ("dup", "stream", "window"),
+}
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+# Quantization scale for the per-(query,doc,term) score before the final
+# sum: ×2^20 keeps float-sum order out of the result (integer sum is
+# order-independent) while leaving ~1e-9 relative headroom against the
+# one engine-libm op in the formula (ln); a finer scale (the 2^40 the
+# k-means sums use) would put ln()'s 1-ulp cross-engine wiggle inside the
+# floor's flip window.
+_BM25_SCALE = float(1 << 20)
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: dict[int, tuple[str, ...]] | None = None,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 (Robertson/Okapi) top-k retrieval over whitespace tokens —
+    the ranked-retrieval readout a curation pipeline uses for targeted
+    corpus probes ("show me the docs this query would surface").
+
+    Scale shape: the exploded term stream is filtered to QUERY terms
+    before any shuffle (an in-plan literal `isin` — Catalyst folds it
+    into the explode's filter, so the full vocabulary never moves), then
+    one groupBy(doc, term) with map-side combine; document frequencies
+    aggregate from that already-tiny table; the corpus-level (N, avgdl)
+    scalars ride a broadcast 1-row crossJoin, never a driver collect.
+    Final ranking is a per-query top-k window over ≤ |hits| rows.
+
+    Bit-exact across engines: every arithmetic op is IEEE
+    correctly-rounded (+,*,/ on doubles) except ln(); per-term scores are
+    floored at 2^20 into BIGINT, so the integer SUM per (query, doc) is
+    order-independent and the score column hashes exactly.
+    """
+    qs = queries or _BM25_QUERIES
+    terms = sorted({t for ts in qs.values() for t in ts})
+    qt = df.sparkSession.createDataFrame(
+        [(qid, t) for qid, ts in sorted(qs.items()) for t in ts],
+        "query_id int, term string",
+    )
+    ws = TXT.words(F.col(text_col))
+    d2 = df.select("doc_id", ws.alias("ws")).select(
+        "doc_id", "ws", F.size("ws").alias("dl")
+    )
+    stats = d2.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        d2.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("dfc"))
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("dfc") + F.lit(0.5))
+                    / (F.col("dfc") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(_BM25_K1)
+                    * (
+                        F.lit(1.0 - _BM25_B)
+                        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+                * F.lit(_BM25_SCALE)
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("sq").alias("score_q20"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("score_q20"), "doc_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_q20")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(table(spark, sf_dir, "documents"))
+
+
+def _bm25_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts
+    )
+    terms = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    )
+    return rf"""
+WITH d2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), d3 AS (
+  SELECT doc_id, ws, len(ws) AS dl FROM d2
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d3
+), qt(query_id, term) AS (
+  VALUES {values}
+), tf AS (
+  SELECT doc_id, dl, t.term, COUNT(*) AS tf
+  FROM d3, UNNEST(ws) AS t(term)
+  WHERE t.term IN ({terms})
+  GROUP BY doc_id, dl, t.term
+), dfr AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS dfc FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(FLOOR(
+           ln((s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+           * (tf.tf * {_BM25_K1 + 1.0!r})
+           / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * tf.dl / s.avgdl))
+           * {_BM25_SCALE!r}
+         ) AS BIGINT) AS sq
+  FROM tf
+  JOIN qt q ON q.term = tf.term
+  JOIN dfr d ON d.term = tf.term
+  CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id, CAST(SUM(sq) AS BIGINT) AS score_q20
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, score_q20 FROM (
+  SELECT query_id, doc_id, score_q20,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_q20 DESC, doc_id) AS rank
+  FROM agg
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()
