@@ -21,6 +21,7 @@ from wurzel_spark.operators import (
     dedup,
     embedding,
     multimodal,
+    packing,
     similarity,
     splitter,
     textstats,
@@ -46,6 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new/changed this round — must be driver-checked in r4
         "semdedup_keep": similarity.q_semdedup_keep,
         "bm25_topk": textstats.q_bm25_topk,
+        "sequence_pack": packing.q_sequence_pack,
+        "sequence_pack_stats": packing.q_sequence_pack_stats,
         "ngram_jaccard_capped": dedup.q_ngram_jaccard_capped,
         "containment_capped": dedup.q_containment_capped,
         "duplicated_spans": dedup.q_duplicated_spans,
@@ -94,14 +97,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal tail (rows-only; stub codecs, real mapInPandas plumbing)
         "multimodal_frame_stats": multimodal.q_multimodal_frame_stats,
         "multimodal_audio_features": multimodal.q_multimodal_audio_features,
-        # family representatives kept in-window
+        # ---- driver 50-query window boundary (entries below were ALL
+        # hash-green in CORRECTNESS_r03 — the r3 window — and remain
+        # oracle-verified by tools/verify_local.py every round) ----
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_clusters": dedup.q_dedup_clusters,
         "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,
         "sessionize": events.sessionize,
-        # ---- driver 50-query window boundary (entries below were ALL
-        # hash-green in CORRECTNESS_r03 — the r3 window — and remain
-        # oracle-verified by tools/verify_local.py every round) ----
         "q1_pricing_summary": relational.q1_pricing_summary,
         "dedup_first_per_source": dedup.q_dedup_first_per_source,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard,
@@ -152,6 +154,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
+        "sequence_pack": packing.SEQUENCE_PACK_SQL,
+        "sequence_pack_stats": packing.SEQUENCE_PACK_STATS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_local_supplier_volume": relational.Q5_SQL,

@@ -69,6 +69,10 @@ HEADLINE = [
     "text_embedding_join",
     "multimodal_manifest",
     "combined_near_dup_pairs",
+    # round 4: semantic dedup + ranked retrieval + trained clustering
+    "semdedup_keep",
+    "bm25_topk",
+    "kmeans_train_stats",
 ]
 
 

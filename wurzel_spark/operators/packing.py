@@ -1,0 +1,187 @@
+"""Training-sequence packing: concatenate the token stream of the corpus
+in deterministic doc order and chunk it into fixed-length sequences — the
+GPT-pretraining data layout (documents may straddle sequence boundaries;
+each token belongs to exactly one sequence).
+
+The reference pipeline stops at chunk/embed/upsert (SURVEY §2.4-2.6);
+packing is the step a TRAINING pipeline needs between curation and the
+data loader, so it's first-class here alongside dedup/quality/sampling.
+
+Scale notes: the only global dependency is an EXCLUSIVE prefix sum of
+per-doc token counts in doc order. A naive window (`ORDER BY doc_id` with
+no partition) serializes the corpus through one partition — the classic
+single-partition-window hazard. :func:`_exclusive_prefix_sum` runs the
+textbook two-phase form instead: per-bucket subtotals (map-side combine,
+one tiny row per bucket), driver-side cumsum over the bucket totals
+(thousands of longs — size-guarded like a broadcast join), then a
+within-bucket window whose partitions are bucket-bounded. Everything
+downstream is row-local integer arithmetic + a ≤2-element explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wurzel_spark.functions import text as TXT
+from wurzel_spark.tables import table
+
+_PREFIX_BUCKET = 1 << 13  # docs per cumsum bucket (id-range, order-preserving)
+
+
+def _exclusive_prefix_sum(
+    df: DataFrame, order_col: str, val_col: str, out_col: str
+) -> DataFrame:
+    """Adds ``out_col`` = sum of ``val_col`` over all rows strictly before
+    this one in ``order_col`` order, without a global-order window.
+
+    Buckets by ``order_col`` value range (any deterministic order-respecting
+    bucketing works; value range needs no extra shuffle key). Bucket
+    subtotals collect to the driver — one long per 8k docs, ~15k rows at
+    1B docs — the same size-guard class as the union-find edge cap.
+    """
+    from pyspark.sql import Window as W
+
+    bucket = F.floor(F.col(order_col) / F.lit(_PREFIX_BUCKET)).alias("__bkt")
+    b = df.select(F.col(order_col), F.col(val_col), bucket)
+    totals = {
+        int(r["__bkt"]): int(r["t"])
+        for r in b.groupBy("__bkt").agg(F.sum(val_col).alias("t")).collect()
+    }
+    run, offsets = 0, {}
+    for k in sorted(totals):
+        offsets[k] = run
+        run += totals[k]
+    odf = df.sparkSession.createDataFrame(
+        sorted(offsets.items()), "__bkt long, __bkt_off long"
+    )
+    w = (
+        W.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(odf), "__bkt")
+        .withColumn(
+            out_col,
+            F.col("__bkt_off") + F.coalesce(F.sum(val_col).over(w), F.lit(0)),
+        )
+        .drop("__bkt", "__bkt_off")
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    max_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc → training-sequence span mapping. Token stream = whitespace
+    tokens of every doc with >0 tokens, concatenated in ascending
+    ``id_col`` order; sequence ``s`` owns token positions
+    ``[s·max_len, (s+1)·max_len)``.
+
+    Returns one row per (doc, sequence) overlap:
+      - ``seq_id``        — sequence index
+      - ``doc_id``
+      - ``seq_tok_start`` — position of this doc's first token IN the seq
+      - ``doc_tok_start`` — first doc token landing in this seq
+      - ``n_tok``         — tokens of this doc in this seq
+
+    A doc spans ``floor(off/L) … floor((off+n-1)/L)`` — for typical
+    doc ≪ max_len that's 1-2 rows, emitted by a bounded sequence()
+    explode (never a join). All integer math → bit-exact oracle.
+    """
+    L = max_len
+    ws = TXT.words(F.col(text_col))
+    docs = df.select(F.col(id_col), F.size(ws).alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    with_off = _exclusive_prefix_sum(docs, id_col, "n_tok", "off")
+    spans = with_off.select(
+        id_col,
+        "n_tok",
+        "off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / L),
+                F.floor((F.col("off") + F.col("n_tok") - 1) / L),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("off"), F.col("seq_id") * L)
+    hi = F.least(F.col("off") + F.col("n_tok"), (F.col("seq_id") + 1) * L)
+    return spans.select(
+        "seq_id",
+        id_col,
+        (lo - F.col("seq_id") * L).alias("seq_tok_start"),
+        (lo - F.col("off")).alias("doc_tok_start"),
+        (hi - lo).alias("n_tok"),
+    ).orderBy("seq_id", id_col)
+
+
+def sequence_pack_stats(
+    df: DataFrame, max_len: int = 512, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-sequence readout of :func:`sequence_pack`: how many docs feed
+    each sequence and how full it is (the final sequence may be short)."""
+    m = sequence_pack(df, max_len, text_col, id_col)
+    return (
+        m.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_pack(table(spark, sf_dir, "documents"), max_len=512)
+
+
+def q_sequence_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_pack_stats(table(spark, sf_dir, "documents"), max_len=512)
+
+
+_PACK_CTE = r"""
+d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != ''))
+           AS n_tok
+  FROM documents
+), d2 AS (
+  SELECT doc_id, n_tok,
+         COALESCE(CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS BIGINT), 0) AS off
+  FROM d WHERE n_tok > 0
+), spans AS (
+  SELECT doc_id, n_tok, off, s.seq_id
+  FROM d2, UNNEST(range(CAST(floor(off / 512) AS BIGINT),
+                        CAST(floor((off + n_tok - 1) / 512) AS BIGINT) + 1))
+           AS s(seq_id)
+), m AS (
+  SELECT seq_id, doc_id,
+         GREATEST(off, seq_id * 512) - seq_id * 512 AS seq_tok_start,
+         GREATEST(off, seq_id * 512) - off AS doc_tok_start,
+         LEAST(off + n_tok, (seq_id + 1) * 512) - GREATEST(off, seq_id * 512)
+           AS n_tok
+  FROM spans
+)
+"""
+
+SEQUENCE_PACK_SQL = f"""
+WITH {_PACK_CTE}
+SELECT seq_id, doc_id, seq_tok_start, doc_tok_start, n_tok
+FROM m ORDER BY seq_id, doc_id
+"""
+
+SEQUENCE_PACK_STATS_SQL = f"""
+WITH {_PACK_CTE}
+SELECT seq_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM m GROUP BY seq_id ORDER BY seq_id
+"""

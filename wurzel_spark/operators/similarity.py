@@ -877,7 +877,11 @@ def semdedup_keep(
     c = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
     assigned = _argmax_cell(emb, c, id_col, vec_col)
     w = W.partitionBy("cell").orderBy(F.desc("sim"), id_col)
-    ranked = assigned.withColumn("r", F.row_number().over(w))
+    # ranked feeds THREE subtrees (both pair sides + the final anti-join);
+    # without a checkpoint each re-runs the broadcast-assign crossJoin.
+    ranked = assigned.withColumn("r", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     a = ranked.select(
         "cell",
         F.col(id_col).alias("a_id"),
