@@ -1231,34 +1231,54 @@ def duplicated_span_stats(
         .select("id", F.explode(grams).alias("h"))
     )
     # "occurs in another doc" ⇔ min(id) != max(id) over the span hash.
-    # SKEW-SAFE shape (default since r4): collapse to distinct (id, h)
-    # with per-doc occurrence counts first (map-side combine), aggregate
-    # min/max id per h (map-side combine again), join the tiny per-h dup
-    # flag back on h. A mega-duplicated span (license header in millions
-    # of docs) is then ≤1 row per doc in the hot join partition — which
-    # AQE's skew-join split can further divide — instead of EVERY
-    # occurrence landing in ONE window partition with no partial
-    # aggregation (windows get neither combine nor skew-split). The
-    # earlier `W.partitionBy("h")` window was ~equal at bench scale but
-    # was the likeliest 100 TB straggler in the repo (VERDICT r3 #2).
+    # SKEW-SAFE shape, join-free (default since r4): collapse to distinct
+    # (id, h) with per-doc occurrence counts (map-side combine), then one
+    # per-h aggregate (combine again). The inversion that kills the
+    # join-back-on-h a naive flagging needs: n_dup = n_spans − n_uniq,
+    # and a span hash UNIQUE to one doc (min==max) names that doc in the
+    # aggregate itself — so the per-h output maps straight to (doc,
+    # uniq-count) rows with no further reference to the span table.
+    # n_spans is row-local arithmetic on the token count. A
+    # mega-duplicated span (license header in millions of docs) costs ≤1
+    # row per doc into shuffle 1 and is FILTERED OUT by shuffle 2's
+    # combine — it never concentrates anywhere (the earlier
+    # `W.partitionBy("h")` window put every occurrence in ONE partition
+    # with no partial aggregation; VERDICT r3 #2).
     per_doc = spans.groupBy("id", "h").agg(F.count(F.lit(1)).alias("c"))
-    dup_flags = per_doc.groupBy("h").agg(
-        (F.min("id") != F.max("id")).cast("long").alias("dup")
-    )
-    marked = per_doc.join(dup_flags, "h")
-    return (
-        marked.groupBy("id")
+    uniq = (
+        per_doc.groupBy("h")
         .agg(
-            F.sum("c").alias("n_spans"),
-            F.sum(F.col("c") * F.col("dup")).alias("n_dup_spans"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+            F.sum("c").alias("tc"),
         )
+        .filter(F.col("lo") == F.col("hi"))
+        .groupBy(F.col("lo").alias("id"))
+        .agg(F.sum("tc").alias("n_uniq"))
+    )
+    sz = F.size(TXT.words(F.col(text_col)))
+    k2 = sz - F.lit(n - 1)
+    totals = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.when(k2 > 0, k2).otherwise(F.lit(1)).cast("long").alias("n_spans"),
+            sz.alias("__sz"),
+        )
+        .filter(F.col("__sz") > 0)
+        .drop("__sz")
+    )
+    return (
+        totals.join(uniq, "id", "left")
         .select(
             F.col("id").alias(id_col),
             "n_spans",
-            "n_dup_spans",
-            (
-                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double")
-            ).alias("dup_span_frac"),
+            (F.col("n_spans") - F.coalesce(F.col("n_uniq"), F.lit(0))).alias(
+                "n_dup_spans"
+            ),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"),
         )
         .orderBy(id_col)
     )
@@ -1502,12 +1522,14 @@ def duplicated_sentence_stats(
     operators/splitter.py for the chunking pipeline). Sentences under
     ``min_chars`` are ignored (fragments pair everything with everything).
 
-    Same skew-safe shape as :func:`duplicated_span_stats`: hash each kept
-    sentence, collapse to distinct (id, hash) with counts (map-side
-    combine), min/max doc id per hash, join the per-hash dup flag back.
-    A boilerplate sentence shared by millions of docs contributes one row
-    per doc to the hot join partition (AQE skew-split handles the rest)
-    instead of every occurrence piling into one window partition.
+    Same skew-safe join-free shape as :func:`duplicated_span_stats`:
+    hash each kept sentence, collapse to distinct (id, hash) with counts
+    (map-side combine), then one per-hash aggregate whose unique-to-one-
+    doc rows (min==max) carry their doc id out directly —
+    n_dup = n_sentences − n_uniq, no join back on the hash. A boilerplate
+    sentence shared by millions of docs costs ≤1 row per doc in shuffle 1
+    and is filtered by shuffle 2's combine; it never piles into one
+    window partition.
     """
     sents = F.filter(
         F.transform(
@@ -1524,24 +1546,33 @@ def duplicated_sentence_stats(
         .select("id", F.xxhash64("s").alias("h"))
     )
     per_doc = rows.groupBy("id", "h").agg(F.count(F.lit(1)).alias("c"))
-    dup_flags = per_doc.groupBy("h").agg(
-        (F.min("id") != F.max("id")).cast("long").alias("dup")
-    )
-    marked = per_doc.join(dup_flags, "h")
-    return (
-        marked.groupBy("id")
+    uniq = (
+        per_doc.groupBy("h")
         .agg(
-            F.sum("c").alias("n_sentences"),
-            F.sum(F.col("c") * F.col("dup")).alias("n_dup_sentences"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+            F.sum("c").alias("tc"),
         )
+        .filter(F.col("lo") == F.col("hi"))
+        .groupBy(F.col("lo").alias("id"))
+        .agg(F.sum("tc").alias("n_uniq"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"), F.size(sents).cast("long").alias("n_sentences")
+    ).filter(F.col("n_sentences") > 0)
+    return (
+        totals.join(uniq, "id", "left")
         .select(
             F.col("id").alias(id_col),
             "n_sentences",
-            "n_dup_sentences",
-            (
-                F.col("n_dup_sentences").cast("double")
-                / F.col("n_sentences").cast("double")
-            ).alias("dup_sentence_frac"),
+            (F.col("n_sentences") - F.coalesce(F.col("n_uniq"), F.lit(0))).alias(
+                "n_dup_sentences"
+            ),
+        )
+        .withColumn(
+            "dup_sentence_frac",
+            F.col("n_dup_sentences").cast("double")
+            / F.col("n_sentences").cast("double"),
         )
         .orderBy(id_col)
     )
