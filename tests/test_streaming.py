@@ -318,3 +318,42 @@ def test_streaming_curation_funnel_matches_batch(spark, sf_dir, tmp_path):
         for r in rows
     }
     assert as_map(got) == as_map(exp)
+
+
+def test_streaming_asof_enrich_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Stream-static as-of enrichment == the batch asof query, under
+    multi-micro-batch admission (events_dir is split into 4 files; the
+    reader caps files per trigger so parity covers the union-of-batches
+    path, not just a single-batch accident)."""
+    from wurzel_spark.operators.asof import q_asof_last_order_before_event
+    from wurzel_spark.streaming.enrich import asof_enrich_stream
+    from wurzel_spark.streaming.events import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    orders = table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    out_dir = str(tmp_path / "enriched")
+    asof_enrich_stream(
+        stream,
+        orders,
+        out_dir,
+        str(tmp_path / "ckpt_asof"),
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        how="inner",
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["asof_o_orderkey"], float(r["asof_o_totalprice"]))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {
+        r["event_id"]: (r["user_id"], r["last_orderkey"], float(r["last_order_price"]))
+        for r in q_asof_last_order_before_event(spark, sf_dir).collect()
+    }
+    assert got == expected
