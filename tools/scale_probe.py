@@ -42,6 +42,10 @@ QUERIES = [
     "ann_topk_ivf",
     "cosine_near_dup_pairs",
     "kmeans_cell_stats",
+    "semdedup_keep",
+    "bm25_topk",
+    "sequence_pack_stats",
+    "kmeans_train_stats",
 ]
 
 

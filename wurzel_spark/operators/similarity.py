@@ -20,7 +20,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from wurzel_spark.tables import table
 
@@ -532,8 +538,6 @@ def cell_stats(
     watches (skewed cells → re-seed or split) and the partition-planning
     input for IVF search at 100 TB (cells map to partitions).
     """
-    from pyspark.sql import Window as W
-
     c = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid_vec")
     )
@@ -542,10 +546,18 @@ def cell_stats(
         "cell",
         cosine_pd(F.col(vec_col), F.col("centroid_vec")).alias("sim"),
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("sim"), "cell")
+    # nearest cell per vector via max_by (hash aggregate, map-side
+    # combine; ties to the lower cell id via the -cell ordering field) —
+    # the row_number window this replaces sorted every (id × k) row.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("cell", "sim"),
+                F.struct(F.col("sim"), (-F.col("cell")).alias("__nc")),
+            ).alias("__m")
+        )
+        .select(F.col("__m.cell").alias("cell"), F.col("__m.sim").alias("sim"))
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -679,20 +691,29 @@ def _argmax_cell(
     emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """(id, vec, cell, sim): nearest centroid by cosine, ties to the lower
-    cell id. ``centroids`` is (cell, cvec)."""
-    from pyspark.sql import Window as W
+    cell id. ``centroids`` is (cell, cvec).
 
+    max_by over a (sim, -cell) ordering struct — a hash AGGREGATE with
+    map-side partial combine, where the equivalent row_number window had
+    to shuffle-and-sort every (id × k) scored row. Identical rows: struct
+    comparison is lexicographic, so max picks highest sim, then lowest
+    cell id on exact ties."""
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         id_col,
         vec_col,
         "cell",
         cosine_pd(F.col(vec_col), F.col("cvec")).alias("sim"),
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("sim"), "cell")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct("cell", F.col(vec_col).alias("__vec"), "sim"),
+            F.struct(F.col("sim"), (-F.col("cell")).alias("__nc")),
+        ).alias("__m")
+    ).select(
+        id_col,
+        F.col("__m.__vec").alias(vec_col),
+        F.col("__m.cell").alias("cell"),
+        F.col("__m.sim").alias("sim"),
     )
 
 
@@ -872,41 +893,55 @@ def semdedup_keep(
     embedding modality (wurzel/steps/duplication/step.py:21-34 handles
     only text hashes). Returns kept rows: (id, cell, centroid_sim).
     """
-    from pyspark.sql import Window as W
-
     c = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
     assigned = _argmax_cell(emb, c, id_col, vec_col)
-    w = W.partitionBy("cell").orderBy(F.desc("sim"), id_col)
-    # ranked feeds THREE subtrees (both pair sides + the final anti-join);
-    # without a checkpoint each re-runs the broadcast-assign crossJoin.
-    ranked = assigned.withColumn("r", F.row_number().over(w)).localCheckpoint(
-        eager=False
+
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("cell", LongType()),
+            StructField("centroid_sim", DoubleType()),
+        ]
     )
-    a = ranked.select(
-        "cell",
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("a_vec"),
-        F.col("r").alias("ar"),
+
+    # One grouped Arrow kernel per cell replaces the (ranked ⋈ ranked)
+    # pair join + 250k row-wise pandas cosines + distinct + anti-join:
+    # the |cell|² similarity matrix is accumulated DIM-SEQUENTIALLY
+    # (one rank-1 update per dimension) so every entry carries the exact
+    # rounding of the sequential-fold cosine the SQL oracle computes —
+    # numpy matmul's blocked summation would NOT. |cell|² floats in
+    # memory is the SemDeDup design point (bounded cells); cells beyond
+    # ~20k members need k scaled up, same as the paper.
+    def _cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["sim", "id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        m = len(pdf)
+        acc = np.zeros((m, m), dtype=np.float64)
+        for j in range(V.shape[1]):
+            col = V[:, j]
+            acc = acc + col[:, None] * col[None, :]
+        norms = np.sqrt(acc.diagonal())
+        cos = acc / (norms[:, None] * norms[None, :])
+        # drop row i if any EARLIER-ranked j (j < i) has cos >= threshold
+        tri = np.tril(cos >= threshold, k=-1)
+        keep = ~tri.any(axis=1)
+        out = pdf.loc[keep, ["id", "cell", "sim"]].rename(
+            columns={"sim": "centroid_sim"}
+        )
+        return out
+
+    kept = (
+        assigned.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell", "sim"
+        )
+        .groupBy("cell")
+        .applyInPandas(_cell_kernel, out_schema)
     )
-    b = ranked.select(
-        "cell",
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("b_vec"),
-        F.col("r").alias("br"),
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("br") < F.col("ar"))
-        .withColumn("pc", cosine_pd(F.col("a_vec"), F.col("b_vec")))
-        .filter(F.col("pc") >= F.lit(threshold))
-        .select("cell", F.col("a_id").alias(id_col))
-        .distinct()
-    )
-    return (
-        ranked.join(dropped, ["cell", id_col], "left_anti")
-        .select(id_col, "cell", F.col("sim").alias("centroid_sim"))
-        .orderBy(id_col)
-    )
+    return kept.select(
+        F.col("id").alias(id_col), "cell", "centroid_sim"
+    ).orderBy(id_col)
 
 
 def q_semdedup_keep(spark, sf_dir: str) -> DataFrame:
