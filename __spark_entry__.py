@@ -147,6 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "join_semi_orders_with_big_items": relational.join_semi_orders_with_big_items,
         "window_order_rank": relational.window_order_rank,
+        # new below-window this round (rotate into the r5 window): the
+        # scaled-banding cosine LSH config (12-bit bands) — oracle-checked
+        # locally; see PERF.md round-4 for why bits must scale with log2(n)
+        "cosine_near_dup_scaled": similarity.q_cosine_near_dup_scaled,
     }
 
 
@@ -225,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": similarity.ANN_TOPK_SQL,
         "embedding_norms": similarity.EMB_NORMS_SQL,
         "cosine_near_dup_pairs": similarity.COSINE_PAIRS_SQL,
+        "cosine_near_dup_scaled": similarity.COSINE_PAIRS_SCALED_SQL,
         "ann_range_search": similarity.ANN_RANGE_SQL,
         "containment_pairs": dedup.CONTAINMENT_SQL,
         "duplicated_spans": dedup.DUP_SPANS_SQL,

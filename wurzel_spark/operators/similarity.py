@@ -990,3 +990,73 @@ LEFT JOIN dropped d ON d.cell = r.cell AND d.vec_id = r.vec_id
 WHERE d.vec_id IS NULL
 ORDER BY r.vec_id
 """
+
+
+# -------------------------------------- scaled-banding cosine LSH twin
+
+# The 10× probe showed candidate volume ~n²/2^bits per band is the whole
+# cost of banded cosine LSH (PERF.md round-4: 6-bit bands 73.4 s vs
+# 12-bit bands 4.75 s at 20k vectors). Bits-per-band must scale with
+# log2(n); this twin registers the scaled configuration (48 planes ⇒ 4
+# bands × 12 bits) with its own mirrored oracle so the scale config is
+# hash-checked, not just documented — the same pattern as the df-capped
+# Jaccard twins.
+_N_PLANES_SCALED = 48
+_BITS_SCALED = _N_PLANES_SCALED // _N_BANDS
+
+
+def q_cosine_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    planes = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < _N_PLANES_SCALED)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return cosine_lsh_near_dup_pairs(emb, planes, bands=_N_BANDS, threshold=0.4)
+
+
+def _cosine_pairs_sql(n_planes: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of cosine_lsh_near_dup_pairs for any banding."""
+    bits = n_planes // bands
+    return f"""
+WITH planes AS (
+  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pvec
+  FROM embeddings WHERE vec_id < {n_planes}
+),
+bits AS (
+  SELECT e.vec_id,
+         p.pid,
+         CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pvec) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY pid) AS bucket
+  FROM bits GROUP BY vec_id
+),
+bandrows AS (
+  SELECT vec_id, t.band_idx,
+         substring(bucket, CAST(t.band_idx * {bits} + 1 AS INT), {bits}) AS bv
+  FROM buckets, range({bands}) t(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bandrows a
+  JOIN bandrows b ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+COSINE_PAIRS_SCALED_SQL = _cosine_pairs_sql(_N_PLANES_SCALED, _N_BANDS, 0.4)
