@@ -2,6 +2,7 @@
 the batch queries."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from wurzel_spark.queries.events import events_hourly_stats, sessionize
 from wurzel_spark.streaming.events import hourly_window_agg, read_event_stream, run_available_now
@@ -357,3 +358,61 @@ def test_streaming_asof_enrich_matches_batch(spark, sf_dir, events_dir, tmp_path
         for r in q_asof_last_order_before_event(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Native watermarked stream-stream interval join == the batch bucketed
+    range join, across micro-batch boundaries (clicks and purchases read
+    as SEPARATE streams with small admission caps, so matching pairs
+    routinely arrive in different batches — the case foreachBatch twins
+    cannot express)."""
+    from wurzel_spark.streaming.events import EVENTS_SCHEMA
+    from wurzel_spark.streaming.rangejoin import interval_join_stream
+
+    def stream():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pt"))
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("ct"))
+    )
+    # the watermark is the source's DISORDER bound: replaying static
+    # parquet splits is fully unordered (each file spans the whole month),
+    # so it must cover the dataset's time span or cross-batch late rows
+    # are — correctly — dropped. A live feed would use its real skew bound.
+    joined = interval_join_stream(
+        purchases, clicks, "user_id", "pt", "ct", lower_s=-3600, upper_s=0,
+        watermark="40 days",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_interval_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM t_interval_join")
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_prev_hour"))
+        .collect()
+    )
+    from wurzel_spark.operators.rangejoin import q_clicks_before_purchase
+
+    expected = q_clicks_before_purchase(spark, sf_dir).collect()
+    as_map = lambda rows: {  # noqa: E731
+        (r["purchase_id"], r["user_id"]): r["n_clicks_prev_hour"] for r in rows
+    }
+    assert as_map(got) == as_map(expected)
