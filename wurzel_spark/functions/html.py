@@ -398,19 +398,92 @@ _HEADING_NORM_RE = re.compile(r"(?m)^(#{1,6})[ \t]+")
 _BULLET_NORM_RE = re.compile(r"(?m)^(\s*)[*+](\s+|$)")
 
 
+_FENCE_OPEN_RE = re.compile(r"^(\s*)(`{3,}|~{3,})(.*)$")
+_SETEXT1_RE = re.compile(r"^=+\s*$")
+_SETEXT2_RE = re.compile(r"^-{2,}\s*$")
+# lines that can NOT be setext heading content (already block markers)
+_SETEXT_EXCLUDE_RE = re.compile(
+    r"^\s*(#|[-*+][ \t]|\d+[.)][ \t]|\||>|(`{3,}|~{3,}))"
+)
+_THEMATIC_RE = re.compile(r"^\s*((\*[ \t]*){3,}|(-[ \t]*){3,}|(_[ \t]*){3,})$")
+_ORDERED_NORM_RE = re.compile(r"^(\s*)(\d+)\)([ \t])")
+
+
 def normalize_markdown(md: str) -> str:
     """mdformat-lite normalization (reference semantic_splitter.py:107-119
     runs mdformat after splitting): trailing whitespace stripped, heading
-    markers single-spaced, * / + bullets unified to -, ≥2 blank lines
-    collapsed to one, single trailing newline. Idempotent (property-tested).
+    markers single-spaced, setext headings converted to ATX, * / + bullets
+    unified to -, ``N)`` ordered markers to ``N.``, thematic breaks
+    (``- - -`` / ``___`` / spaced stars) to ``***``, ≥2 blank lines collapsed
+    to one, single trailing newline — and NONE of it applied inside
+    fenced code blocks, whose content (including blank runs and trailing
+    whitespace) passes through verbatim, as mdformat guarantees.
+    Idempotent (property-tested).
     """
     if md is None:
         return md
-    out = _TRAILING_WS_RE.sub("", md)
-    out = _HEADING_NORM_RE.sub(r"\1 ", out)
-    out = _BULLET_NORM_RE.sub(r"\1-\2", out)
-    out = re.sub(r"\n{3,}", "\n\n", out)
-    return out.strip("\n") + "\n" if out.strip() else ""
+    lines = md.split("\n")
+    out: list[str] = []
+    in_fence = False
+    fence_close: re.Pattern[str] | None = None
+    blanks = 0
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if in_fence:
+            out.append(line.rstrip() if fence_close.match(line) else line)
+            if fence_close.match(line):
+                in_fence = False
+                fence_close = None
+            i += 1
+            continue
+        m = _FENCE_OPEN_RE.match(line)
+        if m and not m.group(3).strip().startswith(m.group(2)[0]):
+            in_fence = True
+            fence_close = re.compile(
+                rf"^\s*{re.escape(m.group(2)[0])}{{{len(m.group(2))},}}\s*$"
+            )
+            blanks = 0
+            out.append(line.rstrip())
+            i += 1
+            continue
+        line = line.rstrip()
+        if not line:
+            blanks += 1
+            if blanks == 1:
+                out.append("")
+            i += 1
+            continue
+        blanks = 0
+        # setext → ATX: a plain-paragraph line underlined by === or ---
+        if (
+            i + 1 < len(lines)
+            and not _SETEXT_EXCLUDE_RE.match(line)
+            and not _THEMATIC_RE.match(line)
+        ):
+            nxt = lines[i + 1].rstrip()
+            if _SETEXT1_RE.match(nxt):
+                out.append("# " + line.strip())
+                i += 2
+                continue
+            if _SETEXT2_RE.match(nxt):
+                out.append("## " + line.strip())
+                i += 2
+                continue
+        if _THEMATIC_RE.match(line):
+            # normalized mark is *** — a "---" here would look like a
+            # setext-2 underline for the PRECEDING line on the next pass
+            # (idempotence break); *** is never a setext underline
+            out.append("***")
+            i += 1
+            continue
+        line = _HEADING_NORM_RE.sub(r"\1 ", line)
+        line = _BULLET_NORM_RE.sub(r"\1-\2", line)
+        line = _ORDERED_NORM_RE.sub(r"\1\2.\3", line)
+        out.append(line)
+        i += 1
+    joined = "\n".join(out)
+    return joined.strip("\n") + "\n" if joined.strip() else ""
 
 
 md_normalize = _make_str_udf(normalize_markdown)

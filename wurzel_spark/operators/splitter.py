@@ -404,6 +404,13 @@ def split_markdown_document(
                 merged.append(c)
         chunks = merged or [md]
 
+    # Reference order (semantic_splitter.py:800-812): split → mdformat
+    # each CHUNK (_format_markdown_docs, :107-119, mdformat.text().strip())
+    # → stamp metadata, so token/char lengths describe the FORMATTED chunk
+    # while source_sha256_hash stays the hash of the ORIGINAL document.
+    from wurzel_spark.functions.html import normalize_markdown
+
+    chunks = [normalize_markdown(c).strip() for c in chunks]
     n = len(chunks)
     return [
         {
