@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scaled-banding cosine LSH config (12-bit bands) — oracle-checked
         # locally; see PERF.md round-4 for why bits must scale with log2(n)
         "cosine_near_dup_scaled": similarity.q_cosine_near_dup_scaled,
+        # Lee et al. substring-dedup REMOVAL step (stats twin is
+        # duplicated_spans, in-window)
+        "strip_duplicated_spans": dedup.q_strip_duplicated_spans,
     }
 
 
@@ -233,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_range_search": similarity.ANN_RANGE_SQL,
         "containment_pairs": dedup.CONTAINMENT_SQL,
         "duplicated_spans": dedup.DUP_SPANS_SQL,
+        "strip_duplicated_spans": dedup.STRIP_SPANS_SQL,
         "decontamination_overlap": dedup.DECONTAMINATION_SQL,
         "duplicated_sentences": dedup.DUP_SENTENCES_SQL,
         "kmeans_cell_stats": similarity.KMEANS_CELLS_SQL,

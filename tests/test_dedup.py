@@ -98,3 +98,33 @@ def test_combined_signatures_drop_empty_docs(spark):
     assert [r["id"] for r in sigs.collect()] == [1]
     # and no empty-vs-empty candidate pairs survive end to end
     assert combined_near_dup_pairs(df).count() == 0
+
+
+def test_strip_duplicated_spans_semantics(spark):
+    from wurzel_spark.operators.dedup import (
+        duplicated_span_stats,
+        strip_duplicated_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (0, shared + " unique0 tail0"),
+        (1, "pre1 " + shared + " tail1"),
+        (2, "totally different words only here " + " ".join(f"u{i}" for i in range(25))),
+        (3, "short shared exact doc"),
+        (4, "short shared exact doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in strip_duplicated_spans(df, n=20).collect()}
+    # the shared 20-token span is cut wherever it occurs; unique text stays
+    assert got[0]["text_clean"] == "unique0 tail0"
+    assert got[1]["text_clean"] == "pre1 tail1"
+    assert got[2]["n_tokens_removed"] == 0
+    # short exact dups: the whole-doc fallback span wipes both copies
+    assert got[3]["text_clean"] == "" and got[4]["text_clean"] == ""
+    # removal count is ≥ the stats operator's dup-span count (coverage of
+    # overlapping spans ≥ number of duplicated span STARTS is not a given
+    # in general, but removed>0 ⟺ dup_span_frac>0 always holds)
+    stats = {r["doc_id"]: r for r in duplicated_span_stats(df, n=20).collect()}
+    for d in got:
+        assert (got[d]["n_tokens_removed"] > 0) == (stats[d]["n_dup_spans"] > 0)

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 from wurzel_spark.functions import text as TXT
 from wurzel_spark.tables import table
@@ -1603,4 +1603,153 @@ SELECT r.doc_id,
 FROM rows_ r JOIN counts c ON r.s = c.s
 GROUP BY r.doc_id
 ORDER BY r.doc_id
+"""
+
+
+# ------------------------------------------- duplicated-span REMOVAL
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """The removal step of exact-substring dedup (Lee et al. 2022):
+    every token covered by an ``n``-token span that also occurs in some
+    OTHER document is cut; the surviving tokens are re-joined with single
+    spaces (the operator is token-level by definition — original
+    whitespace inside removed regions is gone anyway).
+
+    Complements :func:`duplicated_span_stats` (the measurement) with the
+    transformation a curation pipeline actually applies. Docs shorter
+    than ``n`` tokens fall back to their single whole-doc span, matching
+    the stats operator.
+
+    Scale shape: span hashes stream as (id, pos, h) longs; the
+    cross-document dup-hash set comes from the same skew-safe
+    min!=max-per-hash aggregate; marking which positions to cut is a
+    semi-join of the span stream against that (usually far smaller) set
+    — broadcast when small, AQE-skew-split otherwise. The final cut is a
+    row-local Arrow kernel over (tokens, sorted dup starts) — interval
+    coverage by merge, never a per-token join.
+
+    Returns (id, text_clean, n_tokens, n_tokens_removed).
+    """
+    whs = F.transform(TXT.words(F.col(text_col)), lambda w: F.xxhash64(w))
+    k = F.size("whs") - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.slice("whs", i, n))
+        ),
+    ).otherwise(F.array(F.xxhash64("whs")))
+    base = (
+        _parallelize(df)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"), whs.alias("whs"))
+        .filter(F.size("whs") > 0)
+        .select("id", "__text", F.posexplode(grams).alias("pos", "h"))
+    )
+    dup_h = (
+        base.groupBy("h")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    # posexplode positions are 0-based; starts are 1-based token
+    # positions (mirroring the oracle's UNNEST(range(1, ...)) indexing)
+    dup_pos = (
+        base.join(dup_h, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.col("pos") + 1)).alias("starts"))
+    )
+    docs = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    ).filter(F.size(TXT.words(F.col(text_col))) > 0)
+    joined = docs.join(dup_pos, "id", "left")
+
+    out_type = StructType(
+        [
+            StructField("text_clean", StringType()),
+            StructField("n_tokens", LongType()),
+            StructField("n_tokens_removed", LongType()),
+        ]
+    )
+
+    span_n = n
+
+    @F.pandas_udf(out_type)
+    def _cut(text: pd.Series, starts: pd.Series) -> pd.DataFrame:
+        outs, totals, removed = [], [], []
+        for t, st in zip(text, starts):
+            toks = t.split()
+            m = len(toks)
+            totals.append(m)
+            if st is None or len(st) == 0:
+                outs.append(" ".join(toks))
+                removed.append(0)
+                continue
+            width = span_n if m >= span_n else m
+            covered = np.zeros(m, dtype=bool)
+            for p in st:  # starts are 1-based token positions
+                covered[p - 1 : p - 1 + width] = True
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            outs.append(" ".join(kept))
+            removed.append(int(covered.sum()))
+        return pd.DataFrame(
+            {"text_clean": outs, "n_tokens": totals, "n_tokens_removed": removed}
+        )
+
+    return (
+        joined.select("id", _cut("__text", "starts").alias("c"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("c.text_clean").alias("text_clean"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.n_tokens_removed").alias("n_tokens_removed"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q_strip_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strip_duplicated_spans(table(spark, sf_dir, "documents"), n=20)
+
+
+STRIP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, ws, len(ws) AS m FROM toks WHERE len(ws) > 0
+), spans AS (
+  SELECT doc_id, m, t.i AS pos,
+         CASE WHEN m >= 20
+              THEN array_to_string(ws[t.i:t.i+19], ' ')
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM nonempty, UNNEST(range(1, GREATEST(m - 18, 2))) AS t(i)
+), dup_g AS (
+  SELECT g FROM spans GROUP BY g HAVING MIN(doc_id) != MAX(doc_id)
+), dup_pos AS (
+  SELECT s.doc_id, s.pos, CASE WHEN s.m >= 20 THEN 20 ELSE s.m END AS width
+  FROM spans s JOIN dup_g d ON s.g = d.g
+), tokens AS (
+  SELECT doc_id, m, t.j AS j, ws[t.j] AS tok
+  FROM nonempty, UNNEST(range(1, m + 1)) AS t(j)
+), marked AS (
+  SELECT t.doc_id, t.m, t.j, t.tok,
+         EXISTS (SELECT 1 FROM dup_pos d
+                 WHERE d.doc_id = t.doc_id
+                   AND d.pos <= t.j AND t.j < d.pos + d.width) AS covered
+  FROM tokens t
+)
+SELECT doc_id,
+       COALESCE(string_agg(tok, ' ' ORDER BY j) FILTER (WHERE NOT covered), '')
+         AS text_clean,
+       CAST(MAX(m) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tokens_removed
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
 """
