@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lee et al. substring-dedup REMOVAL step (stats twin is
         # duplicated_spans, in-window)
         "strip_duplicated_spans": dedup.q_strip_duplicated_spans,
+        # CCNet-style perplexity-banded sampling
+        "quality_mixture_sample": textstats.q_quality_mixture_sample,
     }
 
 
@@ -229,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": textstats.REPETITION_STATS_SQL,
         "distinctive_terms": textstats.DISTINCTIVE_TERMS_SQL,
         "mixture_sample": textstats.MIXTURE_SAMPLE_SQL,
+        "quality_mixture_sample": textstats.QUALITY_MIXTURE_SQL,
         "ann_topk_bruteforce": similarity.ANN_TOPK_SQL,
         "embedding_norms": similarity.EMB_NORMS_SQL,
         "cosine_near_dup_pairs": similarity.COSINE_PAIRS_SQL,

@@ -69,10 +69,13 @@ HEADLINE = [
     "text_embedding_join",
     "multimodal_manifest",
     "combined_near_dup_pairs",
-    # round 4: semantic dedup + ranked retrieval + trained clustering
+    # round 4: semantic dedup + ranked retrieval + trained clustering +
+    # sequence packing + substring-dedup removal
     "semdedup_keep",
     "bm25_topk",
     "kmeans_train_stats",
+    "sequence_pack_stats",
+    "strip_duplicated_spans",
 ]
 
 

@@ -182,3 +182,32 @@ def test_simhash_kernel_matches_python_reference():
             assert int(got[i]) == _py_simhash(r)
 
     check()
+
+
+def test_quality_mixture_sample_bands(spark, sf_dir):
+    from wurzel_spark.operators.textstats import (
+        QUALITY_BAND_PERMILLE,
+        bigram_lm_score,
+        quality_mixture_sample,
+    )
+    from wurzel_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = quality_mixture_sample(docs).collect()
+    assert out, "sample should be non-empty at test scale"
+    n_by_band = {}
+    for r in out:
+        n_by_band[r["band"]] = n_by_band.get(r["band"], 0) + 1
+    # every kept row's band is consistent with its familiarity + edges
+    from wurzel_spark.operators.textstats import QUALITY_BAND_EDGES
+
+    for r in out:
+        fam, band = r["familiarity"], r["band"]
+        lo = (None, *QUALITY_BAND_EDGES)[band]
+        hi = (*QUALITY_BAND_EDGES, None)[band]
+        assert (lo is None or fam >= lo) and (hi is None or fam < hi)
+    # zero-rate bands would be absent; rates order roughly visible: the
+    # 900-permille band keeps more than the 100-permille band when both
+    # have comparable populations (sanity, not a statistical assertion)
+    total = bigram_lm_score(docs).count()
+    assert sum(n_by_band.values()) < total

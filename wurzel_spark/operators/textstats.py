@@ -1235,3 +1235,81 @@ ORDER BY query_id, rank
 
 
 BM25_TOPK_SQL = _bm25_sql()
+
+
+# ------------------------------------------- quality-banded sampling
+
+# Corpus-profile band edges for the bigram-LM familiarity score (measured
+# quartiles at the test sf; production edges come from a profiling job the
+# same way). Permille keep-rates encode the standard curation posture:
+# drop gibberish (lowest band), keep typical text, DOWNWEIGHT the most
+# corpus-typical band (high familiarity ⇒ boilerplate).
+QUALITY_BAND_EDGES = (0.0338, 0.0345, 0.0351)
+QUALITY_BAND_PERMILLE = (100, 600, 900, 300)
+
+
+def quality_mixture_sample(
+    df: DataFrame,
+    edges: tuple[float, ...] = QUALITY_BAND_EDGES,
+    permille: tuple[int, ...] = QUALITY_BAND_PERMILLE,
+) -> DataFrame:
+    """Perplexity-binned sampling (the CCNet recipe: partition the corpus
+    by LM score, sample each band at its own rate): familiarity bands by
+    FIXED config edges (map-only; a global ntile would serialize the
+    corpus through one window partition), then the same Knuth-hash
+    permille filter as :func:`mixture_sample` — deterministic, re-run
+    stable, zero extra shuffles beyond the score itself.
+    """
+    scored = bigram_lm_score(df)
+    # band via cascading CASE (first matching edge wins)
+    expr = None
+    for i, e in enumerate(edges):
+        cond = F.col("familiarity") < F.lit(e)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    band = expr.otherwise(len(edges))
+    rate = None
+    for i, p in enumerate(permille):
+        rate = F.when(band == i, p) if rate is None else rate.when(band == i, p)
+    rate = rate.otherwise(F.lit(0))
+    h = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % F.lit(
+        4294967296
+    ) % F.lit(1000)
+    return (
+        scored.select("doc_id", "familiarity", band.alias("band"), rate.alias("__r"), h.alias("__h"))
+        .filter(F.col("__h") < F.col("__r"))
+        .select("doc_id", "band", "familiarity")
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_mixture_sample(table(spark, sf_dir, "documents"))
+
+
+def _quality_mixture_sql() -> str:
+    e = QUALITY_BAND_EDGES
+    p = QUALITY_BAND_PERMILLE
+    band_case = (
+        f"CASE WHEN familiarity < {e[0]!r} THEN 0 "
+        + " ".join(
+            f"WHEN familiarity < {e[i]!r} THEN {i}" for i in range(1, len(e))
+        )
+        + f" ELSE {len(e)} END"
+    )
+    rate_case = (
+        "CASE "
+        + " ".join(f"WHEN band = {i} THEN {r}" for i, r in enumerate(p))
+        + " ELSE 0 END"
+    )
+    return f"""
+WITH lm AS ({BIGRAM_LM_SQL.replace("ORDER BY doc_id", "")}),
+banded AS (
+  SELECT doc_id, familiarity, {band_case} AS band FROM lm
+)
+SELECT doc_id, band, familiarity FROM banded
+WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000 < ({rate_case})
+ORDER BY doc_id
+"""
+
+
+QUALITY_MIXTURE_SQL = _quality_mixture_sql()
