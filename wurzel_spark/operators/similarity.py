@@ -594,6 +594,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     reseed_empty: bool = False,
+    max_driver_elems: int = 1 << 22,
 ) -> DataFrame:
     """Lloyd's algorithm over cosine similarity, engine-reproducibly.
 
@@ -626,8 +627,27 @@ def kmeans_train(
     centroids is what :func:`cell_stats` computes — identical when
     training reached the fixpoint). Feed straight into :func:`cell_stats`
     / :func:`ivf_topk`.
+
+    Size guard (same reasoning as the ≤1M-edge union-find): when
+    n·dim ≤ ``max_driver_elems`` (default 2²² ≈ 32 MB of float64) the
+    whole matrix collects ONCE and Lloyd runs driver-side in numpy with
+    the identical fold-rounding arithmetic — every per-iteration Spark
+    job at this size is pure stage-launch latency. Above the guard the
+    distributed loop runs; both paths are equivalence-tested and produce
+    byte-identical centroids (integer fixed-point sums).
     """
     spark = emb.sparkSession
+    # each Lloyd iteration (and the final stats pass) re-reads the input;
+    # checkpoint once so 4+ assignment passes scan materialized rows
+    # instead of re-running the parquet scan + Arrow conversion each time
+    emb = emb.localCheckpoint(eager=False)
+    n_vec = emb.count()
+    dim_probe = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    if n_vec * max(dim, 1) <= max_driver_elems:
+        return _kmeans_train_driver(
+            spark, emb, k, max_iters, id_col, vec_col, reseed_empty
+        )
     seeds = emb.orderBy(id_col).limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)
@@ -687,6 +707,74 @@ def kmeans_train(
     return spark.createDataFrame(out, ["cell", "centroid", "n_members"])
 
 
+def _kmeans_train_driver(
+    spark,
+    emb: DataFrame,
+    k: int,
+    max_iters: int,
+    id_col: str,
+    vec_col: str,
+    reseed_empty: bool,
+) -> DataFrame:
+    """Size-guarded driver path of :func:`kmeans_train`: one collect, then
+    numpy Lloyd with arithmetic BYTE-IDENTICAL to the distributed path —
+    cosine dots/norms accumulate dim-sequentially (rank-1 updates, the
+    cosine_pd fold), argmax ties to the lower cell (np.argmax first-max),
+    centroid sums are exact int64 fixed-point (order-free)."""
+    rows = emb.select(id_col, vec_col).orderBy(id_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    V = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    n, d = V.shape
+    nv = np.sqrt(_fold_rows(V * V))
+    C = V[:k].copy()
+    n_members: dict[int, int] = {}
+    prev_state = None
+
+    def cos_all(C_: np.ndarray) -> np.ndarray:
+        acc = np.zeros((n, C_.shape[0]), dtype=np.float64)
+        for j in range(d):
+            acc = acc + V[:, j : j + 1] * C_[None, :, j]
+        nc = np.sqrt(_fold_rows(C_ * C_))
+        return acc / (nv[:, None] * nc[None, :])
+
+    Q = np.floor(V * _KMEANS_SCALE).astype(np.int64)
+    for _ in range(max_iters):
+        cos = cos_all(C)
+        assign = cos.argmax(axis=1)  # first max ⇒ ties to lower cell
+        sums: dict[int, dict[int, int]] = {}
+        n_members = {}
+        for cell in range(k):
+            mask = assign == cell
+            cnt = int(mask.sum())
+            if cnt:
+                n_members[cell] = cnt
+                s = Q[mask].sum(axis=0)
+                sums[cell] = {p: int(s[p]) for p in range(d)}
+        state = tuple(
+            sorted((c, tuple(sorted(dd.items()))) for c, dd in sums.items())
+        )
+        if state == prev_state:
+            break
+        prev_state = state
+        newC = C.copy()
+        empty = [c for c in range(k) if c not in sums]
+        for cell, dd in sums.items():
+            newC[cell] = np.array([float(dd[p]) for p in range(d)])
+        if empty and reseed_empty:
+            sim_own = cos[np.arange(n), assign]
+            order = np.lexsort((ids, sim_own))  # lowest sim, tie lower id
+            worst = order[: len(empty)]
+            for c, w in zip(sorted(empty), worst):
+                newC[c] = V[w]
+        C = newC
+
+    out = [
+        (cell, [float(x) for x in C[cell]], n_members.get(cell, 0))
+        for cell in range(k)
+    ]
+    return spark.createDataFrame(out, ["cell", "centroid", "n_members"])
+
+
 def _argmax_cell(
     emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -723,7 +811,7 @@ def q_kmeans_train_stats(spark, sf_dir: str) -> DataFrame:
     iterations unrolled in SQL over the fixed-point sums)."""
     from wurzel_spark.tables import table as _table
 
-    emb = _table(spark, sf_dir, "embeddings")
+    emb = _table(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
     trained = kmeans_train(emb, k=8, max_iters=3)
     return cell_stats(
         emb,

@@ -4,4 +4,5 @@ from wurzel_spark.plans.inspect import (  # noqa: F401
     assert_read_schema_only,
     broadcast_join_count,
     plan_report,
+    plan_text,
 )
