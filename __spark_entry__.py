@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_duplicated_spans": dedup.q_strip_duplicated_spans,
         # CCNet-style perplexity-banded sampling
         "quality_mixture_sample": textstats.q_quality_mixture_sample,
+        # multi-probe LSH ANN (rows-only; recall-tested vs brute force)
+        "ann_topk_multiprobe": similarity.q_ann_topk_multiprobe,
     }
 
 

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -1148,3 +1149,102 @@ ORDER BY id_a, id_b
 
 
 COSINE_PAIRS_SCALED_SQL = _cosine_pairs_sql(_N_PLANES_SCALED, _N_BANDS, 0.4)
+
+
+# ------------------------------------------------------- multi-probe LSH
+
+def lsh_topk_multiprobe(
+    emb: DataFrame,
+    query: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    probes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007): besides its own bucket,
+    each query probes the buckets reached by flipping the sign bits with
+    the SMALLEST margin |⟨q, plane⟩| — the bits most likely to differ for
+    a true near neighbor. Recall approaches exhaustive search with
+    ``probes`` ≪ 2^nbits buckets touched, at exactly ``probes``× the
+    query-side join fan-out (corpus side is untouched: same bucket table,
+    same equi hash join — no extra corpus scan or shuffle).
+
+    The probe sequence is deterministic: flip the 1..log2(probes) lowest-
+    margin bits in every subset order, tie-broken by plane index, so
+    results are stable and test-comparable. Query side is tiny by
+    assumption (it is broadcast); the probe explosion multiplies only it.
+    """
+    P = np.array(planes, dtype=np.float64)
+    nbits = P.shape[0]
+
+    out_type = ArrayType(StringType())
+
+    @F.pandas_udf(out_type)
+    def _probe_buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = _stack64(v)
+        acc = np.zeros((V.shape[0], nbits), dtype=np.float64)
+        for j in range(V.shape[1]):
+            acc = acc + V[:, j : j + 1] * P[None, :, j]
+        bits = acc >= 0
+        margins = np.abs(acc)
+        out = []
+        for r in range(V.shape[0]):
+            base = bits[r].copy()
+            order = np.lexsort((np.arange(nbits), margins[r]))  # low margin first
+            bucket_set = []
+            m = 1
+            while (1 << m) < probes and m < nbits:
+                m += 1
+            flip_bits = order[:m]
+            for mask in range(min(probes, 1 << m)):
+                b = base.copy()
+                for i, bit in enumerate(flip_bits):
+                    if mask & (1 << i):
+                        b[bit] = ~b[bit]
+                bucket_set.append("".join("1" if x else "0" for x in b))
+            out.append(bucket_set)
+        return pd.Series(out)
+
+    be = hyperplane_lsh_buckets(emb, planes, id_col, vec_col)
+    bq = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(_probe_buckets(F.col(vec_col))).alias("bucket"),
+    )
+    scored = (
+        be.join(F.broadcast(bq), "bucket")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_pd(F.col("query_vec"), F.col(vec_col)).alias("cos_sim"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))  # dedup multi-bucket hits
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_topk_multiprobe(spark, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k over the 12-plane bucketer, 8 probes —
+    recall-tested against brute force (rows-only: the probe-sequence
+    enumeration is engine-internal; the underlying cosine is the shared
+    bit-exact fold)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    planes = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 12).orderBy("vec_id").collect()
+    ]
+    return lsh_topk_multiprobe(emb, queries, planes, k=10, probes=8)
