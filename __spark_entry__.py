@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_mixture_sample": textstats.q_quality_mixture_sample,
         # multi-probe LSH ANN (rows-only; recall-tested vs brute force)
         "ann_topk_multiprobe": similarity.q_ann_topk_multiprobe,
+        # winnowing (MOSS) fingerprints + overlap pairs — cross-engine
+        # md5-prefix hasher so the oracle checks the SELECTED minima
+        "winnow_fingerprints": dedup.q_winnow_fingerprints,
+        "winnow_overlap_pairs": dedup.q_winnow_overlap,
     }
 
 
@@ -252,6 +256,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_flags": textstats.GOPHER_SQL,
         "curation_pipeline_stats": textstats.CURATION_PIPELINE_SQL,
         "multimodal_manifest": multimodal.MULTIMODAL_MANIFEST_SQL,
+        "winnow_fingerprints": dedup.WINNOW_FP_SQL,
+        "winnow_overlap_pairs": dedup.WINNOW_OVERLAP_SQL,
         # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-
         # specific hashing → rows-only check; recall asserted in tests/.

@@ -128,3 +128,65 @@ def test_strip_duplicated_spans_semantics(spark):
     stats = {r["doc_id"]: r for r in duplicated_span_stats(df, n=20).collect()}
     for d in got:
         assert (got[d]["n_tokens_removed"] > 0) == (stats[d]["n_dup_spans"] > 0)
+
+
+# ------------------------------------------------------------- winnowing
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Schleimer et al.'s core guarantee: any shared word run of length
+    >= w + k - 1 (here 4 + 5 - 1 = 8) yields at least one shared
+    fingerprint, so the overlap join must surface the pair."""
+    from wurzel_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    df = _docs(
+        spark,
+        [
+            (1, "unique one two three " + shared + " tail tail2 tail3"),
+            (2, shared + " completely different ending here nine ten"),
+            (3, "no overlap with anything else at all whatsoever"),
+        ],
+    )
+    pairs = winnow_overlap_pairs(df, threshold=0.01).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_winnow_density_below_full_gram_set(spark):
+    """Fingerprint count must be well under the gram count (the 2/(w+1)
+    expected density is the algorithm's point) yet positive for any doc."""
+    from wurzel_spark.operators.dedup import winnow_fingerprints
+
+    text = " ".join(f"w{i % 37}x{i % 11}" for i in range(300))
+    out = winnow_fingerprints(_docs(spark, [(1, text)])).collect()[0]
+    assert 0 < out.n_fingerprints < out.n_grams
+    assert out.n_fingerprints <= out.n_grams - 3  # w-1 windows collapse
+
+
+def test_winnow_hashers_agree_on_counts_not_values(spark):
+    """xxhash64 (scale default) and md5-prefix (oracle) configs select
+    different minima but similar densities; both obey the guarantee."""
+    from wurzel_spark.operators.dedup import winnow_fingerprints
+
+    text = " ".join(f"tok{i % 53}" for i in range(200))
+    df = _docs(spark, [(1, text)])
+    a = winnow_fingerprints(df, hasher="md5").collect()[0]
+    b = winnow_fingerprints(df, hasher="xxhash64").collect()[0]
+    assert a.n_grams == b.n_grams
+    assert abs(a.n_fingerprints - b.n_fingerprints) <= a.n_grams // 2
+
+
+def test_winnow_fingerprints_plan_is_map_only(spark, sf_dir):
+    """The per-doc fingerprint pass must not shuffle: one projection over
+    the scan (plus the output sort's range exchange at the very top)."""
+    from wurzel_spark.operators.dedup import winnow_fingerprints
+    from wurzel_spark.plans import plan_text
+    from wurzel_spark.tables import table
+
+    df = winnow_fingerprints(table(spark, sf_dir, "documents")).drop("fps")
+    t = plan_text(df)
+    assert "Exchange hashpartitioning" not in t, t
+    assert "BroadcastNestedLoopJoin" not in t and "CartesianProduct" not in t

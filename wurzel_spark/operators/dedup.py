@@ -1753,3 +1753,240 @@ FROM marked
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+def md5_prefix_hash(col):
+    """Cross-engine 60-bit hash: first 15 hex chars of md5, parsed base 16.
+
+    Bit-identical in Spark (``conv(substring(md5(x),1,15),16,10)``) and
+    DuckDB (``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``), which matters
+    for winnowing because the algorithm SELECTS hashes (window minima):
+    two engines agree on the fingerprint set only if they agree on hash
+    VALUES, not just equality classes. The scale default elsewhere is
+    xxhash64 (JVM codegen, ~5× cheaper); winnowing exposes ``hasher=`` so
+    production runs switch back to xxhash64 once no oracle is in the loop.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _positional_gram_hashes(ws_b, k: int, hash_fn):
+    """POSITIONAL (non-distinct) k-gram hashes — winnowing needs the gram
+    sequence in document order, unlike the shingle-set builders above."""
+    n = F.size(ws_b) - F.lit(k - 1)
+    grams = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(ws_b, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(ws_b, " ")))
+    return F.transform(grams, hash_fn)
+
+
+def _window_minima(hs_b, w: int):
+    """Distinct sliding-window minima over the positional hash sequence —
+    the winnowing selection rule (min hash per window of w grams; ties
+    collapse to one value, and distinct windows sharing a minimum emit it
+    once, per Schleimer et al. §4's 'record each ... once' rule)."""
+    m = F.size(hs_b) - F.lit(w - 1)
+    return F.array_distinct(
+        F.when(
+            m > 0,
+            F.transform(F.sequence(F.lit(1), m), lambda j: F.array_min(F.slice(hs_b, j, w))),
+        ).otherwise(F.array(F.array_min(hs_b)))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every positional word k-gram,
+    slide a window of ``w`` hashes, keep each window's minimum. Guarantees
+    any shared run of ``w + k - 1`` words between two documents shares at
+    least one fingerprint, at ~2/(w+1) the density of full k-gram hashing.
+
+    Scale shape: ENTIRELY row-local array algebra (split → gram hash →
+    window min → distinct) in one projection — zero shuffles, no UDF; the
+    per-doc fingerprint summary needs no aggregation at all. At 100 TB
+    this is a map-only pass whose output is ~2/(w+1) × the gram count.
+
+    Extends the reference's whole-document content hashing
+    (datacontract.py:194-206) to sub-document granularity.
+    """
+    hash_fn = md5_prefix_hash if hasher == "md5" else (lambda c: F.xxhash64(c))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), TXT.words(F.col(text_col)).alias("ws")
+    ).filter(F.size("ws") > 0)
+    hs = F.element_at(
+        F.transform(F.array("ws"), lambda wsb: _positional_gram_hashes(wsb, k, hash_fn)), 1
+    )
+    with_fps = base.select(
+        "doc_id",
+        F.size(hs).alias("n_grams"),
+        F.element_at(F.transform(F.array(hs), lambda h: _window_minima(h, w)), 1).alias(
+            "fps"
+        ),
+    )
+    summary = F.element_at(
+        F.transform(
+            F.array("fps"),
+            lambda f: F.struct(
+                F.size(f).alias("n_fingerprints"),
+                F.array_min(f).alias("min_fp"),
+                F.array_max(f).alias("max_fp"),
+            ),
+        ),
+        1,
+    )
+    return with_fps.select("doc_id", "n_grams", summary.alias("s"), "fps").select(
+        "doc_id", "n_grams", "s.*", "fps"
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    hasher: str = "md5",
+) -> DataFrame:
+    """MOSS-style overlap detection: pairs of documents ranked by shared
+    winnowing fingerprints, ``overlap = |fps_a ∩ fps_b| / min(|fps_a|,
+    |fps_b|)`` (containment form — robust to length mismatch).
+
+    Scale shape: identical to the shingle self-join family — explode the
+    (already distinct) fingerprint longs, equi-join on the 8-byte hash,
+    count per pair; per-doc fingerprint counts ride through the explode so
+    no extra aggregation join. ``max_df`` drops fingerprints appearing in
+    more than that many docs (boilerplate guard — same d² hazard and same
+    cap as ngram_jaccard_pairs; dedup.py:142-150).
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, w, hasher).select(
+        "doc_id", "n_fingerprints", F.explode("fps").alias("fp")
+    )
+    if max_df is not None:
+        from pyspark.sql import Window as W
+
+        fp = fp.withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("fp"))).filter(
+            F.col("__df") <= max_df
+        ).drop("__df")
+    a = fp.select(
+        F.col("doc_id").alias("id_a"), F.col("n_fingerprints").alias("n_a"), "fp"
+    )
+    b = fp.select(
+        F.col("doc_id").alias("id_b"), F.col("n_fingerprints").alias("n_b"), "fp"
+    )
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= threshold)
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(table(spark, sf_dir, "documents")).drop("fps")
+
+
+WINNOW_FP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, ws FROM toks WHERE len(ws) > 0
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 5
+              THEN list_transform(range(1, len(ws) - 3),
+                                  i -> array_to_string(ws[i:i+4], ' '))
+              ELSE [array_to_string(ws, ' ')] END AS gs
+  FROM nonempty
+), hashes AS (
+  SELECT doc_id,
+         list_transform(gs, g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+  FROM grams
+), fps AS (
+  SELECT doc_id, len(hs) AS n_grams,
+         list_distinct(CASE WHEN len(hs) >= 4
+              THEN list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3]))
+              ELSE [list_min(hs)] END) AS f
+  FROM hashes
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(f) AS BIGINT) AS n_fingerprints,
+       list_min(f) AS min_fp,
+       list_max(f) AS max_fp
+FROM fps
+ORDER BY doc_id
+"""
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_overlap_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.2, max_df=CAPPED_MAX_DF
+    )
+
+
+WINNOW_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, ws FROM toks WHERE len(ws) > 0
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 5
+              THEN list_transform(range(1, len(ws) - 3),
+                                  i -> array_to_string(ws[i:i+4], ' '))
+              ELSE [array_to_string(ws, ' ')] END AS gs
+  FROM nonempty
+), hashes AS (
+  SELECT doc_id,
+         list_transform(gs, g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+  FROM grams
+), docfp AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(hs) >= 4
+              THEN list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3]))
+              ELSE [list_min(hs)] END) AS f
+  FROM hashes
+), fp AS (
+  SELECT doc_id, len(f) AS n_fps, unnest(f) AS fp FROM docfp
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, n_fps, fp, COUNT(*) OVER (PARTITION BY fp) AS dfc FROM fp
+  ) WHERE dfc <= {CAPPED_MAX_DF}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_shared,
+       CAST(COUNT(*) AS DOUBLE) / LEAST(a.n_fps, b.n_fps) AS overlap
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_fps, b.n_fps
+HAVING CAST(COUNT(*) AS DOUBLE) / LEAST(a.n_fps, b.n_fps) >= 0.2
+ORDER BY id_a, id_b
+"""
