@@ -21,6 +21,7 @@ from wurzel_spark.operators import (
     dedup,
     embedding,
     multimodal,
+    ordering,
     packing,
     similarity,
     splitter,
@@ -162,6 +163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-prefix hasher so the oracle checks the SELECTED minima
         "winnow_fingerprints": dedup.q_winnow_fingerprints,
         "winnow_overlap_pairs": dedup.q_winnow_overlap,
+        # training-data ordering: stable split bands + two-phase global
+        # shuffle rank (never a single-partition window)
+        "train_split_stats": ordering.q_train_split_stats,
+        "corpus_shuffle": ordering.q_corpus_shuffle,
     }
 
 
@@ -258,6 +263,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_manifest": multimodal.MULTIMODAL_MANIFEST_SQL,
         "winnow_fingerprints": dedup.WINNOW_FP_SQL,
         "winnow_overlap_pairs": dedup.WINNOW_OVERLAP_SQL,
+        "train_split_stats": ordering.TRAIN_SPLIT_SQL,
+        "corpus_shuffle": ordering.CORPUS_SHUFFLE_SQL,
         # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-
         # specific hashing → rows-only check; recall asserted in tests/.

@@ -1,0 +1,69 @@
+"""Train/val/test split assignment + global corpus shuffle: determinism,
+stability-under-growth, and the no-single-partition-window plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wurzel_spark.operators.ordering import corpus_shuffle, train_split_assign
+from wurzel_spark.plans import plan_text
+from wurzel_spark.tables import table
+
+
+def test_split_is_stable_under_corpus_growth(spark):
+    """A doc's split must not change when the corpus grows — the property
+    that prevents eval contamination across pipeline re-runs."""
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s = {r.doc_id: r.split for r in train_split_assign(small).collect()}
+    b = {r.doc_id: r.split for r in train_split_assign(big).collect()}
+    assert all(b[d] == s[d] for d in s)
+
+
+def test_split_permilles_roughly_honored(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r.split: r.n
+        for r in train_split_assign(df).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert 0.85 <= counts["train"] / total <= 0.95
+    assert 0.02 <= counts["val"] / total <= 0.08
+    assert 0.02 <= counts["test"] / total <= 0.08
+
+
+def test_corpus_shuffle_matches_naive_global_rank(spark):
+    """The two-phase bucketed rank must equal the naive single-window
+    ROW_NUMBER over the same (hash, id) order."""
+    from pyspark.sql import Window as W
+    from wurzel_spark.operators.ordering import _det_hash
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.shuffle_pos for r in corpus_shuffle(df).collect()}
+    naive = {
+        r.doc_id: r.pos
+        for r in df.withColumn("__h", _det_hash(F.col("doc_id")))
+        .withColumn("pos", F.row_number().over(W.orderBy("__h", "doc_id")))
+        .collect()
+    }
+    assert got == naive
+    assert sorted(got.values()) == list(range(1, 5001))
+
+
+def test_corpus_shuffle_plan_has_no_global_window(spark, sf_dir):
+    """The window must partition by the hash bucket — a Window node with
+    an empty partition spec would serialize the corpus through one task."""
+    df = corpus_shuffle(table(spark, sf_dir, "documents")).select(
+        "doc_id", "shuffle_pos"
+    )
+    t = plan_text(df)
+    assert "Exchange SinglePartition" not in t, t
+
+
+def test_shuffle_positions_look_shuffled(spark):
+    """Adjacent doc_ids should land far apart — the point of the epoch
+    shuffle (catching an accidental identity permutation)."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    pos = {r.doc_id: r.shuffle_pos for r in corpus_shuffle(df).collect()}
+    adjacent_close = sum(1 for d in range(999) if abs(pos[d] - pos[d + 1]) <= 2)
+    assert adjacent_close < 50

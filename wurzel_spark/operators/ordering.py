@@ -1,0 +1,160 @@
+"""Training-data ordering: deterministic train/val/test split assignment
+and a global corpus shuffle — the two ordering steps between curation and
+a training data loader.
+
+The reference pipeline's determinism contract (sorted output before save,
+SURVEY §2.7; step.py's repeatability tests) extends naturally here: both
+operators are pure integer arithmetic over ids, so every re-run — and
+every failed-task retry — assigns the identical split and the identical
+shuffle position. No RNG state, no sampling, nothing engine-specific.
+
+Scale notes:
+  - split assignment is a map-only filter-free projection (zero shuffles);
+  - the global shuffle needs a total order, which a naive
+    ``ROW_NUMBER() OVER (ORDER BY …)`` serializes through ONE window
+    partition. This runs the two-phase form instead (same pattern as
+    packing._exclusive_prefix_sum): hash-range buckets → per-bucket counts
+    collected to the driver (fixed 1024 longs — size-guard class of a
+    broadcast join) → broadcast offsets + within-bucket ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wurzel_spark.tables import table
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+_MOD = 1000003  # prime id fold keeping the product far inside int64
+_N_BUCKETS = 1024
+
+
+def _det_hash(col):
+    """Deterministic 32-bit multiplicative hash of an integer id — the
+    same arithmetic as textstats.mixture_sample, reproducible bit-exactly
+    by any engine (no xxhash, no RNG). The ``% _MOD`` fold means ids that
+    collide mod 1000003 share a hash; ties below always break on the raw
+    id, so the order stays total. A production corpus with >1e6 ids wants
+    a full-width splitmix64 here (hash VALUES then aren't oracle-portable,
+    which is why the registered config keeps the portable form)."""
+    return ((col % _MOD) * F.lit(_KNUTH)) % F.lit(4294967296)
+
+
+def train_split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_permille: int = 50,
+    test_permille: int = 50,
+) -> DataFrame:
+    """Assign each row to train/val/test by a permille band of the id
+    hash. Stable under corpus growth: a document's split never changes
+    when other documents are added or removed (the property random
+    splitting lacks and training pipelines need — eval contamination is
+    forever once a doc flips bands).
+
+    Map-only projection; the split filter a consumer applies pushes into
+    the parquet scan.
+    """
+    band = _det_hash(F.col(id_col)) % F.lit(1000)
+    train_hi = 1000 - val_permille - test_permille
+    split = (
+        F.when(band < train_hi, F.lit("train"))
+        .when(band < train_hi + val_permille, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def corpus_shuffle(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Global deterministic shuffle: ``shuffle_pos`` = 1-based rank of the
+    row in ``(hash(id), id)`` order — the data-loader order for one
+    training epoch, identical on every run and every engine.
+
+    Two-phase total ranking (never a single-partition window): rows bucket
+    by the hash's high bits (fixed 1024 ranges — uniform for a
+    multiplicative hash), per-bucket counts collect to the driver (1024
+    longs), a cumulative offset per bucket broadcasts back, and the final
+    rank is offset + within-bucket ``row_number`` whose window partitions
+    are bucket-bounded. At 100 TB each bucket is ~0.1% of the corpus and
+    the driver state stays 8 KiB.
+    """
+    from pyspark.sql import Window as W
+
+    h = _det_hash(F.col(id_col))
+    b = df.withColumn("__h", h).withColumn(
+        "__bkt", F.floor(F.col("__h") / F.lit(4294967296 // _N_BUCKETS))
+    )
+    counts = {
+        int(r["__bkt"]): int(r["c"])
+        for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    run, offsets = 0, {}
+    for k in sorted(counts):
+        offsets[k] = run
+        run += counts[k]
+    odf = df.sparkSession.createDataFrame(
+        sorted(offsets.items()), "__bkt long, __off long"
+    )
+    w = W.partitionBy("__bkt").orderBy("__h", id_col)
+    return (
+        b.join(F.broadcast(odf), "__bkt")
+        .withColumn("shuffle_pos", F.col("__off") + F.row_number().over(w))
+        .drop("__h", "__bkt", "__off")
+    )
+
+
+def q_train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, split) survival counts — the table you check before a
+    training run to confirm the split permilles landed."""
+    docs = train_split_assign(table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+TRAIN_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT source, n_chars, doc_id,
+         CASE WHEN ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000 < 900
+              THEN 'train'
+              WHEN ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000 < 950
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        corpus_shuffle(table(spark, sf_dir, "documents"))
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % 1000003) * 2654435761) % 4294967296 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
+FROM h
+ORDER BY doc_id
+"""
