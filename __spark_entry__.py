@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle rank (never a single-partition window)
         "train_split_stats": ordering.q_train_split_stats,
         "corpus_shuffle": ordering.q_corpus_shuffle,
+        # DSIR-style importance resampling (hashed unigram buckets,
+        # pooled count-ratio estimator — see operator docstring)
+        "importance_sample": textstats.q_importance_sample,
     }
 
 
@@ -265,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap_pairs": dedup.WINNOW_OVERLAP_SQL,
         "train_split_stats": ordering.TRAIN_SPLIT_SQL,
         "corpus_shuffle": ordering.CORPUS_SHUFFLE_SQL,
+        "importance_sample": textstats.IMPORTANCE_SAMPLE_SQL,
         # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-
         # specific hashing → rows-only check; recall asserted in tests/.

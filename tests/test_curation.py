@@ -211,3 +211,35 @@ def test_quality_mixture_sample_bands(spark, sf_dir):
     # have comparable populations (sanity, not a statistical assertion)
     total = bigram_lm_score(docs).count()
     assert sum(n_by_band.values()) < total
+
+
+# ---------------------------------------------- DSIR importance sampling
+
+def test_dsir_target_docs_score_higher(spark):
+    """Docs drawn from the target distribution must out-score off-target
+    docs (the estimator's separating property on a synthetic corpus with
+    disjoint vocabularies)."""
+    from wurzel_spark.operators.textstats import dsir_importance_scores
+
+    rows = [(i, " ".join(f"med{j % 7}" for j in range(30)), "en", "src0", 0)
+            for i in range(10)]
+    rows += [(100 + i, " ".join(f"web{j % 11}" for j in range(30)), "en", "src9", 0)
+             for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    scores = {r.doc_id: r.importance for r in
+              dsir_importance_scores(df, target_sources=("src0",)).collect()}
+    tgt = [scores[i] for i in range(10)]
+    raw = [scores[100 + i] for i in range(30)]
+    assert min(tgt) > max(raw)
+
+
+def test_dsir_count_table_is_broadcast(spark, sf_dir):
+    """The hashed-bucket count table must broadcast back to the token
+    stream — a shuffle join there would defeat the hashed-feature trick."""
+    from wurzel_spark.operators.textstats import dsir_importance_scores
+    from wurzel_spark.plans import plan_text
+    from wurzel_spark.tables import table
+
+    t = plan_text(dsir_importance_scores(table(spark, sf_dir, "documents")))
+    assert "BroadcastHashJoin" in t, t
+    assert "SortMergeJoin" not in t, t

@@ -1313,3 +1313,138 @@ ORDER BY doc_id
 
 
 QUALITY_MIXTURE_SQL = _quality_mixture_sql()
+
+
+# ------------------------------------------- DSIR importance resampling
+
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+_DSIR_BUCKETS = 8192
+
+
+def dsir_importance_scores(
+    df: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    text_col: str = "text",
+    n_buckets: int = _DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) over
+    hashed unigram buckets: score each document by how much more likely
+    its tokens are under the TARGET distribution (docs from
+    ``target_sources``) than under the raw corpus.
+
+    Estimator: pooled add-one count ratio
+
+        score = (Σ c_tgt(b) + n) / (T_tgt + n)
+                ─────────────────────────────
+                (Σ c_raw(b) + n) / (T_raw + n)
+
+    summed over the doc's token buckets ``b``. DSIR's paper form sums
+    per-token log-ratios; a float log-sum is evaluation-order-dependent,
+    so this keeps the sums exact int64 and pays exactly three IEEE
+    divisions — bit-reproducible across engines and row orders (the same
+    pooling trade the bigram-LM score makes, textstats.py:741).
+
+    Scale shape — the hashed-feature trick IS the scale path: the count
+    table is ≤ ``n_buckets`` rows regardless of corpus size, so it
+    broadcast-joins back to the token stream (no shuffle on the join);
+    one groupBy(bucket) with map-side combine + one groupBy(doc) and the
+    scoring is otherwise map-only. Bucket hash = md5-prefix (cross-engine,
+    dedup.md5_prefix_hash) — swap for xxhash64 off-oracle.
+    """
+    from wurzel_spark.operators.dedup import md5_prefix_hash
+
+    toks = df.select(
+        "doc_id",
+        "source",
+        F.explode(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        (md5_prefix_hash(F.col("w")) % F.lit(n_buckets)).alias("b"),
+    )
+    is_tgt = F.col("source").isin(*target_sources)
+    counts = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    per_doc = (
+        toks.join(F.broadcast(counts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("c_raw").alias("sum_raw"),
+            F.sum("c_tgt").alias("sum_tgt"),
+        )
+    )
+    score = (
+        (F.col("sum_tgt") + F.col("n_words")).cast("double")
+        / (F.col("t_tgt") + F.col("n_words")).cast("double")
+    ) / (
+        (F.col("sum_raw") + F.col("n_words")).cast("double")
+        / (F.col("t_raw") + F.col("n_words")).cast("double")
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        "doc_id", "n_words", "sum_tgt", "sum_raw", score.alias("importance")
+    )
+
+
+def dsir_importance_sample(
+    df: DataFrame,
+    threshold: float = 1.0,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+) -> DataFrame:
+    """Keep documents scoring more target-like than corpus-average
+    (``importance >= threshold``) — the deterministic selection twin of
+    DSIR's importance resampling (sampling ∝ weight needs RNG; a fixed
+    threshold keeps the row set reproducible under retries)."""
+    return (
+        dsir_importance_scores(df, target_sources)
+        .filter(F.col("importance") >= F.lit(threshold))
+        .orderBy("doc_id")
+    )
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_importance_sample(table(spark, sf_dir, "documents"))
+
+
+IMPORTANCE_SAMPLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x != '')) AS w
+  FROM documents
+), tb AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 8192 AS b
+  FROM toks
+), counts AS (
+  SELECT b, COUNT(*) AS c_raw,
+         CAST(SUM(CASE WHEN source IN ('src0', 'src1', 'src2')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+  FROM tb GROUP BY b
+), totals AS (
+  SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+         CAST(SUM(c_tgt) AS BIGINT) AS t_tgt
+  FROM counts
+), per_doc AS (
+  SELECT tb.doc_id,
+         COUNT(*) AS n_words,
+         CAST(SUM(c.c_tgt) AS BIGINT) AS sum_tgt,
+         CAST(SUM(c.c_raw) AS BIGINT) AS sum_raw
+  FROM tb JOIN counts c ON tb.b = c.b
+  GROUP BY tb.doc_id
+)
+SELECT doc_id, n_words, sum_tgt, sum_raw,
+       (CAST(sum_tgt + n_words AS DOUBLE) / CAST(t_tgt + n_words AS DOUBLE))
+       / (CAST(sum_raw + n_words AS DOUBLE) / CAST(t_raw + n_words AS DOUBLE))
+         AS importance
+FROM per_doc CROSS JOIN totals
+WHERE (CAST(sum_tgt + n_words AS DOUBLE) / CAST(t_tgt + n_words AS DOUBLE))
+      / (CAST(sum_raw + n_words AS DOUBLE) / CAST(t_raw + n_words AS DOUBLE))
+      >= 1.0
+ORDER BY doc_id
+"""
