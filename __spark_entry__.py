@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DSIR-style importance resampling (hashed unigram buckets,
         # pooled count-ratio estimator — see operator docstring)
         "importance_sample": textstats.q_importance_sample,
+        # product quantization: occupancy oracle + ADC top-k (rows-only,
+        # recall floor in tests) — the billion-scale ANN compression layout
+        "pq_code_stats": similarity.q_pq_code_stats,
+        "ann_topk_pq": similarity.q_ann_topk_pq,
     }
 
 
@@ -269,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "train_split_stats": ordering.TRAIN_SPLIT_SQL,
         "corpus_shuffle": ordering.CORPUS_SHUFFLE_SQL,
         "importance_sample": textstats.IMPORTANCE_SAMPLE_SQL,
+        "pq_code_stats": similarity.PQ_CODE_STATS_SQL,
         # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-
         # specific hashing → rows-only check; recall asserted in tests/.

@@ -281,3 +281,71 @@ def test_multiprobe_lsh_recall_beats_single_probe(spark, sf_dir):
     assert r(m4) >= r(single)
     assert r(m16) >= r(m4)
     assert r(m16) >= 0.4
+
+
+# ------------------------------------------------- product quantization
+
+def test_pq_topk_recall_floor_vs_bruteforce(spark, sf_dir):
+    """ADC ranking over 4-bit codes must keep a meaningful fraction of the
+    exact cosine top-10 (8 subspaces × 16 codewords on 64-dim data)."""
+    from wurzel_spark.operators.similarity import brute_force_topk, pq_topk
+    from wurzel_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, k=10).collect()
+    approx = pq_topk(emb, q, k=10).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ap = {}
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[qid] & ap[qid]) / len(ex[qid]) for qid in ex]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_pq_topk_deterministic_across_runs(spark, sf_dir):
+    """The subspace-ordered fold makes the ADC ranking bit-stable — two
+    executions must produce identical rows (ties included)."""
+    from wurzel_spark.operators.similarity import pq_topk
+    from wurzel_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = [tuple(r) for r in pq_topk(emb, q, k=10).collect()]
+    b = [tuple(r) for r in pq_topk(emb, q, k=10).collect()]
+    assert a == b
+
+
+def test_pq_codes_compress_every_vector(spark, sf_dir):
+    """Every corpus vector must get exactly m codes, each within
+    [0, ksub)."""
+    from wurzel_spark.operators.similarity import pq_codebook, pq_encode
+    from wurzel_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, pq_codebook(emb)).collect()
+    n_vecs = emb.count()
+    assert len(codes) == n_vecs * 8
+    assert all(0 <= r.code < 16 for r in codes)
+
+
+def test_pq_rerank_recovers_exact_topk(spark, sf_dir):
+    """With an exact-rerank shortlist of 100, the PQ pipeline must recover
+    (nearly) the exact cosine top-10 — quantization only has to keep true
+    neighbors inside the shortlist."""
+    from wurzel_spark.operators.similarity import brute_force_topk, pq_topk
+    from wurzel_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, k=10).collect()
+    rr = pq_topk(emb, q, k=10, rerank=100).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in rr:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[qid] & ap[qid]) / len(ex[qid]) for qid in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

@@ -1248,3 +1248,248 @@ def q_ann_topk_multiprobe(spark, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 12).orderBy("vec_id").collect()
     ]
     return lsh_topk_multiprobe(emb, queries, planes, k=10, probes=8)
+
+
+# ----------------------------------------------- product quantization (PQ)
+
+_PQ_M = 8  # subspaces over the 64-dim embeddings (8 dims each)
+_PQ_KSUB = 16  # codewords per subspace → 4 bits/subspace, 32-bit codes
+
+
+def pq_codebook(
+    emb: DataFrame,
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebook: codeword ``c`` of subspace ``s`` is the
+    s-th subvector of corpus vector ``c`` (the first ``ksub`` ids) — the
+    same fixed-seed convention as the IVF centroids (ivf_assign above),
+    so the whole pipeline is reproducible and oracle-portable. A trained
+    variant would run kmeans_train per subspace; the m × ksub structure
+    below is unchanged by that swap.
+
+    Size-guarded driver collect of ``ksub`` vectors (the hyperplane-LSH
+    plane-vector class); broadcast everywhere it is used.
+    """
+    rows = sorted(
+        emb.filter(F.col(id_col) < ksub).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    dsub = len(rows[0][1]) // m
+    data = [
+        (s, int(r[0]), [float(x) for x in r[1][s * dsub : (s + 1) * dsub]])
+        for r in rows
+        for s in range(m)
+    ]
+    return emb.sparkSession.createDataFrame(
+        data, "sub int, code int, cw array<double>"
+    )
+
+
+def _sub_l2(sv, cw):
+    """Squared L2 distance via three sequential-fold dot products with a
+    FIXED expression tree — ``(<sv,sv> - 2<sv,cw>) + <cw,cw>`` — so DuckDB's
+    list_dot_product reproduces every intermediate rounding."""
+    return (dot(sv, sv) - (F.lit(2.0) * dot(sv, cw))) + dot(cw, cw)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int = _PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: per (vector, subspace), the nearest codeword id (ties
+    to the lower code). Output one row per (vec, sub) — 4 bits of payload
+    each; at 100 TB the 64-dim float vector (256 B) compresses to m·4 bits
+    (4 B), which is the reason PQ is the standard billion-scale ANN layout.
+
+    Shape: subspace explode (×m) → broadcast join with the m·ksub-row
+    codebook → min_by hash aggregate (map-side combine, no sort, no
+    window). Never shuffles the vectors themselves.
+    """
+    dsub_col = F.size(F.col(vec_col)) / F.lit(m)
+    subs = emb.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        vec_col,
+    ).select(
+        id_col,
+        "sub",
+        F.slice(
+            F.col(vec_col),
+            (F.col("sub") * dsub_col.cast("int") + 1).cast("int"),
+            dsub_col.cast("int"),
+        ).alias("sv"),
+    )
+    scored = subs.join(F.broadcast(codebook), "sub").select(
+        id_col, "sub", "code", _sub_l2(F.col("sv"), F.col("cw")).alias("d2")
+    )
+    return (
+        scored.groupBy(id_col, "sub")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+
+
+def pq_code_stats(emb: DataFrame, m: int = _PQ_M, ksub: int = _PQ_KSUB) -> DataFrame:
+    """Codebook occupancy: vectors per (subspace, codeword) — the balance
+    readout that tells you whether the codebook spans the corpus (empty
+    codewords → retrain; one mega-codeword → quantization is useless)."""
+    codes = pq_encode(emb, pq_codebook(emb, m, ksub), m)
+    return (
+        codes.groupBy("sub", "code")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("sub", "code")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: vectors are L2-normalized (so
+    min L2² ⇔ max cosine), encoded once, and each query scores candidates
+    by summing m table lookups — ``Σ_s ||q_s − cw(code_s)||²`` — instead
+    of a 64-dim dot product (Jégou et al., TPAMI 2011).
+
+    ``rerank > 0`` adds the standard second stage: shortlist the top
+    ``rerank`` candidates by ADC, then score ONLY those with the exact
+    cosine (a broadcast-semi-join back to the vectors — the same
+    verify-only-candidates shape as the MinHash pipeline). Quantization
+    then only has to keep true neighbors inside the shortlist, not rank
+    them — recall@10 on this corpus goes 0.27 → ~1.0 at rerank=100 while
+    the exact math touches rerank/n of the corpus.
+
+    Scale shape: the per-query lookup table is queries × m × ksub rows
+    (384 here) → broadcast; the corpus side touches only the 4-byte codes,
+    never the vectors. The per-candidate sum folds the m subspace terms in
+    subspace order (array_sort → sequential fold) so the ranking is
+    bit-deterministic under any partitioning. Approximate by construction
+    → registered rows-only with a recall floor asserted in tests.
+    """
+    from pyspark.sql import Window as W
+
+    def _normalized(df):
+        vec = F.col(vec_col)
+        nv = F.element_at(
+            F.transform(
+                F.array(norm(vec)),
+                lambda n: F.transform(vec, lambda x: x.cast("double") / n),
+            ),
+            1,
+        )
+        return df.select(F.col(id_col), nv.alias(vec_col))
+
+    ncorp = _normalized(emb)
+    nquery = _normalized(query)
+    cb = pq_codebook(ncorp, m, ksub, id_col, vec_col)
+    codes = pq_encode(ncorp, cb, m, id_col, vec_col)
+
+    dsub_col = F.size(F.col(vec_col)) / F.lit(m)
+    qsubs = nquery.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        vec_col,
+    ).select(
+        "query_id",
+        "sub",
+        F.slice(
+            F.col(vec_col),
+            (F.col("sub") * dsub_col.cast("int") + 1).cast("int"),
+            dsub_col.cast("int"),
+        ).alias("qsv"),
+    )
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code", _sub_l2(F.col("qsv"), F.col("cw")).alias("t")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "t"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("approx_d2")
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "approx_d2")
+            .orderBy("query_id", "rank")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = nquery.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    exact = (
+        shortlist.join(
+            ncorp.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id"
+        )
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("query_vec"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_pq_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_code_stats(table(spark, sf_dir, "embeddings"))
+
+
+PQ_CODE_STATS_SQL = """
+WITH cb AS (
+  SELECT s.sub, e.vec_id AS code,
+         (CAST(e.embedding AS DOUBLE[]))[s.sub*8+1 : s.sub*8+8] AS cw
+  FROM embeddings e, UNNEST(range(0, 8)) AS s(sub)
+  WHERE e.vec_id < 16
+), subs AS (
+  SELECT e.vec_id, s.sub,
+         (CAST(e.embedding AS DOUBLE[]))[s.sub*8+1 : s.sub*8+8] AS sv
+  FROM embeddings e, UNNEST(range(0, 8)) AS s(sub)
+), scored AS (
+  SELECT vec_id, subs.sub, cb.code,
+         (list_dot_product(sv, sv) - (2.0 * list_dot_product(sv, cw)))
+           + list_dot_product(cw, cw) AS d2
+  FROM subs JOIN cb ON subs.sub = cb.sub
+), assigned AS (
+  SELECT vec_id, sub, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+  FROM scored
+)
+SELECT sub, code, COUNT(*) AS n_vectors
+FROM assigned WHERE rn = 1
+GROUP BY sub, code
+ORDER BY sub, code
+"""
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, rerank=100)
