@@ -416,3 +416,34 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir, tm
         (r["purchase_id"], r["user_id"]): r["n_clicks_prev_hour"] for r in rows
     }
     assert as_map(got) == as_map(expected)
+
+
+def test_streaming_decontamination_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-vs-static decontamination == the batch operator, under
+    multi-micro-batch admission (corpus written as 3 files, one file per
+    trigger — parity must hold across the union of batches)."""
+    from wurzel_spark.operators.dedup import decontamination_overlap
+    from wurzel_spark.streaming.decontam import decontaminate_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 100 == 0)
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    d = str(tmp_path / "decontam_stream")
+    corpus.repartition(3).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out_dir = str(tmp_path / "decontam_out")
+    decontaminate_stream(stream, eval_set, out_dir, str(tmp_path / "ckpt_dec"))
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_contaminated"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        r["doc_id"]: (r["n_spans"], r["n_contaminated"])
+        for r in decontamination_overlap(corpus, eval_set, n=13).collect()
+    }
+    assert got == exp

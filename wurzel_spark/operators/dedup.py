@@ -1315,12 +1315,46 @@ ORDER BY s.doc_id
 """
 
 
-def decontamination_overlap(
-    corpus: DataFrame,
+def eval_span_hashes(
     eval_set: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
+) -> DataFrame:
+    """Distinct ``n``-token span hashes of an evaluation set — the
+    reference table decontamination joins against. Exposed separately so
+    a consumer scoring MANY corpora (or a stream, micro-batch by
+    micro-batch) computes it once; pass the result to
+    :func:`decontamination_overlap` via ``eval_spans``."""
+    return _span_hash_stream(eval_set, id_col, text_col, n).select("h").distinct()
+
+
+def _span_hash_stream(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    whs = F.transform(TXT.words(F.col(text_col)), lambda w: F.xxhash64(w))
+    k = F.size("whs") - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.slice("whs", i, n))
+        ),
+    ).otherwise(F.array(F.xxhash64("whs")))
+    return (
+        _parallelize(df)
+        .select(F.col(id_col).alias("id"), whs.alias("whs"))
+        .filter(F.size("whs") > 0)
+        .select("id", F.explode(grams).alias("h"))
+    )
+
+
+def decontamination_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    eval_spans: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: per corpus document, the fraction of its
     ``n``-token spans that occur anywhere in an evaluation set — the
@@ -1335,24 +1369,9 @@ def decontamination_overlap(
     position. Counts use hashed spans; the DuckDB oracle uses literal span
     strings — identical up to negligible 64-bit collisions.
     """
-    def span_hashes(df: DataFrame) -> DataFrame:
-        whs = F.transform(TXT.words(F.col(text_col)), lambda w: F.xxhash64(w))
-        k = F.size("whs") - F.lit(n - 1)
-        grams = F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(1), k), lambda i: F.xxhash64(F.slice("whs", i, n))
-            ),
-        ).otherwise(F.array(F.xxhash64("whs")))
-        return (
-            _parallelize(df)
-            .select(F.col(id_col).alias("id"), whs.alias("whs"))
-            .filter(F.size("whs") > 0)
-            .select("id", F.explode(grams).alias("h"))
-        )
-
-    eval_spans = span_hashes(eval_set).select("h").distinct()
-    marked = span_hashes(corpus).join(
+    if eval_spans is None:
+        eval_spans = eval_span_hashes(eval_set, id_col, text_col, n)
+    marked = _span_hash_stream(corpus, id_col, text_col, n).join(
         eval_spans.withColumn("contaminated", F.lit(1)), "h", "left"
     )
     return (
