@@ -174,6 +174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall floor in tests) — the billion-scale ANN compression layout
         "pq_code_stats": similarity.q_pq_code_stats,
         "ann_topk_pq": similarity.q_ann_topk_pq,
+        # corpus profiling: exact rank-based length quantiles
+        "corpus_length_quantiles": textstats.q_corpus_length_quantiles,
+        # vendored-BPE corpus token counts (rows-only: no SQL BPE)
+        "bpe_token_stats": textstats.q_bpe_token_stats,
     }
 
 
@@ -274,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": ordering.CORPUS_SHUFFLE_SQL,
         "importance_sample": textstats.IMPORTANCE_SAMPLE_SQL,
         "pq_code_stats": similarity.PQ_CODE_STATS_SQL,
+        "corpus_length_quantiles": textstats.CORPUS_QUANTILES_SQL,
         # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-
         # specific hashing → rows-only check; recall asserted in tests/.

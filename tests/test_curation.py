@@ -243,3 +243,31 @@ def test_dsir_count_table_is_broadcast(spark, sf_dir):
     t = plan_text(dsir_importance_scores(table(spark, sf_dir, "documents")))
     assert "BroadcastHashJoin" in t, t
     assert "SortMergeJoin" not in t, t
+
+
+def test_bpe_token_stats_match_local_tokenizer(spark, sf_dir):
+    """Distributed counts must equal a driver-side encode of the same
+    texts (the UDF adds no batching artifacts)."""
+    from wurzel_spark.functions import tokens as TK
+    from wurzel_spark.operators.textstats import bpe_token_stats
+    from wurzel_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_token_stats(docs).collect()}
+    count = TK.token_counter("bpe")
+    local = {r.doc_id: count(r.text) for r in docs.select("doc_id", "text").collect()}
+    assert got == local
+    assert all(v > 0 for v in got.values())
+
+
+def test_corpus_quantiles_are_order_statistics(spark):
+    """p50/p90/p99 must be actual member values at the ceil(p*n) rank."""
+    from wurzel_spark.operators.textstats import corpus_length_quantiles
+
+    rows = [(i, "x", "en", "s0", length) for i, length in enumerate(range(100, 200))]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    r = corpus_length_quantiles(df).collect()[0]
+    assert (r.n_docs, r.min_chars, r.max_chars) == (100, 100, 199)
+    assert r.p50_chars == 149  # rank 50 of 100..199
+    assert r.p90_chars == 189
+    assert r.p99_chars == 198

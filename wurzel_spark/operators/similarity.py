@@ -1237,15 +1237,20 @@ def lsh_topk_multiprobe(
 
 
 def q_ann_topk_multiprobe(spark, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH top-k over the 12-plane bucketer, 8 probes —
+    """Multi-probe LSH top-k over a 6-plane bucketer, 8 probes —
     recall-tested against brute force (rows-only: the probe-sequence
     enumeration is engine-internal; the underlying cosine is the shared
-    bit-exact fold)."""
+    bit-exact fold).
+
+    6 bits = 64 buckets ≈ log2-scaled for the driver's 500-5000-vector
+    sf range (the PERF.md round-4 lesson: bucket bits must track
+    log2(n) or candidate sets collapse/explode — 12 bits at 500 vectors
+    left ~1 candidate per query and a near-empty top-k)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     planes = [
         r["embedding"]
-        for r in emb.filter(F.col("vec_id") < 12).orderBy("vec_id").collect()
+        for r in emb.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
     ]
     return lsh_topk_multiprobe(emb, queries, planes, k=10, probes=8)
 

@@ -1448,3 +1448,116 @@ WHERE (CAST(sum_tgt + n_words AS DOUBLE) / CAST(t_tgt + n_words AS DOUBLE))
       >= 1.0
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------ BPE corpus token stats
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts under the vendored byte-level BPE
+    (functions/bpe.py — the tiktoken merge algorithm the reference's
+    tokenizer adapter wraps, wurzel/utils/tokenizers.py:52-127), plus the
+    BPE-to-whitespace fan-out ratio — the number a training pipeline needs
+    for cost forecasts and packing (sequence_pack's whitespace counts
+    underestimate subword streams).
+
+    Arrow-batched pandas UDF: the rank table builds once per executor
+    (module-level cache in functions/tokens.py) and each batch amortizes
+    the Python dispatch; the merge loop itself is inherently sequential
+    per text, which is exactly the work an any-engine BPE pays. Registered
+    rows-only — no SQL engine expresses the merge-rank recursion.
+    """
+
+    @F.pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        from wurzel_spark.functions import tokens as TK
+
+        count = TK.token_counter("bpe")
+        return s.fillna("").map(count).astype("int64")
+
+    ws = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""))
+    return (
+        df.select(
+            "doc_id",
+            _count(F.col(text_col)).alias("n_bpe_tokens"),
+            ws.cast("long").alias("n_words"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"),
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_stats(table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- corpus length profile
+
+def corpus_length_quantiles(
+    df: DataFrame, group_col: str = "source", val_col: str = "n_chars"
+) -> DataFrame:
+    """Per-source length distribution profile: exact rank-based p50/p90/p99
+    (value at 1-based rank ``ceil(p·n)`` ascending — a DEFINITION every
+    engine reproduces bit-exactly, unlike interpolating percentiles whose
+    formulas differ across engines) plus min/max/count.
+
+    Scale shape: one window shuffle on the group key (the per-group sort
+    is the cost of exactness). At 100 TB swap in approx_percentile /
+    t-digest for the profile dashboard and keep this form for audits —
+    same output schema, so consumers don't change.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(val_col, "doc_id")
+    wc = W.partitionBy(group_col)
+    ranked = df.select(group_col, val_col, "doc_id").withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__n", F.count(F.lit(1)).over(wc))
+    picks = [
+        F.max(
+            F.when(
+                F.col("__rn") == F.ceil(F.col("__n") * F.lit(p)).cast("int"),
+                F.col(val_col),
+            )
+        ).alias(name)
+        for p, name in ((0.5, "p50_chars"), (0.9, "p90_chars"), (0.99, "p99_chars"))
+    ]
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(val_col).alias("min_chars"),
+            *picks,
+            F.max(val_col).alias("max_chars"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_length_quantiles(table(spark, sf_dir, "documents"))
+
+
+CORPUS_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS INT) THEN n_chars END) AS p50_chars,
+       MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS INT) THEN n_chars END) AS p90_chars,
+       MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS INT) THEN n_chars END) AS p99_chars,
+       MAX(n_chars) AS max_chars
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
