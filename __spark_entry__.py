@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_quantiles": textstats.q_corpus_length_quantiles,
         # vendored-BPE corpus token counts (rows-only: no SQL BPE)
         "bpe_token_stats": textstats.q_bpe_token_stats,
+        # hybrid BM25 + vector retrieval fused by reciprocal rank
+        "hybrid_rrf_topk": similarity.q_hybrid_rrf_topk,
     }
 
 
@@ -279,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_sample": textstats.IMPORTANCE_SAMPLE_SQL,
         "pq_code_stats": similarity.PQ_CODE_STATS_SQL,
         "corpus_length_quantiles": textstats.CORPUS_QUANTILES_SQL,
+        "hybrid_rrf_topk": similarity.HYBRID_RRF_SQL,
         # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-
         # specific hashing → rows-only check; recall asserted in tests/.

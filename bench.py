@@ -76,6 +76,16 @@ HEADLINE = [
     "kmeans_train_stats",
     "sequence_pack_stats",
     "strip_duplicated_spans",
+    # round 4 (cont.): winnowing, training-data ordering, importance
+    # resampling, product quantization, corpus profiling
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "train_split_stats",
+    "corpus_shuffle",
+    "importance_sample",
+    "pq_code_stats",
+    "ann_topk_pq",
+    "corpus_length_quantiles",
 ]
 
 

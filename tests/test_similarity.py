@@ -349,3 +349,26 @@ def test_pq_rerank_recovers_exact_topk(spark, sf_dir):
         ap.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(ex[qid] & ap[qid]) / len(ex[qid]) for qid in ex]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+# ----------------------------------------------------- hybrid RRF fusion
+
+def test_hybrid_rrf_merges_both_branches(spark, sf_dir):
+    """A doc ranked by BOTH branches must out-score a doc ranked at the
+    same position by only one branch; branch-only docs still surface."""
+    from wurzel_spark.operators.similarity import hybrid_rrf_topk
+    from wurzel_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    out = hybrid_rrf_topk(docs, emb, k=10).collect()
+    assert len(out) == 30  # 3 queries x 10
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        scores = [r.rrf_score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+    # two-branch max: 1/61 + 1/61; one-branch max: 1/61
+    assert max(r.rrf_score for r in out) <= 2 / 61 + 1e-12

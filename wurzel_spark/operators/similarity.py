@@ -1498,3 +1498,93 @@ ORDER BY sub, code
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, rerank=100)
+
+
+# ------------------------------------------- hybrid retrieval (RRF fusion)
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    depth: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical + vector retrieval fused with Reciprocal Rank
+    Fusion (Cormack et al., SIGIR 2009): per query,
+    ``score = Σ_branches 1/(rrf_k + rank)`` over the BM25 top-``depth``
+    and the cosine top-``depth`` (doc_id = vec_id linkage, the
+    text_embedding_join convention) — the standard RAG retrieval layout
+    where neither branch's score scale has to be calibrated against the
+    other's.
+
+    Determinism: ranks are integers; each branch contributes one exact
+    IEEE division; the two terms add in a fixed order — bit-reproducible,
+    so the fused ranking oracles exactly. Scale shape: both branches
+    arrive already top-``depth``-ed per query (a few rows each), so the
+    fusion join is broadcast-trivial; the heavy lifting stays in the
+    branch operators, each with its own scale path (term-pruned BM25;
+    swap brute-force cosine for the PQ/IVF/multi-probe variants above at
+    corpus scale — the fusion is rank-only and does not change).
+    """
+    from pyspark.sql import Window as W
+
+    from wurzel_spark.operators.textstats import _BM25_QUERIES, bm25_topk
+
+    qids = sorted(_BM25_QUERIES)
+    lex = bm25_topk(docs, k=depth).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_lex")
+    )
+    vec = brute_force_topk(emb, emb.filter(F.col("vec_id").isin(qids)), k=depth).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rank_vec"),
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_vec")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hybrid_rrf_topk(
+        table(spark, sf_dir, "documents"), table(spark, sf_dir, "embeddings")
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from wurzel_spark.operators.textstats import BM25_TOPK_SQL
+
+    lex = BM25_TOPK_SQL.rsplit("ORDER BY", 1)[0]
+    vec = ANN_TOPK_SQL.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH lex AS (SELECT * FROM ({lex})),
+     vec AS (SELECT * FROM ({vec}))
+SELECT query_id, rank, doc_id, rrf_score FROM (
+  SELECT query_id, doc_id, rrf_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM (
+    SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+           COALESCE(l.doc_id, v.neighbor_id) AS doc_id,
+           COALESCE(1.0 / (60 + l.rank), 0.0)
+             + COALESCE(1.0 / (60 + v.rank), 0.0) AS rrf_score
+    FROM lex l FULL OUTER JOIN vec v
+      ON l.query_id = v.query_id AND l.doc_id = v.neighbor_id
+  )
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+HYBRID_RRF_SQL = _hybrid_rrf_sql()
