@@ -87,3 +87,44 @@ def test_sftp_sync_and_read(spark, tmp_path):
     staging2 = tmp_path / "staging2"
     n = SFTP.sync_tree(client, "/", str(staging2), recursive=False)
     assert n == 1
+
+
+# ------------------------------------- Python Data Source (wurzel_markdown)
+
+def test_markdown_datasource_matches_expression_reader(spark, md_folder):
+    """spark.read.format("wurzel_markdown") must emit exactly the rows of
+    read_markdown_folder on the same fixture (both implement
+    MarkdownDataContract.from_file)."""
+    from wurzel_spark.sources.datasource import register
+    from wurzel_spark.sources.markdown import read_markdown_folder
+
+    register(spark)
+    via_ds = (
+        spark.read.format("wurzel_markdown")
+        .option("filesPerPartition", 2)
+        .load(md_folder)
+    )
+    via_expr = read_markdown_folder(spark, md_folder)
+    key = lambda r: r["url"]
+    a = sorted(via_ds.collect(), key=key)
+    b = sorted(via_expr.collect(), key=key)
+    assert len(a) == len(b) == 5
+    for ra, rb in zip(a, b):
+        assert (ra["md"], ra["keywords"], ra["url"], ra["metadata"]) == (
+            rb["md"], rb["keywords"], rb["url"], rb["metadata"]
+        )
+
+
+def test_markdown_datasource_partition_planning(spark, md_folder):
+    """filesPerPartition must drive the task split (5 files, 2 per
+    partition -> 3 partitions)."""
+    from wurzel_spark.sources.datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("wurzel_markdown")
+        .option("filesPerPartition", 2)
+        .load(md_folder)
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 5

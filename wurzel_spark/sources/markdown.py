@@ -105,7 +105,9 @@ def read_markdown_folder(
         ).alias("keywords"),
         F.coalesce(
             F.when(use_fm, F.col("fm.url")),
-            F.concat(F.lit(url_prefix), F.regexp_replace("file_path", r"^file:", "")),
+            # file:///abs/path → /abs/path (single leading slash — the
+            # contract's "absolute path" default, common.py:140-146)
+            F.concat(F.lit(url_prefix), F.regexp_replace("file_path", r"^file:/+", "/")),
         ).alias("url"),
         F.when(use_fm, F.col("fm.metadata")).alias("metadata"),
     )
