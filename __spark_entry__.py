@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": textstats.q_bpe_token_stats,
         # hybrid BM25 + vector retrieval fused by reciprocal rank
         "hybrid_rrf_topk": similarity.q_hybrid_rrf_topk,
+        # train→eval split leakage audit (13-gram overlap across splits)
+        "split_leakage_stats": ordering.q_split_leakage_stats,
     }
 
 
@@ -282,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_code_stats": similarity.PQ_CODE_STATS_SQL,
         "corpus_length_quantiles": textstats.CORPUS_QUANTILES_SQL,
         "hybrid_rrf_topk": similarity.HYBRID_RRF_SQL,
+        "split_leakage_stats": ordering.SPLIT_LEAKAGE_SQL,
         # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-
         # specific hashing → rows-only check; recall asserted in tests/.

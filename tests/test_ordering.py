@@ -60,6 +60,36 @@ def test_corpus_shuffle_plan_has_no_global_window(spark, sf_dir):
     assert "Exchange SinglePartition" not in t, t
 
 
+def test_split_leakage_detects_cross_split_duplicate(spark):
+    """A verbatim duplicate straddling the train/eval boundary must show
+    up as a leaky doc; an eval doc with unique text must not."""
+    from wurzel_spark.operators.ordering import split_leakage_stats, train_split_assign
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    # find one train id and two eval ids under the default permilles
+    assigned = {
+        r.doc_id: r.split
+        for r in train_split_assign(
+            spark.range(0, 400).withColumnRenamed("id", "doc_id")
+        ).collect()
+    }
+    train_id = next(d for d, s in assigned.items() if s == "train")
+    eval_ids = [d for d, s in assigned.items() if s != "train"][:2]
+    assert len(eval_ids) == 2
+    df = spark.createDataFrame(
+        [
+            (train_id, base + " train tail"),
+            (eval_ids[0], base + " eval tail"),  # shares 13-gram spans with train
+            (eval_ids[1], " ".join(f"zz{i}qq{i}" for i in range(20))),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.split: r for r in split_leakage_stats(df, n=13).collect()}
+    leaky = sum(r.n_leaky_docs for r in rows.values())
+    assert leaky == 1
+    assert all(r.leaked_spans <= r.total_spans for r in rows.values())
+
+
 def test_shuffle_positions_look_shuffled(spark):
     """Adjacent doc_ids should land far apart — the point of the epoch
     shuffle (catching an accidental identity permutation)."""

@@ -46,6 +46,17 @@ QUERIES = [
     "bm25_topk",
     "sequence_pack_stats",
     "kmeans_train_stats",
+    # round-4 additions
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "train_split_stats",
+    "corpus_shuffle",
+    "importance_sample",
+    "pq_code_stats",
+    "ann_topk_pq",
+    "ann_topk_multiprobe",
+    "corpus_length_quantiles",
+    "hybrid_rrf_topk",
 ]
 
 

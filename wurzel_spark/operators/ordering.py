@@ -158,3 +158,107 @@ SELECT doc_id,
 FROM h
 ORDER BY doc_id
 """
+
+
+def split_leakage_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    val_permille: int = 50,
+    test_permille: int = 50,
+) -> DataFrame:
+    """Train→eval leakage audit: after band-splitting the corpus, score
+    every val/test document's ``n``-gram spans against the TRAIN split's
+    span set — the in-corpus twin of benchmark decontamination
+    (dedup.decontamination_overlap) and the check that catches eval
+    contamination introduced by near-duplicates straddling a split.
+
+    Output: one row per eval split — doc counts, how many docs leak at
+    all, and the pooled span-level leakage fraction (exact int64 sums,
+    one IEEE division — bit-stable).
+
+    Scale shape: train spans reduce to distinct hashes (semi-joinable,
+    broadcast when they fit, AQE otherwise) exactly like the eval-set
+    table in decontamination; the val/test side streams (hash, id) longs.
+    """
+    from wurzel_spark.operators.dedup import decontamination_overlap, eval_span_hashes
+
+    assigned = train_split_assign(df, id_col, val_permille, test_permille)
+    train = assigned.filter(F.col("split") == "train").drop("split")
+    eval_docs = assigned.filter(F.col("split") != "train")
+    train_spans = eval_span_hashes(train, id_col, text_col, n)
+    scored = decontamination_overlap(
+        eval_docs.drop("split"), None, id_col, text_col, n, eval_spans=train_spans
+    ).join(assigned.select(id_col, "split"), id_col)
+    return (
+        scored.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_contaminated") > 0).cast("long")).alias("n_leaky_docs"),
+            F.sum("n_spans").alias("total_spans"),
+            F.sum("n_contaminated").alias("leaked_spans"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_leaky_docs",
+            "total_spans",
+            "leaked_spans",
+            (
+                F.col("leaked_spans").cast("double")
+                / F.col("total_spans").cast("double")
+            ).alias("leakage_frac"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_split_leakage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_leakage_stats(table(spark, sf_dir, "documents"))
+
+
+SPLIT_LEAKAGE_SQL = r"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CASE WHEN ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000 < 900
+              THEN 'train'
+              WHEN ((doc_id % 1000003) * 2654435761) % 4294967296 % 1000 < 950
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), toks AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM assigned
+), nonempty AS (
+  SELECT doc_id, split, ws, len(ws) AS m FROM toks WHERE len(ws) > 0
+), spans AS (
+  SELECT doc_id, split,
+         CASE WHEN m >= 13
+              THEN array_to_string(ws[t.i:t.i+12], ' ')
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM nonempty, UNNEST(range(1, GREATEST(m - 11, 2))) AS t(i)
+), train_spans AS (
+  SELECT DISTINCT g FROM spans WHERE split = 'train'
+), eval_scored AS (
+  SELECT s.doc_id, s.split,
+         COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM spans s LEFT JOIN train_spans t ON s.g = t.g
+  WHERE s.split != 'train'
+  GROUP BY s.doc_id, s.split
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_contaminated > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaky_docs,
+       CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+       CAST(SUM(n_contaminated) AS BIGINT) AS leaked_spans,
+       CAST(SUM(n_contaminated) AS DOUBLE) / CAST(SUM(n_spans) AS DOUBLE)
+         AS leakage_frac
+FROM eval_scored
+GROUP BY split
+ORDER BY split
+"""
