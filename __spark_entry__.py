@@ -24,6 +24,7 @@ from wurzel_spark.operators import (
     ordering,
     packing,
     similarity,
+    sketches,
     splitter,
     textstats,
 )
@@ -182,6 +183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": similarity.q_hybrid_rrf_topk,
         # train→eval split leakage audit (13-gram overlap across splits)
         "split_leakage_stats": ordering.q_split_leakage_stats,
+        # sketch family — cross-engine md5-prefix hashes, so the sketch
+        # contents themselves are oracle-checked (not rows-only)
+        "kmv_distinct_stats": sketches.q_kmv_distinct,
+        "hll_distinct_stats": sketches.q_hll_distinct,
+        "cms_heavy_hitters": sketches.q_cms_heavy_hitters,
+        "minhash_jaccard_est_pairs": sketches.q_minhash_jaccard_est,
     }
 
 
@@ -285,6 +292,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_length_quantiles": textstats.CORPUS_QUANTILES_SQL,
         "hybrid_rrf_topk": similarity.HYBRID_RRF_SQL,
         "split_leakage_stats": ordering.SPLIT_LEAKAGE_SQL,
+        "kmv_distinct_stats": sketches.KMV_SQL,
+        "hll_distinct_stats": sketches.HLL_SQL,
+        "cms_heavy_hitters": sketches.CMS_SQL,
+        "minhash_jaccard_est_pairs": sketches.MINHASH_EST_SQL,
         # multimodal_decode_stats: engine-internal stub codec → rows-only.
         # minhash_lsh_pairs / simhash_near_pairs / ann_topk_lsh: engine-
         # specific hashing → rows-only check; recall asserted in tests/.

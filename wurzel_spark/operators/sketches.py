@@ -1,0 +1,539 @@
+"""Distributed cardinality / frequency sketches over the document corpus.
+
+The sketch family a 100 TB curation pipeline leans on when exact
+aggregation is too expensive: KMV (k-minimum-values) and HLL-style
+register sketches for distinct-term counts, a count-min sketch for
+heavy-hitter term frequencies, and an oracle-checked MinHash Jaccard
+ESTIMATOR (the statistic the LSH near-dup family is built on).
+
+Design rule shared by all four: the hash is the cross-engine 60-bit
+md5-prefix (``dedup.md5_prefix_hash``), so the sketch CONTENTS — selected
+minima, register values, cell counts, signature components — are
+bit-identical between Spark and DuckDB and every estimate reduces to
+integer arithmetic plus ONE final IEEE division. That makes the whole
+family hash-green under the driver's oracle compare, not rows-only: the
+estimator itself is correctness-checked, unlike engine-hash (xxhash64)
+variants elsewhere which trade oracle-ability for codegen speed. At
+production scale you swap ``md5_prefix_hash`` for ``F.xxhash64`` — every
+shape below is hash-agnostic.
+
+Extends the reference's exact corpus metrics (datacontract
+``num_rows``/content hashing; see SURVEY §2.7) with the sublinear
+counterparts the reference never needed at its single-node scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wurzel_spark.functions import text as TXT
+from wurzel_spark.operators.dedup import md5_prefix_hash, shingles
+from wurzel_spark.tables import table
+
+_2_50 = 1 << 50
+_2_51 = 1 << 51
+_2_60 = 1 << 60
+
+# DuckDB-side twin of md5_prefix_hash, for the oracle strings below.
+_SQL_H = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SQL_WORDS = r"""
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+"""
+
+
+# ------------------------------------------------------------------- KMV
+
+KMV_K = 256
+_KMV_NUMER = float(KMV_K - 1) * float(_2_60)  # exact in double (255 * 2^60)
+
+
+def kmv_distinct_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = KMV_K,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-term sketch per source,
+    reported against the exact distinct count it estimates.
+
+    Estimator (Bar-Yossef et al. 2002): keep the k smallest distinct
+    hash values; with h_k the k-th smallest over a hash range of 2^60,
+    ``distinct ≈ (k-1) * 2^60 / h_k``. When fewer than k distinct values
+    exist the sketch IS the exact answer.
+
+    Scale shape: explode → distinct (source, hash) — 8-byte longs, one
+    shuffle with map-side combine — then a rank window per source whose
+    partition size is bounded by the source's VOCABULARY (not its token
+    count; millions, not billions, at 100 TB). The exact-count branch
+    here exists to report estimator error; a production sketch run keeps
+    only the k-smallest pass. Determinism: integer hash minima, numerator
+    a single exact double literal, ONE division.
+    """
+    numer = float(k - 1) * float(_2_60)
+    from pyspark.sql import Window as W
+
+    hashed = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(TXT.words(F.col(text_col))).alias("w"),
+        )
+        .select("source", md5_prefix_hash(F.col("w")).alias("h"))
+        .distinct()
+    )
+    ranked = hashed.withColumn(
+        "rn", F.row_number().over(W.partitionBy("source").orderBy("h"))
+    )
+    per = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct_exact"))
+    kth = (
+        ranked.filter(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_min_hash"))
+    )
+    est = F.when(F.col("k_used") < k, F.col("k_used").cast("double")).otherwise(
+        F.lit(numer) / F.col("kth_min_hash").cast("double")
+    )
+    exact_d = F.col("n_distinct_exact").cast("double")
+    return (
+        per.join(kth, "source")
+        .select(
+            "source",
+            "n_distinct_exact",
+            "k_used",
+            "kth_min_hash",
+            est.alias("kmv_estimate"),
+            (F.abs(est - exact_d) / exact_d).alias("rel_error"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_distinct_stats(table(spark, sf_dir, "documents"))
+
+
+KMV_SQL = f"""
+WITH w AS (
+  SELECT source, unnest(ws) AS w FROM ({_SQL_WORDS})
+), h AS (
+  SELECT DISTINCT source, {_SQL_H.format(x="w")} AS h FROM w
+), ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM h
+), per AS (
+  SELECT source, COUNT(*) AS n_distinct_exact FROM h GROUP BY source
+), k AS (
+  SELECT source, COUNT(*) AS k_used, MAX(h) AS kth_min_hash
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+), est AS (
+  SELECT p.source, p.n_distinct_exact, k.k_used, k.kth_min_hash,
+         CASE WHEN k.k_used < {KMV_K} THEN CAST(k.k_used AS DOUBLE)
+              ELSE {_KMV_NUMER!r} / CAST(k.kth_min_hash AS DOUBLE) END AS kmv_estimate
+  FROM per p JOIN k ON k.source = p.source
+)
+SELECT source, n_distinct_exact, k_used, kth_min_hash, kmv_estimate,
+       abs(kmv_estimate - CAST(n_distinct_exact AS DOUBLE))
+         / CAST(n_distinct_exact AS DOUBLE) AS rel_error
+FROM est
+ORDER BY source
+"""
+
+
+# ------------------------------------------------------------------- HLL
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha * m^2 * 2^51 — the whole numerator as ONE double literal so both
+# engines divide the same constant by the integer-scaled register sum.
+_HLL_NUMER = _HLL_ALPHA * HLL_M * HLL_M * float(_2_51)
+
+
+def hll_distinct_stats(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """HyperLogLog-style register sketch per source (raw estimator, no
+    small/large-range correction — those need libm ``ln`` whose last ulp
+    differs across engines).
+
+    Register math, integer-exact end to end: bucket = top 10 hash bits,
+    rho = 1 + leading zeros of the remaining 50 bits (via the bin-string
+    trick — identical in Spark and DuckDB), register = max rho per
+    bucket. The harmonic sum Σ 2^-reg is scaled by 2^51 so every term
+    (2^(51-reg), empty register → 2^51) is an int64 and the per-source
+    sum ≤ 2^61 — exact BIGINT addition, order-independent. Estimate =
+    alpha·m²·2^51 / scaled_sum: ONE division of a shared double literal
+    by an exact integer.
+
+    Scale shape: two hash aggregates (source,bucket → max; source → sum),
+    both map-side combinable, no window, no distinct of the full term
+    set — THE sketch whose state is 1024 bytes per source regardless of
+    corpus size. The exact-count column exists to report error at test
+    scale; production runs drop that branch.
+    """
+    words = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(TXT.words(F.col(text_col))).alias("w"),
+    ).select("source", md5_prefix_hash(F.col("w")).alias("h"))
+    rho_in = words.select(
+        "source",
+        "h",
+        F.shiftright("h", 50).alias("bucket"),
+        (F.col("h") % F.lit(_2_50)).alias("rem"),
+    ).select(
+        "source",
+        "h",
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(51))
+        .otherwise(F.instr(F.lpad(F.bin("rem"), 50, "0"), "1"))
+        .alias("rho"),
+    )
+    regs = rho_in.groupBy("source", "bucket").agg(F.max("rho").alias("reg"))
+    per = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - reg AS INT))")).alias(
+            "sum_hit"
+        ),
+    )
+    exact = (
+        words.select("source", "h")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_distinct_exact"))
+    )
+    s_int = (
+        F.col("sum_hit")
+        + (F.lit(HLL_M) - F.col("n_buckets_hit")) * F.lit(_2_51)
+    ).alias("hll_sum_scaled")
+    est = F.lit(_HLL_NUMER) / F.col("hll_sum_scaled").cast("double")
+    exact_d = F.col("n_distinct_exact").cast("double")
+    return (
+        per.join(exact, "source")
+        .select("source", "n_buckets_hit", s_int, "n_distinct_exact")
+        .select(
+            "source",
+            "n_buckets_hit",
+            "hll_sum_scaled",
+            est.alias("hll_estimate"),
+            "n_distinct_exact",
+            (F.abs(est - exact_d) / exact_d).alias("rel_error"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_distinct_stats(table(spark, sf_dir, "documents"))
+
+
+HLL_SQL = f"""
+WITH w AS (
+  SELECT source, unnest(ws) AS w FROM ({_SQL_WORDS})
+), h AS (
+  SELECT source, {_SQL_H.format(x="w")} AS h FROM w
+), rho AS (
+  SELECT source, h, h >> 50 AS bucket,
+         CASE WHEN h % {_2_50} = 0 THEN 51
+              ELSE strpos(lpad(bin(h % {_2_50}), 50, '0'), '1') END AS rho
+  FROM h
+), regs AS (
+  SELECT source, bucket, MAX(rho) AS reg FROM rho GROUP BY source, bucket
+), per AS (
+  SELECT source, COUNT(*) AS n_buckets_hit,
+         SUM(CAST(1 AS BIGINT) << CAST(51 - reg AS INT)) AS sum_hit
+  FROM regs GROUP BY source
+), exact AS (
+  SELECT source, COUNT(DISTINCT h) AS n_distinct_exact FROM h GROUP BY source
+), est AS (
+  SELECT p.source, p.n_buckets_hit,
+         CAST(p.sum_hit + ({HLL_M} - p.n_buckets_hit) * {_2_51} AS BIGINT)
+           AS hll_sum_scaled,
+         e.n_distinct_exact
+  FROM per p JOIN exact e ON e.source = p.source
+)
+SELECT source, n_buckets_hit, hll_sum_scaled,
+       {_HLL_NUMER!r} / CAST(hll_sum_scaled AS DOUBLE) AS hll_estimate,
+       n_distinct_exact,
+       abs({_HLL_NUMER!r} / CAST(hll_sum_scaled AS DOUBLE)
+           - CAST(n_distinct_exact AS DOUBLE))
+         / CAST(n_distinct_exact AS DOUBLE) AS rel_error
+FROM est
+ORDER BY source
+"""
+
+
+# ------------------------------------------------------------- count-min
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 20
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    top_k: int = CMS_TOP_K,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over term
+    occurrences, evaluated on the exact top-k heavy hitters: for each of
+    the k most frequent terms, the sketch estimate (min over ``depth``
+    hashed cell counts) next to the exact count and the guaranteed
+    non-negative overestimate.
+
+    Scale shape: the sketch is ONE hash aggregate over (row, cell) —
+    depth×width cells total (4096 here), map-side combinable, broadcast-
+    sized output no matter the corpus; estimates come from a broadcast
+    join of the candidate terms against the cell table. The exact top-k
+    pass (vocabulary-bounded groupBy) is the evaluation harness; a
+    production hot-path queries the 4 KB sketch alone. All counts are
+    int64 — bit-exact everywhere.
+    """
+    words = df.select(F.explode(TXT.words(F.col(text_col))).alias("w"))
+    totals = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = totals.orderBy(F.desc("exact_count"), "w").limit(top_k)
+    cell = (
+        md5_prefix_hash(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))
+        % F.lit(width)
+    ).alias("cell")
+    sketch = (
+        words.select("w", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"))
+        .select("i", cell)
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = top.select(
+        "w", "exact_count", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+    ).select("w", "exact_count", "i", cell)
+    return (
+        probes.join(sketch, ["i", "cell"])
+        .groupBy("w", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            F.col("w").alias("term"),
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), "term")
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_heavy_hitters(table(spark, sf_dir, "documents"))
+
+
+def _sql_cell(i: str, w: str) -> str:
+    gram = f"concat(CAST({i} AS VARCHAR), ':', {w})"
+    return f"{_SQL_H.format(x=gram)} % {CMS_WIDTH}"
+
+
+CMS_SQL = f"""
+WITH w AS (
+  SELECT unnest(ws) AS w FROM ({_SQL_WORDS})
+), tot AS (
+  SELECT w, COUNT(*) AS exact_count FROM w GROUP BY w
+), top AS (
+  SELECT w, exact_count FROM tot ORDER BY exact_count DESC, w LIMIT {CMS_TOP_K}
+), cells AS (
+  SELECT t.i, {_sql_cell("t.i", "w.w")} AS cell, COUNT(*) AS c
+  FROM w, UNNEST(range(0, {CMS_DEPTH})) AS t(i)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT top.w, top.exact_count, t.i,
+         {_sql_cell("t.i", "top.w")} AS cell
+  FROM top, UNNEST(range(0, {CMS_DEPTH})) AS t(i)
+), est AS (
+  SELECT p.w, p.exact_count, MIN(c.c) AS cms_estimate
+  FROM probes p JOIN cells c ON c.i = p.i AND c.cell = p.cell
+  GROUP BY p.w, p.exact_count
+)
+SELECT w AS term, exact_count, cms_estimate,
+       CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_count DESC, term
+"""
+
+
+# ----------------------------------------------- MinHash Jaccard estimate
+
+MH_SEEDS = 32
+MH_BANDS = 8
+MH_ROWS = MH_SEEDS // MH_BANDS  # 4
+
+
+def minhash_jaccard_est_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Oracle-checked MinHash: banded LSH candidate pairs scored by BOTH
+    the MinHash Jaccard estimate (fraction of agreeing signature
+    components) and the true shingle-set Jaccard — the estimator the
+    engine's fast xxhash64 LSH family (``dedup.minhash_lsh_pairs``) is
+    built on, here with cross-engine md5-prefix hashing so the SELECTED
+    minima, the band keys, the candidate set, and both statistics are
+    bit-identical in DuckDB. This closes the oracle gap for the MinHash
+    family: the hash-specific variants stay rows-only, but the estimator
+    itself is hash-green.
+
+    Scale shape: the 32-seed signature is one projection (no shuffle —
+    nested array transforms, all let-bound so the gram array is built
+    once per row); candidates come from the banded equi-join on 8-byte
+    band keys. Carrying the gram arrays into the verify join to compute
+    TRUE Jaccard is the test-scale convenience — production verification
+    uses the explode-join exact path (``ngram_jaccard_capped``).
+    """
+    base = df.filter(F.size(TXT.words(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("gs")
+    )
+    sig = F.element_at(
+        F.transform(
+            F.array("gs"),
+            lambda g: F.transform(
+                F.sequence(F.lit(0), F.lit(MH_SEEDS - 1)),
+                lambda s: F.array_min(
+                    F.transform(
+                        g,
+                        lambda x: md5_prefix_hash(
+                            F.concat(s.cast("string"), F.lit(":"), x)
+                        ),
+                    )
+                ),
+            ),
+        ),
+        1,
+    )
+    sigs = base.select("id", F.size("gs").alias("n_sh"), "gs", sig.alias("sig"))
+    bands = F.element_at(
+        F.transform(
+            F.array("sig"),
+            lambda sg: F.transform(
+                F.sequence(F.lit(0), F.lit(MH_BANDS - 1)),
+                lambda b: md5_prefix_hash(
+                    F.concat(
+                        b.cast("string"),
+                        F.lit("|"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(sg, b * MH_ROWS + F.lit(1), MH_ROWS),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ),
+                    )
+                ),
+            ),
+        ),
+        1,
+    )
+    keyed = sigs.select("id", F.explode(bands).alias("bk"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "bk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        F.col("n_sh").alias("na"),
+        F.col("gs").alias("ga"),
+        F.col("sig").alias("siga"),
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("gs").alias("gb"),
+        F.col("sig").alias("sigb"),
+    )
+    agree = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(MH_SEEDS)),
+            lambda i: F.element_at("siga", i) == F.element_at("sigb", i),
+        )
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            agree.alias("n_agree"),
+            inter.alias("n_inter"),
+            "na",
+            "nb",
+        )
+    )
+    est = F.col("n_agree").cast("double") / F.lit(float(MH_SEEDS))
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            est.alias("est_jaccard"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("true_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_jaccard_est_pairs(table(spark, sf_dir, "documents"))
+
+
+_SQL_SIG_H = _SQL_H.format(x="concat(CAST(s AS VARCHAR), ':', g)")
+_SQL_BAND_H = _SQL_H.format(
+    x="concat(CAST(b AS VARCHAR), '|', "
+    "array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ','))"
+)
+
+MINHASH_EST_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, ws FROM ({_SQL_WORDS}) WHERE len(ws) > 0
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+              THEN list_transform(range(1, len(ws) - 1),
+                                  i -> array_to_string(ws[i:i+2], ' '))
+              ELSE [array_to_string(ws, ' ')] END) AS gs
+  FROM toks
+), sig AS (
+  SELECT doc_id, gs, len(gs) AS n_sh,
+         list_transform(range(0, {MH_SEEDS}),
+                        s -> list_min(list_transform(gs, g -> {_SQL_SIG_H}))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, {MH_BANDS}), b -> {_SQL_BAND_H})) AS bk
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(range(1, {MH_SEEDS + 1}), i -> sa.sig[i] = sb.sig[i]))
+           AS n_agree,
+         len(list_intersect(sa.gs, sb.gs)) AS n_inter,
+         sa.n_sh AS na, sb.n_sh AS nb
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(n_agree AS DOUBLE) / {float(MH_SEEDS)!r} AS est_jaccard,
+       CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS true_jaccard
+FROM scored
+WHERE CAST(n_agree AS DOUBLE) / {float(MH_SEEDS)!r} >= 0.25
+ORDER BY id_a, id_b
+"""
