@@ -23,6 +23,7 @@ from wurzel_spark.operators import (
     multimodal,
     ordering,
     packing,
+    selection,
     similarity,
     sketches,
     splitter,
@@ -47,6 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows covers all oracle-able queries with nothing older than 2 rounds.
     return {
         # new/changed this round — must be driver-checked in r4
+        "cluster_best_keep": selection.q_cluster_best_keep,
+        "domain_cap_sample": selection.q_domain_cap_sample,
+        "temperature_mixture_sample": selection.q_temperature_mixture,
         "semdedup_keep": similarity.q_semdedup_keep,
         "bm25_topk": textstats.q_bm25_topk,
         "sequence_pack": packing.q_sequence_pack,
@@ -194,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cluster_best_keep": selection.CLUSTER_BEST_KEEP_SQL,
+        "domain_cap_sample": selection.DOMAIN_CAP_SQL,
+        "temperature_mixture_sample": selection.TEMPERATURE_MIXTURE_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,

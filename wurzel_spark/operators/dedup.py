@@ -891,9 +891,9 @@ ORDER BY d.source
 _DRIVER_UNION_FIND_MAX_EDGES = 1_000_000
 
 
-def _union_find_clusters(spark: SparkSession, edges: DataFrame) -> DataFrame:
-    """Driver-side union-find over a (src, dst) edge list; returns
-    (cluster_id = min member id, size) for components with ≥2 members."""
+def _union_find_members(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a (src, dst) edge list; returns one
+    (doc_id, cluster_id = min member id) row per node in the edge set."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -914,14 +914,11 @@ def _union_find_clusters(spark: SparkSession, edges: DataFrame) -> DataFrame:
             # union by min id keeps the label = component minimum
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    sizes: dict[int, int] = {}
-    for node in parent:
-        sizes[find(node)] = sizes.get(find(node), 0) + 1
-    rows = sorted((label, n) for label, n in sizes.items())
-    return spark.createDataFrame(rows, "cluster_id long, size long")
+    rows = sorted((node, find(node)) for node in parent)
+    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
 
 
-def near_dup_clusters(
+def near_dup_cluster_members(
     pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:
     """Connected components over near-dup pairs by iterative min-label
@@ -938,7 +935,10 @@ def near_dup_clusters(
     switch to the large-star/small-star algorithm (Kiveris et al. 2014);
     the keyed-join building block is the same.
 
-    Returns one row per component with ≥2 members: (cluster_id, size).
+    Returns one (doc_id, cluster_id) row per node in the dup graph —
+    every member of every ≥2-component (a node appears iff it has an
+    edge). :func:`near_dup_clusters` aggregates this to sizes;
+    selection.cluster_best_keep joins it back to pick representatives.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -957,7 +957,7 @@ def near_dup_clusters(
         # driver-side union-find, vs 2+ shuffle rounds × job overhead per
         # label-propagation iteration. Identical output: the component
         # label is the minimum member id in both paths.
-        return _union_find_clusters(pairs.sparkSession, edges)
+        return _union_find_members(pairs.sparkSession, edges)
     n_parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     edges = edges.repartition(n_parts, "dst")
     labels = (
@@ -993,8 +993,17 @@ def near_dup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Component sizes over :func:`near_dup_cluster_members`: one row per
+    ≥2-member component, (cluster_id = min member id, size)."""
     return (
-        labels.groupBy(F.col("label").alias("cluster_id"))
+        near_dup_cluster_members(pairs, max_iters)
+        .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("size"))
         .orderBy("cluster_id")
     )

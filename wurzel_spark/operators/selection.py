@@ -1,0 +1,276 @@
+"""Corpus selection operators — which documents survive curation.
+
+The three selection rules every large-scale training-data pipeline ends
+up needing on top of pair-finding and scoring:
+
+- :func:`cluster_best_keep` — quality-aware representative selection per
+  near-dup cluster (keep the best doc, not the lowest id), the keep rule
+  NeMo-Curator/RefinedWeb-style fuzzy dedup applies after clustering;
+- :func:`domain_cap_sample` — per-domain document caps (bound any one
+  domain's share of the corpus, RefinedWeb §3.4-style);
+- :func:`temperature_mixture_sample` — UniMax-style temperature sampling
+  across languages (downweight head languages by sqrt instead of a
+  hand-written permille table).
+
+Extends the reference's DropDuplicationStep keep rule (first row per
+content hash, SURVEY §2.3; `wurzel/steps/duplication/step.py`) with the
+quality-aware and share-bounded variants the reference's single-tenant
+corpus never needed. All three are deterministic and engine-reproducible:
+integer hashes for sampling decisions, exact-integer quality metrics for
+argmax rules, at most ONE IEEE double op (sqrt) per decision — so each
+query is hash-green under the DuckDB oracle, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from wurzel_spark.functions import text as TXT
+from wurzel_spark.operators import dedup
+from wurzel_spark.tables import table
+
+# ------------------------------------------------- cluster representatives
+
+
+def cluster_best_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware representative per near-dup cluster: keep the doc
+    with the MOST words (tie → lowest doc_id) instead of blindly keeping
+    the minimum id — near-dup clusters usually contain one full document
+    plus truncated/boilerplate-wrapped copies, and "keep the longest" is
+    the standard fuzzy-dedup keep rule for exactly that reason.
+
+    The quality metric is the exact integer word count, so the argmax is
+    deterministic and cross-engine bit-stable (no float quality model in
+    the keep decision; swap in any integer-valued scorer).
+
+    Scale shape: cluster membership from
+    :func:`~wurzel_spark.operators.dedup.near_dup_cluster_members`
+    (size-guarded union-find / distributed min-label propagation), then
+    ONE join of the membership table (longs, dup-graph-sized — orders of
+    magnitude smaller than the corpus, broadcastable by AQE) against the
+    corpus projected to (id, n_words), and a per-cluster window whose
+    partitions are cluster-sized (near-dup clusters are small cliques;
+    a mega-cluster would already have blown up pair generation, which is
+    df-capped upstream).
+
+    Returns (cluster_id, size, keep_doc_id, keep_n_words) per component.
+    """
+    members = dedup.near_dup_cluster_members(pairs)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), TXT.word_count(F.col(text_col)).alias("n_words")
+    )
+    ranked = (
+        members.join(scored, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("cluster_id").orderBy(
+                    F.col("n_words").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .withColumn("size", F.count(F.lit(1)).over(W.partitionBy("cluster_id")))
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            "size",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_words").alias("keep_n_words"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def q_cluster_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, sort=False)
+    return cluster_best_keep(docs, pairs)
+
+
+CLUSTER_BEST_KEEP_SQL = f"""
+WITH RECURSIVE {dedup._JACCARD_PAIRS_CTE},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+),
+scored AS (
+  SELECT l.cluster_id, l.doc_id,
+         len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x != '')) AS n_words
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_words,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_words DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS size
+  FROM scored
+)
+SELECT cluster_id, size, doc_id AS keep_doc_id, n_words AS keep_n_words
+FROM ranked WHERE rk = 1 ORDER BY cluster_id
+"""
+
+
+# ------------------------------------------------------- per-domain caps
+
+# Knuth multiplicative hash on the folded doc_id — same deterministic
+# uniform-ish sampler mixture_sample uses (textstats.py), engine-exact.
+def _knuth_hash(id_col):
+    return ((F.col(id_col) % 1000003) * F.lit(2654435761)) % F.lit(4294967296)
+
+
+_KNUTH_SQL = "((doc_id % 1000003) * 2654435761) % 4294967296"
+
+DOMAIN_CAP = 40
+
+
+def domain_cap_sample(
+    df: DataFrame, cap: int = DOMAIN_CAP, source_col: str = "source"
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``cap`` docs per source,
+    chosen by deterministic hash rank (so the kept subset is a stable
+    uniform-ish sample of the domain, not its first-N by ingest order).
+    This is the "no domain dominates the corpus" rule (RefinedWeb bounds
+    per-domain share the same way after URL dedup).
+
+    Scale shape: project to (doc_id, source, h) — three longs — BEFORE
+    the per-source rank window, so the window sorts 24-byte rows, never
+    text. Exact top-``cap`` per domain is a window; at extreme per-domain
+    cardinality you'd first apply an approximate hash THRESHOLD (keep iff
+    h < cap/n_domain · 2^32 · (1+ε) from a broadcast per-domain count —
+    two map-side-combinable aggregates, no window) and only rank the ~cap
+    survivors; the window form here IS that final exact step.
+
+    Returns the kept rows (doc_id, source, rk) ordered by doc_id.
+    """
+    ranked = df.select(
+        "doc_id", F.col(source_col).alias("source"), _knuth_hash("doc_id").alias("h")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= cap)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+        .orderBy("doc_id")
+    )
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_cap_sample(table(spark, sf_dir, "documents"))
+
+
+DOMAIN_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_KNUTH_SQL} ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {DOMAIN_CAP} ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------- temperature (UniMax-ish)
+
+_2_32 = 1 << 32
+
+
+def temperature_mixture_sample(
+    df: DataFrame, lang_col: str = "lang"
+) -> DataFrame:
+    """Temperature-based language rebalancing (the UniMax / mT5 α=0.5
+    shape): each language keeps a sqrt-proportional share so head
+    languages are downweighted without a hand-maintained permille table.
+    Keep probability for language L with n_L docs is sqrt(n_min / n_L) —
+    the smallest language keeps everything, a language 100× larger keeps
+    10× the smallest's count (not 100×).
+
+    Determinism across engines: the keep decision is
+    ``knuth_hash(doc_id) < floor(sqrt(n_min / n_L) * 2^32)`` — one IEEE
+    division of exact integers, one sqrt, one exact power-of-two scale,
+    one floor. No RNG, no order-dependent float summation (the classic
+    Σ count^α normalization is NOT engine-stable; the pairwise n_min/n_L
+    form is).
+
+    Scale shape: per-language counts (map-side combinable, |langs| rows)
+    → broadcast join of the threshold table → map-only hash filter →
+    per-language keep stats. The corpus is scanned once and never
+    shuffled on text.
+
+    Returns (lang, n_docs, keep_threshold, n_kept) per language.
+    """
+    counts = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    thresh = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double"))
+            * F.lit(float(_2_32))
+        ).alias("keep_threshold"),
+    )
+    kept = (
+        df.select(F.col(lang_col).alias("lang"), _knuth_hash("doc_id").alias("h"))
+        .join(F.broadcast(thresh.select("lang", "keep_threshold")), "lang")
+        .filter(F.col("h") < F.col("keep_threshold"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        thresh.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "keep_threshold",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_mixture_sample(table(spark, sf_dir, "documents"))
+
+
+TEMPERATURE_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), mn AS (
+  SELECT MIN(n_docs) AS n_min FROM counts
+), thresh AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    * {float(_2_32)!r}) AS BIGINT) AS keep_threshold
+  FROM counts, mn
+), kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN thresh t ON t.lang = d.lang
+  WHERE {_KNUTH_SQL} < t.keep_threshold
+  GROUP BY d.lang
+)
+SELECT t.lang, t.n_docs, t.keep_threshold, COALESCE(k.n_kept, 0) AS n_kept
+FROM thresh t LEFT JOIN kept k ON k.lang = t.lang
+ORDER BY t.lang
+"""
