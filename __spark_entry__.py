@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_best_keep": selection.q_cluster_best_keep,
         "domain_cap_sample": selection.q_domain_cap_sample,
         "temperature_mixture_sample": selection.q_temperature_mixture,
+        "bloom_decontam": sketches.q_bloom_decontam,
         "semdedup_keep": similarity.q_semdedup_keep,
         "bm25_topk": textstats.q_bm25_topk,
         "sequence_pack": packing.q_sequence_pack,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_best_keep": selection.CLUSTER_BEST_KEEP_SQL,
         "domain_cap_sample": selection.DOMAIN_CAP_SQL,
         "temperature_mixture_sample": selection.TEMPERATURE_MIXTURE_SQL,
+        "bloom_decontam": sketches.BLOOM_DECONTAM_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,

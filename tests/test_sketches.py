@@ -125,3 +125,51 @@ def test_minhash_est_signature_pass_is_shuffle_free(spark, sf_dir):
     pairs = minhash_jaccard_est_pairs(docs)
     t = plan_text(pairs)
     assert "CartesianProduct" not in t and "BroadcastNestedLoopJoin" not in t
+
+
+# ------------------------------------------------------------- Bloom filter
+
+def test_bloom_decontam_join_vs_kernel_parity(spark):
+    from wurzel_spark.operators.sketches import (
+        bloom_decontamination,
+        bloom_decontamination_kernel,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu".split()
+    contaminated = " ".join(words)  # exactly 13 tokens = one eval span
+    rows = [
+        (1, contaminated, "en", "s"),
+        (2, "totally different text with thirteen completely distinct tokens here now ok fine yes", "en", "s"),
+        (3, "short doc", "en", "s"),
+        (4, "", "en", "s"),
+        (100, contaminated, "en", "s"),  # the eval doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    corpus = docs.filter("doc_id % 100 != 0")
+    ev = docs.filter("doc_id % 100 = 0")
+    a = [tuple(r) for r in bloom_decontamination(corpus, ev).collect()]
+    b = [tuple(r) for r in bloom_decontamination_kernel(corpus, ev).collect()]
+    assert a == b
+    per = {r[0]: r for r in a}
+    # doc 1 matches the eval span exactly: bloom and exact both flag it
+    assert per[1][2] == per[1][3] == 1 and per[1][4] == 0
+    # doc 2 shares nothing; bloom may false-positive but never under-reports
+    assert per[2][3] == 0 and per[2][2] >= per[2][3]
+    assert 3 in per  # short doc contributes its whole-run span
+    assert 4 not in per  # empty doc contributes nothing
+
+
+def test_bloom_never_misses_exact_hits(spark):
+    from wurzel_spark.operators.sketches import bloom_decontamination
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " + " ".join(f"tok{j}" for j in range(15)), "en", "s") for i in range(50)]
+        + [(100, " ".join(f"tok{j}" for j in range(15)), "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = bloom_decontamination(
+        docs.filter("doc_id % 100 != 0"), docs.filter("doc_id % 100 = 0")
+    ).collect()
+    for r in out:
+        assert r["n_bloom_hits"] >= r["n_exact_hits"]  # no false negatives
+        assert r["n_false_pos"] >= 0

@@ -537,3 +537,244 @@ FROM scored
 WHERE CAST(n_agree AS DOUBLE) / {float(MH_SEEDS)!r} >= 0.25
 ORDER BY id_a, id_b
 """
+
+
+# ------------------------------------------------------------- Bloom filter
+
+BLOOM_BITS_LOG2 = 15
+BLOOM_M = 1 << BLOOM_BITS_LOG2  # 32768 bits = 4 KiB
+BLOOM_K = 4  # four 15-bit slices of the 60-bit md5 prefix
+DECONTAM_N = 13
+
+
+def _span_strings(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(id, i, g) rows: every n-token span of each doc as a space-joined
+    string (docs shorter than n contribute their whole token run — the
+    same convention the exact decontamination oracle uses)."""
+    ws = TXT.words(F.col(text_col))
+    k = F.size("ws") - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice("ws", i, n))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("ws"))))
+    return (
+        df.select(F.col(id_col).alias("id"), ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select("id", F.posexplode(grams).alias("i", "g"))
+    )
+
+
+def _bloom_positions(h):
+    """BLOOM_K bit positions from one 60-bit hash: disjoint 15-bit slices
+    (index i = bits [15i, 15i+15)) — cheaper than double hashing and
+    identically expressible in both engines with shiftright + modulo."""
+    return [
+        (F.shiftright(h, BLOOM_BITS_LOG2 * j) % F.lit(BLOOM_M)).alias(f"p{j}")
+        for j in range(BLOOM_K)
+    ]
+
+
+def bloom_decontamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_N,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: the eval set's
+    n-gram spans are folded into an m-bit / k-hash Bloom bit set; a corpus
+    span is FLAGGED iff all k of its bit positions are set. Reported per
+    doc against the exact span-set join so the false-positive cost of the
+    sketch is itself a measured, oracle-checked quantity.
+
+    Why a pipeline wants this at 100 TB: the exact decontamination join
+    ships the full distinct eval-span hash table through a join against
+    every corpus span; the Bloom bit set is a CONSTANT 4 KiB regardless of
+    eval-set size — broadcast once, membership is k integer probes per
+    span, no shuffle on the corpus side at all (see
+    :func:`bloom_decontamination_kernel` for that map-only form). The
+    join-shaped twin here exists because bit-set membership expressed as
+    a ≤m-row position table is exactly SQL — making the sketch itself
+    hash-green under the DuckDB oracle rather than rows-only.
+
+    Determinism: positions are disjoint 15-bit slices of the 60-bit
+    md5-prefix span hash — pure integer math in both engines.
+
+    Returns per corpus doc: (doc_id, n_spans, n_bloom_hits, n_exact_hits,
+    n_false_pos) where n_false_pos = bloom − exact ≥ 0 always.
+    """
+    ev = _span_strings(eval_set, id_col, text_col, n).select(
+        md5_prefix_hash(F.col("g")).alias("h")
+    ).distinct()
+    ev = ev.localCheckpoint(eager=True)  # computed once, feeds bits AND exact join
+    bits = (
+        ev.select(F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p"))
+        .distinct()
+    )
+    spans = _span_strings(corpus, id_col, text_col, n).select(
+        "id", "i", md5_prefix_hash(F.col("g")).alias("h")
+    )
+    probed = spans.select(
+        "id", "i", "h", F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p")
+    )
+    hits = (
+        probed.join(F.broadcast(bits.withColumn("set_", F.lit(1))), "p", "left")
+        .groupBy("id", "i", "h")
+        .agg(F.sum(F.coalesce(F.col("set_"), F.lit(0))).alias("n_set"))
+    )
+    exact = ev.withColumn("exact_", F.lit(1))
+    marked = hits.join(F.broadcast(exact), "h", "left").select(
+        "id",
+        (F.col("n_set") == BLOOM_K).cast("long").alias("bloom_hit"),
+        F.coalesce(F.col("exact_"), F.lit(0)).cast("long").alias("exact_hit"),
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("bloom_hit").alias("n_bloom_hits"),
+            F.sum("exact_hit").alias("n_exact_hits"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bloom_decontamination_kernel(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_N,
+) -> DataFrame:
+    """The production shape of :func:`bloom_decontamination`: the m-bit
+    set is collected ONCE into a 4 KiB numpy bit array, broadcast, and
+    membership is evaluated inside an Arrow-batched kernel — the corpus
+    side is a pure map stage (zero joins, zero shuffles before the final
+    per-doc aggregate, which arrives pre-aggregated per batch).
+
+    Bit-identical to the join form (parity-tested): same hash, same
+    slices, only the membership mechanism differs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = _span_strings(eval_set, id_col, text_col, n).select(
+        md5_prefix_hash(F.col("g")).alias("h")
+    ).distinct()
+    arr = np.zeros(BLOOM_M, dtype=bool)
+    exact_set = set()
+    for (h,) in ev.collect():  # ≤ eval-set span count; eval sets are small
+        exact_set.add(h)
+        for j in range(BLOOM_K):
+            arr[(h >> (BLOOM_BITS_LOG2 * j)) % BLOOM_M] = True
+    spark = corpus.sparkSession
+    b_bits = spark.sparkContext.broadcast(arr)
+    b_exact = spark.sparkContext.broadcast(exact_set)
+
+    spans = _span_strings(corpus, id_col, text_col, n).select(
+        "id", md5_prefix_hash(F.col("g")).alias("h")
+    )
+
+    def _probe(batches):
+        bits = b_bits.value
+        exact = b_exact.value
+        for pdf in batches:
+            h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            ok = np.ones(len(h), dtype=bool)
+            for j in range(BLOOM_K):
+                ok &= bits[((h >> np.uint64(BLOOM_BITS_LOG2 * j)) % np.uint64(BLOOM_M)).astype(np.int64)]
+            ex = pdf["h"].map(lambda v: v in exact).to_numpy(dtype=bool)
+            out = pd.DataFrame(
+                {"id": pdf["id"], "bloom_hit": ok.astype("int64"), "exact_hit": ex.astype("int64")}
+            )
+            yield out.groupby("id", as_index=False).agg(
+                n_spans=("bloom_hit", "size"),
+                n_bloom_hits=("bloom_hit", "sum"),
+                n_exact_hits=("exact_hit", "sum"),
+            )
+
+    part = spans.mapInPandas(
+        _probe, "id long, n_spans long, n_bloom_hits long, n_exact_hits long"
+    )
+    return (
+        part.groupBy("id")
+        .agg(
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_bloom_hits").alias("n_bloom_hits"),
+            F.sum("n_exact_hits").alias("n_exact_hits"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vs the every-100th-doc stand-in eval set (the exact
+    decontamination query's split), scored through the Bloom sketch."""
+    docs = table(spark, sf_dir, "documents")
+    return bloom_decontamination(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+    )
+
+
+_SQL_SPANS = r"""
+  SELECT doc_id AS id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 13
+                THEN array_to_string(ws[i:i+12], ' ')
+                ELSE array_to_string(ws, ' ') END AS g
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+          FROM documents WHERE len(trim(text)) > 0)
+    , UNNEST(range(1, GREATEST(len(ws) - 11, 2))) AS t(i)
+    WHERE len(ws) > 0
+  )
+"""
+
+_B = BLOOM_BITS_LOG2
+_M = BLOOM_M
+
+BLOOM_DECONTAM_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT {_SQL_H.format(x="g")} AS h FROM ({_SQL_SPANS}) WHERE id % 100 = 0
+), bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT unnest([h % {_M}, (h // {1 << _B}) % {_M},
+                   (h // {1 << 2 * _B}) % {_M}, (h // {1 << 3 * _B}) % {_M}]) AS p
+    FROM ev
+  )
+), spans AS (
+  SELECT id, {_SQL_H.format(x="g")} AS h FROM ({_SQL_SPANS}) WHERE id % 100 != 0
+), marked AS (
+  SELECT s.id,
+         CASE WHEN s.h % {_M} IN (SELECT p FROM bits)
+               AND (s.h // {1 << _B}) % {_M} IN (SELECT p FROM bits)
+               AND (s.h // {1 << 2 * _B}) % {_M} IN (SELECT p FROM bits)
+               AND (s.h // {1 << 3 * _B}) % {_M} IN (SELECT p FROM bits)
+              THEN 1 ELSE 0 END AS bloom_hit,
+         CASE WHEN s.h IN (SELECT h FROM ev) THEN 1 ELSE 0 END AS exact_hit
+  FROM spans s
+)
+SELECT id AS doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(exact_hit) AS BIGINT) AS n_exact_hits,
+       CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_pos
+FROM marked GROUP BY id ORDER BY doc_id
+"""
