@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from wurzel_spark.operators import (
     asof,
+    bpetrain,
     rangejoin,
     dedup,
     embedding,
@@ -52,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": selection.q_domain_cap_sample,
         "temperature_mixture_sample": selection.q_temperature_mixture,
         "bloom_decontam": sketches.q_bloom_decontam,
+        "bpe_pair_counts": bpetrain.q_bpe_pair_counts,
+        "bpe_merges": bpetrain.q_bpe_merges,
         "semdedup_keep": similarity.q_semdedup_keep,
         "bm25_topk": textstats.q_bm25_topk,
         "sequence_pack": packing.q_sequence_pack,
@@ -203,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap_sample": selection.DOMAIN_CAP_SQL,
         "temperature_mixture_sample": selection.TEMPERATURE_MIXTURE_SQL,
         "bloom_decontam": sketches.BLOOM_DECONTAM_SQL,
+        "bpe_pair_counts": bpetrain.BPE_PAIR_COUNTS_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,
