@@ -21,6 +21,7 @@ from wurzel_spark.operators import (
     rangejoin,
     dedup,
     embedding,
+    layout,
     multimodal,
     ordering,
     packing,
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": sketches.q_bloom_decontam,
         "bpe_pair_counts": bpetrain.q_bpe_pair_counts,
         "bpe_merges": bpetrain.q_bpe_merges,
+        "zorder_layout_stats": layout.q_zorder_layout,
         "semdedup_keep": similarity.q_semdedup_keep,
         "bm25_topk": textstats.q_bm25_topk,
         "sequence_pack": packing.q_sequence_pack,
@@ -207,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture_sample": selection.TEMPERATURE_MIXTURE_SQL,
         "bloom_decontam": sketches.BLOOM_DECONTAM_SQL,
         "bpe_pair_counts": bpetrain.BPE_PAIR_COUNTS_SQL,
+        "zorder_layout_stats": layout.ZORDER_LAYOUT_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,

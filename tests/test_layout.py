@@ -1,0 +1,52 @@
+"""Z-order layout: Morton interleave, clustered write, skip-stats
+(operators/layout.py)."""
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from wurzel_spark.operators import layout
+
+
+def test_interleave_bits_known_values(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "a long, b long")
+    out = df.select(
+        "a", "b", layout.interleave_bits(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+    got = {(r["a"], r["b"]): r["z"] for r in out}
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1      # bit 0 of a → z bit 0
+    assert got[(0, 1)] == 2      # bit 0 of b → z bit 1
+    # a=3 (011), b=5 (101): z bits: a0=1,b0=1,a1=1,b1=0,a2=0,b2=1 → 100111 = 39
+    assert got[(3, 5)] == 39
+
+
+def test_zorder_write_bounds_both_dims_per_file(spark, tmp_path):
+    # 64x64 grid; z-order clustering must bound BOTH dims per file,
+    # unlike a plain sort on x (which leaves y spanning the full range).
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    zpath = str(tmp_path / "zorder")
+    layout.zorder_write(df, zpath, "x", "y", n_files=16, bits=6)
+
+    spans = []
+    for f in glob.glob(zpath + "/*.parquet"):
+        t = pq.read_table(f)
+        xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+        if xs:
+            spans.append((max(xs) - min(xs), max(ys) - min(ys)))
+    assert spans
+    # every file covers a narrow square: both spans well under the full 63
+    assert max(s[0] for s in spans) <= 31
+    assert max(s[1] for s in spans) <= 31
+
+
+def test_layout_stats_match_bucket_partition(spark):
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = layout.zorder_layout_stats(df, "x", "y", bits=16).collect()
+    assert sum(r["n_rows"] for r in out) == 1024
+    for r in out:
+        assert r["span_a"] == r["max_a"] - r["min_a"]
+        assert r["min_a"] >= 0 and r["min_b"] >= 0

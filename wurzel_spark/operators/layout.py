@@ -1,0 +1,158 @@
+"""Data-layout operators — multi-dimensional clustering for scan pruning.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet min/max footer stats prune whole files, but only if the writer
+CLUSTERED the data so each file covers a narrow range of the filter
+columns. Sorting clusters ONE column; Z-ordering (bit-interleaving two
+key columns into one sort key — the Morton curve) bounds BOTH columns'
+per-file ranges at once, which is why Delta/Iceberg ship `OPTIMIZE
+ZORDER BY`. This module is that writer-side step as a composable
+operator, plus an oracle-checked layout-quality statistic.
+
+Scale shape: the z-value is a pure JVM codegen expression (32 shift/mask
+terms, no UDF); the write is ``repartitionByRange(z)`` (one range
+shuffle — the same shuffle ANY clustered write pays) + sort-within-
+partitions. Layout quality is measured, not asserted: per-bucket
+min/max spans of both dimensions, hash-green under the DuckDB oracle
+because bit-interleaving is exact integer math in any engine.
+
+The reference has no storage-layout story (its outputs are single-node
+CSV/JSON snapshots — SURVEY §2.6); this is the piece its users would
+need first on a real lakehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wurzel_spark.tables import table
+
+Z_BITS = 16  # per-dimension bits → 32-bit z-value, plenty for file-level stats
+
+
+def interleave_bits(a: Column, b: Column, bits: int = Z_BITS) -> Column:
+    """Morton z-value of two non-negative ints: bit j of ``a`` lands at
+    z-bit 2j, bit j of ``b`` at 2j+1. A flat sum of shift/mask terms —
+    whole-stage codegen keeps it a single projection; no UDF."""
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        z = (
+            z
+            + (F.shiftright(a.cast("long"), j) % 2) * F.lit(1 << (2 * j))
+            + (F.shiftright(b.cast("long"), j) % 2) * F.lit(1 << (2 * j + 1))
+        )
+    return z
+
+
+def _interleave_sql(a: str, b: str, bits: int = Z_BITS) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"(({a} // {1 << j}) % 2) * {1 << (2 * j)}")
+        terms.append(f"(({b} // {1 << j}) % 2) * {1 << (2 * j + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = Z_BITS,
+) -> None:
+    """Write ``df`` as parquet clustered on the z-curve of two columns:
+    range-partition on z (one shuffle, the same cost as any clustered
+    write), sort within partitions so row groups inherit the locality,
+    one output file per range → every file's footer min/max covers a
+    narrow square of (col_a, col_b) and predicates on EITHER column
+    prune files."""
+    z = interleave_bits(F.col(col_a), F.col(col_b), bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+ZORDER_BUCKETS = 64  # the "files" the stats query scores
+
+
+def zorder_layout_stats(
+    df: DataFrame, col_a: str, col_b: str, bits: int = Z_BITS
+) -> DataFrame:
+    """Layout-quality statistic: divide the z-range into
+    ``ZORDER_BUCKETS`` equal slices (each slice = one would-be output
+    file of :func:`zorder_write`) and report per-bucket row counts and
+    min/max spans of BOTH dimensions — the exact numbers a file-skipping
+    planner reads from parquet footers. Narrow spans in both columns at
+    once are the property plain sorting cannot deliver.
+
+    The slice width adapts to the OCCUPIED z-range (bucket =
+    z·B / (z_max+1), exact integer division after a broadcast max — the
+    same two-pass shape any range partitioner uses), so the statistic is
+    meaningful whatever the key domain; a fixed top-bits shift would
+    collapse small domains into one bucket.
+    """
+    z = interleave_bits(F.col(col_a), F.col(col_b), bits)
+    zed = df.select(
+        z.alias("z"),
+        F.col(col_a).cast("long").alias("a"),
+        F.col(col_b).cast("long").alias("b"),
+    )
+    zmax = zed.agg(F.max("z").alias("zmax"))
+    return (
+        zed.crossJoin(F.broadcast(zmax))
+        .select(
+            F.expr(f"(z * {ZORDER_BUCKETS}) DIV (zmax + 1)").alias("bucket"),
+            "a",
+            "b",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "min_a",
+            "max_a",
+            "min_b",
+            "max_b",
+            (F.col("max_a") - F.col("min_a")).alias("span_a"),
+            (F.col("max_b") - F.col("min_b")).alias("span_b"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve layout quality of lineitem clustered on (partkey, suppkey)
+    — the canonical two-filter-column fact table."""
+    return zorder_layout_stats(table(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey")
+
+
+_Z_SQL = _interleave_sql("l_partkey", "l_suppkey")
+
+ZORDER_LAYOUT_SQL = f"""
+WITH zed AS (
+  SELECT ({_Z_SQL}) AS z,
+         CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b
+  FROM lineitem
+), mx AS (
+  SELECT MAX(z) AS zmax FROM zed
+), bucketed AS (
+  SELECT (z * {ZORDER_BUCKETS}) // (zmax + 1) AS bucket, a, b FROM zed, mx
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b,
+       MAX(a) - MIN(a) AS span_a, MAX(b) - MIN(b) AS span_b
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
