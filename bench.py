@@ -86,6 +86,16 @@ HEADLINE = [
     "pq_code_stats",
     "ann_topk_pq",
     "corpus_length_quantiles",
+    # round 4 (cont.): selection rules, Bloom decontamination, BPE
+    # training, z-order layout, sketches
+    "cluster_best_keep",
+    "domain_cap_sample",
+    "temperature_mixture_sample",
+    "bloom_decontam",
+    "bpe_pair_counts",
+    "zorder_layout_stats",
+    "hll_distinct_stats",
+    "cms_heavy_hitters",
 ]
 
 
