@@ -1,0 +1,183 @@
+"""Distributed quality-classifier training — the fasttext-shaped linear
+model every big curation pipeline trains (GPT-3's WebText-vs-CommonCrawl
+quality classifier, CCNet's, RefinedWeb's): hashed bag-of-words features,
+logistic regression, full-batch gradient descent where each iteration is
+ONE map stage plus a feature-sized aggregate.
+
+Scale shape (the parameter-server-free pattern that fits Spark):
+  - features: distinct hashed unigram buckets per doc (JVM-side hash,
+    D = 1024 buckets → the model is 8 KiB);
+  - each GD iteration BROADCASTS the weight vector, computes per-PARTITION
+    gradient partials inside an Arrow kernel (docs never leave their
+    partition; the kernel emits ≤D+1 rows per partition), and reduces
+    D+1 rows to the driver — gradient traffic is O(D × partitions),
+    independent of corpus size;
+  - determinism: per-doc gradient contributions are rounded to 1e-12
+    fixed-point int64 and summed exactly (decimal(38,0) — order- and
+    partitioning-independent), so training is bit-reproducible on any
+    cluster layout; parity-tested against a numpy twin.
+
+The model itself (sigmoid) is float, so scoring registers rows-only;
+the training mechanics are pinned by exact-equality tests instead.
+
+Extends the reference's static quality heuristics (SURVEY §2.2 metrics)
+with the LEARNED scorer; the Gopher battery and this classifier are the
+rule-based and trained halves of the same curation gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wurzel_spark.functions import text as TXT
+from wurzel_spark.operators.dedup import md5_prefix_hash
+from wurzel_spark.tables import table
+
+N_BUCKETS = 1024
+_FP_SCALE = 1 << 40  # fixed-point gradient scale; |per-doc grad| ≤ 1 per bucket
+
+
+def doc_features(
+    df: DataFrame, text_col: str = "text", n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """(doc_id, buckets) — distinct hashed-unigram bucket ids per doc.
+    Pure JVM projection (hash + array_distinct), computed once and reused
+    across all GD iterations."""
+    ws = TXT.words(F.col(text_col))
+    buckets = F.array_distinct(
+        F.transform(ws, lambda w: md5_prefix_hash(w) % F.lit(n_buckets))
+    )
+    return df.select("doc_id", buckets.alias("buckets"))
+
+
+def _grad_kernel(n_buckets: int, w_b, bias_b, lr_unused=None):
+    def inner(batches):
+        w = w_b.value
+        bias = bias_b.value
+        for pdf in batches:
+            g = np.zeros(n_buckets + 1, dtype=np.int64)  # [grads..., bias]
+            n = np.zeros(n_buckets + 1, dtype=np.int64)
+            for bks, y in zip(pdf["buckets"], pdf["y"]):
+                idx = np.asarray(bks, dtype=np.int64)
+                z = bias + (w[idx].sum() if len(idx) else 0.0)
+                p = 1.0 / (1.0 + np.exp(-z))
+                # fixed-point rounding makes the distributed sum exact
+                c = np.int64(round((p - y) * _FP_SCALE))
+                g[idx] += c
+                g[n_buckets] += c
+                n[idx] += 1
+                n[n_buckets] += 1
+            nz = np.nonzero(n)[0]
+            yield pd.DataFrame({"j": nz, "g": g[nz]})
+
+    return inner
+
+
+def train_quality_classifier(
+    feats: DataFrame,
+    n_iters: int = 10,
+    lr: float = 0.5,
+    n_buckets: int = N_BUCKETS,
+) -> tuple[np.ndarray, float]:
+    """Full-batch logistic regression over (doc_id, buckets, y) rows.
+    Returns (weights[n_buckets], bias). Deterministic for any partition
+    layout: gradients are exact fixed-point sums; the weight update is
+    one float multiply-add per bucket on the driver."""
+    spark = feats.sparkSession
+    n_docs = feats.count()
+    feats = feats.localCheckpoint(eager=True)  # features computed once
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    for _ in range(n_iters):
+        w_b = spark.sparkContext.broadcast(w)
+        b_b = spark.sparkContext.broadcast(bias)
+        partials = feats.mapInPandas(
+            _grad_kernel(n_buckets, w_b, b_b), "j long, g long"
+        )
+        # decimal(38,0): exact int sum immune to int64 overflow at any scale
+        rows = (
+            partials.groupBy("j")
+            .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
+            .collect()
+        )
+        grad = np.zeros(n_buckets + 1, dtype=np.float64)
+        for r in rows:
+            grad[r["j"]] = float(r["g"]) / _FP_SCALE / n_docs
+        w = w - lr * grad[:n_buckets]
+        bias = bias - lr * grad[n_buckets]
+        w_b.unpersist()
+        b_b.unpersist()
+    return w, bias
+
+
+def train_quality_classifier_local(
+    rows: list[tuple[list[int], int]],
+    n_iters: int = 10,
+    lr: float = 0.5,
+    n_buckets: int = N_BUCKETS,
+) -> tuple[np.ndarray, float]:
+    """Numpy twin of :func:`train_quality_classifier` with the SAME
+    fixed-point rounding — the parity oracle for the distributed loop."""
+    n_docs = len(rows)
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    for _ in range(n_iters):
+        g = np.zeros(n_buckets + 1, dtype=np.int64)
+        for bks, y in rows:
+            idx = np.asarray(bks, dtype=np.int64)
+            z = bias + (w[idx].sum() if len(idx) else 0.0)
+            p = 1.0 / (1.0 + np.exp(-z))
+            c = np.int64(round((p - y) * _FP_SCALE))
+            g[idx] += c
+            g[n_buckets] += c
+        grad = g.astype(np.float64) / _FP_SCALE / n_docs
+        w = w - lr * grad[:n_buckets]
+        bias = bias - lr * grad[n_buckets]
+    return w, bias
+
+
+def score_documents(
+    feats: DataFrame, w: np.ndarray, bias: float, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Score (doc_id, buckets[, y]) rows with a trained model — one
+    broadcast + one Arrow map stage, no shuffle."""
+    spark = feats.sparkSession
+    w_b = spark.sparkContext.broadcast(w)
+    has_y = "y" in feats.columns
+
+    def inner(batches):
+        wv = w_b.value
+        for pdf in batches:
+            z = np.fromiter(
+                (
+                    bias + (wv[np.asarray(b, dtype=np.int64)].sum() if len(b) else 0.0)
+                    for b in pdf["buckets"]
+                ),
+                dtype=np.float64,
+                count=len(pdf),
+            )
+            p = 1.0 / (1.0 + np.exp(-z))
+            out = {"doc_id": pdf["doc_id"], "score": p, "pred": (p >= 0.5).astype("int64")}
+            if "y" in pdf.columns:
+                out["y"] = pdf["y"]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, score double, pred long" + (", y long" if has_y else "")
+    return feats.mapInPandas(inner, schema)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on the corpus with language-is-English as the (stand-in)
+    curated-side label, score every doc. Rows-only (sigmoid floats);
+    accuracy/parity pinned in tests/test_classifier.py."""
+    docs = table(spark, sf_dir, "documents")
+    feats = doc_features(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("long").alias("y")),
+        "doc_id",
+    )
+    w, bias = train_quality_classifier(feats, n_iters=10)
+    return score_documents(feats, w, bias).orderBy("doc_id")
