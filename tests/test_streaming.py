@@ -447,3 +447,32 @@ def test_streaming_decontamination_matches_batch(spark, sf_dir, tmp_path):
         for r in decontamination_overlap(corpus, eval_set, n=13).collect()
     }
     assert got == exp
+
+
+def test_streaming_hll_matches_batch(spark, sf_dir, tmp_path):
+    """HLL registers merged across micro-batches == the batch sketch,
+    bit-equal (register max-merge is exact), under one-file-per-trigger
+    admission forcing a genuinely multi-batch run."""
+    from wurzel_spark.operators.sketches import hll_distinct_stats
+    from wurzel_spark.streaming.sketch import hll_stream_distinct
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    d = str(tmp_path / "hll_in")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = {
+        r["source"]: (r["n_buckets_hit"], r["hll_sum_scaled"], r["hll_estimate"])
+        for r in hll_stream_distinct(
+            stream, str(tmp_path / "hll_stage"), str(tmp_path / "hll_ckpt")
+        ).collect()
+    }
+    exp = {
+        r["source"]: (r["n_buckets_hit"], r["hll_sum_scaled"], r["hll_estimate"])
+        for r in hll_distinct_stats(docs).collect()
+    }
+    assert got == exp  # exact, including the float estimate (same division)

@@ -151,6 +151,59 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 _HLL_NUMER = _HLL_ALPHA * HLL_M * HLL_M * float(_2_51)
 
 
+def hll_registers(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(source, bucket, reg) HLL register table — the sketch STATE.
+    Registers merge by MAX (associative + commutative), which is what
+    makes the sketch streamable and unionable: registers from any
+    partition of the corpus — micro-batches, shards, days — combine into
+    exactly the registers of the whole corpus."""
+    return (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(TXT.words(F.col(text_col))).alias("w"),
+        )
+        .select("source", md5_prefix_hash(F.col("w")).alias("h"))
+        .select(
+            "source",
+            F.shiftright("h", 50).alias("bucket"),
+            (F.col("h") % F.lit(_2_50)).alias("rem"),
+        )
+        .select(
+            "source",
+            "bucket",
+            F.when(F.col("rem") == 0, F.lit(51))
+            .otherwise(F.instr(F.lpad(F.bin("rem"), 50, "0"), "1"))
+            .alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """Fold a register table to per-source estimates — exact integer
+    harmonic sum, one final IEEE division (see hll_distinct_stats)."""
+    per = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - reg AS INT))")).alias(
+            "sum_hit"
+        ),
+    )
+    s_int = (
+        F.col("sum_hit") + (F.lit(HLL_M) - F.col("n_buckets_hit")) * F.lit(_2_51)
+    ).alias("hll_sum_scaled")
+    return per.select("source", "n_buckets_hit", s_int).select(
+        "source",
+        "n_buckets_hit",
+        "hll_sum_scaled",
+        (F.lit(_HLL_NUMER) / F.col("hll_sum_scaled").cast("double")).alias(
+            "hll_estimate"
+        ),
+    )
+
+
 def hll_distinct_stats(
     df: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:
@@ -177,41 +230,18 @@ def hll_distinct_stats(
         F.col(source_col).alias("source"),
         F.explode(TXT.words(F.col(text_col))).alias("w"),
     ).select("source", md5_prefix_hash(F.col("w")).alias("h"))
-    rho_in = words.select(
-        "source",
-        "h",
-        F.shiftright("h", 50).alias("bucket"),
-        (F.col("h") % F.lit(_2_50)).alias("rem"),
-    ).select(
-        "source",
-        "h",
-        "bucket",
-        F.when(F.col("rem") == 0, F.lit(51))
-        .otherwise(F.instr(F.lpad(F.bin("rem"), 50, "0"), "1"))
-        .alias("rho"),
-    )
-    regs = rho_in.groupBy("source", "bucket").agg(F.max("rho").alias("reg"))
-    per = regs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_buckets_hit"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - reg AS INT))")).alias(
-            "sum_hit"
-        ),
-    )
+    regs = hll_registers(df, source_col, text_col)
+    per = hll_estimate_from_registers(regs)
     exact = (
         words.select("source", "h")
         .distinct()
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_distinct_exact"))
     )
-    s_int = (
-        F.col("sum_hit")
-        + (F.lit(HLL_M) - F.col("n_buckets_hit")) * F.lit(_2_51)
-    ).alias("hll_sum_scaled")
-    est = F.lit(_HLL_NUMER) / F.col("hll_sum_scaled").cast("double")
+    est = F.col("hll_estimate")
     exact_d = F.col("n_distinct_exact").cast("double")
     return (
         per.join(exact, "source")
-        .select("source", "n_buckets_hit", s_int, "n_distinct_exact")
         .select(
             "source",
             "n_buckets_hit",
