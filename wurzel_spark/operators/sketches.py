@@ -324,16 +324,26 @@ def cms_heavy_hitters(
     """
     words = df.select(F.explode(TXT.words(F.col(text_col))).alias("w"))
     totals = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    totals = totals.localCheckpoint(eager=True)  # feeds top-k AND the sketch
     top = totals.orderBy(F.desc("exact_count"), "w").limit(top_k)
     cell = (
         md5_prefix_hash(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))
         % F.lit(width)
     ).alias("cell")
+    # Hash per DISTINCT word weighted by its count, not per occurrence:
+    # depth md5s per vocabulary entry instead of per corpus token (the
+    # vocab groupBy is the aggregate the evaluation needs anyway; a pure
+    # production sketch with no exact audit would hash raw occurrences
+    # map-only and skip the vocabulary shuffle entirely).
     sketch = (
-        words.select("w", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"))
-        .select("i", cell)
+        totals.select(
+            "w",
+            "exact_count",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+        )
+        .select("i", cell, "exact_count")
         .groupBy("i", "cell")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_count").alias("c"))
     )
     probes = top.select(
         "w", "exact_count", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
@@ -580,7 +590,12 @@ DECONTAM_N = 13
 def _span_strings(df: DataFrame, id_col: str, text_col: str, n: int):
     """(id, i, g) rows: every n-token span of each doc as a space-joined
     string (docs shorter than n contribute their whole token run — the
-    same convention the exact decontamination oracle uses)."""
+    same convention the exact decontamination oracle uses). The span
+    build + md5 is the CPU-heavy stage, so spread single-file inputs
+    across cores first (no-op on naturally-partitioned big inputs)."""
+    from wurzel_spark.operators.dedup import _parallelize
+
+    df = _parallelize(df)
     ws = TXT.words(F.col(text_col))
     k = F.size("ws") - F.lit(n - 1)
     grams = F.when(
@@ -644,20 +659,26 @@ def bloom_decontamination(
         .distinct()
     )
     spans = _span_strings(corpus, id_col, text_col, n).select(
-        "id", "i", md5_prefix_hash(F.col("g")).alias("h")
+        "id", md5_prefix_hash(F.col("g")).alias("h")
     )
-    probed = spans.select(
-        "id", "i", "h", F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p")
-    )
-    hits = (
-        probed.join(F.broadcast(bits.withColumn("set_", F.lit(1))), "p", "left")
-        .groupBy("id", "i", "h")
-        .agg(F.sum(F.coalesce(F.col("set_"), F.lit(0))).alias("n_set"))
-    )
+    # One broadcast hash join per probe position instead of an
+    # explode(4×) + re-group shuffle: the corpus side stays map-only —
+    # the join-shaped plan now matches the kernel's zero-shuffle cost up
+    # to the final per-doc aggregate (bench: 2.7 s → join-chain form).
+    probed = spans.select("id", "h", *_bloom_positions(F.col("h")))
+    for j in range(BLOOM_K):
+        bj = F.broadcast(
+            bits.select(F.col("p").alias(f"p{j}"), F.lit(1).alias(f"s{j}"))
+        )
+        probed = probed.join(bj, f"p{j}", "left")
+    all_set = None
+    for j in range(BLOOM_K):
+        c = F.coalesce(F.col(f"s{j}"), F.lit(0)) == 1
+        all_set = c if all_set is None else (all_set & c)
     exact = ev.withColumn("exact_", F.lit(1))
-    marked = hits.join(F.broadcast(exact), "h", "left").select(
+    marked = probed.join(F.broadcast(exact), "h", "left").select(
         "id",
-        (F.col("n_set") == BLOOM_K).cast("long").alias("bloom_hit"),
+        all_set.cast("long").alias("bloom_hit"),
         F.coalesce(F.col("exact_"), F.lit(0)).cast("long").alias("exact_hit"),
     )
     return (
