@@ -108,3 +108,30 @@ def test_bm25_rank_order_and_k(spark):
     scores = [r["score_q20"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert len(rows) == 3
+
+
+# ------------------------------------------------------- retrieval eval
+
+def test_retrieval_self_eval_ranks_unique_prefix_first(spark):
+    from wurzel_spark.operators.textstats import retrieval_self_eval
+
+    rows = [
+        (0, "zebra qualia xylophone unique prefix tokens plus shared tail words", "en", "s"),
+        (1, "shared tail words appear here too", "en", "s"),
+        (2, "more shared tail words filler", "en", "s"),
+        (3, "completely different content block", "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["query_id"]: r for r in retrieval_self_eval(docs, every=4).collect()}
+    # doc 0 is the only query; its distinctive prefix must retrieve itself first
+    assert list(out) == [0]
+    assert out[0]["gold_rank"] == 1 and out[0]["hit_at_1"] == 1
+    assert out[0]["rr"] == 1.0
+
+
+def test_retrieval_self_eval_skips_empty_query_docs(spark):
+    rows = [(0, "   ", "en", "s"), (1, "some words", "en", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    from wurzel_spark.operators.textstats import retrieval_self_eval
+
+    assert retrieval_self_eval(docs, every=2).count() == 0  # doc 0 empty, doc 1 not a query

@@ -1561,3 +1561,174 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+# ------------------------------------------------------- retrieval eval
+
+RETRIEVAL_EVAL_EVERY = 100
+RETRIEVAL_EVAL_TERMS = 6
+
+
+def retrieval_self_eval(
+    df: DataFrame,
+    every: int = RETRIEVAL_EVAL_EVERY,
+    n_terms: int = RETRIEVAL_EVAL_TERMS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval quality evaluation without labeled data: every
+    ``every``-th document becomes a query (its first ``n_terms`` distinct
+    tokens) whose GOLD answer is the document itself, and the harness
+    reports where BM25 ranks the gold doc — rank, hit@1/hit@10, and
+    reciprocal rank. This self-retrieval readout is the standard smoke
+    metric for an index/scorer change (a correct ranker puts a doc at or
+    near rank 1 for its own prefix; regressions show up as rank mass
+    sliding down).
+
+    Scale shape: identical to bm25_topk up to the scoring aggregate
+    (term stream pre-filtered to query terms via a broadcast semi-join
+    before any shuffle), then the rank is computed WITHOUT a per-query
+    sort: one broadcast join of the per-query gold score + a count
+    aggregate of strictly-better candidates — rank = n_better + 1, so no
+    window over candidate lists. Scores are the same 2^20-scaled exact
+    integers as bm25_topk; the only float in the output is rr = 1/rank
+    (one IEEE division).
+    """
+    ws = TXT.words(F.col(text_col))
+    d3 = df.select("doc_id", ws.alias("ws")).select(
+        "doc_id", "ws", F.size("ws").alias("dl")
+    )
+    qt = (
+        d3.filter((F.col("doc_id") % every == 0) & (F.size("ws") > 0))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice("ws", 1, n_terms))).alias("term"),
+        )
+    )
+    stats = d3.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        d3.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("dfc"))
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("dfc") + F.lit(0.5))
+                    / (F.col("dfc") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(_BM25_K1)
+                    * (
+                        F.lit(1.0 - _BM25_B)
+                        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+                * F.lit(_BM25_SCALE)
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("sq").alias("score_q20"))
+    gold = agg.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", F.col("score_q20").alias("gold_score")
+    )
+    better = (
+        F.col("score_q20") > F.col("gold_score")
+    ) | (
+        (F.col("score_q20") == F.col("gold_score"))
+        & (F.col("doc_id") < F.col("query_id"))
+    )
+    per = (
+        agg.join(F.broadcast(gold), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(better.cast("long")).alias("n_better"),
+            F.max("gold_score").alias("gold_score"),
+        )
+    )
+    rank = F.col("n_better") + 1
+    return per.select(
+        "query_id",
+        "n_candidates",
+        rank.alias("gold_rank"),
+        (rank == 1).cast("long").alias("hit_at_1"),
+        (rank <= 10).cast("long").alias("hit_at_10"),
+        (F.lit(1.0) / rank.cast("double")).alias("rr"),
+        "gold_score",
+    ).orderBy("query_id")
+
+
+def q_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval_self_eval(table(spark, sf_dir, "documents"))
+
+
+RETRIEVAL_EVAL_SQL = rf"""
+WITH d2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), d3 AS (
+  SELECT doc_id, ws, len(ws) AS dl FROM d2
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d3
+), qt AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(ws[1:{RETRIEVAL_EVAL_TERMS}])) AS term
+  FROM d3 WHERE doc_id % {RETRIEVAL_EVAL_EVERY} = 0 AND len(ws) > 0
+), tf AS (
+  SELECT doc_id, dl, t.term, COUNT(*) AS tf
+  FROM d3, UNNEST(ws) AS t(term)
+  WHERE t.term IN (SELECT term FROM qt)
+  GROUP BY doc_id, dl, t.term
+), dfr AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS dfc FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(FLOOR(
+           ln((s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+           * (tf.tf * {_BM25_K1 + 1.0!r})
+           / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * tf.dl / s.avgdl))
+           * {_BM25_SCALE!r}
+         ) AS BIGINT) AS sq
+  FROM tf
+  JOIN qt q ON q.term = tf.term
+  JOIN dfr d ON d.term = tf.term
+  CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id, CAST(SUM(sq) AS BIGINT) AS score_q20
+  FROM scored GROUP BY query_id, doc_id
+), gold AS (
+  SELECT query_id, score_q20 AS gold_score FROM agg WHERE doc_id = query_id
+), per AS (
+  SELECT a.query_id,
+         COUNT(*) AS n_candidates,
+         CAST(SUM(CASE WHEN a.score_q20 > g.gold_score
+                        OR (a.score_q20 = g.gold_score AND a.doc_id < a.query_id)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_better,
+         MAX(g.gold_score) AS gold_score
+  FROM agg a JOIN gold g ON g.query_id = a.query_id
+  GROUP BY a.query_id
+)
+SELECT query_id, n_candidates,
+       n_better + 1 AS gold_rank,
+       CAST(CASE WHEN n_better + 1 = 1 THEN 1 ELSE 0 END AS BIGINT) AS hit_at_1,
+       CAST(CASE WHEN n_better + 1 <= 10 THEN 1 ELSE 0 END AS BIGINT) AS hit_at_10,
+       1.0 / CAST(n_better + 1 AS DOUBLE) AS rr,
+       gold_score
+FROM per ORDER BY query_id
+"""
