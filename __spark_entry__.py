@@ -59,8 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_sample": selection.q_temperature_mixture,
         "bloom_decontam": sketches.q_bloom_decontam,
         "bpe_pair_counts": bpetrain.q_bpe_pair_counts,
-        "bpe_merges": bpetrain.q_bpe_merges,
         "zorder_layout_stats": layout.q_zorder_layout,
+        "pii_redact": textstats.q_pii_redact,
         # (1) new this round — earlier r4 additions
         "semdedup_keep": similarity.q_semdedup_keep,
         "bm25_topk": textstats.q_bm25_topk,
@@ -114,6 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training loop is pinned by bitwise numpy-parity + partitioning-
         # independence tests, stronger than a driver rows count)
         "quality_classifier_scores": classifier.q_quality_classifier,
+        # rows-only learned-merge table; the oracle-checked pair counts
+        # that drive merge choice (bpe_pair_counts) are in-window and the
+        # merge loop is pinned by exact unit fixtures
+        "bpe_merges": bpetrain.q_bpe_merges,
         # rows-only chunk output; its oracle-checked stats twin
         # (sequence_pack_stats) is in-window
         "sequence_pack": packing.q_sequence_pack,
@@ -202,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontam": sketches.BLOOM_DECONTAM_SQL,
         "bpe_pair_counts": bpetrain.BPE_PAIR_COUNTS_SQL,
         "zorder_layout_stats": layout.ZORDER_LAYOUT_SQL,
+        "pii_redact": textstats.PII_REDACT_SQL,
         "retrieval_self_eval": textstats.RETRIEVAL_EVAL_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,

@@ -271,3 +271,24 @@ def test_corpus_quantiles_are_order_statistics(spark):
     assert r.p50_chars == 149  # rank 50 of 100..199
     assert r.p90_chars == 189
     assert r.p99_chars == 198
+
+
+def test_pii_redact_replaces_and_accounts(spark):
+    from wurzel_spark.operators.textstats import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at alice@example.com or visit https://example.com/x", "en", "s"),
+            (2, "server 10.0.0.1 phone +49 151 1234567 ok", "en", "s"),
+            (3, "nothing sensitive here", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_urls"] == 1
+    assert "<EMAIL>" in out[1]["redacted_text"] and "<URL>" in out[1]["redacted_text"]
+    assert "alice@example.com" not in out[1]["redacted_text"]
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_phones"] == 1
+    assert "<IP>" in out[2]["redacted_text"] and "<PHONE>" in out[2]["redacted_text"]
+    assert out[3]["redacted_text"] == "nothing sensitive here"
+    assert out[3]["len_delta"] == 0

@@ -1732,3 +1732,67 @@ SELECT query_id, n_candidates,
        gold_score
 FROM per ORDER BY query_id
 """
+
+
+# ---------------------------------------------------------- PII redaction
+
+# Redaction placeholders, applied longest-match-class first so an email's
+# digits aren't pre-mangled by the number rule (order matters and is part
+# of the operator contract).
+PII_REDACTIONS: tuple[tuple[str, str, str], ...] = (
+    ("n_emails", PII_PATTERNS["n_emails"], "<EMAIL>"),
+    ("n_urls", PII_PATTERNS["n_urls"], "<URL>"),
+    ("n_ipv4", PII_PATTERNS["n_ipv4"], "<IP>"),
+    ("n_phones", PII_PATTERNS["n_phones"], "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The mutation twin of :func:`pii_scan`: replace emails/URLs/IPs/
+    phones with typed placeholders (the GDPR-grade step a pipeline runs
+    between scanning and training) and account for every replacement —
+    per-doc counts per class plus the redacted text's length delta.
+
+    Same scale shape as the scan: chained codegen ``regexp_replace``
+    passes, zero shuffles, zero UDFs; counts are computed on the ORIGINAL
+    text so the audit trail is independent of replacement order.
+    """
+    c = F.col(text_col)
+    red = c
+    for _, pat, placeholder in PII_REDACTIONS:
+        red = F.regexp_replace(red, pat, placeholder)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(name)
+        for name, pat, _ in PII_REDACTIONS
+    ]
+    return df.select(
+        "doc_id",
+        *counts,
+        red.alias("redacted_text"),
+        (F.length(red) - F.length(c)).cast("long").alias("len_delta"),
+    ).orderBy("doc_id")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_redact(table(spark, sf_dir, "documents"))
+
+
+def _pii_redact_sql() -> str:
+    red = "text"
+    for _, pat, placeholder in PII_REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat, _ in PII_REDACTIONS
+    )
+    return f"""
+SELECT doc_id,
+       {counts},
+       {red} AS redacted_text,
+       CAST(length({red}) - length(text) AS BIGINT) AS len_delta
+FROM documents
+ORDER BY doc_id
+"""
+
+
+PII_REDACT_SQL = _pii_redact_sql()
