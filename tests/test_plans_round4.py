@@ -76,3 +76,74 @@ def test_sequence_pack_no_global_window(spark, sf_dir):
             # a global window would have no partition columns before the
             # ordering spec — our bucket column must appear
             assert "__bkt" in line, line
+
+
+# ------------------------- round-4 cont.: selection / bloom / layout plans
+
+def test_bloom_decontam_plan_is_broadcast_only(spark, sf_dir):
+    """The corpus side of the Bloom probe must stay map-only: four
+    position probes + the exact-hit check are ALL broadcast hash joins —
+    no sort-merge join, no shuffle of the span stream before the final
+    per-doc aggregate."""
+    from wurzel_spark.operators.sketches import bloom_decontamination
+
+    docs = table(spark, sf_dir, "documents")
+    df = bloom_decontamination(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+    )
+    t = plan_text(df)
+    assert "SortMergeJoin" not in t, t
+    assert "CartesianProduct" not in t, t
+    assert t.count("BroadcastHashJoin") >= 4, t
+
+
+def test_temperature_sample_plan_broadcasts_thresholds(spark, sf_dir):
+    """The per-language threshold table must ride a broadcast join; the
+    corpus is scanned for (lang, doc_id) only — text never read."""
+    from wurzel_spark.operators.selection import temperature_mixture_sample
+
+    df = temperature_mixture_sample(table(spark, sf_dir, "documents"))
+    t = plan_text(df)
+    assert "BroadcastHashJoin" in t, t
+    assert "SortMergeJoin" not in t, t
+    if "ReadSchema" in t:
+        # at least one scan reads only lang/doc_id (the filter side)
+        assert any(
+            "text" not in seg[:200] for seg in t.split("ReadSchema")[1:]
+        ), t
+
+
+def test_domain_cap_window_sorts_longs_not_text(spark, sf_dir):
+    """The per-source rank window must operate on the projected
+    (doc_id, source, h) longs — the document text must not appear in the
+    plan at all past the scan."""
+    from wurzel_spark.operators.selection import domain_cap_sample
+
+    df = domain_cap_sample(table(spark, sf_dir, "documents"))
+    t = plan_text(df)
+    if "ReadSchema" in t:
+        assert "text" not in t.split("ReadSchema")[1][:300], t
+
+
+def test_cluster_best_keep_plan_no_nested_loop(spark, sf_dir):
+    from wurzel_spark.operators import dedup as D
+    from wurzel_spark.operators.selection import cluster_best_keep
+
+    docs = table(spark, sf_dir, "documents").limit(300)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, sort=False)
+    df = cluster_best_keep(docs, pairs)
+    _no_nested_loop(df)
+
+
+def test_cms_plan_hashes_vocab_not_occurrences(spark, sf_dir):
+    """The depth-explode must sit ABOVE the vocabulary aggregate: the
+    plan has exactly one explode of the raw token stream (the word
+    split), and the generator over cell indices consumes the aggregated
+    (word, count) table."""
+    from wurzel_spark.operators.sketches import cms_heavy_hitters
+
+    df = cms_heavy_hitters(table(spark, sf_dir, "documents"))
+    t = plan_text(df)
+    assert "SortMergeJoin" not in t or t.count("SortMergeJoin") <= 1, t
+    assert "CartesianProduct" not in t, t

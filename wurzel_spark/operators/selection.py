@@ -231,6 +231,9 @@ def temperature_mixture_sample(
             * F.lit(float(_2_32))
         ).alias("keep_threshold"),
     )
+    # |langs| rows feeding TWO consumers (the hash filter and the final
+    # report) — pin it so the corpus count-scan runs once, not per branch.
+    thresh = thresh.localCheckpoint(eager=True)
     kept = (
         df.select(F.col(lang_col).alias("lang"), _knuth_hash("doc_id").alias("h"))
         .join(F.broadcast(thresh.select("lang", "keep_threshold")), "lang")
@@ -239,7 +242,7 @@ def temperature_mixture_sample(
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     return (
-        thresh.join(kept, "lang", "left")
+        thresh.join(F.broadcast(kept), "lang", "left")
         .select(
             "lang",
             "n_docs",
