@@ -50,3 +50,26 @@ def test_layout_stats_match_bucket_partition(spark):
     for r in out:
         assert r["span_a"] == r["max_a"] - r["min_a"]
         assert r["min_a"] >= 0 and r["min_b"] >= 0
+
+
+def test_compact_write_sizes_file_count(spark, tmp_path):
+    from wurzel_spark.operators.layout import compact_write
+
+    df = spark.createDataFrame(
+        [(i, "x" * 1000) for i in range(2000)], "id long, payload string"
+    ).repartition(32)  # fragmented input: 32 partitions for ~2 MB of data
+    p = str(tmp_path / "compact")
+    n = compact_write(df, p, target_mb=1)
+    files = glob.glob(p + "/*.parquet")
+    assert n == len(files)
+    assert 1 <= n <= 4  # ~2 MB at 1 MB target, not 32 input partitions
+    assert spark.read.parquet(p).count() == 2000
+
+
+def test_compact_write_empty_input(spark, tmp_path):
+    from wurzel_spark.operators.layout import compact_write
+
+    df = spark.createDataFrame([], "id long, payload string")
+    p = str(tmp_path / "compact_empty")
+    assert compact_write(df, p) == 0
+    assert spark.read.parquet(p).count() == 0

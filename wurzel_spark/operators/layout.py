@@ -156,3 +156,45 @@ SELECT bucket, COUNT(*) AS n_rows,
        MAX(a) - MIN(a) AS span_a, MAX(b) - MIN(b) AS span_b
 FROM bucketed GROUP BY bucket ORDER BY bucket
 """
+
+
+# ------------------------------------------------------------- compaction
+
+TARGET_FILE_MB = 64
+
+
+def compact_write(
+    df: DataFrame,
+    path: str,
+    target_mb: int = TARGET_FILE_MB,
+    sample_rows: int = 1_000,
+) -> int:
+    """Small-files compaction: write ``df`` as parquet with file count
+    sized to a byte target instead of inheriting the input's partition
+    count — the maintenance write every long-lived lakehouse table needs
+    (a 100 TB table touched by thousands of micro-batches degrades into
+    millions of KB-files; metadata and open() overhead then dominate
+    scans).
+
+    File count = ceil(rows × avg_row_bytes / target): one count
+    aggregate plus a bounded head-sample for the row-size estimate (the
+    in-memory string estimate is conservative vs parquet's encoded size,
+    which biases toward slightly-smaller files — the safe direction).
+    Round-robin repartition spreads rows evenly regardless of input
+    skew. Returns the file count written.
+    """
+    n_rows = df.count()
+    if n_rows == 0:
+        df.write.mode("overwrite").parquet(path)
+        return 0
+    sample = df.limit(sample_rows).collect()
+    avg_bytes = max(
+        1,
+        sum(
+            sum(len(str(v)) if v is not None else 0 for v in row) for row in sample
+        )
+        // len(sample),
+    )
+    n_files = max(1, -(-(n_rows * avg_bytes) // (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return n_files
