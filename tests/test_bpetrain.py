@@ -65,3 +65,17 @@ def test_train_bpe_is_deterministic(spark):
     a = bpetrain.train_bpe(docs, num_merges=10)
     b = bpetrain.train_bpe(docs, num_merges=10)
     assert a == b
+
+
+def test_trained_tokenizer_tiktoken_roundtrip(spark, tmp_path):
+    from wurzel_spark.functions.bpe import load_tiktoken_file, save_tiktoken_file
+
+    docs = _docs(spark, ["round trip tokens round trip", "round round"])
+    merges = bpetrain.train_bpe(docs, num_merges=15)
+    tok = bpetrain.tokenizer_from_merges(merges)
+    p = str(tmp_path / "trained.tiktoken")
+    save_tiktoken_file(tok.ranks, p)
+    tok2 = load_tiktoken_file(p)
+    s = "round trip tokens"
+    assert tok2.encode(s) == tok.encode(s)
+    assert tok2.decode(tok2.encode(s)) == s
