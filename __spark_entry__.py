@@ -80,7 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_code_stats": similarity.q_pq_code_stats,
         "ann_topk_pq": similarity.q_ann_topk_pq,
         "corpus_length_quantiles": textstats.q_corpus_length_quantiles,
-        "bpe_token_stats": textstats.q_bpe_token_stats,
+        "curriculum_order": ordering.q_curriculum_order,
         "hybrid_rrf_topk": similarity.q_hybrid_rrf_topk,
         "retrieval_self_eval": textstats.q_retrieval_self_eval,
         "split_leakage_stats": ordering.q_split_leakage_stats,
@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only chunk output; its oracle-checked stats twin
         # (sequence_pack_stats) is in-window
         "sequence_pack": packing.q_sequence_pack,
+        # rows-only vendored-BPE token counts (no SQL BPE); merge-choice
+        # statistics are oracle-checked via bpe_pair_counts in-window
+        "bpe_token_stats": textstats.q_bpe_token_stats,
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "embed_multivector_docs": embedding.q_embed_multivector,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
@@ -208,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout_stats": layout.ZORDER_LAYOUT_SQL,
         "pii_redact": textstats.PII_REDACT_SQL,
         "retrieval_self_eval": textstats.RETRIEVAL_EVAL_SQL,
+        "curriculum_order": ordering.CURRICULUM_ORDER_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,

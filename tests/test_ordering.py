@@ -97,3 +97,27 @@ def test_shuffle_positions_look_shuffled(spark):
     pos = {r.doc_id: r.shuffle_pos for r in corpus_shuffle(df).collect()}
     adjacent_close = sum(1 for d in range(999) if abs(pos[d] - pos[d + 1]) <= 2)
     assert adjacent_close < 50
+
+
+def test_curriculum_order_bands_are_contiguous(spark):
+    from wurzel_spark.operators.ordering import curriculum_order
+
+    rows = [(i, " ".join(["w"] * n), "en", "s") for i, n in enumerate([10, 60, 150, 300, 20, 250])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = sorted(curriculum_order(docs).collect(), key=lambda r: r["curriculum_pos"])
+    # positions are a 1..n permutation and bands never interleave
+    assert [r["curriculum_pos"] for r in out] == list(range(1, 7))
+    bands = [r["band"] for r in out]
+    assert bands == sorted(bands)
+    # easy (short) docs first: docs 0 (10w) and 4 (20w) occupy band 0
+    assert {out[0]["doc_id"], out[1]["doc_id"]} == {0, 4}
+
+
+def test_curriculum_order_is_deterministic(spark):
+    from wurzel_spark.operators.ordering import curriculum_order
+
+    rows = [(i, " ".join(["w"] * (i * 7 % 260)), "en", "s") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    a = sorted(map(tuple, curriculum_order(docs).collect()))
+    b = sorted(map(tuple, curriculum_order(docs.repartition(8)).collect()))
+    assert a == b

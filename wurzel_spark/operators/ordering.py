@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wurzel_spark.functions import text as TXT
 from wurzel_spark.tables import table
 
 _KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
@@ -262,3 +263,92 @@ FROM eval_scored
 GROUP BY split
 ORDER BY split
 """
+
+
+# ------------------------------------------------------ curriculum order
+
+# Word-count band edges: the curriculum axis (short/simple docs first,
+# long documents last — the standard warm-up ordering). Exact integer
+# thresholds so band assignment is engine-exact.
+CURRICULUM_BANDS = (50, 100, 200)
+
+
+def _word_band(n_words):
+    b = F.lit(len(CURRICULUM_BANDS))
+    for i, edge in enumerate(reversed(CURRICULUM_BANDS)):
+        b = F.when(n_words < edge, len(CURRICULUM_BANDS) - 1 - i).otherwise(b)
+    return b
+
+
+def curriculum_order(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Curriculum training order: documents sorted by difficulty band
+    (word-count bands here; swap in any exact-integer difficulty score),
+    deterministically shuffled WITHIN each band — the "easy first, random
+    within stage" order curriculum schedules feed the data loader.
+
+    Same two-phase total ranking as :func:`corpus_shuffle`, with the
+    band as the major key: rows bucket by (band, hash-range), per-bucket
+    counts collect to the driver (≤ bands×1024 longs), cumulative
+    offsets broadcast back, final position = offset + within-bucket
+    row_number. No single-partition window at any scale.
+    """
+    from pyspark.sql import Window as W
+
+    ws = TXT.words(F.col("text"))
+    h = _det_hash(F.col(id_col))
+    b = (
+        df.select(id_col, F.size(ws).alias("n_words"))
+        .withColumn("band", _word_band(F.col("n_words")))
+        .withColumn("__h", h)
+        .withColumn(
+            "__bkt",
+            F.col("band") * _N_BUCKETS
+            + F.floor(F.col("__h") / F.lit(4294967296 // _N_BUCKETS)),
+        )
+    )
+    counts = {
+        int(r["__bkt"]): int(r["c"])
+        for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    run, offsets = 0, {}
+    for k in sorted(counts):
+        offsets[k] = run
+        run += counts[k]
+    odf = df.sparkSession.createDataFrame(
+        sorted(offsets.items()), "__bkt long, __off long"
+    )
+    w = W.partitionBy("__bkt").orderBy("__h", id_col)
+    return (
+        b.join(F.broadcast(odf), "__bkt")
+        .withColumn("curriculum_pos", F.col("__off") + F.row_number().over(w))
+        .select(id_col, "n_words", "band", "curriculum_pos")
+    )
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curriculum_order(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _curriculum_sql() -> str:
+    e = CURRICULUM_BANDS
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS n_words
+  FROM documents
+), banded AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words < {e[0]} THEN 0
+              WHEN n_words < {e[1]} THEN 1
+              WHEN n_words < {e[2]} THEN 2
+              ELSE 3 END AS band,
+         ((doc_id % {_MOD}) * {_KNUTH}) % 4294967296 AS h
+  FROM base
+)
+SELECT doc_id, n_words, CAST(band AS INT) AS band,
+       ROW_NUMBER() OVER (ORDER BY band, h, doc_id) AS curriculum_pos
+FROM banded ORDER BY doc_id
+"""
+
+
+CURRICULUM_ORDER_SQL = _curriculum_sql()
