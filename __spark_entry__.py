@@ -71,7 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_scaled": similarity.q_cosine_near_dup_scaled,
         "strip_duplicated_spans": dedup.q_strip_duplicated_spans,
         "quality_mixture_sample": textstats.q_quality_mixture_sample,
-        "ann_topk_multiprobe": similarity.q_ann_topk_multiprobe,
+        "sq8_code_stats": similarity.q_sq8_code_stats,
         "winnow_fingerprints": dedup.q_winnow_fingerprints,
         "winnow_overlap_pairs": dedup.q_winnow_overlap,
         "train_split_stats": ordering.q_train_split_stats,
@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only vendored-BPE token counts (no SQL BPE); merge-choice
         # statistics are oracle-checked via bpe_pair_counts in-window
         "bpe_token_stats": textstats.q_bpe_token_stats,
+        # rows-only multi-probe ANN (recall-tested vs brute force in tests)
+        "ann_topk_multiprobe": similarity.q_ann_topk_multiprobe,
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "embed_multivector_docs": embedding.q_embed_multivector,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
@@ -212,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": textstats.PII_REDACT_SQL,
         "retrieval_self_eval": textstats.RETRIEVAL_EVAL_SQL,
         "curriculum_order": ordering.CURRICULUM_ORDER_SQL,
+        "sq8_code_stats": similarity.SQ8_CODE_STATS_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,

@@ -372,3 +372,21 @@ def test_hybrid_rrf_merges_both_branches(spark, sf_dir):
         assert all(s > 0 for s in scores)
     # two-branch max: 1/61 + 1/61; one-branch max: 1/61
     assert max(r.rrf_score for r in out) <= 2 / 61 + 1e-12
+
+
+def test_sq8_codes_bounded_and_reconstruction_tight(spark):
+    from wurzel_spark.operators.similarity import sq8_code_stats
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in sq8_code_stats(emb).collect()}
+    # codes stay inside the int8 symmetric range
+    assert out[1]["min_code"] >= -128 and out[1]["max_code"] <= 127
+    # max element quantizes to ±127 exactly: err bounded by one level
+    assert out[1]["max_recon_err"] <= out[1]["max_abs"] / 127 + 1e-12
+    # zero vector: all-zero codes, zero error
+    assert out[2]["n_zero_codes"] == 4 and out[2]["max_recon_err"] == 0.0
+    # single-element vector: code = floor(127) = 127, perfect direction
+    assert out[3]["max_code"] == 127

@@ -1588,3 +1588,90 @@ ORDER BY query_id, rank
 
 
 HYBRID_RRF_SQL = _hybrid_rrf_sql()
+
+
+# ------------------------------------------------- int8 scalar quantization
+
+SQ8_LEVELS = 127
+
+
+def sq8_code_stats(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4×-compression layout every vector store offers below product
+    quantization (Qdrant/Milvus "scalar quantization"): per vector,
+    scale = 127 / max|v_i|, code_i = floor(v_i · scale), and the audit
+    columns a pipeline checks before flipping an index to quantized
+    storage: code range, zero-code count, and the MAX reconstruction
+    error.
+
+    Everything is a row-local array expression (no shuffle, no UDF) and
+    deterministic cross-engine: float32 inputs widen to double exactly,
+    scale is one IEEE division, codes are floor of one multiply, and the
+    error statistic is a MAX — order-independent, unlike a float sum.
+    Zero vectors quantize to all-zero codes with NULL scale.
+    """
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(float(SQ8_LEVELS)) / F.nullif(max_abs, F.lit(0.0))
+    codes = F.when(
+        scale.isNull(), F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(F.transform(v, lambda x: F.floor(x * scale)))
+    recon_err = F.when(scale.isNull(), F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(v, codes, lambda x, c: F.abs(x - c.cast("double") / scale))
+        )
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            max_abs.alias("max_abs"),
+            F.size(F.filter(codes, lambda c: c == 0)).alias("n_zero_codes"),
+            F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias(
+                "sum_codes"
+            ),
+            F.array_max(codes).alias("max_code"),
+            F.array_min(codes).alias("min_code"),
+            recon_err.alias("max_recon_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_sq8_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sq8_code_stats(table(spark, sf_dir, "embeddings"))
+
+
+SQ8_CODE_STATS_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS max_abs
+  FROM v
+), q AS (
+  SELECT vec_id, v, max_abs,
+         {float(SQ8_LEVELS)!r} / NULLIF(max_abs, 0.0) AS scale
+  FROM s
+), c AS (
+  SELECT vec_id, v, max_abs, scale,
+         CASE WHEN scale IS NULL
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x * scale) AS BIGINT)) END AS codes
+  FROM q
+)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS n_dims,
+       max_abs,
+       CAST(len(list_filter(codes, x -> x = 0)) AS INT) AS n_zero_codes,
+       CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+       list_max(codes) AS max_code,
+       list_min(codes) AS min_code,
+       CASE WHEN scale IS NULL THEN 0.0
+            ELSE list_max(list_zip(v, codes).list_transform(
+                   p -> abs(p[1] - CAST(p[2] AS DOUBLE) / scale))) END AS max_recon_err
+FROM c
+ORDER BY vec_id
+"""
