@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": ordering.q_corpus_shuffle,
         "importance_sample": textstats.q_importance_sample,
         "pq_code_stats": similarity.q_pq_code_stats,
-        "ann_topk_pq": similarity.q_ann_topk_pq,
+        "data_budget_plan": textstats.q_data_budget_plan,
         "corpus_length_quantiles": textstats.q_corpus_length_quantiles,
         "curriculum_order": ordering.q_curriculum_order,
         "hybrid_rrf_topk": similarity.q_hybrid_rrf_topk,
@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": textstats.q_bpe_token_stats,
         # rows-only multi-probe ANN (recall-tested vs brute force in tests)
         "ann_topk_multiprobe": similarity.q_ann_topk_multiprobe,
+        # rows-only PQ/ADC ANN (recall floor in tests; its oracle-checked
+        # occupancy twin pq_code_stats is in-window)
+        "ann_topk_pq": similarity.q_ann_topk_pq,
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "embed_multivector_docs": embedding.q_embed_multivector,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
@@ -215,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_self_eval": textstats.RETRIEVAL_EVAL_SQL,
         "curriculum_order": ordering.CURRICULUM_ORDER_SQL,
         "sq8_code_stats": similarity.SQ8_CODE_STATS_SQL,
+        "data_budget_plan": textstats.DATA_BUDGET_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,

@@ -292,3 +292,20 @@ def test_pii_redact_replaces_and_accounts(spark):
     assert "<IP>" in out[2]["redacted_text"] and "<PHONE>" in out[2]["redacted_text"]
     assert out[3]["redacted_text"] == "nothing sensitive here"
     assert out[3]["len_delta"] == 0
+
+
+def test_data_budget_plan_flags_constrained_sources(spark):
+    from wurzel_spark.operators.textstats import data_budget_plan
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100), "en", "big"),   # 100 tokens available
+         (2, " ".join(["w"] * 10), "en", "tiny")],  # 10 tokens available
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["source"]: r for r in data_budget_plan(
+        docs, rates_permille={"big": 500, "tiny": 500}, total_tokens=400
+    ).collect()}
+    # both need 200 tokens; big has 100 (2 epochs), tiny has 10 (20 epochs)
+    assert out["big"]["needed_tokens"] == 200
+    assert out["big"]["epochs_needed"] == 2.0 and not out["big"]["data_constrained"]
+    assert out["tiny"]["epochs_needed"] == 20.0 and out["tiny"]["data_constrained"]

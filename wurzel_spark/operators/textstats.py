@@ -1796,3 +1796,100 @@ ORDER BY doc_id
 
 
 PII_REDACT_SQL = _pii_redact_sql()
+
+
+# ------------------------------------------------------ data budget plan
+
+DATA_BUDGET_TOTAL_TOKENS = 1_000_000  # target training-token budget (test sf)
+DATA_BUDGET_MAX_EPOCHS = 4.0  # Muennighoff et al. 2023: ~4 epochs before decay
+
+
+def data_budget_plan(
+    df: DataFrame,
+    rates_permille: dict[str, int] | None = None,
+    total_tokens: int = DATA_BUDGET_TOTAL_TOKENS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data budget planner: given a target token budget and the
+    per-source mixture weights, how many EPOCHS of each source does the
+    plan imply — the table (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models") that tells you which sources are
+    data-constrained (needed epochs > ~4 stop helping) before any
+    training run is launched.
+
+    Per source: available whitespace tokens (exact int64 sum), the
+    budget share needed_tokens = total · permille / 1000 (exact integer
+    arithmetic), epochs_needed = needed / available (ONE division), and
+    a data_constrained flag at the 4-epoch threshold.
+
+    Scale shape: one explode-free token count (``size`` of the split
+    array — no per-token rows) + a source-keyed aggregate; the plan
+    itself is |sources| rows.
+    """
+    rates = rates_permille or MIXTURE_PERMILLE
+    rate_expr = None
+    for src, permille in rates.items():
+        cond = F.col("source") == src
+        rate_expr = (
+            F.when(cond, permille)
+            if rate_expr is None
+            else rate_expr.when(cond, permille)
+        )
+    rate_expr = rate_expr.otherwise(F.lit(0))
+    per = (
+        df.select("source", TXT.word_count(F.col(text_col)).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("available_tokens"),
+        )
+        .withColumn("permille", rate_expr.cast("long"))
+        .withColumn(
+            "needed_tokens",
+            (F.lit(total_tokens) * F.col("permille") / F.lit(1000)).cast("long"),
+        )
+    )
+    epochs = F.col("needed_tokens").cast("double") / F.nullif(
+        F.col("available_tokens"), F.lit(0)
+    ).cast("double")
+    return per.select(
+        "source",
+        "n_docs",
+        "available_tokens",
+        "permille",
+        "needed_tokens",
+        epochs.alias("epochs_needed"),
+        (epochs > DATA_BUDGET_MAX_EPOCHS).alias("data_constrained"),
+    ).orderBy("source")
+
+
+def q_data_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return data_budget_plan(table(spark, sf_dir, "documents"))
+
+
+def _data_budget_sql() -> str:
+    case = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIXTURE_PERMILLE.items()
+    )
+    return rf"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x != ''))) AS BIGINT) AS available_tokens,
+         CAST(CASE {case} ELSE 0 END AS BIGINT) AS permille
+  FROM documents GROUP BY source
+), plan AS (
+  SELECT source, n_docs, available_tokens, permille,
+         CAST({DATA_BUDGET_TOTAL_TOKENS} * permille / 1000 AS BIGINT) AS needed_tokens
+  FROM per
+)
+SELECT source, n_docs, available_tokens, permille, needed_tokens,
+       CAST(needed_tokens AS DOUBLE) / CAST(NULLIF(available_tokens, 0) AS DOUBLE)
+         AS epochs_needed,
+       (CAST(needed_tokens AS DOUBLE) / CAST(NULLIF(available_tokens, 0) AS DOUBLE)
+        > {DATA_BUDGET_MAX_EPOCHS!r}) AS data_constrained
+FROM plan ORDER BY source
+"""
+
+
+DATA_BUDGET_SQL = _data_budget_sql()
