@@ -96,6 +96,12 @@ HEADLINE = [
     "zorder_layout_stats",
     "hll_distinct_stats",
     "cms_heavy_hitters",
+    # round 4 (cont.): redaction, eval harness, curriculum, quantization
+    "pii_redact",
+    "retrieval_self_eval",
+    "curriculum_order",
+    "sq8_code_stats",
+    "data_budget_plan",
 ]
 
 
