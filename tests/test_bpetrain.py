@@ -79,3 +79,15 @@ def test_trained_tokenizer_tiktoken_roundtrip(spark, tmp_path):
     s = "round trip tokens"
     assert tok2.encode(s) == tok.encode(s)
     assert tok2.decode(tok2.encode(s)) == s
+
+
+def test_trained_tokenizer_compresses_unseen_nonascii_inflection():
+    # 'füße' is trained; the unseen inflection 'füßen' must still benefit
+    # from the learned 'fü'/'füß' prefix merges — requires the multi-byte
+    # character vocab entries tokenizer_from_merges inserts
+    merges = bpetrain.train_bpe_merges([("füße", 50), ("fuss", 5)], num_merges=6)
+    tok = bpetrain.tokenizer_from_merges(merges)
+    unseen = "füßen"
+    n = tok.token_count(unseen)
+    assert n < len(unseen.encode("utf-8"))  # strictly better than raw bytes
+    assert tok.decode(tok.encode(unseen)) == unseen

@@ -73,3 +73,21 @@ def test_compact_write_empty_input(spark, tmp_path):
     p = str(tmp_path / "compact_empty")
     assert compact_write(df, p) == 0
     assert spark.read.parquet(p).count() == 0
+
+
+def test_zorder_write_clusters_large_key_domain(spark, tmp_path):
+    # keys far above 2^bits: without range normalization the low bits
+    # alias and every file spans the whole domain
+    rows = [(x * 15_625, y * 31_250) for x in range(64) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")  # x to 1M, y to 1M
+    p = str(tmp_path / "zorder_big")
+    layout.zorder_write(df, p, "x", "y", n_files=16, bits=8)
+    spans = []
+    for f in glob.glob(p + "/*.parquet"):
+        t = pq.read_table(f)
+        xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+        if xs:
+            spans.append((max(xs) - min(xs), max(ys) - min(ys)))
+    full_x, full_y = 63 * 15_625, 31 * 31_250
+    assert max(s[0] for s in spans) <= full_x // 2
+    assert max(s[1] for s in spans) <= full_y // 2

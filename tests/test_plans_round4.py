@@ -137,13 +137,21 @@ def test_cluster_best_keep_plan_no_nested_loop(spark, sf_dir):
 
 
 def test_cms_plan_hashes_vocab_not_occurrences(spark, sf_dir):
-    """The depth-explode must sit ABOVE the vocabulary aggregate: the
-    plan has exactly one explode of the raw token stream (the word
-    split), and the generator over cell indices consumes the aggregated
-    (word, count) table."""
+    """The depth-explode must sit ABOVE the vocabulary aggregate: every
+    Generate node producing the cell index i consumes the aggregated
+    (word, exact_count) table — hashing runs per distinct word, never per
+    token occurrence. A revert to per-occurrence hashing (the 5.2× regress
+    PERF.md records) would explode the sequence over the raw token stream,
+    whose Generate input has no exact_count column."""
+    import re as _re
+
     from wurzel_spark.operators.sketches import cms_heavy_hitters
 
     df = cms_heavy_hitters(table(spark, sf_dir, "documents"))
     t = plan_text(df)
-    assert "SortMergeJoin" not in t or t.count("SortMergeJoin") <= 1, t
+    gens = _re.findall(r"\(\d+\) Generate\nInput \[\d+\]: \[([^\]]*)\]", t)
+    seq_gens = [g for g in gens if "w#" in g]  # cell-index explodes over words
+    assert seq_gens, t
+    for g in seq_gens:
+        assert "exact_count" in g, (g, t)
     assert "CartesianProduct" not in t, t

@@ -476,3 +476,19 @@ def test_streaming_hll_matches_batch(spark, sf_dir, tmp_path):
         for r in hll_distinct_stats(docs).collect()
     }
     assert got == exp  # exact, including the float estimate (same division)
+
+
+def test_streaming_hll_empty_stream_returns_empty(spark, tmp_path):
+    from wurzel_spark.streaming.sketch import hll_stream_distinct
+
+    d = str(tmp_path / "hll_empty_in")
+    import os
+    os.makedirs(d, exist_ok=True)  # ingest dir exists but has no files
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .parquet(d)
+    )
+    out = hll_stream_distinct(
+        stream, str(tmp_path / "hll_empty_stage"), str(tmp_path / "hll_empty_ckpt")
+    )
+    assert out.count() == 0

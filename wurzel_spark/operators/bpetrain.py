@@ -171,10 +171,21 @@ def tokenizer_from_merges(merges: list[tuple[str, str, int]]) -> BPETokenizer:
     """Build a ``functions.bpe.BPETokenizer`` from learned merges: byte
     ranks 0..255 for the base alphabet, then one rank per merge in learn
     order — exactly the rank structure tiktoken files carry, so the
-    trained tokenizer plugs into every consumer of ``from_name``."""
+    trained tokenizer plugs into every consumer of ``from_name``.
+
+    The merges are CHARACTER-level but the tokenizer merges BYTES, so
+    every multi-byte character appearing in a merge gets its own vocab
+    entry first — without it the byte-pair path can never assemble 'ü'
+    on the way to 'fü', and non-ASCII text silently falls back to raw
+    bytes (only whole-word vocab hits would compress)."""
     ranks: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     nxt = 256
     for a, b, _ in merges:
+        for ch in a + b:
+            chb = ch.encode("utf-8")
+            if len(chb) > 1 and chb not in ranks:
+                ranks[chb] = nxt
+                nxt += 1
         tok = (a + b).encode("utf-8")
         if tok not in ranks:
             ranks[tok] = nxt

@@ -54,13 +54,12 @@ def doc_features(
     return df.select("doc_id", buckets.alias("buckets"))
 
 
-def _grad_kernel(n_buckets: int, w_b, bias_b, lr_unused=None):
+def _grad_kernel(n_buckets: int, w_b, bias_b):
     def inner(batches):
         w = w_b.value
         bias = bias_b.value
         for pdf in batches:
             g = np.zeros(n_buckets + 1, dtype=np.int64)  # [grads..., bias]
-            n = np.zeros(n_buckets + 1, dtype=np.int64)
             for bks, y in zip(pdf["buckets"], pdf["y"]):
                 idx = np.asarray(bks, dtype=np.int64)
                 z = bias + (w[idx].sum() if len(idx) else 0.0)
@@ -69,9 +68,9 @@ def _grad_kernel(n_buckets: int, w_b, bias_b, lr_unused=None):
                 c = np.int64(round((p - y) * _FP_SCALE))
                 g[idx] += c
                 g[n_buckets] += c
-                n[idx] += 1
-                n[n_buckets] += 1
-            nz = np.nonzero(n)[0]
+            # zero partials (touched buckets whose rounded grads cancel)
+            # contribute nothing to the sum — safe to drop the rows
+            nz = np.nonzero(g)[0]
             yield pd.DataFrame({"j": nz, "g": g[nz]})
 
     return inner
@@ -88,8 +87,10 @@ def train_quality_classifier(
     layout: gradients are exact fixed-point sums; the weight update is
     one float multiply-add per bucket on the driver."""
     spark = feats.sparkSession
+    feats = feats.localCheckpoint(eager=True)  # features computed ONCE —
+    # checkpoint BEFORE counting, or the count re-runs the full hashing
+    # projection and the most expensive stage of training executes twice
     n_docs = feats.count()
-    feats = feats.localCheckpoint(eager=True)  # features computed once
     w = np.zeros(n_buckets, dtype=np.float64)
     bias = 0.0
     for _ in range(n_iters):

@@ -32,9 +32,13 @@ Z_BITS = 16  # per-dimension bits → 32-bit z-value, plenty for file-level stat
 
 
 def interleave_bits(a: Column, b: Column, bits: int = Z_BITS) -> Column:
-    """Morton z-value of two non-negative ints: bit j of ``a`` lands at
-    z-bit 2j, bit j of ``b`` at 2j+1. A flat sum of shift/mask terms —
-    whole-stage codegen keeps it a single projection; no UDF."""
+    """Morton z-value of two non-negative ints ALREADY in [0, 2^bits):
+    bit j of ``a`` lands at z-bit 2j, bit j of ``b`` at 2j+1. A flat sum
+    of shift/mask terms — whole-stage codegen keeps it a single
+    projection; no UDF. Inputs outside the range alias on the low bits
+    (x and x+2^bits interleave identically), which silently destroys the
+    clustering — callers must range-normalize first (see
+    :func:`normalize_to_bits`); the write/stats entry points here do."""
     z = F.lit(0).cast("long")
     for j in range(bits):
         z = (
@@ -43,6 +47,26 @@ def interleave_bits(a: Column, b: Column, bits: int = Z_BITS) -> Column:
             + (F.shiftright(b.cast("long"), j) % 2) * F.lit(1 << (2 * j + 1))
         )
     return z
+
+
+def _normalized_ab(df: DataFrame, col_a: str, col_b: str, bits: int) -> DataFrame:
+    """Project ``df`` to (a, b, an, bn): raw long keys plus each key
+    range-normalized into [0, 2^bits) by exact integer scaling
+    ``x · 2^bits div (max+1)`` — order-preserving, engine-exact, and the
+    reason arbitrary key domains (a 10^9 id space, a 7-bit enum) both
+    fill the z-grid instead of aliasing on the low bits or collapsing
+    into one cell. The maxes come from one broadcast aggregate — the
+    same pre-pass any range partitioner pays."""
+    raw = df.select(
+        F.col(col_a).cast("long").alias("a"), F.col(col_b).cast("long").alias("b")
+    )
+    mx = raw.agg(F.max("a").alias("ma"), F.max("b").alias("mb"))
+    return raw.crossJoin(F.broadcast(mx)).select(
+        "a",
+        "b",
+        F.expr(f"(a * {1 << bits}) DIV (ma + 1)").alias("an"),
+        F.expr(f"(b * {1 << bits}) DIV (mb + 1)").alias("bn"),
+    )
 
 
 def _interleave_sql(a: str, b: str, bits: int = Z_BITS) -> str:
@@ -62,17 +86,25 @@ def zorder_write(
     bits: int = Z_BITS,
 ) -> None:
     """Write ``df`` as parquet clustered on the z-curve of two columns:
-    range-partition on z (one shuffle, the same cost as any clustered
-    write), sort within partitions so row groups inherit the locality,
-    one output file per range → every file's footer min/max covers a
-    narrow square of (col_a, col_b) and predicates on EITHER column
-    prune files."""
-    z = interleave_bits(F.col(col_a), F.col(col_b), bits).alias("__z")
+    range-normalize both keys into the bit grid (broadcast max pre-pass —
+    without it, keys above 2^bits alias on their low bits and the
+    clustering silently degrades to noise), range-partition on z (one
+    shuffle, the same cost as any clustered write), sort within
+    partitions so row groups inherit the locality, one output file per
+    range → every file's footer min/max covers a narrow square of
+    (col_a, col_b) and predicates on EITHER column prune files."""
+    mx = df.agg(
+        F.max(F.col(col_a).cast("long")).alias("__ma"),
+        F.max(F.col(col_b).cast("long")).alias("__mb"),
+    )
+    an = F.expr(f"(CAST({col_a} AS BIGINT) * {1 << bits}) DIV (__ma + 1)")
+    bn = F.expr(f"(CAST({col_b} AS BIGINT) * {1 << bits}) DIV (__mb + 1)")
     (
-        df.withColumn("__z", z)
+        df.crossJoin(F.broadcast(mx))
+        .withColumn("__z", interleave_bits(an, bn, bits))
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__ma", "__mb")
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -91,17 +123,17 @@ def zorder_layout_stats(
     planner reads from parquet footers. Narrow spans in both columns at
     once are the property plain sorting cannot deliver.
 
-    The slice width adapts to the OCCUPIED z-range (bucket =
-    z·B / (z_max+1), exact integer division after a broadcast max — the
-    same two-pass shape any range partitioner uses), so the statistic is
-    meaningful whatever the key domain; a fixed top-bits shift would
-    collapse small domains into one bucket.
+    Both keys range-normalize into the bit grid first (broadcast max
+    pre-pass) so any key domain fills the curve — small enums don't
+    collapse into one cell and large id spaces don't alias on their low
+    bits. The slice width then adapts to the OCCUPIED z-range (bucket =
+    z·B div (z_max+1)), so the statistic is meaningful whatever the key
+    domain; a fixed top-bits shift would collapse small domains into one
+    bucket.
     """
-    z = interleave_bits(F.col(col_a), F.col(col_b), bits)
-    zed = df.select(
-        z.alias("z"),
-        F.col(col_a).cast("long").alias("a"),
-        F.col(col_b).cast("long").alias("b"),
+    nab = _normalized_ab(df, col_a, col_b, bits)
+    zed = nab.select(
+        interleave_bits(F.col("an"), F.col("bn"), bits).alias("z"), "a", "b"
     )
     zmax = zed.agg(F.max("z").alias("zmax"))
     return (
@@ -139,13 +171,21 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout_stats(table(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey")
 
 
-_Z_SQL = _interleave_sql("l_partkey", "l_suppkey")
+_Z_SQL = _interleave_sql("an", "bn")
 
 ZORDER_LAYOUT_SQL = f"""
-WITH zed AS (
-  SELECT ({_Z_SQL}) AS z,
-         CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b
+WITH raw AS (
+  SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b
   FROM lineitem
+), keymax AS (
+  SELECT MAX(a) AS ma, MAX(b) AS mb FROM raw
+), norm AS (
+  SELECT a, b,
+         (a * {1 << Z_BITS}) // (ma + 1) AS an,
+         (b * {1 << Z_BITS}) // (mb + 1) AS bn
+  FROM raw, keymax
+), zed AS (
+  SELECT ({_Z_SQL}) AS z, a, b FROM norm
 ), mx AS (
   SELECT MAX(z) AS zmax FROM zed
 ), bucketed AS (
@@ -177,9 +217,12 @@ def compact_write(
     scans).
 
     File count = ceil(rows × avg_row_bytes / target): one count
-    aggregate plus a bounded head-sample for the row-size estimate (the
-    in-memory string estimate is conservative vs parquet's encoded size,
-    which biases toward slightly-smaller files — the safe direction).
+    aggregate plus a DISTRIBUTED row sample for the size estimate — a
+    head-sample (``limit``) would read only the first partition's leading
+    rows and mis-size any input where row size correlates with position
+    (exactly what curriculum/z-ordered outputs look like). The in-memory
+    string estimate is conservative vs parquet's encoded size, which
+    biases toward slightly-smaller files — the safe direction.
     Round-robin repartition spreads rows evenly regardless of input
     skew. Returns the file count written.
     """
@@ -187,7 +230,10 @@ def compact_write(
     if n_rows == 0:
         df.write.mode("overwrite").parquet(path)
         return 0
-    sample = df.limit(sample_rows).collect()
+    frac = min(1.0, (4.0 * sample_rows) / n_rows)
+    sample = df.sample(fraction=frac, seed=7).limit(sample_rows).collect()
+    if not sample:
+        sample = df.limit(min(sample_rows, n_rows)).collect()
     avg_bytes = max(
         1,
         sum(

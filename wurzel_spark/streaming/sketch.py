@@ -52,6 +52,13 @@ def hll_stream_distinct(
     )
     q.awaitTermination()
     spark = stream.sparkSession
+    import os
+
+    if not os.path.isdir(staging_dir):  # every batch empty: nothing staged
+        return spark.createDataFrame(
+            [],
+            "source string, n_buckets_hit long, hll_sum_scaled long, hll_estimate double",
+        )
     staged = spark.read.parquet(staging_dir)
     merged = staged.groupBy("source", "bucket").agg(F.max("reg").alias("reg"))
     return hll_estimate_from_registers(merged).orderBy("source")
