@@ -492,3 +492,30 @@ def test_streaming_hll_empty_stream_returns_empty(spark, tmp_path):
         stream, str(tmp_path / "hll_empty_stage"), str(tmp_path / "hll_empty_ckpt")
     )
     assert out.count() == 0
+
+
+def test_streaming_cms_matches_batch(spark, sf_dir, tmp_path):
+    """CMS cells summed across micro-batches == the batch sketch's
+    estimates for the same probe terms, bit-equal (additive int64 cells),
+    under one-file-per-trigger admission."""
+    from wurzel_spark.operators.sketches import cms_heavy_hitters
+    from wurzel_spark.streaming.cms import cms_stream_estimates
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    batch = {r["term"]: r["cms_estimate"] for r in cms_heavy_hitters(docs).collect()}
+    terms = sorted(batch)
+    d = str(tmp_path / "cms_in")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = {
+        r["w"]: r["cms_estimate"]
+        for r in cms_stream_estimates(
+            stream, terms, str(tmp_path / "cms_stage"), str(tmp_path / "cms_ckpt")
+        ).collect()
+    }
+    assert got == batch

@@ -1283,13 +1283,22 @@ def pq_codebook(
         key=lambda r: r[0],
     )
     dsub = len(rows[0][1]) // m
-    data = [
-        (s, int(r[0]), [float(x) for x in r[1][s * dsub : (s + 1) * dsub]])
-        for r in rows
-        for s in range(m)
-    ]
+
+    def _self_dot(xs: list[float]) -> float:
+        # same left-to-right IEEE fold as dot(cw, cw) — bit-identical,
+        # but computed ONCE per codeword here instead of per scored row
+        acc = 0.0
+        for x in xs:
+            acc = acc + x * x
+        return acc
+
+    data = []
+    for r in rows:
+        for s in range(m):
+            cw = [float(x) for x in r[1][s * dsub : (s + 1) * dsub]]
+            data.append((s, int(r[0]), cw, _self_dot(cw)))
     return emb.sparkSession.createDataFrame(
-        data, "sub int, code int, cw array<double>"
+        data, "sub int, code int, cw array<double>, cww double"
     )
 
 
@@ -1316,26 +1325,59 @@ def pq_encode(
     codebook → min_by hash aggregate (map-side combine, no sort, no
     window). Never shuffles the vectors themselves.
     """
-    dsub_col = F.size(F.col(vec_col)) / F.lit(m)
-    subs = emb.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        vec_col,
-    ).select(
-        id_col,
-        "sub",
-        F.slice(
-            F.col(vec_col),
-            (F.col("sub") * dsub_col.cast("int") + 1).cast("int"),
-            dsub_col.cast("int"),
-        ).alias("sv"),
+    import numpy as np
+    import pandas as pd
+
+    # The ksub-way comparison runs in ONE Arrow kernel instead of an
+    # explode(×m) → broadcast join → 3-fold-per-row HOF pipeline: the
+    # interpreted higher-order folds were the cost (n·m·ksub evaluations).
+    # Bit-exactness is preserved by construction — the kernel accumulates
+    # every dot product left-to-right over the dimension index, exactly
+    # the `dot` fold's rounding sequence, and the d2 expression tree
+    # ((svv − 2·<sv,cw>) + cww) matches term for term; np.argmin's
+    # first-minimum rule IS min_by(code, struct(d2, code))'s tie-to-lower
+    # (codewords are code-ordered). pq_code_stats stays oracle-hash-green.
+    cb_rows = sorted(
+        ((r["sub"], r["code"], list(r["cw"])) for r in codebook.collect())
     )
-    scored = subs.join(F.broadcast(codebook), "sub").select(
-        id_col, "sub", "code", _sub_l2(F.col("sv"), F.col("cw")).alias("d2")
-    )
-    return (
-        scored.groupBy(id_col, "sub")
-        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    ksub = max(r[1] for r in cb_rows) + 1
+    dsub = len(cb_rows[0][2])
+    CW = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for s, c, cw in cb_rows:
+        CW[s, c] = cw
+    CWW = np.zeros((m, ksub), dtype=np.float64)
+    for s in range(m):
+        for i in range(dsub):  # left-to-right, same fold as dot(cw, cw)
+            CWW[s] += CW[s, :, i] * CW[s, :, i]
+    b_cw = emb.sparkSession.sparkContext.broadcast((CW, CWW))
+
+    def _encode(batches):
+        cw_m, cww_m = b_cw.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            ids = pdf[id_col].to_numpy()
+            out_id = np.repeat(ids, m)
+            out_sub = np.tile(np.arange(m, dtype=np.int64), n)
+            out_code = np.empty(n * m, dtype=np.int64)
+            for s in range(m):
+                sv = V[:, s * dsub : (s + 1) * dsub]
+                svv = np.zeros(n)
+                acc = np.zeros((n, ksub))
+                for i in range(dsub):  # sequential over dims == dot fold
+                    svv += sv[:, i] * sv[:, i]
+                    acc += sv[:, i, None] * cw_m[s, None, :, i]
+                d2 = (svv[:, None] - 2.0 * acc) + cww_m[s, None, :]
+                out_code[s::m] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: out_id, "sub": out_sub, "code": out_code})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        _encode, f"{id_col} long, sub int, code int"
     )
 
 

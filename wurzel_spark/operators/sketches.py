@@ -829,3 +829,47 @@ SELECT id AS doc_id,
        CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_pos
 FROM marked GROUP BY id ORDER BY doc_id
 """
+
+
+def cms_cells(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(i, cell, c) count-min cell table — the sketch STATE. Cells merge
+    by SUM (counts are additive), the complement of the HLL registers'
+    max-merge: any partition of the corpus — micro-batches, shards —
+    sums cell-wise into exactly the whole-corpus sketch."""
+    cell = (
+        md5_prefix_hash(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))
+        % F.lit(width)
+    ).alias("cell")
+    return (
+        df.select(F.explode(TXT.words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c0"))
+        .select(
+            "w", "c0", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+        )
+        .select("i", cell, "c0")
+        .groupBy("i", "cell")
+        .agg(F.sum("c0").alias("c"))
+    )
+
+
+def cms_estimate_terms(cells: DataFrame, terms: DataFrame, depth: int = CMS_DEPTH) -> DataFrame:
+    """Probe a cell table for the given (w) terms: estimate = min over
+    depth row cells — one broadcast join, bounded by |terms|·depth."""
+    cell = (
+        md5_prefix_hash(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))
+        % F.lit(CMS_WIDTH)
+    ).alias("cell")
+    probes = terms.select(
+        "w", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+    ).select("w", "i", cell)
+    return (
+        probes.join(cells, ["i", "cell"])
+        .groupBy("w")
+        .agg(F.min("c").alias("cms_estimate"))
+    )

@@ -1362,6 +1362,12 @@ def dsir_importance_scores(
         "source",
         (md5_prefix_hash(F.col("w")) % F.lit(n_buckets)).alias("b"),
     )
+    # Two consumers (bucket counts, then per-doc scoring) are inherent to
+    # DSIR's two-pass estimator; pin the hashed stream so tokenize+hash —
+    # the expensive map — runs once. The pinned rows are three longs per
+    # token; at extreme scale where materializing beats recomputing stops
+    # holding, drop the checkpoint and pay the second scan instead.
+    toks = toks.localCheckpoint(eager=True)
     is_tgt = F.col("source").isin(*target_sources)
     counts = toks.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_raw"),
