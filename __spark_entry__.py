@@ -129,6 +129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only PQ/ADC ANN (recall floor in tests; its oracle-checked
         # occupancy twin pq_code_stats is in-window)
         "ann_topk_pq": similarity.q_ann_topk_pq,
+        # oracle-checked but added after the r4 window filled — locally
+        # verified every round; rotate into the r5 window
+        "markdown_structure_stats": textstats.q_markdown_structure,
+        "license_scan": textstats.q_license_scan,
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "embed_multivector_docs": embedding.q_embed_multivector,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
@@ -219,6 +223,8 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order": ordering.CURRICULUM_ORDER_SQL,
         "sq8_code_stats": similarity.SQ8_CODE_STATS_SQL,
         "data_budget_plan": textstats.DATA_BUDGET_SQL,
+        "markdown_structure_stats": textstats.MARKDOWN_STRUCTURE_SQL,
+        "license_scan": textstats.LICENSE_SCAN_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,

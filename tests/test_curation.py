@@ -309,3 +309,35 @@ def test_data_budget_plan_flags_constrained_sources(spark):
     assert out["big"]["needed_tokens"] == 200
     assert out["big"]["epochs_needed"] == 2.0 and not out["big"]["data_constrained"]
     assert out["tiny"]["epochs_needed"] == 20.0 and out["tiny"]["data_constrained"]
+
+
+def test_markdown_structure_stats_counts(spark):
+    from wurzel_spark.operators.textstats import markdown_structure_stats
+
+    md = "# Title\n\n```py\ncode\n```\n\n| a | b |\n| 1 | 2 |\n\n- item\n[x](http://e)\n"
+    docs = spark.createDataFrame(
+        [(1, md, "en", "s"), (2, "plain words only", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r for r in markdown_structure_stats(docs).collect()}
+    assert out[1]["n_headings"] == 1 and out[1]["n_code_blocks"] == 1
+    assert out[1]["n_table_rows"] == 2 and out[1]["n_bullets"] == 1
+    assert out[1]["n_links"] == 1
+    assert out[2]["n_headings"] == 0 and out[2]["table_line_ratio"] == 0.0
+
+
+def test_license_scan_flags_grants_not_bare_copyright(spark):
+    from wurzel_spark.operators.textstats import license_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Licensed under the Apache License, Version 2.0", "en", "s"),
+            (2, "Copyright (c) 2024 Someone. All rights reserved.", "en", "s"),
+            (3, "nothing legal here", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r for r in license_scan(docs).collect()}
+    assert out[1]["n_apache"] == 1 and out[1]["any_license"]
+    assert out[2]["n_copyright"] == 1 and not out[2]["any_license"]
+    assert not out[3]["any_license"]

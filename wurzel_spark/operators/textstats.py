@@ -1899,3 +1899,124 @@ FROM plan ORDER BY source
 
 
 DATA_BUDGET_SQL = _data_budget_sql()
+
+
+# ------------------------------------------------- markdown structure
+
+def markdown_structure_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document markdown structure profile: heading/code-fence/table/
+    list/link density — the format signals a markdown-centric pipeline
+    (the reference ingests markdown end to end, SURVEY §2.1/§2.4) uses to
+    route documents: table-heavy → the table splitter, fence-heavy →
+    code handling, link-farm densities → drop.
+
+    Pure ``regexp_count`` column algebra over one scan — the same
+    zero-shuffle shape as pii_scan; ratios are single divisions of exact
+    integers (NULL on empty docs, never a divide-by-zero).
+    """
+    c = F.col(text_col)
+    n_lines = F.size(F.split(c, "\n"))
+    headings = F.regexp_count(c, F.lit(r"(?m)^#{1,6} "))
+    fences = F.regexp_count(c, F.lit(r"(?m)^```"))
+    table_rows = F.regexp_count(c, F.lit(r"(?m)^\|"))
+    bullets = F.regexp_count(c, F.lit(r"(?m)^\s*[-*+] "))
+    links = F.regexp_count(c, F.lit(r"\[[^\]]*\]\([^)]*\)"))
+    words = TXT.word_count(c)
+    nl = F.when(n_lines > 0, n_lines)
+    return df.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        headings.cast("long").alias("n_headings"),
+        (fences / F.lit(2)).cast("long").alias("n_code_blocks"),
+        table_rows.cast("long").alias("n_table_rows"),
+        bullets.cast("long").alias("n_bullets"),
+        links.cast("long").alias("n_links"),
+        (table_rows.cast("double") / nl).alias("table_line_ratio"),
+        (links.cast("double") / F.when(words > 0, words)).alias("link_density"),
+    ).orderBy("doc_id")
+
+
+def q_markdown_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markdown_structure_stats(table(spark, sf_dir, "documents"))
+
+
+MARKDOWN_STRUCTURE_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(regexp_extract_all(text, '(?m)^#{1,6} ')) AS headings,
+         len(regexp_extract_all(text, '(?m)^```')) AS fences,
+         len(regexp_extract_all(text, '(?m)^\|')) AS table_rows,
+         len(regexp_extract_all(text, '(?m)^\s*[-*+] ')) AS bullets,
+         len(regexp_extract_all(text, '\[[^\]]*\]\([^)]*\)')) AS links,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(headings AS BIGINT) AS n_headings,
+       CAST(fences // 2 AS BIGINT) AS n_code_blocks,
+       CAST(table_rows AS BIGINT) AS n_table_rows,
+       CAST(bullets AS BIGINT) AS n_bullets,
+       CAST(links AS BIGINT) AS n_links,
+       CAST(table_rows AS DOUBLE) / NULLIF(n_lines, 0) AS table_line_ratio,
+       CAST(links AS DOUBLE) / NULLIF(words, 0) AS link_density
+FROM base ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------- license scanning
+
+LICENSE_MARKERS: dict[str, str] = {
+    "mit": r"(?i)\bMIT License\b",
+    "apache": r"(?i)\bApache License\b",
+    "gpl": r"(?i)\bGNU General Public License\b|\bGPL-[23]\b",
+    "bsd": r"(?i)\bBSD [23]-Clause\b",
+    "cc": r"(?i)\bCreative Commons\b|\bCC BY\b",
+    "copyright": r"(?i)\bCopyright (\(c\)|©)",
+}
+
+
+def license_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """License / provenance marker scan — the compliance screen a code-
+    or web-corpus pipeline runs before training (permissive-only corpus
+    policies filter on exactly these markers). One codegen regex pass per
+    marker class, zero shuffles; ``any_license`` flags docs needing
+    routing through a license policy."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(p)).cast("long").alias(f"n_{name}")
+        for name, p in LICENSE_MARKERS.items()
+    ]
+    any_lic = None
+    for name in LICENSE_MARKERS:
+        if name == "copyright":
+            continue  # a copyright line alone is not a license grant
+        hit = F.regexp_count(c, F.lit(LICENSE_MARKERS[name])) > 0
+        any_lic = hit if any_lic is None else (any_lic | hit)
+    return df.select("doc_id", *counts, any_lic.alias("any_license")).orderBy("doc_id")
+
+
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return license_scan(table(spark, sf_dir, "documents"))
+
+
+def _license_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{name}"
+        for name, p in LICENSE_MARKERS.items()
+    )
+    any_terms = " OR ".join(
+        f"len(regexp_extract_all(text, '{p}')) > 0"
+        for name, p in LICENSE_MARKERS.items()
+        if name != "copyright"
+    )
+    return f"""
+SELECT doc_id,
+       {cols},
+       ({any_terms}) AS any_license
+FROM documents ORDER BY doc_id
+"""
+
+
+LICENSE_SCAN_SQL = _license_sql()
