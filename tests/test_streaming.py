@@ -519,3 +519,39 @@ def test_streaming_cms_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_classifier_scoring_matches_batch(spark, sf_dir, tmp_path):
+    """Train offline, score a multi-micro-batch stream — per-doc scores
+    bit-equal to batch scoring (same broadcast weights, same kernel)."""
+    import pyspark.sql.functions as _F
+
+    from wurzel_spark.operators.classifier import (
+        doc_features,
+        score_documents,
+        train_quality_classifier,
+    )
+    from wurzel_spark.streaming.classify import score_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    feats = doc_features(docs).join(
+        docs.select("doc_id", (_F.col("lang") == "en").cast("long").alias("y")), "doc_id"
+    )
+    w, b = train_quality_classifier(feats, n_iters=3)
+    d = str(tmp_path / "clf_in")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out_dir = str(tmp_path / "clf_out")
+    score_stream(stream, w, b, out_dir, str(tmp_path / "clf_ckpt"))
+    got = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in score_documents(doc_features(docs), w, b).collect()
+    }
+    assert got == exp
