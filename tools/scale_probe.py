@@ -57,6 +57,23 @@ QUERIES = [
     "ann_topk_multiprobe",
     "corpus_length_quantiles",
     "hybrid_rrf_topk",
+    # round-4 session additions
+    "cluster_best_keep",
+    "domain_cap_sample",
+    "temperature_mixture_sample",
+    "bloom_decontam",
+    "bpe_pair_counts",
+    "zorder_layout_stats",
+    "quality_classifier_scores",
+    "retrieval_self_eval",
+    "pii_redact",
+    "curriculum_order",
+    "sq8_code_stats",
+    "hll_distinct_stats",
+    "cms_heavy_hitters",
+    "kmv_distinct_stats",
+    "markdown_structure_stats",
+    "license_scan",
 ]
 
 
