@@ -111,6 +111,13 @@ def train_bpe_merges(
     (count, then lexicographically smallest), greedy left-to-right merge
     application. Returns [(left, right, count_at_merge_time), ...] in
     merge order.
+
+    Relationship to ``functions.bpe.train_bpe``: that trainer is
+    byte-level over raw TEXTS (the tiktoken-format fixture builder);
+    this one is character-level over the WEIGHTED word-frequency table a
+    distributed reduction produces — frequencies enter the count, which
+    a texts-based trainer cannot express without replicating documents.
+    ``tokenizer_from_merges`` bridges the two (char merges → byte ranks).
     """
     vocab: dict[tuple[str, ...], int] = {}
     for w, f in word_freq:
