@@ -63,7 +63,7 @@ QUERIES = [
     "temperature_mixture_sample",
     "bloom_decontam",
     "bpe_pair_counts",
-    "zorder_layout_stats",
+    # zorder_layout_stats reads lineitem — not in the documents-only probe dir
     "quality_classifier_scores",
     "retrieval_self_eval",
     "pii_redact",
