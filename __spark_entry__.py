@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified every round; rotate into the r5 window
         "markdown_structure_stats": textstats.q_markdown_structure,
         "license_scan": textstats.q_license_scan,
+        "cluster_best_keep_capped": selection.q_cluster_best_keep_capped,
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "embed_multivector_docs": embedding.q_embed_multivector,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "data_budget_plan": textstats.DATA_BUDGET_SQL,
         "markdown_structure_stats": textstats.MARKDOWN_STRUCTURE_SQL,
         "license_scan": textstats.LICENSE_SCAN_SQL,
+        "cluster_best_keep_capped": selection.CLUSTER_BEST_KEEP_CAPPED_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,

@@ -277,3 +277,53 @@ SELECT t.lang, t.n_docs, t.keep_threshold, COALESCE(k.n_kept, 0) AS n_kept
 FROM thresh t LEFT JOIN kept k ON k.lang = t.lang
 ORDER BY t.lang
 """
+
+
+def q_cluster_best_keep_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep rule over df-CAPPED pairs — the configuration you run at
+    corpus scale (PERF.md round-4 close: the uncapped form is the exact
+    verifier; this is the production twin, oracle-checked)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=dedup.CAPPED_MAX_DF, sort=False
+    )
+    return cluster_best_keep(docs, pairs)
+
+
+CLUSTER_BEST_KEEP_CAPPED_SQL = f"""
+WITH RECURSIVE {dedup._CAPPED_SHINGLES_CTE},
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+),
+scored AS (
+  SELECT l.cluster_id, l.doc_id,
+         len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x != '')) AS n_words
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_words,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_words DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS size
+  FROM scored
+)
+SELECT cluster_id, size, doc_id AS keep_doc_id, n_words AS keep_n_words
+FROM ranked WHERE rk = 1 ORDER BY cluster_id
+"""
