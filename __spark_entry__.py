@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_structure_stats": textstats.q_markdown_structure,
         "license_scan": textstats.q_license_scan,
         "cluster_best_keep_capped": selection.q_cluster_best_keep_capped,
+        # rows-only IVF-PQ composite (residual codes engine-internal;
+        # recall floor + rerank recovery in tests)
+        "ann_topk_ivfpq": similarity.q_ann_topk_ivfpq,
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "embed_multivector_docs": embedding.q_embed_multivector,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,

@@ -390,3 +390,47 @@ def test_sq8_codes_bounded_and_reconstruction_tight(spark):
     assert out[2]["n_zero_codes"] == 4 and out[2]["max_recon_err"] == 0.0
     # single-element vector: code = floor(127) = 127, perfect direction
     assert out[3]["max_code"] == 127
+
+
+def test_ivfpq_recall_and_rerank_recovery(spark, sf_dir):
+    from wurzel_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from wurzel_spark.tables import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, queries, cents, k=10, nprobe=3).collect()
+    }
+    rr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, queries, cents, k=10, nprobe=3, rerank=100).collect()
+    }
+    # probing 3/8 cells bounds the candidate pool; quantized ADC ranking
+    # inside it still has to find a fair share of true neighbors
+    assert len(adc & exact) / len(exact) >= 0.2
+    # exact rerank recovers everything the probe recalls: strictly >= ADC
+    assert len(rr & exact) >= len(adc & exact)
+
+
+def test_ivfpq_is_deterministic_across_partitionings(spark, sf_dir):
+    from wurzel_spark.operators.similarity import ivfpq_topk
+    from wurzel_spark.tables import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2)
+    cents = emb.filter(F.col("vec_id") < 8)
+    a = [tuple(r) for r in ivfpq_topk(emb, queries, cents, k=5, nprobe=2).collect()]
+    b = [
+        tuple(r)
+        for r in ivfpq_topk(emb.repartition(7), queries, cents, k=5, nprobe=2).collect()
+    ]
+    assert a == b

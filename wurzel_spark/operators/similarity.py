@@ -1717,3 +1717,175 @@ SELECT vec_id,
 FROM c
 ORDER BY vec_id
 """
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composite billion-scale ANN layout (faiss's
+    ``IVFx,PQy`` workhorse) — coarse quantization assigns each vector to
+    a centroid cell, product quantization encodes the RESIDUAL
+    ``v − centroid(cell)`` (by-residual ADC: residuals are smaller and
+    near-isotropic, so the same codebook budget buys less distortion),
+    and a query scores only codes in its ``nprobe`` nearest cells via
+    per-(query, cell) lookup tables over the residual codebook.
+
+    Scale shape: the corpus contributes one assignment pass + one encode
+    kernel; everything per-query is broadcast-sized (probes: queries ×
+    nprobe rows; LUT: queries × nprobe × m × ksub). Candidate work is
+    codes-in-probed-cells only — the corpus vectors are never touched
+    after encoding except by the optional exact rerank's broadcast
+    shortlist join. The m-term ADC sum folds in subspace order
+    (array_sort → sequential fold) so ranking is partitioning-stable.
+    Approximate by construction → registered rows-only; recall floor
+    (and rerank's recovery to ≥ IVF recall) asserted in tests.
+    """
+    from pyspark.sql import Window as W
+
+    def _normalized(df):
+        vec = F.col(vec_col)
+        nv = F.element_at(
+            F.transform(
+                F.array(norm(vec)),
+                lambda n: F.transform(vec, lambda x: x.cast("double") / n),
+            ),
+            1,
+        )
+        return df.select(F.col(id_col), nv.alias(vec_col))
+
+    ncorp = _normalized(emb)
+    nquery = _normalized(query)
+    ncent = _normalized(centroids)
+
+    cells = ivf_assign(ncorp, ncent, id_col, vec_col)
+    cvec = ncent.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid_vec")
+    )
+    resid = cells.join(F.broadcast(cvec), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col(vec_col), F.col("centroid_vec"), lambda x, y: x - y
+        ).alias(vec_col),
+    )
+    cb = pq_codebook(resid.select(id_col, vec_col), m, ksub, id_col, vec_col)
+    codes = pq_encode(resid.select(id_col, vec_col), cb, m, id_col, vec_col).join(
+        resid.select(id_col, "cell"), id_col
+    )
+
+    # probe the nprobe nearest cells per query (same rule as ivf_topk)
+    q = nquery.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    wq = W.partitionBy("query_id").orderBy(F.desc("sim"), "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cvec))
+        .select(
+            "query_id",
+            "qv",
+            "cell",
+            dot(F.col("qv"), F.col("centroid_vec")).alias("sim"),
+            "centroid_vec",
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(F.col("qv"), F.col("centroid_vec"), lambda x, y: x - y).alias(
+                "qrv"
+            ),
+        )
+    )
+    dsub_col = F.size(F.col("qrv")) / F.lit(m)
+    qsubs = probes.select(
+        "query_id",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "qrv",
+    ).select(
+        "query_id",
+        "cell",
+        "sub",
+        F.slice(
+            F.col("qrv"),
+            (F.col("sub") * dsub_col.cast("int") + 1).cast("int"),
+            dsub_col.cast("int"),
+        ).alias("qsv"),
+    )
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id", "cell", "sub", "code", _sub_l2(F.col("qsv"), F.col("cw")).alias("t")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "t"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("approx_d2"),
+            F.count(F.lit(1)).alias("n_subs"),
+        )
+        # a candidate must have all m subspace terms (it does by
+        # construction — every (cell,sub,code) of a probed-cell vector
+        # hits the LUT), guard anyway so a partial sum never ranks
+        .filter((F.col("n_subs") == m) & (F.col("neighbor_id") != F.col("query_id")))
+        .drop("n_subs")
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "approx_d2")
+            .orderBy("query_id", "rank")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv2 = nquery.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    exact = (
+        shortlist.join(
+            ncorp.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id"
+        )
+        .join(F.broadcast(qv2), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("query_vec"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with exact rerank (rows-only: residual codes are
+    engine-internal; recall floors asserted in tests). Centroids are the
+    first 8 corpus vectors, queries the first 3 — deterministic."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        emb.filter(F.col("vec_id") < 8),
+        k=10,
+        nprobe=3,
+        rerank=50,
+    )
