@@ -116,3 +116,64 @@ def test_self_consuming_source(spark, tmp_path):
 
     broken = self_consuming_source(lambda s: (_ for _ in ()).throw(IOError("down")), prev)
     assert broken(spark).count() == 5  # unavailable input falls back
+
+
+def test_curation_v2_stage_pipeline(spark):
+    """End-to-end Stage composition of the round-4 curation operators:
+    PII redaction → Gopher gate → quality-aware near-dup keep → per-domain
+    cap, all through the contract/lineage machinery — the lifecycle the
+    reference runs its TypedSteps through (SURVEY §3), with the new
+    selection rules as first-class stages."""
+    from wurzel_spark.operators import dedup as D
+    from wurzel_spark.operators import selection
+    from wurzel_spark.operators.textstats import pii_redact
+
+    shared = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, "mail me at a@b.co " + shared, "en", "siteA"),
+        (2, shared + " extra tail content appended here now", "en", "siteA"),  # near-dup of 1, longer
+        (3, "tiny", "en", "siteA"),  # fails the word-count gate
+        (4, " ".join(f"other{i}" for i in range(40)), "en", "siteB"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    doc_contract = None  # schema is ad hoc here; contracts exercised elsewhere
+
+    def redact(df):
+        red = pii_redact(df).select("doc_id", "redacted_text")
+        return df.join(red, "doc_id").drop("text").withColumnRenamed(
+            "redacted_text", "text"
+        )
+
+    def gate(df):
+        from wurzel_spark.functions import text as TXT
+
+        return df.filter(TXT.word_count(F.col("text")) >= 10)
+
+    def best_keep(df):
+        pairs = D.ngram_jaccard_pairs(df, threshold=0.5, sort=False)
+        keep = selection.cluster_best_keep(df, pairs).select(
+            F.col("keep_doc_id").alias("doc_id")
+        )
+        clustered = D.near_dup_cluster_members(pairs).select("doc_id")
+        survivors = df.join(clustered, "doc_id", "left_anti").select("doc_id").union(keep)
+        return df.join(survivors, "doc_id", "left_semi")
+
+    pipe = (
+        Pipeline(lambda s: docs)
+        >> Stage("Redact", redact, doc_contract, doc_contract)
+        >> Stage("Gate", gate)
+        >> Stage("BestKeep", best_keep)
+        >> Stage("DomainCap", lambda df: df.join(
+            selection.domain_cap_sample(df, cap=10).select("doc_id"), "doc_id", "left_semi"
+        ))
+    )
+    out = pipe.run(spark)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # doc 3 gated out; docs 1/2 near-dup cluster keeps the LONGER doc 2;
+    # doc 4 survives; every kept text is redacted
+    assert kept == {2, 4}
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert "<EMAIL>" not in texts.get(4, "")
+    assert pipe.history() == "Redact-Gate-BestKeep-DomainCap"
