@@ -434,3 +434,50 @@ def test_ivfpq_is_deterministic_across_partitionings(spark, sf_dir):
         for r in ivfpq_topk(emb.repartition(7), queries, cents, k=5, nprobe=2).collect()
     ]
     assert a == b
+
+
+def test_index_drift_zero_for_identical_halves(spark):
+    from wurzel_spark.operators.similarity import index_drift_stats
+
+    # even/odd ids carry IDENTICAL vectors → per-cell shares match exactly
+    base = [[float(i == j) for j in range(8)] for i in range(4)]
+    rows = [(2 * i, base[i % 4]) for i in range(20)] + [
+        (2 * i + 1, base[i % 4]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(i, base[i]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    out = index_drift_stats(emb, cents).collect()
+    assert all(r["share_diff_scaled"] == 0 for r in out)
+
+
+def test_index_drift_detects_shift(spark):
+    from wurzel_spark.operators.similarity import index_drift_stats
+
+    a = [1.0] + [0.0] * 7
+    b = [0.0, 1.0] + [0.0] * 6
+    rows = [(2 * i, a) for i in range(10)] + [(2 * i + 1, b) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, a), (1, b)], "vec_id long, embedding array<float>"
+    )
+    out = {r["cell"]: r for r in index_drift_stats(emb, cents).collect()}
+    # old mass all in cell 0, new mass all in cell 1 → max drift each
+    assert out[0]["share_diff"] == 1.0 and out[1]["share_diff"] == 1.0
+
+
+def test_matryoshka_recall_full_dims_monotone_tendency(spark, sf_dir):
+    from wurzel_spark.operators.similarity import matryoshka_recall_stats
+    from wurzel_spark.tables import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = matryoshka_recall_stats(
+        emb, emb.filter(F.col("vec_id") < 2), dims=(8, 64)
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["query_id"], {})[r["dims"]] = r["recall_at_k"]
+    for q, d in per.items():
+        assert d[64] == 1.0          # full dims reproduce the full ranking
+        assert 0.0 <= d[8] <= 1.0    # truncation is measured, not assumed

@@ -1889,3 +1889,215 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=3,
         rerank=50,
     )
+
+
+# ------------------------------------------------------- index drift
+
+def index_drift_stats(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-maintenance readout: has the embedding distribution DRIFTED
+    away from the partitioning an IVF/k-means index was built on? Two
+    corpus snapshots (here: even ids = index-time, odd ids = current —
+    swap in real snapshot frames) are assigned to the SAME centroids and
+    compared cell by cell; a large share shift is the retrain trigger
+    every vector-store operator watches.
+
+    Exactness: the per-cell share difference |n_old/t_old − n_new/t_new|
+    is computed as the cross-multiplied integer |n_old·t_new − n_new·t_old|
+    (exact int64; widen to decimal at petabyte counts) with ONE final
+    division — order-independent, oracle-hash-green. One assignment pass
+    over the union; the comparison itself is |cells| rows.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+    assigned = _argmax_cell(emb, c, id_col, vec_col).select(
+        id_col, "cell", (F.col(id_col) % 2 == 0).alias("is_old")
+    )
+    per = assigned.groupBy("cell").agg(
+        F.sum(F.col("is_old").cast("long")).alias("n_old"),
+        F.sum((~F.col("is_old")).cast("long")).alias("n_new"),
+    )
+    totals = per.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    scaled = F.abs(
+        F.col("n_old") * F.col("t_new") - F.col("n_new") * F.col("t_old")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            "n_old",
+            "n_new",
+            scaled.alias("share_diff_scaled"),
+            (
+                scaled.cast("double")
+                / (F.col("t_old") * F.col("t_new")).cast("double")
+            ).alias("share_diff"),
+        )
+        .orderBy("cell")
+    )
+
+
+def q_index_drift_stats(spark, sf_dir: str) -> DataFrame:
+    from wurzel_spark.tables import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return index_drift_stats(emb, emb.filter(F.col("vec_id") < 8))
+
+
+INDEX_DRIFT_SQL = """
+WITH c AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+  FROM scored
+),
+per AS (
+  SELECT cell,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+  FROM assigned WHERE rn = 1 GROUP BY cell
+),
+tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM per)
+SELECT cell, n_old, n_new,
+       CAST(abs(n_old * t_new - n_new * t_old) AS BIGINT) AS share_diff_scaled,
+       CAST(abs(n_old * t_new - n_new * t_old) AS DOUBLE)
+         / CAST(t_old * t_new AS DOUBLE) AS share_diff
+FROM per, tot
+ORDER BY cell
+"""
+
+
+# ------------------------------------------------- matryoshka truncation
+
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def matryoshka_recall_stats(
+    emb: DataFrame,
+    query: DataFrame,
+    dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation evaluation: how much of the full-dimension
+    top-k survives when similarity uses only the first ``d`` dimensions —
+    the measurement behind MRL-style "store 64 dims, search 16" cost
+    cuts. Per (query, d): overlap count and recall@k vs the full-dim
+    ranking.
+
+    Shape: ONE broadcast query×corpus score pass per dims entry plus the
+    full-dim baseline, each a per-query top-k (the brute-force shape —
+    this is an EVAL harness, run on samples, not the serving path).
+    Cosines are the shared sequential-fold kernel → oracle-hash-green.
+    """
+    from pyspark.sql import Window as W
+
+    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+
+    def _topk(d: int | None) -> DataFrame:
+        ev = F.col(vec_col) if d is None else F.slice(F.col(vec_col), 1, d)
+        qv = F.col("qv") if d is None else F.slice(F.col("qv"), 1, d)
+        w = W.partitionBy("query_id").orderBy(F.desc("sim"), "nid")
+        return (
+            emb.crossJoin(F.broadcast(q))
+            .select(
+                "query_id",
+                F.col(id_col).alias("nid"),
+                cosine_pd(ev, qv).alias("sim"),
+            )
+            .filter(F.col("nid") != F.col("query_id"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "nid")
+        )
+
+    full = _topk(None)
+    out = None
+    for d in dims:
+        overlap = (
+            _topk(d)
+            .join(full, ["query_id", "nid"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        row = (
+            q.select("query_id")
+            .join(overlap, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(d).alias("dims"),
+                F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+                (
+                    F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                    / F.lit(float(k))
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("query_id", "dims")
+
+
+def q_matryoshka_recall(spark, sf_dir: str) -> DataFrame:
+    from wurzel_spark.tables import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return matryoshka_recall_stats(emb, emb.filter(F.col("vec_id") < 3))
+
+
+def _matryoshka_sql() -> str:
+    def _cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    parts = []
+    for d in MATRYOSHKA_DIMS:
+        parts.append(f"""
+SELECT f.query_id, {d} AS dims,
+       CAST(COUNT(t.nid) AS BIGINT) AS n_overlap,
+       CAST(COUNT(t.nid) AS DOUBLE) / 10.0 AS recall_at_k
+FROM fullk f LEFT JOIN topk_{d} t ON t.query_id = f.query_id AND t.nid = f.nid
+GROUP BY f.query_id""")
+    ctes = ["""q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+)"""]
+    for label, slice_expr_e, slice_expr_q in [
+        ("fullk", "CAST(e.embedding AS DOUBLE[])", "q.qv")
+    ] + [
+        (f"topk_{d}", f"CAST(e.embedding AS DOUBLE[])[1:{d}]", f"q.qv[1:{d}]")
+        for d in MATRYOSHKA_DIMS
+    ]:
+        ctes.append(f"""{label} AS (
+  SELECT query_id, nid FROM (
+    SELECT q.query_id, e.vec_id AS nid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos(slice_expr_e, slice_expr_q)} DESC, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.query_id
+  ) WHERE rn <= 10
+)""")
+    union = "\nUNION ALL\n".join(parts)
+    return "WITH " + ",\n".join(ctes) + "\n" + f"SELECT * FROM ({union}) ORDER BY query_id, dims"
+
+
+MATRYOSHKA_RECALL_SQL = _matryoshka_sql()
