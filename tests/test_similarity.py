@@ -448,7 +448,9 @@ def test_index_drift_zero_for_identical_halves(spark):
     cents = spark.createDataFrame(
         [(i, base[i]) for i in range(4)], "vec_id long, embedding array<float>"
     )
-    out = index_drift_stats(emb, cents).collect()
+    out = index_drift_stats(
+        emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 != 0"), cents
+    ).collect()
     assert all(r["share_diff_scaled"] == 0 for r in out)
 
 
@@ -462,7 +464,9 @@ def test_index_drift_detects_shift(spark):
     cents = spark.createDataFrame(
         [(0, a), (1, b)], "vec_id long, embedding array<float>"
     )
-    out = {r["cell"]: r for r in index_drift_stats(emb, cents).collect()}
+    out = {r["cell"]: r for r in index_drift_stats(
+        emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 != 0"), cents
+    ).collect()}
     # old mass all in cell 0, new mass all in cell 1 → max drift each
     assert out[0]["share_diff"] == 1.0 and out[1]["share_diff"] == 1.0
 

@@ -45,6 +45,21 @@ def norm(a) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _l2_normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec/||vec||) in double — the shared unit-normalize projection
+    (min L2² ⇔ max cosine for the PQ family). The element_at/transform
+    wrapping evaluates the norm ONCE per row inside codegen."""
+    vec = F.col(vec_col)
+    nv = F.element_at(
+        F.transform(
+            F.array(norm(vec)),
+            lambda n: F.transform(vec, lambda x: x.cast("double") / n),
+        ),
+        1,
+    )
+    return df.select(F.col(id_col), nv.alias(vec_col))
+
+
 def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -1340,19 +1355,28 @@ def pq_encode(
     cb_rows = sorted(
         ((r["sub"], r["code"], list(r["cw"])) for r in codebook.collect())
     )
-    ksub = max(r[1] for r in cb_rows) + 1
+    # Codes present in the codebook, in ascending order — the argmin runs
+    # over POSITIONS in this list and maps back, so a sparse/shifted code
+    # id space (e.g. ids 10..25 as seeds) can never produce a phantom
+    # all-zero codeword or emit a code the codebook doesn't contain.
+    code_ids = sorted({r[1] for r in cb_rows})
+    code_pos = {c: p for p, c in enumerate(code_ids)}
+    nk = len(code_ids)
     dsub = len(cb_rows[0][2])
-    CW = np.zeros((m, ksub, dsub), dtype=np.float64)
+    CW = np.zeros((m, nk, dsub), dtype=np.float64)
     for s, c, cw in cb_rows:
-        CW[s, c] = cw
-    CWW = np.zeros((m, ksub), dtype=np.float64)
+        CW[s, code_pos[c]] = cw
+    CWW = np.zeros((m, nk), dtype=np.float64)
     for s in range(m):
         for i in range(dsub):  # left-to-right, same fold as dot(cw, cw)
             CWW[s] += CW[s, :, i] * CW[s, :, i]
-    b_cw = emb.sparkSession.sparkContext.broadcast((CW, CWW))
+    b_cw = emb.sparkSession.sparkContext.broadcast(
+        (CW, CWW, np.asarray(code_ids, dtype=np.int64))
+    )
+    id_type = emb.schema[id_col].dataType.simpleString()
 
     def _encode(batches):
-        cw_m, cww_m = b_cw.value
+        cw_m, cww_m, codes_m = b_cw.value
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -1368,16 +1392,16 @@ def pq_encode(
             for s in range(m):
                 sv = V[:, s * dsub : (s + 1) * dsub]
                 svv = np.zeros(n)
-                acc = np.zeros((n, ksub))
+                acc = np.zeros((n, nk))
                 for i in range(dsub):  # sequential over dims == dot fold
                     svv += sv[:, i] * sv[:, i]
                     acc += sv[:, i, None] * cw_m[s, None, :, i]
                 d2 = (svv[:, None] - 2.0 * acc) + cww_m[s, None, :]
-                out_code[s::m] = np.argmin(d2, axis=1)
+                out_code[s::m] = codes_m[np.argmin(d2, axis=1)]
             yield pd.DataFrame({id_col: out_id, "sub": out_sub, "code": out_code})
 
     return emb.select(id_col, vec_col).mapInPandas(
-        _encode, f"{id_col} long, sub int, code int"
+        _encode, f"{id_col} {id_type}, sub int, code int"
     )
 
 
@@ -1425,19 +1449,8 @@ def pq_topk(
     """
     from pyspark.sql import Window as W
 
-    def _normalized(df):
-        vec = F.col(vec_col)
-        nv = F.element_at(
-            F.transform(
-                F.array(norm(vec)),
-                lambda n: F.transform(vec, lambda x: x.cast("double") / n),
-            ),
-            1,
-        )
-        return df.select(F.col(id_col), nv.alias(vec_col))
-
-    ncorp = _normalized(emb)
-    nquery = _normalized(query)
+    ncorp = _l2_normalized(emb, id_col, vec_col)
+    nquery = _l2_normalized(query, id_col, vec_col)
     cb = pq_codebook(ncorp, m, ksub, id_col, vec_col)
     codes = pq_encode(ncorp, cb, m, id_col, vec_col)
 
@@ -1753,20 +1766,9 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window as W
 
-    def _normalized(df):
-        vec = F.col(vec_col)
-        nv = F.element_at(
-            F.transform(
-                F.array(norm(vec)),
-                lambda n: F.transform(vec, lambda x: x.cast("double") / n),
-            ),
-            1,
-        )
-        return df.select(F.col(id_col), nv.alias(vec_col))
-
-    ncorp = _normalized(emb)
-    nquery = _normalized(query)
-    ncent = _normalized(centroids)
+    ncorp = _l2_normalized(emb, id_col, vec_col)
+    nquery = _l2_normalized(query, id_col, vec_col)
+    ncent = _l2_normalized(centroids, id_col, vec_col)
 
     cells = ivf_assign(ncorp, ncent, id_col, vec_col)
     cvec = ncent.select(
@@ -1779,6 +1781,9 @@ def ivfpq_topk(
             F.col(vec_col), F.col("centroid_vec"), lambda x, y: x - y
         ).alias(vec_col),
     )
+    # three consumers (codebook collect, encode kernel, cell join) — pin,
+    # or the corpus-by-centroids assignment pass executes three times
+    resid = resid.localCheckpoint(eager=True)
     cb = pq_codebook(resid.select(id_col, vec_col), m, ksub, id_col, vec_col)
     codes = pq_encode(resid.select(id_col, vec_col), cb, m, id_col, vec_col).join(
         resid.select(id_col, "cell"), id_col
@@ -1894,17 +1899,18 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- index drift
 
 def index_drift_stats(
-    emb: DataFrame,
+    old_emb: DataFrame,
+    new_emb: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Index-maintenance readout: has the embedding distribution DRIFTED
-    away from the partitioning an IVF/k-means index was built on? Two
-    corpus snapshots (here: even ids = index-time, odd ids = current —
-    swap in real snapshot frames) are assigned to the SAME centroids and
-    compared cell by cell; a large share shift is the retrain trigger
-    every vector-store operator watches.
+    away from the partitioning an IVF/k-means index was built on? The
+    index-time snapshot (``old_emb``) and the current corpus
+    (``new_emb``) are assigned to the SAME centroids and compared cell by
+    cell; a large share shift is the retrain trigger every vector-store
+    operator watches.
 
     Exactness: the per-cell share difference |n_old/t_old − n_new/t_new|
     is computed as the cross-multiplied integer |n_old·t_new − n_new·t_old|
@@ -1915,12 +1921,26 @@ def index_drift_stats(
     c = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
     )
-    assigned = _argmax_cell(emb, c, id_col, vec_col).select(
-        id_col, "cell", (F.col(id_col) % 2 == 0).alias("is_old")
+    # assign each snapshot independently — ids may overlap between
+    # snapshots (the same vector existing at index time and now), so a
+    # union + per-id argmax would silently collapse them
+    per_old = (
+        _argmax_cell(old_emb, c, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_old"))
     )
-    per = assigned.groupBy("cell").agg(
-        F.sum(F.col("is_old").cast("long")).alias("n_old"),
-        F.sum((~F.col("is_old")).cast("long")).alias("n_new"),
+    per_new = (
+        _argmax_cell(new_emb, c, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    per = (
+        per_old.join(per_new, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
     )
     totals = per.agg(
         F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
@@ -1945,10 +1965,16 @@ def index_drift_stats(
 
 
 def q_index_drift_stats(spark, sf_dir: str) -> DataFrame:
+    """Demo snapshot convention: even ids = index-time snapshot, odd ids
+    = current corpus (real callers pass two genuine snapshot frames)."""
     from wurzel_spark.tables import table as _table
 
     emb = _table(spark, sf_dir, "embeddings")
-    return index_drift_stats(emb, emb.filter(F.col("vec_id") < 8))
+    return index_drift_stats(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 != 0),
+        emb.filter(F.col("vec_id") < 8),
+    )
 
 
 INDEX_DRIFT_SQL = """
@@ -2029,7 +2055,8 @@ def matryoshka_recall_stats(
             .select("query_id", "nid")
         )
 
-    full = _topk(None)
+    full = _topk(None).localCheckpoint(eager=True)  # one baseline pass,
+    # not one per dims entry (the unioned plan would re-evaluate it)
     out = None
     for d in dims:
         overlap = (

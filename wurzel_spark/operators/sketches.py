@@ -858,18 +858,27 @@ def cms_cells(
     )
 
 
-def cms_estimate_terms(cells: DataFrame, terms: DataFrame, depth: int = CMS_DEPTH) -> DataFrame:
+def cms_estimate_terms(
+    cells: DataFrame,
+    terms: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
     """Probe a cell table for the given (w) terms: estimate = min over
-    depth row cells — one broadcast join, bounded by |terms|·depth."""
+    depth row cells — one broadcast join, bounded by |terms|·depth.
+    ``width`` must match the value the cell table was built with. An
+    absent (i, cell) key is an EMPTY cell — count 0 — so unseen terms
+    estimate 0 instead of vanishing or min-ing over only present cells
+    (a LEFT join with zero-fill, per CMS semantics)."""
     cell = (
         md5_prefix_hash(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))
-        % F.lit(CMS_WIDTH)
+        % F.lit(width)
     ).alias("cell")
     probes = terms.select(
         "w", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
     ).select("w", "i", cell)
     return (
-        probes.join(cells, ["i", "cell"])
+        probes.join(cells, ["i", "cell"], "left")
         .groupBy("w")
-        .agg(F.min("c").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )

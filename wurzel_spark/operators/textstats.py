@@ -1916,10 +1916,13 @@ def markdown_structure_stats(df: DataFrame, text_col: str = "text") -> DataFrame
     """
     c = F.col(text_col)
     n_lines = F.size(F.split(c, "\n"))
-    headings = F.regexp_count(c, F.lit(r"(?m)^#{1,6} "))
-    fences = F.regexp_count(c, F.lit(r"(?m)^```"))
-    table_rows = F.regexp_count(c, F.lit(r"(?m)^\|"))
-    bullets = F.regexp_count(c, F.lit(r"(?m)^\s*[-*+] "))
+    # line anchors spelled as (^|\n), not (?m)^ — Java multiline ^ also
+    # matches after \r and U+2028/9 where RE2 (the oracle's regex) only
+    # matches after \n, so the explicit form is the dialect-stable one
+    headings = F.regexp_count(c, F.lit(r"(^|\n)#{1,6} "))
+    fences = F.regexp_count(c, F.lit(r"(^|\n)```"))
+    table_rows = F.regexp_count(c, F.lit(r"(^|\n)\|"))
+    bullets = F.regexp_count(c, F.lit(r"(^|\n)[ \t]*[-*+] "))
     links = F.regexp_count(c, F.lit(r"\[[^\]]*\]\([^)]*\)"))
     words = TXT.word_count(c)
     nl = F.when(n_lines > 0, n_lines)
@@ -1944,10 +1947,10 @@ MARKDOWN_STRUCTURE_SQL = r"""
 WITH base AS (
   SELECT doc_id,
          len(string_split(text, chr(10))) AS n_lines,
-         len(regexp_extract_all(text, '(?m)^#{1,6} ')) AS headings,
-         len(regexp_extract_all(text, '(?m)^```')) AS fences,
-         len(regexp_extract_all(text, '(?m)^\|')) AS table_rows,
-         len(regexp_extract_all(text, '(?m)^\s*[-*+] ')) AS bullets,
+         len(regexp_extract_all(text, '(^|\n)#{1,6} ')) AS headings,
+         len(regexp_extract_all(text, '(^|\n)```')) AS fences,
+         len(regexp_extract_all(text, '(^|\n)\|')) AS table_rows,
+         len(regexp_extract_all(text, '(^|\n)[ \t]*[-*+] ')) AS bullets,
          len(regexp_extract_all(text, '\[[^\]]*\]\([^)]*\)')) AS links,
          len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS words
   FROM documents

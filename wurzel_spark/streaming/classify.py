@@ -45,4 +45,11 @@ def score_stream(
         .start()
     )
     q.awaitTermination()
+    import os
+
+    if not os.path.isdir(out_dir):  # every batch empty: nothing was scored
+        spark = stream.sparkSession
+        spark.createDataFrame([], "doc_id long, score double, pred long").write.mode(
+            "overwrite"
+        ).parquet(out_dir)
     return q
