@@ -485,3 +485,26 @@ def test_matryoshka_recall_full_dims_monotone_tendency(spark, sf_dir):
     for q, d in per.items():
         assert d[64] == 1.0          # full dims reproduce the full ranking
         assert 0.0 <= d[8] <= 1.0    # truncation is measured, not assumed
+
+
+def test_ivf_write_partition_pruning(spark, sf_dir, tmp_path):
+    """The written layout must prune at the DIRECTORY level: a cell
+    filter shows up as a PartitionFilter and the matching scan reads only
+    that cell's files."""
+    import glob as _glob
+
+    from wurzel_spark.operators.similarity import ivf_write
+    from wurzel_spark.plans import plan_text
+    from wurzel_spark.tables import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "ivf_layout")
+    ivf_write(emb, emb.filter(F.col("vec_id") < 4), p)
+    # one directory per non-empty cell
+    dirs = sorted(_glob.glob(p + "/cell=*"))
+    assert 1 <= len(dirs) <= 4
+    back = spark.read.parquet(p)
+    assert back.count() == emb.count()
+    probed = back.filter(F.col("cell") == 0)
+    t = plan_text(probed)
+    assert "PartitionFilters" in t and "cell" in t.split("PartitionFilters")[1][:120], t

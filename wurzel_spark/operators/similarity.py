@@ -2128,3 +2128,22 @@ GROUP BY f.query_id""")
 
 
 MATRYOSHKA_RECALL_SQL = _matryoshka_sql()
+
+
+def ivf_write(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Serve-side IVF layout: write the corpus partitioned BY CELL
+    (``path/cell=N/...``), so a query's nprobe probe reads exactly nprobe
+    directories — Spark's partition pruning turns the cell filter into
+    "never open the file", the storage analog of the in-memory cell join
+    ivf_topk does. This is what "at 100 TB: written out partitioned by
+    cell" (ivf_topk's docstring) concretely means.
+    """
+    c = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+    assigned = _argmax_cell(emb, c, id_col, vec_col).select(id_col, vec_col, "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
