@@ -190,3 +190,29 @@ def test_winnow_fingerprints_plan_is_map_only(spark, sf_dir):
     t = plan_text(df)
     assert "Exchange hashpartitioning" not in t, t
     assert "BroadcastNestedLoopJoin" not in t and "CartesianProduct" not in t
+
+
+def test_merge_cluster_labels_matches_full_recompute(spark):
+    from wurzel_spark.operators import dedup as D
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    # new edges: bridge two old components (1..3 with 10,11), extend one
+    # (21-22), and introduce a brand-new component (30,31)
+    new_pairs = spark.createDataFrame(
+        [(3, 10), (21, 22), (30, 31)], "id_a long, id_b long"
+    )
+    labels = D.near_dup_cluster_members(old_pairs)
+    merged = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.merge_cluster_labels(labels, new_pairs).collect()
+    }
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.near_dup_cluster_members(old_pairs.union(new_pairs)).collect()
+    }
+    assert merged == full
+    assert merged[11] == 1      # bridged into the min-id component
+    assert merged[22] == 20
+    assert merged[31] == 30

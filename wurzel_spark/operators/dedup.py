@@ -2018,3 +2018,25 @@ GROUP BY a.doc_id, b.doc_id, a.n_fps, b.n_fps
 HAVING CAST(COUNT(*) AS DOUBLE) / LEAST(a.n_fps, b.n_fps) >= 0.2
 ORDER BY id_a, id_b
 """
+
+
+def merge_cluster_labels(
+    labels: DataFrame, new_pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Incremental cluster maintenance: fold NEW near-dup pairs (e.g.
+    from :func:`incremental_near_dup_pairs` over today's ingest) into an
+    existing (doc_id, cluster_id) labeling WITHOUT recomputing pairs for
+    the whole corpus — the published labeling is its own compressed edge
+    set (every member → its component minimum, a star per component), so
+    components are preserved exactly and new edges just merge stars.
+
+    Cost ∝ |existing labeling| + |new pairs| — independent of corpus
+    text. Output is identical to a full recompute over (old pairs ∪ new
+    pairs): star edges reach the same components (parity-tested).
+    """
+    star_edges = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    return near_dup_cluster_members(
+        star_edges.unionByName(new_pairs.select("id_a", "id_b")), max_iters
+    )
