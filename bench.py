@@ -102,6 +102,13 @@ HEADLINE = [
     "curriculum_order",
     "sq8_code_stats",
     "data_budget_plan",
+    # round 4 (cont.): index maintenance + truncation eval + IVF-PQ
+    "index_drift_stats",
+    "matryoshka_recall_stats",
+    "ann_topk_ivfpq",
+    "cluster_best_keep_capped",
+    "markdown_structure_stats",
+    "license_scan",
 ]
 
 
