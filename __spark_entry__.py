@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": similarity.q_ann_topk_ivfpq,
         "index_drift_stats": similarity.q_index_drift_stats,
         "matryoshka_recall_stats": similarity.q_matryoshka_recall,
+        "incremental_cluster_members": dedup.q_incremental_cluster_members,
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "embed_multivector_docs": embedding.q_embed_multivector,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_best_keep_capped": selection.CLUSTER_BEST_KEEP_CAPPED_SQL,
         "index_drift_stats": similarity.INDEX_DRIFT_SQL,
         "matryoshka_recall_stats": similarity.MATRYOSHKA_RECALL_SQL,
+        "incremental_cluster_members": dedup.INCREMENTAL_CLUSTER_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,

@@ -2040,3 +2040,50 @@ def merge_cluster_labels(
     return near_dup_cluster_members(
         star_edges.unionByName(new_pairs.select("id_a", "id_b")), max_iters
     )
+
+
+def q_incremental_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental maintenance path as an oracle-checked query: docs
+    with ``doc_id % 5 == 4`` play "today's ingest" — components are first
+    built from pairs wholly inside the old corpus, then the new batch's
+    pairs (anything touching a new doc) merge in via
+    :func:`merge_cluster_labels`. By the star-compression property the
+    result EQUALS a full recompute over all pairs, which is exactly what
+    the DuckDB oracle computes — the incremental path itself is what the
+    hash compare certifies. Pairs use the df-capped scale configuration.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=CAPPED_MAX_DF, sort=False
+    ).localCheckpoint(eager=True)  # one pair computation feeds both halves
+    is_new_a = F.col("id_a") % 5 == 4
+    is_new_b = F.col("id_b") % 5 == 4
+    old_pairs = pairs.filter(~is_new_a & ~is_new_b)
+    new_pairs = pairs.filter(is_new_a | is_new_b)
+    labels = near_dup_cluster_members(old_pairs)
+    return merge_cluster_labels(labels, new_pairs).orderBy("doc_id")
+
+
+INCREMENTAL_CLUSTER_SQL = f"""
+WITH RECURSIVE {_CAPPED_SHINGLES_CTE},
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
+ORDER BY doc_id
+"""
