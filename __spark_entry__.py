@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_drift_stats": similarity.q_index_drift_stats,
         "matryoshka_recall_stats": similarity.q_matryoshka_recall,
         "incremental_cluster_members": dedup.q_incremental_cluster_members,
+        # prefix-filtered exact Jaccard — SAME oracle as the uncapped
+        # all-pairs form: the hash-green row proves the pruning lossless
+        "ngram_jaccard_prefix": dedup.q_ngram_jaccard_prefix,
         "ann_topk_ivf": similarity.q_ann_topk_ivf,
         "embed_multivector_docs": embedding.q_embed_multivector,
         "join_anti_customers_without_orders": relational.join_anti_customers_without_orders,
@@ -236,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "index_drift_stats": similarity.INDEX_DRIFT_SQL,
         "matryoshka_recall_stats": similarity.MATRYOSHKA_RECALL_SQL,
         "incremental_cluster_members": dedup.INCREMENTAL_CLUSTER_SQL,
+        "ngram_jaccard_prefix": dedup.NGRAM_JACCARD_SQL,
         "semdedup_keep": similarity.SEMDEDUP_SQL,
         "bm25_topk": textstats.BM25_TOPK_SQL,
         "sequence_pack": packing.SEQUENCE_PACK_SQL,

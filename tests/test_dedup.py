@@ -216,3 +216,33 @@ def test_merge_cluster_labels_matches_full_recompute(spark):
     assert merged[11] == 1      # bridged into the min-id component
     assert merged[22] == 20
     assert merged[31] == 30
+
+
+def test_prefix_jaccard_matches_full_join_exactly(spark, sf_dir):
+    from wurzel_spark.operators import dedup as D
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    full = {(r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    pref = {(r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in D.ngram_jaccard_prefix_pairs(docs, threshold=0.5).collect()}
+    assert pref == full  # lossless pruning
+
+
+def test_prefix_jaccard_survives_boilerplate_shingle(spark):
+    """A shingle shared by EVERY doc (the d^2 hazard) must neither blow
+    up the candidate join nor change the exact answer."""
+    from wurzel_spark.operators import dedup as D
+
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique{i} text{i} content{i} words{i}", "en", "s")
+            for i in range(40)]
+    rows += [(100, f"{boiler} twin doc here now", "en", "s"),
+             (101, f"{boiler} twin doc here now", "en", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {(r["id_a"], r["id_b"]) for r in
+           D.ngram_jaccard_prefix_pairs(docs, threshold=0.9).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in
+             D.ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert out == exact and (100, 101) in out

@@ -2087,3 +2087,96 @@ SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
 FROM reach GROUP BY src
 ORDER BY doc_id
 """
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    sort: bool = True,
+) -> DataFrame:
+    """All-pairs exact Jaccard via PREFIX FILTERING (PPJoin family, Xiao
+    et al. 2008) — the LOSSLESS answer to the shingle self-join's d²
+    hazard: order every document's shingles by global rarity and join
+    only on each doc's first ``a − ⌈t·a⌉ + 1`` rarest shingles. If
+    J(A,B) ≥ t the required overlap is ≥ ⌈t·a⌉ (any partner smaller than
+    t·a cannot reach t at all), so the prefixes of every qualifying pair
+    MUST intersect — candidates are a superset of answers, and the exact
+    array-intersect verify restores precision. Output is IDENTICAL to
+    :func:`ngram_jaccard_pairs` (same oracle certifies it), but a
+    boilerplate shingle shared by 100k docs joins only through the few
+    docs whose prefix it lands in, not d² times.
+
+    Scale shape: one vocabulary-sized df aggregate, a per-doc rank
+    window (partition = the doc's own shingle count), the prefix
+    equi-join (rare shingles by construction → small fan-out), then a
+    candidate-bounded verify joining each pair to its two shingle ARRAYS
+    (array_intersect, row-local). No stage touches d² rows unless the
+    ANSWER itself is d²-sized.
+
+    Measured trade (PERF.md round-4 close): on a tame corpus the plain
+    join wins (sf0.1: 2.1 s vs 4.1 s — the df aggregate + rank window +
+    verify stages cost more than the small join saves); on a
+    boilerplate-stress corpus (6 k docs sharing one trigram) prefix wins
+    3× (5.7 s vs 17.0 s) and the gap grows quadratically with corpus
+    size. Pick by corpus: plain join below ~max_df-scale boilerplate,
+    prefix (or LSH) above it.
+    """
+    from pyspark.sql import Window as W
+
+    docs_arr = _parallelize(df).select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("arr")
+    ).select("id", F.size("arr").alias("n"), "arr")
+    docs_arr = docs_arr.localCheckpoint(eager=True)  # feeds prefix AND verify
+    sh = docs_arr.select("id", "n", F.explode("arr").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
+    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.col("dfc").asc(), F.col("shingle").asc())
+            ),
+        )
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    av = docs_arr.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("arr").alias("arr_a")
+    )
+    bv = docs_arr.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("arr").alias("arr_b")
+    )
+    verified = (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    out = verified.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+    return out.orderBy("id_a", "id_b") if sort else out
+
+
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard — shares the UNCAPPED oracle with
+    ngram_jaccard_pairs: a hash-green row PROVES the pruning is lossless."""
+    return ngram_jaccard_prefix_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
