@@ -555,3 +555,39 @@ def test_streaming_classifier_scoring_matches_batch(spark, sf_dir, tmp_path):
         for r in score_documents(doc_features(docs), w, b).collect()
     }
     assert got == exp
+
+
+def test_streaming_cluster_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Live cluster labels across micro-batches == batch LSH pairs →
+    components over the whole corpus, under one-file-per-trigger
+    admission (pairs split across batch boundaries must all be found
+    via the growing index)."""
+    from wurzel_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        near_dup_cluster_members,
+    )
+    from wurzel_spark.streaming.clusters import cluster_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    d = str(tmp_path / "clu_in")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cluster_stream(
+            stream,
+            str(tmp_path / "clu_index"),
+            str(tmp_path / "clu_labels"),
+            str(tmp_path / "clu_ckpt"),
+        ).collect()
+    }
+    exp = {
+        (r["doc_id"], r["cluster_id"])
+        for r in near_dup_cluster_members(
+            minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+        ).collect()
+    }
+    assert got == exp
