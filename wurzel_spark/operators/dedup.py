@@ -489,12 +489,17 @@ def minhash_dedup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: signatures → band candidates → exact
-    Jaccard verification on candidates only.
+    Jaccard verification on candidates only. Pass precomputed ``sigs``
+    (from build_near_dup_index) to skip the signature kernel — the
+    streaming path computes signatures ONCE per batch and feeds all
+    three consumers.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_banded_signatures(df, id_col, text_col, num_hashes, n, bands)
+    if sigs is None:
+        sigs = minhash_banded_signatures(df, id_col, text_col, num_hashes, n, bands)
     # Materialize the (small) candidate list once: it feeds the id filter
     # and the pair join below, and without this the whole signature+banding
     # pipeline would be recomputed per use. localCheckpoint keeps it
@@ -971,6 +976,7 @@ def near_dup_cluster_members(
     # an exact changed-test and replaces the join+filter+count probe that
     # cost a full extra shuffle per round.
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -991,8 +997,19 @@ def near_dup_cluster_members(
         # for arbitrarily large id domains.
         cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"label propagation did not converge in {max_iters} rounds; "
+            "components with diameter > max_iters carry multiple labels — "
+            "raise max_iters for long-chain dup graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -1468,6 +1485,7 @@ def incremental_near_dup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     n: int = 3,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an already-indexed corpus —
     the incremental form of :func:`minhash_dedup_pairs` for continuous
@@ -1482,7 +1500,10 @@ def incremental_near_dup_pairs(
     does both (new-vs-corpus, then new-vs-new) and unions the results.
     """
     rows_per_band = num_hashes // bands
-    new_sigs = minhash_banded_signatures(new_docs, id_col, text_col, num_hashes, n, bands)
+    if new_sigs is None:
+        new_sigs = minhash_banded_signatures(
+            new_docs, id_col, text_col, num_hashes, n, bands
+        )
     nb = (
         new_sigs.localCheckpoint()
         .select("id", "bhs")
@@ -1500,6 +1521,8 @@ def incremental_near_dup_pairs(
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash")),
         )
+        .filter(F.col("a.id") != F.col("b.id"))  # a replayed batch may
+        # already be in the index — never pair a doc with itself
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
         .localCheckpoint()
@@ -2037,9 +2060,17 @@ def merge_cluster_labels(
     star_edges = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
-    return near_dup_cluster_members(
+    merged = near_dup_cluster_members(
         star_edges.unionByName(new_pairs.select("id_a", "id_b")), max_iters
     )
+    # near_dup_cluster_members emits only docs with at least one edge;
+    # singleton rows (doc_id == cluster_id) in the INPUT labeling would
+    # otherwise vanish from the merged output — carry them through
+    # unless the new pairs pulled them into a component.
+    singletons = labels.filter(F.col("doc_id") == F.col("cluster_id")).join(
+        merged.select("doc_id"), "doc_id", "left_anti"
+    )
+    return merged.unionByName(singletons)
 
 
 def q_incremental_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2132,7 +2163,13 @@ def ngram_jaccard_prefix_pairs(
     docs_arr = docs_arr.localCheckpoint(eager=True)  # feeds prefix AND verify
     sh = docs_arr.select("id", "n", F.explode("arr").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
-    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    # o_min = ceil(t·n) computed with a 1e-9 guard: double rounding can
+    # overshoot an exact integer product (0.55·100 → 55.000000000000007 →
+    # ceil 56, one too many, which would SHORTEN the prefix below the
+    # lossless bound). Subtracting epsilon can only lengthen the prefix
+    # (never shorten it), so the filter stays lossless for every (t, n).
+    o_min = F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+    prefix_len = (F.col("n") - o_min + 1).cast("int")
     prefix = (
         sh.join(dfreq, "shingle")
         .withColumn(

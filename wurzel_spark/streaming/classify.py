@@ -45,10 +45,10 @@ def score_stream(
         .start()
     )
     q.awaitTermination()
-    import os
+    from wurzel_spark.streaming._fs import path_exists
 
-    if not os.path.isdir(out_dir):  # every batch empty: nothing was scored
-        spark = stream.sparkSession
+    spark = stream.sparkSession
+    if not path_exists(spark, out_dir):  # every batch empty: nothing was scored
         spark.createDataFrame([], "doc_id long, score double, pred long").write.mode(
             "overwrite"
         ).parquet(out_dir)

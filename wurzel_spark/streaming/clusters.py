@@ -11,18 +11,31 @@ exist, whichever batch each arrived in (new-vs-index + new-vs-new per
 batch covers exactly the full pair set across batches), and (b) label
 merging is exact by star compression (see merge_cluster_labels).
 
-Scale shape per batch: signature kernel over the batch only; band join
-against the ~300 B/doc index, never old text; label merge over the
-dup graph. State staged as parquet: the growing index and the current
-labels — both orders of magnitude smaller than the corpus.
+State layout (any Hadoop URI — existence checks go through the
+FileSystem API, not os.path):
+  - ``index_dir/batch=N``       banded signatures, ~300 B/doc — the
+                                 candidate-generation state;
+  - ``index_dir``+``_docs/batch=N``  (doc_id, text) verification table.
+    The exact-Jaccard verify needs document text, so this side table IS
+    corpus-sized — it is the cold verification store (or your existing
+    lake table), NOT part of the small hot index; only candidate docs
+    are ever read from it per batch (broadcast semi-join);
+  - ``labels_dir``              current (doc_id, cluster_id) labeling.
+
+Idempotence under Structured Streaming's retry contract: per-batch state
+writes go to ``batch=N`` subdirectories with overwrite, so a replayed
+batch REPLACES its own partition instead of appending duplicates, and
+the incremental band join drops self-pairs (a replayed batch already in
+the index would otherwise match itself).
+
+Per-batch cost: the MinHash signature kernel runs ONCE (the same
+signatures feed within-batch candidates, the cross-batch band join, and
+the index append); verification re-reads only candidate docs.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from wurzel_spark.operators.dedup import (
     build_near_dup_index,
@@ -31,8 +44,7 @@ from wurzel_spark.operators.dedup import (
     minhash_dedup_pairs,
     near_dup_cluster_members,
 )
-
-_EMPTY_PAIRS = "id_a long, id_b long"
+from wurzel_spark.streaming._fs import path_exists
 
 
 def cluster_stream(
@@ -41,44 +53,51 @@ def cluster_stream(
     labels_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.5,
+    max_iters: int = 20,
 ) -> DataFrame:
     """Drain an availableNow document stream maintaining the near-dup
     index and cluster labels; returns the final (doc_id, cluster_id)
-    membership frame (also persisted under ``labels_dir``)."""
+    membership frame (also persisted under ``labels_dir``).
+    ``max_iters`` bounds label propagation per merge — raise it for
+    long-chain dup graphs (non-convergence warns, see
+    near_dup_cluster_members)."""
     spark = stream.sparkSession
+    docs_dir = index_dir + "_docs"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch_df = batch_df.localCheckpoint()
-        within = minhash_dedup_pairs(batch_df, threshold=threshold).select(
+        # ONE signature pass feeds all three consumers
+        sigs = build_near_dup_index(batch_df).localCheckpoint()
+        within = minhash_dedup_pairs(batch_df, threshold=threshold, sigs=sigs).select(
             "id_a", "id_b"
         )
-        if os.path.isdir(index_dir):
+        if path_exists(spark, index_dir):
             corpus_index = spark.read.parquet(index_dir)
-            # corpus text is not needed: incremental verification
-            # re-shingles candidates from their stored signatures' doc ids
-            # — but the exact-Jaccard verify needs text, so keep a text
-            # side-table next to the index
-            corpus_docs = spark.read.parquet(index_dir + "_docs")
+            corpus_docs = spark.read.parquet(docs_dir).select("doc_id", "text")
             cross = incremental_near_dup_pairs(
-                batch_df, corpus_docs, corpus_index, threshold=threshold
+                batch_df,
+                corpus_docs,
+                corpus_index,
+                threshold=threshold,
+                new_sigs=sigs,
             ).select("id_a", "id_b")
             pairs = within.unionByName(cross)
         else:
             pairs = within
-        if os.path.isdir(labels_dir):
+        if path_exists(spark, labels_dir):
             labels = spark.read.parquet(labels_dir)
-            merged = merge_cluster_labels(labels, pairs)
+            merged = merge_cluster_labels(labels, pairs, max_iters)
         else:
-            merged = near_dup_cluster_members(pairs)
-        # stage updated state (write to tmp then replace is the durable
-        # pattern; at test scale an overwrite into a fresh dir suffices)
+            merged = near_dup_cluster_members(pairs, max_iters)
         merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(labels_dir)
-        build_near_dup_index(batch_df).write.mode("append").parquet(index_dir)
-        batch_df.select("doc_id", "text").write.mode("append").parquet(
-            index_dir + "_docs"
+        # batch-keyed overwrite => a replayed batch replaces its own
+        # partition instead of appending duplicate state forever
+        sigs.write.mode("overwrite").parquet(f"{index_dir}/batch={batch_id}")
+        batch_df.select("doc_id", "text").write.mode("overwrite").parquet(
+            f"{docs_dir}/batch={batch_id}"
         )
 
     q = (
@@ -88,6 +107,6 @@ def cluster_stream(
         .start()
     )
     q.awaitTermination()
-    if not os.path.isdir(labels_dir):
+    if not path_exists(spark, labels_dir):
         return spark.createDataFrame([], "doc_id long, cluster_id long")
     return spark.read.parquet(labels_dir)

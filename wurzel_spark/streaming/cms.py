@@ -15,12 +15,11 @@ the same bounded size regardless of batch rows.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wurzel_spark.operators.sketches import cms_cells, cms_estimate_terms
+from wurzel_spark.streaming._fs import path_exists
 
 
 def cms_stream_estimates(
@@ -47,7 +46,7 @@ def cms_stream_estimates(
     q.awaitTermination()
     spark = stream.sparkSession
     tdf = spark.createDataFrame([(t,) for t in terms], "w string")
-    if not os.path.isdir(staging_dir):
+    if not path_exists(spark, staging_dir):
         return tdf.select("w", F.lit(None).cast("long").alias("cms_estimate")).limit(0)
     merged = (
         spark.read.parquet(staging_dir)

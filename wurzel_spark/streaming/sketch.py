@@ -52,9 +52,9 @@ def hll_stream_distinct(
     )
     q.awaitTermination()
     spark = stream.sparkSession
-    import os
+    from wurzel_spark.streaming._fs import path_exists
 
-    if not os.path.isdir(staging_dir):  # every batch empty: nothing staged
+    if not path_exists(spark, staging_dir):  # every batch empty: nothing staged
         return spark.createDataFrame(
             [],
             "source string, n_buckets_hit long, hll_sum_scaled long, hll_estimate double",
