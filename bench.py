@@ -109,6 +109,8 @@ HEADLINE = [
     "cluster_best_keep_capped",
     "markdown_structure_stats",
     "license_scan",
+    "ngram_jaccard_prefix",
+    "incremental_cluster_members",
 ]
 
 
