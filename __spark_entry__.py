@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal tail (rows-only; stub codecs, real mapInPandas plumbing)
         "multimodal_frame_stats": multimodal.q_multimodal_frame_stats,
         "multimodal_audio_features": multimodal.q_multimodal_audio_features,
+        "image_near_dup_pairs": multimodal.q_image_near_dup,
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_clusters": dedup.q_dedup_clusters,
         "ann_topk_bruteforce": similarity.q_ann_topk_bruteforce,

@@ -65,3 +65,23 @@ def test_repartition_by_size_preserves_rows(spark, assets):
     out = repartition_by_size(assets, target_bytes=8)
     assert sorted(r["asset_id"] for r in out.collect()) == [1, 2, 3, 4]
     assert out.schema == assets.schema
+
+
+def test_image_near_dup_finds_identical_content(spark):
+    from wurzel_spark.operators.multimodal import (
+        assets_from_documents,
+        image_near_dup_pairs,
+    )
+
+    # identical text -> identical synthetic asset bytes -> hamming 0
+    rows = [
+        (0, "same image payload text", "en", "s"),
+        (3, "same image payload text", "en", "s"),
+        (6, "completely different pixels here", "en", "s"),
+    ]  # ids chosen so doc_id % 3 == 0 -> kind 'image'
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    assets = assets_from_documents(docs)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup_pairs(assets).collect()}
+    assert pairs.get((0, 3)) == 0
+    assert all(k == (0, 3) for k in pairs)  # the distinct image pairs with no one

@@ -315,3 +315,36 @@ def q_multimodal_audio_features(spark, sf_dir: str) -> DataFrame:
 
     assets = assets_from_documents(_table(spark, sf_dir, "documents"))
     return audio_features(assets.filter(F.col("kind") == "audio")).orderBy("asset_id")
+
+
+def image_near_dup_pairs(
+    assets: DataFrame, max_hamming: int = 3, decoder: str = "fake"
+) -> DataFrame:
+    """Image near-duplicate pairs: decode → 64-bit perceptual hash →
+    the SAME 4-band pigeonhole join the text SimHash family uses
+    (dedup.simhash_band_pairs — if hamming ≤ 3 one 16-bit band matches
+    exactly). This is the image half of corpus dedup (resized/re-encoded
+    copies share perceptual bits the way edited text shares shingles);
+    at 100 TB the decode+hash is the one heavy map pass and everything
+    after touches 8-byte signatures only.
+
+    Stub decoder caveat: the fake decoder hashes CONTENT, so only
+    bit-identical assets collide — with a real decoder (PIL slot in
+    _fake_pixels) visually-near images land within the hamming radius.
+    Rows-only; exact-duplicate recall pinned in tests.
+    """
+    from wurzel_spark.operators.dedup import simhash_band_pairs
+
+    decoded = decode_images(assets, decoder)
+    sigs = decoded.select(
+        F.col("asset_id").alias("id"), F.col("phash64").alias("simhash")
+    )
+    return simhash_band_pairs(sigs, max_hamming).orderBy("id_a", "id_b")
+
+
+def q_image_near_dup(spark, sf_dir: str) -> DataFrame:
+    from wurzel_spark.tables import table as _table
+
+    return image_near_dup_pairs(
+        assets_from_documents(_table(spark, sf_dir, "documents"))
+    )
