@@ -203,16 +203,21 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — oracle timing is advisory
         print(f"# duckdb oracle timing skipped: {e}", file=sys.stderr)
 
+    # Key order matters for the stored artifact: the driver's capture keeps
+    # the TAIL of this (long) line, so the advisory oracle dict goes FIRST
+    # and the headline metric + Spark per-query dict go LAST — truncation
+    # can only cost oracle numbers, never the Spark ones (BENCH_r04.json
+    # lost the Spark half the other way around).
     print(
         json.dumps(
             {
-                "metric": "headline_total_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "duckdb_oracle_sec": round(oracle_total, 3),
                 "duckdb_oracle_queries": oracle_times,
+                "duckdb_oracle_sec": round(oracle_total, 3),
+                "sf": sf,
+                "metric": "headline_total_wall_clock",
+                "unit": "sec",
+                "value": round(total, 3),
+                "queries": times,
             }
         )
     )

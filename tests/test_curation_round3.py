@@ -397,3 +397,25 @@ def test_repetition_stats_degenerate_docs_match_oracle(spark):
     assert list(got["top_2gram_count"]) == [int(v) for v in exp["top_2gram_count"]]
     for a, b in zip(got["dup_5gram_frac"], exp["dup_5gram_frac"]):
         assert (pd.isna(a) and pd.isna(b)) or a == b
+
+
+def test_label_propagation_strict_raises_on_nonconvergence(spark):
+    """A labeling that splits components across labels must never escape
+    as ground truth (it would be persisted as streaming cluster state):
+    strict mode raises; strict=False keeps the warn-and-return behavior."""
+    import pytest as _pytest
+
+    from wurzel_spark.operators import dedup as D
+
+    rows = [(i, i + 1) for i in range(1, 8)]  # 8-node chain, diameter 7
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    old = D._DRIVER_UNION_FIND_MAX_EDGES
+    try:
+        D._DRIVER_UNION_FIND_MAX_EDGES = 0  # force the distributed path
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            D.near_dup_cluster_members(pairs, max_iters=1)
+        with _pytest.warns(RuntimeWarning, match="did not converge"):
+            out = D.near_dup_cluster_members(pairs, max_iters=1, strict=False)
+        assert out.count() == 8  # all nodes labeled, labels possibly partial
+    finally:
+        D._DRIVER_UNION_FIND_MAX_EDGES = old

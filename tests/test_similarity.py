@@ -508,3 +508,17 @@ def test_ivf_write_partition_pruning(spark, sf_dir, tmp_path):
     probed = back.filter(F.col("cell") == 0)
     t = plan_text(probed)
     assert "PartitionFilters" in t and "cell" in t.split("PartitionFilters")[1][:120], t
+
+
+def test_pq_encode_empty_codebook_returns_empty(spark):
+    """An empty codebook (no corpus ids seeded it) must yield an empty,
+    correctly-typed code frame — not IndexError on the collected rows."""
+    from wurzel_spark.operators.similarity import pq_encode
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    cb = spark.createDataFrame([], "sub int, code int, cw array<double>")
+    out = pq_encode(emb, cb, m=2)
+    assert out.columns == ["vec_id", "sub", "code"]
+    assert out.count() == 0

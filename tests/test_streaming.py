@@ -591,3 +591,50 @@ def test_streaming_cluster_maintenance_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == exp
+
+
+def test_streaming_cms_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """At-least-once replay: re-delivering a batch (foreachBatch retry
+    after the parquet write, before the checkpoint commit) must not
+    double-count its CMS cells — overwrite to batch=N replaces them."""
+    from wurzel_spark.streaming.cms import write_batch_cells
+
+    docs = table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    stage = str(tmp_path / "cms_replay_stage")
+    write_batch_cells(b0, 0, stage)
+    write_batch_cells(b1, 1, stage)
+
+    def _merged():
+        return {
+            (r["i"], r["cell"]): r["c"]
+            for r in spark.read.parquet(stage)
+            .groupBy("i", "cell")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+
+    once = _merged()
+    write_batch_cells(b0, 0, stage)  # replayed delivery of batch 0
+    assert _merged() == once
+
+
+def test_streaming_classifier_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replayed micro-batch must replace, not duplicate, its scored rows."""
+    import numpy as np
+
+    from wurzel_spark.operators.classifier import N_BUCKETS
+    from wurzel_spark.streaming.classify import write_batch_scores
+
+    docs = table(spark, sf_dir, "documents")
+    w = np.zeros(N_BUCKETS, dtype=np.float64)
+    w[0] = 0.01
+    out = str(tmp_path / "clf_replay_out")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    write_batch_scores(b0, 0, w, 0.0, out)
+    n_docs = b0.count()
+    rows_once = spark.read.parquet(out).count()
+    assert rows_once == n_docs
+    write_batch_scores(b0, 0, w, 0.0, out)  # replayed delivery
+    assert spark.read.parquet(out).count() == n_docs

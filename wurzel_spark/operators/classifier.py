@@ -55,11 +55,20 @@ def doc_features(
 
 
 def _grad_kernel(n_buckets: int, w_b, bias_b):
+    # |c| ≤ _FP_SCALE = 2^40 per doc, int64 holds 2^63 — the accumulator
+    # is exact only below 2^23 docs per span. Arrow batches are normally
+    # ≤10k rows, but maxRecordsPerBatch is user-configurable (0 = one
+    # batch per partition), so flush the accumulator every 2^22 docs:
+    # partial integer sums re-reduced downstream are exact regardless of
+    # where the flush lands, and the bound 2^22·2^40 = 2^62 never wraps.
+    flush_docs = 1 << 22
+
     def inner(batches):
         w = w_b.value
         bias = bias_b.value
         for pdf in batches:
             g = np.zeros(n_buckets + 1, dtype=np.int64)  # [grads..., bias]
+            in_span = 0
             for bks, y in zip(pdf["buckets"], pdf["y"]):
                 idx = np.asarray(bks, dtype=np.int64)
                 z = bias + (w[idx].sum() if len(idx) else 0.0)
@@ -68,6 +77,12 @@ def _grad_kernel(n_buckets: int, w_b, bias_b):
                 c = np.int64(round((p - y) * _FP_SCALE))
                 g[idx] += c
                 g[n_buckets] += c
+                in_span += 1
+                if in_span >= flush_docs:
+                    nz = np.nonzero(g)[0]
+                    yield pd.DataFrame({"j": nz, "g": g[nz]})
+                    g = np.zeros(n_buckets + 1, dtype=np.int64)
+                    in_span = 0
             # zero partials (touched buckets whose rounded grads cancel)
             # contribute nothing to the sum — safe to drop the rows
             nz = np.nonzero(g)[0]

@@ -924,7 +924,7 @@ def _union_find_members(spark: SparkSession, edges: DataFrame) -> DataFrame:
 
 
 def near_dup_cluster_members(
-    pairs: DataFrame, max_iters: int = 20
+    pairs: DataFrame, max_iters: int = 20, strict: bool = True
 ) -> DataFrame:
     """Connected components over near-dup pairs by iterative min-label
     propagation: every node starts labeled with its own id; each round a
@@ -944,6 +944,14 @@ def near_dup_cluster_members(
     every member of every ≥2-component (a node appears iff it has an
     edge). :func:`near_dup_clusters` aggregates this to sizes;
     selection.cluster_best_keep joins it back to pick representatives.
+
+    ``strict`` (default): if propagation hits ``max_iters`` without
+    converging, RAISE instead of returning a labeling that splits
+    components across multiple labels — downstream consumers
+    (merge_cluster_labels, streaming/clusters.py) persist these labels as
+    ground truth, so a silently-partial labeling would compound across
+    batches. ``strict=False`` restores the warn-and-return behavior for
+    exploratory use.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -1001,15 +1009,19 @@ def near_dup_cluster_members(
             break
         prev_sum = cur_sum
     if not converged:
-        import warnings
-
-        warnings.warn(
+        msg = (
             f"label propagation did not converge in {max_iters} rounds; "
             "components with diameter > max_iters carry multiple labels — "
-            "raise max_iters for long-chain dup graphs",
-            RuntimeWarning,
-            stacklevel=2,
+            "raise max_iters for long-chain dup graphs"
         )
+        if strict:
+            # Never let a partial labeling escape as if it were the full
+            # connected-components answer (it would be persisted as
+            # streaming cluster state and compound batch over batch).
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -1336,9 +1336,13 @@ def pq_encode(
     each; at 100 TB the 64-dim float vector (256 B) compresses to m·4 bits
     (4 B), which is the reason PQ is the standard billion-scale ANN layout.
 
-    Shape: subspace explode (×m) → broadcast join with the m·ksub-row
-    codebook → min_by hash aggregate (map-side combine, no sort, no
-    window). Never shuffles the vectors themselves.
+    Shape: the codebook (m·ksub rows — KB-sized by construction) is
+    collected once and BROADCAST as a dense (m, ksub, dsub) array; one
+    Arrow kernel scores all ksub codewords per subspace with vectorized
+    numpy folds that replay ``dot``'s left-to-right rounding sequence
+    bit-exactly (np.argmin's first-minimum rule == min_by's tie-to-lower
+    over code-ordered codewords). Vectors never shuffle; per-task work is
+    O(rows · m · ksub) SIMD flops.
     """
     import numpy as np
     import pandas as pd
@@ -1355,6 +1359,14 @@ def pq_encode(
     cb_rows = sorted(
         ((r["sub"], r["code"], list(r["cw"])) for r in codebook.collect())
     )
+    if not cb_rows:
+        # Empty codebook (e.g. no corpus ids < ksub seeded it): there is
+        # nothing to assign — return an empty, correctly-typed frame
+        # instead of IndexError-ing on cb_rows[0].
+        id_type0 = emb.schema[id_col].dataType.simpleString()
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type0}, sub int, code int"
+        )
     # Codes present in the codebook, in ascending order — the argmin runs
     # over POSITIONS in this list and maps back, so a sparse/shifted code
     # id space (e.g. ids 10..25 as seeds) can never produce a phantom

@@ -9,6 +9,12 @@ the canonical train-offline / score-online deployment of the curation
 classifier. Weights are resolved ONCE before the stream starts (the
 same static-side rule as streaming decontamination/enrichment:
 re-deriving per batch would re-run training every trigger).
+
+Replay safety: scored rows land under ``out_dir/batch=N`` with overwrite
+(the batch-keyed idempotence pattern of streaming/clusters.py) — a
+foreachBatch retry replaces its batch's rows instead of duplicating
+(doc_id, score, pred) under at-least-once replay. Readers consume the
+whole ``out_dir`` (the ``batch`` partition column is informational).
 """
 
 from __future__ import annotations
@@ -18,6 +24,26 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from wurzel_spark.operators.classifier import doc_features, score_documents
+
+
+def write_batch_scores(
+    batch_df: DataFrame,
+    batch_id: int,
+    w: np.ndarray,
+    bias: float,
+    out_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Score one micro-batch and land it keyed by batch id. Overwrite to
+    ``batch=N`` makes a replayed batch replace rather than duplicate its
+    (doc_id, score, pred) rows — calling twice with the same arguments
+    leaves ``out_dir`` unchanged."""
+    if batch_df.isEmpty():
+        return
+    feats = doc_features(batch_df, text_col)
+    score_documents(feats, w, bias).write.mode("overwrite").parquet(
+        f"{out_dir}/batch={batch_id}"
+    )
 
 
 def score_stream(
@@ -33,10 +59,7 @@ def score_stream(
     the availableNow run drains; returns the query."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        feats = doc_features(batch_df, text_col)
-        score_documents(feats, w, bias).write.mode("append").parquet(out_dir)
+        write_batch_scores(batch_df, batch_id, w, bias, out_dir, text_col)
 
     q = (
         stream.writeStream.foreachBatch(_process)

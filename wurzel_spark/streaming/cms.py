@@ -8,6 +8,12 @@ and folded with one (i, cell) → sum aggregate are EXACTLY the cells of
 the full input under any admission split — estimates bit-equal to the
 batch sketch, parity-tested with one-file-per-trigger admission.
 
+Replay safety: cells are staged under ``staging_dir/batch=N`` with
+overwrite (the same batch-keyed idempotence as streaming/clusters.py) —
+a foreachBatch retry after the parquet write but before the checkpoint
+commit REPLACES its batch's cells instead of double-counting them under
+Structured Streaming's at-least-once replay contract.
+
 Scale shape: each micro-batch pays its own vocabulary aggregate + a
 depth×width-bounded cell table (4096 rows); staged state per batch is
 the same bounded size regardless of batch rows.
@@ -22,6 +28,20 @@ from wurzel_spark.operators.sketches import cms_cells, cms_estimate_terms
 from wurzel_spark.streaming._fs import path_exists
 
 
+def write_batch_cells(
+    batch_df: DataFrame, batch_id: int, staging_dir: str, text_col: str = "text"
+) -> None:
+    """Stage one micro-batch's CMS cells, keyed by batch id. Overwrite to
+    ``batch=N`` makes a replayed batch (at-least-once delivery) replace
+    rather than double-count its cells — calling this twice with the same
+    arguments is a no-op for the final (i, cell) sum."""
+    if batch_df.isEmpty():
+        return
+    cms_cells(batch_df, text_col).write.mode("overwrite").parquet(
+        f"{staging_dir}/batch={batch_id}"
+    )
+
+
 def cms_stream_estimates(
     stream: DataFrame,
     terms: list[str],
@@ -33,9 +53,7 @@ def cms_stream_estimates(
     (w, cms_estimate) for the probe ``terms`` from the summed cells."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        cms_cells(batch_df, text_col).write.mode("append").parquet(staging_dir)
+        write_batch_cells(batch_df, batch_id, staging_dir, text_col)
 
     q = (
         stream.writeStream.foreachBatch(_process)
