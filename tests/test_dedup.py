@@ -225,9 +225,15 @@ def test_prefix_jaccard_matches_full_join_exactly(spark, sf_dir):
     docs = _table(spark, sf_dir, "documents")
     full = {(r["id_a"], r["id_b"], round(r["jaccard"], 12))
             for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    # hot_df=None pins the PREFIX machinery itself as lossless…
     pref = {(r["id_a"], r["id_b"], round(r["jaccard"], 12))
-            for r in D.ngram_jaccard_prefix_pairs(docs, threshold=0.5).collect()}
+            for r in D.ngram_jaccard_prefix_pairs(docs, threshold=0.5, hot_df=None).collect()}
     assert pref == full  # lossless pruning
+    # …and the default adaptive entry point (whichever plan the df probe
+    # picks) must give the identical answer.
+    adaptive = {(r["id_a"], r["id_b"], round(r["jaccard"], 12))
+                for r in D.ngram_jaccard_prefix_pairs(docs, threshold=0.5).collect()}
+    assert adaptive == full
 
 
 def test_prefix_jaccard_survives_boilerplate_shingle(spark):
@@ -241,8 +247,10 @@ def test_prefix_jaccard_survives_boilerplate_shingle(spark):
     rows += [(100, f"{boiler} twin doc here now", "en", "s"),
              (101, f"{boiler} twin doc here now", "en", "s")]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    # hot_df=10 < the 42-doc boilerplate df → the adaptive probe must
+    # route THROUGH the prefix machinery here (the path under test)
     out = {(r["id_a"], r["id_b"]) for r in
-           D.ngram_jaccard_prefix_pairs(docs, threshold=0.9).collect()}
+           D.ngram_jaccard_prefix_pairs(docs, threshold=0.9, hot_df=10).collect()}
     exact = {(r["id_a"], r["id_b"]) for r in
              D.ngram_jaccard_pairs(docs, threshold=0.9).collect()}
     assert out == exact and (100, 101) in out
