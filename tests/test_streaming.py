@@ -638,3 +638,82 @@ def test_streaming_classifier_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert rows_once == n_docs
     write_batch_scores(b0, 0, w, 0.0, out)  # replayed delivery
     assert spark.read.parquet(out).count() == n_docs
+
+
+def test_streaming_cluster_state_compaction(spark, sf_dir, tmp_path):
+    """≥20 micro-batches with compact_every=4 must end with O(1) batch
+    dirs per state dir and labels identical to the full-batch recompute
+    (VERDICT r4 #5)."""
+    import os
+
+    from wurzel_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        near_dup_cluster_members,
+    )
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.clusters import cluster_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(120).localCheckpoint()
+    d = str(tmp_path / "cluc_in")
+    docs.repartition(20).write.mode("overwrite").parquet(d)
+    n_files = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert n_files >= 20
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    index_dir = str(tmp_path / "cluc_index")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cluster_stream(
+            stream,
+            index_dir,
+            str(tmp_path / "cluc_labels"),
+            str(tmp_path / "cluc_ckpt"),
+            compact_every=4,
+        ).collect()
+    }
+    exp = {
+        (r["doc_id"], r["cluster_id"])
+        for r in near_dup_cluster_members(
+            minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+        ).collect()
+    }
+    assert got == exp
+    # state dir count is bounded by the fold cadence, not the batch count
+    for sd in (index_dir, index_dir + "_docs"):
+        assert len(list_batch_ids(spark, sd)) <= 4
+    # every ingested doc's signature survives the folds exactly once
+    idx = spark.read.parquet(index_dir)
+    assert idx.select("id").distinct().count() == docs.count()
+    assert idx.count() == docs.count()
+
+
+def test_cluster_fold_recovery(spark, tmp_path):
+    """recover_fold: a _SUCCESS-marked tmp (crash between the staged fold
+    write and the rename) is installed and the stale partitions dropped; a
+    markerless tmp (crash mid-write) is discarded with partitions intact."""
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.clusters import _fold_tmp, recover_fold
+
+    state = str(tmp_path / "st")
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    rows.write.parquet(f"{state}/batch=0")
+    rows.write.parquet(f"{state}/batch=1")
+    # complete fold staged (superset content), crash before deletes+rename
+    rows.write.parquet(_fold_tmp(state))  # parquet commit leaves _SUCCESS
+    recover_fold(spark, state, 2)
+    assert list_batch_ids(spark, state) == [-3]
+    assert spark.read.parquet(state).count() == 2
+
+    # markerless tmp: partial job output — must be discarded
+    state2 = str(tmp_path / "st2")
+    rows.write.parquet(f"{state2}/batch=0")
+    import os
+
+    os.makedirs(_fold_tmp(state2))
+    with open(_fold_tmp(state2) + "/part-broken.parquet", "w") as f:
+        f.write("not parquet")
+    recover_fold(spark, state2, 1)
+    assert list_batch_ids(spark, state2) == [0]
+    assert not os.path.exists(_fold_tmp(state2))

@@ -131,4 +131,12 @@ def curate_stream_to_versioned_sink(
             .drop("__rn")
         )
         writer.write(final, order_col=order_col, history="stream-run")
+    # The staging dir's job is done once the version is published. Drop it
+    # so (a) the per-run batch dirs don't accumulate across runs and (b) a
+    # later run with a FRESH checkpoint (batch ids restart at 0, and a
+    # shorter run would overwrite only a prefix of them) can never union
+    # a previous run's stale batches into its publish.
+    from wurzel_spark.streaming._fs import delete_path
+
+    delete_path(spark, staging)
     return q
