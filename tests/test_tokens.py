@@ -108,3 +108,19 @@ def test_bpe_vendored_vocab_compression_sane():
     faq = open("tests/data/ref_splitter/german_faq.md").read()
     cpt = len(faq) / tok.token_count(faq)
     assert 2.0 < cpt < 6.0
+
+
+def test_bpe_env_override_routes_vocab(monkeypatch):
+    """$WURZEL_SPARK_BPE_VOCAB redirects the default 'bpe' tokenizer to
+    the named vocab file (the cl100k drop-in hook, VERDICT r4 #4)."""
+    from wurzel_spark.functions import tokens as TK
+
+    vendored = TK._vendored_bpe_path()
+    monkeypatch.setenv(TK.BPE_VOCAB_ENV, vendored)
+    tok_env = TK.from_name("bpe")
+    tok_direct = TK.from_name(f"bpe:{vendored}")
+    assert tok_env is tok_direct  # same resolved singleton
+    monkeypatch.delenv(TK.BPE_VOCAB_ENV)
+    assert TK.from_name("bpe").token_count("hello world") == tok_env.token_count(
+        "hello world"
+    )

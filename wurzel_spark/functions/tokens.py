@@ -78,24 +78,41 @@ def _vendored_bpe_path() -> str:
     return os.path.join(os.path.dirname(__file__), "data", "german_faq_bpe.tiktoken")
 
 
+#: Env override for the default 'bpe' vocab: point it at the real
+#: cl100k_base.tiktoken file and every ``from_name("bpe")`` call site
+#: (splitter, token stats) becomes tiktoken-identical with zero code
+#: change — the reference's cl100k counts (semantic_splitter.py:188)
+#: then reproduce exactly (see tests/test_splitter_ref.py's gated
+#: 5-chunk golden).
+BPE_VOCAB_ENV = "WURZEL_SPARK_BPE_VOCAB"
+
+
 def from_name(name: str = "regex") -> object:
     """Factory (tokenizers.py:78-127): 'regex' always works; 'bpe' loads
-    the vendored pure-Python byte-level BPE vocab (functions/bpe.py);
-    'bpe:<path>' loads any public ``.tiktoken`` vocab file (drop in the
-    real cl100k_base file for tiktoken-identical ids); other names use
+    the vendored pure-Python byte-level BPE vocab (functions/bpe.py) —
+    or the file named by $WURZEL_SPARK_BPE_VOCAB when set; 'bpe:<path>'
+    loads any public ``.tiktoken`` vocab file (drop in the real
+    cl100k_base file for tiktoken-identical ids); other names use
     tiktoken when installed. Cached per process (executor-side singleton).
     """
-    if name not in _SINGLETONS:
-        if name == "bpe" or name.startswith("bpe:"):
+    import os
+
+    key = name
+    if name == "bpe":
+        env_path = os.environ.get(BPE_VOCAB_ENV)
+        if env_path:
+            key = f"bpe:{env_path}"
+    if key not in _SINGLETONS:
+        if key == "bpe" or key.startswith("bpe:"):
             from wurzel_spark.functions.bpe import load_tiktoken_file
 
-            path = name[4:] if name.startswith("bpe:") else _vendored_bpe_path()
-            _SINGLETONS[name] = load_tiktoken_file(path, name)
-        elif name == "regex" or not HAS_TIKTOKEN:
-            _SINGLETONS[name] = RegexTokenizer()
+            path = key[4:] if key.startswith("bpe:") else _vendored_bpe_path()
+            _SINGLETONS[key] = load_tiktoken_file(path, key)
+        elif key == "regex" or not HAS_TIKTOKEN:
+            _SINGLETONS[key] = RegexTokenizer()
         else:  # pragma: no cover
-            _SINGLETONS[name] = TiktokenTokenizer(name)
-    return _SINGLETONS[name]
+            _SINGLETONS[key] = TiktokenTokenizer(key)
+    return _SINGLETONS[key]
 
 
 def token_counter(name: str = "regex") -> Callable[[str], int]:
