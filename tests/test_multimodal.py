@@ -85,3 +85,124 @@ def test_image_near_dup_finds_identical_content(spark):
              for r in image_near_dup_pairs(assets).collect()}
     assert pairs.get((0, 3)) == 0
     assert all(k == (0, 3) for k in pairs)  # the distinct image pairs with no one
+
+
+def _encode_png(px):
+    """Tiny in-test PNG writer (8-bit RGB, filter 0 rows) — standard
+    public format, so the operator under test sees REAL image bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = px.shape
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    raw = b"".join(b"\x00" + px[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _block_img(vals8x8, scale=4):
+    import numpy as np
+
+    px = np.stack([vals8x8] * 3, axis=2)
+    return np.repeat(np.repeat(px, scale, 0), scale, 1).astype(np.uint8)
+
+
+def test_real_png_decode_and_near_dup(spark):
+    """VERDICT r4 #7: real PNG bytes through decode_images and
+    image_near_dup_pairs — green with PIL (if installed) or the builtin
+    PNG decoder (always). A one-block edit stays within the hamming
+    radius; a structurally different image does not pair."""
+    import numpy as np
+
+    from wurzel_spark.operators.multimodal import decode_images, image_near_dup_pairs
+
+    ramp = (4 * np.arange(64)).reshape(8, 8)  # distinct, well-spread blocks
+    a = _block_img(ramp)
+    ramp_b = ramp.copy()
+    ramp_b[0, 0] = 255  # one-block visual edit — hamming 2 from a
+    b = _block_img(ramp_b)
+    c = _block_img(ramp[::-1, ::-1].copy())  # reversed structure — hamming 63
+    rows = [
+        (1, "image", bytearray(_encode_png(a)), ("image/png", 32, 32, None, None)),
+        (2, "image", bytearray(_encode_png(b)), ("image/png", 32, 32, None, None)),
+        (3, "image", bytearray(_encode_png(c)), ("image/png", 32, 32, None, None)),
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+    dec = {r["asset_id"]: r for r in decode_images(assets, decoder="real").collect()}
+    assert dec[1]["width"] == 32 and dec[1]["height"] == 32
+    # decoded means are the REAL pixel means (gradient mean = 127.5-ish)
+    assert abs(dec[1]["mean_r"] - np.mean(a[:, :, 0])) < 1e-9
+    assert dec[1]["phash64"] != dec[3]["phash64"]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(assets, max_hamming=3, decoder="real").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_builtin_png_decoder_filters_roundtrip():
+    """The builtin decoder handles every scanline filter type: re-encode
+    with explicit per-row filters and compare pixels exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from wurzel_spark.operators.multimodal import _png_pixels
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+
+    # encode each row with a cycling filter type (0..4), per PNG spec
+    def enc_row(y, f):
+        cur = px[y].reshape(-1).astype(np.int32)
+        prev = px[y - 1].reshape(-1).astype(np.int32) if y else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prev
+        elif f == 3:
+            out = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            out = cur - pred
+        return bytes([f]) + (out % 256).astype(np.uint8).tobytes()
+
+    raw = b"".join(enc_row(y, y % 5) for y in range(10))
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 10, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(_png_pixels(png), px)
