@@ -155,3 +155,58 @@ def test_cms_plan_hashes_vocab_not_occurrences(spark, sf_dir):
     for g in seq_gens:
         assert "exact_count" in g, (g, t)
     assert "CartesianProduct" not in t, t
+
+
+def test_ivfpq_plan_broadcasts_query_side(spark, sf_dir):
+    """IVF-PQ (VERDICT r4 #8): everything per-query must be broadcast —
+    the probe LUT, the centroid table, the rerank shortlist's query
+    vectors. The only designed nested-loop is the k-row centroid
+    broadcast per query; corpus codes must never cartesian-join."""
+    from wurzel_spark.operators.similarity import ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    df = ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        emb.filter(F.col("vec_id") < 8),
+        k=10,
+        nprobe=3,
+        rerank=50,
+    )
+    t = plan_text(df)
+    assert "CartesianProduct" not in t, t
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", t)) <= 1, t
+    # LUT→codes, centroid→residual, query-vec→rerank: broadcast hash joins
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", t)) >= 2, t
+
+
+def test_incremental_cluster_merge_plan_broadcasts_membership(spark, sf_dir):
+    """merge_cluster_labels' singleton carry-through anti-join must
+    broadcast the (small) merged labeling — never sort-merge the
+    corpus-sized labels table against it."""
+    from wurzel_spark.operators.dedup import merge_cluster_labels
+
+    labels = spark.createDataFrame(
+        [(i, i % 7) for i in range(500)], "doc_id long, cluster_id long"
+    )
+    pairs = spark.createDataFrame([(1, 8), (2, 9)], "id_a long, id_b long")
+    df = merge_cluster_labels(labels, pairs)
+    t = plan_text(df)
+    assert "CartesianProduct" not in t, t
+    assert "BroadcastNestedLoopJoin" not in t, t
+    # the anti-join against the merged membership is broadcast
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", t) or "LeftAnti" not in t, t
+
+
+def test_winnow_overlap_plan_shape(spark, sf_dir):
+    """Winnowing overlap: fingerprint equi-join (never nested-loop), scan
+    pruned to doc_id + text only."""
+    from wurzel_spark.operators.dedup import winnow_overlap_pairs
+
+    df = winnow_overlap_pairs(table(spark, sf_dir, "documents"), threshold=0.2)
+    t = plan_text(df)
+    assert "CartesianProduct" not in t, t
+    assert "BroadcastNestedLoopJoin" not in t, t
+    if "ReadSchema" in t:
+        tail = t.split("ReadSchema")[1][:200]
+        assert "lang" not in tail and "source" not in tail, tail

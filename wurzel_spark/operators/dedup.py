@@ -2074,13 +2074,19 @@ def merge_cluster_labels(
     )
     merged = near_dup_cluster_members(
         star_edges.unionByName(new_pairs.select("id_a", "id_b")), max_iters
-    )
+    ).localCheckpoint(eager=True)  # feeds the output AND the anti-join
     # near_dup_cluster_members emits only docs with at least one edge;
     # singleton rows (doc_id == cluster_id) in the INPUT labeling would
     # otherwise vanish from the merged output — carry them through
-    # unless the new pairs pulled them into a component.
+    # unless the new pairs pulled them into a component. The membership
+    # side is dup-graph-sized (≪ corpus in any real labeling) — broadcast
+    # it so the corpus-sized labels table never sort-merge-shuffles;
+    # size-guarded like every other broadcast in this module.
+    members = merged.select("doc_id")
+    if merged.count() <= 4_000_000:  # ≈32 MB of longs
+        members = F.broadcast(members)
     singletons = labels.filter(F.col("doc_id") == F.col("cluster_id")).join(
-        merged.select("doc_id"), "doc_id", "left_anti"
+        members, "doc_id", "left_anti"
     )
     return merged.unionByName(singletons)
 
