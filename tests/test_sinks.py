@@ -155,3 +155,49 @@ def test_tlsh_like_digest_locality(spark):
     assert len(segs(d["base"]) & segs(d["near"])) >= 2  # high word-set overlap
     assert not segs(d["base"]) & segs(d["far"])
     assert d["blank"] == "0" * 64
+
+
+def test_kb_prune_is_scope_matched_and_exact(spark, tmp_path):
+    """VERDICT r4 #9 (reference elevenlabs/step.py:284, wonderful/
+    step.py:207): a second run with FEWER docs deletes exactly the stale
+    names of ITS OWN history scope — never another pipeline's docs in the
+    same KB, never a surviving doc. Delete calls are enumerated through a
+    recording fake transport."""
+    root = str(tmp_path / "kb_scoped")
+    dlog = str(tmp_path / "deletes.log")
+
+    class RecordingClient(LocalKBClient):
+        def delete_doc(self, name: str) -> None:
+            with open(dlog, "a") as f:
+                f.write(name + "\n")
+            super().delete_doc(name)
+
+    # scope B: a different pipeline's docs that must survive scope-A prune
+    other = KBUploaderSink(lambda: RecordingClient(root), history="Other-Pipe")
+    other.write(
+        spark.createDataFrame([("http://x", "X"), ("http://y", "Y")], "url string, text string")
+    )
+    sink = KBUploaderSink(lambda: RecordingClient(root), history="Main-Pipe")
+    sink.write(
+        spark.createDataFrame(
+            [("http://a", "A"), ("http://b", "B"), ("http://c", "C")],
+            "url string, text string",
+        )
+    )
+    import os
+
+    if os.path.exists(dlog):
+        os.remove(dlog)  # only the second run's deletes are under test
+    # second run drops b and c
+    sink.write(spark.createDataFrame([("http://a", "A2")], "url string, text string"))
+
+    deleted = sorted(open(dlog).read().split())
+    assert deleted == sorted(
+        [doc_name("http://b", "Main-Pipe"), doc_name("http://c", "Main-Pipe")]
+    )
+    client = LocalKBClient(root)
+    # scope A: only the surviving doc; scope B: untouched
+    assert client.list_docs("Main-Pipe") == [doc_name("http://a", "Main-Pipe")]
+    assert sorted(client.list_docs("Other-Pipe")) == sorted(
+        [doc_name("http://x", "Other-Pipe"), doc_name("http://y", "Other-Pipe")]
+    )
