@@ -104,10 +104,19 @@ def test_kb_upload_and_prune(spark, tmp_path):
 
 def test_content_hash_stamping(spark, tmp_path):
     """hash_col stamps text_sha256_hash + text_tlsh_hash on every point
-    (qdrant/step.py:259-283 payload parity)."""
+    (qdrant/step.py:259-283 payload parity). text_tlsh_hash is the REAL
+    TLSH digest (round 5): 72 chars for hashable text, null below the
+    50-byte minimum — the same contract as the reference's tlsh gate."""
+
+    def _docs(spark, ids):
+        return spark.createDataFrame(
+            [(i, f"document number {i} " + "with enough bytes to hash " * 4) for i in ids],
+            "doc_id long, text string",
+        )
+
     root = str(tmp_path / "store")
     writer = VersionedCollectionWriter(lambda: LocalCollectionBackend(root), "kb")
-    writer.write(_df(spark, range(3)), "doc_id", hash_col="text")
+    writer.write(_docs(spark, range(3)), "doc_id", hash_col="text")
     be = LocalCollectionBackend(root)
     import glob
 
@@ -118,9 +127,9 @@ def test_content_hash_stamping(spark, tmp_path):
     assert len(points) == 3
     for p in points:
         assert len(p["text_sha256_hash"]) == 64
-        assert len(p["text_tlsh_hash"]) == 64
+        assert len(p["text_tlsh_hash"]) == 72 and p["text_tlsh_hash"].startswith("T1")
     # determinism: same text -> same digests across versions
-    writer.write(_df(spark, range(3)), "doc_id", hash_col="text")
+    writer.write(_docs(spark, range(3)), "doc_id", hash_col="text")
     p2 = {}
     for part in glob.glob(os.path.join(root, "kb_v2", "part-*.jsonl")):
         with open(part) as f:

@@ -169,15 +169,19 @@ class VersionedCollectionWriter:
 
         ``hash_col`` names the text column to stamp with the reference's
         payload hashes (qdrant/step.py:259-283): ``text_sha256_hash`` plus
-        the TLSH-slot locality digest ``text_tlsh_hash`` — both computed
+        ``text_tlsh_hash`` — now the REAL TLSH digest (functions/tlsh.py,
+        round 5: full spec algorithm with match semantics; the C library
+        is used verbatim when importable). Null for unhashable text, the
+        same contract as the reference's HAS_TLSH gate. Both computed
         map-side during the upload pass, no extra job.
         """
         if hash_col is not None:
             from wurzel_spark.functions import text as TXT
+            from wurzel_spark.functions.tlsh import tlsh_col
 
             df = df.withColumn(
                 "text_sha256_hash", TXT.sha256_hex(F.col(hash_col))
-            ).withColumn("text_tlsh_hash", TXT.tlsh_like_digest(F.col(hash_col)))
+            ).withColumn("text_tlsh_hash", tlsh_col(F.col(hash_col)))
 
         backend = self.backend_factory()
         name = self.next_version(backend)
