@@ -111,6 +111,12 @@ HEADLINE = [
     "license_scan",
     "ngram_jaccard_prefix",
     "incremental_cluster_members",
+    # round 5: snapshot diffing, novelty, source-normalized gating,
+    # length-bucketed batch planning
+    "snapshot_diff",
+    "ngram_novelty",
+    "quality_percentile_gate",
+    "length_bucket_batches",
 ]
 
 

@@ -419,3 +419,72 @@ def test_label_propagation_strict_raises_on_nonconvergence(spark):
         assert out.count() == 8  # all nodes labeled, labels possibly partial
     finally:
         D._DRIVER_UNION_FIND_MAX_EDGES = old
+
+
+def test_snapshot_diff_statuses(spark):
+    from wurzel_spark.operators.snapshots import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # 1 (unchanged) dropped
+
+
+def test_ngram_novelty_bounds_and_first_owner(spark):
+    from wurzel_spark.operators.dedup import ngram_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),     # all first-seen
+        (2, "alpha beta gamma delta epsilon"),     # exact dup of 1 → 0 novelty
+        (3, "alpha beta gamma zeta eta theta"),    # partial overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0 and out[2]["n_novel"] == 0
+    assert 0.0 < out[3]["novelty"] < 1.0
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in out.values())
+
+
+def test_quality_percentile_gate_keeps_top_fraction_per_source(spark):
+    from wurzel_spark.operators.selection import quality_percentile_gate
+
+    rows = []
+    for s, stopish in (("a", "the a and of to"), ("b", "zzz qqq xxx yyy www")):
+        for i in range(10):
+            # within each source, doc i has i stopword hits out of 10 words
+            words = (stopish.split() * 2)[:i] + ["filler"] * (10 - i)
+            rows.append((len(rows), s, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = quality_percentile_gate(docs, keep_frac=0.5)
+    out = kept.collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # both sources keep rows despite source b having zero real stopwords
+    # globally — the gate normalizes per source
+    assert set(by_src) == {"a", "b"}
+    for s, rs in by_src.items():
+        # percent_rank over 10 strictly-ordered rows = k/9; k/9 <= 0.5 → 5 rows
+        assert len(rs) == 5
+        assert all(0.0 <= r["src_pctile"] <= 0.5 for r in rs)
+
+
+def test_length_bucket_batches_waste_accounting(spark):
+    from wurzel_spark.operators.packing import length_bucket_batches
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 6, 7, 40, 41, 90])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["bucket"], r["batch_idx"]): r for r in
+           length_bucket_batches(docs, bucket_width=32, batch_size=2).collect()}
+    # bucket 0: lens 5,6,7 → batches [5,6] and [7]
+    b0 = out[(0, 0)]
+    assert (b0["n_docs"], b0["max_len"], b0["sum_len"], b0["padding_waste"]) == (2, 6, 11, 1)
+    assert out[(0, 1)]["padding_waste"] == 0  # singleton pads nothing
+    b1 = out[(1, 0)]
+    assert (b1["n_docs"], b1["max_len"], b1["padding_waste"]) == (2, 41, 1)
+    assert out[(2, 0)]["n_docs"] == 1

@@ -2278,3 +2278,80 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard — shares the UNCAPPED oracle with
     ngram_jaccard_pairs: a hash-green row PROVES the pruning is lossless."""
     return ngram_jaccard_prefix_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# ------------------------------------------------------------- novelty
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    shingles whose first corpus occurrence (minimum doc id) is this doc —
+    the curation signal that separates fresh content from recombinations
+    of already-ingested text (boilerplate-heavy and templated docs score
+    near 0, genuinely new material near 1). Deterministic under any
+    ingest order because "first" is defined by the id, not arrival.
+
+    Scale shape: shingle explode → ONE vocabulary aggregate
+    (shingle → min id) → that table GROUPS BY its min-owner to one row
+    per doc — so the per-doc merge is a join of two doc-cardinality
+    tables, never a shingle-level join. Novelty is a single division of
+    exact integers (cross-engine bit-exact).
+    """
+    sh = _parallelize(df).select(
+        F.col(id_col).alias("id"), F.explode(shingle_hashes(F.col(text_col), n)).alias("shingle")
+    )
+    sh = sh.localCheckpoint(eager=True)  # feeds sizes AND firsts
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("id").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        sizes.join(novel, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            (
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(table(spark, sf_dir, "documents"))
+
+
+NGRAM_NOVELTY_SQL = """
+WITH sh AS (
+  SELECT doc_id AS id, DISTINCT_SHINGLE AS shingle FROM (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [array_to_string(ws, ' ')] END)) AS DISTINCT_SHINGLE
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+          FROM documents)
+  )
+), sizes AS (
+  SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id
+), novel AS (
+  SELECT first_id AS id, COUNT(*) AS n_novel
+  FROM (SELECT shingle, MIN(id) AS first_id FROM sh GROUP BY shingle)
+  GROUP BY first_id
+)
+SELECT sizes.id AS doc_id,
+       n_shingles,
+       COALESCE(n_novel, 0) AS n_novel,
+       CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_shingles AS novelty
+FROM sizes LEFT JOIN novel ON sizes.id = novel.id
+ORDER BY doc_id
+"""

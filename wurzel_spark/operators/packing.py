@@ -185,3 +185,99 @@ SELECT seq_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM m GROUP BY seq_id ORDER BY seq_id
 """
+
+
+# ----------------------------------------------- length-bucketed batching
+
+BUCKET_WIDTH = 32
+BATCH_SIZE = 16
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    bucket_width: int = BUCKET_WIDTH,
+    batch_size: int = BATCH_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inference/training batch planning by LENGTH BUCKETING: group docs
+    of similar token length into fixed-size batches so each batch pads to
+    its own max length instead of the corpus max — the standard
+    padding-waste eliminator for non-packed (per-example) serving, the
+    complement of :func:`sequence_pack` (which concatenates instead).
+
+    Output: one row per planned batch — (bucket, batch_idx, n_docs,
+    max_len, sum_len, padding_waste = n_docs·max_len − sum_len). All
+    integers; deterministic (docs ordered by (n_tokens, id) inside each
+    bucket, so batch membership is total-order stable).
+
+    Scale shape: project to (id, n_tokens) — two longs — before the one
+    per-bucket rank window; then a hash aggregate per (bucket, batch).
+    Padding waste reads off directly; total waste / sum_len is the
+    batching efficiency a serving planner optimizes.
+    """
+    from pyspark.sql import Window as W
+
+    from wurzel_spark.functions import text as TXT
+
+    toks = df.select(
+        F.col(id_col).alias("id"), TXT.word_count(F.col(text_col)).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    # explicit floor on BOTH engines: DuckDB CAST(double AS BIGINT)
+    # rounds-to-nearest while Spark's cast truncates — floor() agrees
+    bucketed = toks.withColumn(
+        "bucket", F.floor(F.col("n_tokens") / F.lit(bucket_width)).cast("long")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("bucket").orderBy(F.col("n_tokens").asc(), F.col("id").asc())
+    )
+    planned = bucketed.withColumn(
+        "batch_idx", F.floor((rn - F.lit(1)) / F.lit(batch_size)).cast("long")
+    )
+    return (
+        planned.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+        )
+        .select(
+            "bucket",
+            "batch_idx",
+            "n_docs",
+            "max_len",
+            "sum_len",
+            (F.col("n_docs") * F.col("max_len") - F.col("sum_len")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("bucket", "batch_idx")
+    )
+
+
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_bucket_batches(table(spark, sf_dir, "documents"))
+
+
+LENGTH_BUCKET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS n_tokens
+  FROM documents
+), bucketed AS (
+  SELECT id, n_tokens, CAST(FLOOR(n_tokens / {BUCKET_WIDTH}) AS BIGINT) AS bucket
+  FROM toks WHERE n_tokens > 0
+), planned AS (
+  SELECT bucket, n_tokens,
+         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY bucket
+                                        ORDER BY n_tokens ASC, id ASC) - 1)
+                    / {BATCH_SIZE}) AS BIGINT) AS batch_idx
+  FROM bucketed
+)
+SELECT bucket, batch_idx,
+       COUNT(*) AS n_docs,
+       CAST(MAX(n_tokens) AS INT) AS max_len,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste
+FROM planned GROUP BY bucket, batch_idx ORDER BY bucket, batch_idx
+"""

@@ -327,3 +327,88 @@ ranked AS (
 SELECT cluster_id, size, doc_id AS keep_doc_id, n_words AS keep_n_words
 FROM ranked WHERE rk = 1 ORDER BY cluster_id
 """
+
+
+# ------------------------------------- source-normalized quality gating
+
+KEEP_FRACTION = 0.5
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    keep_frac: float = KEEP_FRACTION,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Source-NORMALIZED quality filtering: keep the top ``keep_frac`` of
+    each source by quality percentile, instead of one global threshold.
+    A global cut biases against sources whose style shifts the score
+    distribution (code vs prose vs forum text); per-source percentile
+    rank equalizes the cut — the CCNet-style per-shard quantile bucketing
+    applied as a keep rule.
+
+    Quality signal: stopword hits per word (the strongest single
+    predictor in the rule battery), ranked DESC with doc_id tiebreak so
+    the ordering is total and the percentile deterministic. percent_rank
+    = (rank-1)/(n-1) — one division of exact integers, cross-engine
+    bit-exact. Scale shape: project to (doc_id, source, 2 ints) before
+    the one per-source window; text never enters the shuffle.
+    """
+    c = F.col(text_col)
+    score = TXT.marker_words_count(c, tuple("the a and of to in is for on with".split()))
+    nw = TXT.word_count(c)
+    ranked = df.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        score.alias("stop_hits"),
+        nw.alias("n_words"),
+    ).withColumn(
+        "src_pctile",
+        F.percent_rank().over(
+            W.partitionBy("source").orderBy(
+                (
+                    F.col("stop_hits").cast("double")
+                    / F.when(F.col("n_words") > 0, F.col("n_words"))
+                ).desc_nulls_last(),
+                F.col("doc_id").asc(),
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("src_pctile") <= keep_frac)
+        .select("doc_id", "source", "src_pctile")
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_percentile_gate(table(spark, sf_dir, "documents"))
+
+
+_STOPLIST_SQL = " + ".join(
+    f"len(ws) - len(list_filter(ws, x -> x != '{w}'))"
+    for w in "the a and of to in is for on with".split()
+)
+
+QUALITY_PERCENTILE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         {_STOPLIST_SQL} AS stop_hits,
+         len(ws) AS n_words
+  FROM base
+), ranked AS (
+  SELECT doc_id, source,
+         PERCENT_RANK() OVER (
+           PARTITION BY source
+           ORDER BY CAST(stop_hits AS DOUBLE) / NULLIF(n_words, 0) DESC NULLS LAST,
+                    doc_id ASC
+         ) AS src_pctile
+  FROM scored
+)
+SELECT doc_id, source, src_pctile
+FROM ranked WHERE src_pctile <= {KEEP_FRACTION} ORDER BY doc_id
+"""
