@@ -74,6 +74,11 @@ QUERIES = [
     "kmv_distinct_stats",
     "markdown_structure_stats",
     "license_scan",
+    # round-5 additions
+    "snapshot_diff",
+    "ngram_novelty",
+    "quality_percentile_gate",
+    "length_bucket_batches",
 ]
 
 
