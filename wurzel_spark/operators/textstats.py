@@ -2023,3 +2023,17 @@ FROM documents ORDER BY doc_id
 
 
 LICENSE_SCAN_SQL = _license_sql()
+
+
+def q_tlsh_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TLSH digests for the corpus (functions/tlsh.py — full spec
+    algorithm; the reference stamps the same column via the tlsh C lib,
+    qdrant/step.py:264-283). Rows-only: the digest is engine-internal
+    (no SQL TLSH); locality/distance semantics are pinned in
+    tests/test_tlsh.py."""
+    from wurzel_spark.functions.tlsh import tlsh_col
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tlsh_col(F.col("text")).alias("tlsh")
+    ).orderBy("doc_id")
