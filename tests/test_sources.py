@@ -128,3 +128,107 @@ def test_markdown_datasource_partition_planning(spark, md_folder):
     )
     assert df.rdd.getNumPartitions() == 3
     assert df.count() == 5
+
+
+def _make_docx(paras):
+    """Minimal valid .docx: zip with [Content_Types].xml + document.xml.
+    paras: list of (heading_level_or_0, text)."""
+    import io
+    import zipfile
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = []
+    for lvl, text in paras:
+        style = f'<w:pPr><w:pStyle w:val="Heading{lvl}"/></w:pPr>' if lvl else ""
+        body.append(f"<w:p>{style}<w:r><w:t>{text}</w:t></w:r></w:p>")
+    doc = (
+        f'<?xml version="1.0"?><w:document xmlns:w="{W}"><w:body>'
+        + "".join(body)
+        + "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _make_pdf(text):
+    """Minimal one-page PDF with an uncompressed text content stream."""
+    stream = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length " + str(len(stream)).encode() + b" >>stream\n" + stream + b"\nendstream",
+    ]
+    out = b"%PDF-1.4\n"
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n0000000000 65535 f \n"
+    for off in offs:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode() + b" /Root 1 0 R >>\n"
+        b"startxref\n" + str(xref).encode() + b"\n%%EOF\n"
+    )
+    return out
+
+
+def test_builtin_docx_conversion(spark, tmp_path):
+    """Round 5: real DOCX parsing with the stdlib — headings map to # and
+    keywords come from the first heading, not the stub."""
+    (tmp_path / "guide.docx").write_bytes(
+        _make_docx([(1, "User Guide"), (0, "Welcome to the product."), (2, "Setup")])
+    )
+    out = D.convert_stage(D.read_binary_docs(spark, str(tmp_path))).collect()
+    assert len(out) == 1
+    md = out[0]["md"]
+    assert "# User Guide" in md and "## Setup" in md
+    assert "Welcome to the product." in md
+    assert out[0]["keywords"] == "User Guide"
+    assert "[stub-converted" not in md
+
+
+def test_builtin_pdf_conversion(spark, tmp_path):
+    """Round 5: real (simple) PDF text extraction — Tj operators inside
+    BT/ET, not the stub."""
+    (tmp_path / "paper.pdf").write_bytes(_make_pdf("Hello PDF extraction"))
+    out = D.convert_stage(D.read_binary_docs(spark, str(tmp_path))).collect()
+    assert "Hello PDF extraction" in out[0]["md"]
+    assert "[stub-converted" not in out[0]["md"]
+
+
+def test_builtin_pdf_flate_and_escapes():
+    """FlateDecode streams and escaped parens/octal unescape correctly."""
+    import zlib
+
+    from wurzel_spark.sources.docling import pdf_to_markdown
+
+    inner = rb"BT (Line \(one\)) Tj ET BT [(Li) (ne two)] TJ ET"
+    z = zlib.compress(inner)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(z)).encode()
+        + b" >>stream\n"
+        + z
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    md = pdf_to_markdown(pdf)
+    assert "Line (one)" in md and "Line two" in md
+
+
+def test_builtin_converter_falls_back_to_stub_for_garbage(spark, tmp_path):
+    """Bytes that aren't really the claimed format still convert (stub),
+    never fail the stage — docling_step's skip-don't-fail contract."""
+    (tmp_path / "broken.pdf").write_bytes(b"%PDF-but-not-really")
+    (tmp_path / "broken.docx").write_bytes(b"PK-not-a-zip")
+    out = D.convert_stage(D.read_binary_docs(spark, str(tmp_path))).collect()
+    assert len(out) == 2
+    assert all("[stub-converted" in r["md"] for r in out)
