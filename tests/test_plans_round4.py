@@ -210,3 +210,48 @@ def test_winnow_overlap_plan_shape(spark, sf_dir):
     if "ReadSchema" in t:
         tail = t.split("ReadSchema")[1][:200]
         assert "lang" not in tail and "source" not in tail, tail
+
+
+def test_snapshot_diff_plan_joins_hashes_not_text(spark, sf_dir):
+    """snapshot_diff: ONE join, keyed on the id, carrying 32-byte hashes —
+    document text must be projected away before the shuffle."""
+    from wurzel_spark.operators.snapshots import q_snapshot_diff
+
+    t = plan_text(q_snapshot_diff(spark, sf_dir))
+    assert "CartesianProduct" not in t and "BroadcastNestedLoopJoin" not in t, t
+    # exactly one join node (full outer on id)
+    n_joins = len(re.findall(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", t))
+    assert n_joins == 1, t
+    # the shuffled columns are id + hash — text never crosses an exchange
+    for block in re.findall(r"\(\d+\) Exchange\n(.*?)(?:\n\n|\Z)", t, re.S):
+        m = re.search(r"Input \[\d+\]: \[(.*?)\]", block)
+        assert m and "text#" not in m.group(1), block
+
+
+def test_ngram_novelty_plan_has_no_shingle_level_join(spark, sf_dir):
+    """Novelty merges two doc-cardinality tables; the only join must be on
+    the doc id (the shingle table is aggregated before any join)."""
+    from wurzel_spark.operators.dedup import q_ngram_novelty
+
+    t = plan_text(q_ngram_novelty(spark, sf_dir))
+    assert "CartesianProduct" not in t and "BroadcastNestedLoopJoin" not in t, t
+    n_joins = len(re.findall(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", t))
+    assert n_joins == 1, t
+    # and that one join's keys are the doc id, never the shingle
+    for key_line in re.findall(r"Left keys \[\d+\]: \[(.*?)\]", t):
+        assert "shingle" not in key_line, key_line
+
+
+def test_percentile_gate_and_length_buckets_project_before_window(spark, sf_dir):
+    """Both planners must sort small projected rows, never text."""
+    from wurzel_spark.operators.packing import q_length_bucket_batches
+    from wurzel_spark.operators.selection import q_quality_percentile_gate
+
+    for q in (q_quality_percentile_gate, q_length_bucket_batches):
+        t = plan_text(q(spark, sf_dir))
+        assert "CartesianProduct" not in t and "BroadcastNestedLoopJoin" not in t, t
+        # no text column flows through any exchange: check each Exchange
+        # node's Input list in the formatted details
+        for block in re.findall(r"\(\d+\) Exchange\n(.*?)(?:\n\n|\Z)", t, re.S):
+            m = re.search(r"Input \[\d+\]: \[(.*?)\]", block)
+            assert m and "text#" not in m.group(1), block
