@@ -717,3 +717,33 @@ def test_cluster_fold_recovery(spark, tmp_path):
     recover_fold(spark, state2, 1)
     assert list_batch_ids(spark, state2) == [0]
     assert not os.path.exists(_fold_tmp(state2))
+
+
+def test_streaming_snapshot_diff_matches_batch(spark, sf_dir, tmp_path):
+    """New snapshot delivered one file per trigger == the batch diff
+    (removed detection requires the drain barrier; added/changed must
+    survive arbitrary batch splits)."""
+    from wurzel_spark.operators.snapshots import snapshot_diff
+    from wurzel_spark.streaming.snapshots import snapshot_diff_stream
+
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [v2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d = str(tmp_path / "snap_in")
+    new.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(new.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = {
+        (r["doc_id"], r["status"])
+        for r in snapshot_diff_stream(
+            stream, old, str(tmp_path / "snap_stage"), str(tmp_path / "snap_ckpt")
+        ).collect()
+    }
+    exp = {(r["doc_id"], r["status"]) for r in snapshot_diff(old, new).collect()}
+    assert got == exp and len(got) > 0
