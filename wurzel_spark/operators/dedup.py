@@ -2355,3 +2355,62 @@ SELECT sizes.id AS doc_id,
 FROM sizes LEFT JOIN novel ON sizes.id = novel.id
 ORDER BY doc_id
 """
+
+
+def build_novelty_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Persistable NOVELTY index: one (shingle, first_id) row per distinct
+    corpus shingle — the vocabulary-sized state that lets continuous
+    ingestion score novelty without re-touching old text (the same
+    pattern as build_near_dup_index for pairs). ~16 B/shingle."""
+    return (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("first_id"),
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(F.min("first_id").alias("first_id"))
+    )
+
+
+def incremental_ngram_novelty(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Novelty of a NEW batch against an indexed corpus: the fraction of
+    each new doc's distinct shingles absent from the corpus index — the
+    ingest-time novelty gate (cost ∝ batch + one shingle-keyed join
+    against the index, never against corpus text).
+
+    Relation to :func:`ngram_novelty`: for a doc NOT in the index, this
+    equals the global definition with the corpus as "earlier" — the
+    parity the tests pin."""
+    sh = _parallelize(new_docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("shingle"),
+    )
+    hit = sh.join(index.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    seen = hit.groupBy("id").agg(F.count(F.lit(1)).alias("n_seen"))
+    return (
+        sizes.join(seen, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            (F.col("n_shingles") - F.coalesce(F.col("n_seen"), F.lit(0))).alias(
+                "n_novel"
+            ),
+            (
+                (F.col("n_shingles") - F.coalesce(F.col("n_seen"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n_shingles")
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )
