@@ -115,6 +115,7 @@ HEADLINE = [
     # length-bucketed batch planning
     "snapshot_diff",
     "ngram_novelty",
+    "incremental_novelty",
     "quality_percentile_gate",
     "length_bucket_batches",
 ]

@@ -2414,3 +2414,46 @@ def incremental_ngram_novelty(
         )
         .orderBy(id_col)
     )
+
+
+def q_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time novelty gate as an oracle-checked query: docs with
+    ``doc_id % 5 == 4`` play "today's batch", the rest are the indexed
+    corpus — novelty = share of each new doc's shingles absent from the
+    corpus index."""
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    return incremental_ngram_novelty(new, build_novelty_index(old))
+
+
+INCREMENTAL_NOVELTY_SQL = """
+WITH sh AS (
+  SELECT doc_id AS id, DISTINCT_SHINGLE AS shingle FROM (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [array_to_string(ws, ' ')] END)) AS DISTINCT_SHINGLE
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+          FROM documents)
+  )
+), old_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE id % 5 != 4
+), new_sh AS (
+  SELECT id, shingle FROM sh WHERE id % 5 = 4
+), sizes AS (
+  SELECT id, COUNT(*) AS n_shingles FROM new_sh GROUP BY id
+), seen AS (
+  SELECT id, COUNT(*) AS n_seen
+  FROM new_sh SEMI JOIN old_sh ON new_sh.shingle = old_sh.shingle
+  GROUP BY id
+)
+SELECT sizes.id AS doc_id,
+       n_shingles,
+       n_shingles - COALESCE(n_seen, 0) AS n_novel,
+       CAST(n_shingles - COALESCE(n_seen, 0) AS DOUBLE) / n_shingles AS novelty
+FROM sizes LEFT JOIN seen ON sizes.id = seen.id
+ORDER BY doc_id
+"""
