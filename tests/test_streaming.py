@@ -747,3 +747,32 @@ def test_streaming_snapshot_diff_matches_batch(spark, sf_dir, tmp_path):
     }
     exp = {(r["doc_id"], r["status"]) for r in snapshot_diff(old, new).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_streaming_novelty_matches_batch_with_compaction(spark, sf_dir, tmp_path):
+    """Novelty staged across many micro-batches (fold cadence 3) ==
+    the batch ngram_novelty over the whole corpus, bit-equal — and the
+    shingle state dir count stays bounded by the fold cadence."""
+    from wurzel_spark.operators.dedup import ngram_novelty
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.novelty import novelty_stream
+
+    docs = table(spark, sf_dir, "documents").limit(150).localCheckpoint()
+    d = str(tmp_path / "nov_in")
+    docs.repartition(8).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "nov_state")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in novelty_stream(
+            stream, state, str(tmp_path / "nov_ckpt"), compact_every=3
+        ).collect()
+    }
+    exp = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(docs).collect()
+    }
+    assert got == exp
+    assert len(list_batch_ids(spark, state)) <= 3

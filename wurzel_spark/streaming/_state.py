@@ -1,0 +1,85 @@
+"""Batch-keyed streaming state with crash-safe periodic compaction.
+
+The shared state protocol for foreachBatch operators (clusters, novelty,
+and any future index-maintaining stream):
+
+  - each micro-batch lands its state rows under ``state_dir/batch=N``
+    with OVERWRITE, so an at-least-once replay replaces rather than
+    duplicates its rows;
+  - every ``compact_every`` partitions, the write FOLDS all partitions
+    plus the current batch into one ``batch=-(N+1)`` dir (negative id ⇒
+    never collides with a replayed batch's own partition), bounding the
+    directory/file count at O(compact_every) regardless of batch count;
+  - the fold is crash-safe by construction: staged to a sibling tmp
+    (validated by parquet's ``_SUCCESS`` marker), deletes run only after
+    the staged write, the rename is last, and :func:`recover_fold`
+    completes or discards an interrupted fold before the next read.
+    Duplicate rows in any crash window are absorbed by the key-dedup on
+    the next fold — callers must therefore only store rows that are
+    deterministic per key (signatures, hashes, id-keyed facts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from wurzel_spark.operators.layout import compact_write
+from wurzel_spark.streaming._fs import (
+    delete_path,
+    list_batch_ids,
+    path_exists,
+    rename_path,
+)
+
+
+def fold_tmp(state_dir: str) -> str:
+    return f"{state_dir}__fold_tmp"
+
+
+def recover_fold(spark, state_dir: str, batch_id: int) -> None:
+    """Complete (or roll back) a fold interrupted by a crash, BEFORE the
+    state dir is read this batch. A fold tmp with a ``_SUCCESS`` marker is
+    a complete superset of every surviving ``batch=`` partition (it was
+    written from their union before any delete), so completion = delete
+    the partitions, rename tmp in. A tmp WITHOUT the marker is a partial
+    job output — the partitions are still intact (deletes only run after
+    a successful tmp write), so it is simply discarded."""
+    tmp = fold_tmp(state_dir)
+    if not path_exists(spark, tmp):
+        return
+    if not path_exists(spark, f"{tmp}/_SUCCESS"):
+        delete_path(spark, tmp)
+        return
+    for b in list_batch_ids(spark, state_dir):
+        delete_path(spark, f"{state_dir}/batch={b}")
+    rename_path(spark, tmp, f"{state_dir}/batch={-batch_id - 1}")
+
+
+def write_batch_state(
+    spark,
+    df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    key_cols: str | list[str],
+    compact_every: int | None,
+) -> None:
+    """Land one batch's state rows (see module docstring for the full
+    protocol). ``key_cols``: the identity whose rows are deterministic —
+    the fold dedups on it."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    prior = [b for b in list_batch_ids(spark, state_dir) if b != batch_id]
+    if compact_every is None or len(prior) + 1 < compact_every:
+        df.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
+        return
+    # the state read includes a crashed earlier attempt's own batch=N
+    # partition if present — the key dedup collapses it with df's rows
+    folded = df.unionByName(
+        spark.read.parquet(state_dir).drop("batch").select(df.columns)
+    ).dropDuplicates(keys)
+    # cut the file lineage before the source dirs are deleted/renamed
+    folded = folded.localCheckpoint(eager=True)
+    tmp = fold_tmp(state_dir)
+    compact_write(folded, tmp)
+    for b in list_batch_ids(spark, state_dir):
+        delete_path(spark, f"{state_dir}/batch={b}")
+    rename_path(spark, tmp, f"{state_dir}/batch={-batch_id - 1}")

@@ -61,71 +61,12 @@ from wurzel_spark.operators.dedup import (
     minhash_dedup_pairs,
     near_dup_cluster_members,
 )
-from wurzel_spark.operators.layout import compact_write
-from wurzel_spark.streaming._fs import (
-    delete_path,
-    list_batch_ids,
-    path_exists,
-    rename_path,
+from wurzel_spark.streaming._fs import path_exists
+from wurzel_spark.streaming._state import (  # shared fold protocol
+    fold_tmp as _fold_tmp,  # noqa: F401 — re-exported for tests
+    recover_fold,
+    write_batch_state as _write_batch_state,
 )
-
-
-def _fold_tmp(state_dir: str) -> str:
-    return f"{state_dir}__fold_tmp"
-
-
-def recover_fold(spark, state_dir: str, batch_id: int) -> None:
-    """Complete (or roll back) a fold interrupted by a crash, BEFORE the
-    state dir is read this batch. A fold tmp with a ``_SUCCESS`` marker is
-    a complete superset of every surviving ``batch=`` partition (it was
-    written from their union before any delete), so completion = delete
-    the partitions, rename tmp in. A tmp WITHOUT the marker is a partial
-    job output — the partitions are still intact (deletes only run after
-    a successful tmp write), so it is simply discarded."""
-    tmp = _fold_tmp(state_dir)
-    if not path_exists(spark, tmp):
-        return
-    if not path_exists(spark, f"{tmp}/_SUCCESS"):
-        delete_path(spark, tmp)
-        return
-    for b in list_batch_ids(spark, state_dir):
-        delete_path(spark, f"{state_dir}/batch={b}")
-    rename_path(spark, tmp, f"{state_dir}/batch={-batch_id - 1}")
-
-
-def _write_batch_state(
-    spark,
-    df: DataFrame,
-    state_dir: str,
-    batch_id: int,
-    key_col: str,
-    compact_every: int | None,
-) -> None:
-    """Land one batch's state rows under ``state_dir/batch=N``; every
-    ``compact_every`` partitions, FOLD all partitions plus this batch
-    into one ``batch=-(N+1)`` dir (negative id ⇒ never collides with a
-    replayed batch's own partition). Crash-safe by construction: the fold
-    is staged to a sibling tmp (validated by ``_SUCCESS``), deletes run
-    only after the staged write, the rename is last, and recover_fold
-    finishes any interrupted fold before the next read. Duplicate rows in
-    any crash window are absorbed by the id-dedup on the next fold and by
-    the set semantics of candidate generation."""
-    prior = [b for b in list_batch_ids(spark, state_dir) if b != batch_id]
-    if compact_every is None or len(prior) + 1 < compact_every:
-        df.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
-        return
-    # the state read includes a crashed earlier attempt's own batch=N
-    # partition if present — the id dedup collapses it with df's rows
-    folded = df.unionByName(
-        spark.read.parquet(state_dir).drop("batch").select(df.columns)
-    ).dropDuplicates([key_col])
-    # cut the file lineage before the source dirs are deleted/renamed
-    folded = folded.localCheckpoint(eager=True)
-    tmp = _fold_tmp(state_dir)
-    compact_write(folded, tmp)
-    for b in list_batch_ids(spark, state_dir):
-        delete_path(spark, f"{state_dir}/batch={b}")
-    rename_path(spark, tmp, f"{state_dir}/batch={-batch_id - 1}")
 
 
 def cluster_stream(
