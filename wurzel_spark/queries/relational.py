@@ -256,16 +256,27 @@ def distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Moments are computed from exact decimal power sums (sum, sum of squares)
     so the result is order-independent and bit-identical to the oracle;
     Spark's native stddev/variance would drift in the last ulp.
+
+    var/std keep the WHOLE numerator n·S2 − S1² in exact integer cents
+    (decimal(38,0) here, HUGEINT in the oracle) and round to double only
+    once, at the end — casting S1/S2 to double first loses different ulps
+    in each engine once S1² needs >53 bits (seen at sf0.1: 9th-decimal
+    drift), and the single-rounding form stays bit-exact at ANY scale the
+    38-digit numerator can hold (≥10¹⁰ rows).
     """
     li = table(spark, sf_dir, "lineitem")
     x = _dec("l_extendedprice")
     n = F.count(F.lit(1))
     s1 = F.sum(x).cast("double")
-    s2 = F.sum(x * x).cast("double")
+    cents = (x * F.lit(100)).cast("decimal(38,0)")
+    c1 = F.sum(cents)
+    c2 = F.sum((cents * cents).cast("decimal(38,0)"))
+    num = (n * c2 - c1 * c1).cast("double")  # exact integer until this cast
+    var = num / (n * (n - F.lit(1))) / F.lit(10000.0)
     return li.agg(
         (s1 / n).alias("mean"),
-        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("std"),
-        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var"),
+        F.sqrt(var).alias("std"),
+        var.alias("var"),
         F.min("l_extendedprice").alias("min"),
         F.expr("percentile(l_extendedprice, 0.05)").alias("p5"),
         F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
@@ -277,22 +288,26 @@ def distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DIST_SQL = """
-SELECT
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
-  SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-       / (COUNT(*) - 1)) AS std,
-  (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-       / (COUNT(*) - 1) AS var,
-  MIN(l_extendedprice) AS min,
-  quantile_cont(l_extendedprice, 0.05) AS p5,
-  quantile_cont(l_extendedprice, 0.25) AS p25,
-  quantile_cont(l_extendedprice, 0.5) AS median,
-  quantile_cont(l_extendedprice, 0.75) AS p75,
-  quantile_cont(l_extendedprice, 0.95) AS p95,
-  MAX(l_extendedprice) AS max
-FROM lineitem
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS c1,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS c2,
+         MIN(l_extendedprice) AS mn,
+         quantile_cont(l_extendedprice, 0.05) AS p5,
+         quantile_cont(l_extendedprice, 0.25) AS p25,
+         quantile_cont(l_extendedprice, 0.5) AS median,
+         quantile_cont(l_extendedprice, 0.75) AS p75,
+         quantile_cont(l_extendedprice, 0.95) AS p95,
+         MAX(l_extendedprice) AS mx
+  FROM lineitem
+)
+SELECT s1 / n AS mean,
+       SQRT(CAST(n * c2 - c1 * c1 AS DOUBLE) / (n * (n - 1)) / 10000.0) AS std,
+       CAST(n * c2 - c1 * c1 AS DOUBLE) / (n * (n - 1)) / 10000.0 AS var,
+       mn AS min, p5, p25, median, p75, p95, mx AS max
+FROM s
 """
 
 
@@ -645,36 +660,47 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from exact decimal power sums (n, Σx, Σy, Σxy, Σx², Σy²) so the
     result is order-independent and bit-identical to the oracle — Spark's
     native corr()/covar_samp() accumulate in floating point and drift.
+
+    All five power sums are kept in exact integer CENTS (decimal(38,0)
+    here, HUGEINT in the oracle) so each of the three moment numerators
+    n·Σxy − Σx·Σy etc. is a single exact integer rounded to double ONCE —
+    bit-exact at any scale (the double-first form drifted in the last
+    ulps at sf0.1). The 100× cent scaling cancels inside corr; covar
+    divides it back out after the one rounding.
     """
     li = table(spark, sf_dir, "lineitem")
-    x = _dec("l_quantity")
-    y = _dec("l_extendedprice")
-    n = F.count(F.lit(1)).cast("double")
-    sx = F.sum(x).cast("double")
-    sy = F.sum(y).cast("double")
-    sxy = F.sum(x * y).cast("double")
-    sxx = F.sum(x * x).cast("double")
-    syy = F.sum(y * y).cast("double")
+    cx = (_dec("l_quantity") * F.lit(100)).cast("decimal(38,0)")
+    cy = (_dec("l_extendedprice") * F.lit(100)).cast("decimal(38,0)")
+    n = F.count(F.lit(1))
+    sx = F.sum(cx)
+    sy = F.sum(cy)
+    sxy = F.sum((cx * cy).cast("decimal(38,0)"))
+    sxx = F.sum((cx * cx).cast("decimal(38,0)"))
+    syy = F.sum((cy * cy).cast("decimal(38,0)"))
+    num_xy = (n * sxy - sx * sy).cast("double")  # exact until this cast
+    num_xx = (n * sxx - sx * sx).cast("double")
+    num_yy = (n * syy - sy * sy).cast("double")
     return li.agg(
-        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_samp"),
-        (
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-        ).alias("corr"),
+        (num_xy / (n * (n - F.lit(1))) / F.lit(10000.0)).alias("covar_samp"),
+        (num_xy / F.sqrt(num_xx * num_yy)).alias("corr"),
     )
 
 
 CORR_SQL = """
 WITH s AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  SELECT COUNT(*) AS n,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS syy
   FROM lineitem)
-SELECT (sxy - sx * sy / n) / (n - 1.0) AS covar_samp,
-       (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+SELECT CAST(n * sxy - sx * sy AS DOUBLE) / (n * (n - 1)) / 10000.0 AS covar_samp,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
 FROM s
 """
 
