@@ -488,3 +488,22 @@ def test_length_bucket_batches_waste_accounting(spark):
     b1 = out[(1, 0)]
     assert (b1["n_docs"], b1["max_len"], b1["padding_waste"]) == (2, 41, 1)
     assert out[(2, 0)]["n_docs"] == 1
+
+
+def test_percentile_gate_two_phase_equals_plain_window(spark, sf_dir):
+    """The skew-safe bucketed rank and the plain per-source window must
+    produce identical percentiles (same total order, same formula)."""
+    from wurzel_spark.operators import selection as S
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    two = {(r["doc_id"], r["src_pctile"]) for r in
+           S.quality_percentile_gate(docs).collect()}
+    old = S._GATE_TWO_PHASE_MAX_SOURCES
+    try:
+        S._GATE_TWO_PHASE_MAX_SOURCES = 0  # force the plain-window path
+        plain = {(r["doc_id"], r["src_pctile"]) for r in
+                 S.quality_percentile_gate(docs).collect()}
+    finally:
+        S._GATE_TWO_PHASE_MAX_SOURCES = old
+    assert two == plain and len(two) > 0

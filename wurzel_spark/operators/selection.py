@@ -332,6 +332,9 @@ FROM ranked WHERE rk = 1 ORDER BY cluster_id
 # ------------------------------------- source-normalized quality gating
 
 KEEP_FRACTION = 0.5
+# Few giant sources → two-phase bucketed rank (skew); more sources than
+# this → groups are small and the plain per-source window is used.
+_GATE_TWO_PHASE_MAX_SOURCES = 4096
 
 
 def quality_percentile_gate(
@@ -352,28 +355,89 @@ def quality_percentile_gate(
     the ordering is total and the percentile deterministic. percent_rank
     = (rank-1)/(n-1) — one division of exact integers, cross-engine
     bit-exact. Scale shape: project to (doc_id, source, 2 ints) before
-    the one per-source window; text never enters the shuffle.
+    any shuffle; text never enters an exchange.
+
+    SKEW (the 100 TB shape): a per-source window makes one task sort a
+    whole source — fatal when a few giant sources dominate. With few
+    distinct sources (≤ ``_GATE_TWO_PHASE_MAX_SOURCES``), rank is
+    computed TWO-PHASE like ordering.corpus_shuffle: bucket each row by
+    ⌊(1−ratio)·1024⌋ (bucket order == ratio-desc order), per-(source,
+    bucket) counts collect to the driver (≤ sources×1025 longs), prefix
+    offsets broadcast back, and the window partitions by (source,
+    bucket) — each sort is ~0.1% of a source. Many distinct sources →
+    groups are small → the plain per-source window is already parallel
+    and is used directly. Same output either way (the percentile formula
+    is rank-arithmetic); the SAME oracle certifies both plans.
     """
     c = F.col(text_col)
     score = TXT.marker_words_count(c, tuple("the a and of to in is for on with".split()))
     nw = TXT.word_count(c)
-    ranked = df.select(
+    base = df.select(
         "doc_id",
         F.col(source_col).alias("source"),
         score.alias("stop_hits"),
         nw.alias("n_words"),
-    ).withColumn(
-        "src_pctile",
-        F.percent_rank().over(
-            W.partitionBy("source").orderBy(
-                (
-                    F.col("stop_hits").cast("double")
-                    / F.when(F.col("n_words") > 0, F.col("n_words"))
-                ).desc_nulls_last(),
-                F.col("doc_id").asc(),
-            )
-        ),
     )
+    ratio = F.col("stop_hits").cast("double") / F.when(
+        F.col("n_words") > 0, F.col("n_words")
+    )
+    base = base.withColumn("__r", ratio).localCheckpoint(eager=True)
+    n_sources = base.select("source").distinct().count()
+    if n_sources <= _GATE_TWO_PHASE_MAX_SOURCES:
+        # ratio ∈ [0,1] (hits ≤ words); nulls (empty docs) sort LAST under
+        # desc_nulls_last == bucket 1025
+        bkt = F.when(
+            F.col("__r").isNotNull(),
+            F.least(F.floor((F.lit(1.0) - F.col("__r")) * 1024), F.lit(1024)),
+        ).otherwise(F.lit(1025))
+        b = base.withColumn("__bkt", bkt)
+        counts = (
+            b.groupBy("source", "__bkt")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_src: dict[str, list] = {}
+        for r in counts:
+            per_src.setdefault(r["source"], []).append((r["__bkt"], r["c"]))
+        rows = []
+        totals = {}
+        for src, bks in per_src.items():
+            run = 0
+            for bk, cnt in sorted(bks):
+                rows.append((src, bk, run))
+                run += cnt
+            totals[src] = run
+        odf = df.sparkSession.createDataFrame(
+            rows, "source string, __bkt long, __off long"
+        )
+        ndf = df.sparkSession.createDataFrame(
+            list(totals.items()), "source string, __n long"
+        )
+        w = W.partitionBy("source", "__bkt").orderBy(
+            F.col("__r").desc_nulls_last(), F.col("doc_id").asc()
+        )
+        ranked = (
+            b.join(F.broadcast(odf), ["source", "__bkt"])
+            .join(F.broadcast(ndf), "source")
+            .withColumn("__rank", F.col("__off") + F.row_number().over(w))
+            .withColumn(
+                "src_pctile",
+                F.when(
+                    F.col("__n") > 1,
+                    (F.col("__rank") - F.lit(1)).cast("double")
+                    / (F.col("__n") - F.lit(1)),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+    else:
+        ranked = base.withColumn(
+            "src_pctile",
+            F.percent_rank().over(
+                W.partitionBy("source").orderBy(
+                    F.col("__r").desc_nulls_last(), F.col("doc_id").asc()
+                )
+            ),
+        )
     return (
         ranked.filter(F.col("src_pctile") <= keep_frac)
         .select("doc_id", "source", "src_pctile")
