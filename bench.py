@@ -118,6 +118,7 @@ HEADLINE = [
     "incremental_novelty",
     "quality_percentile_gate",
     "length_bucket_batches",
+    "training_shard_stats",
 ]
 
 

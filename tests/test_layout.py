@@ -91,3 +91,46 @@ def test_zorder_write_clusters_large_key_domain(spark, tmp_path):
     full_x, full_y = 63 * 15_625, 31 * 31_250
     assert max(s[0] for s in spans) <= full_x // 2
     assert max(s[1] for s in spans) <= full_y // 2
+
+
+def test_write_training_shards_deterministic_balanced(spark, sf_dir, tmp_path):
+    """One epoch materialized as shards: balanced ±1, one parquet file per
+    shard, deterministic across runs, union == corpus."""
+    import glob
+
+    from wurzel_spark.operators.layout import write_training_shards
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(100)
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+    sizes = {}
+    for s in range(4):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, files  # one file per shard
+        sizes[s] = spark.read.parquet(f"{out}/shard={s}").count()
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == 100
+    all_rows = spark.read.parquet(out)
+    assert all_rows.select("doc_id").distinct().count() == 100
+    first = {
+        (r["doc_id"], r["shard"], r["shuffle_pos"]) for r in all_rows.collect()
+    }
+    # second run writes byte-identical assignments
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=4)
+    second = {
+        (r["doc_id"], r["shard"], r["shuffle_pos"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert first == second
+
+
+def test_training_shard_stats_balance(spark, sf_dir):
+    from wurzel_spark.operators.layout import q_training_shard_stats
+
+    rows = q_training_shard_stats(spark, sf_dir).collect()
+    assert len(rows) == 8
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert all(r["n_tokens"] > 0 for r in rows)

@@ -244,3 +244,90 @@ def compact_write(
     n_files = max(1, -(-(n_rows * avg_bytes) // (target_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(path)
     return n_files
+
+
+# ---------------------------------------------------- training shards
+
+N_SHARDS = 8
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize one training EPOCH as shard files: the deterministic
+    corpus shuffle (ordering.corpus_shuffle — two-phase rank, no global
+    window) striped round-robin over ``n_shards`` (shard sizes balanced
+    within ±1 by construction), one parquet file per shard so a loader
+    maps shard→worker with no further splitting. Rows keep
+    ``shuffle_pos`` so each worker restores its stream order with a
+    shard-local sort. Returns the written frame.
+
+    Scale shape: the stripe assignment is row-local arithmetic on the
+    rank; the write repartitions BY SHARD (n_shards tasks, each streaming
+    one shard to one file). For multi-TB shards raise n_shards or drop
+    the one-file-per-shard constraint (partitionBy alone) — the
+    assignment column is the contract, the file fan-out is tunable.
+    """
+    from wurzel_spark.operators.ordering import corpus_shuffle
+
+    shuffled = corpus_shuffle(df.select(id_col, text_col), id_col)
+    sharded = shuffled.withColumn(
+        "shard", ((F.col("shuffle_pos") - F.lit(1)) % F.lit(n_shards)).cast("long")
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return sharded
+
+
+def training_shard_stats(
+    df: DataFrame, n_shards: int = N_SHARDS, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shard balance readout (the oracle-checkable half of
+    :func:`write_training_shards`): per shard, document count and token
+    sum — balanced counts (±1) certify the striping, token sums certify
+    which docs landed where."""
+    from wurzel_spark.functions import text as TXT
+    from wurzel_spark.operators.ordering import corpus_shuffle
+
+    shuffled = corpus_shuffle(df.select(id_col, text_col), id_col)
+    return (
+        shuffled.withColumn(
+            "shard", ((F.col("shuffle_pos") - F.lit(1)) % F.lit(n_shards)).cast("long")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TXT.word_count(F.col(text_col)).cast("long")).alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_shard_stats(table(spark, sf_dir, "documents"))
+
+
+TRAINING_SHARD_SQL = """
+WITH h AS (
+  SELECT doc_id, text,
+         ((doc_id % 1000003) * 2654435761) % 4294967296 AS h
+  FROM documents
+), ranked AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (ORDER BY h, doc_id) AS pos
+  FROM h
+)
+SELECT (pos - 1) % 8 AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''))) AS BIGINT) AS n_tokens
+FROM ranked GROUP BY (pos - 1) % 8 ORDER BY shard
+"""

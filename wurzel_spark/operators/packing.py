@@ -215,6 +215,13 @@ def length_bucket_batches(
     per-bucket rank window; then a hash aggregate per (bucket, batch).
     Padding waste reads off directly; total waste / sum_len is the
     batching efficiency a serving planner optimizes.
+
+    Skew note: bucket populations follow the corpus length distribution,
+    so one modal-length bucket can dominate; the window sorts 16-byte
+    rows, which buys ~2 orders of headroom over sorting text, and past
+    that the two-phase bucketed-rank pattern applies (see
+    selection.quality_percentile_gate's few-giant-groups branch — here
+    the sub-key would be the exact n_tokens value within the bucket).
     """
     from pyspark.sql import Window as W
 
