@@ -119,6 +119,7 @@ HEADLINE = [
     "quality_percentile_gate",
     "length_bucket_batches",
     "training_shard_stats",
+    "leakage_safe_split",
 ]
 
 

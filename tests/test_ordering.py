@@ -121,3 +121,26 @@ def test_curriculum_order_is_deterministic(spark):
     a = sorted(map(tuple, curriculum_order(docs).collect()))
     b = sorted(map(tuple, curriculum_order(docs.repartition(8)).collect()))
     assert a == b
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Every near-dup component lands in exactly one split; singletons
+    keep the plain band assignment (growth-stable)."""
+    from wurzel_spark.operators.ordering import leakage_safe_split, train_split_assign
+
+    rows = [(i, f"doc {i} body " + "filler " * 5) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # planted dup graph: chain {1,2,3}, pair {10, 25}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 25)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 40
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[25]
+    plain = {r["doc_id"]: r["split"] for r in train_split_assign(docs).collect()}
+    for i in range(40):
+        if i not in (1, 2, 3, 10, 25):
+            assert out[i] == plain[i], i  # singletons unchanged
+    # members inherit the CLUSTER MIN's band — stable representative
+    assert out[2] == plain[1] and out[25] == plain[10]

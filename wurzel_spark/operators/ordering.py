@@ -352,3 +352,106 @@ FROM banded ORDER BY doc_id
 
 
 CURRICULUM_ORDER_SQL = _curriculum_sql()
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_permille: int = 50,
+    test_permille: int = 50,
+) -> DataFrame:
+    """The FIX to what :func:`split_leakage_stats` audits: assign splits
+    so near-duplicate documents can never straddle a split boundary. Each
+    near-dup component (connected components over ``pairs``) is banded by
+    its CLUSTER id's hash — every member inherits the representative's
+    split — and singletons band by their own id, identical to
+    :func:`train_split_assign`. Still growth-stable: a doc's split only
+    changes if a new edge merges its component (exactly the case where
+    moving it is the point).
+
+    Scale shape: components via the size-guarded union-find / min-label
+    propagation (dedup.near_dup_cluster_members), one broadcastable
+    membership join (dup graphs ≪ corpus), then the same map-only band
+    projection as the plain splitter.
+    """
+    from wurzel_spark.operators.dedup import near_dup_cluster_members
+
+    members = near_dup_cluster_members(pairs).localCheckpoint(eager=True)
+    mem = members.select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("__eff")
+    )
+    if members.count() <= 4_000_000:  # same size guard as merge_cluster_labels
+        mem = F.broadcast(mem)
+    eff = df.join(mem, id_col, "left").withColumn(
+        "__eff", F.coalesce(F.col("__eff"), F.col(id_col))
+    )
+    band = _det_hash(F.col("__eff")) % F.lit(1000)
+    train_hi = 1000 - val_permille - test_permille
+    split = (
+        F.when(band < train_hi, F.lit("train"))
+        .when(band < train_hi + val_permille, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return eff.withColumn("split", split).drop("__eff")
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment over the documents corpus with the
+    df-capped exact-Jaccard dup graph (the oracle-able configuration the
+    cluster family uses)."""
+    from wurzel_spark.operators.dedup import CAPPED_MAX_DF, ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=CAPPED_MAX_DF, sort=False
+    ).select("id_a", "id_b")
+    return (
+        leakage_safe_split(docs, pairs)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    from wurzel_spark.operators.dedup import _CAPPED_SHINGLES_CTE
+
+    return f"""
+WITH RECURSIVE {_CAPPED_SHINGLES_CTE},
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+members AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+eff AS (
+  SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS eff
+  FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+)
+SELECT doc_id,
+       CASE WHEN ((eff % 1000003) * 2654435761) % 4294967296 % 1000 < 900
+            THEN 'train'
+            WHEN ((eff % 1000003) * 2654435761) % 4294967296 % 1000 < 950
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM eff
+ORDER BY doc_id
+"""
+
+
+LEAKAGE_SAFE_SPLIT_SQL = _leakage_safe_split_sql()
