@@ -206,3 +206,48 @@ def test_builtin_png_decoder_filters_roundtrip():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(_png_pixels(png), px)
+
+
+def test_real_wav_audio_features(spark):
+    """Real WAV bytes (stdlib wave writer) through audio_features: exact
+    duration from frames/rate, sine-wave RMS ≈ A/√2, zero crossings ≈
+    2 × cycles."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    def make_wav(freq_hz, seconds, rate=8000, amp=0.5):
+        n = int(rate * seconds)
+        t = np.arange(n) / rate
+        x = (amp * np.sin(2 * math.pi * freq_hz * t) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    from wurzel_spark.operators.multimodal import audio_features
+
+    # frequencies that do NOT divide the rate: a divisor frequency puts
+    # every crossing exactly ON a zero sample (product == 0, not < 0)
+    rows = [
+        (1, "audio", bytearray(make_wav(103, 0.5)), ("audio/wav", None, None, 500, 8000)),
+        (2, "audio", bytearray(make_wav(397, 0.25)), ("audio/wav", None, None, 250, 8000)),
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+    out = {r["asset_id"]: r for r in audio_features(assets, decoder="real").collect()}
+    assert out[1]["duration_ms"] == 500 and out[2]["duration_ms"] == 250
+    # sine RMS = amp/sqrt(2) = 0.3535…
+    assert abs(out[1]["rms"] - 0.5 / 2**0.5) < 0.01
+    # 103 Hz for 0.5 s ≈ 51.5 cycles → ~103 zero crossings
+    assert abs(out[1]["zero_crossings"] - 103) <= 3
+    # 397 Hz for 0.25 s ≈ 99 cycles → ~198 crossings
+    assert abs(out[2]["zero_crossings"] - 198) <= 3

@@ -264,10 +264,44 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, decoder: str = "fak
     return df.filter(F.col("kind") == "video").mapInPandas(op, out_schema)
 
 
+def _wav_samples(content: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV decode with the stdlib ``wave`` module (PCM 8/16/32-bit,
+    RIFF container — public format): (mono float64 samples in [-1, 1],
+    frame rate). Multi-channel input averages to mono."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{width * 8}-bit PCM not supported")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
 def audio_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
-    """audio binary → {asset_id, duration_ms, rms, zero_crossings}."""
-    if decoder != "fake":  # pragma: no cover
-        raise NotImplementedError("real audio decode needs soundfile/librosa")
+    """audio binary → {asset_id, duration_ms, rms, zero_crossings}.
+
+    ``decoder='fake'``: deterministic stub samples (content-hash-seeded).
+    ``decoder='real'``: stdlib WAV decode (PCM RIFF) — real duration from
+    frames/rate, real RMS and zero-crossing count; compressed codecs
+    (mp3/ogg) still need soundfile/librosa and raise.
+    """
+    if decoder not in ("fake", "real"):  # pragma: no cover
+        raise NotImplementedError(
+            "real audio decode for compressed codecs needs soundfile/librosa; "
+            "use 'real' (stdlib WAV) or 'fake' (stub)."
+        )
 
     out_schema = T.StructType(
         [
@@ -282,12 +316,15 @@ def audio_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, content, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
-                seed = int.from_bytes(hashlib.sha256(bytes(content)).digest()[:8], "big") % 2**32
-                rng = np.random.default_rng(seed)
-                n = 1600
-                samples = rng.normal(0, 0.3, n)
-                dur = int(meta["duration_ms"] or 100) if meta is not None else 100
-                rms = float(np.sqrt((samples**2).mean()))
+                if decoder == "real":
+                    samples, rate = _wav_samples(bytes(content))
+                    dur = int(len(samples) * 1000 / rate) if rate else 0
+                else:
+                    seed = int.from_bytes(hashlib.sha256(bytes(content)).digest()[:8], "big") % 2**32
+                    rng = np.random.default_rng(seed)
+                    samples = rng.normal(0, 0.3, 1600)
+                    dur = int(meta["duration_ms"] or 100) if meta is not None else 100
+                rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
                 zc = int(((samples[:-1] * samples[1:]) < 0).sum())
                 rows.append((int(aid), dur, rms, zc))
             yield pd.DataFrame(rows, columns=["asset_id", "duration_ms", "rms", "zero_crossings"])
