@@ -77,8 +77,12 @@ QUERIES = [
     # round-5 additions
     "snapshot_diff",
     "ngram_novelty",
+    "incremental_novelty",
     "quality_percentile_gate",
     "length_bucket_batches",
+    "training_shard_stats",
+    "leakage_safe_split",
+    "tlsh_fingerprints",
 ]
 
 
