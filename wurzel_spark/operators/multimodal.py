@@ -336,12 +336,17 @@ def repartition_by_size(df: DataFrame, target_bytes: int = 128 * 1024 * 1024) ->
     """Skew guard: bin assets by cumulative byte size so a partition holds
     ~target_bytes of media regardless of per-asset size variance. At 100 TB
     this is the difference between a smooth stage and one 2-hour straggler.
+
+    Floor at the cluster's core count (bounded by the asset count): the
+    byte target alone folds a small corpus into ONE partition, and the
+    downstream decode is CPU-bound Python — the same single-core hazard
+    the shingle kernels' `_parallelize` rule guards against.
     """
     sized = df.withColumn("__sz", F.length("content").cast("long"))
-    n = max(
-        1,
-        int((sized.agg(F.sum("__sz")).collect()[0][0] or 0) / target_bytes),
-    )
+    total, cnt = sized.agg(F.sum("__sz"), F.count(F.lit(1))).collect()[0]
+    n = max(1, int((total or 0) / target_bytes))
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    n = min(max(n, cores), max(int(cnt), 1))
     return sized.repartitionByRange(n, F.col("__sz"), F.col("asset_id")).drop("__sz")
 
 
