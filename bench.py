@@ -120,6 +120,7 @@ HEADLINE = [
     "length_bucket_batches",
     "training_shard_stats",
     "leakage_safe_split",
+    "supplier_pagerank",
 ]
 
 

@@ -1,0 +1,53 @@
+"""Quantized PageRank: exact reproducibility + ranking semantics."""
+
+from pyspark.sql import functions as F
+
+from wurzel_spark.operators.graph import SCALE, quantized_pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_hub_ranks_highest_and_mass_conserved(spark):
+    # star graph: node 0 linked (both ways) with 1..5 → 0 is the hub
+    pairs = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    out = {r["node"]: r["rank_scaled"] for r in quantized_pagerank(_edges(spark, pairs)).collect()}
+    assert max(out, key=out.get) == 0
+    leaves = [out[i] for i in range(1, 6)]
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+    # quantized mass conservation: floor losses only ever REMOVE mass,
+    # a few units per node per iteration
+    assert 0 < SCALE - sum(out.values()) < 6 * 3 * 10  # nodes × iters × slack
+
+
+def test_partitioning_independence_bitwise(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(50), rng.randrange(50)) for _ in range(300)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e1 = _edges(spark, pairs)
+    e2 = _edges(spark, pairs).repartition(13)
+    r1 = sorted(map(tuple, quantized_pagerank(e1).collect()))
+    r2 = sorted(map(tuple, quantized_pagerank(e2).collect()))
+    assert r1 == r2  # bit-identical under any layout
+
+
+def test_matches_pure_python_reference(spark):
+    """The Spark loop == a literal Python transcription of the recurrence."""
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3)]
+    out = {r["node"]: r["rank_scaled"] for r in quantized_pagerank(_edges(spark, pairs)).collect()}
+    nodes = sorted({x for p in pairs for x in p})
+    n = len(nodes)
+    deg = {}
+    for s, _ in pairs:
+        deg[s] = deg.get(s, 0) + 1
+    base = (15 * SCALE) // (100 * n)
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(3):
+        nxt = {v: base for v in nodes}
+        for s, d in pairs:
+            nxt[d] += (85 * r[s]) // (100 * deg[s])
+        r = nxt
+    assert out == r

@@ -1,0 +1,167 @@
+"""Distributed graph analytics: exactly-reproducible quantized PageRank.
+
+PageRank in floating point is NOT engine-reproducible — the per-node
+in-neighbor sum is order-dependent, so the same graph scores differently
+across partitionings, engines, and runs. This implementation quantizes
+rank mass to INTEGER units (SCALE = 10¹²) and keeps every operation in
+exact integer arithmetic:
+
+    S₀(v)    = SCALE // N
+    Sₖ₊₁(v) = BASE + Σ_{u→v} (85 · Sₖ(u)) // (100 · deg(u))
+    BASE     = (15 · SCALE) // (100 · N)
+
+Floor division of non-negative integers is identical in every engine,
+integer sums are order-independent (decimal(38,0) guards the reduce), so
+k iterations produce BIT-IDENTICAL ranks on Spark, DuckDB (``//``), or a
+Python loop — the same determinism contract as the fixed-point quality
+classifier (operators/classifier.py). The quantization error vs real
+PageRank is ≤ in-degree ulps of 10⁻¹² per iteration — far below any
+ranking decision.
+
+Scale shape: one iteration = one keyed shuffle (contributions grouped by
+dst) + a broadcast-size degree table join; iterations are a driver loop
+over a lineage-checkpointed frame. Rounds are fixed (k), not
+convergence-probed — the reproducibility contract needs a deterministic
+iteration count.
+
+The registered query runs it over the customer→supplier PURCHASE graph
+(who buys from whom, via orders ⨝ lineitem): rank mass flows from
+customers to the suppliers they buy from and back, a bipartite
+importance measure of the supply network.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wurzel_spark.tables import table
+
+SCALE = 10**12
+N_ITERS = 3
+
+
+def quantized_pagerank(
+    edges: DataFrame, n_iters: int = N_ITERS, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, rank_scaled) after ``n_iters`` quantized iterations over a
+    DIRECTED edge list (run both directions through for an undirected
+    graph). rank_scaled sums to ≈ SCALE (floor losses drain a few ulps
+    per iteration — deterministically)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)  # reused every iteration
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (15 * SCALE) // (100 * n)
+    ranks = nodes.withColumn("rank_scaled", F.lit(SCALE // n).cast("long"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # everything in bigint: 85·rank ≤ 8.5e13 ≪ 2^63
+                F.expr(
+                    "(85L * cast(rank_scaled as bigint)) div (100L * cast(deg as bigint))"
+                ).alias("c"),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contrib.groupBy("node").agg(
+                    F.sum(F.col("c").cast("decimal(38,0)")).cast("long").alias("inflow")
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).alias(
+                    "rank_scaled"
+                ),
+            )
+            .localCheckpoint(eager=True)  # cut per-iteration lineage
+        )
+    return ranks
+
+
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized PageRank over the bipartite purchase graph: customer c —
+    supplier s whenever c has an order containing a lineitem from s.
+    Suppliers are offset by 10^9 so the two id spaces never collide.
+    Returns the top-100 nodes by rank (rank desc, node asc — total
+    order)."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    ranks = quantized_pagerank(edges)
+    return (
+        ranks.orderBy(F.desc("rank_scaled"), F.asc("node")).limit(100)
+    )
+
+
+PAGERANK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT cust AS src, supp AS dst FROM pairs
+  UNION
+  SELECT supp AS src, cust AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst AS node FROM edges
+), meta AS (
+  SELECT COUNT(*) AS n FROM (SELECT DISTINCT node FROM nodes)
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT DISTINCT node, {SCALE} // (SELECT n FROM meta) AS rank_scaled FROM nodes
+), r1 AS (
+  SELECT n.node,
+         (15 * {SCALE}) // (100 * (SELECT n FROM meta))
+         + COALESCE(SUM((85 * r.rank_scaled) // (100 * d.deg)), 0) AS rank_scaled
+  FROM (SELECT DISTINCT node FROM nodes) n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r0 r ON r.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+), r2 AS (
+  SELECT n.node,
+         (15 * {SCALE}) // (100 * (SELECT n FROM meta))
+         + COALESCE(SUM((85 * r.rank_scaled) // (100 * d.deg)), 0) AS rank_scaled
+  FROM (SELECT DISTINCT node FROM nodes) n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r1 r ON r.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+), r3 AS (
+  SELECT n.node,
+         (15 * {SCALE}) // (100 * (SELECT n FROM meta))
+         + COALESCE(SUM((85 * r.rank_scaled) // (100 * d.deg)), 0) AS rank_scaled
+  FROM (SELECT DISTINCT node FROM nodes) n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r2 r ON r.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+)
+SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled
+FROM r3 ORDER BY rank_scaled DESC, node ASC LIMIT 100
+"""
