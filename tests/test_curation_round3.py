@@ -507,3 +507,23 @@ def test_percentile_gate_two_phase_equals_plain_window(spark, sf_dir):
     finally:
         S._GATE_TWO_PHASE_MAX_SOURCES = old
     assert two == plain and len(two) > 0
+
+
+def test_long_chain_converges_within_log_rounds(spark):
+    """Round 5: pointer-doubling shortcuts make a 120-node chain (diameter
+    119) converge well inside 20 rounds on the DISTRIBUTED path — plain
+    min-propagation would need 119 rounds and strict mode would raise."""
+    from wurzel_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 120)], "id_a long, id_b long"
+    )
+    old = D._DRIVER_UNION_FIND_MAX_EDGES
+    try:
+        D._DRIVER_UNION_FIND_MAX_EDGES = 0  # force the distributed path
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in D.near_dup_cluster_members(pairs, max_iters=20).collect()}
+    finally:
+        D._DRIVER_UNION_FIND_MAX_EDGES = old
+    assert len(out) == 120
+    assert set(out.values()) == {1}  # one component, labeled by its minimum
