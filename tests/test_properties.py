@@ -86,3 +86,63 @@ def test_sentence_split_preserves_content(parts):
 def test_normalize_markdown_idempotent(md):
     once = H.normalize_markdown(md)
     assert H.normalize_markdown(once) == once
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_shape(h, w, seed):
+    """Builtin PNG decoder inverts a filter-0 encoding for ANY image
+    shape and content (driverless property — no Spark)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from wurzel_spark.operators.multimodal import _png_pixels
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(_png_pixels(png), px)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_tlsh_total_function_and_symmetry(data):
+    """tlsh_digest never raises on arbitrary bytes; valid digests have
+    the fixed format and symmetric self-distance 0."""
+    from wurzel_spark.functions.tlsh import tlsh_digest, tlsh_distance
+
+    d = tlsh_digest(data)
+    if len(data) < 50:
+        assert d is None
+    if d is not None:
+        assert len(d) == 72 and d.startswith("T1")
+        assert tlsh_distance(d, d) == 0
+        other = tlsh_digest(data + b" tail of different content appended here")
+        if other is not None:
+            assert tlsh_distance(d, other) == tlsh_distance(other, d)
+
+
+@given(st.binary(min_size=50, max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_tlsh_deterministic(data):
+    from wurzel_spark.functions.tlsh import tlsh_digest
+
+    assert tlsh_digest(data) == tlsh_digest(data)
