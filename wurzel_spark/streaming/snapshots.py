@@ -10,11 +10,12 @@ pairs and runs the one full-outer diff at drain time. Staged rows are
 (id, 32-byte hash), three orders smaller than documents; the expensive
 content pass (hashing) happens inside each micro-batch.
 
-Replay safety: per-batch staging goes to ``batch=N`` with overwrite (the
-batch-keyed idempotence pattern shared by streaming/clusters.py and
-streaming/cms.py), and the staged union is deduplicated by id before the
-diff, so an at-least-once redelivery can never produce duplicate diff
-rows.
+Replay safety + file-count bound: per-batch staging goes through the
+shared crash-safe state protocol (streaming/_state.py — ``batch=N``
+overwrite, periodic fold, _SUCCESS-validated recovery), and the staged
+union is deduplicated by id before the diff, so an at-least-once
+redelivery can never produce duplicate diff rows and a thousand-batch
+snapshot never produces a thousand state dirs.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wurzel_spark.streaming._fs import path_exists
+from wurzel_spark.streaming._state import recover_fold, write_batch_state
 
 
 def snapshot_diff_stream(
@@ -32,6 +34,7 @@ def snapshot_diff_stream(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 16,
 ) -> DataFrame:
     """Drain an availableNow stream of the NEW snapshot; return the
     (id, status ∈ {added, removed, changed}) diff against ``old``."""
@@ -40,9 +43,11 @@ def snapshot_diff_stream(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.select(
+        recover_fold(spark, staging_dir, batch_id)
+        hashes = batch_df.select(
             F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("new_hash")
-        ).write.mode("overwrite").parquet(f"{staging_dir}/batch={batch_id}")
+        )
+        write_batch_state(spark, hashes, staging_dir, batch_id, "id", compact_every)
 
     q = (
         new_stream.writeStream.foreachBatch(_process)
