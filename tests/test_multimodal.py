@@ -251,3 +251,26 @@ def test_real_wav_audio_features(spark):
     assert abs(out[1]["zero_crossings"] - 103) <= 3
     # 397 Hz for 0.25 s ≈ 99 cycles → ~198 crossings
     assert abs(out[2]["zero_crossings"] - 198) <= 3
+
+
+def test_real_resize_roundtrip(spark):
+    """decode→nearest-neighbor resize→PNG re-encode with zero image libs:
+    the resized bytes decode back to the expected downsampled pixels."""
+    import numpy as np
+
+    from wurzel_spark.operators.multimodal import _png_pixels, resize_images
+
+    ramp = (4 * np.arange(64)).reshape(8, 8)
+    px = _block_img(ramp)  # 32×32, 4×4 constant blocks
+    rows = [(1, "image", bytearray(_encode_png(px)), ("image/png", 32, 32, None, None))]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+    out = resize_images(assets, 8, 8, decoder="real").collect()[0]
+    assert out["meta"]["width"] == 8 and out["meta"]["height"] == 8
+    small = _png_pixels(bytes(out["content"]))
+    # nearest-neighbor 32→8 over 4-pixel constant blocks == the block values
+    assert small.shape == (8, 8, 3)
+    assert np.array_equal(small[:, :, 0], ramp.astype(np.uint8))

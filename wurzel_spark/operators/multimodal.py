@@ -211,20 +211,58 @@ def decode_images(df: DataFrame, decoder: str = "fake", max_pixels: int = 64 * 6
     return df.filter(F.col("kind") == "image").mapInPandas(op, out_schema)
 
 
+def _png_encode(px: np.ndarray) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, filter-0 rows) — the writeback half
+    of the builtin codec, so decode→transform→re-encode round-trips
+    without any image library."""
+    import struct
+    import zlib
+
+    h, w = px.shape[0], px.shape[1]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    raw = b"".join(b"\x00" + px[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
-    """binary → re-encoded binary at new dimensions (stub re-encodes the
-    deterministic pixel array as raw bytes). Same row count, updated meta.
+    """binary → re-encoded binary at new dimensions. Same row count,
+    updated meta.
+
+    ``decoder='fake'``: stub pixels re-encoded as raw bytes.
+    ``decoder='real'``: real decode (PIL or builtin PNG), deterministic
+    nearest-neighbor resample, PNG re-encode — a full decode→transform→
+    encode loop with zero image libraries (PIL, when importable, handles
+    the decode of non-PNG inputs).
     """
-    if decoder != "fake":  # pragma: no cover
-        raise NotImplementedError("real resize needs PIL/opencv")
+    if decoder not in ("fake", "real"):  # pragma: no cover
+        raise NotImplementedError(
+            "resize decoders: 'fake' (stub) or 'real' (PIL / builtin PNG)"
+        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             contents, metas = [], []
-            for content, meta in zip(pdf["content"], pdf["meta"]):
-                px = _fake_pixels(bytes(content), width, height)
-                contents.append(px.tobytes())
+            for kind, content, meta in zip(pdf["kind"], pdf["content"], pdf["meta"]):
+                if decoder == "real" and kind == "image":
+                    px = _real_pixels(bytes(content))
+                    ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
+                    xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
+                    contents.append(_png_encode(px[ys][:, xs]))
+                else:
+                    px = _fake_pixels(bytes(content), width, height)
+                    contents.append(px.tobytes())
                 m = dict(meta) if meta is not None else {}
                 m.update({"width": width, "height": height})
                 metas.append(m)
