@@ -121,6 +121,7 @@ HEADLINE = [
     "training_shard_stats",
     "leakage_safe_split",
     "supplier_pagerank",
+    "decontamination_report",
 ]
 
 

@@ -304,3 +304,28 @@ def test_incremental_novelty_exact_when_batch_disjoint(spark):
     assert inc == full
     assert inc[11][2] == 1.0  # entirely new content
     assert 0.0 < inc[10][2] < 1.0  # shares the 'alpha beta gamma' shingle
+
+
+def test_decontamination_report_groups_by_benchmark(spark):
+    from wurzel_spark.operators.dedup import decontamination_report
+
+    bench_a = " ".join(f"a{i}" for i in range(13))
+    bench_b = " ".join(f"b{i}" for i in range(13))
+    evals = spark.createDataFrame(
+        [(1000, "suiteA", bench_a), (2000, "suiteB", bench_b)],
+        "doc_id long, source string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "s", "lead " + bench_a + " tail"),          # hits suiteA
+            (2, "s", bench_a + " and " + bench_b),          # hits both
+            (3, "s", " ".join(f"c{i}" for i in range(30))), # clean
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["bench"]: r for r in decontamination_report(corpus, evals).collect()}
+    assert set(out) == {"suiteA", "suiteB"}
+    assert out["suiteA"]["n_docs_hit"] == 2  # docs 1 and 2
+    assert out["suiteB"]["n_docs_hit"] == 1  # doc 2 only
+    assert out["suiteA"]["n_span_hits"] >= 2
+    assert out["suiteA"]["n_eval_spans"] == 1  # single 13-token eval doc

@@ -2488,3 +2488,93 @@ SELECT sizes.id AS doc_id,
 FROM sizes LEFT JOIN seen ON sizes.id = seen.id
 ORDER BY doc_id
 """
+
+
+def decontamination_report(
+    corpus: DataFrame,
+    evals: DataFrame,
+    bench_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-BENCHMARK contamination report: one row per eval suite
+    (``bench_col`` of the eval table) with its distinct span count, how
+    many corpus span positions hit it, and how many distinct corpus docs
+    are touched — the go/no-go table a training run reads before trusting
+    its benchmark numbers (the grouped form of
+    :func:`decontamination_overlap`, which scores one suite per call).
+
+    Scale shape: eval spans keep their benchmark tag — (bench, h)
+    distinct pairs, still eval-sized → the corpus (id, h) stream joins it
+    once (broadcast when small); aggregates are per-bench counts. The
+    corpus side is computed ONCE for all benchmarks.
+    """
+    tagged = (
+        _span_hash_stream(evals, id_col, text_col, n)
+        .join(
+            evals.select(F.col(id_col).alias("id"), F.col(bench_col).alias("bench")),
+            "id",
+        )
+        .select("bench", "h")
+        .distinct()
+    )
+    hits = _span_hash_stream(corpus, id_col, text_col, n).join(tagged, "h")
+    per_bench = hits.groupBy("bench").agg(
+        F.count(F.lit(1)).alias("n_span_hits"),
+        F.countDistinct("id").alias("n_docs_hit"),
+    )
+    sizes = tagged.groupBy("bench").agg(F.count(F.lit(1)).alias("n_eval_spans"))
+    return (
+        sizes.join(per_bench, "bench", "left")
+        .select(
+            "bench",
+            "n_eval_spans",
+            F.coalesce(F.col("n_span_hits"), F.lit(0)).alias("n_span_hits"),
+            F.coalesce(F.col("n_docs_hit"), F.lit(0)).alias("n_docs_hit"),
+        )
+        .orderBy("bench")
+    )
+
+
+def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 50th document plays an eval doc; its source column is the
+    benchmark tag — one report row per suite."""
+    docs = table(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontamination_report(docs.filter(F.col("doc_id") % 50 != 0), evals)
+
+
+DECONTAMINATION_REPORT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, source, ws FROM toks WHERE len(ws) > 0
+), spans AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ws) >= 13
+              THEN array_to_string(ws[i:i+12], ' ')
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM nonempty, UNNEST(range(1, GREATEST(len(ws) - 11, 2))) AS t(i)
+), eval_spans AS (
+  SELECT DISTINCT source AS bench, g FROM spans WHERE doc_id % 50 = 0
+), corpus AS (
+  SELECT doc_id, g FROM spans WHERE doc_id % 50 != 0
+), hits AS (
+  SELECT e.bench, c.doc_id
+  FROM corpus c JOIN eval_spans e ON c.g = e.g
+), per_bench AS (
+  SELECT bench, COUNT(*) AS n_span_hits, COUNT(DISTINCT doc_id) AS n_docs_hit
+  FROM hits GROUP BY bench
+), sizes AS (
+  SELECT bench, COUNT(*) AS n_eval_spans FROM eval_spans GROUP BY bench
+)
+SELECT s.bench,
+       s.n_eval_spans,
+       COALESCE(p.n_span_hits, 0) AS n_span_hits,
+       COALESCE(p.n_docs_hit, 0) AS n_docs_hit
+FROM sizes s LEFT JOIN per_bench p ON s.bench = p.bench
+ORDER BY s.bench
+"""
