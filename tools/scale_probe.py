@@ -82,7 +82,9 @@ QUERIES = [
     "length_bucket_batches",
     "training_shard_stats",
     "leakage_safe_split",
-    "tlsh_fingerprints",
+    # tlsh_fingerprints is EXCLUDED: count() prunes the 1:1 scalar UDF so
+    # the probe would time an empty projection; PERF.md records the honest
+    # digest-consuming measurement instead
 ]
 
 
