@@ -232,3 +232,34 @@ def test_builtin_converter_falls_back_to_stub_for_garbage(spark, tmp_path):
     out = D.convert_stage(D.read_binary_docs(spark, str(tmp_path))).collect()
     assert len(out) == 2
     assert all("[stub-converted" in r["md"] for r in out)
+
+
+def test_jsonl_corpus_source(spark, tmp_path):
+    """JSONL → MarkdownDataContract: field aliasing, url/keyword
+    fallbacks, corrupt-line skip, declared (never inferred) schema."""
+    import json
+
+    from wurzel_spark.sources.jsonl import read_jsonl_corpus
+
+    lines = [
+        {"md": "# Title A\n\nbody a", "url": "https://x/a", "keywords": "ka"},
+        {"text": "# Heading B\n\nbody b", "id": "b1"},      # text alias, heading kw
+        {"content": "plain body c", "id": "c1"},             # content alias, id kw
+        {"md": "", "id": "empty"},                           # empty body → dropped
+        {"irrelevant": 1},                                   # no body → dropped
+    ]
+    p = tmp_path / "corpus.jsonl"
+    with open(p, "w") as f:
+        for ln in lines:
+            f.write(json.dumps(ln) + "\n")
+        f.write("{not valid json\n")  # corrupt line → skipped
+    out = {r["url"]: r for r in read_jsonl_corpus(spark, str(p)).collect()}
+    assert len(out) == 3
+    assert out["https://x/a"]["keywords"] == "ka"
+    assert out["jsonl://b1"]["keywords"] == "Heading B"  # first-heading fallback
+    assert out["jsonl://c1"]["keywords"] == "c1"  # id fallback
+    # on_corrupt='fail' surfaces the bad line
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corrupt"):
+        read_jsonl_corpus(spark, str(p), on_corrupt="fail")
