@@ -527,3 +527,38 @@ def test_long_chain_converges_within_log_rounds(spark):
         D._DRIVER_UNION_FIND_MAX_EDGES = old
     assert len(out) == 120
     assert set(out.values()) == {1}  # one component, labeled by its minimum
+
+
+def test_compressibility_separates_repetitive_from_random(spark):
+    from wurzel_spark.operators.textstats import compressibility_stats
+
+    import random
+
+    rng = random.Random(5)
+    noise = "".join(chr(rng.randrange(33, 127)) for _ in range(2000))
+    rows = [
+        (1, "spam spam spam " * 200),                 # templated spam
+        (2, noise),                                   # incompressible noise
+        (3, "The quiet afternoon settled over the valley as readers "
+            "turned pages and the river kept its slow argument with the "
+            "stones. A kestrel hung above the orchard wall, wings "
+            "trembling against a sky the color of unpolished tin, while "
+            "somewhere beyond the hedgerows a tractor coughed twice and "
+            "fell silent. Nobody in the village could remember who had "
+            "first planted the walnut trees along the lane, though every "
+            "autumn their shadows grew a little longer and their harvest "
+            "a little smaller, as if the ground itself were slowly "
+            "forgetting the favor."),                 # natural prose, unrepeated
+        (4, ""),                                      # empty → nulls
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compressibility_stats(docs).collect()}
+    assert out[1]["zlib_ratio"] < 0.1 < out[3]["zlib_ratio"] < out[2]["zlib_ratio"]
+    assert out[2]["zlib_ratio"] > 0.8  # noise barely compresses
+    assert out[2]["char_entropy"] > 6.0 > out[3]["char_entropy"] > out[1]["char_entropy"]
+    assert out[4]["zlib_ratio"] is None and out[4]["n_bytes"] == 0
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in compressibility_stats(docs).collect()}
+    assert {k: (v["zlib_ratio"], v["char_entropy"]) for k, v in out.items()} == {
+        k: (v["zlib_ratio"], v["char_entropy"]) for k, v in again.items()
+    }

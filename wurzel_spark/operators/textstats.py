@@ -2041,3 +2041,50 @@ def q_tlsh_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", tlsh_col(F.col("text")).alias("tlsh")
     ).orderBy("doc_id")
+
+
+def compressibility_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc compressibility quality signals: zlib ratio (level 6,
+    fixed → deterministic) and character Shannon entropy — the
+    redundancy detectors that catch templated spam and keyboard-mash
+    uniformly: highly repetitive text compresses far below ~0.4, random
+    noise sits near 1.0 with ~6+ bits/char entropy, natural prose lands
+    between. A standard curation feature alongside the Gopher rule
+    battery.
+
+    Rows-only (zlib output and log2 floats are engine-internal);
+    deterministic and pinned by construction tests. Arrow-batched row-
+    local kernel, ``_parallelize``d input (CPU-bound Python — the
+    tlsh_fingerprints rule)."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from wurzel_spark.operators.dedup import _parallelize
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                n = len(raw)
+                if n == 0:
+                    rows.append((int(doc_id), 0, None, None))
+                    continue
+                ratio = len(zlib.compress(raw, 6)) / n
+                counts = np.bincount(np.frombuffer(raw, dtype=np.uint8))
+                p = counts[counts > 0] / n
+                ent = float(-(p * np.log2(p)).sum())
+                rows.append((int(doc_id), n, float(ratio), ent))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "zlib_ratio", "char_entropy"]
+            )
+
+    return _parallelize(df.select("doc_id", text_col)).mapInPandas(
+        op, "doc_id long, n_bytes long, zlib_ratio double, char_entropy double"
+    ).orderBy("doc_id")
+
+
+def q_compressibility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compressibility_stats(table(spark, sf_dir, "documents"))
