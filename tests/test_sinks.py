@@ -210,3 +210,42 @@ def test_kb_prune_is_scope_matched_and_exact(spark, tmp_path):
     assert sorted(client.list_docs("Other-Pipe")) == sorted(
         [doc_name("http://x", "Other-Pipe"), doc_name("http://y", "Other-Pipe")]
     )
+
+
+def test_kb_incremental_delta_publish(spark, tmp_path):
+    """write_delta uploads ONLY changed+added docs (enumerated via a
+    recording transport), prunes removed, leaves unchanged untouched."""
+    root = str(tmp_path / "kb_delta")
+    ulog = str(tmp_path / "upserts.log")
+
+    class RecordingClient(LocalKBClient):
+        def upsert_doc(self, name, payload):
+            with open(ulog, "a") as f:
+                f.write(name + "\n")
+            super().upsert_doc(name, payload)
+
+    sink = KBUploaderSink(lambda: RecordingClient(root), history="Pipe")
+    old = spark.createDataFrame(
+        [("http://a", "A"), ("http://b", "B"), ("http://c", "C")],
+        "url string, text string",
+    )
+    sink.write(old)
+    import os
+
+    os.remove(ulog)
+    # new snapshot: a unchanged, b changed, c removed, d added
+    new = spark.createDataFrame(
+        [("http://a", "A"), ("http://b", "B2"), ("http://d", "D")],
+        "url string, text string",
+    )
+    sink.write_delta(new, old)
+    uploaded = sorted(set(open(ulog).read().split()))
+    assert uploaded == sorted(
+        [doc_name("http://b", "Pipe"), doc_name("http://d", "Pipe")]
+    )  # a (unchanged) not re-uploaded
+    names = set(LocalKBClient(root).list_docs("Pipe"))
+    assert names == {
+        doc_name("http://a", "Pipe"),
+        doc_name("http://b", "Pipe"),
+        doc_name("http://d", "Pipe"),
+    }  # c pruned, a survived untouched

@@ -162,3 +162,52 @@ class KBUploaderSink:
         client = factory()
         client.sync()
         return df
+
+    def write_delta(self, new_df: DataFrame, old_df: DataFrame) -> DataFrame:
+        """Incremental publish (round 5): upload only the SNAPSHOT DELTA —
+        docs whose content hash changed or that are new since ``old_df``
+        (operators/snapshots.snapshot_diff keyed on the url identity) —
+        then prune against the FULL new snapshot's names so removed docs
+        disappear and unchanged docs survive untouched. Uploads scale
+        with the delta, not the corpus; upserts are idempotent by
+        deterministic doc name, so re-running a partially-failed delta
+        publish converges.
+        """
+        from wurzel_spark.operators.snapshots import snapshot_diff
+
+        changed = (
+            snapshot_diff(old_df, new_df, id_col="url", text_col="text")
+            .filter(F.col("status") != "removed")
+            .select("url")
+        )
+        delta = new_df.join(changed, "url", "left_semi")
+        history = self.history
+        factory = self.client_factory
+
+        def upload(rows) -> None:
+            client = factory()
+            for r in rows:
+                d = r.asDict(recursive=True)
+                name = doc_name(d.get("url", ""), history)
+                payload = {**d, "history": history, "name": name}
+                retry_call(client.upsert_doc, name, payload)
+
+        delta.foreachPartition(upload)
+
+        if self.prune:
+            client = factory()
+            remote = client.list_docs(history)
+            spark = new_df.sparkSession
+            remote_df = spark.createDataFrame(
+                [(n,) for n in remote] or [(None,)], "name string"
+            ).filter(F.col("name").isNotNull())
+            current = new_df.select(
+                doc_name_col(F.col("url"), history).alias("name")
+            ).distinct()
+            stale = remote_df.join(current, "name", "left_anti")
+            for row in stale.collect():
+                retry_call(client.delete_doc, row["name"])
+
+        client = factory()
+        client.sync()
+        return delta
