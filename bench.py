@@ -122,6 +122,7 @@ HEADLINE = [
     "leakage_safe_split",
     "supplier_pagerank",
     "decontamination_report",
+    "curation_funnel_v2",
 ]
 
 

@@ -476,3 +476,120 @@ WITH base AS (
 SELECT doc_id, source, src_pctile
 FROM ranked WHERE src_pctile <= {KEEP_FRACTION} ORDER BY doc_id
 """
+
+
+# --------------------------------------------- round-5 curation funnel
+
+NOVELTY_FLOOR = 0.3
+
+
+def curation_funnel_v2(
+    df: DataFrame,
+    novelty_floor: float = NOVELTY_FLOOR,
+    keep_frac: float = KEEP_FRACTION,
+) -> DataFrame:
+    """The round-5 curation FUNNEL: how many documents survive each gate
+    of the session's selection chain —
+
+      0. ``all``        — the corpus;
+      1. ``novel``      — n-gram novelty ≥ ``novelty_floor``
+                          (dedup.ngram_novelty: recombinations of
+                          already-seen text drop out);
+      2. ``gated``      — ∩ source-normalized quality percentile keep
+                          (:func:`quality_percentile_gate`);
+      3. ``deduped``    — ∩ exact-content representatives (first id per
+                          sha256 wins).
+
+    One row per stage with its survivor count — the at-a-glance yield
+    readout a curation run logs per snapshot. Each gate reuses the
+    already-verified operator; the funnel adds only semi-joins and one
+    union of four 1-row aggregates.
+    """
+    from wurzel_spark.operators.dedup import ngram_novelty
+
+    docs = df.select("doc_id", "source", "text").localCheckpoint(eager=True)
+    novel_ids = (
+        ngram_novelty(docs)
+        .filter(F.col("novelty") >= novelty_floor)
+        .select("doc_id")
+    )
+    gated_ids = (
+        quality_percentile_gate(docs, keep_frac).select("doc_id").join(
+            novel_ids, "doc_id", "left_semi"
+        )
+    )
+    reps = (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped_ids = gated_ids.join(reps, "doc_id", "left_semi")
+
+    def stage(name: str, ids: DataFrame) -> DataFrame:
+        return ids.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_docs")
+        )
+
+    return (
+        stage("0_all", docs.select("doc_id"))
+        .unionByName(stage("1_novel", novel_ids))
+        .unionByName(stage("2_gated", gated_ids))
+        .unionByName(stage("3_deduped", deduped_ids))
+        .orderBy("stage")
+    )
+
+
+def q_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_funnel_v2(table(spark, sf_dir, "documents"))
+
+
+CURATION_FUNNEL_V2_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS id, DISTINCT_SHINGLE AS shingle FROM (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [array_to_string(ws, ' ')] END)) AS DISTINCT_SHINGLE
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+          FROM documents)
+  )
+), sizes AS (
+  SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id
+), novel AS (
+  SELECT first_id AS id, COUNT(*) AS n_novel
+  FROM (SELECT shingle, MIN(id) AS first_id FROM sh GROUP BY shingle)
+  GROUP BY first_id
+), novel_ids AS (
+  SELECT sizes.id AS doc_id FROM sizes LEFT JOIN novel ON sizes.id = novel.id
+  WHERE CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_shingles >= {NOVELTY_FLOOR}
+), base AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, {_STOPLIST_SQL} AS stop_hits, len(ws) AS n_words FROM base
+), ranked AS (
+  SELECT doc_id,
+         PERCENT_RANK() OVER (
+           PARTITION BY source
+           ORDER BY CAST(stop_hits AS DOUBLE) / NULLIF(n_words, 0) DESC NULLS LAST,
+                    doc_id ASC
+         ) AS src_pctile
+  FROM scored
+), gated_ids AS (
+  SELECT r.doc_id FROM ranked r SEMI JOIN novel_ids n ON r.doc_id = n.doc_id
+  WHERE src_pctile <= {KEEP_FRACTION}
+), reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+), deduped_ids AS (
+  SELECT g.doc_id FROM gated_ids g SEMI JOIN reps r ON g.doc_id = r.doc_id
+)
+SELECT * FROM (
+  SELECT '0_all' AS stage, COUNT(*) AS n_docs FROM documents
+  UNION ALL SELECT '1_novel', COUNT(*) FROM novel_ids
+  UNION ALL SELECT '2_gated', COUNT(*) FROM gated_ids
+  UNION ALL SELECT '3_deduped', COUNT(*) FROM deduped_ids
+) ORDER BY stage
+"""
