@@ -776,3 +776,28 @@ def test_streaming_novelty_matches_batch_with_compaction(spark, sf_dir, tmp_path
     }
     assert got == exp
     assert len(list_batch_ids(spark, state)) <= 3
+
+
+def test_streaming_compressibility_matches_batch(spark, sf_dir, tmp_path):
+    """Row-local scoring per micro-batch == the batch operator, bit-equal
+    (deterministic zlib level + same entropy kernel)."""
+    from wurzel_spark.operators.textstats import compressibility_stats
+    from wurzel_spark.streaming.compress import compressibility_stream
+
+    docs = table(spark, sf_dir, "documents").limit(200).localCheckpoint()
+    d = str(tmp_path / "cmp_in")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out_dir = str(tmp_path / "cmp_out")
+    compressibility_stream(stream, out_dir, str(tmp_path / "cmp_ckpt"))
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["zlib_ratio"], r["char_entropy"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        r["doc_id"]: (r["n_bytes"], r["zlib_ratio"], r["char_entropy"])
+        for r in compressibility_stats(docs).collect()
+    }
+    assert got == exp
