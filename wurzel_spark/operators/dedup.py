@@ -951,7 +951,12 @@ def _shortcut_label_members(
     )
     prev_sum = None
     converged = False
-    for _ in range(max_rounds):
+    # max_rounds + 1 iterations: equality of the label sum is only
+    # OBSERVABLE one round after the fixed point is reached, so a graph
+    # that converges exactly on round max_rounds needs one confirmation
+    # round to be reported converged (ADVICE r5) — "converged" means
+    # "≤ max_rounds improving rounds", not "≤ max_rounds-1".
+    for _ in range(max_rounds + 1):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")

@@ -68,6 +68,12 @@ def _fake_pixels(content: bytes, w: int, h: int) -> np.ndarray:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Hard ceiling for the pure-Python scanline-filter loops in _png_pixels —
+# beyond this the builtin decoder refuses (documented NotImplementedError)
+# instead of burning unbounded executor CPU; the PIL path is C-speed and
+# only decimates (see _real_pixels max_pixels).
+_MAX_DECODE_PIXELS = 1 << 22  # 4.2M px ≈ 2048x2048
+
 
 def _png_pixels(content: bytes) -> np.ndarray:
     """Minimal pure-numpy PNG decoder: 8-bit gray/gray+alpha/RGB/RGBA,
@@ -90,6 +96,24 @@ def _png_pixels(content: bytes) -> np.ndarray:
             w, h, depth, ct, _comp, _filt, inter = struct.unpack(">IIBBBBB", data)
             if depth != 8 or inter != 0:
                 raise NotImplementedError("builtin PNG decoder: 8-bit non-interlaced only")
+            if ct not in (0, 2, 4, 6):
+                # ct=3 (palette) and exotic color types get the DOCUMENTED
+                # failure mode, not a bare KeyError below — callers that
+                # tolerate unsupported codecs catch NotImplementedError.
+                raise NotImplementedError(
+                    f"builtin PNG decoder: color type {ct} (palette/other) "
+                    "unsupported — install pillow for palette PNGs"
+                )
+            if w * h > _MAX_DECODE_PIXELS:
+                # The scanline filters (Sub/Average/Paeth) run per-pixel in
+                # Python; an arbitrarily large PNG would pin an executor
+                # core and its memory. Refuse past the budget rather than
+                # decode unboundedly — PIL (C speed) handles big images.
+                raise NotImplementedError(
+                    f"builtin PNG decoder: {w}x{h} exceeds the "
+                    f"{_MAX_DECODE_PIXELS}-pixel decode budget — install "
+                    "pillow for large images"
+                )
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -134,22 +158,39 @@ def _png_pixels(content: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
-def _real_pixels(content: bytes) -> np.ndarray:
-    """Real image decode: PIL when importable, builtin PNG otherwise."""
+def _real_pixels(content: bytes, max_pixels: int | None = None) -> np.ndarray:
+    """Real image decode: PIL when importable, builtin PNG otherwise.
+
+    ``max_pixels`` caps the RETURNED pixel count: larger decodes are
+    nearest-neighbor decimated (aspect-preserving) so downstream feature
+    loops (means / phash / resample) are bounded regardless of input
+    size. The builtin decoder additionally refuses inputs past its own
+    ``_MAX_DECODE_PIXELS`` budget before touching the Python filter loops.
+    """
+    px = None
     try:  # pragma: no cover - PIL absent in this container
         import io
 
         from PIL import Image
 
-        return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+        px = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
     except ImportError:
         pass
-    if content[:8] == _PNG_MAGIC:
-        return _png_pixels(content)
-    raise NotImplementedError(
-        "real decode for non-PNG bytes needs PIL/opencv — install pillow or "
-        "plug a codec into _real_pixels"
-    )
+    if px is None:
+        if content[:8] != _PNG_MAGIC:
+            raise NotImplementedError(
+                "real decode for non-PNG bytes needs PIL/opencv — install "
+                "pillow or plug a codec into _real_pixels"
+            )
+        px = _png_pixels(content)
+    if max_pixels is not None and px.shape[0] * px.shape[1] > max_pixels:
+        scale = (max_pixels / (px.shape[0] * px.shape[1])) ** 0.5
+        nh = max(1, int(px.shape[0] * scale))
+        nw = max(1, int(px.shape[1] * scale))
+        ys = (np.arange(nh) * px.shape[0] // nh).clip(0, px.shape[0] - 1)
+        xs = (np.arange(nw) * px.shape[1] // nw).clip(0, px.shape[1] - 1)
+        px = np.ascontiguousarray(px[ys][:, xs])
+    return px
 
 
 def decode_images(df: DataFrame, decoder: str = "fake", max_pixels: int = 64 * 64) -> DataFrame:
@@ -183,7 +224,11 @@ def decode_images(df: DataFrame, decoder: str = "fake", max_pixels: int = 64 * 6
             rows = []
             for aid, content, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
                 if decoder == "real":
-                    px = _real_pixels(bytes(content))
+                    # max_pixels caps the feature-extraction surface (ADVICE
+                    # r5): oversize decodes are decimated, and the reported
+                    # width/height are the decimated dims the features were
+                    # computed on.
+                    px = _real_pixels(bytes(content), max_pixels=max_pixels)
                     h, w = px.shape[0], px.shape[1]
                 else:
                     w = int(meta["width"] or 32) if meta is not None else 32

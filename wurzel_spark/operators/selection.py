@@ -407,18 +407,28 @@ def quality_percentile_gate(
                 rows.append((src, bk, run))
                 run += cnt
             totals[src] = run
+        # NULL-source rows must survive both plans identically: the plain
+        # window path treats NULL as its own partition, so the bucketed
+        # path joins null-safely (eqNullSafe) against the driver-built
+        # offset/total tables instead of dropping null keys on the floor.
         odf = df.sparkSession.createDataFrame(
-            rows, "source string, __bkt long, __off long"
+            rows, "__jsrc string, __jbkt long, __off long"
         )
         ndf = df.sparkSession.createDataFrame(
-            list(totals.items()), "source string, __n long"
+            list(totals.items()), "__nsrc string, __n long"
         )
         w = W.partitionBy("source", "__bkt").orderBy(
             F.col("__r").desc_nulls_last(), F.col("doc_id").asc()
         )
         ranked = (
-            b.join(F.broadcast(odf), ["source", "__bkt"])
-            .join(F.broadcast(ndf), "source")
+            b.join(
+                F.broadcast(odf),
+                F.col("source").eqNullSafe(F.col("__jsrc"))
+                & (F.col("__bkt") == F.col("__jbkt")),
+            )
+            .drop("__jsrc", "__jbkt")
+            .join(F.broadcast(ndf), F.col("source").eqNullSafe(F.col("__nsrc")))
+            .drop("__nsrc")
             .withColumn("__rank", F.col("__off") + F.row_number().over(w))
             .withColumn(
                 "src_pctile",

@@ -65,11 +65,30 @@ def novelty_stream(
         .start()
     )
     q.awaitTermination()
+    return drain_novelty_state(spark, state_dir, id_col)
+
+
+def drain_novelty_state(spark, state_dir: str, id_col: str = "doc_id") -> DataFrame:
+    """Global novelty over the staged shingle state — the drain half of
+    :func:`novelty_stream`, exposed so replay scenarios are testable."""
     if not path_exists(spark, state_dir):
         return spark.createDataFrame(
             [], f"{id_col} long, n_shingles long, n_novel long, novelty double"
         )
-    sh = spark.read.parquet(state_dir).select("id", "shingle")
+    # Replay-safety at the DRAIN, not just the write: after a fold commits
+    # batch N into the folded batch=-(N+1) partition, an at-least-once
+    # redelivery (foreachBatch retry before checkpoint commit, or the
+    # recover_fold path) can re-write the same rows under batch=N. Both
+    # copies are then visible to this read, double-counting n_shingles and
+    # halving novelty. Rows are deterministic per (id, shingle) key — the
+    # per-doc shingle set is array_distinct by construction — so a key-level
+    # dropDuplicates restores exactly-once semantics (same guard as
+    # snapshot_diff_stream's dropDuplicates(['id'])).
+    sh = (
+        spark.read.parquet(state_dir)
+        .select("id", "shingle")
+        .dropDuplicates(["id", "shingle"])
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     novel = (
         sh.groupBy("shingle")
