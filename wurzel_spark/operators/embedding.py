@@ -36,6 +36,106 @@ from wurzel_spark.functions import text as TXT
 DEFAULT_PREFIX_MAP = {"e5-": "query: "}
 
 
+class EmbeddingAPIError(RuntimeError):
+    """A single embed/info request failed (timeout, connection, non-200,
+    bad JSON) — the skippable error class (reference
+    wurzel/exceptions EmbeddingAPIException; step.py:263-267 catches this
+    per input and skips)."""
+
+
+class TEIClient:
+    """Text-Embeddings-Inference HTTP client (reference
+    wurzel/steps/embedding/huggingface.py:43-153, re-expressed for
+    per-partition reuse):
+
+      - ``POST /embed {"inputs": [texts], "normalize": ...}`` — BATCHED:
+        one request per ``batch_size`` texts instead of the reference's
+        one-text-per-request loop (huggingface.py:81-84); TEI's list form
+        returns one vector per input.
+      - ``GET /info`` → ``model_id`` drives prefix selection
+        (huggingface.py:140-152): the model name's last path segment is
+        matched against a {pattern: prefix} map, no-match is fatal
+        (UnrecoverableFatalException parity).
+
+    Holds only strings/numbers until first use → picklable, so executors
+    can build one session per partition from ``session_factory`` (the
+    injectable-transport pattern of sinks/http_backends.py — tests run a
+    fake session, production the default ``requests.Session``).
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        timeout: float = 10.0,
+        normalize: bool = False,
+        session_factory=None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self.normalize = normalize
+        self.session_factory = session_factory
+        self._s = None
+
+    def _session(self):
+        if self._s is None:
+            if self.session_factory is not None:
+                self._s = self.session_factory()
+            else:  # pragma: no cover - needs network
+                import requests
+
+                self._s = requests.Session()
+        return self._s
+
+    def _request(self, method: str, path: str, payload=None) -> object:
+        try:
+            resp = self._session().request(
+                method, f"{self.base_url}{path}", json=payload, timeout=self.timeout
+            )
+        except Exception as err:  # timeout / connection (huggingface.py:101-105)
+            raise EmbeddingAPIError(f"{path} request failed: {err}") from err
+        if resp.status_code != 200:
+            raise EmbeddingAPIError(f"{path} failed, invalid status_code {resp.status_code}")
+        try:
+            return resp.json()
+        except ValueError as err:
+            raise EmbeddingAPIError(f"{path} returned invalid json") from err
+
+    def model_id(self) -> str:
+        """Model discovery via ``GET /info`` (huggingface.py:145-152):
+        missing ``model_id`` is a protocol error, not a skippable one."""
+        out = self._request("GET", "/info")
+        if not isinstance(out, dict) or "model_id" not in out:
+            raise ValueError(f"/info response missing model_id: {out!r}")
+        return str(out["model_id"]).strip("/").split("/")[-1]
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        """One batched ``POST /embed``; validates the response is one
+        vector per input (huggingface.py:127-137's structure check)."""
+        out = self._request(
+            "POST", "/embed", {"inputs": texts, "normalize": self.normalize}
+        )
+        if not isinstance(out, list) or len(out) != len(texts):
+            raise EmbeddingAPIError(
+                f"/embed returned {len(out) if isinstance(out, list) else type(out)} "
+                f"vectors for {len(texts)} inputs"
+            )
+        return out
+
+
+def prefix_for_model(model_id: str, prefix_mapping: dict[str, str]) -> str:
+    """Pick the query prefix for a model name (huggingface.py:177-191):
+    first pattern that ``re.search``-matches wins; NO match is fatal — a
+    silently-unprefixed E5 model embeds garbage."""
+    import re
+
+    for pattern, prefix in prefix_mapping.items():
+        if re.search(pattern, model_id):
+            return prefix
+    raise ValueError(
+        f"no prefix mapping matches model {model_id!r}: {list(prefix_mapping)}"
+    )
+
+
 def clean_for_embedding(df: DataFrame, md_col: str = "md") -> DataFrame:
     """Markdown → embedding input text (step.py:123-140): replace URLs with
     'LINK', strip markdown furniture, collapse whitespace. Pure column ops.
@@ -80,25 +180,107 @@ def _embed_series(texts: pd.Series, dim: int) -> pd.Series:
     return pd.Series([hash_embedding(t or "", dim) for t in texts])
 
 
+def tei_embed_stage(
+    df: DataFrame,
+    url: str,
+    prefix: str = "",
+    prefix_mapping: dict[str, str] | None = None,
+    batch_size: int = 32,
+    timeout: float = 10.0,
+    normalize: bool = False,
+    session_factory=None,
+    fail_if_all_fail: bool = True,
+) -> DataFrame:
+    """EmbeddingStep with the REAL HTTP backend: chunks → EmbeddingResult
+    via a Text-Embeddings-Inference server.
+
+    Protocol parity (reference wurzel/steps/embedding/):
+      - model discovery ONCE on the driver via ``GET /info``, prefix
+        chosen from ``prefix_mapping`` (huggingface.py:140-152) unless an
+        explicit ``prefix`` is given;
+      - executors post ``batch_size`` texts per ``POST /embed`` with one
+        HTTP session per partition (the reference's N_JOBS thread pool
+        becomes partition parallelism);
+      - a failed request SKIPS its batch — rows drop from the output, the
+        run continues (step.py:263-267);
+      - if EVERY row was skipped the stage raises (step.py:270-272's
+        StepFailed) — checked with one aggregate over the checkpointed
+        result so embeddings are not recomputed by the check.
+
+    ``session_factory`` injects the transport (fake in tests, a
+    ``requests.Session`` by default) — the sinks/http_backends.py pattern.
+    """
+    cleaned = clean_for_embedding(df)
+    if not prefix:
+        mapping = DEFAULT_PREFIX_MAP if prefix_mapping is None else prefix_mapping
+        model = TEIClient(url, timeout, normalize, session_factory).model_id()
+        prefix = prefix_for_model(model, mapping)
+    out_schema = T.StructType(
+        [
+            T.StructField("text", T.StringType(), True),
+            T.StructField("vector", T.ArrayType(T.FloatType()), True),
+            cleaned.schema["url"],
+            cleaned.schema["keywords"],
+            T.StructField("embedding_input_text", T.StringType(), True),
+            cleaned.schema["metadata"],
+        ]
+    )
+    sel = cleaned.select(
+        F.col("md").alias("text"), "url", "keywords", "embedding_input_text", "metadata"
+    )
+    pfx = prefix
+
+    def op(batches):
+        client = TEIClient(url, timeout, normalize, session_factory)
+        for pdf in batches:
+            texts = [pfx + (t or "") for t in pdf["embedding_input_text"]]
+            vecs: list = []
+            for i in range(0, len(texts), batch_size):
+                chunk = texts[i : i + batch_size]
+                try:
+                    vecs.extend(client.embed(chunk))
+                except EmbeddingAPIError:
+                    # skip the batch, keep the run alive (step.py:263-267)
+                    vecs.extend([None] * len(chunk))
+            out = pdf[
+                ["text", "url", "keywords", "embedding_input_text", "metadata"]
+            ].copy()
+            out.insert(1, "vector", pd.Series(vecs, index=pdf.index, dtype=object))
+            yield out
+
+    res = sel.mapInPandas(op, out_schema)
+    if fail_if_all_fail:
+        res = res.localCheckpoint(eager=True)
+        agg = res.agg(
+            F.count(F.lit(1)).alias("n"), F.count("vector").alias("ok")
+        ).collect()[0]
+        if agg["n"] > 0 and agg["ok"] == 0:
+            raise RuntimeError(f"all {agg['n']} embeddings got skipped")
+    return res.filter(F.col("vector").isNotNull())
+
+
 def embed_stage(
     df: DataFrame,
     dim: int = 64,
     prefix: str = "",
     backend: str = "hash",
+    **tei_kwargs,
 ) -> DataFrame:
     """MarkdownDataContract chunks → EmbeddingResult
     {text, vector, url, keywords, embedding_input_text, metadata}
     (wurzel/steps/data.py:11-21).
 
     backend='hash' is the deterministic offline embedder; backend='tei'
-    posts to a Text-Embeddings-Inference server per partition (gated — needs
-    network; the request/batching protocol mirrors huggingface.py:43-153).
+    posts batched requests to a Text-Embeddings-Inference server
+    (:func:`tei_embed_stage` — pass ``url=...`` plus optionally
+    ``session_factory`` / ``batch_size`` / ``prefix_mapping``).
     """
-    if backend != "hash":  # pragma: no cover - needs a live TEI server
+    if backend == "tei":
+        return tei_embed_stage(df, prefix=prefix, **tei_kwargs)
+    if backend != "hash":  # pragma: no cover
         raise NotImplementedError(
-            "TEI backend requires a reachable server; use backend='hash' offline. "
-            "Protocol: POST /embed {'inputs': [texts]} in batches, skip failed "
-            "batches, raise if ALL fail (embedding/step.py:263-272)."
+            f"unknown embedding backend {backend!r}; use 'hash' (offline "
+            "deterministic) or 'tei' (HTTP Text-Embeddings-Inference)."
         )
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
