@@ -1974,6 +1974,13 @@ def winnow_overlap_pairs(
     fp = winnow_fingerprints(df, id_col, text_col, k, w, hasher).select(
         "doc_id", "n_fingerprints", F.explode("fps").alias("fp")
     )
+    # Materialize ONCE before the self-join: the a/b branches differ by
+    # their alias projections, so Catalyst does not merge them into a
+    # ReusedExchange and the md5 k-gram hashing (the dominant cost — one
+    # hash per positional gram) would run twice (plan-censused r6:
+    # 2 HashAggregate/md5 subtrees → 1). The exploded table is 24 B/row,
+    # tiny next to the work it pins.
+    fp = fp.localCheckpoint(eager=True)
     if max_df is not None:
         from pyspark.sql import Window as W
 

@@ -382,20 +382,28 @@ def quality_percentile_gate(
         F.col("n_words") > 0, F.col("n_words")
     )
     base = base.withColumn("__r", ratio).localCheckpoint(eager=True)
-    n_sources = base.select("source").distinct().count()
-    if n_sources <= _GATE_TWO_PHASE_MAX_SOURCES:
-        # ratio ∈ [0,1] (hits ≤ words); nulls (empty docs) sort LAST under
-        # desc_nulls_last == bucket 1025
-        bkt = F.when(
-            F.col("__r").isNotNull(),
-            F.least(F.floor((F.lit(1.0) - F.col("__r")) * 1024), F.lit(1024)),
-        ).otherwise(F.lit(1025))
-        b = base.withColumn("__bkt", bkt)
-        counts = (
-            b.groupBy("source", "__bkt")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
+    # ratio ∈ [0,1] (hits ≤ words); nulls (empty docs) sort LAST under
+    # desc_nulls_last == bucket 1025
+    bkt = F.when(
+        F.col("__r").isNotNull(),
+        F.least(F.floor((F.lit(1.0) - F.col("__r")) * 1024), F.lit(1024)),
+    ).otherwise(F.lit(1025))
+    b = base.withColumn("__bkt", bkt)
+    # ONE driver action decides the plan AND fetches the offsets: collect
+    # the per-(source, bucket) counts bounded at cap·1026+1 rows (so a
+    # many-source corpus costs one bounded collect, not an unbounded one)
+    # and derive the source cardinality from the collected keys — merging
+    # the former distinct-count probe job into this collect (toy-scale
+    # job-floor cut; at scale both were cheap).
+    _cap = _GATE_TWO_PHASE_MAX_SOURCES
+    counts = (
+        b.groupBy("source", "__bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(_cap * 1026 + 1)
+        .collect()
+    )
+    n_sources = len({r["source"] for r in counts})
+    if len(counts) <= _cap * 1026 and n_sources <= _cap:
         per_src: dict[str, list] = {}
         for r in counts:
             per_src.setdefault(r["source"], []).append((r["__bkt"], r["c"]))
@@ -517,16 +525,36 @@ def curation_funnel_v2(
     """
     from wurzel_spark.operators.dedup import ngram_novelty
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = df.select("doc_id", "source", "text").localCheckpoint(eager=True)
-    novel_ids = (
-        ngram_novelty(docs)
-        .filter(F.col("novelty") >= novelty_floor)
-        .select("doc_id")
-    )
-    gated_ids = (
-        quality_percentile_gate(docs, keep_frac).select("doc_id").join(
-            novel_ids, "doc_id", "left_semi"
+    # Each gate's ID set is checkpointed: the four stage counts below are
+    # branches of ONE union plan, and without a cut here branch 3 would
+    # re-evaluate novelty AND the gate from the corpus (novelty ~3×, gate
+    # ~2× total — profiled at 5.2× the oracle in r5). The sets are
+    # doc_id-only (8 B/row), tiny relative to the work they pin — and the
+    # two gates are INDEPENDENT (both read only the checkpointed corpus),
+    # so their jobs run concurrently from driver threads: funnel wall time
+    # is max(novelty, gate), not the sum (Spark's scheduler interleaves
+    # concurrent jobs across the executor cores; at 100 TB each job uses
+    # the whole cluster in turn, so concurrency costs nothing and saves
+    # the toy-scale job-floor serialization).
+    with ThreadPoolExecutor(2) as pool:
+        novel_f = pool.submit(
+            lambda: ngram_novelty(docs)
+            .filter(F.col("novelty") >= novelty_floor)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
         )
+        gate_f = pool.submit(
+            lambda: quality_percentile_gate(docs, keep_frac)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        novel_ids = novel_f.result()
+        gate_keep = gate_f.result()
+    gated_ids = gate_keep.join(novel_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=True
     )
     reps = (
         docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))

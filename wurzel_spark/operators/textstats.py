@@ -1620,6 +1620,11 @@ def retrieval_self_eval(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # tf feeds BOTH the df-count aggregate and the scoring join; without a
+    # cut the full corpus word-explode (the dominant cost) evaluates once
+    # per consumer when the alias-differing subtrees miss ReusedExchange.
+    # Post-semi-join tf is query-terms-only — tiny — so pin it.
+    tf = tf.localCheckpoint(eager=True)
     dfr = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("dfc"))
     scored = (
         tf.join(F.broadcast(qt), "term")
@@ -1650,6 +1655,9 @@ def retrieval_self_eval(
         )
     )
     agg = scored.groupBy("query_id", "doc_id").agg(F.sum("sq").alias("score_q20"))
+    # agg is consumed by the gold extraction AND the rank count — one more
+    # small pin (query_id, doc_id, long) halves the scoring work.
+    agg = agg.localCheckpoint(eager=True)
     gold = agg.filter(F.col("doc_id") == F.col("query_id")).select(
         "query_id", F.col("score_q20").alias("gold_score")
     )
