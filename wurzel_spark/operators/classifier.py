@@ -186,6 +186,200 @@ def score_documents(
     return feats.mapInPandas(inner, schema)
 
 
+# ---------------------------------------------------- language classifier
+
+#: chars of each doc the lang-id features see — 256 is plenty of signal
+#: for n-gram language ID and bounds the per-doc feature work.
+LANG_ID_MAX_CHARS = 256
+
+
+def char_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """(doc_id, buckets) — distinct hashed char-2/3-gram buckets over the
+    first :data:`LANG_ID_MAX_CHARS` lowercased chars: the fastText-style
+    lang-id feature map (hashed character n-grams), as a pure JVM
+    projection. xxhash64 (not md5): the scores register rows-only, so no
+    oracle needs to reproduce the hash and the 5× cheaper JVM hash wins.
+    """
+    t = F.lower(F.substring(F.col(text_col), 1, LANG_ID_MAX_CHARS))
+    grams = []
+    for n in ns:
+        m = F.length(t) - F.lit(n - 1)
+        grams.append(
+            F.when(
+                m > 0,
+                F.transform(F.sequence(F.lit(1), m), lambda i, n=n: F.substring(t, i, n)),
+            ).otherwise(F.array())
+        )
+    buckets = F.array_distinct(
+        F.transform(
+            F.concat(*grams), lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
+        )
+    )
+    return df.select("doc_id", buckets.alias("buckets"))
+
+
+def _multi_grad_kernel(n_buckets: int, langs: list[str], wb):
+    """All-classes gradient in one pass: per doc, K sigmoid residuals hit
+    the same bucket indices — one (K, D+1) int64 accumulator per span,
+    flushed on the same 2^22-doc bound as the binary kernel (per-class
+    rows are independent exact partial sums)."""
+    flush_docs = 1 << 22
+    K = len(langs)
+    lang_idx = {lg: k for k, lg in enumerate(langs)}
+
+    def inner(batches):
+        W, biases = wb.value  # (K, D), (K,)
+        for pdf in batches:
+            g = np.zeros((K, n_buckets + 1), dtype=np.int64)
+            in_span = 0
+            for bks, lg in zip(pdf["buckets"], pdf["lang"]):
+                idx = np.asarray(bks, dtype=np.int64)
+                z = biases + (W[:, idx].sum(axis=1) if len(idx) else 0.0)
+                p = 1.0 / (1.0 + np.exp(-z))
+                y = np.zeros(K)
+                k = lang_idx.get(lg)
+                if k is not None:
+                    y[k] = 1.0
+                c = np.rint((p - y) * _FP_SCALE).astype(np.int64)
+                g[:, idx] += c[:, None]
+                g[:, n_buckets] += c
+                in_span += 1
+                if in_span >= flush_docs:
+                    ks, js = np.nonzero(g)
+                    yield pd.DataFrame({"k": ks, "j": js, "g": g[ks, js]})
+                    g = np.zeros((K, n_buckets + 1), dtype=np.int64)
+                    in_span = 0
+            ks, js = np.nonzero(g)
+            yield pd.DataFrame({"k": ks, "j": js, "g": g[ks, js]})
+
+    return inner
+
+
+def train_lang_classifier(
+    feats: DataFrame,
+    langs: list[str],
+    n_iters: int = 8,
+    lr: float = 1.0,
+    n_buckets: int = N_BUCKETS,
+) -> dict[str, tuple[np.ndarray, float]]:
+    """One-vs-rest multiclass over (doc_id, buckets, lang) rows with ALL
+    K classes fused into each gradient pass: one map stage + one
+    K·(D+1)-row reduce per iteration, regardless of K — not K separate
+    GD loops. Bit-identical to training each class alone (each class's
+    update consumes only its own exact fixed-point gradient; parity test
+    vs the per-class numpy twin)."""
+    spark = feats.sparkSession
+    feats = feats.select("buckets", "lang").localCheckpoint(eager=True)
+    n_docs = feats.count()
+    K = len(langs)
+    W = np.zeros((K, n_buckets), dtype=np.float64)
+    biases = np.zeros(K, dtype=np.float64)
+    for _ in range(n_iters):
+        wb = spark.sparkContext.broadcast((W, biases))
+        partials = feats.mapInPandas(
+            _multi_grad_kernel(n_buckets, langs, wb), "k long, j long, g long"
+        )
+        rows = (
+            partials.groupBy("k", "j")
+            .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
+            .collect()
+        )
+        grad = np.zeros((K, n_buckets + 1), dtype=np.float64)
+        for r in rows:
+            grad[r["k"], r["j"]] = float(r["g"]) / _FP_SCALE / n_docs
+        W = W - lr * grad[:, :n_buckets]
+        biases = biases - lr * grad[:, n_buckets]
+        wb.unpersist()
+    return {lang: (W[k].copy(), float(biases[k])) for k, lang in enumerate(langs)}
+
+
+def train_lang_classifier_local(
+    rows: list[tuple[list[int], str]],
+    langs: list[str],
+    n_iters: int = 8,
+    lr: float = 1.0,
+    n_buckets: int = N_BUCKETS,
+) -> dict[str, tuple[np.ndarray, float]]:
+    """Numpy twin of :func:`train_lang_classifier` — the parity oracle."""
+    return {
+        lang: train_quality_classifier_local(
+            [(bks, int(lg == lang)) for bks, lg in rows],
+            n_iters=n_iters,
+            lr=lr,
+            n_buckets=n_buckets,
+        )
+        for lang in langs
+    }
+
+
+def score_languages(
+    feats: DataFrame,
+    models: dict[str, tuple[np.ndarray, float]],
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Score (doc_id, buckets) rows against all language models in ONE
+    broadcast + ONE Arrow map stage (the K weight vectors ride as a K×D
+    matrix): argmax of the linear scores with deterministic tie-break
+    (language list order), plus the winning sigmoid score."""
+    spark = feats.sparkSession
+    langs = list(models)
+    W = np.stack([models[lang][0] for lang in langs])  # K × D
+    biases = np.array([models[lang][1] for lang in langs])
+    w_b = spark.sparkContext.broadcast((langs, W, biases))
+
+    def inner(batches):
+        lgs, Wv, bv = w_b.value
+        for pdf in batches:
+            preds, scores = [], []
+            for b in pdf["buckets"]:
+                idx = np.asarray(b, dtype=np.int64)
+                z = bv + (Wv[:, idx].sum(axis=1) if len(idx) else 0.0)
+                k = int(np.argmax(z))  # first max wins — deterministic
+                preds.append(lgs[k])
+                scores.append(1.0 / (1.0 + np.exp(-z[k])))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "predicted_lang": preds,
+                    "score": np.asarray(scores, dtype=np.float64),
+                }
+            )
+
+    return feats.mapInPandas(inner, "doc_id long, predicted_lang string, score double")
+
+
+def q_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashed char-n-gram one-vs-rest lang classifier on the
+    corpus labels and score every doc. Rows-only (sigmoid floats);
+    numpy parity + accuracy pinned in tests/test_classifier.py. The
+    marker-word heuristic (textstats.lang_id) is the rule-based half;
+    this is the learned half — the fastText-shaped lang-id a real
+    curation pipeline ships."""
+    docs = table(spark, sf_dir, "documents")
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect() if r["lang"]
+    )
+    feats = char_ngram_features(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    # 12 iterations: the synthetic corpus's lang labels are only weakly
+    # text-correlated (all sources share vocabulary), so more iterations
+    # buy noise, not accuracy — the separable-corpus test pins real
+    # learning; this query pins the distributed mechanics end-to-end.
+    models = train_lang_classifier(feats, langs, n_iters=12, lr=2.0)
+    return (
+        score_languages(feats, models)
+        .join(docs.select("doc_id", F.col("lang").alias("labeled_lang")), "doc_id")
+        .select("doc_id", "labeled_lang", "predicted_lang", "score")
+        .orderBy("doc_id")
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train on the corpus with language-is-English as the (stand-in)
     curated-side label, score every doc. Rows-only (sigmoid floats);

@@ -575,6 +575,17 @@ def image_near_dup_pairs(
 def q_image_near_dup(spark, sf_dir: str) -> DataFrame:
     from wurzel_spark.tables import table as _table
 
-    return image_near_dup_pairs(
-        assets_from_documents(_table(spark, sf_dir, "documents"))
+    # Treat EVERY doc-derived asset as an image, and MIRROR the first 50
+    # under offset ids: the corpus texts are all distinct (stub pixels →
+    # near-random phashes → no natural pairs), so the mirrors plant
+    # deterministic hamming-0 duplicates. The driver row then smokes the
+    # full band-bucket → verify pipeline with a known-nonempty result
+    # (every (i, i+1_000_000) pair must surface) instead of the
+    # vacuously-empty set the raw corpus produces.
+    assets = assets_from_documents(_table(spark, sf_dir, "documents")).withColumn(
+        "kind", F.lit("image")
     )
+    mirrored = assets.filter(F.col("asset_id") < 50).withColumn(
+        "asset_id", F.col("asset_id") + F.lit(1_000_000)
+    )
+    return image_near_dup_pairs(assets.unionByName(mirrored))

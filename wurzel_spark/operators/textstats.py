@@ -217,6 +217,57 @@ FROM best ORDER BY doc_id
 LANG_ID_SQL = _lang_id_sql()
 
 
+def lang_share(df: DataFrame) -> DataFrame:
+    """Per-language corpus composition: doc and char counts with their
+    corpus shares — the mixture readout every multilingual curation run
+    logs (and the denominator for language-rebalancing samplers).
+
+    Scale shape: one grouped aggregate + a broadcast of the 1-row total;
+    shares are single divisions of exact integers (cross-engine
+    bit-exact below 2^53 chars per corpus — at 100 TB of text switch the
+    char sums to decimal, the shape is unchanged)."""
+    tot = df.agg(
+        F.count(F.lit(1)).alias("__nd"), F.sum("n_chars").alias("__nc")
+    )
+    per = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "sum_chars",
+            (F.col("n_docs").cast("double") / F.col("__nd").cast("double")).alias(
+                "doc_share"
+            ),
+            (
+                F.col("sum_chars").cast("double") / F.col("__nc").cast("double")
+            ).alias("char_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_share(table(spark, sf_dir, "documents"))
+
+
+LANG_SHARE_SQL = """
+WITH tot AS (
+  SELECT COUNT(*) AS nd, CAST(SUM(n_chars) AS BIGINT) AS nc FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(*) AS DOUBLE) / CAST(nd AS DOUBLE) AS doc_share,
+       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(nc AS DOUBLE) AS char_share
+FROM documents, tot
+GROUP BY lang, nd, nc
+ORDER BY lang
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(table(spark, sf_dir, "documents")).orderBy("doc_id")
 
