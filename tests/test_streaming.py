@@ -801,3 +801,165 @@ def test_streaming_compressibility_matches_batch(spark, sf_dir, tmp_path):
         for r in compressibility_stats(docs).collect()
     }
     assert got == exp
+
+
+def test_streaming_cms_compaction_and_replay(spark, sf_dir, tmp_path):
+    """r6 staging audit: CMS cells on the fold protocol — 3-file stream
+    at fold cadence 2 keeps the dir count bounded, a batch re-delivered
+    AFTER its fold committed changes nothing (provenance dedup at the
+    drain), and estimates stay bit-equal to the batch sketch."""
+    from wurzel_spark.operators.sketches import cms_heavy_hitters
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.cms import (
+        cms_stream_estimates,
+        drain_cms_cells,
+        write_batch_cells,
+    )
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(200).localCheckpoint()
+    batch = {
+        r["term"]: r["cms_estimate"] for r in cms_heavy_hitters(docs).collect()
+    }
+    terms = sorted(batch)
+    d = str(tmp_path / "cmsc_in")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    stage = str(tmp_path / "cmsc_stage")
+    got = {
+        r["w"]: r["cms_estimate"]
+        for r in cms_stream_estimates(
+            stream, terms, stage, str(tmp_path / "cmsc_ckpt"), compact_every=2
+        ).collect()
+    }
+    assert got == batch
+    assert len(list_batch_ids(spark, stage)) <= 2
+    # redeliver batch 0 after the folds: sums must not change
+    import pyspark.sql.functions as _F
+
+    first_batch = docs.limit(0)  # re-stage SOME batch's docs under id 0
+    some = docs.filter(_F.col("doc_id") % 3 == 0)
+    write_batch_cells(some, 0, stage, compact_every=2)
+    before = {(r["i"], r["cell"]): r["c"] for r in drain_cms_cells(spark, stage).collect()}
+    write_batch_cells(some, 0, stage, compact_every=2)  # replay again
+    after = {(r["i"], r["cell"]): r["c"] for r in drain_cms_cells(spark, stage).collect()}
+    assert before == after
+
+
+def test_streaming_hll_compaction_matches_batch(spark, sf_dir, tmp_path):
+    """r6 staging audit: HLL registers on the fold protocol (max-merge
+    fold) — bounded dirs, estimates bit-equal to the batch operator."""
+    from wurzel_spark.operators.sketches import hll_distinct_stats
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.sketch import hll_stream_distinct
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(200).localCheckpoint()
+    batch = {
+        r["source"]: (r["n_buckets_hit"], r["hll_estimate"])
+        for r in hll_distinct_stats(docs).select(
+            "source", "n_buckets_hit", "hll_estimate"
+        ).collect()
+    }
+    d = str(tmp_path / "hllc_in")
+    docs.repartition(5).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    stage = str(tmp_path / "hllc_stage")
+    got = {
+        r["source"]: (r["n_buckets_hit"], r["hll_estimate"])
+        for r in hll_stream_distinct(
+            stream, stage, str(tmp_path / "hllc_ckpt"), compact_every=2
+        ).collect()
+    }
+    assert got == batch
+    assert len(list_batch_ids(spark, stage)) <= 2
+
+
+def test_streaming_curation_ledger_compaction(spark, sf_dir, tmp_path):
+    """r6 staging audit: the curation dedup ledger folds — funnel counts
+    still match the batch twin and the ledger dir count stays bounded."""
+    from wurzel_spark.operators.textstats import q_curation_pipeline
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.curation import curation_funnel_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(150).localCheckpoint()
+    d = str(tmp_path / "curc_in")
+    docs.repartition(6).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    ledger = str(tmp_path / "curc_ledger")
+    got = {
+        r["source"]: (r["n_input"], r["n_gopher_ok"], r["n_pii_ok"], r["n_final"],
+                      r["surviving_tokens"])
+        for r in curation_funnel_stream(
+            stream, str(tmp_path / "curc_ckpt"), ledger_dir=ledger, compact_every=2
+        ).collect()
+    }
+    from wurzel_spark.operators.textstats import curation_pipeline_stats
+
+    exp = {
+        r["source"]: (r["n_input"], r["n_gopher_ok"], r["n_pii_ok"], r["n_final"],
+                      r["surviving_tokens"])
+        for r in curation_pipeline_stats(docs).collect()
+    }
+    assert got == exp
+    assert len(list_batch_ids(spark, ledger)) <= 2
+
+
+def test_curate_stream_staging_folds(spark, tmp_path):
+    """r6 staging audit: the versioned-sink curate staging folds with the
+    ORDER-AWARE reduction (min doc_id per content hash) — the published
+    set is identical to an unfolded run and keeps the min-id copies."""
+    from wurzel_spark.sinks.versioned import LocalCollectionBackend, VersionedCollectionWriter
+    from wurzel_spark.streaming.dedup import curate_stream_to_versioned_sink
+
+    texts = [
+        "a perfectly reasonable document with normal words here",
+        "another quite ordinary document body of text content",
+        "a third document with enough clean words to survive",
+    ]
+    rows = [(i, texts[i % 3], "en", "s") for i in range(12)]  # dups across batches
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = str(tmp_path / "cur_in")
+    docs.repartition(6).write.mode("overwrite").parquet(d)
+
+    def run(compact_every, tag):
+        import json as _json
+        import os as _os
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        root = str(tmp_path / f"coll_{tag}")
+        writer = VersionedCollectionWriter(
+            backend_factory=lambda: LocalCollectionBackend(root), collection="kb"
+        )
+        curate_stream_to_versioned_sink(
+            stream,
+            str(tmp_path / f"cur_ckpt_{tag}"),
+            writer,
+            staging_dir=str(tmp_path / f"cur_stage_{tag}"),
+            compact_every=compact_every,
+        )
+        published = LocalCollectionBackend(root).get_alias("kb")
+        out = set()
+        coll_dir = _os.path.join(root, published)
+        for fn in _os.listdir(coll_dir):
+            if fn.endswith(".jsonl"):
+                for line in open(_os.path.join(coll_dir, fn)):
+                    r = _json.loads(line)
+                    out.add((r["doc_id"], r["text"]))
+        return out
+
+    folded = run(2, "folded")
+    plain = run(None, "plain")
+    assert folded == plain
+    assert {i for i, _ in folded} == {0, 1, 2}  # min doc_id per content

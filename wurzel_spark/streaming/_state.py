@@ -62,10 +62,18 @@ def write_batch_state(
     batch_id: int,
     key_cols: str | list[str],
     compact_every: int | None,
+    fold=None,
 ) -> None:
     """Land one batch's state rows (see module docstring for the full
     protocol). ``key_cols``: the identity whose rows are deterministic —
-    the fold dedups on it."""
+    the fold dedups on it.
+
+    ``fold``: optional ``DataFrame -> DataFrame`` replacing the default
+    key-dedup at fold points, for state whose reduction is NOT
+    pick-any-per-key (e.g. keep the MIN-ordered row per content hash).
+    The callable MUST be idempotent (``fold(fold(x)) == fold(x)``) and
+    absorb exact-duplicate rows — those are the crash-window guarantees
+    the default dedup provides and every fold must preserve."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     prior = [b for b in list_batch_ids(spark, state_dir) if b != batch_id]
     if compact_every is None or len(prior) + 1 < compact_every:
@@ -73,9 +81,10 @@ def write_batch_state(
         return
     # the state read includes a crashed earlier attempt's own batch=N
     # partition if present — the key dedup collapses it with df's rows
-    folded = df.unionByName(
+    union = df.unionByName(
         spark.read.parquet(state_dir).drop("batch").select(df.columns)
-    ).dropDuplicates(keys)
+    )
+    folded = fold(union) if fold is not None else union.dropDuplicates(keys)
     # cut the file lineage before the source dirs are deleted/renamed
     folded = folded.localCheckpoint(eager=True)
     tmp = fold_tmp(state_dir)

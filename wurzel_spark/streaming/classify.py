@@ -15,6 +15,14 @@ Replay safety: scored rows land under ``out_dir/batch=N`` with overwrite
 foreachBatch retry replaces its batch's rows instead of duplicating
 (doc_id, score, pred) under at-least-once replay. Readers consume the
 whole ``out_dir`` (the ``batch`` partition column is informational).
+
+State-boundedness (r6 staging audit): ``out_dir`` is the pipeline's
+OUTPUT — one row per input doc, written once, never re-read by the
+operator — not operator state, so it is deliberately NOT on the
+_state.py fold protocol: folding output would rewrite already-consumed
+results for zero state reduction. The per-batch dir count grows with
+batch count like any partitioned output table; compact downstream with
+operators/layout.compact_write if small files matter.
 """
 
 from __future__ import annotations

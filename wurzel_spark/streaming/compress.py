@@ -7,6 +7,11 @@ execution unions to exactly the batch result under any admission split.
 Replay safety: batch-keyed overwrite output (``out_dir/batch=N``), the
 idempotence pattern shared by streaming/classify.py — a redelivered
 batch replaces its rows.
+
+State-boundedness (r6 staging audit): ``out_dir`` is OUTPUT (one row
+per input doc, write-once, never re-read here), not operator state —
+deliberately off the _state.py fold protocol; see
+streaming/classify.py's identical rationale.
 """
 
 from __future__ import annotations

@@ -25,13 +25,13 @@ the batch twin's schema.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wurzel_spark.functions import text as TXT
 from wurzel_spark.operators.textstats import curation_stage_flags
+from wurzel_spark.streaming._fs import path_exists
+from wurzel_spark.streaming._state import recover_fold, write_batch_state
 
 __all__ = ["curation_funnel_stream"]
 
@@ -41,10 +41,17 @@ def curation_funnel_stream(
     checkpoint_dir: str,
     ledger_dir: str | None = None,
     text_col: str = "text",
+    compact_every: int | None = 16,
 ) -> DataFrame:
     """Run the curation funnel over a document stream (availableNow) and
     return per-source (n_input, n_gopher_ok, n_pii_ok, n_final,
-    surviving_tokens) — the batch curation_pipeline_stats contract."""
+    surviving_tokens) — the batch curation_pipeline_stats contract.
+
+    The dedup ledger is TRUE operator state (anti-joined by every batch),
+    so it rides the shared crash-safe fold protocol (r6 staging audit):
+    plain key-dedup fold on ``h`` — hash rows are deterministic per key —
+    bounding the ledger's directory count at O(compact_every) over
+    arbitrarily long ingests."""
     spark = stream.sparkSession
     ledger = ledger_dir or f"{checkpoint_dir.rstrip('/')}_ledger"
     totals: dict[str, list[int]] = {}  # source -> [in, g_ok, p_ok, final, tokens]
@@ -52,6 +59,7 @@ def curation_funnel_stream(
     def _process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        recover_fold(spark, ledger, batch_id)
         staged = curation_stage_flags(batch_df, text_col)
         survivors = (
             staged.filter(F.col("g_ok") & F.col("p_ok"))
@@ -67,15 +75,16 @@ def curation_funnel_stream(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if os.path.exists(ledger):
-            seen = spark.read.option("recursiveFileLookup", "true").parquet(ledger)
+        if path_exists(spark, ledger):
+            seen = spark.read.parquet(ledger).select("h")
             firsts = firsts.join(seen, "h", "left_anti")
         new_rows = firsts.select(
             "source", "h", F.size(TXT.words(F.col("text"))).alias("n_tokens")
         ).localCheckpoint()
-        # idempotent under batch replay: overwrite this batch's ledger part
-        new_rows.select("h").write.mode("overwrite").parquet(
-            f"{ledger}/batch_id={batch_id}"
+        # idempotent under batch replay: overwrite this batch's ledger
+        # part; the shared protocol folds every compact_every partitions
+        write_batch_state(
+            spark, new_rows.select("h"), ledger, batch_id, ["h"], compact_every
         )
         stage_counts = staged.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_input"),

@@ -33,9 +33,12 @@ def decontaminate_stream(
     text_col: str = "text",
 ):
     """Score every micro-batch of ``stream`` against ``eval_set``'s
-    distinct span hashes; append per-document contamination rows as
-    parquet under ``out_dir``. Blocks until the availableNow run drains;
-    returns the query."""
+    distinct span hashes; land per-document contamination rows under
+    ``out_dir/batch=N`` (overwrite — r6 staging audit: plain append
+    DUPLICATED a batch's rows when foreachBatch replayed it after the
+    write but before the checkpoint commit; batch-keyed overwrite is the
+    replay-idempotent output pattern of streaming/classify.py). Blocks
+    until the availableNow run drains; returns the query."""
     spans = eval_span_hashes(eval_set, id_col, text_col, n).localCheckpoint()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -44,7 +47,7 @@ def decontaminate_stream(
         out = decontamination_overlap(
             batch_df, None, id_col, text_col, n, eval_spans=spans
         )
-        out.write.mode("append").parquet(out_dir)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(_process)

@@ -64,6 +64,7 @@ def curate_stream_to_versioned_sink(
     order_col: str = "doc_id",
     text_col: str = "text",
     staging_dir: str | None = None,
+    compact_every: int | None = 16,
 ):
     """End-to-end STREAMING curation: a document stream is quality-filtered
     (Gopher rule battery) and PII-flag-filtered, exact-deduplicated, and
@@ -73,12 +74,18 @@ def curate_stream_to_versioned_sink(
     The source may split the input into several micro-batches
     (file-count/size admission limits), so per-batch publishing would leave
     the alias pointing at only the LAST batch's rows. Instead each
-    micro-batch stages its curated rows to ``staging/batch_id=N`` parquet
-    (overwrite per batch id ⇒ idempotent under replay), and after the
+    micro-batch stages its curated rows through the shared crash-safe
+    fold protocol (streaming/_state.py — r6, closing the r4 staging
+    call-out): overwrite to ``staging/batch=N`` ⇒ idempotent under
+    replay, and every ``compact_every`` partitions the state folds with
+    the ORDER-AWARE reduction this pipeline needs — keep the minimum
+    ``order_col`` row per content hash (the default pick-any key-dedup
+    could drop the row the final publish is contractually required to
+    keep). The fold is idempotent and absorbs duplicates, so directory
+    count stays O(compact_every) over arbitrarily long runs. After the
     availableNow stream drains, the staged union is deduplicated globally
-    (first ``order_col`` per content wins — deterministic) and written
-    once: one version, one alias flip, no dropped batches. Dedup is thus
-    cross-batch, not within-batch-only.
+    by the same rule and written once: one version, one alias flip, no
+    dropped batches. Dedup is thus cross-batch, not within-batch-only.
 
     ``foreachBatch`` is the right bridge: the per-batch curation runs the
     SAME operators as the batch pipeline — no twin drift — while the
@@ -90,13 +97,29 @@ def curate_stream_to_versioned_sink(
     from pyspark.sql import functions as F
 
     from wurzel_spark.operators.textstats import gopher_quality_flags, pii_scan
+    from wurzel_spark.streaming._state import recover_fold, write_batch_state
 
     staging = staging_dir or f"{checkpoint_dir.rstrip('/')}_staging"
     spark = stream.sparkSession
 
+    def _min_order_per_content(df):
+        # The order-aware fold: keep the smallest order_col per content
+        # hash. Idempotent, deterministic, absorbs exact-duplicate rows —
+        # and exactly the rule the final publish applies, so folding early
+        # can never change the published set.
+        w = Window.partitionBy(F.sha2(F.col(text_col).cast("string"), 256)).orderBy(
+            order_col
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     def _process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        recover_fold(spark, staging, batch_id)
         keep_ids = (
             gopher_quality_flags(batch_df, text_col)
             .filter(F.col("ok_mean_word_len") & F.col("ok_symbol_ratio"))
@@ -108,7 +131,15 @@ def curate_stream_to_versioned_sink(
             .join(clean_ids, "doc_id", "left_semi")
             .dropDuplicates([text_col])  # within-batch shrink before staging
         )
-        curated.write.mode("overwrite").parquet(f"{staging}/batch_id={batch_id}")
+        write_batch_state(
+            spark,
+            curated,
+            staging,
+            batch_id,
+            ["doc_id"],
+            compact_every,
+            fold=_min_order_per_content,
+        )
 
     q = (
         stream.writeStream.foreachBatch(_process)
@@ -118,18 +149,13 @@ def curate_stream_to_versioned_sink(
     )
     q.awaitTermination()
 
-    staged = spark.read.option("recursiveFileLookup", "true").parquet(staging)
-    if not staged.isEmpty():
-        # Global (cross-batch) dedup, deterministic representative:
-        # smallest order_col per content hash wins.
-        w = Window.partitionBy(F.sha2(F.col(text_col).cast("string"), 256)).orderBy(
-            order_col
-        )
-        final = (
-            staged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+    from wurzel_spark.streaming._fs import path_exists
+
+    if path_exists(spark, staging):
+        staged = spark.read.parquet(staging).drop("batch")
+        # Global (cross-batch) dedup with the SAME rule as the fold —
+        # also collapses a batch re-delivered after its fold committed.
+        final = _min_order_per_content(staged)
         writer.write(final, order_col=order_col, history="stream-run")
     # The staging dir's job is done once the version is published. Drop it
     # so (a) the per-run batch dirs don't accumulate across runs and (b) a
@@ -137,6 +163,9 @@ def curate_stream_to_versioned_sink(
     # shorter run would overwrite only a prefix of them) can never union
     # a previous run's stale batches into its publish.
     from wurzel_spark.streaming._fs import delete_path
+    from wurzel_spark.streaming._state import fold_tmp
 
     delete_path(spark, staging)
+    delete_path(spark, fold_tmp(staging))  # a dangling fold tmp would be
+    # completed INTO the next fresh run's state by recover_fold — stale rows
     return q

@@ -40,8 +40,11 @@ def asof_enrich_stream(
     how: str = "inner",
 ):
     """Run the batch as-of join on every micro-batch of ``stream`` against
-    static ``reference``; append results as parquet under ``out_dir``.
-    Blocks until the availableNow run drains; returns the query."""
+    static ``reference``; land results under ``out_dir/batch=N``
+    (overwrite — r6 staging audit: plain append duplicated a replayed
+    batch's rows; batch-keyed overwrite is the replay-idempotent output
+    pattern of streaming/classify.py). Blocks until the availableNow run
+    drains; returns the query."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -56,7 +59,7 @@ def asof_enrich_stream(
             tiebreak=tiebreak,
             how=how,
         )
-        out.write.mode("append").parquet(out_dir)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(_process)

@@ -14,6 +14,14 @@ Scale shape: each micro-batch pays one map + one 1024-row-per-source
 aggregate; staged state is ≤ (sources × 1024) longs per batch. This is
 the monitoring pattern for a continuously-ingesting corpus — "how many
 distinct terms/urls/ids have we EVER seen" without storing the set.
+
+State protocol (r6 staging audit): registers ride the shared crash-safe
+fold (streaming/_state.py) with a MAX-MERGE fold — HLL's reduction is
+idempotent and duplicate-absorbing by definition (max(max(x)) = max(x)),
+exactly the fold contract — replacing the earlier ``mode("append")``
+staging whose file count grew one parquet set per batch forever. Replay
+was already safe (duplicate registers are no-ops under max); the fold
+adds the O(compact_every) directory bound.
 """
 
 from __future__ import annotations
@@ -25,6 +33,11 @@ from wurzel_spark.operators.sketches import (
     hll_estimate_from_registers,
     hll_registers,
 )
+from wurzel_spark.streaming._state import recover_fold, write_batch_state
+
+
+def _max_merge(df: DataFrame) -> DataFrame:
+    return df.groupBy("source", "bucket").agg(F.max("reg").alias("reg"))
 
 
 def hll_stream_distinct(
@@ -33,6 +46,7 @@ def hll_stream_distinct(
     checkpoint_dir: str,
     source_col: str = "source",
     text_col: str = "text",
+    compact_every: int | None = 16,
 ) -> DataFrame:
     """Drain an availableNow stream, staging per-batch HLL registers;
     return per-source (n_buckets_hit, hll_sum_scaled, hll_estimate) from
@@ -41,8 +55,18 @@ def hll_stream_distinct(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        recover_fold(spark, staging_dir, batch_id)
         regs = hll_registers(batch_df, source_col, text_col)
-        regs.write.mode("append").parquet(staging_dir)
+        write_batch_state(
+            spark,
+            regs,
+            staging_dir,
+            batch_id,
+            ["source", "bucket"],
+            compact_every,
+            fold=_max_merge,
+        )
 
     q = (
         stream.writeStream.foreachBatch(_process)
@@ -59,6 +83,7 @@ def hll_stream_distinct(
             [],
             "source string, n_buckets_hit long, hll_sum_scaled long, hll_estimate double",
         )
-    staged = spark.read.parquet(staging_dir)
-    merged = staged.groupBy("source", "bucket").agg(F.max("reg").alias("reg"))
+    # max-merge at the drain too: absorbs a batch re-delivered after its
+    # fold committed (same drain-side guard as novelty/cms)
+    merged = _max_merge(spark.read.parquet(staging_dir).drop("batch"))
     return hll_estimate_from_registers(merged).orderBy("source")
