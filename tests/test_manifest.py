@@ -218,3 +218,76 @@ def test_manifest_dedup_is_deterministic(spark):
     got = {r["md"]: r["tag"] for r in out.collect()}
     # first row per key under the declared ordering — NOT an arbitrary one
     assert got == {"dup": "winner", "uniq": "x"}
+
+
+def test_generate_argo_per_step_env_and_artifacts(md_folder):
+    """r6 depth parity (reference backend_argo.py:486-556): per-step env
+    injection in the {STEP}__{FIELD} round-trip convention, global env
+    winning on collision, the run-id var, S3 artifact input/output
+    wiring keyed by workflow name, and the retry strategy."""
+    import yaml as _yaml
+
+    from wurzel_spark.backends import ArgoArtifactConfig, RUN_ID_ENV, generate_argo
+
+    m = _manifest(md_folder)
+    art = ArgoArtifactConfig(
+        bucket="curation-artifacts",
+        endpoint="minio:9000",
+        insecure=True,
+        access_key_secret=("s3-creds", "accesskey"),
+        secret_key_secret=("s3-creds", "secretkey"),
+    )
+    doc = _yaml.safe_load(
+        generate_argo(
+            m, "m.yaml", env={"LOG_LEVEL": "info", "SPLIT__TOKEN_LIMIT": "64"},
+            artifacts=art,
+        )
+    )
+    wf = doc["spec"]["workflowSpec"]
+    tpl = {t["name"]: t for t in wf["templates"]}
+    assert set(tpl) == {"pipeline", "step-source", "step-dedup", "step-split"}
+
+    # (a) per-step env: split's manifest setting becomes SPLIT__TOKEN_LIMIT,
+    # and the GLOBAL env override wins the collision (container.env wins)
+    env = {e["name"]: e["value"] for e in tpl["step-split"]["container"]["env"]}
+    assert env["SPLIT__TOKEN_LIMIT"] == "64"  # global won over manifest's 128
+    assert env["LOG_LEVEL"] == "info"
+    assert env[RUN_ID_ENV] == "{{workflow.uid}}"
+    src_env = {e["name"]: e["value"] for e in tpl["step-source"]["container"]["env"]}
+    assert src_env["SOURCE__PATH"]  # manifest setting exported per-step
+
+    # (b) artifacts: outputs on every step, inputs mirror dependencies,
+    # key namespaced by workflow name, secrets referenced not inlined
+    out = tpl["step-dedup"]["outputs"]["artifacts"][0]
+    assert out["s3"]["key"] == "argo-workflows/{{workflow.name}}/dedup"
+    assert out["s3"]["bucket"] == "curation-artifacts"
+    assert out["s3"]["accessKeySecret"] == {"name": "s3-creds", "key": "accesskey"}
+    assert out["archive"] == {"none": {}} and out["recurseMode"] is True
+    ins = tpl["step-split"]["inputs"]["artifacts"]
+    assert [a["s3"]["key"] for a in ins] == ["argo-workflows/{{workflow.name}}/dedup"]
+    assert ins[0]["path"] == "data/dedup"  # restored where the CLI reads it
+    assert "inputs" not in tpl["step-source"]  # leaf has no input artifacts
+
+    # (c) retry strategy (reference: limit 4, OnError)
+    assert tpl["step-dedup"]["retryStrategy"] == {"limit": 4, "retryPolicy": "OnError"}
+
+    # without artifacts: no artifact blocks, env still per-step
+    doc2 = _yaml.safe_load(generate_argo(m, "m.yaml"))
+    tpl2 = {t["name"]: t for t in doc2["spec"]["workflowSpec"]["templates"]}
+    assert "outputs" not in tpl2["step-split"]
+    assert any(e["name"] == "SPLIT__TOKEN_LIMIT" for e in tpl2["step-split"]["container"]["env"])
+
+
+def test_argo_env_round_trips_into_settings(md_folder, monkeypatch):
+    """The generated env vars are EXACTLY what Manifest.env_settings
+    reads back inside the container — the YAML round-trips settings."""
+    import yaml as _yaml
+
+    from wurzel_spark.backends import generate_argo
+
+    m = _manifest(md_folder)
+    doc = _yaml.safe_load(generate_argo(m, "m.yaml"))
+    tpl = {t["name"]: t for t in doc["spec"]["workflowSpec"]["templates"]}
+    for e in tpl["step-split"]["container"]["env"]:
+        monkeypatch.setenv(e["name"], e["value"])
+    assert m.env_settings("split")["token_limit"] == "128"
