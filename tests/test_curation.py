@@ -341,3 +341,69 @@ def test_license_scan_flags_grants_not_bare_copyright(spark):
     assert out[1]["n_apache"] == 1 and out[1]["any_license"]
     assert out[2]["n_copyright"] == 1 and not out[2]["any_license"]
     assert not out[3]["any_license"]
+
+
+# ------------------------------------------------------- round-6 additions
+
+
+def test_duplication_profile_counts_and_rate(spark):
+    from wurzel_spark.operators.textstats import duplication_profile
+
+    rows = [
+        (1, "Same   Text", "a"), (2, "same text", "a"), (3, "other", "a"),
+        (4, "unique one", "b"), (5, "unique two", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in duplication_profile(docs).collect()}
+    # casefold + whitespace collapse => docs 1,2 are duplicates
+    assert (out["a"]["n_docs"], out["a"]["n_distinct"], out["a"]["n_dups"]) == (3, 2, 1)
+    assert out["a"]["dup_rate"] == 1.0 / 3.0
+    assert out["b"]["n_dups"] == 0 and out["b"]["dup_rate"] == 0.0
+
+
+def test_pmi_bigrams_ranks_collocations(spark):
+    from wurzel_spark.operators.textstats import pmi_bigrams
+
+    # "new york" always co-occurs; filler words pair freely
+    docs = spark.createDataFrame(
+        [(i, "the visit to new york was the thing of the day " + ("a b " * (i % 3)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = pmi_bigrams(docs, min_count=5, top_k=10).collect()
+    assert out, "no bigrams above floor"
+    pmi = {(r["w1"], r["w2"]): r["pmi_q20"] for r in out}
+    # the perfect collocation outranks the promiscuous pair: "the" pairs
+    # with many second words, diluting p(x)p(y) relative to p(xy)
+    assert pmi[("new", "york")] > pmi[("of", "the")]
+    # exactness bookkeeping: integer counts, long fixed-point pmi
+    assert all(isinstance(r["pmi_q20"], int) for r in out)
+
+
+def test_event_type_drift_zero_when_stable(spark, tmp_path):
+    import datetime
+
+    from wurzel_spark.queries import events as EV
+
+    rows = []
+    base = datetime.datetime(2026, 1, 1)
+    for d in range(3):
+        for i in range(100):
+            # identical mix every day: 50 view / 50 click
+            t = "view" if i < 50 else "click"
+            rows.append((d * 1000 + i, base + datetime.timedelta(days=d, seconds=i),
+                         i % 7, t, 1.0, "{}"))
+    # day 3: drifted mix 90/10
+    for i in range(100):
+        t = "view" if i < 90 else "click"
+        rows.append((9000 + i, base + datetime.timedelta(days=3, seconds=i),
+                     i % 7, t, 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "ev")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {str(r["day"])[:10]: r["psi_q20"] for r in EV.event_type_drift(spark, d).collect()}
+    assert out["2026-01-02"] in (0, -1, -2)  # identical mix → psi ≈ 0 (floor slack)
+    assert out["2026-01-03"] in (0, -1, -2)
+    assert out["2026-01-04"] > 100_000  # 40-point shift → large psi

@@ -249,6 +249,157 @@ def lang_share(df: DataFrame) -> DataFrame:
     )
 
 
+def duplication_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source duplication profile: docs, distinct normalized
+    fingerprints (casefold + whitespace collapse — formatting-only edits
+    count as duplicates), duplicate count and rate. The ex-ante readout
+    that decides WHERE dedup budget goes: a source at 40% dup rate gets
+    the MinHash pass, one at 0.1% doesn't.
+
+    Scale shape: one map (fingerprint hash) + one grouped
+    count/count-distinct — at 100 TB, distinct-count per group is the
+    only shuffle and carries 32-byte hashes, not text. The rate is one
+    division of exact integers."""
+    fp = TXT.fingerprint(F.col(text_col))
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(fp).alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dups"),
+            (
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplication_profile(table(spark, sf_dir, "documents"))
+
+
+DUPLICATION_PROFILE_SQL = r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_dups,
+       CAST(COUNT(*) - COUNT(DISTINCT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+_PMI_SCALE = float(1 << 20)  # same 2^20 fixed-point convention as _BM25_SCALE
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = PMI_MIN_COUNT,
+    top_k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Corpus collocations: bigrams ranked by pointwise mutual
+    information, ``pmi = ln(c_xy · N / (c_x · c_y))`` over the bigram
+    stream (c_x / c_y = first-/second-position marginals, N = total
+    bigrams) with a ``min_count`` floor (PMI without a floor surfaces
+    hapax noise). The standard phrase-mining signal (word2vec's phrase
+    pass, NPMI collocation extraction) — tokenizer vocab candidates and
+    boilerplate indicators both fall out of this table.
+
+    Exactness: all counts are exact int64; the ONE float op is the final
+    ln, floor-scaled to 2^20 fixed-point (the bm25 convention) so the
+    driver hash compares integers. Deterministic total order:
+    (-pmi_q20, w1, w2).
+
+    Scale shape: one bigram explode + two window marginals over the same
+    shuffle layout as bigram_lm_score, then a count-filtered projection —
+    no self-join; top-k is a global sort of the ≥min_count survivors
+    (vocabulary-sized, not corpus-sized)."""
+    ws = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    toks = df.select(ws.alias("ws")).filter(F.size("ws") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                F.slice("ws", 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    from pyspark.sql import Window as W
+
+    marked = (
+        bg.withColumn("c_xy", F.count(F.lit(1)).over(W.partitionBy("w1", "w2")))
+        .withColumn("c_x", F.count(F.lit(1)).over(W.partitionBy("w1")))
+        .withColumn("c_y", F.count(F.lit(1)).over(W.partitionBy("w2")))
+        .dropDuplicates(["w1", "w2"])
+        .filter(F.col("c_xy") >= min_count)
+    )
+    n = bg.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        marked.crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.floor(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n_total").cast("double")
+                    / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+                )
+                * F.lit(_PMI_SCALE)
+            )
+            .cast("long")
+            .alias("pmi_q20"),
+        )
+        .orderBy(F.col("pmi_q20").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_bigrams(table(spark, sf_dir, "documents"))
+
+
+PMI_BIGRAMS_SQL = rf"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+  WHERE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) >= 2
+), bg AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+), c AS (
+  SELECT w1, w2,
+         COUNT(*) OVER (PARTITION BY w1, w2) AS c_xy,
+         COUNT(*) OVER (PARTITION BY w1) AS c_x,
+         COUNT(*) OVER (PARTITION BY w2) AS c_y,
+         COUNT(*) OVER () AS n_total,
+         ROW_NUMBER() OVER (PARTITION BY w1, w2 ORDER BY w1) AS rn
+  FROM bg
+)
+SELECT w1, w2, c_xy, c_x, c_y,
+       CAST(FLOOR(ln(CAST(c_xy AS DOUBLE) * CAST(n_total AS DOUBLE)
+                     / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))
+                  * {_PMI_SCALE!r}) AS BIGINT) AS pmi_q20
+FROM c
+WHERE rn = 1 AND c_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi_q20 DESC, w1, w2
+LIMIT {PMI_TOP_K}
+"""
+
+
 def q_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_share(table(spark, sf_dir, "documents"))
 

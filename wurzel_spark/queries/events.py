@@ -285,3 +285,98 @@ FROM ev e JOIN first f ON e.user_id = f.user_id
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------- distribution drift
+
+_PSI_SCALE = float(1 << 20)
+
+
+def event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day population-stability index of the event-type mix —
+    the standard streaming-data drift alarm (a PSI above ~0.2 means the
+    traffic composition shifted enough to re-examine upstream). For a
+    training-data pipeline this is the "did the source change under us"
+    gate run on every ingest snapshot.
+
+    Per day d with add-one smoothing over the GLOBAL type set T:
+    ``p_t = (c(d,t)+1)/(n(d)+|T|)``, and
+    ``psi(d) = Σ_t (p_t − q_t)·ln(p_t/q_t)`` against the previous day's
+    q. Exactness: counts are exact ints; each per-type component is
+    floor-scaled to 2^20 fixed-point and the per-day sum is an INTEGER
+    sum — no float accumulation order to disagree on (the bm25/PMI
+    convention, extended to a sum of logs).
+
+    Scale shape: one (day, type) aggregate, the full day×type grid by
+    cross join (|T| is tiny), one lag window per type, one grouped int
+    sum. Nothing here is corpus-sized after the first aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    days = counts.select("day").distinct()
+    types = counts.select("event_type").distinct()
+    n_types = types.count()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    totals = grid.groupBy("day").agg(F.sum("c").alias("n"))
+    g = grid.join(totals, "day")
+    w = W.partitionBy("event_type").orderBy("day")
+    p = (F.col("c") + F.lit(1)).cast("double") / (
+        F.col("n") + F.lit(n_types)
+    ).cast("double")
+    paired = (
+        g.withColumn("p", p)
+        .withColumn("q", F.lag("p").over(w))
+        .filter(F.col("q").isNotNull())
+    )
+    comp = F.floor(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * F.lit(_PSI_SCALE)
+    ).cast("long")
+    return (
+        paired.withColumn("comp_q20", comp)
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("c")).alias("n_events"),
+            F.sum("comp_q20").alias("psi_q20"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENT_TYPE_DRIFT_SQL = f"""
+WITH counts AS (
+  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT d.day, t.event_type, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT day FROM counts) d
+  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+  LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+), nt AS (
+  SELECT COUNT(DISTINCT event_type) AS n_types FROM counts
+), g AS (
+  SELECT grid.day, grid.event_type, grid.c,
+         SUM(grid.c) OVER (PARTITION BY grid.day) AS n,
+         nt.n_types
+  FROM grid, nt
+), paired AS (
+  SELECT day, event_type, c,
+         CAST(c + 1 AS DOUBLE) / CAST(n + n_types AS DOUBLE) AS p,
+         LAG(CAST(c + 1 AS DOUBLE) / CAST(n + n_types AS DOUBLE))
+           OVER (PARTITION BY event_type ORDER BY day) AS q
+  FROM g
+)
+SELECT day,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR((p - q) * ln(p / q) * {_PSI_SCALE!r}) AS BIGINT)) AS BIGINT) AS psi_q20
+FROM paired
+WHERE q IS NOT NULL
+GROUP BY day
+ORDER BY day
+"""
