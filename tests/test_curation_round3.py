@@ -562,3 +562,94 @@ def test_compressibility_separates_repetitive_from_random(spark):
     assert {k: (v["zlib_ratio"], v["char_entropy"]) for k, v in out.items()} == {
         k: (v["zlib_ratio"], v["char_entropy"]) for k, v in again.items()
     }
+
+
+# ---------------------------------------------------------- r6 CDC family
+
+
+def test_apply_changeset_merge_semantics(spark):
+    from wurzel_spark.operators.snapshots import apply_changeset
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "upsert", "two v2"), (3, "delete", None), (9, "upsert", "nine")],
+        "doc_id long, op string, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in apply_changeset(base, changes).collect()}
+    assert out == {1: "one", 2: "two v2", 9: "nine"}  # update, delete, insert
+
+
+def test_merge_into_parquet_rewrites_only_affected_partitions(spark, tmp_path):
+    """The 100 TB shape: a small changeset rewrites only its hash
+    buckets; untouched partitions' files are bit-identical afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.operators.snapshots import (
+        apply_changeset,
+        merge_into_parquet,
+        write_partitioned_table,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    tdir = str(tmp_path / "tbl")
+    write_partitioned_table(base, tdir, n_parts=8)
+    before = {}
+    for p in range(8):
+        pd = f"{tdir}/part={p}"
+        before[p] = {
+            fn: os.path.getmtime(os.path.join(pd, fn))
+            for fn in os.listdir(pd) if fn.endswith(".parquet")
+        }
+    changes = spark.createDataFrame(
+        [(7, "upsert", "seven v2"), (13, "delete", None), (5000, "upsert", "new doc")],
+        "doc_id long, op string, text string",
+    )
+    affected = merge_into_parquet(spark, tdir, changes, n_parts=8)
+    assert 1 <= len(affected) <= 3  # at most one bucket per changed id
+    for p in range(8):
+        pd = f"{tdir}/part={p}"
+        after = {
+            fn: os.path.getmtime(os.path.join(pd, fn))
+            for fn in os.listdir(pd) if fn.endswith(".parquet")
+        }
+        if p not in affected:
+            assert after == before[p], f"untouched partition {p} was rewritten"
+    # logical state == pure merge semantics
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(tdir).select("doc_id", "text").collect()
+    }
+    exp = {
+        r["doc_id"]: r["text"]
+        for r in apply_changeset(base, changes).collect()
+    }
+    assert got == exp
+    assert got[7] == "seven v2" and 13 not in got and got[5000] == "new doc"
+
+
+def test_cdc_snapshot_at_time_travel(spark):
+    import datetime
+
+    from wurzel_spark.operators.snapshots import cdc_snapshot_at
+
+    t = lambda d: datetime.datetime(2026, 1, d)  # noqa: E731
+    log = spark.createDataFrame(
+        [
+            (1, t(1), "upsert", "one"),
+            (1, t(5), "upsert", "one v2"),
+            (2, t(2), "upsert", "two"),
+            (2, t(6), "delete", None),
+            (3, t(9), "upsert", "three"),  # not yet born at day 7
+        ],
+        "doc_id long, ts timestamp, op string, text string",
+    )
+    at = {r["doc_id"]: r["text"] for r in cdc_snapshot_at(log, t(7)).collect()}
+    assert at == {1: "one v2"}  # 2 deleted by day 6, 3 not yet inserted
+    full = {r["doc_id"]: r["text"] for r in cdc_snapshot_at(log, t(30)).collect()}
+    assert full == {1: "one v2", 3: "three"}

