@@ -123,6 +123,14 @@ HEADLINE = [
     "supplier_pagerank",
     "decontamination_report",
     "curation_funnel_v2",
+    # round 6: language composition, duplication budgeting, collocations,
+    # drift detection, CDC merge/time-travel
+    "lang_share",
+    "duplication_profile",
+    "pmi_bigrams",
+    "event_type_drift",
+    "cdc_apply_changes",
+    "cdc_snapshot_at",
 ]
 
 

@@ -1,0 +1,165 @@
+"""Content-defined chunking (FastCDC/gear-hash family) + chunk-level
+dedup statistics.
+
+Fixed-size chunking breaks at the first insertion: every later chunk
+shifts and nothing dedups. CONTENT-DEFINED boundaries (cut where a
+rolling gear hash matches a mask) realign after any local edit, so two
+near-identical large documents share almost every chunk — the storage /
+transfer dedup technique behind rsync, borg, LBFS, and data-lake
+dedup of crawl snapshots. This complements the repo's similarity
+dedup: winnowing finds OVERLAPPING docs, CDC chunking measures how much
+of the byte volume is REDUNDANT and makes delta storage concrete.
+
+Algorithm (public, Xia et al. FAST'16 "FastCDC"): roll
+``h = (h << 1 + gear[byte]) mod 2^64`` and cut when
+``h & mask == 0`` (mask = avg_size-1 → expected chunk ≈ avg_size),
+subject to min/max chunk bounds. The gear table is derived
+deterministically from sha256 so every engine/run agrees on boundaries.
+
+Scale shape: chunking is row-local (one Arrow-batched kernel pass —
+numpy rolling loop per doc, no shuffle); the dedup statistics are one
+hash-groupBy over (chunk_hash, chunk_len) — 16-byte keys, never chunk
+bytes. Rows-only for the driver (boundaries are engine-internal);
+semantics pinned by the locality test (edit → only local chunks change)
+and exact dedup accounting tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wurzel_spark.tables import table
+
+CDC_MIN_SIZE = 64
+CDC_AVG_SIZE = 256
+CDC_MAX_SIZE = 1024
+
+#: deterministic 256-entry gear table: first 8 bytes of sha256(i) — no
+#: RNG, so boundaries are identical across engines, runs, partitions
+_GEAR = np.array(
+    [
+        int.from_bytes(hashlib.sha256(bytes([i])).digest()[:8], "big")
+        for i in range(256)
+    ],
+    dtype=np.uint64,
+)
+
+
+def _chunk_spans(data: bytes, min_size: int, avg_size: int, max_size: int):
+    """Boundary offsets [(start, end), ...] over one byte string."""
+    mask = np.uint64(avg_size - 1)
+    n = len(data)
+    spans = []
+    start = 0
+    h = np.uint64(0)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    one = np.uint64(1)
+    zero = np.uint64(0)
+    i = 0
+    while i < n:
+        h = np.uint64((h << one) + _GEAR[arr[i]])
+        i += 1
+        ln = i - start
+        if (ln >= min_size and (h & mask) == zero) or ln >= max_size:
+            spans.append((start, i))
+            start = i
+            h = np.uint64(0)
+    if start < n:
+        spans.append((start, n))
+    return spans
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_size: int = CDC_MIN_SIZE,
+    avg_size: int = CDC_AVG_SIZE,
+    max_size: int = CDC_MAX_SIZE,
+) -> DataFrame:
+    """One row per chunk: (doc_id, chunk_idx, chunk_len, chunk_hash) —
+    chunk_hash = sha256 hex of the chunk bytes (content identity, the
+    repo's standard identity rule)."""
+
+    def op(batches):
+        for pdf in batches:
+            ids, idxs, lens, hashes = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                if not data:
+                    continue
+                for ci, (a, b) in enumerate(
+                    _chunk_spans(data, min_size, avg_size, max_size)
+                ):
+                    ids.append(did)
+                    idxs.append(ci)
+                    lens.append(b - a)
+                    hashes.append(hashlib.sha256(data[a:b]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                    "chunk_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    sel = df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
+    return sel.mapInPandas(
+        op, "doc_id long, chunk_idx long, chunk_len long, chunk_hash string"
+    )
+
+
+def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Corpus chunk-dedup accounting: total vs distinct chunks and bytes,
+    and the dedup ratio (bytes you would NOT store under chunk-level
+    dedup). distinct_bytes charges each distinct chunk hash once —
+    chunk_len is a pure function of the hash (same bytes → same length),
+    so ``first(chunk_len)`` per hash is exact, not approximate."""
+    per_hash = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.first("chunk_len").alias("chunk_len"),
+    )
+    return (
+        per_hash.agg(
+            F.sum("n_copies").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_distinct_chunks"),
+            F.sum(F.col("n_copies") * F.col("chunk_len")).alias("total_bytes"),
+            F.sum("chunk_len").alias("distinct_bytes"),
+        )
+        .select(
+            "n_chunks",
+            "n_distinct_chunks",
+            "total_bytes",
+            "distinct_bytes",
+            (
+                (F.col("total_bytes") - F.col("distinct_bytes")).cast("double")
+                / F.col("total_bytes").cast("double")
+            ).alias("dedup_ratio"),
+        )
+    )
+
+
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row (rows-only: gear boundaries are engine-internal):
+    chunk-dedup accounting over the documents table UNION a planted
+    near-duplicate of every 10th doc (prefix edit) — the realistic
+    snapshot-over-snapshot redundancy CDC chunking exists to measure;
+    the planted copies guarantee a nonzero dedup_ratio to smoke."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("edited prefix! "), F.col("text")).alias("text"),
+    )
+    # smaller-than-default chunks: the synthetic docs average a few
+    # hundred bytes, so avg_size=64 yields ~5 chunks/doc — enough for the
+    # planted prefix edits to realign and share their tails
+    chunks = content_defined_chunks(
+        docs.unionByName(edited), min_size=16, avg_size=64, max_size=256
+    )
+    return chunk_dedup_stats(chunks)

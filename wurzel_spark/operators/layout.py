@@ -331,3 +331,67 @@ SELECT (pos - 1) % 8 AS shard,
        CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''))) AS BIGINT) AS n_tokens
 FROM ranked GROUP BY (pos - 1) % 8 ORDER BY shard
 """
+
+
+# ------------------------------------------------------ table statistics
+
+DOC_STAT_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style per-column statistics: rows, nulls, exact NDV,
+    min/max (computed in the native type, then rendered as strings so
+    every column fits one uniform schema). The stats table a cost-based
+    optimizer — or a human sizing a 100 TB join — reads first; at scale
+    swap ``countDistinct`` for ``approx_count_distinct`` (HLL) without
+    changing the shape.
+
+    Scale shape: ONE aggregate pass over the table computes every
+    column's stats (Spark expands multi-distinct into one shuffle per
+    distinct column, each carrying only that column), then a row-local
+    unpivot to (column_name, ...) rows — the output is columns-sized,
+    not data-sized.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__{c}__nulls"),
+            F.countDistinct(c).alias(f"__{c}__ndv"),
+            F.min(F.col(c)).cast("string").alias(f"__{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"__{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col(f"__{c}__nulls").alias("n_nulls"),
+                F.col(f"__{c}__ndv").alias("n_distinct"),
+                F.col(f"__{c}__min").alias("min_value"),
+                F.col(f"__{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(per_col).alias("s"))
+        .select("s.*")
+        .orderBy("column_name")
+    )
+
+
+def q_table_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return column_stats(table(spark, sf_dir, "documents"), list(DOC_STAT_COLS))
+
+
+TABLE_STATS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM documents"""
+    for c in DOC_STAT_COLS
+) + "\nORDER BY column_name"
