@@ -653,3 +653,58 @@ def test_cdc_snapshot_at_time_travel(spark):
     assert at == {1: "one v2"}  # 2 deleted by day 6, 3 not yet inserted
     full = {r["doc_id"]: r["text"] for r in cdc_snapshot_at(log, t(30)).collect()}
     assert full == {1: "one v2", 3: "three"}
+
+
+def test_merge_into_parquet_crash_recovery(spark, tmp_path):
+    """Staged-rename crash windows: a COMPLETE tmp with the target dir
+    already deleted is finished (rename in); an INCOMPLETE tmp (no
+    _SUCCESS) is discarded and the intact old dir wins."""
+    import os
+    import shutil
+
+    from wurzel_spark.operators.snapshots import (
+        merge_into_parquet,
+        write_partitioned_table,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    tdir = str(tmp_path / "tbl")
+    write_partitioned_table(base, tdir, n_parts=4)
+    changes = spark.createDataFrame(
+        [(7, "upsert", "seven v2")], "doc_id long, op string, text string"
+    )
+    # locate 7's bucket, then simulate "crashed after delete, before rename":
+    # stage a complete tmp (copy of the dir with the merge NOT yet applied is
+    # fine for the protocol test — completeness is _SUCCESS), remove target
+    from pyspark.sql import functions as F
+
+    part = base.sparkSession.createDataFrame([(7,)], "doc_id long").select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("p")
+    ).collect()[0]["p"]
+    pdir = f"{tdir}/part={part}"
+    tmp = f"{tdir}/part={part}__merge_tmp"
+    shutil.copytree(pdir, tmp)
+    # the initial partitionBy layout keeps _SUCCESS at the TABLE root, so
+    # mark the staged tmp complete the way a per-bucket merge write would
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    shutil.rmtree(pdir)
+    affected = merge_into_parquet(spark, tdir, changes, n_parts=4)
+    assert affected == [part]
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(tdir).select("doc_id", "text").collect()}
+    assert got[7] == "seven v2" and len(got) == 40
+
+    # incomplete tmp: no _SUCCESS -> discarded, old dir intact, merge runs
+    changes2 = spark.createDataFrame(
+        [(8, "upsert", "eight v2")], "doc_id long, op string, text string"
+    )
+    part8 = base.sparkSession.createDataFrame([(8,)], "doc_id long").select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("p")
+    ).collect()[0]["p"]
+    tmp8 = f"{tdir}/part={part8}__merge_tmp"
+    os.makedirs(tmp8)
+    open(os.path.join(tmp8, "part-junk.parquet"), "w").write("partial")
+    merge_into_parquet(spark, tdir, changes2, n_parts=4)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(tdir).select("doc_id", "text").collect()}
+    assert got[8] == "eight v2" and not os.path.exists(tmp8)

@@ -160,21 +160,39 @@ def merge_into_parquet(
     (bounded, typically small) affected-bucket list. Deletes of absent
     ids and upserts of new ids land in their hash bucket like any other.
     """
+    from wurzel_spark.streaming._fs import delete_path, path_exists, rename_path
+
     ch = changes.withColumn(
         "part", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts))
     ).localCheckpoint(eager=True)
     affected = sorted(r["part"] for r in ch.select("part").distinct().collect())
     for part in affected:
         pdir = f"{table_dir}/part={part}"
+        tmp = f"{table_dir}/part={part}__merge_tmp"
+        # Recover a crash mid-merge BEFORE reading: a complete tmp
+        # (parquet _SUCCESS) means the old dir may already be deleted —
+        # finish the rename; an incomplete tmp is a partial job output
+        # with the old dir intact — discard it. (The _state.py fold's
+        # staged-rename protocol, applied per bucket.)
+        if path_exists(spark, tmp):
+            if path_exists(spark, f"{tmp}/_SUCCESS") and not path_exists(spark, pdir):
+                rename_path(spark, tmp, pdir)
+            else:
+                delete_path(spark, tmp)
         part_changes = ch.filter(F.col("part") == part).drop("part")
-        try:
+        if path_exists(spark, pdir):
+            # existence-checked, NOT try/except: a read failure on an
+            # existing dir (corruption, permissions) must abort the merge
+            # loudly — swallowing it would silently empty the bucket
             base = spark.read.parquet(pdir)
-        except Exception:  # new bucket: no partition dir yet
+        else:  # genuinely new bucket
             base = spark.createDataFrame([], f"{id_col} long, {text_col} string")
-        merged = apply_changeset(
-            base, part_changes, id_col, text_col
-        ).localCheckpoint(eager=True)  # cut lineage BEFORE overwriting the source
-        merged.write.mode("overwrite").parquet(pdir)
+        merged = apply_changeset(base, part_changes, id_col, text_col)
+        # staged write: tmp first (reads the old dir — no localCheckpoint
+        # needed since the source is not touched), delete old, rename in
+        merged.write.mode("overwrite").parquet(tmp)
+        delete_path(spark, pdir)
+        rename_path(spark, tmp, pdir)
     return affected
 
 
