@@ -963,3 +963,34 @@ def test_curate_stream_staging_folds(spark, tmp_path):
     plain = run(None, "plain")
     assert folded == plain
     assert {i for i, _ in folded} == {0, 1, 2}  # min doc_id per content
+
+
+def test_streaming_event_drift_matches_batch(spark, sf_dir, tmp_path):
+    """r6: day-over-day PSI maintained over micro-batches (fold cadence
+    2, one file per trigger) == the batch event_type_drift bit-exactly —
+    both call psi_from_type_counts, and the provenance-deduped count
+    sums reassemble each day exactly however batches split it."""
+    from wurzel_spark.queries.events import event_type_drift
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.drift import event_drift_stream
+    from wurzel_spark.tables import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    d = str(tmp_path / "drift_in")
+    ev.repartition(5).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "drift_state")
+    got = {
+        str(r["day"]): (r["n_events"], r["psi_q20"])
+        for r in event_drift_stream(
+            stream, state, str(tmp_path / "drift_ckpt"), compact_every=2
+        ).collect()
+    }
+    exp = {
+        str(r["day"]): (r["n_events"], r["psi_q20"])
+        for r in event_type_drift(spark, sf_dir).collect()
+    }
+    assert got == exp and len(got) > 0
+    assert len(list_batch_ids(spark, state)) <= 2

@@ -316,6 +316,13 @@ def event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("c"))
+    return psi_from_type_counts(counts)
+
+
+def psi_from_type_counts(counts: DataFrame) -> DataFrame:
+    """Day-over-day PSI from a (day, event_type, c) count table — the
+    shared core of :func:`event_type_drift` and its streaming twin
+    (streaming/drift.py), so the two cannot diverge."""
     days = counts.select("day").distinct()
     types = counts.select("event_type").distinct()
     n_types = types.count()
