@@ -97,6 +97,11 @@ def sequence_pack(
     docs = df.select(F.col(id_col), F.size(ws).alias("n_tok")).filter(
         F.col("n_tok") > 0
     )
+    # (doc_id, n_tok) is 16 B/row; pin it so the prefix-sum's driver
+    # collect and the final span plan don't each re-run the corpus
+    # word-split (the dominant cost — plan census r6, same pattern as
+    # bm25/retrieval tf pins)
+    docs = docs.localCheckpoint(eager=True)
     with_off = _exclusive_prefix_sum(docs, id_col, "n_tok", "off")
     spans = with_off.select(
         id_col,

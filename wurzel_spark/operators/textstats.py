@@ -1340,6 +1340,12 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # tf feeds BOTH the broadcast df-count and the scoring join — each
+    # consumer would re-run the corpus word-explode (the dominant cost)
+    # when the alias-differing subtrees miss ReusedExchange. Post-filter
+    # tf is query-terms-only — tiny — so pin it (the retrieval_self_eval
+    # census, applied here; r6).
+    tf = tf.localCheckpoint(eager=True)
     dfr = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("dfc"))
     scored = (
         tf.join(F.broadcast(qt), "term")
