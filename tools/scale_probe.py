@@ -85,22 +85,35 @@ QUERIES = [
     # tlsh_fingerprints is EXCLUDED: count() prunes the 1:1 scalar UDF so
     # the probe would time an empty projection; PERF.md records the honest
     # digest-consuming measurement instead
+    # round-6 additions (event_type_drift reads events — not in the
+    # documents-only probe dir; its shape is day×type-bounded anyway)
+    "lang_share",
+    "duplication_profile",
+    "pmi_bigrams",
+    "cdc_apply_changes",
+    "cdc_snapshot_at",
+    "chunk_dedup_stats",
+    "table_stats_documents",
+    "lang_id_classifier_scores",
 ]
 
 
-def main(probe_dir: str = "/tmp/sfprobe", repeats: int = 2) -> int:
+def main(
+    probe_dir: str = "/tmp/sfprobe", repeats: int = 2, only: list[str] | None = None
+) -> int:
     import __spark_entry__ as entrymod
     from wurzel_spark.session import get_spark
 
     spark = get_spark()
     qs = entrymod.queries()
+    queries = [q for q in QUERIES if q in only] if only else QUERIES
     # warmup: JIT + codegen caches, so the first timed query isn't paying
     # session startup.
     qs["dedup_exact"](spark, BASE).count()
 
     rows = []
     fail = False
-    for name in QUERIES:
+    for name in queries:
         fn = qs[name]
         times = {}
         for label, d in (("sf0.1", BASE), ("sf1-probe", probe_dir)):
@@ -132,4 +145,5 @@ def main(probe_dir: str = "/tmp/sfprobe", repeats: int = 2) -> int:
 if __name__ == "__main__":
     probe = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfprobe"
     rep = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    raise SystemExit(main(probe, rep))
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    raise SystemExit(main(probe, rep, names))

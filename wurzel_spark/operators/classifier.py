@@ -54,39 +54,59 @@ def doc_features(
     return df.select("doc_id", buckets.alias("buckets"))
 
 
-def _grad_kernel(n_buckets: int, w_b, bias_b):
-    # |c| ≤ _FP_SCALE = 2^40 per doc, int64 holds 2^63 — the accumulator
-    # is exact only below 2^23 docs per span. Arrow batches are normally
-    # ≤10k rows, but maxRecordsPerBatch is user-configurable (0 = one
-    # batch per partition), so flush the accumulator every 2^22 docs:
-    # partial integer sums re-reduced downstream are exact regardless of
-    # where the flush lands, and the bound 2^22·2^40 = 2^62 never wraps.
-    flush_docs = 1 << 22
+#: docs per accumulator span: |c| ≤ _FP_SCALE = 2^40 per doc and int64
+#: holds 2^63, so flushing every 2^22 docs bounds any partial integer
+#: sum at 2^62 — exact regardless of where the flush lands. Arrow
+#: batches are normally ≤10k rows, but maxRecordsPerBatch is
+#: user-configurable (0 = one batch per partition), hence the cap.
+_FLUSH_DOCS = 1 << 22
 
+
+def _flatten_buckets(bucket_lists):
+    """(flat bucket ids, doc index per flat entry, n_docs) — the ragged
+    per-doc bucket lists as flat arrays the vectorized kernels consume."""
+    lens = np.fromiter((len(b) for b in bucket_lists), dtype=np.int64)
+    n = len(lens)
+    if int(lens.sum()) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), n
+    flat = np.concatenate(
+        [np.asarray(b, dtype=np.int64) for b in bucket_lists if len(b)]
+    )
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return flat, doc_of, n
+
+
+def _doc_linear_scores(w: np.ndarray, flat, doc_of, n: int) -> np.ndarray:
+    """Per-doc Σ w[bucket] via bincount — SEQUENTIAL summation in flat
+    (doc-major, original bucket) order, which is the order both the
+    distributed kernels AND the local twins use, so they agree bitwise.
+    (np.ndarray.sum would be pairwise — shape-dependent rounding.)"""
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.float64)
+    return np.bincount(doc_of, weights=w[flat], minlength=n)
+
+
+def _grad_kernel(n_buckets: int, w_b, bias_b):
     def inner(batches):
         w = w_b.value
         bias = bias_b.value
         for pdf in batches:
-            g = np.zeros(n_buckets + 1, dtype=np.int64)  # [grads..., bias]
-            in_span = 0
-            for bks, y in zip(pdf["buckets"], pdf["y"]):
-                idx = np.asarray(bks, dtype=np.int64)
-                z = bias + (w[idx].sum() if len(idx) else 0.0)
+            for lo in range(0, len(pdf), _FLUSH_DOCS):
+                span = pdf.iloc[lo : lo + _FLUSH_DOCS]
+                flat, doc_of, n = _flatten_buckets(list(span["buckets"]))
+                y = np.asarray(span["y"], dtype=np.float64)
+                z = bias + _doc_linear_scores(w, flat, doc_of, n)
                 p = 1.0 / (1.0 + np.exp(-z))
                 # fixed-point rounding makes the distributed sum exact
-                c = np.int64(round((p - y) * _FP_SCALE))
-                g[idx] += c
-                g[n_buckets] += c
-                in_span += 1
-                if in_span >= flush_docs:
-                    nz = np.nonzero(g)[0]
-                    yield pd.DataFrame({"j": nz, "g": g[nz]})
-                    g = np.zeros(n_buckets + 1, dtype=np.int64)
-                    in_span = 0
-            # zero partials (touched buckets whose rounded grads cancel)
-            # contribute nothing to the sum — safe to drop the rows
-            nz = np.nonzero(g)[0]
-            yield pd.DataFrame({"j": nz, "g": g[nz]})
+                c = np.rint((p - y) * _FP_SCALE).astype(np.int64)
+                g = np.zeros(n_buckets + 1, dtype=np.int64)
+                if len(flat):
+                    np.add.at(g, flat, c[doc_of])  # exact int64 adds
+                g[n_buckets] += c.sum()
+                # zero partials (touched buckets whose rounded grads
+                # cancel) contribute nothing — safe to drop the rows
+                nz = np.nonzero(g)[0]
+                yield pd.DataFrame({"j": nz, "g": g[nz]})
 
     return inner
 
@@ -106,6 +126,10 @@ def train_quality_classifier(
     # checkpoint BEFORE counting, or the count re-runs the full hashing
     # projection and the most expensive stage of training executes twice
     n_docs = feats.count()
+    # data-sized iteration parallelism (see train_lang_classifier)
+    feats = feats.coalesce(
+        max(1, min(feats.rdd.getNumPartitions(), n_docs // 50_000 + 1))
+    )
     w = np.zeros(n_buckets, dtype=np.float64)
     bias = 0.0
     for _ in range(n_iters):
@@ -136,20 +160,22 @@ def train_quality_classifier_local(
     lr: float = 0.5,
     n_buckets: int = N_BUCKETS,
 ) -> tuple[np.ndarray, float]:
-    """Numpy twin of :func:`train_quality_classifier` with the SAME
-    fixed-point rounding — the parity oracle for the distributed loop."""
+    """Numpy twin of :func:`train_quality_classifier` using the SAME
+    vectorized kernels (sequential-order bincount + exact fixed-point
+    int64 accumulation) — the parity oracle for the distributed loop."""
     n_docs = len(rows)
+    flat, doc_of, n = _flatten_buckets([bks for bks, _ in rows])
+    y = np.asarray([yy for _, yy in rows], dtype=np.float64)
     w = np.zeros(n_buckets, dtype=np.float64)
     bias = 0.0
     for _ in range(n_iters):
+        z = bias + _doc_linear_scores(w, flat, doc_of, n)
+        p = 1.0 / (1.0 + np.exp(-z))
+        c = np.rint((p - y) * _FP_SCALE).astype(np.int64)
         g = np.zeros(n_buckets + 1, dtype=np.int64)
-        for bks, y in rows:
-            idx = np.asarray(bks, dtype=np.int64)
-            z = bias + (w[idx].sum() if len(idx) else 0.0)
-            p = 1.0 / (1.0 + np.exp(-z))
-            c = np.int64(round((p - y) * _FP_SCALE))
-            g[idx] += c
-            g[n_buckets] += c
+        if len(flat):
+            np.add.at(g, flat, c[doc_of])
+        g[n_buckets] += c.sum()
         grad = g.astype(np.float64) / _FP_SCALE / n_docs
         w = w - lr * grad[:n_buckets]
         bias = bias - lr * grad[n_buckets]
@@ -168,14 +194,8 @@ def score_documents(
     def inner(batches):
         wv = w_b.value
         for pdf in batches:
-            z = np.fromiter(
-                (
-                    bias + (wv[np.asarray(b, dtype=np.int64)].sum() if len(b) else 0.0)
-                    for b in pdf["buckets"]
-                ),
-                dtype=np.float64,
-                count=len(pdf),
-            )
+            flat, doc_of, n = _flatten_buckets(list(pdf["buckets"]))
+            z = bias + _doc_linear_scores(wv, flat, doc_of, n)
             p = 1.0 / (1.0 + np.exp(-z))
             out = {"doc_id": pdf["doc_id"], "score": p, "pred": (p >= 0.5).astype("int64")}
             if "y" in pdf.columns:
@@ -205,22 +225,62 @@ def char_ngram_features(
     projection. xxhash64 (not md5): the scores register rows-only, so no
     oracle needs to reproduce the hash and the 5× cheaper JVM hash wins.
     """
-    t = F.lower(F.substring(F.col(text_col), 1, LANG_ID_MAX_CHARS))
-    grams = []
-    for n in ns:
-        m = F.length(t) - F.lit(n - 1)
-        grams.append(
-            F.when(
-                m > 0,
-                F.transform(F.sequence(F.lit(1), m), lambda i, n=n: F.substring(t, i, n)),
-            ).otherwise(F.array())
-        )
+    t0 = F.lower(F.substring(F.col(text_col), 1, LANG_ID_MAX_CHARS))
+
+    def _grams(t):
+        # t is LET-BOUND (single array element): HOF lambdas re-evaluate
+        # captured subexpressions per element, so referencing the raw
+        # lower(substring(...)) inside the per-gram lambda would re-lower
+        # the prefix once per gram — O(len²) character work per doc
+        # (measured on 5k docs: unbound 14 s → bound ~2.7 s; a char-hash
+        # slice variant à la shingle_hashes was TESTED and is 2× slower
+        # here — 2-3-char substrings beat hashing every char first).
+        out = []
+        for n in ns:
+            m = F.length(t) - F.lit(n - 1)
+            out.append(
+                F.when(
+                    m > 0,
+                    F.transform(
+                        F.sequence(F.lit(1), m), lambda i, n=n: F.substring(t, i, n)
+                    ),
+                ).otherwise(F.array())
+            )
+        return F.concat(*out)
+
+    grams = F.element_at(F.transform(F.array(t0), _grams), 1)
     buckets = F.array_distinct(
-        F.transform(
-            F.concat(*grams), lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
-        )
+        F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)))
     )
     return df.select("doc_id", buckets.alias("buckets"))
+
+
+def _multi_grad_span(W, biases, flat, doc_of, y_onehot, n_buckets: int):
+    """One span's exact (K, D+1) int64 gradient accumulator — shared by
+    the distributed kernel and the local twin so they agree bitwise."""
+    K = W.shape[0]
+    n = y_onehot.shape[1]
+    Z = biases[:, None] + np.vstack(
+        [_doc_linear_scores(W[k], flat, doc_of, n) for k in range(K)]
+    )
+    P = 1.0 / (1.0 + np.exp(-Z))
+    C = np.rint((P - y_onehot) * _FP_SCALE).astype(np.int64)  # K × n
+    g = np.zeros((K, n_buckets + 1), dtype=np.int64)
+    if len(flat):
+        for k in range(K):
+            np.add.at(g[k], flat, C[k, doc_of])  # exact int64 adds
+    g[:, n_buckets] += C.sum(axis=1)
+    return g
+
+
+def _one_hot(langs: list[str], lang_values) -> np.ndarray:
+    lang_idx = {lg: k for k, lg in enumerate(langs)}
+    y = np.zeros((len(langs), len(lang_values)))
+    for i, lg in enumerate(lang_values):
+        k = lang_idx.get(lg)
+        if k is not None:
+            y[k, i] = 1.0
+    return y
 
 
 def _multi_grad_kernel(n_buckets: int, langs: list[str], wb):
@@ -228,34 +288,17 @@ def _multi_grad_kernel(n_buckets: int, langs: list[str], wb):
     the same bucket indices — one (K, D+1) int64 accumulator per span,
     flushed on the same 2^22-doc bound as the binary kernel (per-class
     rows are independent exact partial sums)."""
-    flush_docs = 1 << 22
-    K = len(langs)
-    lang_idx = {lg: k for k, lg in enumerate(langs)}
 
     def inner(batches):
         W, biases = wb.value  # (K, D), (K,)
         for pdf in batches:
-            g = np.zeros((K, n_buckets + 1), dtype=np.int64)
-            in_span = 0
-            for bks, lg in zip(pdf["buckets"], pdf["lang"]):
-                idx = np.asarray(bks, dtype=np.int64)
-                z = biases + (W[:, idx].sum(axis=1) if len(idx) else 0.0)
-                p = 1.0 / (1.0 + np.exp(-z))
-                y = np.zeros(K)
-                k = lang_idx.get(lg)
-                if k is not None:
-                    y[k] = 1.0
-                c = np.rint((p - y) * _FP_SCALE).astype(np.int64)
-                g[:, idx] += c[:, None]
-                g[:, n_buckets] += c
-                in_span += 1
-                if in_span >= flush_docs:
-                    ks, js = np.nonzero(g)
-                    yield pd.DataFrame({"k": ks, "j": js, "g": g[ks, js]})
-                    g = np.zeros((K, n_buckets + 1), dtype=np.int64)
-                    in_span = 0
-            ks, js = np.nonzero(g)
-            yield pd.DataFrame({"k": ks, "j": js, "g": g[ks, js]})
+            for lo in range(0, len(pdf), _FLUSH_DOCS):
+                span = pdf.iloc[lo : lo + _FLUSH_DOCS]
+                flat, doc_of, _ = _flatten_buckets(list(span["buckets"]))
+                y = _one_hot(langs, list(span["lang"]))
+                g = _multi_grad_span(W, biases, flat, doc_of, y, n_buckets)
+                ks, js = np.nonzero(g)
+                yield pd.DataFrame({"k": ks, "j": js, "g": g[ks, js]})
 
     return inner
 
@@ -276,6 +319,13 @@ def train_lang_classifier(
     spark = feats.sparkSession
     feats = feats.select("buckets", "lang").localCheckpoint(eager=True)
     n_docs = feats.count()
+    # size iteration parallelism to the DATA, not the session default:
+    # a 5k-doc corpus iterating over 32 near-empty partitions pays ~32×
+    # task overhead per GD round for nothing (the union-find/connected-
+    # components lesson). ~50k docs per task keeps a 100 TB corpus fully
+    # distributed on the same formula; coalesce is narrow (no shuffle).
+    n_parts = max(1, min(feats.rdd.getNumPartitions(), n_docs // 50_000 + 1))
+    feats = feats.coalesce(n_parts)
     K = len(langs)
     W = np.zeros((K, n_buckets), dtype=np.float64)
     biases = np.zeros(K, dtype=np.float64)
@@ -284,14 +334,27 @@ def train_lang_classifier(
         partials = feats.mapInPandas(
             _multi_grad_kernel(n_buckets, langs, wb), "k long, j long, g long"
         )
-        rows = (
-            partials.groupBy("k", "j")
-            .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
-            .collect()
-        )
+        acc = np.zeros((K, n_buckets + 1), dtype=object)  # python ints: no overflow
+        if n_parts <= 64:
+            # ≤ n_parts·K·(D+1) partial rows (~330k at the guard) —
+            # collect them and reduce driver-side in exact python-int
+            # arithmetic, skipping one shuffle STAGE per iteration
+            # (measured: ~2 Spark stages → 1 per round)
+            rows = partials.collect()
+            for r in rows:
+                acc[r["k"], r["j"]] += r["g"]
+        else:  # wide clusters: distributed exact reduce, tiny result
+            rows = (
+                partials.groupBy("k", "j")
+                .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
+                .collect()
+            )
+            for r in rows:
+                acc[r["k"], r["j"]] += int(r["g"])
         grad = np.zeros((K, n_buckets + 1), dtype=np.float64)
-        for r in rows:
-            grad[r["k"], r["j"]] = float(r["g"]) / _FP_SCALE / n_docs
+        ks, js = np.nonzero(acc != 0)
+        for k, j in zip(ks, js):
+            grad[k, j] = float(acc[k, j]) / _FP_SCALE / n_docs
         W = W - lr * grad[:, :n_buckets]
         biases = biases - lr * grad[:, n_buckets]
         wb.unpersist()
@@ -334,19 +397,19 @@ def score_languages(
 
     def inner(batches):
         lgs, Wv, bv = w_b.value
+        K = len(lgs)
         for pdf in batches:
-            preds, scores = [], []
-            for b in pdf["buckets"]:
-                idx = np.asarray(b, dtype=np.int64)
-                z = bv + (Wv[:, idx].sum(axis=1) if len(idx) else 0.0)
-                k = int(np.argmax(z))  # first max wins — deterministic
-                preds.append(lgs[k])
-                scores.append(1.0 / (1.0 + np.exp(-z[k])))
+            flat, doc_of, n = _flatten_buckets(list(pdf["buckets"]))
+            Z = bv[:, None] + np.vstack(
+                [_doc_linear_scores(Wv[k], flat, doc_of, n) for k in range(K)]
+            )
+            ks = np.argmax(Z, axis=0)  # first max wins — deterministic
+            best = Z[ks, np.arange(n)]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "predicted_lang": preds,
-                    "score": np.asarray(scores, dtype=np.float64),
+                    "predicted_lang": [lgs[k] for k in ks],
+                    "score": 1.0 / (1.0 + np.exp(-best)),
                 }
             )
 
@@ -361,11 +424,16 @@ def q_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the learned half — the fastText-shaped lang-id a real
     curation pipeline ships."""
     docs = table(spark, sf_dir, "documents")
-    langs = sorted(
-        r["lang"] for r in docs.select("lang").distinct().collect() if r["lang"]
+    # checkpoint the feature table ONCE: the language scan, training, and
+    # scoring all consume it — lazy feats re-ran the (dominant) gram
+    # hashing three times (plan census r6: 32.7 s → ~13 s at sf0.1)
+    feats = (
+        char_ngram_features(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
     )
-    feats = char_ngram_features(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
+    langs = sorted(
+        r["lang"] for r in feats.select("lang").distinct().collect() if r["lang"]
     )
     # 12 iterations: the synthetic corpus's lang labels are only weakly
     # text-correlated (all sources share vocabulary), so more iterations
@@ -374,7 +442,7 @@ def q_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     models = train_lang_classifier(feats, langs, n_iters=12, lr=2.0)
     return (
         score_languages(feats, models)
-        .join(docs.select("doc_id", F.col("lang").alias("labeled_lang")), "doc_id")
+        .join(feats.select("doc_id", F.col("lang").alias("labeled_lang")), "doc_id")
         .select("doc_id", "labeled_lang", "predicted_lang", "score")
         .orderBy("doc_id")
     )
