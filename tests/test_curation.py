@@ -407,3 +407,42 @@ def test_event_type_drift_zero_when_stable(spark, tmp_path):
     assert out["2026-01-02"] in (0, -1, -2)  # identical mix → psi ≈ 0 (floor slack)
     assert out["2026-01-03"] in (0, -1, -2)
     assert out["2026-01-04"] > 100_000  # 40-point shift → large psi
+
+
+def test_kanon_suppression_reconciles_totals(spark):
+    from wurzel_spark.operators.textstats import kanon_group_stats
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "big", "en", 100))          # 20-member group
+    for i in range(3):
+        rows.append((100 + i, "tiny", "de", 50))    # 3-member -> suppressed
+    for i in range(2):
+        rows.append((200 + i, "tiny2", "fr", 10))   # 2-member -> suppressed
+    docs = spark.createDataFrame(rows, "doc_id long, source string, lang string, n_chars long")
+    out = {(r["source"], r["lang"]): r for r in
+           kanon_group_stats(docs, ["source", "lang"], k=5).collect()}
+    assert out[("big", "en")]["n_docs"] == 20
+    assert ("tiny", "de") not in out and ("tiny2", "fr") not in out
+    sup = out[("__suppressed__", "__suppressed__")]
+    assert sup["n_docs"] == 5 and sup["n_merged_groups"] == 2
+    # totals reconcile: nothing dropped, only coalesced
+    assert sum(r["n_docs"] for r in out.values()) == 25
+    assert sum(r["sum_chars"] for r in out.values()) == 20 * 100 + 3 * 50 + 2 * 10
+
+
+def test_join_key_skew_profile_detects_hot_key(spark):
+    import json
+
+    from wurzel_spark.queries.relational import join_key_skew_profile
+
+    rows = [(i % 50, "x") for i in range(500)]       # uniform: 10 rows/key
+    rows += [(999, "hot")] * 500                      # one hot key
+    df = spark.createDataFrame(rows, "k long, v string")
+    r = join_key_skew_profile(df, "k", top_n=3).collect()[0]
+    assert r["n_keys"] == 51 and r["n_rows"] == 1000
+    assert r["max_key_rows"] == 500
+    assert r["skew_ratio"] > 20  # 500 / (1000/51) ≈ 25.5
+    top = json.loads(r["top_keys_json"])
+    assert top[0] == {"key": "999", "c": 500}
+    assert [t["c"] for t in top] == sorted((t["c"] for t in top), reverse=True)

@@ -2304,3 +2304,70 @@ def compressibility_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def q_compressibility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compressibility_stats(table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- privacy-preserving aggs
+
+KANON_MIN_GROUP = 5
+
+
+def kanon_group_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int = KANON_MIN_GROUP,
+) -> DataFrame:
+    """K-anonymity-style aggregate release: per-group doc and char
+    counts, with groups of fewer than ``k`` members COALESCED into a
+    single ``__suppressed__`` bucket instead of being dropped — the
+    totals still reconcile, but no released row describes fewer than
+    ``k`` individuals. The standard guard before publishing per-cohort
+    corpus statistics (small groups are re-identification vectors).
+
+    Scale shape: one grouped aggregate, a row-local suppression flag,
+    one re-aggregate over the (already group-sized) table. The second
+    pass touches group-count rows, not the corpus.
+    """
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    suppressed = F.col("n_docs") < k
+    relabeled = per.select(
+        *[
+            F.when(suppressed, F.lit("__suppressed__")).otherwise(F.col(c)).alias(c)
+            for c in group_cols
+        ],
+        "n_docs",
+        "sum_chars",
+    )
+    return (
+        relabeled.groupBy(*group_cols)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_chars").alias("sum_chars"),
+            F.count(F.lit(1)).alias("n_merged_groups"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def q_kanon_source_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kanon_group_stats(table(spark, sf_dir, "documents"), ["source", "lang"])
+
+
+KANON_SQL = f"""
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source, lang
+), relabeled AS (
+  SELECT CASE WHEN n_docs < {KANON_MIN_GROUP} THEN '__suppressed__' ELSE source END AS source,
+         CASE WHEN n_docs < {KANON_MIN_GROUP} THEN '__suppressed__' ELSE lang END AS lang,
+         n_docs, sum_chars
+  FROM per
+)
+SELECT source, lang,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(sum_chars) AS BIGINT) AS sum_chars,
+       COUNT(*) AS n_merged_groups
+FROM relabeled GROUP BY source, lang ORDER BY source, lang
+"""

@@ -1597,3 +1597,95 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
 ORDER BY o_custkey, o_orderdate, o_orderkey
 LIMIT 2000
 """
+
+
+# --------------------------------------------------- join-key diagnostics
+
+SKEW_TOP_N = 10
+
+
+def join_key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = SKEW_TOP_N
+) -> DataFrame:
+    """Skew diagnostics for a prospective join/aggregation key: total
+    keys, row count, mean rows per key, the max key weight, the skew
+    ratio (max/mean — the number AQE's skew-join thresholds reason
+    about), and the top-N heaviest keys inline. The planning readout you
+    run BEFORE shipping a 100 TB join: a skew ratio in the thousands
+    means salting or AQE skew handling, single digits means the plain
+    hash join is fine.
+
+    Scale shape: one grouped count (map-side combined), one tiny
+    aggregate over the per-key table, and a top-N sort-limit of the same
+    table; exact integers everywhere, one final double division."""
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = per.localCheckpoint(eager=True)  # feeds stats AND top-n
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+    )
+    top = (
+        per.orderBy(F.col("c").desc(), F.col("key").asc())
+        .limit(top_n)
+        .agg(
+            # sort key (-c, key) ASC == (c DESC, key ASC) — struct
+            # comparison would otherwise break ties key-DESC and disagree
+            # with the oracle's ORDER BY c DESC, key ASC
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("c")).alias("negc"), F.col("key")))
+            ).alias("top")
+        )
+        .select(
+            F.to_json(
+                F.transform(
+                    "top",
+                    lambda s: F.struct(
+                        s["key"].cast("string").alias("key"),
+                        (-s["negc"]).alias("c"),
+                    ),
+                )
+            ).alias("top_keys_json")
+        )
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")).alias(
+            "mean_key_rows"
+        ),
+        (
+            F.col("max_key_rows").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_ratio"),
+        "top_keys_json",
+    )
+
+
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile lineitem's l_orderkey — the key every TPC-H join hits."""
+    return join_key_skew_profile(table(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+SKEW_PROFILE_SQL = f"""
+WITH per AS (
+  SELECT l_orderkey AS key, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+), stats AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows
+  FROM per
+), top AS (
+  SELECT to_json(list({{'key': CAST(key AS VARCHAR), 'c': c}} ORDER BY c DESC, key ASC))
+         AS top_keys_json
+  FROM (SELECT key, c FROM per ORDER BY c DESC, key ASC LIMIT {SKEW_TOP_N})
+)
+SELECT n_keys, n_rows, max_key_rows,
+       CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_key_rows,
+       CAST(max_key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_ratio,
+       top_keys_json
+FROM stats, top
+"""
