@@ -84,7 +84,28 @@ def main(out_dir: str = "/tmp/sfprobe", replicas: int = 10) -> None:
         ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
-    print(f"wrote {out_dir}: {n_docs * replicas} docs, {n_vec * replicas} embeddings")
+    # events: replica r shifts event ids and jitters users so per-day
+    # volumes scale ~linearly while the day×type grid (what the drift
+    # operator's state is sized by) stays identical — the honest scale-up
+    # for event-family probes (r6).
+    n_ev = con.execute(f"SELECT count(*) FROM '{SRC}/events.parquet'").fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + r.r * {n_ev} AS event_id,
+                 e.ts,
+                 e.user_id + r.r * 100000 AS user_id,
+                 e.event_type, e.value, e.props
+          FROM '{SRC}/events.parquet' e,
+               (SELECT unnest(range({replicas})) AS r) r
+          ORDER BY event_id
+        ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    print(
+        f"wrote {out_dir}: {n_docs * replicas} docs, {n_vec * replicas} "
+        f"embeddings, {n_ev * replicas} events"
+    )
 
 
 if __name__ == "__main__":

@@ -85,8 +85,8 @@ QUERIES = [
     # tlsh_fingerprints is EXCLUDED: count() prunes the 1:1 scalar UDF so
     # the probe would time an empty projection; PERF.md records the honest
     # digest-consuming measurement instead
-    # round-6 additions (event_type_drift reads events — not in the
-    # documents-only probe dir; its shape is day×type-bounded anyway)
+    # round-6 additions
+    "event_type_drift",
     "lang_share",
     "duplication_profile",
     "pmi_bigrams",
