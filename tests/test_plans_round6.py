@@ -49,18 +49,17 @@ def test_duplication_profile_plan(spark, sf_dir):
     _no_text_in_exchanges(t)
 
 
-def test_pmi_plan_partitioned_windows_no_python(spark, sf_dir):
-    """Every window carries a partition spec (a global window would
-    serialize the bigram stream through one task) and the total-count
-    panel rides a broadcast."""
+def test_pmi_plan_single_stream_shuffle_no_windows(spark, sf_dir):
+    """The bigram stream is shuffled exactly once (the (w1,w2) count
+    aggregate); marginals/total derive from the vocab-sized table — NO
+    window over the stream at all (a stop-word w1 window would have no
+    map-side combine), and the 1-row total rides a broadcast."""
     from wurzel_spark.operators.textstats import pmi_bigrams
 
     df = pmi_bigrams(table(spark, sf_dir, "documents"))
     t = _clean(df, allow_cross_broadcast=True)  # 1-row n_total panel
     assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t, t
-    for line in t.splitlines():
-        if "Window" in line and "windowspecdefinition" in line.lower():
-            assert "w1" in line or "w2" in line, line
+    assert "Window" not in t, t
     assert "BroadcastExchange" in t, t  # the 1-row n_total panel
 
 

@@ -320,10 +320,14 @@ def pmi_bigrams(
     driver hash compares integers. Deterministic total order:
     (-pmi_q20, w1, w2).
 
-    Scale shape: one bigram explode + two window marginals over the same
-    shuffle layout as bigram_lm_score, then a count-filtered projection —
-    no self-join; top-k is a global sort of the ≥min_count survivors
-    (vocabulary-sized, not corpus-sized)."""
+    Scale shape: the bigram STREAM is shuffled exactly once — the
+    (w1, w2) count aggregate with map-side combine; both marginals, the
+    total, and the min_count filter all derive from that VOCAB-sized
+    count table (a window formulation would re-shuffle the full stream
+    per marginal and a stop-word w1 partition would have no map-side
+    combine — the bigram_lm_score docstring's documented skew hazard,
+    avoided here by construction). Top-k is a global sort of the
+    ≥min_count survivors (vocabulary-sized, not corpus-sized)."""
     ws = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
     toks = df.select(ws.alias("ws")).filter(F.size("ws") >= 2)
     bg = toks.select(
@@ -334,16 +338,16 @@ def pmi_bigrams(
             )
         ).alias("b")
     ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    from pyspark.sql import Window as W
-
+    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    cxy = cxy.localCheckpoint(eager=True)  # feeds marginals, total, survivors
+    cx = cxy.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    n = cxy.agg(F.sum("c_xy").alias("n_total"))
     marked = (
-        bg.withColumn("c_xy", F.count(F.lit(1)).over(W.partitionBy("w1", "w2")))
-        .withColumn("c_x", F.count(F.lit(1)).over(W.partitionBy("w1")))
-        .withColumn("c_y", F.count(F.lit(1)).over(W.partitionBy("w2")))
-        .dropDuplicates(["w1", "w2"])
-        .filter(F.col("c_xy") >= min_count)
+        cxy.filter(F.col("c_xy") >= min_count)
+        .join(cx, "w1")
+        .join(cy, "w2")
     )
-    n = bg.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         marked.crossJoin(F.broadcast(n))
         .select(
