@@ -306,6 +306,10 @@ def curriculum_order(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             + F.floor(F.col("__h") / F.lit(4294967296 // _N_BUCKETS)),
         )
     )
+    # ~40 B/row projection pinned so the bucket-count collect and the
+    # final ranked plan don't each re-run the corpus word-split (the
+    # bm25/sequence_pack census pattern, r6)
+    b = b.localCheckpoint(eager=True)
     counts = {
         int(r["__bkt"]): int(r["c"])
         for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
