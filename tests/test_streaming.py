@@ -994,3 +994,49 @@ def test_streaming_event_drift_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == exp and len(got) > 0
     assert len(list_batch_ids(spark, state)) <= 2
+
+
+def test_streaming_chunk_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """r6: CDC chunk accounting over micro-batches (fold cadence 2) ==
+    the batch chunk_dedup_stats bit-exactly, and a redelivered batch
+    after its fold collapses at the drain key-dedup."""
+    from wurzel_spark.operators.chunking import (
+        chunk_dedup_stats,
+        content_defined_chunks,
+    )
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.chunks import chunk_dedup_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(120).localCheckpoint()
+    d = str(tmp_path / "chk_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "chk_state")
+    got = chunk_dedup_stream(
+        stream, state, str(tmp_path / "chk_ckpt"), min_size=16, avg_size=64,
+        max_size=256, compact_every=2,
+    ).collect()[0]
+    exp = chunk_dedup_stats(
+        content_defined_chunks(docs, min_size=16, avg_size=64, max_size=256)
+    ).collect()[0]
+    assert tuple(got) == tuple(exp)
+    assert len(list_batch_ids(spark, state)) <= 2
+    # redeliver one batch's chunks under a positive id after the folds
+    import pyspark.sql.functions as _F
+
+    some = docs.filter(_F.col("doc_id") % 4 == 0)
+    chunks = content_defined_chunks(some, min_size=16, avg_size=64, max_size=256)
+    write_batch_state(spark, chunks, state, 1, ["doc_id", "chunk_idx"], 2)
+    from wurzel_spark.streaming.chunks import chunk_dedup_stream as _  # noqa: F401
+    # drain again directly (replaying the read path)
+    staged = (
+        spark.read.parquet(state)
+        .select("doc_id", "chunk_idx", "chunk_len", "chunk_hash")
+        .dropDuplicates(["doc_id", "chunk_idx"])
+    )
+    again = chunk_dedup_stats(staged).collect()[0]
+    assert tuple(again) == tuple(exp)
