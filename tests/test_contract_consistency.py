@@ -1,0 +1,77 @@
+"""Driver-contract consistency guards: the cross-file invariants that
+scripted edits can silently break (r6 lesson: a dedup script ate two
+oracle_sql entries — caught only by a full verify run)."""
+
+import re
+
+
+def _entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_every_oracle_key_has_a_query():
+    e = _entry()
+    qs, orc = e.queries(), e.oracle_sql()
+    missing = sorted(set(orc) - set(qs))
+    assert not missing, f"oracle entries without queries: {missing}"
+
+
+def test_known_rows_only_set_is_intentional():
+    """Every queries() entry WITHOUT an oracle must be on the declared
+    rows-only list — a new query landing here unintentionally (or an
+    oracle entry getting dropped by a scripted edit) fails loudly."""
+    e = _entry()
+    rows_only = sorted(set(e.queries()) - set(e.oracle_sql()))
+    declared = sorted([
+        "ann_topk_ivf", "ann_topk_ivfpq", "ann_topk_lsh", "ann_topk_multiprobe",
+        "ann_topk_pq", "bpe_merges", "bpe_token_stats", "chunk_dedup_stats",
+        "combined_near_dup_pairs", "compressibility_stats", "embed_documents",
+        "embed_multivector_docs", "image_near_dup_pairs",
+        "lang_id_classifier_scores", "minhash_lsh_pairs",
+        "multimodal_audio_features", "multimodal_decode_stats",
+        "multimodal_frame_stats", "quality_classifier_scores",
+        "retrieval_self_eval", "semantic_split_chunks", "simhash_near_pairs",
+        "tlsh_fingerprints",
+    ])
+    # retrieval_self_eval HAS an oracle since its r6 restoration
+    declared = [d for d in declared if d != "retrieval_self_eval"]
+    assert rows_only == declared, (
+        f"unexpected rows-only drift:\n  extra={sorted(set(rows_only)-set(declared))}"
+        f"\n  missing={sorted(set(declared)-set(rows_only))}"
+    )
+
+
+def test_bench_headline_subset_of_queries_and_abbrs_unique():
+    e = _entry()
+    src = open("/root/repo/bench.py").read()
+    names = re.findall(
+        r'^\s+"([a-z0-9_]+)",', src.split("HEADLINE = [")[1].split("]")[0], re.M
+    )
+    qs = e.queries()
+    missing = [n for n in names if n not in qs]
+    assert not missing, f"bench HEADLINE entries not in queries(): {missing}"
+
+    def abbr(n):
+        return "".join(t[:3] for t in n.split("_"))
+
+    abbrs = [abbr(n) for n in names]
+    assert len(set(abbrs)) == len(abbrs), "compact-line abbreviation collision"
+
+
+def test_driver_window_has_50_entries_and_no_dups():
+    import ast
+    import collections
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "queries":
+            d = [n for n in ast.walk(node) if isinstance(n, ast.Dict)][0]
+            keys = [k.value for k in d.keys]
+            dups = [k for k, v in collections.Counter(keys).items() if v > 1]
+            assert not dups, f"duplicate queries() keys: {dups}"
+            assert len(keys) >= 50, "driver window underfilled"
+            return
+    raise AssertionError("queries() not found")
