@@ -51,3 +51,34 @@ def test_matches_pure_python_reference(spark):
             nxt[d] += (85 * r[s]) // (100 * deg[s])
         r = nxt
     assert out == r
+
+
+def test_transitivity_triangle_vs_chain(spark):
+    """The diagnostic's discriminating power: a triangle scores 1.0, a
+    chain of the same size scores 0 — and a star (the hot-node shape the
+    degree orientation exists for) counts its wedges but no triangles."""
+    from wurzel_spark.operators.graph import graph_transitivity
+
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
+    r = graph_transitivity(tri).collect()[0]
+    assert (r["n_triangles"], r["n_wedges"]) == (1, 3)
+    assert r["clustering_coefficient"] == 1.0
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    r = graph_transitivity(chain).collect()[0]
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 2
+    assert r["clustering_coefficient"] == 0.0
+
+    star = spark.createDataFrame([(1, i) for i in range(2, 8)], "id_a long, id_b long")
+    r = graph_transitivity(star).collect()[0]
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 15  # C(6,2)
+    # clique K4: 4 triangles, 12 wedges, coefficient 1
+    import itertools
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(1, 5), 2)],
+        "id_a long, id_b long",
+    )
+    r = graph_transitivity(k4).collect()[0]
+    assert (r["n_triangles"], r["n_wedges"]) == (4, 12)
+    assert r["clustering_coefficient"] == 1.0

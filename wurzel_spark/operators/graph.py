@@ -165,3 +165,124 @@ WITH pairs AS (
 SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled
 FROM r3 ORDER BY rank_scaled DESC, node ASC LIMIT 100
 """
+
+
+# --------------------------------------------------- graph transitivity
+
+def graph_transitivity(pairs: DataFrame) -> DataFrame:
+    """Triangles, wedges, and the global clustering coefficient of an
+    undirected edge list (id_a < id_b) — for a near-dup graph this is the
+    THRESHOLD diagnostic: true duplicate clusters are near-cliques
+    (coefficient → 1), while a too-loose threshold produces chains and
+    stars (coefficient → 0), so transitivity tells you whether the pair
+    set represents real duplication before you commit to dropping docs.
+
+    Scale shape (the standard distributed triangle count): orient every
+    edge from the lower-(degree, id) endpoint — each triangle then has
+    exactly ONE wedge whose center precedes both ends, so two hash joins
+    enumerate each triangle once and the out-degree of any node is
+    bounded by √(2·|E|) (the arboricity argument: intermediate wedge
+    volume is O(|E|^1.5) worst case, far below the naive orientation's
+    d² hot-node blowup on star graphs). Wedges are a per-node degree
+    aggregate; coefficient = 3·triangles / wedges — exact ints, one
+    division.
+    """
+    und = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.localCheckpoint(eager=True)  # feeds orientation + wedges
+    # orient: keep (u, v) where (deg_u, u) < (deg_v, v)
+    e = (
+        und.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    e = e.localCheckpoint(eager=True)  # three-way self-join reuse
+    # wedge (u -> v, u -> w) closes iff (v, w) is an oriented edge
+    w1 = e.select(F.col("u").alias("c"), F.col("v").alias("x"))
+    w2 = e.select(F.col("u").alias("c"), F.col("v").alias("y"))
+    wedges_at_center = w1.join(w2, "c").filter(F.col("x") < F.col("y"))
+    closing = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    tri = wedges_at_center.join(closing, ["x", "y"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    wd = deg.agg(
+        F.sum((F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    n_edges = pairs.select(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(wd))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coefficient"),
+        )
+    )
+
+
+def q_dup_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wurzel_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return graph_transitivity(
+        ngram_jaccard_pairs(docs, threshold=0.5, sort=False)
+    )
+
+
+def _transitivity_sql() -> str:
+    from wurzel_spark.operators.dedup import _JACCARD_PAIRS_CTE
+
+    return f"""
+WITH {_JACCARD_PAIRS_CTE},
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), deg AS (
+  SELECT u, COUNT(*) AS deg FROM und GROUP BY u
+), e AS (
+  SELECT und.u, und.v
+  FROM und
+  JOIN deg du ON du.u = und.u
+  JOIN deg dv ON dv.u = und.v
+  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+), wedges AS (
+  SELECT a.v AS x, b.v AS y FROM e a JOIN e b ON a.u = b.u WHERE a.v < b.v
+), closing AS (
+  SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e
+), tri AS (
+  SELECT COUNT(*) AS n_triangles FROM wedges SEMI JOIN closing
+  ON wedges.x = closing.x AND wedges.y = closing.y
+), wd AS (
+  SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+         COUNT(*) AS n_nodes
+  FROM deg
+), ne AS (SELECT COUNT(*) AS n_edges FROM pairs)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN 3.0 * n_triangles / CAST(n_wedges AS DOUBLE)
+            ELSE 0.0 END AS clustering_coefficient
+FROM tri, wd, ne
+"""
+
+
+TRANSITIVITY_SQL = _transitivity_sql()
