@@ -435,11 +435,11 @@ def q_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = sorted(
         r["lang"] for r in feats.select("lang").distinct().collect() if r["lang"]
     )
-    # 12 iterations: the synthetic corpus's lang labels are only weakly
+    # 8 iterations: the synthetic corpus's lang labels are only weakly
     # text-correlated (all sources share vocabulary), so more iterations
     # buy noise, not accuracy — the separable-corpus test pins real
     # learning; this query pins the distributed mechanics end-to-end.
-    models = train_lang_classifier(feats, langs, n_iters=12, lr=2.0)
+    models = train_lang_classifier(feats, langs, n_iters=8, lr=2.0)
     return (
         score_languages(feats, models)
         .join(feats.select("doc_id", F.col("lang").alias("labeled_lang")), "doc_id")
