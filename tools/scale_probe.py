@@ -95,6 +95,8 @@ QUERIES = [
     "chunk_dedup_stats",
     "table_stats_documents",
     "lang_id_classifier_scores",
+    "kanon_source_lang_stats",
+    "dup_graph_transitivity",
 ]
 
 
