@@ -134,14 +134,55 @@ class Manifest:
 
     def env_settings(self, step: str) -> dict:
         """Merge manifest settings with {STEP}__{FIELD} env overrides
-        (core/settings.py:44; env wins, as in pydantic-settings)."""
+        (core/settings.py:44; env wins, as in pydantic-settings).
+
+        Env values arrive as STRINGS (generate_argo exports every setting
+        with str()); the reference relies on pydantic-settings to coerce
+        them back to the field type. Parity here (ADVICE r6): each
+        override is coerced against the type of the manifest value it
+        replaces, so a step function receives identical kwargs whether
+        the manifest runs locally (native int/bool/list) or re-enters
+        under Argo (env strings)."""
         spec = self.steps[step]
         merged = dict(spec.settings)
         prefix = f"{step.upper()}__"
         for k, v in os.environ.items():
             if k.startswith(prefix):
-                merged[k[len(prefix):].lower()] = v
+                field = k[len(prefix):].lower()
+                merged[field] = _coerce_env(v, merged.get(field))
         return merged
+
+
+def _coerce_env(raw: str, current) -> object:
+    """Coerce an env-override string to the type of the manifest value it
+    replaces (pydantic-settings' env parsing, the subset the reference's
+    Settings fields use: bool/int/float/str + JSON for list/dict). A
+    value that does not parse raises — a typo'd numeric override must
+    fail the run, not silently ship the string into a step."""
+    if current is None or isinstance(current, str):
+        return raw
+    if isinstance(current, bool):  # before int: bool is an int subclass
+        low = raw.strip().lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        raise ManifestError(f"env override {raw!r} is not a boolean")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, (list, dict)):
+        import json
+
+        parsed = json.loads(raw)
+        if not isinstance(parsed, type(current)):
+            raise ManifestError(
+                f"env override {raw!r} parsed to {type(parsed).__name__}, "
+                f"expected {type(current).__name__}"
+            )
+        return parsed
+    return raw
 
 
 # ------------------------------------------------------------ step registry

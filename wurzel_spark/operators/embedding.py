@@ -249,8 +249,13 @@ def tei_embed_stage(
             yield out
 
     res = sel.mapInPandas(op, out_schema)
+    # Checkpoint UNCONDITIONALLY (ADVICE r6): without it, every downstream
+    # action replays the mapInPandas stage and re-POSTs every text to the
+    # TEI server — with fail_if_all_fail=False that silently multiplied
+    # external HTTP load per action. One eager checkpoint = exactly one
+    # fetch per stage call, whatever the caller does with the result.
+    res = res.localCheckpoint(eager=True)
     if fail_if_all_fail:
-        res = res.localCheckpoint(eager=True)
         agg = res.agg(
             F.count(F.lit(1)).alias("n"), F.count("vector").alias("ok")
         ).collect()[0]

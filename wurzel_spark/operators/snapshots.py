@@ -109,6 +109,7 @@ def apply_changeset(
     changes: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    validate_unique: bool = False,
 ) -> DataFrame:
     """MERGE a changeset into a snapshot: ``changes`` rows are
     (id, op ∈ {upsert, delete}, text); the result is the base minus every
@@ -120,9 +121,37 @@ def apply_changeset(
     Scale shape: ONE left-anti join of base against the (small) change
     keys + a union — base text never shuffles (anti join carries only
     ids); the changeset is broadcast when it fits. If an id appears more
-    than once in ``changes`` the LAST op by (op-priority-free) maximum
-    ``change_seq`` wins when the column exists, else duplicates are an
-    error surfaced by the caller's validation."""
+    than once in ``changes``: when a ``change_seq`` column exists the
+    LAST op wins (row_number over id ordered by change_seq desc — the
+    reduction is one window over the SMALL changeset, never the base);
+    without it, pass ``validate_unique=True`` to fail fast on duplicate
+    ids (one grouped count over the changeset), else duplicate upserts
+    pass through as plain union semantics (ADVICE r6: behavior now
+    matches this docstring exactly)."""
+    if "change_seq" in changes.columns:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(id_col).orderBy(F.col("change_seq").desc())
+        changes = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "change_seq")
+        )
+    elif validate_unique:
+        dups = [
+            r[id_col]
+            for r in changes.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .orderBy(id_col)
+            .limit(20)
+            .collect()
+        ]
+        if dups:
+            raise ValueError(
+                f"apply_changeset: duplicate ids in changeset without a "
+                f"change_seq column (first {len(dups)}): {dups}"
+            )
     keys = changes.select(F.col(id_col)).distinct()
     kept = base.join(F.broadcast(keys), id_col, "left_anti")
     ups = changes.filter(F.col("op") == CDC_UPSERT).select(id_col, text_col)
