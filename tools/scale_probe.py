@@ -97,6 +97,8 @@ QUERIES = [
     "lang_id_classifier_scores",
     "kanon_source_lang_stats",
     "dup_graph_transitivity",
+    # round-7 additions
+    "dup_graph_transitivity_capped",
 ]
 
 

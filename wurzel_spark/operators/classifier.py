@@ -435,11 +435,15 @@ def q_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = sorted(
         r["lang"] for r in feats.select("lang").distinct().collect() if r["lang"]
     )
-    # 8 iterations: the synthetic corpus's lang labels are only weakly
-    # text-correlated (all sources share vocabulary), so more iterations
-    # buy noise, not accuracy — the separable-corpus test pins real
-    # learning; this query pins the distributed mechanics end-to-end.
-    models = train_lang_classifier(feats, langs, n_iters=8, lr=2.0)
+    # 4 iterations (r7, VERDICT r6 #5): this is a correctness-gate query,
+    # so it pins the distributed mechanics end-to-end, not convergence —
+    # the synthetic corpus's lang labels are only weakly text-correlated
+    # (all sources share vocabulary), so extra iterations buy noise. Real
+    # learning is pinned by the separable-corpus ≥0.95-accuracy test and
+    # the numpy bitwise-parity test (tests/test_classifier.py), both
+    # unchanged; halving the iteration count halves the driver-window
+    # wall cost of the dominant train loop.
+    models = train_lang_classifier(feats, langs, n_iters=4, lr=2.0)
     return (
         score_languages(feats, models)
         .join(feats.select("doc_id", F.col("lang").alias("labeled_lang")), "doc_id")
