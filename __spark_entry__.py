@@ -257,6 +257,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC content-defined chunking (rows-only: gear boundaries are
         # engine-internal; locality/accounting pinned in tests/test_chunking.py)
         "chunk_dedup_stats": chunking.q_chunk_dedup_stats,
+        # r7: production-hasher twins (rows-only by design — xxhash64
+        # values are engine-internal; the md5 twins above remain the
+        # oracle-checked witnesses, hasher-independent guarantees pinned
+        # in tests/test_dedup_hashers.py)
+        "winnow_overlap_pairs_fast": dedup.q_winnow_overlap_fast,
+        "bloom_decontam_fast": sketches.q_bloom_decontam_fast,
     }
 
 

@@ -131,6 +131,11 @@ HEADLINE = [
     "event_type_drift",
     "cdc_apply_changes",
     "cdc_snapshot_at",
+    # round 7: production-hasher twins (pin the xxhash64-vs-md5 win as a
+    # bench line, VERDICT r6 Missing #3) + the capped transitivity config
+    "winnow_overlap_pairs_fast",
+    "bloom_decontam_fast",
+    "dup_graph_transitivity_capped",
 ]
 
 

@@ -26,7 +26,8 @@ def test_known_rows_only_set_is_intentional():
     rows_only = sorted(set(e.queries()) - set(e.oracle_sql()))
     declared = sorted([
         "ann_topk_ivf", "ann_topk_ivfpq", "ann_topk_lsh", "ann_topk_multiprobe",
-        "ann_topk_pq", "bpe_merges", "bpe_token_stats", "chunk_dedup_stats",
+        "ann_topk_pq", "bloom_decontam_fast", "bpe_merges", "bpe_token_stats",
+        "chunk_dedup_stats", "winnow_overlap_pairs_fast",
         "combined_near_dup_pairs", "compressibility_stats", "embed_documents",
         "embed_multivector_docs", "image_near_dup_pairs",
         "lang_id_classifier_scores", "minhash_lsh_pairs",

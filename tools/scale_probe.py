@@ -99,6 +99,8 @@ QUERIES = [
     "dup_graph_transitivity",
     # round-7 additions
     "dup_graph_transitivity_capped",
+    "winnow_overlap_pairs_fast",
+    "bloom_decontam_fast",
 ]
 
 

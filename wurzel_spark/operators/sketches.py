@@ -705,6 +705,7 @@ def bloom_decontamination_kernel(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = DECONTAM_N,
+    hasher: str = "md5",
 ) -> DataFrame:
     """The production shape of :func:`bloom_decontamination`: the m-bit
     set is collected ONCE into a 4 KiB numpy bit array, broadcast, and
@@ -712,27 +713,40 @@ def bloom_decontamination_kernel(
     side is a pure map stage (zero joins, zero shuffles before the final
     per-doc aggregate, which arrives pre-aggregated per batch).
 
-    Bit-identical to the join form (parity-tested): same hash, same
-    slices, only the membership mechanism differs.
+    With ``hasher='md5'``, bit-identical to the join form (parity-tested):
+    same hash, same slices, only the membership mechanism differs.
+    ``hasher='xxhash64'`` is the PRODUCTION hasher (JVM codegen, no hex
+    round-trip — the md5-prefix exists only so the DuckDB oracle can
+    agree on hash VALUES): true containment hits are hash-independent, so
+    n_spans and n_exact_hits match the md5 twin per doc (64-bit
+    collisions aside) while bloom false positives land on different —
+    equally bounded — spans; parity pinned in tests/test_sketches.py.
     """
     import numpy as np
     import pandas as pd
 
+    hash_fn = md5_prefix_hash if hasher == "md5" else (lambda c: F.xxhash64(c))
     ev = _span_strings(eval_set, id_col, text_col, n).select(
-        md5_prefix_hash(F.col("g")).alias("h")
+        hash_fn(F.col("g")).alias("h")
     ).distinct()
     arr = np.zeros(BLOOM_M, dtype=bool)
     exact_set = set()
     for (h,) in ev.collect():  # ≤ eval-set span count; eval sets are small
         exact_set.add(h)
+        # mask to unsigned BEFORE shifting: xxhash64 is signed 64-bit and
+        # python's arithmetic >> on a negative int disagrees with the
+        # numpy uint64 logical shift in the probe — a mismatch here makes
+        # true hits MISS the filter (a Bloom false negative). md5-prefix
+        # hashes are 60-bit positive, where both agree.
+        hu = h & 0xFFFFFFFFFFFFFFFF
         for j in range(BLOOM_K):
-            arr[(h >> (BLOOM_BITS_LOG2 * j)) % BLOOM_M] = True
+            arr[(hu >> (BLOOM_BITS_LOG2 * j)) % BLOOM_M] = True
     spark = corpus.sparkSession
     b_bits = spark.sparkContext.broadcast(arr)
     b_exact = spark.sparkContext.broadcast(exact_set)
 
     spans = _span_strings(corpus, id_col, text_col, n).select(
-        "id", md5_prefix_hash(F.col("g")).alias("h")
+        "id", hash_fn(F.col("g")).alias("h")
     )
 
     def _probe(batches):
@@ -781,6 +795,24 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontamination(
         docs.filter(F.col("doc_id") % 100 != 0),
         docs.filter(F.col("doc_id") % 100 == 0),
+    )
+
+
+def q_bloom_decontam_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION configuration of Bloom decontamination (VERDICT r6
+    Missing #3): the map-only broadcast-bit-array kernel with the
+    xxhash64 hasher — no md5 hex round-trip, no join chain. Rows-only by
+    design (xxhash64 values are engine-internal); the md5 twin above
+    stays the oracle-checked exactness witness, and
+    tests/test_sketches.py pins the hash-independent columns (n_spans,
+    n_exact_hits) equal across the two hashers per doc. This is the query
+    a 100 TB run executes; its bench line pins the measured win the r6
+    PERF note claimed."""
+    docs = table(spark, sf_dir, "documents")
+    return bloom_decontamination_kernel(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+        hasher="xxhash64",
     )
 
 
