@@ -62,7 +62,9 @@ def test_run_manifest(spark, md_folder):
 def test_env_override_wins(md_folder, monkeypatch):
     monkeypatch.setenv("SPLIT__TOKEN_LIMIT", "64")
     m = _manifest(md_folder)
-    assert m.env_settings("split")["token_limit"] == "64"
+    # env wins AND is coerced back to the manifest field's type (ADVICE
+    # r6: env strings must not leak into step kwargs)
+    assert m.env_settings("split")["token_limit"] == 64
 
 
 def test_cli_inspect_and_run(md_folder, tmp_path):
@@ -290,4 +292,6 @@ def test_argo_env_round_trips_into_settings(md_folder, monkeypatch):
     tpl = {t["name"]: t for t in doc["spec"]["workflowSpec"]["templates"]}
     for e in tpl["step-split"]["container"]["env"]:
         monkeypatch.setenv(e["name"], e["value"])
-    assert m.env_settings("split")["token_limit"] == "128"
+    # round-trip INCLUDING type: Argo exports str(128), env_settings
+    # coerces it back to the int the local run passes (ADVICE r6)
+    assert m.env_settings("split")["token_limit"] == 128

@@ -1811,12 +1811,28 @@ def retrieval_self_eval(
     integers as bm25_topk; the only float in the output is rr = 1/rank
     (one IEEE division).
     """
+    from wurzel_spark.operators.dedup import _parallelize
+
     ws = TXT.words(F.col(text_col))
-    d3 = df.select("doc_id", ws.alias("ws")).select(
+    # d3 feeds three map-only consumers (query terms, corpus stats, the
+    # term stream); tokenization is the CPU-dominant expression, so
+    # spread one-file inputs across cores FIRST (r7 — the single-
+    # partition tokenize was most of the 2.2 s driver time). Three
+    # distributed map passes beat materializing the tokenized corpus:
+    # at 100 TB a checkpoint of ws arrays is a full-corpus write, while
+    # re-tokenizing is embarrassingly parallel and shuffle-free.
+    d3 = _parallelize(df).select("doc_id", ws.alias("ws")).select(
         "doc_id", "ws", F.size("ws").alias("dl")
     )
+    # query terms from the RAW input, filtered before tokenizing: the
+    # doc_id predicate pushes into the parquet scan and only the 1/every
+    # query docs get tokenized — routing this branch through the
+    # _parallelize'd d3 would shuffle the whole corpus text just to read
+    # 1% of it.
     qt = (
-        d3.filter((F.col("doc_id") % every == 0) & (F.size("ws") > 0))
+        df.filter(F.col("doc_id") % every == 0)
+        .select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
         .select(
             F.col("doc_id").alias("query_id"),
             F.explode(F.array_distinct(F.slice("ws", 1, n_terms))).alias("term"),
@@ -1826,9 +1842,15 @@ def retrieval_self_eval(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
+    # ONE broadcast of qt serves both the semi-join prefilter and the
+    # scoring join below (identical subtree → ReusedExchange): a semi
+    # join tolerates build-side duplicate terms, so the separate
+    # .select("term").distinct() broadcast was a second corpus-scan job
+    # for nothing (r7 job census: 7 → 5 jobs).
+    qt = F.broadcast(qt)
     tf = (
         d3.select("doc_id", "dl", F.explode("ws").alias("term"))
-        .join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .join(qt, "term", "left_semi")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1839,7 +1861,7 @@ def retrieval_self_eval(
     tf = tf.localCheckpoint(eager=True)
     dfr = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("dfc"))
     scored = (
-        tf.join(F.broadcast(qt), "term")
+        tf.join(qt, "term")
         .join(F.broadcast(dfr), "term")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -1867,12 +1889,17 @@ def retrieval_self_eval(
         )
     )
     agg = scored.groupBy("query_id", "doc_id").agg(F.sum("sq").alias("score_q20"))
-    # agg is consumed by the gold extraction AND the rank count — one more
-    # small pin (query_id, doc_id, long) halves the scoring work.
-    agg = agg.localCheckpoint(eager=True)
-    gold = agg.filter(F.col("doc_id") == F.col("query_id")).select(
-        "query_id", F.col("score_q20").alias("gold_score")
-    )
+    # gold score via ONE unordered max-over-window on query_id instead of
+    # checkpoint + gold-extraction + broadcast join (r7: two jobs and a
+    # second pass over agg gone). The window computes a max, not a sort,
+    # and its partitions are per-query candidate lists — bounded by the
+    # query's term document frequencies, the same fan-out the scoring
+    # join already carries.
+    from pyspark.sql.window import Window as _W
+
+    gold_sc = F.max(
+        F.when(F.col("doc_id") == F.col("query_id"), F.col("score_q20"))
+    ).over(_W.partitionBy("query_id"))
     better = (
         F.col("score_q20") > F.col("gold_score")
     ) | (
@@ -1880,7 +1907,8 @@ def retrieval_self_eval(
         & (F.col("doc_id") < F.col("query_id"))
     )
     per = (
-        agg.join(F.broadcast(gold), "query_id")
+        agg.withColumn("gold_score", gold_sc)
+        .filter(F.col("gold_score").isNotNull())  # inner-join parity
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_candidates"),
