@@ -22,6 +22,7 @@ from wurzel_spark.operators import (
     classifier,
     rangejoin,
     dedup,
+    substrings,
     embedding,
     graph,
     layout,
@@ -263,6 +264,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in tests/test_dedup_hashers.py)
         "winnow_overlap_pairs_fast": dedup.q_winnow_overlap_fast,
         "bloom_decontam_fast": sketches.q_bloom_decontam_fast,
+        # r7: ExactSubstr (Lee et al. 2022) — exact ≥L-token substring
+        # removal, the exact complement of the span-window approximations
+        "exact_substring_removal": substrings.q_exact_substring_removal,
+        "strip_exact_substrings": substrings.q_strip_exact_substrings,
     }
 
 
@@ -362,6 +367,8 @@ def oracle_sql() -> dict[str, str]:
         "join_key_skew_profile": relational.SKEW_PROFILE_SQL,
         "dup_graph_transitivity": graph.TRANSITIVITY_SQL,
         "dup_graph_transitivity_capped": graph.TRANSITIVITY_CAPPED_SQL,
+        "exact_substring_removal": substrings.EXACT_SUBSTRING_REMOVAL_SQL,
+        "strip_exact_substrings": substrings.STRIP_EXACT_SUBSTRINGS_SQL,
         "quality_score": textstats.QUALITY_SQL,
         "fingerprints": textstats.FINGERPRINTS_SQL,
         "pipeline_filter_dedup_stats": textstats.PIPELINE_STATS_SQL,

@@ -136,6 +136,12 @@ HEADLINE = [
     "winnow_overlap_pairs_fast",
     "bloom_decontam_fast",
     "dup_graph_transitivity_capped",
+    # round 7: ExactSubstr removal (Lee et al. 2022). The strip twin is
+    # NOT benched: count() prunes its 1:1 reconstruction through the
+    # provably-unique-keyed join (the tlsh_fingerprints precedent), so a
+    # timed count would measure an empty projection; the stats query
+    # carries the family's full detection cost.
+    "exact_substring_removal",
 ]
 
 

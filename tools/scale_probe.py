@@ -101,6 +101,10 @@ QUERIES = [
     "dup_graph_transitivity_capped",
     "winnow_overlap_pairs_fast",
     "bloom_decontam_fast",
+    "exact_substring_removal",
+    # strip_exact_substrings EXCLUDED: count() prunes the 1:1 token
+    # reconstruction through the unique-keyed join (tlsh precedent) —
+    # the stats twin above carries the family's detection cost.
 ]
 
 
