@@ -61,6 +61,18 @@ def test_bench_headline_subset_of_queries_and_abbrs_unique():
     assert len(set(abbrs)) == len(abbrs), "compact-line abbreviation collision"
 
 
+def test_window_boundary_marker_position():
+    """The 'driver 50-query window boundary' comment must sit exactly
+    after the 50th queries() entry — the driver checks the first 50, and
+    a drifting marker misstates driver coverage (ADVICE r6 #1)."""
+    src = open("/root/repo/__spark_entry__.py").read()
+    marker = src.index("driver 50-query window boundary")
+    before = re.findall(r'^\s{8}"[a-z0-9_]+":', src[:marker], re.M)
+    assert len(before) == 50, (
+        f"boundary marker sits after {len(before)} entries, expected 50"
+    )
+
+
 def test_driver_window_has_50_entries_and_no_dups():
     import ast
     import collections

@@ -2159,3 +2159,97 @@ def ivf_write(
     c = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
     assigned = _argmax_cell(emb, c, id_col, vec_col).select(id_col, vec_col, "cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+# ---------------------------------------------- hard-negative mining
+
+def hard_negatives_from_scores(
+    scored: DataFrame, k: int = 5, margin: float = 0.1, ceiling: float = 0.95
+) -> DataFrame:
+    """Contrastive-training hard-negative mining over a scored candidate
+    set (query_id, neighbor_id, cos_sim): per query, the top-1 neighbor
+    is the presumed positive (gold); a HARD negative is any other
+    candidate within ``margin`` of the gold score but at or below
+    ``ceiling`` (above it, the "negative" is almost surely an unlabeled
+    duplicate of the positive — the standard false-negative guard).
+    Returns the k hardest per query: (query_id, neg_rank, neighbor_id,
+    cos_sim, gold_cos).
+
+    Decoupled from the scorer on purpose: feed it brute-force scores for
+    exactness (the registered query does — oracle-checkable), or the
+    IVF/LSH candidate streams (`ivf_topk`, `lsh_topk`) at 100 TB, where
+    scoring every (query, doc) pair is off the table. Window partitions
+    by query_id — per-query candidate lists are bounded (k·nprobe cells),
+    so the sort inside each partition is small regardless of corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("query_id")
+    wr = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.max("cos_sim").over(wq).alias("gold_cos"),
+        F.row_number().over(wr).alias("rank"),
+    )
+    negs = ranked.filter(
+        (F.col("rank") >= 2)
+        & (F.col("cos_sim") >= F.col("gold_cos") - F.lit(margin))
+        & (F.col("cos_sim") <= F.lit(ceiling))
+    )
+    wn = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(wn))
+        .filter(F.col("neg_rank") <= k)
+        .select("query_id", "neg_rank", "neighbor_id", "cos_sim", "gold_cos")
+        .orderBy("query_id", "neg_rank")
+    )
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for the first 8 vectors as queries, brute-force
+    scored (the exactness configuration; IVF feeds the same miner at
+    scale)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = (
+        emb.alias("e")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("e.vec_id").alias("neighbor_id"),
+            cosine_pd(F.col("query_vec"), F.col("e.embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return hard_negatives_from_scores(scored, k=5, margin=0.1, ceiling=0.95)
+
+
+HARD_NEGATIVE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         MAX(cos_sim) OVER (PARTITION BY query_id) AS gold_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+), negs AS (
+  SELECT query_id, neighbor_id, cos_sim, gold_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS neg_rank
+  FROM ranked
+  WHERE rank >= 2 AND cos_sim >= gold_cos - 0.1 AND cos_sim <= 0.95
+)
+SELECT query_id, neg_rank, neighbor_id, cos_sim, gold_cos
+FROM negs WHERE neg_rank <= 5
+ORDER BY query_id, neg_rank
+"""

@@ -1166,6 +1166,160 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------- C4 cleaning battery
+
+def c4_line_filter_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4 line-level cleaning battery (Raffel et al. 2020, §2.2) —
+    the other canonical pre-training filter next to Gopher's doc-level
+    rules. A line survives iff it ends in terminal punctuation
+    (``. ! ? "``), carries ≥5 whitespace words, and does not mention
+    "javascript" (case-insensitive). Doc-level: pages containing
+    "lorem ipsum" or a curly brace are dropped outright, and a page must
+    retain ≥3 sentences (terminal-punctuation runs in its KEPT lines).
+
+    Output per doc: (doc_id, n_lines, n_kept_lines, n_kept_words,
+    n_sentences, has_lorem_ipsum, has_curly, c4_keep).
+
+    Pure column algebra over one scan — same shape as
+    ``gopher_quality_flags``: the line predicates are higher-order array
+    filters on the split text, every ratio-free rule is an exact integer
+    comparison, so Spark and the DuckDB oracle agree bit-for-bit, and
+    `WHERE c4_keep` pushes into the parquet scan region of a downstream
+    pipeline. Reference parity: wurzel cleans markdown line-wise in
+    utils/to_markdown/utils.py (clean_html drops nav/script nodes); this
+    is the corpus-scale analog for plain text.
+
+    On the synthetic driver corpus (single-line, punctuation-free text)
+    every rule correctly reports no-keep — the same shape as the
+    registered pii_scan / license_scan batteries, whose discrimination is
+    likewise pinned by fixture tests (tests/test_c4.py exercises every
+    rule both ways).
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    kept = F.filter(
+        lines,
+        lambda x: F.trim(x).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= 5)
+        & ~F.lower(x).contains("javascript"),
+    )
+    kept_text = F.concat_ws("\n", kept)
+    n_sentences = F.size(F.regexp_extract_all(kept_text, F.lit(r"[.!?]+"), 0))
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_curly = c.contains("{") | c.contains("}")
+    n_kept_words = F.aggregate(
+        kept,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")),
+    )
+    keep = (~has_lorem) & (~has_curly) & (n_sentences >= 3)
+    return df.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_kept_words.alias("n_kept_words"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_curly.alias("has_curly"),
+        keep.alias("c4_keep"),
+    ).orderBy("doc_id")
+
+
+def c4_clean_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The mutation twin: (doc_id, cleaned_text) for surviving pages only
+    — kept lines re-joined with newlines, docs failing the page-level
+    rules dropped. Shares the exact predicates with
+    ``c4_line_filter_stats`` via one select, so the stats and the
+    mutation can never drift."""
+    stats_and_text = df.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.filter(
+                F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""),
+                lambda x: F.trim(x).rlike('[.!?"]$')
+                & (F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= 5)
+                & ~F.lower(x).contains("javascript"),
+            ),
+        ).alias("cleaned_text"),
+        (
+            F.lower(F.col(text_col)).contains("lorem ipsum")
+            | F.col(text_col).contains("{")
+            | F.col(text_col).contains("}")
+        ).alias("page_drop"),
+    )
+    return (
+        stats_and_text.filter(
+            ~F.col("page_drop")
+            & (
+                F.size(
+                    F.regexp_extract_all(
+                        F.col("cleaned_text"), F.lit(r"[.!?]+"), 0
+                    )
+                )
+                >= 3
+            )
+        )
+        .select("doc_id", "cleaned_text")
+        .orderBy("doc_id")
+    )
+
+
+def q_c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_line_filter_stats(table(spark, sf_dir, "documents"))
+
+
+def q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_clean_docs(table(spark, sf_dir, "documents"))
+
+
+_C4_KEPT_CTE = r"""
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\n'), x -> trim(x) != '') AS lines,
+         (contains(lower(text), 'lorem ipsum')) AS has_lorem_ipsum,
+         (contains(text, '{') OR contains(text, '}')) AS has_curly
+  FROM documents
+), k AS (
+  SELECT doc_id, lines, has_lorem_ipsum, has_curly,
+         list_filter(lines, x ->
+           regexp_matches(trim(x), '[.!?"]$')
+           AND len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> w != '')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM base
+), m AS (
+  SELECT doc_id, lines, kept, has_lorem_ipsum, has_curly,
+         -- array_to_string([]) is NULL in DuckDB; Spark concat_ws gives ''
+         len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]+')) AS n_sentences,
+         CAST(COALESCE(list_sum(list_transform(kept, x ->
+           len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> w != '')))), 0) AS BIGINT) AS n_kept_words
+  FROM k
+)"""
+
+C4_LINE_FILTER_SQL = rf"""
+WITH {_C4_KEPT_CTE}
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(kept) AS n_kept_lines,
+       n_kept_words,
+       n_sentences,
+       has_lorem_ipsum,
+       has_curly,
+       (NOT has_lorem_ipsum AND NOT has_curly AND n_sentences >= 3) AS c4_keep
+FROM m
+ORDER BY doc_id
+"""
+
+C4_CLEAN_DOCS_SQL = rf"""
+WITH {_C4_KEPT_CTE}
+SELECT doc_id, array_to_string(kept, chr(10)) AS cleaned_text
+FROM m
+WHERE NOT has_lorem_ipsum AND NOT has_curly AND n_sentences >= 3
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- end-to-end curation run
 
 def curation_stage_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -2402,4 +2556,101 @@ SELECT source, lang,
        CAST(SUM(sum_chars) AS BIGINT) AS sum_chars,
        COUNT(*) AS n_merged_groups
 FROM relabeled GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+# ------------------------------------------------ n-gram diversity stats
+
+def ngram_diversity_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-n diversity per source (Li et al. 2016's distinct-n,
+    corpus-level): for n ∈ {1,2,3}, the count of n-gram TOKENS, the count
+    of DISTINCT n-grams, and their ratio — the standard self-repetition /
+    memorization smell test run before training. A source whose
+    distinct-2 ratio collapses is boilerplate-heavy even when exact-dup
+    filters pass.
+
+    One tokenize pass builds all three gram arrays row-locally (slice
+    over the word array — the shingle precedent from operators/dedup);
+    ONE explode + ONE groupBy(source, n, gram) carries 8-byte xxhash64
+    gram keys, never gram strings, with map-side partial aggregation.
+    Distinct counts are exact (count of post-group rows, not a sketch) —
+    the HLL twin for 100 TB lives in operators/sketches.
+    """
+    ws = TXT.words(F.col(text_col))
+    grams = F.flatten(
+        F.transform(
+            F.array(*[F.lit(n) for n in (1, 2, 3)]),
+            lambda n: F.element_at(
+                F.transform(
+                    F.array(ws),
+                    # sequence(1, 0) descends in Spark — guard short docs
+                    # with an explicit empty array instead
+                    lambda w: F.when(
+                        F.size(w) - n + 1 >= 1,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(w) - n + 1),
+                            lambda i: F.struct(
+                                n.alias("n"),
+                                F.xxhash64(F.slice(w, i, n)).alias("g"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<n:int,g:bigint>>")),
+                ),
+                1,
+            ),
+        )
+    )
+    exploded = (
+        df.select("source", grams.alias("grams"))
+        .select("source", F.explode("grams").alias("gr"))
+        .select("source", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+    )
+    per_gram = exploded.groupBy("source", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_gram.groupBy("source", "n")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n",
+            "n_grams",
+            "n_distinct",
+            (F.col("n_distinct").cast("double") / F.col("n_grams").cast("double")).alias(
+                "distinct_ratio"
+            ),
+        )
+        .orderBy("source", "n")
+    )
+
+
+def q_ngram_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_diversity_stats(table(spark, sf_dir, "documents"))
+
+
+# Oracle counts literal gram strings; Spark counts xxhash64 of the token
+# slice — totals and distinct counts agree modulo ~2⁻⁶⁵ collisions (the
+# duplicated_span_stats precedent).
+NGRAM_DIVERSITY_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), grams AS (
+  SELECT source, t.n, array_to_string(ws[i:i+t.n-1], ' ') AS g
+  FROM toks,
+       (VALUES (1), (2), (3)) AS t(n),
+       UNNEST(range(1, len(ws) - t.n + 2)) AS u(i)
+  WHERE len(ws) >= t.n
+)
+SELECT source, n,
+       COUNT(*) AS n_grams,
+       COUNT(DISTINCT g) AS n_distinct,
+       CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS distinct_ratio
+FROM grams
+GROUP BY source, n
+ORDER BY source, n
 """
