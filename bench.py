@@ -142,6 +142,11 @@ HEADLINE = [
     # timed count would measure an empty projection; the stats query
     # carries the family's full detection cost.
     "exact_substring_removal",
+    # round 7 (cont.): C4 line-cleaning battery, distinct-n diversity,
+    # hard-negative mining (brute-force-scored configuration)
+    "c4_line_filter_stats",
+    "ngram_diversity_stats",
+    "hard_negative_mining",
 ]
 
 

@@ -1040,3 +1040,60 @@ def test_streaming_chunk_dedup_matches_batch(spark, sf_dir, tmp_path):
     )
     again = chunk_dedup_stats(staged).collect()[0]
     assert tuple(again) == tuple(exp)
+
+
+def test_streaming_exact_substring_matches_batch(spark, sf_dir, tmp_path):
+    """r7: ExactSubstr window state staged over micro-batches (fold
+    cadence 2) == batch exact_substring_removal bit-exactly — the
+    duplicated set is a full-corpus property, so a pair split across
+    batches must still be found at drain."""
+    from wurzel_spark.operators.substrings import exact_substring_removal
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.substrings import exact_substring_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(120).localCheckpoint()
+    d = str(tmp_path / "sub_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "sub_state")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in exact_substring_stream(
+            stream, state, str(tmp_path / "sub_ckpt"), compact_every=2
+        ).collect()
+    }
+    exp = {r["doc_id"]: tuple(r)[1:] for r in exact_substring_removal(docs).collect()}
+    assert got == exp and len(got) == 120
+    # some doc must actually have removals for the parity to mean anything
+    assert any(r[3] > 0 for r in exp.values())
+    assert len(list_batch_ids(spark, state)) <= 2
+
+
+def test_streaming_exact_substring_cross_batch_pair(spark, tmp_path):
+    """Two copies of one 25-token span admitted in DIFFERENT batches:
+    neither batch alone contains a duplicate, the drain must flag both."""
+    from wurzel_spark.streaming.substrings import exact_substring_stream
+
+    span = " ".join(f"tok{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, span + " tailone extra words here"), (2, "lead in words " + span)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "xb_in")
+    # one file per doc → maxFilesPerTrigger=1 admits them in separate batches
+    docs.filter(F.col("doc_id") == 1).coalesce(1).write.mode("overwrite").parquet(d)
+    docs.filter(F.col("doc_id") == 2).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in exact_substring_stream(
+            stream, str(tmp_path / "xb_state"), str(tmp_path / "xb_ckpt")
+        ).collect()
+    }
+    assert out[1]["n_removed_tokens"] == 25 and out[2]["n_removed_tokens"] == 25
+    assert out[1]["n_runs"] == 1 and out[2]["n_runs"] == 1

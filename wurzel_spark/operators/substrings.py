@@ -47,11 +47,13 @@ from wurzel_spark.tables import table
 MIN_DUP_LEN = 20
 
 
-def _dup_window_starts(df: DataFrame, length: int, id_col: str, text_col: str):
-    """(doc_id, s) rows: 1-based token positions where a duplicated
-    ``length``-token window starts, plus the per-doc token totals.
-    Docs shorter than ``length`` cannot contain a qualifying substring
-    and contribute no windows (but stay in the totals)."""
+def window_hashes(df: DataFrame, length: int = MIN_DUP_LEN,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """(wins, toks): every L-window's (doc_id, s, h) — s 1-based,
+    h = xxhash64 of the token slice — plus (doc_id, ws, n_tokens) totals.
+    The staging unit of the streaming twin; `_dup_window_starts` is this
+    plus the hot-set reduction. Docs shorter than ``length`` contribute
+    no windows (but stay in the totals)."""
     ws = TXT.words(F.col(text_col))
     toks = _parallelize(df).select(
         F.col(id_col).alias("doc_id"), ws.alias("ws")
@@ -70,13 +72,24 @@ def _dup_window_starts(df: DataFrame, length: int, id_col: str, text_col: str):
         )
         .select("doc_id", (F.col("s0") + 1).alias("s"), "h")
     )
-    # ≥2 occurrences ANYWHERE (cross-doc or within-doc): group on the
-    # hash with map-side combine, keep the hot set, co-partitioned semi
-    # join back. The hot set is unbounded at corpus scale (every shared
-    # boilerplate span), so no broadcast — both sides shuffle on h.
+    return wins, toks
+
+
+def _dup_window_starts(df: DataFrame, length: int, id_col: str, text_col: str):
+    """(doc_id, s) duplicated-window starts + per-doc totals."""
+    wins, toks = window_hashes(df, length, id_col, text_col)
+    return _hot_dup_starts(wins), toks
+
+
+def _hot_dup_starts(wins: DataFrame) -> DataFrame:
+    """(doc_id, s) starts whose L-window hash occurs ≥2 times ANYWHERE
+    (cross-doc or within-doc): group on the hash with map-side combine,
+    keep the hot set, co-partitioned semi join back. The hot set is
+    unbounded at corpus scale (every shared boilerplate span), so no
+    broadcast — both sides shuffle on h. Shared with the streaming twin
+    (streaming/substrings.py), which stages the same ``wins`` rows."""
     hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
-    dup = wins.join(hot.select("h"), "h", "left_semi").select("doc_id", "s")
-    return dup, toks
+    return wins.join(hot.select("h"), "h", "left_semi").select("doc_id", "s")
 
 
 def _merged_runs(dup: DataFrame, length: int) -> DataFrame:
@@ -113,6 +126,15 @@ def exact_substring_removal(
     appears (zero rows for clean docs); removed_frac is one IEEE division
     of exact int64s."""
     dup, toks = _dup_window_starts(df, length, id_col, text_col)
+    return removal_stats_from_starts(dup, toks.select("doc_id", "n_tokens"), length)
+
+
+def removal_stats_from_starts(
+    dup: DataFrame, totals: DataFrame, length: int = MIN_DUP_LEN
+) -> DataFrame:
+    """The stats tail shared with the streaming twin: duplicated starts
+    (doc_id, s) + per-doc totals (doc_id, n_tokens) → the
+    exact_substring_removal output columns."""
     dup = dup.localCheckpoint(eager=True)  # feeds window count AND runs
     runs = _merged_runs(dup, length)
     per_runs = runs.groupBy("doc_id").agg(
@@ -121,7 +143,7 @@ def exact_substring_removal(
     )
     per_wins = dup.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
     return (
-        toks.select("doc_id", "n_tokens")
+        totals.select("doc_id", "n_tokens")
         .join(per_wins, "doc_id", "left")
         .join(per_runs, "doc_id", "left")
         .select(
