@@ -147,6 +147,7 @@ HEADLINE = [
     "c4_line_filter_stats",
     "ngram_diversity_stats",
     "hard_negative_mining",
+    "quality_threshold_sweep",
 ]
 
 

@@ -2654,3 +2654,139 @@ FROM grams
 GROUP BY source, n
 ORDER BY source, n
 """
+
+
+# ------------------------------------------- quality threshold sweep
+
+# Yield-curve grid: thresholds 0, 100, ... 1000 over the integer
+# stopword-density score q1000 = floor(1000 * stopword_hits / n_words).
+QUALITY_SWEEP_STEP = 100
+QUALITY_SWEEP_POINTS = 11  # k = 0..10  →  threshold = k * 100
+
+
+def quality_threshold_sweep(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(source, threshold) yield curve: how many documents and
+    whitespace tokens survive the gate ``q1000 >= threshold`` for every
+    threshold on a fixed grid, where q1000 is the integer stopword
+    density floor(1000 * stopword_hits / n_words) (0 for empty docs).
+    This is the calibration readout a curation pipeline consults before
+    picking a quality cutoff (FineWeb-style threshold sweeps): the curve
+    shows the doc/token cost of each candidate gate per corpus slice.
+
+    Scale shape: ONE full-corpus map + ONE grouped aggregation onto
+    (source, score-bucket) — at most n_sources x 11 bucket rows leave the
+    shuffle — then the sweep itself runs entirely on that metadata-sized
+    bucket table (suffix sums via a tiny grid join, every join
+    broadcast-sized). Per-threshold rescans of the corpus would be
+    11 scans; this is one, and adding grid points costs nothing.
+    All counts are exact int64; the two fracs are single IEEE divisions.
+    """
+    from wurzel_spark.operators.dedup import _parallelize
+
+    spark = df.sparkSession
+    c = F.col(text_col)
+    per_doc = _parallelize(df).select(
+        "source",
+        TXT.word_count(c).cast("long").alias("nw"),
+        TXT.marker_words_count(c, STOPWORDS).cast("long").alias("sh"),
+    )
+    # integer floor-div on both engines (`div` / `//`): exact, no floats
+    scored = per_doc.select(
+        "source",
+        "nw",
+        F.when(F.col("nw") > 0, F.expr("(1000 * sh) div nw"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("q1000"),
+    )
+    buckets = scored.groupBy(
+        "source", F.expr(f"q1000 div {QUALITY_SWEEP_STEP}").alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").alias("n_tokens"),
+    )
+    buckets = buckets.localCheckpoint(eager=True)  # tiny; feeds 3 subtrees
+    grid = spark.range(QUALITY_SWEEP_POINTS).select(
+        F.col("id").alias("k"),
+        (F.col("id") * QUALITY_SWEEP_STEP).cast("long").alias("threshold"),
+    )
+    kept = (
+        buckets.crossJoin(F.broadcast(grid))
+        .filter(F.col("b") >= F.col("k"))
+        .groupBy("source", "threshold")
+        .agg(
+            F.sum("n_docs").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("n_tokens_kept"),
+        )
+    )
+    totals = buckets.groupBy("source").agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    frame = buckets.select("source").distinct().crossJoin(F.broadcast(grid))
+    return (
+        frame.join(kept, ["source", "threshold"], "left")
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "threshold",
+            F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+            (F.coalesce("n_docs_kept", F.lit(0)).cast("double") / F.col("tot_docs"))
+            .alias("doc_frac"),
+            (
+                F.coalesce("n_tokens_kept", F.lit(0)).cast("double")
+                / F.col("tot_tokens")
+            ).alias("token_frac"),
+        )
+        .orderBy("source", "threshold")
+    )
+
+
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_threshold_sweep(table(spark, sf_dir, "documents"))
+
+
+def _quality_sweep_sql() -> str:
+    sh = _dd_markers(STOPWORDS)
+    return rf"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS nw,
+         {sh} AS sh
+  FROM documents
+), scored AS (
+  SELECT source, nw,
+         CASE WHEN nw > 0 THEN (1000 * sh) // nw ELSE 0 END AS q1000
+  FROM per_doc
+), buckets AS (
+  SELECT source, q1000 // {QUALITY_SWEEP_STEP} AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY source, q1000 // {QUALITY_SWEEP_STEP}
+), grid AS (
+  SELECT k, CAST(k * {QUALITY_SWEEP_STEP} AS BIGINT) AS threshold
+  FROM UNNEST(range(0, {QUALITY_SWEEP_POINTS})) AS t(k)
+), kept AS (
+  SELECT b.source, g.threshold,
+         CAST(SUM(b.n_docs) AS BIGINT) AS n_docs_kept,
+         CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens_kept
+  FROM buckets b, grid g WHERE b.b >= g.k
+  GROUP BY b.source, g.threshold
+), totals AS (
+  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+  FROM buckets GROUP BY source
+)
+SELECT f.source AS source, g.threshold AS threshold,
+       COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+       COALESCE(k.n_tokens_kept, 0) AS n_tokens_kept,
+       CAST(COALESCE(k.n_docs_kept, 0) AS DOUBLE) / t.tot_docs AS doc_frac,
+       CAST(COALESCE(k.n_tokens_kept, 0) AS DOUBLE) / t.tot_tokens AS token_frac
+FROM (SELECT DISTINCT source FROM documents) f
+CROSS JOIN grid g
+LEFT JOIN kept k ON k.source = f.source AND k.threshold = g.threshold
+JOIN totals t ON t.source = f.source
+ORDER BY f.source, g.threshold
+"""
+
+
+QUALITY_SWEEP_SQL = _quality_sweep_sql()
