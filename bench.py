@@ -148,6 +148,7 @@ HEADLINE = [
     "ngram_diversity_stats",
     "hard_negative_mining",
     "quality_threshold_sweep",
+    "hash_sample_quantiles",
 ]
 
 

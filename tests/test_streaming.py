@@ -1097,3 +1097,37 @@ def test_streaming_exact_substring_cross_batch_pair(spark, tmp_path):
     }
     assert out[1]["n_removed_tokens"] == 25 and out[2]["n_removed_tokens"] == 25
     assert out[1]["n_runs"] == 1 and out[2]["n_runs"] == 1
+
+
+def test_streaming_sample_quantiles_match_batch(spark, sf_dir, tmp_path):
+    """r7: bottom-k quantile sketch staged over micro-batches == the
+    batch estimator's est columns bit-exactly (min-k semilattice)."""
+    from wurzel_spark.operators.sketches import hash_sample_quantile_eval
+    from wurzel_spark.streaming.quantiles import sample_quantile_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(300).localCheckpoint()
+    d = str(tmp_path / "sq_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = sorted(
+        map(
+            tuple,
+            sample_quantile_stream(
+                stream,
+                str(tmp_path / "sq_state"),
+                str(tmp_path / "sq_ckpt"),
+                k=32,
+                compact_every=2,
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        tuple(r)
+        for r in hash_sample_quantile_eval(docs, k=32)
+        .select("source", "p1000", "sample_k", "est")
+        .collect()
+    )
+    assert got == exp and len(got) > 0

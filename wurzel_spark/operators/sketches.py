@@ -914,3 +914,211 @@ def cms_estimate_terms(
         .groupBy("w")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+# ------------------------------------- bottom-k hash-sample quantiles
+
+# A mergeable, partitioning-independent quantile sketch: the bottom-k
+# documents by a deterministic uniform hash form a fixed-size uniform
+# sample whose rank-quantiles estimate the corpus quantiles.  Unlike
+# KLL/GK/t-digest — whose contents depend on merge ORDER — the bottom-k
+# set is a pure min-k semilattice (associative, commutative, idempotent),
+# so ANY partitioning, merge tree, or streaming admission order yields
+# the bit-identical sample.  That makes the estimator oracle-checkable
+# AND gives the streaming twin (streaming/quantiles.py) exact batch
+# parity for free.
+
+SAMPLE_QUANTILE_K = 128
+SAMPLE_QUANTILE_P1000 = (500, 900, 990)  # permille grid
+
+_KNUTH_SQL = "((doc_id % 1000003) * 2654435761) % 4294967296"
+
+
+def _knuth_hash(id_col):
+    return ((F.col(id_col) % 1000003) * F.lit(2654435761)) % F.lit(4294967296)
+
+
+def bottomk_sample(
+    df: DataFrame,
+    k: int = SAMPLE_QUANTILE_K,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group bottom-k rows by the deterministic sampling hash
+    (Knuth multiplicative, ties broken by id).  One window shuffle on the
+    group key here; at scale Spark executes the equivalent global form
+    (sort+limit) as TakeOrderedAndProject — per-partition top-k heaps
+    merged, never a full sort."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(_knuth_hash(id_col).asc(), F.col(id_col))
+    return (
+        df.withColumn("__hrn", F.row_number().over(w))
+        .filter(F.col("__hrn") <= k)
+        .drop("__hrn")
+    )
+
+
+def sample_quantile_estimates(
+    sample: DataFrame,
+    k: int = SAMPLE_QUANTILE_K,
+    group_col: str = "source",
+    val_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(group, p1000, sample_k, est) from a bottom-k sample: est = value
+    at 1-based rank ceil(p·k_eff) within the sample ordered by (value,
+    id) — integer ceil via (p1000·k_eff + 999) div 1000, no floats.
+    Runs entirely on the k·n_groups sample rows."""
+    from pyspark.sql import Window as W
+
+    wv = W.partitionBy(group_col).orderBy(val_col, id_col)
+    wg = W.partitionBy(group_col)
+    ranked = sample.select(group_col, val_col, id_col).withColumn(
+        "__rn", F.row_number().over(wv)
+    ).withColumn("__n", F.count(F.lit(1)).over(wg))
+    grid = sample.sparkSession.createDataFrame(
+        [(p,) for p in SAMPLE_QUANTILE_P1000], "p1000 long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .filter(
+            F.col("__rn")
+            == F.expr("(p1000 * __n + 999) div 1000").cast("int")
+        )
+        .select(
+            F.col(group_col),
+            "p1000",
+            F.col("__n").cast("long").alias("sample_k"),
+            F.col(val_col).cast("long").alias("est"),
+        )
+    )
+
+
+def hash_sample_quantile_eval(
+    df: DataFrame,
+    k: int = SAMPLE_QUANTILE_K,
+    group_col: str = "source",
+    val_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-eval of the bottom-k quantile sketch: per (group, permille)
+    the sketch estimate, the exact quantile, and the exact integer rank
+    error — how far the estimate's rank interval [n_below+1, n_at_or_below]
+    sits from the target rank ceil(p·n).  Every column is int64 (no
+    floats anywhere), so the driver hash is trivially stable.
+
+    Scale shape: the estimate path is the production path — bottom-k
+    (per-partition heaps) + quantiles over k·n_groups rows.  The exact
+    and rank-error columns are the EVAL harness: one per-group window
+    sort + one broadcast-join counting pass, run at audit scale only
+    (same pattern as retrieval_self_eval / matryoshka_recall_stats: the
+    cheap estimator is graded against its exact twin in one query).
+    """
+    from pyspark.sql import Window as W
+
+    est = sample_quantile_estimates(
+        bottomk_sample(df, k, group_col, id_col), k, group_col, val_col, id_col
+    ).localCheckpoint(eager=True)  # tiny; feeds output AND the count pass
+
+    # exact quantiles via the house rank-ceil definition
+    wv = W.partitionBy(group_col).orderBy(val_col, id_col)
+    wg = W.partitionBy(group_col)
+    ranked = df.select(group_col, val_col, id_col).withColumn(
+        "__rn", F.row_number().over(wv)
+    ).withColumn("__n", F.count(F.lit(1)).over(wg))
+    grid = df.sparkSession.createDataFrame(
+        [(p,) for p in SAMPLE_QUANTILE_P1000], "p1000 long"
+    )
+    exact = (
+        ranked.crossJoin(F.broadcast(grid))
+        .filter(F.col("__rn") == F.expr("(p1000 * __n + 999) div 1000").cast("int"))
+        .select(
+            F.col(group_col),
+            "p1000",
+            F.col("__n").cast("long").alias("n_docs"),
+            F.col(val_col).cast("long").alias("exact"),
+        )
+    )
+    # rank interval of each estimate in the full corpus: one broadcast
+    # join (n_groups·|grid| rows) + one grouped counting aggregate
+    ranks = (
+        df.select(group_col, F.col(val_col).alias("__v"))
+        .join(F.broadcast(est), group_col)
+        .groupBy(group_col, "p1000")
+        .agg(
+            F.sum(F.when(F.col("__v") < F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("__v") <= F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_at_or_below"),
+        )
+    )
+    out = (
+        est.join(exact, [group_col, "p1000"])
+        .join(ranks, [group_col, "p1000"])
+        .withColumn(
+            "rank_target", F.expr("(p1000 * n_docs + 999) div 1000").cast("long")
+        )
+        .withColumn(
+            "rank_err",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("n_below") + 1 - F.col("rank_target"),
+                F.col("rank_target") - F.col("n_at_or_below"),
+            ),
+        )
+    )
+    return out.select(
+        group_col, "p1000", "n_docs", "sample_k", "est", "exact",
+        "rank_target", "n_below", "n_at_or_below", "rank_err",
+    ).orderBy(group_col, "p1000")
+
+
+def q_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_sample_quantile_eval(table(spark, sf_dir, "documents"))
+
+
+SAMPLE_QUANTILE_SQL = f"""
+WITH hsamp AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY {_KNUTH_SQL}, doc_id) AS hrn
+  FROM documents
+), samp AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM hsamp WHERE hrn <= {SAMPLE_QUANTILE_K}
+), grid AS (SELECT UNNEST([500, 900, 990]) AS p1000),
+est AS (
+  SELECT source, p1000, CAST(n AS BIGINT) AS sample_k,
+         CAST(n_chars AS BIGINT) AS est
+  FROM samp, grid WHERE rn = (p1000 * n + 999) // 1000
+), full_ranked AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), exact AS (
+  SELECT source, p1000, CAST(n AS BIGINT) AS n_docs,
+         CAST(n_chars AS BIGINT) AS exact
+  FROM full_ranked, grid WHERE rn = (p1000 * n + 999) // 1000
+), ranks AS (
+  SELECT d.source, e.p1000,
+         CAST(SUM(CASE WHEN d.n_chars < e.est THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         CAST(SUM(CASE WHEN d.n_chars <= e.est THEN 1 ELSE 0 END) AS BIGINT) AS n_at_or_below
+  FROM documents d JOIN est e ON e.source = d.source
+  GROUP BY d.source, e.p1000
+)
+SELECT e.source AS source, e.p1000 AS p1000, x.n_docs, e.sample_k, e.est, x.exact,
+       (e.p1000 * x.n_docs + 999) // 1000 AS rank_target,
+       r.n_below, r.n_at_or_below,
+       GREATEST(0, r.n_below + 1 - ((e.p1000 * x.n_docs + 999) // 1000),
+                   ((e.p1000 * x.n_docs + 999) // 1000) - r.n_at_or_below) AS rank_err
+FROM est e
+JOIN exact x ON x.source = e.source AND x.p1000 = e.p1000
+JOIN ranks r ON r.source = e.source AND r.p1000 = e.p1000
+ORDER BY e.source, e.p1000
+"""
