@@ -149,6 +149,8 @@ HEADLINE = [
     "hard_negative_mining",
     "quality_threshold_sweep",
     "hash_sample_quantiles",
+    "embedding_gram_matrix",
+    "embedding_pca_power",
 ]
 
 

@@ -1,0 +1,198 @@
+"""Distributed linear algebra over the embedding table: exact-integer
+Gram matrix and a quantized power-iteration dominant eigenvector (the
+PCA direction a curation pipeline uses for embedding whitening/debiasing
+diagnostics, e.g. dominant-component removal before cosine dedup).
+
+Cross-engine exactness: embeddings are float32; each component is
+quantized floor(x * 2^20) after an EXACT float→double widening and an
+EXACT power-of-two multiply, so the quantized vectors — and every sum of
+their products — are bit-identical integers on any engine.  The gram
+reduce keeps int64 (bounded: |q| ≤ 2^21 ⇒ a products sum needs rows >
+2^21 to threaten 2^63; the registered corpus is 5 orders below, and the
+docstring scale path switches to decimal(38,0) first).  The power
+iteration renormalizes with TRUNCATING integer division (DuckDB ``//``
+semantics: -7//2 = -3, unlike Python's floor) — `_tdiv` mirrors it
+exactly, so 8 iterations stay bit-equal to the unrolled SQL oracle.
+
+Scale shape: the gram is ONE map stage (per-row upper-triangle pair
+generation inside a let-bound HOF — no self-join, no exploded-table
+shuffle) feeding a 2080-key groupBy whose map-side combine makes each
+partition's contribution a partial gram; the shuffle carries
+O(d² · n_partitions) rows however large the corpus is.  The eigensolve
+then runs driver-side on the d×d result — bounded by DIMENSION, not
+data (same gate as kmeans_train's ≤64-partition driver reduce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wurzel_spark.tables import table
+
+QSCALE = 1 << 20
+PCA_ITERS = 8
+_MAX_GRAM_DIM = 256  # driver-side eigensolve gate: d² rows collected
+
+
+def _quantize(vec_col: str):
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(QSCALE))).cast("long"),
+    )
+
+
+def embedding_gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Upper-triangle Gram matrix (i, j, s), 1-based, s = Σ_rows q_i·q_j
+    exact int64.  Pair generation is row-local: the quantized array is
+    let-bound ONCE per row (the house HOF re-evaluation guard), then a
+    nested transform emits the d(d+1)/2 upper-triangle products, explode
+    feeds a groupBy whose partial aggregation is the per-partition
+    partial gram."""
+    pairs = F.element_at(
+        F.transform(
+            F.array(_quantize(vec_col)),
+            lambda q: F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(q)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.size(q)),
+                        lambda j: F.struct(
+                            i.cast("int").alias("i"),
+                            j.cast("int").alias("j"),
+                            (F.element_at(q, i) * F.element_at(q, j)).alias("prod"),
+                        ),
+                    ),
+                )
+            ),
+        ),
+        1,
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.prod")
+        .groupBy("i", "j")
+        .agg(F.sum("prod").alias("s"))
+        .orderBy("i", "j")
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — DuckDB ``//`` and
+    Spark ``div`` semantics, NOT Python ``//`` (which floors)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def embedding_pca_power(
+    df: DataFrame,
+    iters: int = PCA_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Dominant eigenvector of the Gram matrix by ``iters`` quantized
+    power iterations: G' = G // 2^20 (truncating), v0 = 2^20·1, each step
+    u = G'v, v = (u · 2^20) // max|u| — every operation exact integer
+    arithmetic, bit-equal to the unrolled SQL oracle.  Output: (i, v,
+    growth) with v the 2^20-scaled eigenvector component and growth the
+    final pre-normalization magnitude max|u| (the scaled dominant-
+    eigenvalue readout)."""
+    rows = embedding_gram_matrix(df, vec_col, id_col).collect()
+    dims = {r["i"] for r in rows} | {r["j"] for r in rows}
+    d = max(dims) if dims else 0
+    if d > _MAX_GRAM_DIM:
+        raise ValueError(
+            f"gram dimension {d} exceeds the driver eigensolve gate "
+            f"{_MAX_GRAM_DIM}; raise _MAX_GRAM_DIM deliberately or reduce dims"
+        )
+    spark = df.sparkSession
+    if d == 0:
+        return spark.createDataFrame([], "i int, v long, growth long")
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        g = _tdiv(r["s"], QSCALE)
+        G[r["i"] - 1][r["j"] - 1] = g
+        G[r["j"] - 1][r["i"] - 1] = g
+    v = [QSCALE] * d
+    m = 1
+    for _ in range(iters):
+        u = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in u)
+        if m == 0:  # zero matrix: stay at the start vector
+            break
+        v = [_tdiv(x * QSCALE, m) for x in u]  # exact big-int, then bounded
+    out = [(i + 1, v[i], m) for i in range(d)]
+    return spark.createDataFrame(out, "i int, v long, growth long").orderBy("i")
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_gram_matrix(table(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_pca_power(table(spark, sf_dir, "embeddings"))
+
+
+_Q_SQL = (
+    "list_transform(CAST(embedding AS DOUBLE[]),"
+    f" x -> CAST(floor(x * {QSCALE}) AS BIGINT))"
+)
+
+# Exploded (vec_id, i, qv) form: ONE list indexing per element.  The
+# qs[a.i]·qs[b.j] double-unnest form re-evaluates the quantization
+# lambda per (i, j) pair — measured 60× slower — and an un-MATERIALIZED
+# gram CTE is re-executed by every power-iteration stage.
+_QE_SQL = f"""
+  SELECT vec_id, CAST(u.i AS INT) AS i, qs[u.i] AS qv
+  FROM (SELECT vec_id, {_Q_SQL} AS qs FROM embeddings) q,
+       UNNEST(range(1, len(qs) + 1)) AS u(i)
+"""
+
+EMBEDDING_GRAM_SQL = f"""
+WITH qe AS MATERIALIZED ({_QE_SQL})
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
+FROM qe a JOIN qe b ON b.vec_id = a.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i ORDER BY i, j
+"""
+
+
+def _pca_unrolled_sql(iters: int = PCA_ITERS) -> str:
+    """DuckDB twin of embedding_pca_power: full gram → ``iters`` unrolled
+    matvec+renormalize stages.  The renormalize runs in HUGEINT (u·2^20
+    can exceed int64) with DuckDB's native truncating ``//`` — the same
+    semantics `_tdiv` implements driver-side."""
+    parts = [
+        f"qe AS MATERIALIZED ({_QE_SQL})",
+        """gram AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
+  FROM qe a JOIN qe b ON b.vec_id = a.vec_id
+  GROUP BY a.i, b.i
+)""",
+        f"gs AS MATERIALIZED (SELECT i, j, s // {QSCALE} AS g FROM gram)",
+        f"v0 AS (SELECT DISTINCT i, CAST({QSCALE} AS BIGINT) AS v FROM gs)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""u{t} AS MATERIALIZED (
+  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS u
+  FROM gs g JOIN v{t - 1} v ON v.i = g.j GROUP BY g.i
+)"""
+        )
+        parts.append(f"m{t} AS MATERIALIZED (SELECT MAX(ABS(u)) AS m FROM u{t})")
+        parts.append(
+            f"""v{t} AS MATERIALIZED (
+  SELECT i, CAST((CAST(u AS HUGEINT) * {QSCALE}) // (SELECT m FROM m{t}) AS BIGINT) AS v
+  FROM u{t}
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT v.i AS i, v.v AS v, CAST((SELECT m FROM m{iters}) AS BIGINT) AS growth
+FROM v{iters} v ORDER BY v.i
+"""
+
+
+EMBEDDING_PCA_SQL = _pca_unrolled_sql()
