@@ -187,6 +187,12 @@ def graph_transitivity(pairs: DataFrame) -> DataFrame:
     aggregate; coefficient = 3·triangles / wedges — exact ints, one
     division.
     """
+    # the edge list feeds THREE subtrees (both union directions +
+    # n_edges); without a cut each re-runs the upstream pair pipeline —
+    # for the jaccard inputs that tripled the whole query (r7: 4.8 s →
+    # measured below).  Id pairs only: tiny at any scale that can count
+    # triangles at all.
+    pairs = pairs.localCheckpoint(eager=True)
     und = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
