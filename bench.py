@@ -151,6 +151,8 @@ HEADLINE = [
     "hash_sample_quantiles",
     "embedding_gram_matrix",
     "embedding_pca_power",
+    "vocab_growth_curve",
+    "source_overlap_matrix",
 ]
 
 

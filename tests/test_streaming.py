@@ -1131,3 +1131,32 @@ def test_streaming_sample_quantiles_match_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_streaming_quality_sweep_matches_batch(spark, sf_dir, tmp_path):
+    """r7: additive score-bucket partials staged over micro-batches ==
+    the batch yield curve bit-exactly (integer sums are admission-order
+    independent)."""
+    from wurzel_spark.operators.textstats import quality_threshold_sweep
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.quality import quality_sweep_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(200).localCheckpoint()
+    d = str(tmp_path / "qs_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "qs_state")
+    got = sorted(
+        map(
+            tuple,
+            quality_sweep_stream(
+                stream, state, str(tmp_path / "qs_ckpt"), compact_every=2
+            ).collect(),
+        )
+    )
+    exp = sorted(map(tuple, quality_threshold_sweep(docs).collect()))
+    assert got == exp and len(got) > 0
+    assert len(list_batch_ids(spark, state)) <= 2

@@ -2681,9 +2681,16 @@ def quality_threshold_sweep(df: DataFrame, text_col: str = "text") -> DataFrame:
     11 scans; this is one, and adding grid points costs nothing.
     All counts are exact int64; the two fracs are single IEEE divisions.
     """
+    return sweep_from_buckets(quality_score_buckets(df, text_col))
+
+
+def quality_score_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, b, n_docs, n_tokens) score-bucket partials — the one
+    corpus-sized pass of the sweep, and the staging unit of the
+    streaming twin (streaming/quality.py): bucket partials are additive,
+    so per-batch rows summed at drain equal the batch aggregate."""
     from wurzel_spark.operators.dedup import _parallelize
 
-    spark = df.sparkSession
     c = F.col(text_col)
     per_doc = _parallelize(df).select(
         "source",
@@ -2699,12 +2706,19 @@ def quality_threshold_sweep(df: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("q1000"),
     )
-    buckets = scored.groupBy(
+    return scored.groupBy(
         "source", F.expr(f"q1000 div {QUALITY_SWEEP_STEP}").alias("b")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nw").alias("n_tokens"),
     )
+
+
+def sweep_from_buckets(buckets: DataFrame) -> DataFrame:
+    """The metadata-sized sweep tail shared with the streaming twin:
+    (source, b, n_docs, n_tokens) bucket rows → the full yield-curve
+    grid."""
+    spark = buckets.sparkSession
     buckets = buckets.localCheckpoint(eager=True)  # tiny; feeds 3 subtrees
     grid = spark.range(QUALITY_SWEEP_POINTS).select(
         F.col("id").alias("k"),
@@ -2790,3 +2804,225 @@ ORDER BY f.source, g.threshold
 
 
 QUALITY_SWEEP_SQL = _quality_sweep_sql()
+
+
+# ------------------------------------------------- vocabulary growth
+
+VOCAB_GROWTH_POINTS = 8
+
+
+def vocab_growth_curve(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps'-law readout: distinct vocabulary size after each prefix of
+    the corpus (ordered by doc_id), at 8 evenly-spaced prefix boundaries.
+    The curve a tokenizer-training pipeline consults to size its vocab
+    and decide when the corpus stops yielding new types — sublinear
+    growth flattening early means more data buys no new vocabulary.
+
+    Scale shape: ONE explode + ONE groupBy on the 8-byte xxhash64 of the
+    token (map-side combine; the ngram_diversity precedent — counts match
+    the literal-string oracle modulo ~2⁻⁶⁵ collisions) producing the
+    (term, first_doc) table; the curve then needs only broadcast joins
+    of slim projections against the 8-row boundary grid (each ≤8× row
+    expansion of a 16-byte projection, map-side, grouped to 8 keys).
+    The boundary ranks come from the house rank-ceil definition — a
+    global row-number window at audit scale; swap the boundaries for
+    hash_sample_quantiles at 100 TB (same output schema).
+
+    Every output column is an exact int64.
+    """
+    from pyspark.sql import Window as W
+
+    from wurzel_spark.operators.dedup import _parallelize
+
+    spark = df.sparkSession
+    c = F.col(text_col)
+    toks = _parallelize(df).select(
+        "doc_id", F.explode(TXT.words(c)).alias("w")
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    first = toks.groupBy("h").agg(F.min("doc_id").alias("fd"))
+
+    docs = df.select("doc_id", TXT.word_count(c).cast("long").alias("nt"))
+    ranked = docs.withColumn(
+        "__rn", F.row_number().over(W.orderBy("doc_id"))
+    ).withColumn("__n", F.count(F.lit(1)).over(W.partitionBy()))
+    grid_k = spark.range(1, VOCAB_GROWTH_POINTS + 1).select(
+        F.col("id").alias("k")
+    )
+    bounds = (
+        ranked.crossJoin(F.broadcast(grid_k))
+        .filter(
+            F.col("__rn")
+            == F.expr(f"(k * __n + {VOCAB_GROWTH_POINTS - 1}) div {VOCAB_GROWTH_POINTS}").cast("int")
+        )
+        .select(
+            "k",
+            F.col("doc_id").alias("boundary_doc_id"),
+            F.col("__rn").cast("long").alias("n_docs_prefix"),
+        )
+        .localCheckpoint(eager=True)  # 8 rows; feeds two counting passes
+    )
+    tokens_prefix = (
+        docs.join(
+            F.broadcast(bounds), docs.doc_id <= F.col("boundary_doc_id")
+        )
+        .groupBy("k")
+        .agg(F.sum("nt").alias("n_tokens_prefix"))
+    )
+    vocab_prefix = (
+        first.join(F.broadcast(bounds), F.col("fd") <= F.col("boundary_doc_id"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_distinct_terms"))
+    )
+    return (
+        bounds.join(tokens_prefix, "k")
+        .join(vocab_prefix, "k")
+        .select(
+            "k", "boundary_doc_id", "n_docs_prefix",
+            "n_tokens_prefix", "n_distinct_terms",
+        )
+        .orderBy("k")
+    )
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_growth_curve(table(spark, sf_dir, "documents"))
+
+
+VOCAB_GROWTH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> x != '')) AS w
+  FROM documents
+), first AS (
+  SELECT w, MIN(doc_id) AS fd FROM toks GROUP BY w
+), docs AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x != '')) AS BIGINT) AS nt
+  FROM documents
+), ranked AS (
+  SELECT doc_id, nt,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM docs
+), bounds AS (
+  SELECT g.k, r.doc_id AS boundary_doc_id, CAST(r.rn AS BIGINT) AS n_docs_prefix
+  FROM ranked r, UNNEST(range(1, {VOCAB_GROWTH_POINTS + 1})) AS g(k)
+  WHERE r.rn = (g.k * r.n + {VOCAB_GROWTH_POINTS - 1}) // {VOCAB_GROWTH_POINTS}
+)
+SELECT b.k AS k, b.boundary_doc_id, b.n_docs_prefix,
+       (SELECT CAST(SUM(d.nt) AS BIGINT) FROM docs d
+        WHERE d.doc_id <= b.boundary_doc_id) AS n_tokens_prefix,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM first f
+        WHERE f.fd <= b.boundary_doc_id) AS n_distinct_terms
+FROM bounds b ORDER BY b.k
+"""
+
+
+# ------------------------------------------------ source overlap matrix
+
+OVERLAP_GRAM_N = 5
+
+
+def source_overlap_matrix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pairwise {OVERLAP_GRAM_N}-gram containment between corpus slices:
+    for every ordered source pair (a, b), the count of a's distinct word
+    5-grams, how many also occur in b, and containment = shared / |a|.
+    The inter-source contamination diagnostic a mixture designer reads
+    before weighting corpora: high containment of a benchmark-derived
+    slice inside a web slice is leakage; near-identical slices shouldn't
+    both get full weight (the decontamination_overlap / containment_pairs
+    DOC-level family lifted to the corpus level).
+
+    Scale shape: ONE tokenize+explode pass → groupBy(source, gram-hash)
+    distinct (map-side combine on 8-byte keys; the diversity precedent:
+    Spark carries xxhash64, the oracle literal grams — equal modulo
+    ~2⁻⁶⁵ collisions).  The self-join is co-partitioned on the hash and
+    its output is bounded by n_sources² rows per gram; everything after
+    is an n_sources²-row metadata table.  n_sources is assumed
+    dashboard-small (≤ thousands) — for per-DOMAIN overlap at web scale,
+    pre-bucket to the KMV sketch union/intersection estimator
+    (operators/sketches) instead of exact counting.
+    """
+    ws = TXT.words(F.col(text_col))
+    n = OVERLAP_GRAM_N
+    grams_arr = F.element_at(
+        F.transform(
+            F.array(ws),
+            lambda w: F.when(
+                F.size(w) - n + 1 >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - n + 1),
+                    lambda i: F.xxhash64(F.slice(w, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        ),
+        1,
+    )
+    grams = (
+        df.select("source", F.explode(grams_arr).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.lit(1))
+        .select("source", "h")
+    )
+    grams = grams.localCheckpoint(eager=True)  # feeds sizes + both join sides
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        grams.select(F.col("source").alias("src_a"), "h")
+        .join(grams.select(F.col("source").alias("src_b"), "h"), "h")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    frame = (
+        sizes.select(F.col("source").alias("src_a"), "n_grams")
+        .crossJoin(sizes.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") != F.col("src_b"))
+    )
+    return (
+        frame.join(shared, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_grams").alias("n_grams_a"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / F.when(F.col("n_grams") > 0, F.col("n_grams"))
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_matrix(table(spark, sf_dir, "documents"))
+
+
+SOURCE_OVERLAP_SQL = rf"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), grams AS (
+  SELECT DISTINCT source, array_to_string(ws[i:i+{OVERLAP_GRAM_N - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(ws) - {OVERLAP_GRAM_N} + 2)) AS u(i)
+  WHERE len(ws) >= {OVERLAP_GRAM_N}
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY source
+), shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM grams a JOIN grams b ON b.g = a.g AND b.source != a.source
+  GROUP BY a.source, b.source
+)
+SELECT f.src_a AS src_a, f.src_b AS src_b,
+       f.n_grams AS n_grams_a,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / NULLIF(f.n_grams, 0) AS containment
+FROM (
+  SELECT x.source AS src_a, x.n_grams, y.source AS src_b
+  FROM sizes x CROSS JOIN sizes y WHERE x.source != y.source
+) f
+LEFT JOIN shared s ON s.src_a = f.src_a AND s.src_b = f.src_b
+ORDER BY f.src_a, f.src_b
+"""
