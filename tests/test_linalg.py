@@ -84,3 +84,19 @@ def test_gram_partitioning_independent(spark):
     a = sorted(map(tuple, embedding_gram_matrix(df.repartition(1)).collect()))
     b = sorted(map(tuple, embedding_gram_matrix(df.repartition(9)).collect()))
     assert a == b
+
+
+def test_projection_stats_match_numpy(spark):
+    df, data = _vecs(spark, n=50, d=8)
+    from wurzel_spark.operators.linalg import embedding_projection_stats, embedding_pca_power
+
+    v = np.array(
+        [r["v"] for r in embedding_pca_power(df).orderBy("i").collect()],
+        dtype=np.int64,
+    )
+    q = _qint(data)
+    out = {r["vec_id"]: r.asDict() for r in embedding_projection_stats(df).collect()}
+    assert len(out) == 50
+    for i in range(50):
+        assert out[i]["norm2"] == int((q[i] * q[i]).sum())
+        assert out[i]["proj"] == int(q[i] @ v)

@@ -136,12 +136,63 @@ def embedding_pca_power(
     return spark.createDataFrame(out, "i int, v long, growth long").orderBy("i")
 
 
+def embedding_projection_stats(
+    df: DataFrame,
+    iters: int = PCA_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector dominant-component diagnostics: norm2 = Σ q_i² and
+    proj = Σ q_i·v_i against the power-iteration eigenvector — the
+    readout behind embedding whitening / dominant-direction removal
+    (a corpus whose proj² ≈ norm2·‖v‖²/2⁴⁰ everywhere is rank-collapsed
+    and cosine near-dup thresholds need retuning).  Exact int64
+    everywhere (|proj| ≤ d·2²¹·2²⁰ ≈ 2⁴⁷).
+
+    Scale shape: one bounded driver eigensolve (embedding_pca_power),
+    then ONE vectorized map pass with the d-vector broadcast in the
+    kernel closure — no shuffle at all."""
+    import numpy as np
+    import pandas as pd
+
+    from wurzel_spark.operators.dedup import _parallelize
+
+    vrows = embedding_pca_power(df, iters, vec_col, id_col).collect()
+    varr = np.array(
+        [r["v"] for r in sorted(vrows, key=lambda r: r["i"])], dtype=np.int64
+    )
+
+    def _k(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(m * QSCALE).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "norm2": (q * q).sum(axis=1),
+                    "proj": q @ varr,
+                }
+            )
+
+    return (
+        _parallelize(df.select(id_col, vec_col))
+        .mapInPandas(_k, f"{id_col} long, norm2 long, proj long")
+        .orderBy(id_col)
+    )
+
+
 def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_gram_matrix(table(spark, sf_dir, "embeddings"))
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pca_power(table(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_projection_stats(table(spark, sf_dir, "embeddings"))
 
 
 _Q_SQL = (
@@ -167,11 +218,12 @@ GROUP BY a.i, b.i ORDER BY i, j
 """
 
 
-def _pca_unrolled_sql(iters: int = PCA_ITERS) -> str:
-    """DuckDB twin of embedding_pca_power: full gram → ``iters`` unrolled
-    matvec+renormalize stages.  The renormalize runs in HUGEINT (u·2^20
-    can exceed int64) with DuckDB's native truncating ``//`` — the same
-    semantics `_tdiv` implements driver-side."""
+def _pca_cte_parts(iters: int = PCA_ITERS) -> list[str]:
+    """Shared CTE chain for the PCA-family oracles: quantized exploded
+    embeddings → full gram → ``iters`` unrolled matvec+renormalize
+    stages.  The renormalize runs in HUGEINT (u·2^20 can exceed int64)
+    with DuckDB's native truncating ``//`` — the same semantics `_tdiv`
+    implements driver-side."""
     parts = [
         f"qe AS MATERIALIZED ({_QE_SQL})",
         """gram AS (
@@ -196,7 +248,11 @@ def _pca_unrolled_sql(iters: int = PCA_ITERS) -> str:
   FROM u{t}
 )"""
         )
-    ctes = ",\n".join(parts)
+    return parts
+
+
+def _pca_unrolled_sql(iters: int = PCA_ITERS) -> str:
+    ctes = ",\n".join(_pca_cte_parts(iters))
     return f"""
 WITH {ctes}
 SELECT v.i AS i, v.v AS v, CAST((SELECT m FROM m{iters}) AS BIGINT) AS growth
@@ -204,4 +260,17 @@ FROM v{iters} v ORDER BY v.i
 """
 
 
+def _projection_sql(iters: int = PCA_ITERS) -> str:
+    ctes = ",\n".join(_pca_cte_parts(iters))
+    return f"""
+WITH {ctes}
+SELECT e.vec_id AS vec_id,
+       CAST(SUM(e.qv * e.qv) AS BIGINT) AS norm2,
+       CAST(SUM(e.qv * v.v) AS BIGINT) AS proj
+FROM qe e JOIN v{iters} v ON v.i = e.i
+GROUP BY e.vec_id ORDER BY e.vec_id
+"""
+
+
 EMBEDDING_PCA_SQL = _pca_unrolled_sql()
+EMBEDDING_PROJECTION_SQL = _projection_sql()
