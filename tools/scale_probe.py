@@ -105,6 +105,17 @@ QUERIES = [
     # strip_exact_substrings EXCLUDED: count() prunes the 1:1 token
     # reconstruction through the unique-keyed join (tlsh precedent) —
     # the stats twin above carries the family's detection cost.
+    # round-7 second wave
+    "c4_line_filter_stats",
+    "ngram_diversity_stats",
+    "hard_negative_mining",
+    "quality_threshold_sweep",
+    "hash_sample_quantiles",
+    "embedding_gram_matrix",
+    "embedding_pca_power",
+    "embedding_projection_stats",
+    "vocab_growth_curve",
+    "source_overlap_matrix",
 ]
 
 
