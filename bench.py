@@ -153,6 +153,8 @@ HEADLINE = [
     "embedding_pca_power",
     "vocab_growth_curve",
     "source_overlap_matrix",
+    "embedding_projection_stats",
+    "event_hour_anomalies",
 ]
 
 

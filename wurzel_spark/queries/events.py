@@ -387,3 +387,92 @@ WHERE q IS NOT NULL
 GROUP BY day
 ORDER BY day
 """
+
+
+# ----------------------------------------------------- anomaly hours
+
+ANOMALY_MAD_K = 3
+
+
+def event_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly flags over the hourly count series:
+    an (event_type, hour) is anomalous when |count − median| >
+    {ANOMALY_MAD_K}·MAD, with median and MAD both the house rank-ceil
+    order statistic (value at 1-based rank ceil(n/2) ascending) — a
+    definition every engine reproduces bit-exactly, unlike mean/stddev
+    gates that need float accumulation.  The monitoring readout a
+    pipeline puts behind ingest: a bot burst or an outage hour trips the
+    gate without a labeled baseline, and MAD ignores the outliers that
+    would inflate a stddev gate (50% breakdown point).
+
+    Scale shape: one grouped hourly aggregation (map-side combined),
+    then two windows partitioned by event_type over the HOURLY table —
+    rows = types × hours, already metadata-sized relative to the event
+    stream.  All comparisons exact int64; no output floats.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = W.partitionBy("event_type")
+    ranked = hourly.withColumn(
+        "__rn", F.row_number().over(wt.orderBy("c", "hour"))
+    ).withColumn("__n", F.count(F.lit(1)).over(wt))
+    med = (
+        ranked.filter(F.col("__rn") == F.ceil(F.col("__n") / 2).cast("int"))
+        .select("event_type", F.col("c").alias("med"))
+    )
+    dev = hourly.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("c") - F.col("med"))
+    )
+    dranked = dev.withColumn(
+        "__rn", F.row_number().over(wt.orderBy("adev", "hour"))
+    ).withColumn("__n", F.count(F.lit(1)).over(wt))
+    mad = (
+        dranked.filter(F.col("__rn") == F.ceil(F.col("__n") / 2).cast("int"))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .filter(F.col("adev") > ANOMALY_MAD_K * F.col("mad"))
+        .select(
+            "event_type",
+            "hour",
+            F.col("c").alias("n_events"),
+            F.col("med").alias("median_events"),
+            F.col("mad").alias("mad_events"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENT_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), ranked AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, hour) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+), med AS (
+  SELECT event_type, c AS med FROM ranked
+  WHERE rn = CAST(CEIL(n / 2.0) AS INT)
+), dev AS (
+  SELECT h.event_type, h.hour, h.c, m.med, ABS(h.c - m.med) AS adev
+  FROM hourly h JOIN med m ON m.event_type = h.event_type
+), dranked AS (
+  SELECT event_type, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, hour) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type, adev AS mad FROM dranked
+  WHERE rn = CAST(CEIL(n / 2.0) AS INT)
+)
+SELECT d.event_type AS event_type, d.hour AS hour,
+       d.c AS n_events, d.med AS median_events, x.mad AS mad_events
+FROM dev d JOIN mad x ON x.event_type = d.event_type
+WHERE d.adev > {ANOMALY_MAD_K} * x.mad
+ORDER BY d.event_type, d.hour
+"""
