@@ -1160,3 +1160,31 @@ def test_streaming_quality_sweep_matches_batch(spark, sf_dir, tmp_path):
     exp = sorted(map(tuple, quality_threshold_sweep(docs).collect()))
     assert got == exp and len(got) > 0
     assert len(list_batch_ids(spark, state)) <= 2
+
+
+def test_streaming_event_anomalies_match_batch(spark, sf_dir, tmp_path):
+    """r7: additive hourly-count partials staged over micro-batches ==
+    the batch median/MAD anomaly gate bit-exactly — an hour split across
+    batches must sum before the order statistics read it."""
+    from wurzel_spark.queries.events import anomalies_from_hourly, event_hourly_counts
+    from wurzel_spark.streaming.anomalies import event_anomaly_stream
+    from wurzel_spark.tables import table as _table
+
+    ev = _table(spark, sf_dir, "events").localCheckpoint()
+    d = str(tmp_path / "ea_in")
+    # repartition by nothing time-aligned: hours straddle batches
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = sorted(
+        map(
+            tuple,
+            event_anomaly_stream(
+                stream, str(tmp_path / "ea_state"), str(tmp_path / "ea_ckpt"),
+                compact_every=2,
+            ).collect(),
+        )
+    )
+    exp = sorted(map(tuple, anomalies_from_hourly(event_hourly_counts(ev)).collect()))
+    assert got == exp and len(got) > 0

@@ -411,9 +411,19 @@ def event_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream.  All comparisons exact int64; no output floats.
     """
     ev = table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    return anomalies_from_hourly(event_hourly_counts(ev))
+
+
+def event_hourly_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, hour, c) — the one event-stream-sized pass, and the
+    ADDITIVE staging unit of the streaming twin (streaming/anomalies.py)."""
+    return ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def anomalies_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The metadata-sized median/MAD tail shared with the streaming twin."""
     wt = W.partitionBy("event_type")
     ranked = hourly.withColumn(
         "__rn", F.row_number().over(wt.orderBy("c", "hour"))
