@@ -155,6 +155,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "embedding_projection_stats",
     "event_hour_anomalies",
+    "dup_graph_kcore",
 ]
 
 

@@ -82,3 +82,41 @@ def test_transitivity_triangle_vs_chain(spark):
     r = graph_transitivity(k4).collect()[0]
     assert (r["n_triangles"], r["n_wedges"]) == (4, 12)
     assert r["clustering_coefficient"] == 1.0
+
+
+# ------------------------------------------------------------- k-core
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_kcore_clique_survives_chain_peels(spark):
+    """4-clique {1,2,3,4} + tail chain 4-5-6-7: the chain peels away
+    round by round at k=2; the clique survives with induced degree 3."""
+    from wurzel_spark.operators.graph import graph_kcore
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    out = {r["node"]: r["core_deg"] for r in graph_kcore(_pairs(spark, clique + chain), k=2).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_k3_requires_dense_core(spark):
+    from wurzel_spark.operators.graph import graph_kcore
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    triangle = [(10, 11), (11, 12), (10, 12)]
+    out = {r["node"]: r["core_deg"] for r in graph_kcore(_pairs(spark, clique + triangle), k=3).collect()}
+    # the triangle (max degree 2) peels; the 4-clique is the 3-core
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_converges_before_round_cap(spark):
+    """A chain of length 9 needs ⌈9/2⌉-ish rounds to fully peel at k=2;
+    rounds=8 and rounds=16 agree (fixpoint reached within the cap)."""
+    from wurzel_spark.operators.graph import graph_kcore
+
+    chain = [(i, i + 1) for i in range(1, 10)]
+    a = sorted(map(tuple, graph_kcore(_pairs(spark, chain), k=2, rounds=8).collect()))
+    b = sorted(map(tuple, graph_kcore(_pairs(spark, chain), k=2, rounds=16).collect()))
+    assert a == b == []  # a pure chain has no 2-core

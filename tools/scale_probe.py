@@ -116,6 +116,7 @@ QUERIES = [
     "embedding_projection_stats",
     "vocab_growth_curve",
     "source_overlap_matrix",
+    "dup_graph_kcore",
 ]
 
 

@@ -326,3 +326,110 @@ FROM tri, wd, ne
 
 TRANSITIVITY_SQL = _transitivity_sql()
 TRANSITIVITY_CAPPED_SQL = _transitivity_sql(capped=True)
+
+
+# ------------------------------------------------------------ k-core
+
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def graph_kcore(
+    pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """``rounds``-round k-core peel of an undirected edge list
+    (id_a < id_b): repeatedly drop nodes whose degree in the surviving
+    induced subgraph is < k, then report the survivors with their
+    induced degrees.  On a near-dup graph the k-core is the BOILERPLATE
+    CORE — the densest mutually-duplicating region (template farms,
+    mirrored FAQ clusters) that cluster-representative selection should
+    treat as one unit; chains and stars that transitivity already flags
+    as threshold artifacts peel away entirely.  Default k=2 (the CYCLIC
+    core): every chain and star vanishes, anything that survives
+    duplicates in at least two independent directions — on the sparse
+    sf0.01 driver graph that is exactly its one triangle, while k=3
+    (4-clique cores) is empty there; raise k with graph density.
+
+    The peel is a decreasing fixpoint, which vanilla recursive CTEs
+    can't express (they grow monotonically) — so BOTH engines run the
+    SAME fixed ``rounds`` unrolled iterations (the quantized-PageRank /
+    unrolled-kmeans precedent): deterministic, oracle-checkable, and in
+    practice converged long before round 8 (each round removes a full
+    onion layer; the fixture test pins convergence).  Scale shape: per
+    round one grouped degree count + two co-partitioned semi joins on
+    the SHRINKING edge set, each round checkpointed so lineage stays
+    flat (the incremental_cluster_members loop discipline).
+    """
+    pairs = pairs.localCheckpoint(eager=True)
+    live = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    live = live.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        live = (
+            live.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        live.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .select(F.col("u").alias("node"), "core_deg")
+        .orderBy("node")
+    )
+
+
+def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the df-capped exact-Jaccard dup graph — the 100 TB
+    configuration (the transitivity_capped precedent)."""
+    from wurzel_spark.operators.dedup import CAPPED_MAX_DF, ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return graph_kcore(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_df=CAPPED_MAX_DF, sort=False)
+    )
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    from wurzel_spark.operators.dedup import _CAPPED_SHINGLES_CTE
+
+    pairs_cte = f"""{_CAPPED_SHINGLES_CTE}, pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+)"""
+    parts = [
+        pairs_cte,
+        """e0 AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+)""",
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"e{t - 1}"
+        parts.append(
+            f"""k{t} AS MATERIALIZED (
+  SELECT u FROM (SELECT u, COUNT(*) AS deg FROM {prev} GROUP BY u)
+  WHERE deg >= {k}
+)"""
+        )
+        parts.append(
+            f"""e{t} AS MATERIALIZED (
+  SELECT a.u, a.v FROM {prev} a
+  WHERE EXISTS (SELECT 1 FROM k{t} x WHERE x.u = a.u)
+    AND EXISTS (SELECT 1 FROM k{t} y WHERE y.u = a.v)
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM e{rounds} GROUP BY u ORDER BY node
+"""
+
+
+DUP_GRAPH_KCORE_SQL = _kcore_sql()
