@@ -117,6 +117,7 @@ QUERIES = [
     "vocab_growth_curve",
     "source_overlap_matrix",
     "dup_graph_kcore",
+    "event_hour_anomalies",
 ]
 
 

@@ -365,6 +365,7 @@ def graph_kcore(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
     live = live.localCheckpoint(eager=True)
+    prev = live.count()
     for _ in range(rounds):
         deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
@@ -373,6 +374,13 @@ def graph_kcore(
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
+        # bit-equal early exit: an unchanged edge COUNT means no node was
+        # dropped this round, so every remaining unrolled round is a
+        # no-op — the oracle's full unroll reaches the identical set.
+        cur = live.count()
+        if cur == prev:
+            break
+        prev = cur
     return (
         live.groupBy("u")
         .agg(F.count(F.lit(1)).alias("core_deg"))
