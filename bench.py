@@ -156,6 +156,8 @@ HEADLINE = [
     "embedding_projection_stats",
     "event_hour_anomalies",
     "dup_graph_kcore",
+    "term_freq_of_freq",
+    "eval_sample_manifest",
 ]
 
 

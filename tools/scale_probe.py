@@ -118,6 +118,8 @@ QUERIES = [
     "source_overlap_matrix",
     "dup_graph_kcore",
     "event_hour_anomalies",
+    "term_freq_of_freq",
+    "eval_sample_manifest",
 ]
 
 

@@ -3026,3 +3026,143 @@ FROM (
 LEFT JOIN shared s ON s.src_a = f.src_a AND s.src_b = f.src_b
 ORDER BY f.src_a, f.src_b
 """
+
+
+# --------------------------------------------- Good-Turing freq-of-freq
+
+GT_MAX_FREQ = 5
+
+
+def term_freq_of_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source frequency-of-frequencies — the Good-Turing smoothing
+    input: how many term types occur exactly once (hapax legomena),
+    twice, ... up to {GT_MAX_FREQ} times, plus the GT unseen-mass
+    estimate p_unseen = f1 / n_tokens (the probability the NEXT token is
+    a never-seen type).  The readout behind OOV-rate forecasting and
+    "is more of this source worth tokenizing" decisions; a source whose
+    hapax share stays high keeps yielding new vocabulary
+    ([[vocab-growth]] is the cumulative view, this is the density view).
+
+    Scale shape: ONE explode + groupBy(source, term-hash) with map-side
+    combine (xxhash64 keys; the diversity precedent — counts equal the
+    literal-string oracle modulo ~2⁻⁶⁵ collisions), then a
+    count-histogram aggregate over the type table (distinct-type-sized,
+    shuffles only (source, capped-freq) keys).  Integer everywhere but
+    the single p_unseen division.
+    """
+    from wurzel_spark.operators.dedup import _parallelize
+
+    c = F.col(text_col)
+    types = (
+        _parallelize(df)
+        .select("source", F.explode(TXT.words(c)).alias("w"))
+        .groupBy("source", F.xxhash64("w").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fcap = F.least(F.col("c"), F.lit(GT_MAX_FREQ + 1))
+    hist = types.groupBy("source", fcap.alias("f")).agg(
+        F.count(F.lit(1)).alias("n_types_f"),
+        F.sum("c").alias("n_tokens_f"),
+    )
+    pivots = [
+        F.sum(F.when(F.col("f") == i, F.col("n_types_f")))
+        .cast("long")
+        .alias(f"f{i}")
+        for i in range(1, GT_MAX_FREQ + 1)
+    ]
+    return (
+        hist.groupBy("source")
+        .agg(
+            F.sum("n_tokens_f").alias("n_tokens"),
+            F.sum("n_types_f").alias("n_types"),
+            *pivots,
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            *[F.coalesce(f"f{i}", F.lit(0)).alias(f"f{i}") for i in range(1, GT_MAX_FREQ + 1)],
+            (
+                F.coalesce("f1", F.lit(0)).cast("double")
+                / F.when(F.col("n_tokens") > 0, F.col("n_tokens"))
+            ).alias("p_unseen"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_term_freq_of_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_freq_of_freq(table(spark, sf_dir, "documents"))
+
+
+TERM_FREQ_OF_FREQ_SQL = rf"""
+WITH toks AS (
+  SELECT source, UNNEST(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> x != '')) AS w
+  FROM documents
+), types AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, w
+), hist AS (
+  SELECT source, LEAST(c, {GT_MAX_FREQ + 1}) AS f,
+         CAST(COUNT(*) AS BIGINT) AS n_types_f,
+         CAST(SUM(c) AS BIGINT) AS n_tokens_f
+  FROM types GROUP BY source, LEAST(c, {GT_MAX_FREQ + 1})
+)
+SELECT source,
+       CAST(SUM(n_tokens_f) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_types_f) AS BIGINT) AS n_types,
+       {", ".join(f"CAST(COALESCE(SUM(CASE WHEN f = {i} THEN n_types_f END), 0) AS BIGINT) AS f{i}" for i in range(1, GT_MAX_FREQ + 1))},
+       CAST(COALESCE(SUM(CASE WHEN f = 1 THEN n_types_f END), 0) AS DOUBLE)
+         / NULLIF(CAST(SUM(n_tokens_f) AS BIGINT), 0) AS p_unseen
+FROM hist GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------- stratified eval sample
+
+EVAL_SAMPLE_PER_STRATUM = 5
+
+
+def eval_sample_manifest(
+    df: DataFrame, per_stratum: int = EVAL_SAMPLE_PER_STRATUM
+) -> DataFrame:
+    """Deterministic stratified sample manifest: the bottom-``per_stratum``
+    doc_ids by the sampling hash within every (source, lang) stratum —
+    the frozen eval-set recipe (same corpus ⇒ same manifest, any engine,
+    any partitioning; the bottom-k semilattice argument from
+    operators/sketches).  One window shuffle on the compound stratum key.
+    """
+    from pyspark.sql import Window as W
+
+    from wurzel_spark.operators.sketches import _knuth_hash
+
+    w = W.partitionBy("source", "lang").orderBy(
+        _knuth_hash("doc_id").asc(), F.col("doc_id")
+    )
+    return (
+        df.select("source", "lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_stratum)
+        .select("source", "lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+        .orderBy("source", "lang", "rk")
+    )
+
+
+def q_eval_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return eval_sample_manifest(table(spark, sf_dir, "documents"))
+
+
+EVAL_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT source, lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, lang
+           ORDER BY ((doc_id % 1000003) * 2654435761) % 4294967296, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {EVAL_SAMPLE_PER_STRATUM}
+ORDER BY source, lang, rk
+"""
