@@ -1188,3 +1188,37 @@ def test_streaming_event_anomalies_match_batch(spark, sf_dir, tmp_path):
     )
     exp = sorted(map(tuple, anomalies_from_hourly(event_hourly_counts(ev)).collect()))
     assert got == exp and len(got) > 0
+
+
+def test_streaming_fof_matches_batch(spark, sf_dir, tmp_path):
+    """r7: vocabulary-sized type-count partials with the AGGREGATING
+    fold == the batch Good-Turing histogram bit-exactly; the fold keeps
+    state at one row per live type (asserted on the folded dir)."""
+    from wurzel_spark.operators.textstats import term_freq_of_freq
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.fof import fof_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(200).localCheckpoint()
+    d = str(tmp_path / "ff_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "ff_state")
+    got = sorted(
+        map(
+            tuple,
+            fof_stream(stream, state, str(tmp_path / "ff_ckpt"), compact_every=2)
+            .collect(),
+        )
+    )
+    exp = sorted(map(tuple, term_freq_of_freq(docs).collect()))
+    assert got == exp and len(got) > 0
+    assert len(list_batch_ids(spark, state)) <= 2
+    # the aggregating fold leaves ≤ one row per (source, type)
+    staged = spark.read.parquet(state)
+    n_rows = staged.count()
+    n_keys = staged.select("source", "h").distinct().count()
+    # at most one un-folded trailing batch may duplicate a key
+    assert n_rows <= 2 * n_keys

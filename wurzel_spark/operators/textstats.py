@@ -3050,15 +3050,27 @@ def term_freq_of_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffles only (source, capped-freq) keys).  Integer everywhere but
     the single p_unseen division.
     """
+    return fof_from_types(term_type_counts(df, text_col))
+
+
+def term_type_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, h, c) per-type counts — the corpus-sized pass, and the
+    staging unit of the streaming twin (streaming/fof.py): type counts
+    are additive across batches, and the twin's AGGREGATING fold keeps
+    the state bounded at one row per live type."""
     from wurzel_spark.operators.dedup import _parallelize
 
     c = F.col(text_col)
-    types = (
+    return (
         _parallelize(df)
         .select("source", F.explode(TXT.words(c)).alias("w"))
         .groupBy("source", F.xxhash64("w").alias("h"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def fof_from_types(types: DataFrame) -> DataFrame:
+    """The capped-histogram tail shared with the streaming twin."""
     fcap = F.least(F.col("c"), F.lit(GT_MAX_FREQ + 1))
     hist = types.groupBy("source", fcap.alias("f")).agg(
         F.count(F.lit(1)).alias("n_types_f"),
