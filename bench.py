@@ -158,6 +158,7 @@ HEADLINE = [
     "dup_graph_kcore",
     "term_freq_of_freq",
     "eval_sample_manifest",
+    "proportional_interleave",
 ]
 
 

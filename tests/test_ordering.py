@@ -144,3 +144,35 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
             assert out[i] == plain[i], i  # singletons unchanged
     # members inherit the CLUSTER MIN's band — stable representative
     assert out[2] == plain[1] and out[25] == plain[10]
+
+
+# ------------------------------------------- proportional interleave
+
+def test_interleave_spreads_sources_evenly(spark):
+    """3:1 mixture: reading the schedule in order, every window of 4
+    consecutive docs contains at most 1 doc of the minority source
+    (stride keys place minority docs at 0, 1/n, 2/n... of the epoch)."""
+    from wurzel_spark.operators.ordering import proportional_interleave
+
+    rows = [(i, "big" if i % 4 else "small", "t") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = proportional_interleave(df).collect()
+    order = [r["source"] for r in out]
+    assert len(order) == 200
+    for i in range(0, 200, 4):
+        window = order[i : i + 4]
+        assert window.count("small") <= 2, (i, window)
+    # positions of the minority source are near-uniform: gaps of 3-5
+    pos = [i for i, s in enumerate(order) if s == "small"]
+    gaps = [b - a for a, b in zip(pos, pos[1:])]
+    assert gaps and max(gaps) <= 5 and min(gaps) >= 3
+
+
+def test_interleave_deterministic_across_partitionings(spark):
+    from wurzel_spark.operators.ordering import proportional_interleave
+
+    rows = [(i, f"s{i % 3}", "t") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = [tuple(r) for r in proportional_interleave(df.repartition(1)).collect()]
+    b = [tuple(r) for r in proportional_interleave(df.repartition(7)).collect()]
+    assert a == b

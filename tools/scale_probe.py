@@ -120,6 +120,7 @@ QUERIES = [
     "event_hour_anomalies",
     "term_freq_of_freq",
     "eval_sample_manifest",
+    "proportional_interleave",
 ]
 
 

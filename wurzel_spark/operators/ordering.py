@@ -459,3 +459,64 @@ ORDER BY doc_id
 
 
 LEAKAGE_SAFE_SPLIT_SQL = _leakage_safe_split_sql()
+
+
+# ------------------------------------------------ proportional interleave
+
+STRIDE_SCALE = 1 << 40
+
+
+def proportional_interleave(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stride-scheduled mixture training order: every source is spread
+    EVENLY through the epoch in proportion to its size (the k-th of n_s
+    docs from source s lands at fractional position (k−1)/n_s), so a
+    data loader reading the output in (stride_key, source, id) order
+    never sees a source burst — the steady mixture GPT-style training
+    wants, without RNG.  stride_key = ((rank−1) · 2⁴⁰) div n_source is
+    an exact integer (rank ≤ n_source ⇒ key < 2⁴⁰; cross-source
+    comparisons are the 2⁻⁴⁰-quantized rationals, deterministic
+    everywhere).
+
+    Scale shape: one window shuffle on the source key for the per-source
+    rank (deterministic hash order — the corpus_shuffle sampler), then a
+    pure map; the output ORDER is the schedule, no global row-number.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(_det_hash(F.col(id_col)).asc(), F.col(id_col))
+    wc = W.partitionBy("source")
+    return (
+        df.select("source", id_col)
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .withColumn("n_source", F.count(F.lit(1)).over(wc))
+        .select(
+            id_col,
+            "source",
+            F.col("rank_in_source").cast("long").alias("rank_in_source"),
+            F.expr(f"((rank_in_source - 1) * {STRIDE_SCALE}L) div n_source")
+            .alias("stride_key"),
+        )
+        .orderBy("stride_key", "source", id_col)
+    )
+
+
+def q_proportional_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return proportional_interleave(table(spark, sf_dir, "documents"))
+
+
+PROPORTIONAL_INTERLEAVE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 1000003) * 2654435761) % 4294967296, doc_id
+         ) AS rank_in_source,
+         COUNT(*) OVER (PARTITION BY source) AS n_source
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(rank_in_source AS BIGINT) AS rank_in_source,
+       ((rank_in_source - 1) * {STRIDE_SCALE}) // n_source AS stride_key
+FROM ranked
+ORDER BY stride_key, source, doc_id
+"""
