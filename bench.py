@@ -159,6 +159,7 @@ HEADLINE = [
     "term_freq_of_freq",
     "eval_sample_manifest",
     "proportional_interleave",
+    "lsh_param_sweep",
 ]
 
 

@@ -35,6 +35,9 @@ def test_known_rows_only_set_is_intentional():
         "multimodal_frame_stats", "quality_classifier_scores",
         "retrieval_self_eval", "semantic_split_chunks", "simhash_near_pairs",
         "tlsh_fingerprints",
+        # r7: engine-hash banding internals; S-curve pinned in
+        # tests/test_lsh_sweep.py
+        "lsh_param_sweep",
     ])
     # retrieval_self_eval HAS an oracle since its r6 restoration
     declared = [d for d in declared if d != "retrieval_self_eval"]

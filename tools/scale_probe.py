@@ -121,6 +121,7 @@ QUERIES = [
     "term_freq_of_freq",
     "eval_sample_manifest",
     "proportional_interleave",
+    "lsh_param_sweep",
 ]
 
 

@@ -2621,3 +2621,95 @@ SELECT s.bench,
 FROM sizes s LEFT JOIN per_bench p ON s.bench = p.bench
 ORDER BY s.bench
 """
+
+
+# --------------------------------------------------- LSH parameter sweep
+
+# (bands, rows) grids over one shared 24-slot signature
+LSH_SWEEP_NUM_HASHES = 24
+LSH_SWEEP_CONFIGS = ((24, 1), (12, 2), (8, 3), (6, 4), (4, 6), (3, 8), (2, 12))
+
+
+def lsh_param_sweep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = LSH_SWEEP_NUM_HASHES,
+    n: int = 3,
+) -> DataFrame:
+    """S-curve calibration for LSH banding: ONE shared ``num_hashes``-slot
+    MinHash signature pass, then every (bands, rows) configuration on the
+    grid is banded and bucket-counted, reporting per config the join-cost
+    readout a threshold decision needs BEFORE committing to a full pair
+    join: candidate_pair_slots (Σ C(bucket,2) — the exact number of pair
+    comparisons the band join would do, multiplicity included),
+    n_buckets_ge2, max_bucket, and the config's theoretical S-curve
+    threshold (1/b)^(1/r) in permille.  Small r → recall-heavy (catches
+    low Jaccard, huge join), large r → precision-heavy; the sweep shows
+    where the cost curve bends for THIS corpus.
+
+    Scale shape: signatures are computed once (the Arrow kernel,
+    checkpointed); each config re-slices the cached 24-long arrays — a
+    map-only pass per config over id+signature, NEVER re-reading text —
+    and all configs share one (cfg, band, hash) groupBy with map-side
+    combine.  Engine-hash internals (splitmix64/xxhash64) ⇒ rows-only;
+    the S-curve monotonicity is pinned by fixture tests.
+    """
+    from functools import reduce as _reduce
+
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sigs = sigs.localCheckpoint(eager=True)
+    parts = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        bands_arr = F.array(
+            *[F.xxhash64(F.slice("signature", j * r + 1, r)) for j in range(b)]
+        )
+        parts.append(
+            sigs.select(
+                F.lit(b).alias("b"),
+                F.lit(r).alias("r"),
+                F.explode(bands_arr).alias("h"),
+            )
+        )
+    allb = _reduce(lambda a, x: a.unionByName(x), parts)
+    # band index is implicit in the slice offsets feeding xxhash64 —
+    # distinct bands of one doc rarely collide, and a collision only
+    # merges two buckets of the SAME config (a conservative overcount the
+    # fixture bounds); keying on (b, r, h) keeps the shuffle rows at 8B.
+    buckets = allb.groupBy("b", "r", "h").agg(F.count(F.lit(1)).alias("c"))
+    stats = (
+        buckets.filter(F.col("c") >= 2)
+        .groupBy("b", "r")
+        .agg(
+            F.sum(F.expr("c * (c - 1) div 2")).alias("candidate_pair_slots"),
+            F.count(F.lit(1)).alias("n_buckets_ge2"),
+            F.max("c").alias("max_bucket"),
+        )
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [
+            (b, r, int(1000 * (1.0 / b) ** (1.0 / r)))
+            for b, r in LSH_SWEEP_CONFIGS
+        ],
+        "b int, r int, threshold_permille long",
+    )
+    return (
+        F.broadcast(grid)
+        .join(stats, ["b", "r"], "left")
+        .select(
+            "b",
+            "r",
+            "threshold_permille",
+            F.coalesce("candidate_pair_slots", F.lit(0))
+            .cast("long")
+            .alias("candidate_pair_slots"),
+            F.coalesce("n_buckets_ge2", F.lit(0)).cast("long").alias("n_buckets_ge2"),
+            F.coalesce("max_bucket", F.lit(0)).cast("long").alias("max_bucket"),
+        )
+        .orderBy("r", "b")
+    )
+
+
+def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_param_sweep(table(spark, sf_dir, "documents"))
