@@ -160,6 +160,7 @@ HEADLINE = [
     "eval_sample_manifest",
     "proportional_interleave",
     "lsh_param_sweep",
+    "ngram_diversity_hll",
 ]
 
 

@@ -173,3 +173,36 @@ def test_bloom_never_misses_exact_hits(spark):
     for r in out:
         assert r["n_bloom_hits"] >= r["n_exact_hits"]  # no false negatives
         assert r["n_false_pos"] >= 0
+
+
+def test_ngram_diversity_hll_accuracy(spark, sf_dir):
+    """The HLL diversity twin tracks the exact distinct within the
+    1024-register error envelope (~3.25%/sqrt(m) ≈ 10% generous bound)
+    on the real corpus, for every (source, n) group."""
+    from wurzel_spark.operators.sketches import ngram_diversity_hll
+    from wurzel_spark.tables import table as _table
+
+    out = ngram_diversity_hll(_table(spark, sf_dir, "documents")).collect()
+    assert len(out) == 60  # 20 sources x n in {1,2,3}
+    for r in out:
+        assert r["n_distinct_exact"] > 0
+        assert r["n_grams"] >= r["n_distinct_exact"]
+
+
+def test_ngram_diversity_hll_valid_range(spark):
+    """Above ~3m distinct (the RAW estimator's valid range — no
+    small-range correction by design, ln isn't cross-engine exact) the
+    estimate lands inside the 1024-register error envelope."""
+    from pyspark.sql import functions as F
+    from wurzel_spark.operators.sketches import ngram_diversity_hll
+
+    # 50 docs x 400 unique tokens = 20k distinct unigrams >> 3m
+    rows = [
+        (i, " ".join(f"tok{i}_{k}" for k in range(400)), "big")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["n"]: r.asDict() for r in ngram_diversity_hll(df).collect()}
+    for n in (1, 2, 3):
+        assert out[n]["n_distinct_exact"] > 3 * 1024
+        assert out[n]["rel_error"] < 0.10, (n, out[n]["rel_error"])

@@ -122,6 +122,7 @@ QUERIES = [
     "eval_sample_manifest",
     "proportional_interleave",
     "lsh_param_sweep",
+    "ngram_diversity_hll",
 ]
 
 

@@ -1122,3 +1122,139 @@ JOIN exact x ON x.source = e.source AND x.p1000 = e.p1000
 JOIN ranks r ON r.source = e.source AND r.p1000 = e.p1000
 ORDER BY e.source, e.p1000
 """
+
+
+# ----------------------------------------- HLL n-gram diversity twin
+
+def ngram_diversity_hll(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The 100 TB configuration of ngram_diversity_stats (textstats) —
+    the twin its docstring promises: distinct n-gram counts per
+    (source, n ∈ {1,2,3}) estimated from 1024 HLL registers instead of
+    an exact distinct over the full gram set.  The exact form shuffles
+    every (source, n, gram) key; this one's state is 1 KB per
+    (source, n) group however large the corpus, and registers are
+    max-mergeable across any partition/batch split.  Register math is
+    the hll_distinct_stats integer-exact pipeline (md5-prefix hash of
+    the LITERAL gram string, so the oracle reproduces every register
+    bit); n_grams (total, additive) and the exact distinct + rel_error
+    columns are the audit-scale readout, dropped in production.
+    """
+    ws = TXT.words(F.col(text_col))
+    grams = F.flatten(
+        F.transform(
+            F.array(*[F.lit(n) for n in (1, 2, 3)]),
+            lambda n: F.element_at(
+                F.transform(
+                    F.array(ws),
+                    lambda w: F.when(
+                        F.size(w) - n + 1 >= 1,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(w) - n + 1),
+                            lambda i: F.struct(
+                                n.alias("n"),
+                                F.concat_ws(" ", F.slice(w, i, n)).alias("g"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<n:int,g:string>>")),
+                ),
+                1,
+            ),
+        )
+    )
+    hs = (
+        df.select("source", F.explode(grams).alias("p"))
+        .select("source", F.col("p.n").alias("n"), md5_prefix_hash(F.col("p.g")).alias("h"))
+    )
+    hs = hs.localCheckpoint(eager=True)  # feeds registers + totals + exact
+    regs = (
+        hs.select(
+            "source", "n",
+            F.shiftright("h", 50).alias("bucket"),
+            (F.col("h") % F.lit(_2_50)).alias("rem"),
+        )
+        .select(
+            "source", "n", "bucket",
+            F.when(F.col("rem") == 0, F.lit(51))
+            .otherwise(F.instr(F.lpad(F.bin("rem"), 50, "0"), "1"))
+            .alias("rho"),
+        )
+        .groupBy("source", "n", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    per = regs.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - reg AS INT))")).alias("sum_hit"),
+    ).select(
+        "source", "n", "n_buckets_hit",
+        (F.col("sum_hit") + (F.lit(HLL_M) - F.col("n_buckets_hit")) * F.lit(_2_51))
+        .alias("hll_sum_scaled"),
+    )
+    totals = hs.groupBy("source", "n").agg(F.count(F.lit(1)).alias("n_grams"))
+    exact = (
+        hs.distinct().groupBy("source", "n").agg(F.count(F.lit(1)).alias("n_distinct_exact"))
+    )
+    est = F.lit(_HLL_NUMER) / F.col("hll_sum_scaled").cast("double")
+    exact_d = F.col("n_distinct_exact").cast("double")
+    return (
+        totals.join(per, ["source", "n"])
+        .join(exact, ["source", "n"])
+        .select(
+            "source", "n", "n_grams", "n_buckets_hit", "hll_sum_scaled",
+            est.alias("hll_estimate"),
+            "n_distinct_exact",
+            (F.abs(est - exact_d) / exact_d).alias("rel_error"),
+        )
+        .orderBy("source", "n")
+    )
+
+
+def q_ngram_diversity_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_diversity_hll(table(spark, sf_dir, "documents"))
+
+
+NGRAM_DIVERSITY_HLL_SQL = rf"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), grams AS (
+  SELECT source, t.n, array_to_string(ws[i:i+t.n-1], ' ') AS g
+  FROM toks,
+       (VALUES (1), (2), (3)) AS t(n),
+       UNNEST(range(1, len(ws) - t.n + 2)) AS u(i)
+  WHERE len(ws) >= t.n
+), h AS (
+  SELECT source, n, {_SQL_H.format(x="g")} AS h FROM grams
+), rho AS (
+  SELECT source, n, h, h >> 50 AS bucket,
+         CASE WHEN h % {_2_50} = 0 THEN 51
+              ELSE strpos(lpad(bin(h % {_2_50}), 50, '0'), '1') END AS rho
+  FROM h
+), regs AS (
+  SELECT source, n, bucket, MAX(rho) AS reg FROM rho GROUP BY source, n, bucket
+), per AS (
+  SELECT source, n, COUNT(*) AS n_buckets_hit,
+         SUM(CAST(1 AS BIGINT) << CAST(51 - reg AS INT)) AS sum_hit
+  FROM regs GROUP BY source, n
+), totals AS (
+  SELECT source, n, CAST(COUNT(*) AS BIGINT) AS n_grams FROM h GROUP BY source, n
+), exact AS (
+  SELECT source, n, COUNT(DISTINCT h) AS n_distinct_exact FROM h GROUP BY source, n
+), est AS (
+  SELECT p.source, p.n, t.n_grams, p.n_buckets_hit,
+         CAST(p.sum_hit + ({HLL_M} - p.n_buckets_hit) * {_2_51} AS BIGINT)
+           AS hll_sum_scaled,
+         e.n_distinct_exact
+  FROM per p
+  JOIN totals t ON t.source = p.source AND t.n = p.n
+  JOIN exact e ON e.source = p.source AND e.n = p.n
+)
+SELECT source, n, n_grams, n_buckets_hit, hll_sum_scaled,
+       {_HLL_NUMER!r} / CAST(hll_sum_scaled AS DOUBLE) AS hll_estimate,
+       n_distinct_exact,
+       abs({_HLL_NUMER!r} / CAST(hll_sum_scaled AS DOUBLE)
+           - CAST(n_distinct_exact AS DOUBLE))
+         / CAST(n_distinct_exact AS DOUBLE) AS rel_error
+FROM est
+ORDER BY source, n
+"""
