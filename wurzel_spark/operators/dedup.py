@@ -2662,7 +2662,16 @@ def lsh_param_sweep(
     parts = []
     for b, r in LSH_SWEEP_CONFIGS:
         bands_arr = F.array(
-            *[F.xxhash64(F.slice("signature", j * r + 1, r)) for j in range(b)]
+            *[
+                # band index j is part of the bucket key (ADVICE r7): the
+                # hash sees only slice VALUES, so without j equal r-length
+                # signature content in two different bands of one config
+                # would merge their buckets and overcount
+                # candidate_pair_slots (r=1 configs band on raw slot
+                # values, where cross-band equality is common).
+                F.xxhash64(F.lit(j), F.slice("signature", j * r + 1, r))
+                for j in range(b)
+            ]
         )
         parts.append(
             sigs.select(
@@ -2672,10 +2681,7 @@ def lsh_param_sweep(
             )
         )
     allb = _reduce(lambda a, x: a.unionByName(x), parts)
-    # band index is implicit in the slice offsets feeding xxhash64 —
-    # distinct bands of one doc rarely collide, and a collision only
-    # merges two buckets of the SAME config (a conservative overcount the
-    # fixture bounds); keying on (b, r, h) keeps the shuffle rows at 8B.
+    # keying on (b, r, h) keeps the shuffle rows at 8B per band
     buckets = allb.groupBy("b", "r", "h").agg(F.count(F.lit(1)).alias("c"))
     stats = (
         buckets.filter(F.col("c") >= 2)

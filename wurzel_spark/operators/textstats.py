@@ -1168,6 +1168,36 @@ ORDER BY doc_id
 
 # --------------------------------------------------- C4 cleaning battery
 
+# Shared C4 predicate builders (ADVICE r7): c4_line_filter_stats and
+# c4_clean_docs previously duplicated these expressions literally — a
+# future edit could drift the stats away from the mutation. One
+# definition each, used by both.
+
+
+def _c4_nonempty_lines(c):
+    return F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+
+
+def _c4_kept_lines(c):
+    """A line survives iff it ends in terminal punctuation, carries ≥5
+    whitespace words, and does not mention "javascript"."""
+    return F.filter(
+        _c4_nonempty_lines(c),
+        lambda x: F.trim(x).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= 5)
+        & ~F.lower(x).contains("javascript"),
+    )
+
+
+def _c4_page_drop(c):
+    """Page-level outright drop: "lorem ipsum" or a curly brace."""
+    return F.lower(c).contains("lorem ipsum") | c.contains("{") | c.contains("}")
+
+
+def _c4_n_sentences(kept_text):
+    return F.size(F.regexp_extract_all(kept_text, F.lit(r"[.!?]+"), 0))
+
+
 def c4_line_filter_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The C4 line-level cleaning battery (Raffel et al. 2020, §2.2) —
     the other canonical pre-training filter next to Gopher's doc-level
@@ -1196,15 +1226,10 @@ def c4_line_filter_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     rule both ways).
     """
     c = F.col(text_col)
-    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
-    kept = F.filter(
-        lines,
-        lambda x: F.trim(x).rlike('[.!?"]$')
-        & (F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= 5)
-        & ~F.lower(x).contains("javascript"),
-    )
+    lines = _c4_nonempty_lines(c)
+    kept = _c4_kept_lines(c)
     kept_text = F.concat_ws("\n", kept)
-    n_sentences = F.size(F.regexp_extract_all(kept_text, F.lit(r"[.!?]+"), 0))
+    n_sentences = _c4_n_sentences(kept_text)
     has_lorem = F.lower(c).contains("lorem ipsum")
     has_curly = c.contains("{") | c.contains("}")
     n_kept_words = F.aggregate(
@@ -1213,7 +1238,7 @@ def c4_line_filter_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, x: acc
         + F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")),
     )
-    keep = (~has_lorem) & (~has_curly) & (n_sentences >= 3)
+    keep = (~_c4_page_drop(c)) & (n_sentences >= 3)
     return df.select(
         "doc_id",
         F.size(lines).alias("n_lines"),
@@ -1229,37 +1254,19 @@ def c4_line_filter_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def c4_clean_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The mutation twin: (doc_id, cleaned_text) for surviving pages only
     — kept lines re-joined with newlines, docs failing the page-level
-    rules dropped. Shares the exact predicates with
-    ``c4_line_filter_stats`` via one select, so the stats and the
-    mutation can never drift."""
+    rules dropped. Built from the SAME ``_c4_*`` predicate helpers as
+    ``c4_line_filter_stats`` (one definition each), so the stats and the
+    mutation cannot drift (ADVICE r7)."""
+    c = F.col(text_col)
     stats_and_text = df.select(
         "doc_id",
-        F.concat_ws(
-            "\n",
-            F.filter(
-                F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""),
-                lambda x: F.trim(x).rlike('[.!?"]$')
-                & (F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= 5)
-                & ~F.lower(x).contains("javascript"),
-            ),
-        ).alias("cleaned_text"),
-        (
-            F.lower(F.col(text_col)).contains("lorem ipsum")
-            | F.col(text_col).contains("{")
-            | F.col(text_col).contains("}")
-        ).alias("page_drop"),
+        F.concat_ws("\n", _c4_kept_lines(c)).alias("cleaned_text"),
+        _c4_page_drop(c).alias("page_drop"),
     )
     return (
         stats_and_text.filter(
             ~F.col("page_drop")
-            & (
-                F.size(
-                    F.regexp_extract_all(
-                        F.col("cleaned_text"), F.lit(r"[.!?]+"), 0
-                    )
-                )
-                >= 3
-            )
+            & (_c4_n_sentences(F.col("cleaned_text")) >= 3)
         )
         .select("doc_id", "cleaned_text")
         .orderBy("doc_id")

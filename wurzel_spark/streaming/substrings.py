@@ -88,7 +88,19 @@ def drain_substring_state(
             "doc_id long, n_tokens int, n_dup_windows long, n_runs long, "
             "n_removed_tokens long, removed_frac double",
         )
-    staged = spark.read.parquet(state_dir).select("doc_id", "s", "h")
+    # Replay guard (ADVICE r7): a batch replayed after a completed fold
+    # (crash between fold rename and checkpoint commit) exists BOTH in the
+    # folded partition and in its rewritten batch=N partition. Rows are
+    # deterministic per (doc_id, s), so key-dedup restores exactly-once —
+    # without it _hot_dup_starts counts every window of a replayed doc ≥2
+    # times and falsely flags ALL of them, and duplicated s=0 sentinels
+    # emit duplicate per-doc output rows. Matches the other drains
+    # (chunks.py, fof.py, quality.py, quantiles.py).
+    staged = (
+        spark.read.parquet(state_dir)
+        .select("doc_id", "s", "h")
+        .dropDuplicates(["doc_id", "s"])
+    )
     totals = staged.filter(F.col("s") == 0).select(
         "doc_id", F.col("h").cast("int").alias("n_tokens")
     )
