@@ -231,6 +231,11 @@ HEADLINE = [
     "proportional_interleave",
     "lsh_param_sweep",
     "ngram_diversity_hll",
+    # round 8: classifier-eval battery + DoReMi-lite mixture
+    "score_calibration_bins",
+    "tokenizer_fertility_stats",
+    "langid_confusion",
+    "doremi_mixture_weights",
 ]
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from wurzel_spark.functions import text as TXT
 from wurzel_spark.operators import dedup
+from wurzel_spark.operators.textstats import STOPWORDS
 from wurzel_spark.tables import table
 
 # ------------------------------------------------- cluster representatives
@@ -631,3 +632,132 @@ SELECT * FROM (
   UNION ALL SELECT '3_deduped', COUNT(*) FROM deduped_ids
 ) ORDER BY stage
 """
+
+
+# ------------------------------------------- DoReMi-lite mixture (round 8)
+
+DOREMI_ITERS = 6
+DOREMI_ETA = 100  # multiplicative-weights step, permille-of-loss per round
+_DOREMI_SCALE = 1_000_000  # weights live in parts-per-million
+
+
+def doremi_mixture_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Domain-mixture reweighting in the DoReMi shape (Xie et al. 2023):
+    start uniform over sources, repeatedly upweight domains with high
+    excess loss, renormalize — here with the proxy model's per-domain
+    excess loss replaced by a STATIC per-source quality deficit
+    (1000 − corpus stopword-density permille, the same integer score the
+    sweep/calibration family uses), and the exponentiated-gradient update
+    linearized to exact integer multiplicative weights:
+
+        w ← w · (10⁶ + η·loss) div 10⁶ ;  w ← w·10⁶ div Σw
+
+    ``DOREMI_ITERS`` rounds, all floor-div int64 (`div` Spark / `//`
+    DuckDB oracle, magnitudes < 1.1·10¹² ≪ 2⁶³) — deterministic,
+    partitioning-independent, cross-engine bit-exact.
+
+    Scale shape: ONE corpus pass computes per-source loss sums; the
+    iteration then runs on the K-row source table (whole-frame windows
+    over metadata-sized data), so 100 TB costs exactly one scan + K·T
+    arithmetic. Output: per source, the loss, the final mixture weight
+    (ppm), the uniform baseline, and the boost ratio.
+    """
+    c = F.col(text_col)
+    ws = TXT.words(c)
+    losses = (
+        df.select(
+            "source",
+            F.size(ws).cast("long").alias("nw"),
+            TXT.marker_words_count(c, STOPWORDS).cast("long").alias("sh"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nw").alias("sum_nw"), F.sum("sh").alias("sum_sh"))
+        .select(
+            "source",
+            (
+                F.lit(1000)
+                - F.when(
+                    F.col("sum_nw") > 0, F.expr("(1000 * sum_sh) div sum_nw")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("loss_permille"),
+        )
+    )
+    whole = W.partitionBy()
+    it = (
+        losses.withColumn("k", F.count(F.lit(1)).over(whole))
+        .select(
+            "source",
+            "loss_permille",
+            F.expr(f"{_DOREMI_SCALE} div k").cast("long").alias("w"),
+            F.expr(f"{_DOREMI_SCALE} div k").cast("long").alias("uniform_ppm"),
+        )
+    )
+    for _ in range(DOREMI_ITERS):
+        it = it.withColumn(
+            "w",
+            F.expr(
+                f"(w * ({_DOREMI_SCALE} + {DOREMI_ETA} * loss_permille))"
+                f" div {_DOREMI_SCALE}"
+            ).cast("long"),
+        ).withColumn("sw", F.sum("w").over(whole)).withColumn(
+            "w", F.expr(f"(w * {_DOREMI_SCALE}) div sw").cast("long")
+        ).drop("sw")
+    return it.select(
+        "source",
+        "loss_permille",
+        F.col("w").alias("weight_ppm"),
+        "uniform_ppm",
+        F.expr("(1000 * w) div uniform_ppm").cast("long").alias("boost_permille"),
+    ).orderBy("source")
+
+
+def q_doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doremi_mixture_weights(table(spark, sf_dir, "documents"))
+
+
+def _doremi_sql() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    head = f"""
+WITH base AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+  FROM documents
+), sums AS (
+  SELECT source,
+         CAST(SUM(len(ws)) AS BIGINT) AS sum_nw,
+         CAST(SUM(len(list_filter(ws, w -> list_contains([{stoplist}], w)))) AS BIGINT) AS sum_sh
+  FROM base GROUP BY source
+), losses AS (
+  SELECT source,
+         CAST(1000 - CASE WHEN sum_nw > 0 THEN (1000 * sum_sh) // sum_nw ELSE 0 END AS BIGINT) AS loss_permille
+  FROM sums
+), it0 AS (
+  SELECT source, loss_permille,
+         CAST({_DOREMI_SCALE} // COUNT(*) OVER () AS BIGINT) AS w,
+         CAST({_DOREMI_SCALE} // COUNT(*) OVER () AS BIGINT) AS uniform_ppm
+  FROM losses
+)"""
+    prev = "it0"
+    body = ""
+    for t in range(1, DOREMI_ITERS + 1):
+        body += f""", u{t} AS (
+  SELECT source, loss_permille, uniform_ppm,
+         (w * ({_DOREMI_SCALE} + {DOREMI_ETA} * loss_permille)) // {_DOREMI_SCALE} AS w
+  FROM {prev}
+), it{t} AS (
+  SELECT source, loss_permille, uniform_ppm,
+         CAST((w * {_DOREMI_SCALE}) // SUM(w) OVER () AS BIGINT) AS w
+  FROM u{t}
+)"""
+        prev = f"it{t}"
+    tail = f"""
+SELECT source, loss_permille, w AS weight_ppm, uniform_ppm,
+       CAST((1000 * w) // uniform_ppm AS BIGINT) AS boost_permille
+FROM {prev} ORDER BY source
+"""
+    return head + body + tail
+
+
+DOREMI_SQL = _doremi_sql()

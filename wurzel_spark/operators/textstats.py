@@ -190,7 +190,7 @@ def _dd_markers(markers) -> str:
     )
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(order_by: bool = True) -> str:
     score_cols = ",\n       ".join(
         _dd_markers(ws) + f" AS score_{lang}"
         for lang, ws in LANG_MARKERS.items()
@@ -210,7 +210,7 @@ WITH scored AS (
 )
 SELECT doc_id, lang AS labeled_lang, {case} AS predicted_lang,
        CAST(best AS BIGINT) AS best_score
-FROM best ORDER BY doc_id
+FROM best {"ORDER BY doc_id" if order_by else ""}
 """
 
 
@@ -1065,7 +1065,22 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     `WHERE gopher_keep` away, which Catalyst pushes into the parquet scan
     region of any downstream pipeline.
     """
-    c = F.col(text_col)
+    flags, n_words = _gopher_flag_exprs(F.col(text_col))
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("gopher_keep"),
+    ).orderBy("doc_id")
+
+
+def _gopher_flag_exprs(c):
+    """The Gopher rule expressions, one definition (shared by
+    gopher_quality_flags and score_calibration_bins — the C4 drift lesson,
+    ADVICE r7). Returns ({flag_name: Column}, n_words)."""
     ws = TXT.words(c)
     n_words = F.size(ws)
     n_chars_in_words = F.aggregate(
@@ -1099,24 +1114,16 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (n_alpha_words.cast("double") / F.when(has_words, n_words).cast("double") >= 0.8),
         "ok_stop_words": n_stop >= 2,
     }
-    flags = {k: F.coalesce(v, F.lit(False)) for k, v in flags.items()}
-    keep = None
-    for f in flags.values():
-        keep = f if keep is None else (keep & f)
-    return df.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        *[v.alias(k) for k, v in flags.items()],
-        keep.alias("gopher_keep"),
-    ).orderBy("doc_id")
+    return {k: F.coalesce(v, F.lit(False)) for k, v in flags.items()}, n_words
 
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(table(spark, sf_dir, "documents"))
 
 
-GOPHER_SQL = r"""
-WITH base AS (
+# The Gopher rule CTE chain (base → m → f), one definition — shared by
+# GOPHER_SQL and CALIBRATION_SQL below (the C4 drift lesson, ADVICE r7).
+_GOPHER_CTE = r"""base AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws,
          list_filter(regexp_split_to_array(text, '\n'), x -> trim(x) != '') AS lines,
@@ -1156,14 +1163,22 @@ WITH base AS (
           AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8, FALSE) AS ok_alpha_words,
          (n_stop >= 2) AS ok_stop_words
   FROM m
+)"""
+
+_GOPHER_KEEP_EXPR = (
+    "(ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet_lines"
+    " AND ok_ellipsis_lines AND ok_alpha_words AND ok_stop_words)"
 )
+
+GOPHER_SQL = f"""
+WITH {_GOPHER_CTE}
 SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
        ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stop_words,
-       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet_lines
-        AND ok_ellipsis_lines AND ok_alpha_words AND ok_stop_words) AS gopher_keep
+       {_GOPHER_KEEP_EXPR} AS gopher_keep
 FROM f
 ORDER BY doc_id
 """
+
 
 
 # --------------------------------------------------- C4 cleaning battery
@@ -3185,3 +3200,257 @@ SELECT source, lang, doc_id, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {EVAL_SAMPLE_PER_STRATUM}
 ORDER BY source, lang, rk
 """
+
+
+# --------------------------------------- classifier-eval battery (round 8)
+
+CALIBRATION_N_BINS = 10
+
+
+def score_calibration_bins(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Reliability diagram for a cheap quality score against an expensive
+    rule battery: per decile bin of the integer stopword-density score
+    (q1000 = 1000·stop_hits div n_words, the quality_threshold_sweep
+    score), how often does the Gopher keep verdict agree?  The per-bin
+    |mean score − observed keep rate| gap is the per-bin ECE contribution
+    — the standard readout before trusting a fast scorer as a proxy gate
+    for a slow one (FineWeb-Edu-style classifier distillation does
+    exactly this calibration step before corpus-scale deployment).
+
+    All columns are exact integers (floor-div permille) — cross-engine
+    bit-exact.  Scale shape: ONE corpus scan computes both the score and
+    the Gopher flags (shared select), then a 10-row grouped aggregate;
+    no joins, no windows over corpus-sized data.
+
+    Reference parity: wurzel gates documents with per-step contract
+    metrics (steps/data/contracts.py); this is the calibration audit a
+    learned gate needs on top.
+    """
+    c = F.col(text_col)
+    n_words = F.size(TXT.words(c))
+    stop_hits = TXT.marker_words_count(c, STOPWORDS)
+    flags, _ = _gopher_flag_exprs(c)
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    # one scan: score numerator/denominator AND the keep verdict
+    per_doc = df.select(
+        F.when(n_words > 0, F.lit(1000) * stop_hits.cast("long"))
+        .otherwise(F.lit(0))
+        .alias("__num"),
+        F.when(n_words > 0, n_words.cast("long")).otherwise(F.lit(1)).alias("__den"),
+        keep.cast("long").alias("keep"),
+    ).select(
+        F.expr("__num div __den").cast("long").alias("q1000"),
+        "keep",
+    )
+    binned = per_doc.select(
+        "q1000",
+        F.least(F.expr("q1000 div 100"), F.lit(CALIBRATION_N_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+        "keep",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_keep"),
+        F.sum("q1000").alias("sum_q"),
+    )
+    return agg.select(
+        "bin",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_keep").cast("long").alias("n_keep"),
+        F.expr("(1000 * n_keep) div n_docs").cast("long").alias("keep_permille"),
+        F.expr("sum_q div n_docs").cast("long").alias("mean_score_permille"),
+        F.abs(
+            F.expr("(1000 * n_keep) div n_docs") - F.expr("sum_q div n_docs")
+        )
+        .cast("long")
+        .alias("abs_gap_permille"),
+    ).orderBy("bin")
+
+
+def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return score_calibration_bins(table(spark, sf_dir, "documents"))
+
+
+def _calibration_sql() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH {_GOPHER_CTE},
+keepers AS (
+  SELECT doc_id, {_GOPHER_KEEP_EXPR} AS gopher_keep FROM f
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0
+              THEN (1000 * len(list_filter(ws, w -> list_contains([{stoplist}], w)))) // len(ws)
+              ELSE 0 END AS q1000
+  FROM base
+), joined AS (
+  SELECT LEAST(q1000 // 100, {CALIBRATION_N_BINS - 1}) AS bin, q1000,
+         CASE WHEN gopher_keep THEN 1 ELSE 0 END AS keep
+  FROM scored JOIN keepers USING (doc_id)
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_keep,
+       CAST((1000 * SUM(keep)) // COUNT(*) AS BIGINT) AS keep_permille,
+       CAST(SUM(q1000) // COUNT(*) AS BIGINT) AS mean_score_permille,
+       CAST(ABS((1000 * SUM(keep)) // COUNT(*) - SUM(q1000) // COUNT(*)) AS BIGINT) AS abs_gap_permille
+FROM joined GROUP BY bin ORDER BY bin
+"""
+
+
+CALIBRATION_SQL = _calibration_sql()
+
+
+def tokenizer_fertility_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility per (source, lang): subword-to-word ratio and
+    chars-per-subword under the repo's BPE-ish subword estimate
+    (ceil(word_len/4), the token_stats estimator) — the readout that
+    decides whether a tokenizer needs retraining for a corpus slice
+    (high fertility on a language = over-segmentation = wasted context
+    window; the standard multilingual-tokenizer audit).
+
+    Scale shape: one scan, one grouped aggregate keyed by the (small)
+    source×lang grid; fertility is an integer floor-div permille, the
+    chars ratio a single division of exact int64 sums — cross-engine
+    bit-exact.
+
+    Reference parity: wurzel truncates by token count via its tokenizer
+    adapter (utils/tokenizers.py); fertility is the corpus-level audit of
+    that same estimate.
+    """
+    c = F.col(text_col)
+    ws = TXT.words(c)
+    per = df.select(
+        "source",
+        "lang",
+        F.size(ws).cast("long").alias("nw"),
+        F.aggregate(
+            ws,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+        ).alias("nsub"),
+        F.length(c).cast("long").alias("nc"),
+    )
+    agg = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").alias("n_ws_tokens"),
+        F.sum("nsub").alias("n_subword_tokens"),
+        F.sum("nc").alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_subword_tokens").cast("long").alias("n_subword_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.expr("(1000 * n_subword_tokens) div n_ws_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fertility_permille"),
+        (
+            F.col("n_chars").cast("double")
+            / F.when(F.col("n_subword_tokens") > 0, F.col("n_subword_tokens")).cast(
+                "double"
+            )
+        ).alias("chars_per_subword"),
+    ).orderBy("source", "lang")
+
+
+def q_tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_fertility_stats(table(spark, sf_dir, "documents"))
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH w AS (
+  SELECT source, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws,
+         length(text) AS nc
+  FROM documents
+), per AS (
+  SELECT source, lang, len(ws) AS nw,
+         COALESCE(CAST(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT), 0) AS nsub,
+         nc
+  FROM w
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(nsub) AS BIGINT) AS n_subword_tokens,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN SUM(nw) > 0 THEN (1000 * SUM(nsub)) // SUM(nw) ELSE 0 END AS BIGINT) AS fertility_permille,
+       CAST(SUM(nc) AS DOUBLE) / NULLIF(CAST(SUM(nsub) AS DOUBLE), 0) AS chars_per_subword
+FROM per
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+def langid_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the corpus's
+    own labels, with per-cell recall/precision permille — the eval every
+    classifier deployed as a corpus gate needs BEFORE its predictions
+    drive filtering (a lang-ID that silently shreds one language's recall
+    biases the whole mixture downstream).
+
+    Scale shape: the corpus-sized lang_id scan collapses to at most
+    (K+1)² confusion cells in one grouped aggregate; the totals windows
+    run over that metadata-sized cell table, never the corpus.  All
+    ratios are integer floor-div permille — cross-engine bit-exact.
+    """
+    from pyspark.sql import Window
+
+    pred = lang_id(df, text_col)
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_label = Window.partitionBy("labeled_lang")
+    w_pred = Window.partitionBy("predicted_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(w_label).cast("long").alias("n_label_total"),
+        F.sum("n").over(w_pred).cast("long").alias("n_pred_total"),
+    ).select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        "n_label_total",
+        "n_pred_total",
+        F.expr("(1000 * n) div n_label_total").cast("long").alias("recall_permille"),
+        F.expr("(1000 * n) div n_pred_total").cast("long").alias("precision_permille"),
+    ).orderBy("labeled_lang", "predicted_lang")
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return langid_confusion(table(spark, sf_dir, "documents"))
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_lang_id_sql(order_by=False)}),
+cells AS (
+  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY labeled_lang, predicted_lang
+), tot AS (
+  SELECT labeled_lang, predicted_lang, n,
+         CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS n_label_total,
+         CAST(SUM(n) OVER (PARTITION BY predicted_lang) AS BIGINT) AS n_pred_total
+  FROM cells
+)
+SELECT labeled_lang, predicted_lang, n, n_label_total, n_pred_total,
+       CAST((1000 * n) // n_label_total AS BIGINT) AS recall_permille,
+       CAST((1000 * n) // n_pred_total AS BIGINT) AS precision_permille
+FROM tot
+ORDER BY labeled_lang, predicted_lang
+"""
+
+
+LANGID_CONFUSION_SQL = _langid_confusion_sql()
