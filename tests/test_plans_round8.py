@@ -1,0 +1,58 @@
+"""Plan-shape guards for the round-8 operators: every family costs ONE
+corpus scan, text never enters an exchange, and the DoReMi iteration runs
+on the K-row source table (no per-iteration corpus rescan)."""
+
+from __future__ import annotations
+
+import re
+
+from wurzel_spark.plans import plan_text
+from wurzel_spark.tables import table
+
+
+def _no_text_in_exchanges(t, col="text"):
+    for block in re.findall(r"\(\d+\) Exchange\n(.*?)(?:\n\n|\Z)", t, re.S):
+        if "RoundRobinPartitioning" in block:
+            continue
+        assert not re.search(rf"[\[, ]{col}#\d+[,\]]", block), block
+
+
+def _n_scans(t):
+    return t.count("Scan parquet")
+
+
+def test_calibration_single_scan_no_text_shuffle(spark, sf_dir):
+    """Score AND Gopher verdict come from one select over one scan —
+    the shuffle carries (q1000, bin, keep) ints only."""
+    from wurzel_spark.operators.textstats import score_calibration_bins
+
+    t = plan_text(score_calibration_bins(table(spark, sf_dir, "documents")))
+    assert _n_scans(t) == 1, t
+    _no_text_in_exchanges(t)
+
+
+def test_fertility_single_scan_no_text_shuffle(spark, sf_dir):
+    from wurzel_spark.operators.textstats import tokenizer_fertility_stats
+
+    t = plan_text(tokenizer_fertility_stats(table(spark, sf_dir, "documents")))
+    assert _n_scans(t) == 1, t
+    _no_text_in_exchanges(t)
+
+
+def test_confusion_single_scan_no_text_shuffle(spark, sf_dir):
+    from wurzel_spark.operators.textstats import langid_confusion
+
+    t = plan_text(langid_confusion(table(spark, sf_dir, "documents")))
+    assert _n_scans(t) == 1, t
+    _no_text_in_exchanges(t)
+
+
+def test_doremi_iteration_never_rescans_corpus(spark, sf_dir):
+    """Six multiplicative-weights rounds over the K-row source table must
+    not multiply corpus scans: exactly ONE parquet scan in the whole plan,
+    and text stays out of every exchange."""
+    from wurzel_spark.operators.selection import doremi_mixture_weights
+
+    t = plan_text(doremi_mixture_weights(table(spark, sf_dir, "documents")))
+    assert _n_scans(t) == 1, t
+    _no_text_in_exchanges(t)

@@ -1222,3 +1222,53 @@ def test_streaming_fof_matches_batch(spark, sf_dir, tmp_path):
     n_keys = staged.select("source", "h").distinct().count()
     # at most one un-folded trailing batch may duplicate a key
     assert n_rows <= 2 * n_keys
+
+
+def test_streaming_fertility_matches_batch(spark, sf_dir, tmp_path):
+    """r8: additive per-(source,lang) fertility partials staged over
+    micro-batches == the batch tokenizer_fertility_stats bit-exactly,
+    with replay idempotence (a re-delivered batch overwrites its own
+    partition) and bounded state dirs."""
+    from wurzel_spark.operators.textstats import tokenizer_fertility_stats
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.fertility import (
+        drain_fertility_state,
+        fertility_stream,
+    )
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(200).localCheckpoint()
+    d = str(tmp_path / "fert_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "fert_state")
+    got = sorted(
+        map(
+            tuple,
+            fertility_stream(
+                stream, state, str(tmp_path / "fert_ckpt"), compact_every=2
+            ).collect(),
+        )
+    )
+    exp = sorted(map(tuple, tokenizer_fertility_stats(docs).collect()))
+    assert got == exp and len(got) > 0
+    assert len(list_batch_ids(spark, state)) <= 2
+    # replay idempotence: restage SOME batch under an id already seen
+    import pyspark.sql.functions as _F
+
+    from wurzel_spark.operators.textstats import fertility_sums
+    from wurzel_spark.streaming._state import write_batch_state
+
+    some = docs.filter(_F.col("doc_id") % 4 == 0)
+    mine = fertility_sums(some).withColumn("src_batch", _F.lit(0))
+    write_batch_state(
+        spark, mine, state, 0, ["src_batch", "source", "lang"], 2
+    )
+    before = sorted(map(tuple, drain_fertility_state(spark, state).collect()))
+    write_batch_state(
+        spark, mine, state, 0, ["src_batch", "source", "lang"], 2
+    )
+    after = sorted(map(tuple, drain_fertility_state(spark, state).collect()))
+    assert before == after

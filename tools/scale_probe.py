@@ -123,6 +123,11 @@ QUERIES = [
     "proportional_interleave",
     "lsh_param_sweep",
     "ngram_diversity_hll",
+    # round-8 additions
+    "score_calibration_bins",
+    "tokenizer_fertility_stats",
+    "langid_confusion",
+    "doremi_mixture_weights",
 ]
 
 

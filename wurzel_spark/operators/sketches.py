@@ -1161,13 +1161,25 @@ def ngram_diversity_hll(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+    from wurzel_spark.operators.dedup import _parallelize
+
     hs = (
-        df.select("source", F.explode(grams).alias("p"))
+        _parallelize(df)  # md5-per-gram is CPU-bound; one-file parquet = one core
+        .select("source", F.explode(grams).alias("p"))
         .select("source", F.col("p.n").alias("n"), md5_prefix_hash(F.col("p.g")).alias("h"))
     )
-    hs = hs.localCheckpoint(eager=True)  # feeds registers + totals + exact
+    # r8 reshape: ONE corpus-sized shuffle. The old plan shuffled the gram
+    # stream three times (register groupBy, totals groupBy, distinct);
+    # a single groupBy on the gram hash (map-side combine collapses
+    # repeats before the exchange) yields the deduped table from which
+    # ALL three readouts derive — register maxima are duplicate-invariant,
+    # n_grams = Σ multiplicity, n_distinct_exact = row count. sf0.1:
+    # 3.4 s → the deduped table is distinct-gram-sized, checkpointed once
+    # for its two consumers.
+    ded = hs.groupBy("source", "n", "h").agg(F.count(F.lit(1)).alias("c"))
+    ded = ded.localCheckpoint(eager=True)  # feeds registers + stats
     regs = (
-        hs.select(
+        ded.select(
             "source", "n",
             F.shiftright("h", 50).alias("bucket"),
             (F.col("h") % F.lit(_2_50)).alias("rem"),
@@ -1189,15 +1201,14 @@ def ngram_diversity_hll(df: DataFrame, text_col: str = "text") -> DataFrame:
         (F.col("sum_hit") + (F.lit(HLL_M) - F.col("n_buckets_hit")) * F.lit(_2_51))
         .alias("hll_sum_scaled"),
     )
-    totals = hs.groupBy("source", "n").agg(F.count(F.lit(1)).alias("n_grams"))
-    exact = (
-        hs.distinct().groupBy("source", "n").agg(F.count(F.lit(1)).alias("n_distinct_exact"))
+    stats = ded.groupBy("source", "n").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_exact"),
     )
     est = F.lit(_HLL_NUMER) / F.col("hll_sum_scaled").cast("double")
     exact_d = F.col("n_distinct_exact").cast("double")
     return (
-        totals.join(per, ["source", "n"])
-        .join(exact, ["source", "n"])
+        stats.join(per, ["source", "n"])
         .select(
             "source", "n", "n_grams", "n_buckets_hit", "hll_sum_scaled",
             est.alias("hll_estimate"),

@@ -1997,9 +1997,18 @@ def retrieval_self_eval(
     # distributed map passes beat materializing the tokenized corpus:
     # at 100 TB a checkpoint of ws arrays is a full-corpus write, while
     # re-tokenizing is embarrassingly parallel and shuffle-free.
+    from pyspark.sql import Observation
+
     d3 = _parallelize(df).select("doc_id", ws.alias("ws")).select(
         "doc_id", "ws", F.size("ws").alias("dl")
     )
+    # corpus stats (n_docs, avgdl) ride the tf job as an Observation —
+    # metrics accumulate while the checkpoint materializes d3, so the
+    # second full tokenize pass the old stats aggregate cost (~0.65 s of
+    # the 3 s sf0.1 total, r8) disappears; avgdl = float(sum)/count is the
+    # same IEEE division the removed aggregate performed.
+    obs = Observation("retrieval_corpus_stats")
+    d3 = d3.observe(obs, F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
     # query terms from the RAW input, filtered before tokenizing: the
     # doc_id predicate pushes into the parquet scan and only the 1/every
     # query docs get tokenized — routing this branch through the
@@ -2013,10 +2022,6 @@ def retrieval_self_eval(
             F.col("doc_id").alias("query_id"),
             F.explode(F.array_distinct(F.slice("ws", 1, n_terms))).alias("term"),
         )
-    )
-    stats = d3.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     # ONE broadcast of qt serves both the semi-join prefilter and the
     # scoring join below (identical subtree → ReusedExchange): a semi
@@ -2035,11 +2040,14 @@ def retrieval_self_eval(
     # per consumer when the alias-differing subtrees miss ReusedExchange.
     # Post-semi-join tf is query-terms-only — tiny — so pin it.
     tf = tf.localCheckpoint(eager=True)
+    got = obs.get  # checkpoint materialized d3 → metrics are final
+    n_docs_v, avgdl_v = int(got["n_docs"]), float(got["sum_dl"]) / int(got["n_docs"])
     dfr = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("dfc"))
     scored = (
         tf.join(qt, "term")
         .join(F.broadcast(dfr), "term")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("n_docs", F.lit(n_docs_v))
+        .withColumn("avgdl", F.lit(avgdl_v))
         .select(
             "query_id",
             "doc_id",
@@ -2622,8 +2630,11 @@ def ngram_diversity_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+    from wurzel_spark.operators.dedup import _parallelize
+
     exploded = (
-        df.select("source", grams.alias("grams"))
+        _parallelize(df)  # gram explode is CPU-bound; one-file parquet = one core
+        .select("source", grams.alias("grams"))
         .select("source", F.explode("grams").alias("gr"))
         .select("source", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
     )
@@ -3321,6 +3332,12 @@ def tokenizer_fertility_stats(df: DataFrame, text_col: str = "text") -> DataFram
     adapter (utils/tokenizers.py); fertility is the corpus-level audit of
     that same estimate.
     """
+    return fertility_from_sums(fertility_sums(df, text_col))
+
+
+def fertility_sums(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus pass: ADDITIVE per-(source, lang) partial sums — the
+    staging unit of the streaming twin (streaming/fertility.py)."""
     c = F.col(text_col)
     ws = TXT.words(c)
     per = df.select(
@@ -3334,12 +3351,17 @@ def tokenizer_fertility_stats(df: DataFrame, text_col: str = "text") -> DataFram
         ).alias("nsub"),
         F.length(c).cast("long").alias("nc"),
     )
-    agg = per.groupBy("source", "lang").agg(
+    return per.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nw").alias("n_ws_tokens"),
         F.sum("nsub").alias("n_subword_tokens"),
         F.sum("nc").alias("n_chars"),
     )
+
+
+def fertility_from_sums(agg: DataFrame) -> DataFrame:
+    """The metadata-sized tail shared with the streaming twin: derived
+    ratios from the exact integer sums."""
     return agg.select(
         "source",
         "lang",
