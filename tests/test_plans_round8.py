@@ -18,7 +18,9 @@ def _no_text_in_exchanges(t, col="text"):
 
 
 def _n_scans(t):
-    return t.count("Scan parquet")
+    # formatted plans list each physical scan once in the tree and once in
+    # the numbered detail section — count the detail headers only
+    return len(re.findall(r"\(\d+\) Scan parquet", t))
 
 
 def test_calibration_single_scan_no_text_shuffle(spark, sf_dir):
