@@ -84,26 +84,56 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     argmax over per-language marker hits with a deterministic tie-break
     (first language in LANG_MARKERS order wins — expressed as a CASE chain
     so the DuckDB oracle is literally the same expression).
+
+    Expression shape (r8 — the 26.7× supralinear probe fix): the word
+    split and the 5 per-language filters are LET-BOUND through
+    single-element transform()s (the classifier.py idiom). HOF lambdas
+    run interpreted with NO common-subexpression elimination, so the
+    previous form — marker_words_count per score, each score referenced
+    by greatest() and every CASE arm — re-ran the regex split ~35× per
+    row. Bound: ONE split + 5 filters per row, then all argmax arithmetic
+    over the bound 5-element score array. A Generate (explode of a
+    1-element array) pins the result struct so project-collapse cannot
+    duplicate it per output column.
     """
     c = F.col(text_col)
-    scored = df.select(
-        "doc_id",
-        "lang",
-        *[
-            TXT.marker_words_count(c, ws).cast("long").alias(f"score_{lang}")
-            for lang, ws in LANG_MARKERS.items()
-        ],
-    )
     langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.when(best == 0, F.lit("unknown"))
-    for lang in langs:
-        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return scored.select(
+
+    def _marker_pred(ms):
+        arr = F.array(*[F.lit(m) for m in ms])
+        # a plain 1-arg closure: a default-arg capture would change the
+        # lambda's arity and PySpark would feed it two lambda variables
+        return lambda w: F.array_contains(arr, w)
+
+    def _result(ws):
+        scores_arr = F.array(
+            *[
+                F.size(F.filter(ws, _marker_pred(markers))).cast("long")
+                for markers in LANG_MARKERS.values()
+            ]
+        )
+
+        def _argmax(sc):
+            best = F.array_max(sc)
+            pred = F.when(best == 0, F.lit("unknown"))
+            for i, lang in enumerate(langs):
+                pred = pred.when(F.element_at(sc, i + 1) == best, F.lit(lang))
+            return F.struct(
+                pred.alias("predicted_lang"), best.cast("long").alias("best_score")
+            )
+
+        return F.element_at(F.transform(F.array(scores_arr), _argmax), 1)
+
+    res = F.element_at(F.transform(F.array(TXT.words(c)), _result), 1)
+    return df.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        pred.alias("predicted_lang"),
-        best.cast("long").alias("best_score"),
+        F.explode(F.array(res)).alias("__s"),
+    ).select(
+        "doc_id",
+        "labeled_lang",
+        F.col("__s.predicted_lang").alias("predicted_lang"),
+        F.col("__s.best_score").alias("best_score"),
     )
 
 
@@ -3428,7 +3458,9 @@ def langid_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from pyspark.sql import Window
 
-    pred = lang_id(df, text_col)
+    from wurzel_spark.operators.dedup import _parallelize
+
+    pred = lang_id(_parallelize(df), text_col)
     cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
         F.count(F.lit(1)).alias("n")
     )
