@@ -236,6 +236,9 @@ HEADLINE = [
     "tokenizer_fertility_stats",
     "langid_confusion",
     "doremi_mixture_weights",
+    "shuffle_run_stats",
+    "pii_luhn_validated",
+    "inverted_index_stats",
 ]
 
 

@@ -173,3 +173,79 @@ def test_doremi_partitioning_independent(spark):
     a = sorted(map(tuple, doremi_mixture_weights(docs.repartition(1)).collect()))
     b = sorted(map(tuple, doremi_mixture_weights(docs.repartition(7)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------- third wave
+
+
+def test_luhn_validation_fixtures(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "pay with 4242424242424242 now", "s", "en"),     # valid Visa test
+            (2, "fake 4242424242424243 number", "s", "en"),      # bad checksum
+            (3, "call +1 555 123 4567 ok", "s", "en"),           # 11 digits: too short
+            (4, "card 4242 4242 4242 4242 spaced", "s", "en"),   # separators ok
+            (5, "no digits at all", "s", "en"),
+        ],
+    )
+    from wurzel_spark.operators.textstats import pii_luhn_validated
+
+    got = {
+        r["doc_id"]: (r["n_candidates"], r["n_luhn_valid"], r["card_flag"])
+        for r in pii_luhn_validated(docs).collect()
+    }
+    assert got == {
+        1: (1, 1, True),
+        2: (1, 0, False),
+        3: (1, 0, False),
+        4: (1, 1, True),
+        5: (0, 0, False),
+    }
+
+
+def test_shuffle_runs_detect_unshuffled_order(spark):
+    """Ingest order (all of source a, then all of source b) must report
+    n_runs=1 per source; the hash shuffle must break the blocks up."""
+    from wurzel_spark.operators.ordering import corpus_shuffle, shuffle_run_stats
+    from pyspark.sql import functions as F
+
+    rows = [(i, "t", "a" if i < 50 else "b", "en") for i in range(100)]
+    docs = _docs(spark, rows)
+    ingest = docs.select(
+        "source", (F.col("doc_id") + 1).alias("shuffle_pos")
+    )
+    flat = {r["source"]: r["n_runs"] for r in shuffle_run_stats(ingest).collect()}
+    assert flat == {"a": 1, "b": 1}
+    shuffled = {
+        r["source"]: r["n_runs"]
+        for r in shuffle_run_stats(corpus_shuffle(docs)).collect()
+    }
+    assert shuffled["a"] > 10 and shuffled["b"] > 10
+
+
+def test_shuffle_runs_partitioning_independent(spark):
+    from wurzel_spark.operators.ordering import corpus_shuffle, shuffle_run_stats
+
+    rows = [(i, "t", f"s{i % 3}", "en") for i in range(90)]
+    docs = _docs(spark, rows)
+    a = sorted(map(tuple, shuffle_run_stats(corpus_shuffle(docs.repartition(1))).collect()))
+    b = sorted(map(tuple, shuffle_run_stats(corpus_shuffle(docs.repartition(7))).collect()))
+    assert a == b
+
+
+def test_inverted_index_accounting(spark):
+    """Bucket rows must account for every token exactly once: Σ n_tokens
+    = corpus token count, Σ n_postings = distinct (term, doc) pairs, and
+    a hot term's posting length shows up in max_posting_len."""
+    from pyspark.sql import functions as F
+
+    from wurzel_spark.operators.textstats import inverted_index_stats
+
+    rows = [(i, "common unique%d common" % i, "s", "en") for i in range(40)]
+    docs = _docs(spark, rows)
+    out = inverted_index_stats(docs).collect()
+    assert sum(r["n_tokens"] for r in out) == 120  # 3 tokens x 40 docs
+    assert sum(r["n_postings"] for r in out) == 80  # (common,doc)x40 + uniques
+    assert sum(r["n_terms"] for r in out) == 41
+    assert max(r["max_posting_len"] for r in out) == 40  # "common" df

@@ -128,6 +128,9 @@ QUERIES = [
     "tokenizer_fertility_stats",
     "langid_confusion",
     "doremi_mixture_weights",
+    "shuffle_run_stats",
+    "pii_luhn_validated",
+    "inverted_index_stats",
 ]
 
 

@@ -520,3 +520,73 @@ SELECT doc_id, source,
 FROM ranked
 ORDER BY stride_key, source, doc_id
 """
+
+
+# --------------------------------------------- shuffle-quality audit (r8)
+
+
+def shuffle_run_stats(shuffled: DataFrame, source_col: str = "source") -> DataFrame:
+    """Runs-test audit of a training-epoch order: per source, how many
+    maximal CONSECUTIVE-position blocks does the shuffled order contain?
+    A correct global shuffle breaks each source into ≈n_docs runs (almost
+    every doc is its own run at realistic mixture entropy); ingestion
+    order or a broken per-partition "shuffle" shows up as runs ≪ docs —
+    long same-source stretches that turn into correlated gradient batches
+    downstream.
+
+    Input: any frame carrying ``shuffle_pos`` (corpus_shuffle's output).
+    A run starts where the PREVIOUS position holds a different source —
+    computed by an equi-join on pos-1 (ints, co-partitioned by the hash
+    exchange), NOT a global-order window, so no single-partition sort at
+    100 TB. runs_permille = 1000·n_runs div n_docs (exact floor-div; 1000
+    = perfectly interleaved at the doc grain).
+    """
+    cur = shuffled.select(
+        F.col("shuffle_pos").alias("pos"), F.col(source_col).alias("source")
+    )
+    prev = cur.select((F.col("pos") + 1).alias("pos"), F.col("source").alias("prev_source"))
+    marked = cur.join(prev, "pos", "left").select(
+        "source",
+        (
+            F.col("prev_source").isNull()
+            | (F.col("prev_source") != F.col("source"))
+        )
+        .cast("long")
+        .alias("run_start"),
+    )
+    agg = marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("run_start").alias("n_runs"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.expr("(1000 * n_runs) div n_docs").cast("long").alias("runs_permille"),
+    ).orderBy("source")
+
+
+def q_shuffle_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shuffle_run_stats(corpus_shuffle(table(spark, sf_dir, "documents")))
+
+
+SHUFFLE_RUN_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+         ((doc_id % 1000003) * 2654435761) % 4294967296 AS h
+  FROM documents
+), ranked AS (
+  SELECT source,
+         CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+  FROM h
+), marked AS (
+  SELECT c.source,
+         CASE WHEN p.source IS NULL OR p.source != c.source THEN 1 ELSE 0 END AS run_start
+  FROM ranked c LEFT JOIN ranked p ON p.pos = c.pos - 1
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(run_start) AS BIGINT) AS n_runs,
+       CAST((1000 * SUM(run_start)) // COUNT(*) AS BIGINT) AS runs_permille
+FROM marked GROUP BY source ORDER BY source
+"""

@@ -2070,8 +2070,18 @@ def retrieval_self_eval(
     # per consumer when the alias-differing subtrees miss ReusedExchange.
     # Post-semi-join tf is query-terms-only — tiny — so pin it.
     tf = tf.localCheckpoint(eager=True)
-    got = obs.get  # checkpoint materialized d3 → metrics are final
-    n_docs_v, avgdl_v = int(got["n_docs"]), float(got["sum_dl"]) / int(got["n_docs"])
+    try:
+        got = obs.get  # checkpoint materialized d3 → metrics are final
+        n_docs_v, sum_dl_v = int(got["n_docs"]), int(got["sum_dl"] or 0)
+    except Exception:
+        # Rare degenerate plan: an EMPTY query-term broadcast lets AQE
+        # replace the semi join with a LocalRelation, pruning the observed
+        # d3 subtree out of the executed plan entirely — the observation
+        # then never fires. The result is empty in that case anyway; pay
+        # the one explicit aggregate.
+        r = d3.agg(F.count(F.lit(1)), F.sum("dl")).first()
+        n_docs_v, sum_dl_v = int(r[0]), int(r[1] or 0)
+    avgdl_v = float(sum_dl_v) / float(max(n_docs_v, 1))
     dfr = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("dfc"))
     scored = (
         tf.join(qt, "term")
@@ -3508,3 +3518,168 @@ ORDER BY labeled_lang, predicted_lang
 
 
 LANGID_CONFUSION_SQL = _langid_confusion_sql()
+
+
+# -------------------------------------------- Luhn-validated PII (round 8)
+
+_CARD_CANDIDATE_RE = r"[0-9](?:[0-9 -]{10,17})[0-9]"
+
+
+def pii_luhn_validated(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Checksum-validated payment-card detection: the regex candidate set
+    (13–19 digits allowing space/dash separators) is filtered through the
+    Luhn mod-10 check — the validation step that separates real card
+    numbers from phone numbers, timestamps, and ID strings the raw regex
+    also matches.  Redacting on regex alone destroys ~10× more innocent
+    digit strings than validated redaction; the (n_candidates −
+    n_luhn_valid) gap per document is exactly that saved collateral.
+
+    All arithmetic is exact integers (digit sums, mod 10) over let-bound
+    candidate arrays — one scan, no shuffle beyond the final sort, no
+    UDFs; the DuckDB twin runs the same digit algebra via list_transform,
+    so the query is hash-green, not rows-only.
+    """
+    c = F.col(text_col)
+    cands = F.regexp_extract_all(c, F.lit(_CARD_CANDIDATE_RE), 0)
+
+    # digit-sum expression built over a bound cleaned string s:
+    # position-from-right r = len - i; double when r is odd; subtract 9
+    # when the doubled value exceeds 9; valid iff total % 10 == 0 and the
+    # cleaned length is a real card length (13..19).
+    def _luhn_ok(s):
+        n = F.length(s)
+        total = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                ((n - i) % 2) == 1,
+                F.when(
+                    (F.ascii(F.substring(s, i, 1)) - 48) * 2 > 9,
+                    (F.ascii(F.substring(s, i, 1)) - 48) * 2 - 9,
+                ).otherwise((F.ascii(F.substring(s, i, 1)) - 48) * 2),
+            ).otherwise(F.ascii(F.substring(s, i, 1)) - 48),
+        )
+        return (n >= 13) & (n <= 19) & ((total % 10) == 0)
+
+    cleaned = F.transform(cands, lambda g: F.regexp_replace(g, r"[^0-9]", ""))
+    valid = F.filter(cleaned, _luhn_ok)
+    return df.select(
+        "doc_id",
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+        (F.size(valid) > 0).alias("card_flag"),
+    ).orderBy("doc_id")
+
+
+def q_pii_luhn_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_luhn_validated(table(spark, sf_dir, "documents"))
+
+
+PII_LUHN_SQL = r"""
+WITH cands AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(text, '[0-9](?:[0-9 -]{10,17})[0-9]'),
+           g -> regexp_replace(g, '[^0-9]', '', 'g')) AS cleaned,
+         len(regexp_extract_all(text, '[0-9](?:[0-9 -]{10,17})[0-9]')) AS n_candidates
+  FROM documents
+), v AS (
+  SELECT doc_id, n_candidates,
+         len(list_filter(cleaned, s ->
+           length(s) >= 13 AND length(s) <= 19 AND
+           (list_sum(list_transform(range(1, length(s) + 1), i ->
+              CASE WHEN (length(s) - i) % 2 = 1
+                   THEN CASE WHEN (ascii(substr(s, CAST(i AS INT), 1)) - 48) * 2 > 9
+                             THEN (ascii(substr(s, CAST(i AS INT), 1)) - 48) * 2 - 9
+                             ELSE (ascii(substr(s, CAST(i AS INT), 1)) - 48) * 2 END
+                   ELSE ascii(substr(s, CAST(i AS INT), 1)) - 48 END)) % 10) = 0
+         )) AS n_luhn_valid
+  FROM cands
+)
+SELECT doc_id,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_luhn_valid AS BIGINT) AS n_luhn_valid,
+       (n_luhn_valid > 0) AS card_flag
+FROM v ORDER BY doc_id
+"""
+
+
+# --------------------------------------- inverted-index build stats (r8)
+
+INDEX_N_BUCKETS = 64
+
+
+def inverted_index_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Serving-layout readout for an inverted index build: postings
+    (term-hash → doc, tf) are sharded into ``INDEX_N_BUCKETS`` hash
+    buckets — the physical unit a distributed BM25/keyword service
+    scatters over — and per bucket the query reports term count, posting
+    count, token mass, and the largest single posting list.  The max/avg
+    posting skew across buckets is what decides whether the layout needs
+    stop-term splitting before the index ships (one hot term = one hot
+    shard = the p99 of every scatter-gather query).
+
+    Scale shape: ONE corpus-sized shuffle — groupBy(term-hash, doc) with
+    map-side combine collapses repeats before the exchange (8-byte keys,
+    never term strings); everything above is bucket-grain.  The md5-prefix
+    term hash is the oracle-parity trade documented at
+    operators/dedup.md5_prefix_hash (xxhash64 in production; winnow/bloom
+    precedent).  Complements bm25_topk (textstats), which SCORES on the
+    fly — this is the materialization plan for the same postings.
+    """
+    from wurzel_spark.operators.dedup import _parallelize, md5_prefix_hash
+
+    c = F.col(text_col)
+    toks = _parallelize(df).select(
+        "doc_id", F.explode(TXT.words(c)).alias("term")
+    )
+    post = (
+        toks.select("doc_id", md5_prefix_hash(F.col("term")).alias("h"))
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_term = post.groupBy("h").agg(
+        F.count(F.lit(1)).alias("df_t"), F.sum("tf").alias("cf_t")
+    )
+    return (
+        per_term.groupBy(F.pmod(F.col("h"), F.lit(INDEX_N_BUCKETS)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df_t").alias("n_postings"),
+            F.sum("cf_t").alias("n_tokens"),
+            F.max("df_t").alias("max_posting_len"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("n_postings").cast("long").alias("n_postings"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("max_posting_len").cast("long").alias("max_posting_len"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index_stats(table(spark, sf_dir, "documents"))
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS term
+  FROM documents
+), post AS (
+  SELECT CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h,
+         doc_id, COUNT(*) AS tf
+  FROM toks GROUP BY 1, 2
+), per_term AS (
+  SELECT h, COUNT(*) AS df_t, SUM(tf) AS cf_t FROM post GROUP BY h
+)
+SELECT CAST(h % {INDEX_N_BUCKETS} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(df_t) AS BIGINT) AS n_postings,
+       CAST(SUM(cf_t) AS BIGINT) AS n_tokens,
+       CAST(MAX(df_t) AS BIGINT) AS max_posting_len
+FROM per_term GROUP BY 1 ORDER BY bucket
+"""
