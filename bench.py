@@ -237,7 +237,9 @@ HEADLINE = [
     "langid_confusion",
     "doremi_mixture_weights",
     "shuffle_run_stats",
-    "pii_luhn_validated",
+    # pii_luhn_validated is EXCLUDED: count() prunes the 1:1 Luhn
+    # projection (the tlsh_fingerprints precedent) — a timed count would
+    # measure an empty scan, not the digit algebra.
     "inverted_index_stats",
 ]
 

@@ -129,7 +129,8 @@ QUERIES = [
     "langid_confusion",
     "doremi_mixture_weights",
     "shuffle_run_stats",
-    "pii_luhn_validated",
+    # pii_luhn_validated EXCLUDED: count() prunes the 1:1 Luhn projection
+    # (tlsh precedent) — the probe would time an empty scan.
     "inverted_index_stats",
 ]
 
