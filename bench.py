@@ -241,6 +241,7 @@ HEADLINE = [
     # projection (the tlsh_fingerprints precedent) — a timed count would
     # measure an empty scan, not the digit algebra.
     "inverted_index_stats",
+    "score_auc_stats",
 ]
 
 

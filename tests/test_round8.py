@@ -249,3 +249,56 @@ def test_inverted_index_accounting(spark):
     assert sum(r["n_postings"] for r in out) == 80  # (common,doc)x40 + uniques
     assert sum(r["n_terms"] for r in out) == 41
     assert max(r["max_posting_len"] for r in out) == 40  # "common" df
+
+
+# --------------------------------------------------------------- exact AUC
+
+
+def test_score_auc_matches_bruteforce(spark):
+    """The histogram-collapsed U statistic equals the O(n²) pairwise
+    definition (ties = ½ credit), on a corpus with real positives and
+    negatives and tied scores."""
+    from wurzel_spark.operators.textstats import (
+        STOPWORDS,
+        gopher_quality_flags,
+        score_auc_stats,
+    )
+
+    gopher_stops = "the be to of and that have with".split()
+    rows = []
+    for i in range(24):
+        if i % 3 == 0:
+            # gopher-passing doc: >=50 words, varying stopword density
+            words = gopher_stops + [f"word{j}" for j in range(50)] + ["the"] * (i % 4)
+        else:
+            # short doc -> gopher fail; density varies (incl. ties)
+            words = (["the"] * (i % 3)) + ["xxx", "yyy", "zzz"]
+        rows.append((i, " ".join(words), "s", "en"))
+    docs = _docs(spark, rows)
+    out = score_auc_stats(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # brute force
+    flags = {x["doc_id"]: x["gopher_keep"] for x in gopher_quality_flags(docs).collect()}
+
+    def q1000(t):
+        ws = [w for w in t.split() if w]
+        sh = sum(1 for w in ws if w in STOPWORDS)
+        return (1000 * sh) // len(ws) if ws else 0
+
+    pairs = [(q1000(t), flags[i]) for i, t, _, _ in rows]
+    pos = [s for s, k in pairs if k]
+    neg = [s for s, k in pairs if not k]
+    assert pos and neg, "fixture must have both classes"
+    u2 = sum(2 * (p > n) + (p == n) for p in pos for n in neg)
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert r["u2"] == u2
+    assert r["auc_permille"] == (1000 * u2) // (2 * len(pos) * len(neg))
+
+
+def test_score_auc_degenerate_sources_null(spark):
+    from wurzel_spark.operators.textstats import score_auc_stats
+
+    docs = _docs(spark, [(1, "tiny", "only_negs", "en")])
+    r = score_auc_stats(docs).collect()[0]
+    assert r["n_pos"] == 0 and r["auc_permille"] is None

@@ -132,6 +132,7 @@ QUERIES = [
     # pii_luhn_validated EXCLUDED: count() prunes the 1:1 Luhn projection
     # (tlsh precedent) — the probe would time an empty scan.
     "inverted_index_stats",
+    "score_auc_stats",
 ]
 
 

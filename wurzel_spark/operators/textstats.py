@@ -1154,7 +1154,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The Gopher rule CTE chain (base → m → f), one definition — shared by
 # GOPHER_SQL and CALIBRATION_SQL below (the C4 drift lesson, ADVICE r7).
 _GOPHER_CTE = r"""base AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws,
          list_filter(regexp_split_to_array(text, '\n'), x -> trim(x) != '') AS lines,
          len(regexp_extract_all(text, '(#|\.\.\.)')) AS n_symbols
@@ -3683,3 +3683,129 @@ SELECT CAST(h % {INDEX_N_BUCKETS} AS BIGINT) AS bucket,
        CAST(MAX(df_t) AS BIGINT) AS max_posting_len
 FROM per_term GROUP BY 1 ORDER BY bucket
 """
+
+
+# ----------------------------------------- exact AUC via histogram (r8)
+
+
+def score_auc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """EXACT ROC-AUC of the cheap quality score against the Gopher keep
+    verdict, per source — the single-number companion to
+    ``score_calibration_bins`` (calibration says "are the probabilities
+    honest", AUC says "does the score rank keepers above droppers at
+    all"; both are needed before a cheap scorer may gate a corpus).
+
+    The 100 TB shape: AUC is a rank statistic, but the score is an
+    integer permille (0..1000), so the Mann-Whitney U collapses onto a
+    ≤1001-row histogram per source — ONE corpus scan → grouped
+    (source, q1000) counts → cumulative window over the metadata-sized
+    histogram.  Ties use the standard ½ credit; everything is exact
+    integers via U2 = 2·U:
+
+        U2 = Σ_s [ 2·pos(s)·neg(<s) + pos(s)·neg(s) ]
+        auc_permille = 1000·U2 div (2·n_pos·n_neg)
+
+    Degenerate sources (no positives or no negatives) report NULL
+    auc_permille rather than a fake 500.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    n_words = F.size(TXT.words(c))
+    stop_hits = TXT.marker_words_count(c, STOPWORDS)
+    flags, _ = _gopher_flag_exprs(c)
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    per_doc = df.select(
+        "source",
+        F.when(n_words > 0, F.lit(1000) * stop_hits.cast("long"))
+        .otherwise(F.lit(0))
+        .alias("__num"),
+        F.when(n_words > 0, n_words.cast("long")).otherwise(F.lit(1)).alias("__den"),
+        keep.cast("long").alias("keep"),
+    ).select("source", F.expr("__num div __den").cast("long").alias("q1000"), "keep")
+    hist = per_doc.groupBy("source", "q1000").agg(
+        F.sum("keep").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("keep")).alias("neg"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("q1000")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = hist.select(
+        "source",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below"),
+    ).select(
+        "source",
+        "pos",
+        "neg",
+        (F.lit(2) * F.col("pos") * F.col("neg_below") + F.col("pos") * F.col("neg"))
+        .alias("u2_part"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum("u2_part").alias("u2"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("u2").cast("long").alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("(1000 * u2) div (2 * n_pos * n_neg)"),
+        )
+        .cast("long")
+        .alias("auc_permille"),
+    ).orderBy("source")
+
+
+def q_score_auc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return score_auc_stats(table(spark, sf_dir, "documents"))
+
+
+def _score_auc_sql() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH {_GOPHER_CTE},
+keepers AS (
+  SELECT doc_id, {_GOPHER_KEEP_EXPR} AS gopher_keep FROM f
+), per_doc AS (
+  SELECT b.source,
+         CASE WHEN len(ws) > 0
+              THEN (1000 * len(list_filter(ws, w -> list_contains([{stoplist}], w)))) // len(ws)
+              ELSE 0 END AS q1000,
+         CASE WHEN k.gopher_keep THEN 1 ELSE 0 END AS keep
+  FROM base b JOIN keepers k USING (doc_id)
+), hist AS (
+  SELECT source, q1000,
+         CAST(SUM(keep) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(keep) AS BIGINT) AS neg
+  FROM per_doc GROUP BY source, q1000
+), cum AS (
+  SELECT source, pos, neg,
+         COALESCE(CAST(SUM(neg) OVER (
+           PARTITION BY source ORDER BY q1000
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS neg_below
+  FROM hist
+), agg AS (
+  SELECT source,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(SUM(2 * pos * neg_below + pos * neg) AS BIGINT) AS u2
+  FROM cum GROUP BY source
+)
+SELECT source, n_pos, n_neg, u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST((1000 * u2) // (2 * n_pos * n_neg) AS BIGINT)
+            ELSE NULL END AS auc_permille
+FROM agg ORDER BY source
+"""
+
+
+SCORE_AUC_SQL = _score_auc_sql()
