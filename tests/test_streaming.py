@@ -1272,3 +1272,46 @@ def test_streaming_fertility_matches_batch(spark, sf_dir, tmp_path):
     )
     after = sorted(map(tuple, drain_fertility_state(spark, state).collect()))
     assert before == after
+
+
+def test_streaming_index_matches_batch(spark, sf_dir, tmp_path):
+    """r8: per-batch posting partials (the materialized index itself)
+    staged over micro-batches == the batch inverted_index_stats
+    bit-exactly, with replay idempotence and bounded state dirs."""
+    from wurzel_spark.operators.textstats import (
+        index_postings,
+        inverted_index_stats,
+    )
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.index import drain_index_state, index_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(200).localCheckpoint()
+    d = str(tmp_path / "idx_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "idx_state")
+    got = sorted(
+        map(
+            tuple,
+            index_stream(
+                stream, state, str(tmp_path / "idx_ckpt"), compact_every=2
+            ).collect(),
+        )
+    )
+    exp = sorted(map(tuple, inverted_index_stats(docs).collect()))
+    assert got == exp and len(got) > 0
+    assert len(list_batch_ids(spark, state)) <= 2
+    # replay: restage one batch's postings under an already-seen id twice
+    import pyspark.sql.functions as _F
+
+    some = docs.filter(_F.col("doc_id") % 4 == 0)
+    mine = index_postings(some).withColumn("src_batch", _F.lit(0))
+    write_batch_state(spark, mine, state, 0, ["src_batch", "h", "doc_id"], 2)
+    before = sorted(map(tuple, drain_index_state(spark, state).collect()))
+    write_batch_state(spark, mine, state, 0, ["src_batch", "h", "doc_id"], 2)
+    after = sorted(map(tuple, drain_index_state(spark, state).collect()))
+    assert before == after

@@ -3628,17 +3628,28 @@ def inverted_index_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     precedent).  Complements bm25_topk (textstats), which SCORES on the
     fly — this is the materialization plan for the same postings.
     """
+    return index_stats_from_postings(index_postings(df, text_col))
+
+
+def index_postings(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus pass: the (h, doc_id, tf) posting table itself — also
+    the staging unit of the streaming twin (streaming/index.py), where
+    the staged state IS the materialized index."""
     from wurzel_spark.operators.dedup import _parallelize, md5_prefix_hash
 
     c = F.col(text_col)
     toks = _parallelize(df).select(
         "doc_id", F.explode(TXT.words(c)).alias("term")
     )
-    post = (
+    return (
         toks.select("doc_id", md5_prefix_hash(F.col("term")).alias("h"))
         .groupBy("h", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def index_stats_from_postings(post: DataFrame) -> DataFrame:
+    """The bucket-grain tail shared with the streaming twin."""
     per_term = post.groupBy("h").agg(
         F.count(F.lit(1)).alias("df_t"), F.sum("tf").alias("cf_t")
     )
