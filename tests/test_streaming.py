@@ -1315,3 +1315,49 @@ def test_streaming_index_matches_batch(spark, sf_dir, tmp_path):
     write_batch_state(spark, mine, state, 0, ["src_batch", "h", "doc_id"], 2)
     after = sorted(map(tuple, drain_index_state(spark, state).collect()))
     assert before == after
+
+
+def test_streaming_calibration_and_auc_match_batch(spark, sf_dir, tmp_path):
+    """r8: one staged score-label histogram serves BOTH eval drains —
+    calibration bins and exact AUC — bit-equal to the batch operators,
+    replay-idempotent, bounded dirs."""
+    from wurzel_spark.operators.textstats import (
+        score_auc_stats,
+        score_calibration_bins,
+        score_label_hist,
+    )
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.calibration import (
+        calibration_stream,
+        drain_auc_state,
+    )
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").limit(200).localCheckpoint()
+    d = str(tmp_path / "cal_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "cal_state")
+    bins, auc = calibration_stream(
+        stream, state, str(tmp_path / "cal_ckpt"), compact_every=2
+    )
+    assert sorted(map(tuple, bins.collect())) == sorted(
+        map(tuple, score_calibration_bins(docs).collect())
+    )
+    assert sorted(map(tuple, auc.collect())) == sorted(
+        map(tuple, score_auc_stats(docs).collect())
+    )
+    assert len(list_batch_ids(spark, state)) <= 2
+    # replay idempotence
+    import pyspark.sql.functions as _F
+
+    some = docs.filter(_F.col("doc_id") % 4 == 0)
+    mine = score_label_hist(some).withColumn("src_batch", _F.lit(0))
+    write_batch_state(spark, mine, state, 0, ["src_batch", "source", "q1000"], 2)
+    before = sorted(map(tuple, drain_auc_state(spark, state).collect()))
+    write_batch_state(spark, mine, state, 0, ["src_batch", "source", "q1000"], 2)
+    after = sorted(map(tuple, drain_auc_state(spark, state).collect()))
+    assert before == after

@@ -3277,6 +3277,17 @@ def score_calibration_bins(df: DataFrame, text_col: str = "text") -> DataFrame:
     metrics (steps/data/contracts.py); this is the calibration audit a
     learned gate needs on top.
     """
+    return calibration_from_hist(score_label_hist(df, text_col))
+
+
+def score_label_hist(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The ONE corpus pass behind the whole classifier-eval battery:
+    per (source, q1000) — the integer stopword-density score × the Gopher
+    keep verdict, computed in the same select — positive and negative doc
+    counts.  ≤1001 rows per source, ADDITIVE across any corpus split, so
+    it is also the staging unit of the streaming twin
+    (streaming/calibration.py); calibration bins AND the exact AUC both
+    derive from it without touching the corpus again."""
     c = F.col(text_col)
     n_words = F.size(TXT.words(c))
     stop_hits = TXT.marker_words_count(c, STOPWORDS)
@@ -3284,30 +3295,36 @@ def score_calibration_bins(df: DataFrame, text_col: str = "text") -> DataFrame:
     keep = None
     for f in flags.values():
         keep = f if keep is None else (keep & f)
-    # one scan: score numerator/denominator AND the keep verdict
     per_doc = df.select(
+        "source",
         F.when(n_words > 0, F.lit(1000) * stop_hits.cast("long"))
         .otherwise(F.lit(0))
         .alias("__num"),
         F.when(n_words > 0, n_words.cast("long")).otherwise(F.lit(1)).alias("__den"),
         keep.cast("long").alias("keep"),
     ).select(
-        F.expr("__num div __den").cast("long").alias("q1000"),
-        "keep",
+        "source", F.expr("__num div __den").cast("long").alias("q1000"), "keep"
     )
-    binned = per_doc.select(
-        "q1000",
+    return per_doc.groupBy("source", "q1000").agg(
+        F.sum("keep").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("keep")).alias("neg"),
+    )
+
+
+def calibration_from_hist(hist: DataFrame) -> DataFrame:
+    """Corpus-level reliability bins from the (source, q1000, pos, neg)
+    histogram — bin counts and score mass are exact sums over the
+    metadata-sized histogram rows."""
+    binned = hist.groupBy(
         F.least(F.expr("q1000 div 100"), F.lit(CALIBRATION_N_BINS - 1))
         .cast("long")
-        .alias("bin"),
-        "keep",
+        .alias("bin")
+    ).agg(
+        F.sum(F.col("pos") + F.col("neg")).alias("n_docs"),
+        F.sum("pos").alias("n_keep"),
+        F.sum(F.col("q1000") * (F.col("pos") + F.col("neg"))).alias("sum_q"),
     )
-    agg = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("keep").alias("n_keep"),
-        F.sum("q1000").alias("sum_q"),
-    )
-    return agg.select(
+    return binned.select(
         "bin",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_keep").cast("long").alias("n_keep"),
@@ -3719,27 +3736,14 @@ def score_auc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Degenerate sources (no positives or no negatives) report NULL
     auc_permille rather than a fake 500.
     """
+    return auc_from_hist(score_label_hist(df, text_col))
+
+
+def auc_from_hist(hist: DataFrame) -> DataFrame:
+    """Exact per-source AUC from the shared (source, q1000, pos, neg)
+    histogram — cumulative window over ≤1001 rows per source."""
     from pyspark.sql import Window
 
-    c = F.col(text_col)
-    n_words = F.size(TXT.words(c))
-    stop_hits = TXT.marker_words_count(c, STOPWORDS)
-    flags, _ = _gopher_flag_exprs(c)
-    keep = None
-    for f in flags.values():
-        keep = f if keep is None else (keep & f)
-    per_doc = df.select(
-        "source",
-        F.when(n_words > 0, F.lit(1000) * stop_hits.cast("long"))
-        .otherwise(F.lit(0))
-        .alias("__num"),
-        F.when(n_words > 0, n_words.cast("long")).otherwise(F.lit(1)).alias("__den"),
-        keep.cast("long").alias("keep"),
-    ).select("source", F.expr("__num div __den").cast("long").alias("q1000"), "keep")
-    hist = per_doc.groupBy("source", "q1000").agg(
-        F.sum("keep").alias("pos"),
-        (F.count(F.lit(1)) - F.sum("keep")).alias("neg"),
-    )
     w = (
         Window.partitionBy("source")
         .orderBy("q1000")
