@@ -242,6 +242,10 @@ HEADLINE = [
     # measure an empty scan, not the digit algebra.
     "inverted_index_stats",
     "score_auc_stats",
+    "blocklist_filter_stats",
+    "ldiversity_release",
+    "ccnet_lm_perplexity",
+    "rendezvous_shard_stats",
 ]
 
 

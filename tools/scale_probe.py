@@ -133,6 +133,10 @@ QUERIES = [
     # (tlsh precedent) — the probe would time an empty scan.
     "inverted_index_stats",
     "score_auc_stats",
+    "blocklist_filter_stats",
+    "ldiversity_release",
+    "ccnet_lm_perplexity",
+    "rendezvous_shard_stats",
 ]
 
 

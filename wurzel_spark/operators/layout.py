@@ -395,3 +395,97 @@ TABLE_STATS_SQL = "\nUNION ALL\n".join(
 FROM documents"""
     for c in DOC_STAT_COLS
 ) + "\nORDER BY column_name"
+
+
+# ------------------------------------------------ rendezvous sharding
+
+RDV_N_SHARDS = 16
+_RDV_KNUTH = 2654435761  # 2^32/phi — ordering._det_hash convention
+_RDV_MOD = 1000003
+
+
+def _rdv_score(id_col: Column, shard: int) -> Column:
+    """Deterministic 32-bit rendezvous weight for (id, shard), packed
+    with the shard index into one BIGINT so GREATEST doubles as argmax:
+    ``score*NS + shard`` is unique per shard (ties impossible), and
+    ``% NS`` recovers the winning shard. Same portable multiplicative
+    arithmetic as ordering._det_hash — reproducible in any engine, no
+    xxhash (a production corpus swaps in a full-width splitmix64 once
+    no oracle is in the loop; hash VALUES then aren't portable)."""
+    mixed = ((id_col * F.lit(131) + F.lit(shard * 7919)) % F.lit(_RDV_MOD)) * F.lit(
+        _RDV_KNUTH
+    ) % F.lit(4294967296)
+    return mixed * F.lit(RDV_N_SHARDS) + F.lit(shard)
+
+
+def rendezvous_owner(id_col: Column, shards: list[int] | None = None) -> Column:
+    """Highest-random-weight (rendezvous / HRW, Thaler & Ravishankar
+    1998) shard owner of an id: ``argmax_s hash(id, s)``. The property
+    that makes HRW the output-sharding primitive at 100 TB: removing a
+    shard moves ONLY the rows that lived on it (each surviving shard's
+    weight is unchanged, so every argmax not previously on the removed
+    shard is stable) — unlike mod-N, where a resize reshuffles ~all rows.
+
+    Row-local whole-stage-codegen integer expressions (NS greatest
+    terms), no UDF, no shuffle."""
+    ss = list(range(RDV_N_SHARDS)) if shards is None else shards
+    return (F.greatest(*[_rdv_score(id_col, s) for s in ss]) % RDV_N_SHARDS).cast(
+        "long"
+    )
+
+
+def rendezvous_shard_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Shard-routing readout for an HRW-sharded write: per shard, the
+    row count and byte mass it would receive (the balance you check
+    before committing a layout), plus ``moved_out_on_drop0`` — how many
+    of its rows would change owner if shard 0 were decommissioned. The
+    HRW contract (asserted in tests): that column equals n_docs on
+    shard 0 and is zero everywhere else — minimal movement on resize.
+
+    Scale shape: owner columns are row-local codegen; the only shuffle
+    is the NS-row grouped aggregate with map-side combine."""
+    d = F.col(id_col)
+    owned = df.select(
+        rendezvous_owner(d).alias("shard"),
+        rendezvous_owner(d, list(range(1, RDV_N_SHARDS))).alias("shard_drop0"),
+        F.col("n_chars"),
+    )
+    return (
+        owned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum((F.col("shard") != F.col("shard_drop0")).cast("long")).alias(
+                "moved_out_on_drop0"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_rendezvous_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rendezvous_shard_stats(table(spark, sf_dir, "documents"))
+
+
+def _rdv_score_sql(shard: int) -> str:
+    return (
+        f"((((doc_id * 131 + {shard * 7919}) % {_RDV_MOD}) * {_RDV_KNUTH}) "
+        f"% 4294967296) * {RDV_N_SHARDS} + {shard}"
+    )
+
+
+RENDEZVOUS_SQL = f"""
+WITH owned AS (
+  SELECT GREATEST({", ".join(_rdv_score_sql(s) for s in range(RDV_N_SHARDS))})
+           % {RDV_N_SHARDS} AS shard,
+         GREATEST({", ".join(_rdv_score_sql(s) for s in range(1, RDV_N_SHARDS))})
+           % {RDV_N_SHARDS} AS shard_drop0,
+         n_chars
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN shard != shard_drop0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS moved_out_on_drop0
+FROM owned GROUP BY shard ORDER BY shard
+"""

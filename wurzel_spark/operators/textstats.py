@@ -3824,3 +3824,336 @@ FROM agg ORDER BY source
 
 
 SCORE_AUC_SQL = _score_auc_sql()
+
+
+# ------------------------------------------------- blocklist filtering
+
+BLOCKLIST_TERMS = ("slow", "big", "drop", "stale")
+BLOCKLIST_MAX_PERMILLE = 50  # gate: docs whose hit share exceeds 5%
+
+
+def blocklist_hits(text_col, terms: tuple[str, ...] = BLOCKLIST_TERMS):
+    """Row-local blocklist hit count over whitespace tokens (exact-match
+    token filter, the LDNOOBW-style badwords gate every public-web
+    pipeline runs). For a literal list this is a pure codegen array
+    filter — no explode, no join, no shuffle; a production blocklist of
+    10k+ terms switches to exploding tokens into a broadcast-hash join
+    against the term table (same output contract)."""
+    blk = F.array(*[F.lit(t) for t in terms])
+    ws = TXT.words(F.col(text_col) if isinstance(text_col, str) else text_col)
+    return F.size(F.filter(ws, lambda w: F.array_contains(blk, w)))
+
+
+def blocklist_filter_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    terms: tuple[str, ...] = BLOCKLIST_TERMS,
+    max_permille: int = BLOCKLIST_MAX_PERMILLE,
+) -> DataFrame:
+    """Per-source blocklist exposure: how many docs contain ANY listed
+    term (``flagged_docs``), how many exceed the density gate
+    (``gated_docs``, hits/tokens > max_permille — the filter that
+    actually drops documents), total hits, and the corpus-level hit
+    share in permille. The readout you audit before enabling a badwords
+    filter: a source with high flagged share but low gated share is
+    mostly incidental mentions, not spam.
+
+    All-integer: the density gate compares ``hits·1000 > permille·tokens``
+    (no float division); the one shuffle is the per-source aggregate
+    with map-side combine."""
+    ws = TXT.words(F.col(text_col))
+    per = df.select(
+        "source",
+        F.size(ws).alias("n_tokens"),
+        blocklist_hits(text_col, terms).alias("n_hits"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("long")).alias("flagged_docs"),
+            F.sum(
+                (
+                    (F.col("n_tokens") > 0)
+                    & (F.col("n_hits") * 1000 > F.lit(max_permille) * F.col("n_tokens"))
+                ).cast("long")
+            ).alias("gated_docs"),
+            F.sum("n_hits").alias("total_hits"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn(
+            "hit_permille",
+            F.when(
+                F.col("total_tokens") > 0,
+                (F.col("total_hits") * 1000 / F.col("total_tokens")).cast("long"),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blocklist_filter_stats(table(spark, sf_dir, "documents"))
+
+
+_BLK_IN = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+
+BLOCKLIST_SQL = rf"""
+WITH per AS (
+  SELECT source,
+         len(ws) AS n_tokens,
+         len(list_filter(ws, w -> w IN ({_BLK_IN}))) AS n_hits
+  FROM (
+    SELECT source,
+           list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+    FROM documents
+  )
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+       CAST(SUM(CASE WHEN n_tokens > 0
+                      AND n_hits * 1000 > {BLOCKLIST_MAX_PERMILLE} * n_tokens
+                     THEN 1 ELSE 0 END) AS BIGINT) AS gated_docs,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CASE WHEN SUM(n_tokens) > 0
+            THEN CAST((SUM(n_hits) * 1000) // SUM(n_tokens) AS BIGINT)
+            ELSE NULL END AS hit_permille
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+# ------------------------------------------------- l-diversity release
+
+LDIV_MIN_LANGS = 3
+
+
+def ldiversity_release(
+    df: DataFrame,
+    quasi_col: str = "source",
+    sensitive_col: str = "lang",
+    min_l: int = LDIV_MIN_LANGS,
+) -> DataFrame:
+    """Distinct l-diversity gate (Machanavajjhala et al. 2007) on top of
+    the k-anonymity release: a quasi-identifier group may be published
+    only if its SENSITIVE attribute takes at least ``l`` distinct values
+    inside the group — k-anonymity alone still leaks when a group is
+    homogeneous (every member shares the sensitive value). Failing
+    groups coalesce into one ``__suppressed__`` bucket so totals
+    reconcile, the [[kanon]] convention.
+
+    Scale shape: one grouped aggregate over (quasi, sensitive) — the
+    corpus shuffle — then two aggregates over GROUP-sized rows."""
+    per = df.groupBy(quasi_col, sensitive_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    grp = per.groupBy(quasi_col).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_chars").alias("sum_chars"),
+        F.count(F.lit(1)).alias("n_sensitive_values"),
+    )
+    relabeled = grp.select(
+        F.when(
+            F.col("n_sensitive_values") < min_l, F.lit("__suppressed__")
+        )
+        .otherwise(F.col(quasi_col))
+        .alias(quasi_col),
+        "n_docs",
+        "sum_chars",
+        "n_sensitive_values",
+    )
+    return (
+        relabeled.groupBy(quasi_col)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_chars").alias("sum_chars"),
+            F.min("n_sensitive_values").alias("min_sensitive_values"),
+            F.count(F.lit(1)).alias("n_merged_groups"),
+        )
+        .orderBy(quasi_col)
+    )
+
+
+def q_ldiversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ldiversity_release(table(spark, sf_dir, "documents"))
+
+
+LDIVERSITY_SQL = f"""
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source, lang
+), grp AS (
+  SELECT source, SUM(n_docs) AS n_docs, SUM(sum_chars) AS sum_chars,
+         COUNT(*) AS n_sensitive_values
+  FROM per GROUP BY source
+), relabeled AS (
+  SELECT CASE WHEN n_sensitive_values < {LDIV_MIN_LANGS}
+              THEN '__suppressed__' ELSE source END AS source,
+         n_docs, sum_chars, n_sensitive_values
+  FROM grp
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(sum_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(n_sensitive_values) AS BIGINT) AS min_sensitive_values,
+       COUNT(*) AS n_merged_groups
+FROM relabeled GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------- CCNet-style LM perplexity
+
+CCNET_TRAIN_MOD = 4  # doc_id % 4 != 0 → reference (train) slice, 75%
+_CCNET_SCALE = float(1 << 20)  # 2^20 fixed-point, the PMI/BM25 convention
+
+
+def ccnet_lm_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020):
+    train a per-LANGUAGE add-one-smoothed bigram LM on a REFERENCE slice
+    of the corpus (deterministic ``doc_id % 4 != 0``, standing in for
+    CCNet's Wikipedia LM), then score EVERY document against its own
+    language's model. Per doc: bigram count, OOV bigram count (unseen in
+    train — held-out docs exercise genuine backoff), and the negative
+    log-likelihood ``nll = -Σ m·⌊ln((c12+1)/(c1+V))·2^20⌋`` plus its
+    per-bigram mean — the perplexity proxy CCNet buckets into
+    head/middle/tail quality bands.
+
+    Differs from [[bigram_lm_score]] (self-trained pooled ratio, one
+    final float): this is a real train/score split with per-language
+    models and a true log-likelihood. Exactness: each bigram's surprisal
+    is quantized to int64 AT THE INSTANCE (one ln per distinct
+    (doc, bigram), identical IEEE division both engines — the PMI
+    convention), so the per-doc sum is an integer sum: row-order and
+    partitioning independent by construction.
+
+    Scale shape: language is FOLDED INTO the md5-prefix gram hashes
+    (dedup.md5_prefix_hash; xxhash64 in production), so every exchange
+    carries 8-byte keys, never word strings: (1) the doc-grain bigram
+    pre-aggregate (multiplicity m collapses repeats before the LM join),
+    (2) the train-slice bigram count, (3) the (h1, h2) hash join. The
+    prefix table c1 and vocab size V derive from the checkpointed c12
+    table (group-sized, not corpus-sized); V joins back as a ≤n_langs
+    broadcast."""
+    from wurzel_spark.operators.dedup import _parallelize, md5_prefix_hash
+
+    ws = TXT.words(F.col(text_col))
+    toks = (
+        _parallelize(df)
+        .select("doc_id", "source", "lang", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    bg = toks.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                F.slice("ws", 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        md5_prefix_hash(F.concat_ws("\x1f", F.col("lang"), F.col("b.w1"))).alias("h1"),
+        md5_prefix_hash(
+            F.concat_ws("\x1f", F.col("lang"), F.col("b.w1"), F.col("b.w2"))
+        ).alias("h2"),
+    )
+    # ONE corpus tokenize+hash pass: the doc-grain pre-aggregate's
+    # exchange is shared by the LM join AND the train-count branch
+    # (the train counts DERIVE from it — sum of multiplicities ==
+    # count of instances), and the vocab-sized c12 aggregate above it
+    # feeds three subtrees (the join, c1, V). All four consumers sit in
+    # ONE plan, so Catalyst's ReuseExchange collapses them to a single
+    # computed shuffle each — an eager checkpoint here would instead
+    # MATERIALIZE the corpus-grain table (measured 2× slower at the 10×
+    # probe scale than letting the exchanges be reused).
+    sc = bg.groupBy("doc_id", "source", "lang", "h1", "h2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    c12 = (
+        sc.filter(F.col("doc_id") % CCNET_TRAIN_MOD != 0)
+        .groupBy("lang", "h1", "h2")
+        .agg(F.sum("m").alias("c12"))
+    )
+    c1 = c12.groupBy("h1").agg(F.sum("c12").alias("c1"))
+    vt = c12.groupBy("lang").agg(F.countDistinct("h1").alias("v"))
+    c12v = F.coalesce(F.col("c12"), F.lit(0))
+    c1v = F.coalesce(F.col("c1"), F.lit(0))
+    vv = F.coalesce(F.col("v"), F.lit(1))  # lang absent from train: V=1
+    q = F.floor(
+        F.log((c12v + 1).cast("double") / (c1v + vv).cast("double"))
+        * F.lit(_CCNET_SCALE)
+    ).cast("long")
+    scored = (
+        sc.join(c12.select("h1", "h2", "c12"), ["h1", "h2"], "left")
+        .join(c1, "h1", "left")
+        .join(F.broadcast(vt), "lang", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "m",
+            c12v.alias("c12v"),
+            q.alias("qv"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "source", "lang")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(F.when(F.col("c12v") == 0, F.col("m")).otherwise(F.lit(0))).alias(
+                "oov_bigrams"
+            ),
+            (-F.sum(F.col("m") * F.col("qv"))).alias("nll_q20"),
+        )
+        .withColumn("avg_nll_q20", F.expr("nll_q20 div n_bigrams"))
+        .orderBy("doc_id")
+    )
+
+
+def q_ccnet_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ccnet_lm_perplexity(table(spark, sf_dir, "documents"))
+
+
+CCNET_LM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, source, lang,
+         CAST(concat('0x', substr(md5(lang || chr(31) || ws[i]), 1, 15)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(lang || chr(31) || ws[i] || chr(31) || ws[i + 1]), 1, 15)) AS BIGINT) AS h2
+  FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+), sc AS (
+  SELECT doc_id, source, lang, h1, h2, COUNT(*) AS m
+  FROM bg GROUP BY doc_id, source, lang, h1, h2
+), c12 AS (
+  SELECT lang, h1, h2, COUNT(*) AS c12
+  FROM bg WHERE doc_id % {CCNET_TRAIN_MOD} != 0 GROUP BY lang, h1, h2
+), c1 AS (
+  SELECT h1, SUM(c12) AS c1 FROM c12 GROUP BY h1
+), vt AS (
+  SELECT lang, COUNT(DISTINCT h1) AS v FROM c12 GROUP BY lang
+), scored AS (
+  SELECT sc.doc_id, sc.source, sc.lang, sc.m,
+         COALESCE(c12.c12, 0) AS c12v,
+         CAST(FLOOR(ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(c1.c1, 0) + COALESCE(vt.v, 1) AS DOUBLE))
+                    * {_CCNET_SCALE!r}) AS BIGINT) AS qv
+  FROM sc LEFT JOIN c12 ON sc.h1 = c12.h1 AND sc.h2 = c12.h2
+          LEFT JOIN c1 ON sc.h1 = c1.h1
+          LEFT JOIN vt ON sc.lang = vt.lang
+)
+SELECT doc_id, source, lang,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c12v = 0 THEN m ELSE 0 END) AS BIGINT) AS oov_bigrams,
+       CAST(-SUM(m * qv) AS BIGINT) AS nll_q20,
+       CAST((-SUM(m * qv)) // SUM(m) AS BIGINT) AS avg_nll_q20
+FROM scored GROUP BY doc_id, source, lang ORDER BY doc_id
+"""
