@@ -58,3 +58,56 @@ def test_doremi_iteration_never_rescans_corpus(spark, sf_dir):
     t = plan_text(doremi_mixture_weights(table(spark, sf_dir, "documents")))
     assert _n_scans(t) == 1, t
     _no_text_in_exchanges(t)
+
+
+# ---- round-8 late additions: blocklist / l-diversity / ccnet / HRW ----
+
+
+def test_blocklist_single_scan_no_text_shuffle(spark, sf_dir):
+    """Hit counting is a row-local array filter — one scan, and the
+    per-source exchange carries integer counts only."""
+    from wurzel_spark.operators.textstats import blocklist_filter_stats
+
+    t = plan_text(blocklist_filter_stats(table(spark, sf_dir, "documents")))
+    assert _n_scans(t) == 1, t
+    _no_text_in_exchanges(t)
+
+
+def test_ldiversity_single_scan(spark, sf_dir):
+    from wurzel_spark.operators.textstats import ldiversity_release
+
+    t = plan_text(ldiversity_release(table(spark, sf_dir, "documents")))
+    assert _n_scans(t) == 1, t
+    _no_text_in_exchanges(t)
+
+
+def test_rendezvous_single_scan_rowlocal_owner(spark, sf_dir):
+    """Owner columns are codegen expressions — one scan, one NS-row
+    aggregate exchange, no UDF anywhere in the plan."""
+    from wurzel_spark.operators.layout import rendezvous_shard_stats
+
+    t = plan_text(rendezvous_shard_stats(table(spark, sf_dir, "documents")))
+    assert _n_scans(t) == 1, t
+    assert "Python" not in t, t
+    _no_text_in_exchanges(t)
+
+
+def test_ccnet_reuses_corpus_exchange_no_word_shuffle(spark, sf_dir):
+    """The LM family's scale contract: the doc-grain aggregate exchange
+    is REUSED by the train-count branch rather than recomputed (AQE stage
+    reuse — statically the plan shows duplicate subtrees, so the guard
+    inspects the EXECUTED adaptive plan; the measured 6× trap was eagerly
+    materializing the corpus-grain table instead), and no exchange
+    carries raw text or word strings (lang is folded into the md5-prefix
+    hashes before any shuffle)."""
+    from wurzel_spark.operators.textstats import ccnet_lm_perplexity
+
+    df = ccnet_lm_perplexity(table(spark, sf_dir, "documents"))
+    t = plan_text(df)
+    _no_text_in_exchanges(t)
+    _no_text_in_exchanges(t, col="w1")
+    _no_text_in_exchanges(t, col="w2")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert re.search(r"ReusedQueryStage|ReusedExchange", executed), executed

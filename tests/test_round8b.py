@@ -166,3 +166,60 @@ def test_rendezvous_drop_any_shard_moves_only_its_rows(spark):
         .collect()
     )
     assert {r["o"] for r in moved} == {5}
+
+
+# ------------------------------------------------- streaming blocklist
+
+
+def test_streaming_blocklist_matches_batch(spark, tmp_path):
+    """Additive per-source partials staged over micro-batches == the
+    batch filter-rate table bit-exactly (integer sums are admission-order
+    independent)."""
+    from wurzel_spark.operators.textstats import blocklist_filter_stats
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.blocklist import blocklist_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+    d = str(tmp_path / "bl_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "bl_state")
+    got = sorted(
+        map(
+            tuple,
+            blocklist_stream(
+                stream, state, str(tmp_path / "bl_ckpt"), compact_every=2
+            ).collect(),
+        )
+    )
+    exp = sorted(map(tuple, blocklist_filter_stats(docs).collect()))
+    assert got == exp and len(got) > 0
+    assert len(list_batch_ids(spark, state)) <= 2
+
+
+def test_streaming_blocklist_replay_is_idempotent(spark, tmp_path):
+    """A replayed delivery (foreachBatch retry after the state write,
+    before the checkpoint commit) must overwrite its batch partition,
+    never double-sum it."""
+    from wurzel_spark.operators.textstats import blocklist_source_partials
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.blocklist import drain_blocklist_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "bl_replay_state")
+
+    def _stage(df, bid):
+        mine = blocklist_source_partials(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(spark, mine, state, bid, ["src_batch", "source"], None)
+
+    _stage(b0, 0)
+    _stage(b1, 1)
+    once = sorted(map(tuple, drain_blocklist_state(spark, state).collect()))
+    _stage(b0, 0)  # replayed delivery of batch 0
+    assert sorted(map(tuple, drain_blocklist_state(spark, state).collect())) == once

@@ -3860,36 +3860,50 @@ def blocklist_filter_stats(
 
     All-integer: the density gate compares ``hits·1000 > permille·tokens``
     (no float division); the one shuffle is the per-source aggregate
-    with map-side combine."""
+    with map-side combine. Split as partials + tail so the streaming twin
+    (streaming/blocklist.py) stages the ADDITIVE per-source partials per
+    micro-batch and shares the permille tail at drain."""
+    return blocklist_from_partials(blocklist_source_partials(df, text_col, terms, max_permille))
+
+
+def blocklist_source_partials(
+    df: DataFrame,
+    text_col: str = "text",
+    terms: tuple[str, ...] = BLOCKLIST_TERMS,
+    max_permille: int = BLOCKLIST_MAX_PERMILLE,
+) -> DataFrame:
+    """The additive per-source partials (every column a pure integer sum
+    — batch-splittable by law); the streaming staging unit."""
     ws = TXT.words(F.col(text_col))
     per = df.select(
         "source",
         F.size(ws).alias("n_tokens"),
         blocklist_hits(text_col, terms).alias("n_hits"),
     )
-    return (
-        per.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("n_hits") > 0).cast("long")).alias("flagged_docs"),
-            F.sum(
-                (
-                    (F.col("n_tokens") > 0)
-                    & (F.col("n_hits") * 1000 > F.lit(max_permille) * F.col("n_tokens"))
-                ).cast("long")
-            ).alias("gated_docs"),
-            F.sum("n_hits").alias("total_hits"),
-            F.sum("n_tokens").alias("total_tokens"),
-        )
-        .withColumn(
-            "hit_permille",
-            F.when(
-                F.col("total_tokens") > 0,
-                (F.col("total_hits") * 1000 / F.col("total_tokens")).cast("long"),
-            ),
-        )
-        .orderBy("source")
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_hits") > 0).cast("long")).alias("flagged_docs"),
+        F.sum(
+            (
+                (F.col("n_tokens") > 0)
+                & (F.col("n_hits") * 1000 > F.lit(max_permille) * F.col("n_tokens"))
+            ).cast("long")
+        ).alias("gated_docs"),
+        F.sum("n_hits").alias("total_hits"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def blocklist_from_partials(partials: DataFrame) -> DataFrame:
+    """The tail shared with the streaming drain: the corpus-level hit
+    share derives from summed totals (never from averaged permilles)."""
+    return partials.withColumn(
+        "hit_permille",
+        F.when(
+            F.col("total_tokens") > 0,
+            (F.col("total_hits") * 1000 / F.col("total_tokens")).cast("long"),
+        ),
+    ).orderBy("source")
 
 
 def q_blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
