@@ -223,3 +223,59 @@ def test_streaming_blocklist_replay_is_idempotent(spark, tmp_path):
     once = sorted(map(tuple, drain_blocklist_state(spark, state).collect()))
     _stage(b0, 0)  # replayed delivery of batch 0
     assert sorted(map(tuple, drain_blocklist_state(spark, state).collect())) == once
+
+
+# ------------------------------------------------- streaming CCNet LM
+
+
+def test_streaming_ccnet_matches_batch(spark, tmp_path):
+    """Doc-grain bigram partials staged over micro-batches, LM trained at
+    drain over the FULL admitted corpus == the batch scorer bit-exactly
+    (train docs split across batches must still all reach the LM)."""
+    from wurzel_spark.operators.textstats import ccnet_lm_perplexity
+    from wurzel_spark.streaming._fs import list_batch_ids
+    from wurzel_spark.streaming.ccnet import ccnet_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+    d = str(tmp_path / "cc_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    state = str(tmp_path / "cc_state")
+    got = sorted(
+        map(
+            tuple,
+            ccnet_stream(
+                stream, state, str(tmp_path / "cc_ckpt"), compact_every=2
+            ).collect(),
+        )
+    )
+    exp = sorted(map(tuple, ccnet_lm_perplexity(docs).collect()))
+    assert got == exp and len(got) > 0
+    assert len(list_batch_ids(spark, state)) <= 2
+
+
+def test_streaming_ccnet_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.operators.textstats import ccnet_doc_bigrams
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.ccnet import drain_ccnet_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "cc_replay_state")
+
+    def _stage(df, bid):
+        mine = ccnet_doc_bigrams(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(
+            spark, mine, state, bid, ["src_batch", "doc_id", "h1", "h2"], None
+        )
+
+    _stage(b0, 0)
+    _stage(b1, 1)
+    once = sorted(map(tuple, drain_ccnet_state(spark, state).collect()))
+    _stage(b0, 0)  # replayed delivery of batch 0
+    assert sorted(map(tuple, drain_ccnet_state(spark, state).collect())) == once

@@ -4048,7 +4048,19 @@ def ccnet_lm_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
     (2) the train-slice bigram count, (3) the (h1, h2) hash join. The
     prefix table c1 and vocab size V derive from the checkpointed c12
     table (group-sized, not corpus-sized); V joins back as a ≤n_langs
-    broadcast."""
+    broadcast.
+
+    Split as doc-grain bigram builder + scoring tail so the streaming
+    twin (streaming/ccnet.py) can stage the bigram table per micro-batch
+    (the staged state IS the scoring input, the inverted-index-twin
+    pattern) and share the train/score tail at drain."""
+    return ccnet_scores_from_bigrams(ccnet_doc_bigrams(df, text_col))
+
+
+def ccnet_doc_bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus pass: doc-grain (doc, source, lang, h1, h2, m) bigram
+    multiplicities with language folded into the md5-prefix hashes —
+    also the staging unit of the streaming twin."""
     from wurzel_spark.operators.dedup import _parallelize, md5_prefix_hash
 
     ws = TXT.words(F.col(text_col))
@@ -4076,18 +4088,23 @@ def ccnet_lm_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.concat_ws("\x1f", F.col("lang"), F.col("b.w1"), F.col("b.w2"))
         ).alias("h2"),
     )
-    # ONE corpus tokenize+hash pass: the doc-grain pre-aggregate's
-    # exchange is shared by the LM join AND the train-count branch
-    # (the train counts DERIVE from it — sum of multiplicities ==
-    # count of instances), and the vocab-sized c12 aggregate above it
-    # feeds three subtrees (the join, c1, V). All four consumers sit in
-    # ONE plan, so Catalyst's ReuseExchange collapses them to a single
-    # computed shuffle each — an eager checkpoint here would instead
-    # MATERIALIZE the corpus-grain table (measured 2× slower at the 10×
-    # probe scale than letting the exchanges be reused).
-    sc = bg.groupBy("doc_id", "source", "lang", "h1", "h2").agg(
+    return bg.groupBy("doc_id", "source", "lang", "h1", "h2").agg(
         F.count(F.lit(1)).alias("m")
     )
+
+
+def ccnet_scores_from_bigrams(sc: DataFrame) -> DataFrame:
+    """The train/score tail shared with the streaming drain.
+
+    ONE corpus tokenize+hash pass: the doc-grain pre-aggregate's
+    exchange is shared by the LM join AND the train-count branch
+    (the train counts DERIVE from it — sum of multiplicities ==
+    count of instances), and the vocab-sized c12 aggregate above it
+    feeds three subtrees (the join, c1, V). All four consumers sit in
+    ONE plan, so Catalyst's ReuseExchange collapses them to a single
+    computed shuffle each — an eager checkpoint here would instead
+    MATERIALIZE the corpus-grain table (measured 2× slower at the 10×
+    probe scale than letting the exchanges be reused)."""
     c12 = (
         sc.filter(F.col("doc_id") % CCNET_TRAIN_MOD != 0)
         .groupBy("lang", "h1", "h2")
