@@ -246,6 +246,7 @@ HEADLINE = [
     "ldiversity_release",
     "ccnet_lm_perplexity",
     "rendezvous_shard_stats",
+    "filter_agreement_stats",
 ]
 
 

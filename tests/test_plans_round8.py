@@ -111,3 +111,13 @@ def test_ccnet_reuses_corpus_exchange_no_word_shuffle(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in executed
     assert re.search(r"ReusedQueryStage|ReusedExchange", executed), executed
+
+
+def test_filter_agreement_single_scan_no_text_shuffle(spark, sf_dir):
+    """All three verdicts in one row-local select — one scan, and the
+    per-source exchange carries booleans/ints only."""
+    from wurzel_spark.operators.textstats import filter_agreement_stats
+
+    t = plan_text(filter_agreement_stats(table(spark, sf_dir, "documents")))
+    assert _n_scans(t) == 1, t
+    _no_text_in_exchanges(t)

@@ -279,3 +279,52 @@ def test_streaming_ccnet_replay_is_idempotent(spark, tmp_path):
     once = sorted(map(tuple, drain_ccnet_state(spark, state).collect()))
     _stage(b0, 0)  # replayed delivery of batch 0
     assert sorted(map(tuple, drain_ccnet_state(spark, state).collect())) == once
+
+
+# ------------------------------------------------ filter agreement
+
+
+def test_filter_agreement_exact_cells(spark):
+    """Hand-checkable verdicts: doc A passes quality only (50 short
+    words trip mean-word-len; no blocklist hits; stop density 50%);
+    doc B is blocklist-gated AND fails gopher AND fails quality."""
+    from wurzel_spark.operators.textstats import filter_agreement_stats
+
+    doc_a = " ".join(["the", "xx"] * 25)            # 50 words, q1000=500
+    doc_b = "slow slow slow zzz"                    # gated, 0 stopwords
+    docs = _docs(spark, [(1, doc_a, "s", "en", 1), (2, doc_b, "s", "en", 1)])
+    r = filter_agreement_stats(docs).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["keep_gopher"] == 0          # A fails mean-word-len, B fails all
+    assert r["keep_blocklist"] == 1       # only A
+    assert r["keep_quality"] == 1         # only A
+    assert r["agree_bq"] == 2             # b and q agree on both docs
+    assert r["agree_gb"] == 1 and r["agree_gq"] == 1   # agree on B only
+    assert r["unanimous_keep"] == 0 and r["unanimous_drop"] == 1
+    assert r["agree_bq_permille"] == 1000
+
+
+def test_filter_agreement_shares_gate_definitions(spark):
+    """The g column must equal gopher_quality_flags' verdict and the b
+    column the blocklist gate — computed through the SAME helpers, so
+    assert end-to-end equality on real data (drift would break this)."""
+    from wurzel_spark.operators.textstats import (
+        blocklist_filter_stats,
+        filter_agreement_stats,
+        gopher_quality_flags,
+    )
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    agg = {r["source"]: r for r in filter_agreement_stats(docs).collect()}
+    gop = (
+        gopher_quality_flags(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum(F.col("gopher_keep").cast("long")).alias("k"))
+    )
+    for r in gop.collect():
+        assert agg[r["source"]]["keep_gopher"] == r["k"]
+    blk = {r["source"]: r for r in blocklist_filter_stats(docs).collect()}
+    for s, r in agg.items():
+        assert r["keep_blocklist"] == r["n_docs"] - blk[s]["gated_docs"]

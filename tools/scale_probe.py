@@ -137,6 +137,7 @@ QUERIES = [
     "ldiversity_release",
     "ccnet_lm_perplexity",
     "rendezvous_shard_stats",
+    "filter_agreement_stats",
 ]
 
 

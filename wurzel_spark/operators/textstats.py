@@ -4188,3 +4188,107 @@ SELECT doc_id, source, lang,
        CAST((-SUM(m * qv)) // SUM(m) AS BIGINT) AS avg_nll_q20
 FROM scored GROUP BY doc_id, source, lang ORDER BY doc_id
 """
+
+
+# --------------------------------------------- filter agreement matrix
+
+FILTER_AGREE_Q1000 = 100  # cheap-score gate: stopword density >= 10%
+
+
+def filter_agreement_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Do the independent cheap quality gates AGREE?  Per source, the
+    pairwise agreement between three row-local keep verdicts — the
+    Gopher rule battery (``g``), the blocklist density gate (``b``,
+    NOT gated), and the stopword-density score gate (``q``,
+    q1000 ≥ FILTER_AGREE_Q1000) — plus unanimous keep/drop counts.
+    The diagnostic you read before composing gates into a funnel: two
+    filters that agree at 950‰ are near-redundant (drop the slow one);
+    a pair near 500‰ measures something different and both stay. The
+    same readout FineWeb's ablations tabulate before stacking filters.
+
+    Every verdict reuses the SHARED predicate definitions
+    (_gopher_flag_exprs, blocklist_hits, the sweep's q1000) — the C4
+    drift lesson: stats and the gates they describe can never diverge.
+    All counts exact integers; permilles are floor-div.
+
+    Scale shape: ONE corpus scan, all three verdicts in one row-local
+    select, one n_sources-row grouped aggregate. No joins, no windows."""
+    c = F.col(text_col)
+    flags, n_words = _gopher_flag_exprs(c)
+    g = None
+    for f_ in flags.values():
+        g = f_ if g is None else (g & f_)
+    n_hits = blocklist_hits(text_col)
+    b = ~(
+        (n_words > 0)
+        & (n_hits * 1000 > F.lit(BLOCKLIST_MAX_PERMILLE) * n_words)
+    )
+    stop_hits = TXT.marker_words_count(c, STOPWORDS)
+    per = df.select(
+        "source",
+        g.alias("g"),
+        b.alias("b"),
+        stop_hits.cast("long").alias("__sh"),
+        n_words.cast("long").alias("__nw"),
+    ).select(
+        "source",
+        "g",
+        "b",
+        (
+            F.when(F.col("__nw") > 0, F.expr("div(1000 * __sh, __nw)"))
+            .otherwise(F.lit(0))
+            >= FILTER_AGREE_Q1000
+        ).alias("q"),
+    )
+    i = lambda col: col.cast("long")  # noqa: E731
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(i(F.col("g"))).alias("keep_gopher"),
+        F.sum(i(F.col("b"))).alias("keep_blocklist"),
+        F.sum(i(F.col("q"))).alias("keep_quality"),
+        F.sum(i(F.col("g") == F.col("b"))).alias("agree_gb"),
+        F.sum(i(F.col("g") == F.col("q"))).alias("agree_gq"),
+        F.sum(i(F.col("b") == F.col("q"))).alias("agree_bq"),
+        F.sum(i(F.col("g") & F.col("b") & F.col("q"))).alias("unanimous_keep"),
+        F.sum(i(~F.col("g") & ~F.col("b") & ~F.col("q"))).alias("unanimous_drop"),
+    )
+    return agg.select(
+        "*",
+        F.expr("div(1000 * agree_gb, n_docs)").alias("agree_gb_permille"),
+        F.expr("div(1000 * agree_gq, n_docs)").alias("agree_gq_permille"),
+        F.expr("div(1000 * agree_bq, n_docs)").alias("agree_bq_permille"),
+    ).orderBy("source")
+
+
+def q_filter_agreement_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filter_agreement_stats(table(spark, sf_dir, "documents"))
+
+
+_STOP_IN = ", ".join(f"'{m}'" for m in STOPWORDS)
+
+FILTER_AGREEMENT_SQL = rf"""
+WITH {_GOPHER_CTE}, verdicts AS (
+  SELECT base.source,
+         {_GOPHER_KEEP_EXPR} AS g,
+         NOT (f.n_words > 0
+              AND len(list_filter(base.ws, w -> w IN ({_BLK_IN}))) * 1000
+                  > {BLOCKLIST_MAX_PERMILLE} * f.n_words) AS b,
+         (CASE WHEN f.n_words > 0
+               THEN (1000 * len(list_filter(base.ws, w -> list_contains([{_STOP_IN}], w)))) // f.n_words
+               ELSE 0 END) >= {FILTER_AGREE_Q1000} AS q
+  FROM f JOIN base USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS keep_gopher,
+       CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS keep_blocklist,
+       CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS keep_quality,
+       CAST(SUM(CASE WHEN g = b THEN 1 ELSE 0 END) AS BIGINT) AS agree_gb,
+       CAST(SUM(CASE WHEN g = q THEN 1 ELSE 0 END) AS BIGINT) AS agree_gq,
+       CAST(SUM(CASE WHEN b = q THEN 1 ELSE 0 END) AS BIGINT) AS agree_bq,
+       CAST(SUM(CASE WHEN g AND b AND q THEN 1 ELSE 0 END) AS BIGINT) AS unanimous_keep,
+       CAST(SUM(CASE WHEN NOT g AND NOT b AND NOT q THEN 1 ELSE 0 END) AS BIGINT) AS unanimous_drop,
+       CAST((1000 * SUM(CASE WHEN g = b THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS agree_gb_permille,
+       CAST((1000 * SUM(CASE WHEN g = q THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS agree_gq_permille,
+       CAST((1000 * SUM(CASE WHEN b = q THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS agree_bq_permille
+FROM verdicts GROUP BY source ORDER BY source
+"""
