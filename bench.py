@@ -247,6 +247,7 @@ HEADLINE = [
     "ccnet_lm_perplexity",
     "rendezvous_shard_stats",
     "filter_agreement_stats",
+    "embedding_norm_outliers",
 ]
 
 

@@ -121,3 +121,14 @@ def test_filter_agreement_single_scan_no_text_shuffle(spark, sf_dir):
     t = plan_text(filter_agreement_stats(table(spark, sf_dir, "documents")))
     assert _n_scans(t) == 1, t
     _no_text_in_exchanges(t)
+
+
+def test_norm_outliers_histogram_grain_windows(spark, sf_dir):
+    """The only corpus-sized shuffle is the (label, b) histogram
+    aggregate; every window sits above it on metadata-sized rows, and no
+    exchange carries the embedding array."""
+    from wurzel_spark.operators.linalg import embedding_norm_outliers
+
+    t = plan_text(embedding_norm_outliers(table(spark, sf_dir, "embeddings")))
+    _no_text_in_exchanges(t, col="embedding")
+    assert "Python" not in t, t

@@ -328,3 +328,46 @@ def test_filter_agreement_shares_gate_definitions(spark):
     blk = {r["source"]: r for r in blocklist_filter_stats(docs).collect()}
     for s, r in agg.items():
         assert r["keep_blocklist"] == r["n_docs"] - blk[s]["gated_docs"]
+
+
+# -------------------------------------------- embedding norm outliers
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_norm_outliers_flags_planted_bad_vectors(spark):
+    """40 unit-ish vectors + one zero vector + one 100x-scale vector:
+    both plants land beyond 3*MAD of the permille-norm histogram."""
+    from wurzel_spark.operators.linalg import embedding_norm_outliers
+
+    good = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(40)]
+    rows = good + [(100, [0.0, 0.0, 0.0, 0.0], 0), (101, [100.0, 0.0, 0.0, 0.0], 0)]
+    r = embedding_norm_outliers(_vecs(spark, rows)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_vectors"] == 42
+    # median sits on the good mass; the zero vector (b=0) and the good
+    # vectors (b=0 relative to the 100x max... ) — with the 100x plant the
+    # good vectors compress near b=0, so the gate flags the MAX vector.
+    assert row["n_outliers"] >= 1
+    assert row["max_abs_dev"] > 3 * row["mad_b"]
+
+
+def test_norm_outliers_clean_label_flags_nothing(spark):
+    from wurzel_spark.operators.linalg import embedding_norm_outliers
+
+    rows = [(i, [1.0, 2.0, 3.0], 1) for i in range(30)]
+    r = embedding_norm_outliers(_vecs(spark, rows)).collect()[0]
+    assert r["n_outliers"] == 0 and r["mad_b"] == 0 and r["max_abs_dev"] == 0
+
+
+def test_norm_outliers_partitioning_independent(spark):
+    from wurzel_spark.operators.linalg import embedding_norm_outliers
+
+    rows = [(i, [float(i % 7) / 7.0, 0.5, float(i % 3)], i % 2) for i in range(1, 101)]
+    vecs = _vecs(spark, rows)
+    a = sorted(map(tuple, embedding_norm_outliers(vecs).collect()))
+    b = sorted(map(tuple, embedding_norm_outliers(vecs.repartition(9)).collect()))
+    assert a == b

@@ -138,6 +138,7 @@ QUERIES = [
     "ccnet_lm_perplexity",
     "rendezvous_shard_stats",
     "filter_agreement_stats",
+    "embedding_norm_outliers",
 ]
 
 

@@ -274,3 +274,175 @@ GROUP BY e.vec_id ORDER BY e.vec_id
 
 EMBEDDING_PCA_SQL = _pca_unrolled_sql()
 EMBEDDING_PROJECTION_SQL = _projection_sql()
+
+
+# ---------------------------------------------- embedding norm outliers
+
+NORM_OUTLIER_K = 3  # the house MAD multiplier (events.ANOMALY_MAD_K)
+
+
+def embedding_norm_outliers(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Embedding QA gate run before any vector index build: per label,
+    a robust (median + MAD, 50% breakdown) outlier count over the
+    squared-norm distribution — truncated writes, wrong-scale batches,
+    and zero vectors all land in the far tail of ‖v‖², and a mean/std
+    gate would let a bad batch drag its own threshold.
+
+    Exactness: components quantize floor(x·2^20) (the [[linalg]] gram
+    convention), so ‖v‖²_q is an exact int64; norms then map to a
+    0..1000 permille-of-label-max scale ``b`` and the whole
+    median/MAD/gate battery runs on the ≤1001-row per-label HISTOGRAM —
+    the score_label_hist trick: order statistics become cumulative sums
+    over metadata-sized rows, never a corpus-wide sort. Median/MAD use
+    the house rank-ceil convention (events.anomalies_from_hourly);
+    the gate ``adev > K·mad`` is strict, so a zero-MAD (constant-norm)
+    label flags ANY deviation — the behavior you want from a QA gate.
+
+    Scale shape: one row-local quantize+sum map, one max/count
+    aggregate, one histogram aggregate (the only corpus-sized shuffle,
+    carrying (label, b) ints), then windows over ≤1001-row partitions."""
+    from pyspark.sql import Window as W
+
+    qs = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * QSCALE).cast("long")
+    )
+    n2 = F.aggregate(qs, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    per = df.select(F.col(label_col).alias("label"), n2.alias("n2"))
+    mx = per.groupBy("label").agg(
+        F.max("n2").alias("max_norm2q"), F.count(F.lit(1)).alias("n_vectors")
+    )
+    # 1000·n2 can pass 2^63 for a wrong-scale vector (the exact case this
+    # gate exists to catch), so the permille rescale runs in decimal(38,0)
+    # Spark-side / HUGEINT oracle-side — the house wide-integer convention.
+    b = per.join(F.broadcast(mx), "label").select(
+        "label",
+        F.when(
+            F.col("max_norm2q") > 0,
+            F.expr(
+                "CAST(div(CAST(n2 AS DECIMAL(38,0)) * 1000, max_norm2q) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("b"),
+    )
+    hist = b.groupBy("label", "b").agg(F.count(F.lit(1)).alias("c"))
+    wl = W.partitionBy("label")
+    rk = F.ceil(F.col("n_vectors") / 2).cast("long")
+    ranked = hist.withColumn("cum", F.sum("c").over(wl.orderBy("b"))).join(
+        F.broadcast(mx), "label"
+    )
+    med = (
+        ranked.filter(F.col("cum") >= rk)
+        .groupBy("label")
+        .agg(F.min("b").alias("median_b"))
+    )
+    devh = (
+        hist.join(F.broadcast(med), "label")
+        .groupBy("label", F.abs(F.col("b") - F.col("median_b")).alias("adev"))
+        .agg(F.sum("c").alias("c"))
+    )
+    dranked = devh.withColumn("cum", F.sum("c").over(wl.orderBy("adev"))).join(
+        F.broadcast(mx), "label"
+    )
+    mad = (
+        dranked.filter(F.col("cum") >= rk)
+        .groupBy("label")
+        .agg(F.min("adev").alias("mad_b"))
+    )
+    flags = (
+        hist.join(F.broadcast(med), "label")
+        .join(F.broadcast(mad), "label")
+        .select(
+            "label",
+            "c",
+            F.abs(F.col("b") - F.col("median_b")).alias("adev"),
+            "mad_b",
+        )
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("adev") > NORM_OUTLIER_K * F.col("mad_b"), F.col("c")
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+            F.max("adev").alias("max_abs_dev"),
+        )
+    )
+    return (
+        mx.join(med, "label")
+        .join(mad, "label")
+        .join(flags, "label")
+        .select(
+            "label",
+            "n_vectors",
+            "max_norm2q",
+            "median_b",
+            "mad_b",
+            "n_outliers",
+            "max_abs_dev",
+        )
+        .orderBy("label")
+    )
+
+
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_norm_outliers(table(spark, sf_dir, "embeddings"))
+
+
+NORM_OUTLIERS_SQL = f"""
+WITH per AS (
+  SELECT label,
+         list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(floor(x * {QSCALE}) AS BIGINT)
+                                      * CAST(floor(x * {QSCALE}) AS BIGINT))) AS n2
+  FROM embeddings
+), mx AS (
+  SELECT label, CAST(MAX(n2) AS BIGINT) AS max_norm2q,
+         COUNT(*) AS n_vectors
+  FROM per GROUP BY label
+), scored AS (
+  SELECT per.label,
+         CASE WHEN mx.max_norm2q > 0
+              THEN CAST((CAST(per.n2 AS HUGEINT) * 1000) // mx.max_norm2q AS BIGINT)
+              ELSE 0 END AS b
+  FROM per JOIN mx ON per.label = mx.label
+), hist AS (
+  SELECT label, b, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY label, b
+), ranked AS (
+  SELECT h.label, h.b, h.c,
+         SUM(h.c) OVER (PARTITION BY h.label ORDER BY h.b) AS cum,
+         mx.n_vectors
+  FROM hist h JOIN mx ON h.label = mx.label
+), med AS (
+  SELECT label, CAST(MIN(b) AS BIGINT) AS median_b FROM ranked
+  WHERE cum >= CAST(CEIL(n_vectors / 2.0) AS BIGINT) GROUP BY label
+), devh AS (
+  SELECT h.label, ABS(h.b - m.median_b) AS adev, CAST(SUM(h.c) AS BIGINT) AS c
+  FROM hist h JOIN med m ON h.label = m.label
+  GROUP BY h.label, ABS(h.b - m.median_b)
+), dranked AS (
+  SELECT d.label, d.adev, d.c,
+         SUM(d.c) OVER (PARTITION BY d.label ORDER BY d.adev) AS cum,
+         mx.n_vectors
+  FROM devh d JOIN mx ON d.label = mx.label
+), mad AS (
+  SELECT label, CAST(MIN(adev) AS BIGINT) AS mad_b FROM dranked
+  WHERE cum >= CAST(CEIL(n_vectors / 2.0) AS BIGINT) GROUP BY label
+), flags AS (
+  SELECT h.label,
+         CAST(SUM(CASE WHEN ABS(h.b - m.median_b) > {NORM_OUTLIER_K} * x.mad_b
+                       THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers,
+         CAST(MAX(ABS(h.b - m.median_b)) AS BIGINT) AS max_abs_dev
+  FROM hist h JOIN med m ON h.label = m.label
+              JOIN mad x ON h.label = x.label
+  GROUP BY h.label
+)
+SELECT mx.label, mx.n_vectors, mx.max_norm2q,
+       med.median_b, mad.mad_b, flags.n_outliers, flags.max_abs_dev
+FROM mx JOIN med ON mx.label = med.label
+        JOIN mad ON mx.label = mad.label
+        JOIN flags ON mx.label = flags.label
+ORDER BY mx.label
+"""
