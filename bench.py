@@ -248,6 +248,7 @@ HEADLINE = [
     "rendezvous_shard_stats",
     "filter_agreement_stats",
     "embedding_norm_outliers",
+    "ngram_diversity_hll_fast",
 ]
 
 

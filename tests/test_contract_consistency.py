@@ -38,6 +38,9 @@ def test_known_rows_only_set_is_intentional():
         # r7: engine-hash banding internals; S-curve pinned in
         # tests/test_lsh_sweep.py
         "lsh_param_sweep",
+        # r8: xxhash64 production twin of ngram_diversity_hll (register
+        # values engine-specific; n_grams parity pinned in test_round8b)
+        "ngram_diversity_hll_fast",
     ])
     # retrieval_self_eval HAS an oracle since its r6 restoration
     declared = [d for d in declared if d != "retrieval_self_eval"]

@@ -371,3 +371,49 @@ def test_norm_outliers_partitioning_independent(spark):
     a = sorted(map(tuple, embedding_norm_outliers(vecs).collect()))
     b = sorted(map(tuple, embedding_norm_outliers(vecs.repartition(9)).collect()))
     assert a == b
+
+
+# --------------------------------------- ngram diversity fast twin
+
+
+def test_hll_fast_twin_totals_match_audit_twin(spark):
+    """The xxhash64 production twin must agree with the md5 audit twin on
+    every hash-independent column (n_grams), drop the audit columns, and
+    keep a sane register state. (Estimate ACCURACY is asserted in the
+    valid-range test below — the RAW estimator is out of range at
+    sf0.001 cardinalities for BOTH twins, by design.)"""
+    from wurzel_spark.operators.sketches import ngram_diversity_hll
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    audit = {(r["source"], r["n"]): r for r in ngram_diversity_hll(docs).collect()}
+    fast = {
+        (r["source"], r["n"]): r
+        for r in ngram_diversity_hll(docs, hasher="xxhash64", audit=False).collect()
+    }
+    assert set(audit) == set(fast) and len(fast) > 0
+    for k, a in audit.items():
+        f = fast[k]
+        assert f["n_grams"] == a["n_grams"], k
+        assert 0 < f["n_buckets_hit"] <= 1024
+        assert f["hll_estimate"] > 0
+    assert "n_distinct_exact" not in fast[next(iter(fast))].asDict()
+
+
+def test_hll_fast_twin_valid_range_accuracy(spark):
+    """Same 20k-distinct envelope test the audit twin passes, on the
+    production hasher: the xxhash64 estimate lands within ~10% of truth."""
+    from wurzel_spark.operators.sketches import ngram_diversity_hll
+
+    rows = [
+        (i, " ".join(f"tok{i}_{k}" for k in range(400)), "big", "en", 1)
+        for i in range(50)
+    ]
+    docs = _docs(spark, rows)
+    out = {
+        r["n"]: r
+        for r in ngram_diversity_hll(docs, hasher="xxhash64", audit=False).collect()
+    }
+    exact_unigrams = 50 * 400
+    est = out[1]["hll_estimate"]
+    assert abs(est - exact_unigrams) <= 0.10 * exact_unigrams, est

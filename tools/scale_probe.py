@@ -139,6 +139,7 @@ QUERIES = [
     "rendezvous_shard_stats",
     "filter_agreement_stats",
     "embedding_norm_outliers",
+    "ngram_diversity_hll_fast",
 ]
 
 

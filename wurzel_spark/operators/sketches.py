@@ -1126,7 +1126,12 @@ ORDER BY e.source, e.p1000
 
 # ----------------------------------------- HLL n-gram diversity twin
 
-def ngram_diversity_hll(df: DataFrame, text_col: str = "text") -> DataFrame:
+def ngram_diversity_hll(
+    df: DataFrame,
+    text_col: str = "text",
+    hasher: str = "md5",
+    audit: bool = True,
+) -> DataFrame:
     """The 100 TB configuration of ngram_diversity_stats (textstats) —
     the twin its docstring promises: distinct n-gram counts per
     (source, n ∈ {1,2,3}) estimated from 1024 HLL registers instead of
@@ -1138,7 +1143,13 @@ def ngram_diversity_hll(df: DataFrame, text_col: str = "text") -> DataFrame:
     the LITERAL gram string, so the oracle reproduces every register
     bit); n_grams (total, additive) and the exact distinct + rel_error
     columns are the audit-scale readout, dropped in production.
-    """
+
+    ``hasher='xxhash64'`` + ``audit=False`` is that production
+    configuration (registered as ngram_diversity_hll_fast, rows-only —
+    register values are engine-specific under xxhash64; the winnow/bloom
+    _fast precedent): JVM-codegen hashing instead of one md5 per gram,
+    60-bit folded so the register pipeline is hasher-agnostic, and the
+    exact-distinct audit columns dropped."""
     ws = TXT.words(F.col(text_col))
     grams = F.flatten(
         F.transform(
@@ -1163,10 +1174,16 @@ def ngram_diversity_hll(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     from wurzel_spark.operators.dedup import _parallelize
 
+    if hasher == "md5":
+        hash_fn = md5_prefix_hash
+    else:
+        # fold xxhash64 to the same non-negative 60-bit range the register
+        # split (bucket = h >> 50, rem = h % 2^50) was built for
+        hash_fn = lambda c: F.pmod(F.xxhash64(c), F.lit(1 << 60))  # noqa: E731
     hs = (
         _parallelize(df)  # md5-per-gram is CPU-bound; one-file parquet = one core
         .select("source", F.explode(grams).alias("p"))
-        .select("source", F.col("p.n").alias("n"), md5_prefix_hash(F.col("p.g")).alias("h"))
+        .select("source", F.col("p.n").alias("n"), hash_fn(F.col("p.g")).alias("h"))
     )
     # r8 reshape: ONE corpus-sized shuffle. The old plan shuffled the gram
     # stream three times (register groupBy, totals groupBy, distinct);
@@ -1176,22 +1193,51 @@ def ngram_diversity_hll(df: DataFrame, text_col: str = "text") -> DataFrame:
     # n_grams = Σ multiplicity, n_distinct_exact = row count. sf0.1:
     # 3.4 s → the deduped table is distinct-gram-sized, checkpointed once
     # for its two consumers.
+    rho_cols = lambda src: src.select(  # noqa: E731
+        "source", "n",
+        F.shiftright("h", 50).alias("bucket"),
+        (F.col("h") % F.lit(_2_50)).alias("rem"),
+    ).select(
+        "source", "n", "bucket",
+        F.when(F.col("rem") == 0, F.lit(51))
+        .otherwise(F.instr(F.lpad(F.bin("rem"), 50, "0"), "1"))
+        .alias("rho"),
+    )
+    if not audit:
+        # PRODUCTION shape: registers are duplicate-invariant, so without
+        # the exact-distinct audit there is no reason to materialize the
+        # distinct-gram table at all — ONE groupBy(source, n, bucket)
+        # carries both max(rho) and the gram count, and map-side combine
+        # bounds the exchange at n_sources·3·1024 rows however large the
+        # corpus. The audit configuration below pays a distinct-gram-sized
+        # exchange; this one is metadata-sized end to end.
+        per_bucket = (
+            rho_cols(hs)
+            .groupBy("source", "n", "bucket")
+            .agg(F.max("rho").alias("reg"), F.count(F.lit(1)).alias("c"))
+        )
+        per = per_bucket.groupBy("source", "n").agg(
+            F.count(F.lit(1)).alias("n_buckets_hit"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - reg AS INT))")
+            ).alias("sum_hit"),
+            F.sum("c").cast("long").alias("n_grams"),
+        ).select(
+            "source", "n", "n_grams", "n_buckets_hit",
+            (F.col("sum_hit") + (F.lit(HLL_M) - F.col("n_buckets_hit")) * F.lit(_2_51))
+            .alias("hll_sum_scaled"),
+        )
+        return per.select(
+            "source", "n", "n_grams", "n_buckets_hit", "hll_sum_scaled",
+            (F.lit(_HLL_NUMER) / F.col("hll_sum_scaled").cast("double"))
+            .alias("hll_estimate"),
+        ).orderBy("source", "n")
+    # r8 reshape (audit configuration): ONE corpus-sized shuffle — the
+    # distinct-gram table feeds registers AND the exact audit columns.
     ded = hs.groupBy("source", "n", "h").agg(F.count(F.lit(1)).alias("c"))
     ded = ded.localCheckpoint(eager=True)  # feeds registers + stats
-    regs = (
-        ded.select(
-            "source", "n",
-            F.shiftright("h", 50).alias("bucket"),
-            (F.col("h") % F.lit(_2_50)).alias("rem"),
-        )
-        .select(
-            "source", "n", "bucket",
-            F.when(F.col("rem") == 0, F.lit(51))
-            .otherwise(F.instr(F.lpad(F.bin("rem"), 50, "0"), "1"))
-            .alias("rho"),
-        )
-        .groupBy("source", "n", "bucket")
-        .agg(F.max("rho").alias("reg"))
+    regs = rho_cols(ded).groupBy("source", "n", "bucket").agg(
+        F.max("rho").alias("reg")
     )
     per = regs.groupBy("source", "n").agg(
         F.count(F.lit(1)).alias("n_buckets_hit"),
@@ -1207,8 +1253,9 @@ def ngram_diversity_hll(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     est = F.lit(_HLL_NUMER) / F.col("hll_sum_scaled").cast("double")
     exact_d = F.col("n_distinct_exact").cast("double")
+    joined = stats.join(per, ["source", "n"])
     return (
-        stats.join(per, ["source", "n"])
+        joined
         .select(
             "source", "n", "n_grams", "n_buckets_hit", "hll_sum_scaled",
             est.alias("hll_estimate"),
@@ -1221,6 +1268,13 @@ def ngram_diversity_hll(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def q_ngram_diversity_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity_hll(table(spark, sf_dir, "documents"))
+
+
+def q_ngram_diversity_hll_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production configuration: xxhash64 grams, audit branch dropped."""
+    return ngram_diversity_hll(
+        table(spark, sf_dir, "documents"), hasher="xxhash64", audit=False
+    )
 
 
 NGRAM_DIVERSITY_HLL_SQL = rf"""
