@@ -249,6 +249,8 @@ HEADLINE = [
     "filter_agreement_stats",
     "embedding_norm_outliers",
     "ngram_diversity_hll_fast",
+    "corpus_checksum",
+    "charclass_stats",
 ]
 
 

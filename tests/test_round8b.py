@@ -417,3 +417,53 @@ def test_hll_fast_twin_valid_range_accuracy(spark):
     exact_unigrams = 50 * 400
     est = out[1]["hll_estimate"]
     assert abs(est - exact_unigrams) <= 0.10 * exact_unigrams, est
+
+
+# --------------------------------------------- checksum + charclass
+
+
+def test_corpus_checksum_order_and_partition_independent(spark):
+    """Equal row multisets ⇒ equal checksums under any row order or
+    partitioning; a single flipped character changes the checksum."""
+    from wurzel_spark.operators.textstats import corpus_checksum
+
+    rows = [(i, f"text body {i}", "s", "en", 10 + i) for i in range(1, 51)]
+    docs = _docs(spark, rows)
+    a = {r["source"]: r["checksum"] for r in corpus_checksum(docs).collect()}
+    b = {
+        r["source"]: r["checksum"]
+        for r in corpus_checksum(docs.orderBy(F.desc("doc_id")).repartition(7)).collect()
+    }
+    assert a == b
+    mutated = _docs(spark, [(i, t + ("!" if i == 17 else ""), s, l, n) for i, t, s, l, n in rows])
+    c = {r["source"]: r["checksum"] for r in corpus_checksum(mutated).collect()}
+    assert c != a
+
+
+def test_corpus_checksum_xxhash_config_same_laws(spark):
+    from wurzel_spark.operators.textstats import corpus_checksum
+
+    rows = [(i, f"t{i}", "s", "en", 2) for i in range(1, 31)]
+    docs = _docs(spark, rows)
+    a = {r["source"]: r["checksum"] for r in corpus_checksum(docs, hasher="xxhash64").collect()}
+    b = {
+        r["source"]: r["checksum"]
+        for r in corpus_checksum(docs.repartition(5), hasher="xxhash64").collect()
+    }
+    assert a == b
+
+
+def test_charclass_partition_is_total(spark):
+    """letters + digits + whitespace + other == total char mass, and the
+    upper share reads from letters only."""
+    from wurzel_spark.operators.textstats import charclass_stats
+
+    docs = _docs(spark, [(1, "ABC def 123 !?\n", "s", "en", 15)])
+    r = charclass_stats(docs).collect()[0]
+    assert r["n_chars"] == 15
+    # 6 letters, 3 digits, 4 whitespace (3 spaces + newline), 2 other
+    assert r["n_other"] == 2
+    assert r["letter_permille"] == 1000 * 6 // 15
+    assert r["digit_permille"] == 1000 * 3 // 15
+    assert r["space_permille"] == 1000 * 4 // 15
+    assert r["upper_permille"] == 1000 * 3 // 6

@@ -140,6 +140,8 @@ QUERIES = [
     "filter_agreement_stats",
     "embedding_norm_outliers",
     "ngram_diversity_hll_fast",
+    "corpus_checksum",
+    "charclass_stats",
 ]
 
 

@@ -4292,3 +4292,142 @@ SELECT source, COUNT(*) AS n_docs,
        CAST((1000 * SUM(CASE WHEN b = q THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS agree_bq_permille
 FROM verdicts GROUP BY source ORDER BY source
 """
+
+
+# ------------------------------------------------- corpus checksum
+
+_CHK_MOD = 1 << 61  # Mersenne-adjacent power bound: sums stay in int64 range
+
+
+def corpus_checksum(
+    df: DataFrame, text_col: str = "text", hasher: str = "md5"
+) -> DataFrame:
+    """Order-independent corpus integrity checksum, per source: the sum
+    (mod 2^61) of each row's md5-prefix hash over (doc_id, lang, text),
+    plus row count and char mass. The check you run after migrating /
+    re-encoding / re-partitioning a 100 TB corpus between engines or
+    formats: equal checksums ⇒ equal row multisets, regardless of row
+    order, file layout, or partitioning — a follow-the-data guarantee
+    no row count alone gives. Addition mod a constant is commutative
+    and associative, so the aggregate is partitioning-independent by
+    law and cross-engine exact (HUGEINT oracle-side for the sum).
+
+    Scale shape: one row-local hash, one per-source aggregate with
+    map-side combine. The md5-for-oracle trade is the winnow/bloom
+    precedent; production uses xxhash64 via ``hasher=``."""
+    from wurzel_spark.operators.dedup import md5_prefix_hash
+
+    row = F.concat_ws(
+        "\x1f", F.col("doc_id").cast("string"), F.col("lang"), F.col(text_col)
+    )
+    if hasher == "md5":
+        h = md5_prefix_hash(row)
+    else:  # the checksum only needs a stable non-negative 61-bit summand
+        h = F.pmod(F.xxhash64(row), F.lit(_CHK_MOD))
+    return (
+        df.select("source", h.alias("h"), F.col("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.expr(f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {_CHK_MOD} AS BIGINT)").alias(
+                "checksum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_checksum(table(spark, sf_dir, "documents"))
+
+
+CORPUS_CHECKSUM_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || lang || chr(31) || text), 1, 15)) AS BIGINT) AS HUGEINT)) % {_CHK_MOD} AS BIGINT) AS checksum
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ------------------------------------------- character-class histogram
+
+def charclass_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source character-class composition: counts of letters,
+    digits, whitespace, punctuation/other, and the uppercase share of
+    letters — permille columns over the total char mass. The pre-
+    tokenizer diagnostic that catches OCR garbage (punct share spikes),
+    ALL-CAPS boilerplate (upper permille), and numeric-table dumps
+    (digit share) before they skew a tokenizer or quality model.
+
+    Exactness: class counts are regexp-filter lengths — pure integers —
+    and the class partition is PROVABLY total: other = len − letters −
+    digits − whitespace, so the permilles always sum within rounding.
+    Scale shape: row-local regexp counts, one per-source aggregate."""
+    c = F.col(text_col)
+    n_all = F.length(c)
+    n_letters = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    n_digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(c, r"\S", ""))
+    per = df.select(
+        "source",
+        n_all.alias("n_all"),
+        n_letters.alias("n_letters"),
+        n_upper.alias("n_upper"),
+        n_digits.alias("n_digits"),
+        n_space.alias("n_space"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_all").alias("n_chars"),
+        F.sum("n_letters").alias("n_letters"),
+        F.sum("n_upper").alias("n_upper"),
+        F.sum("n_digits").alias("n_digits"),
+        F.sum("n_space").alias("n_space"),
+    )
+    pm = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.expr(f"div(1000 * {num}, {den})")
+    ).otherwise(F.lit(0))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (F.col("n_chars") - F.col("n_letters") - F.col("n_digits") - F.col("n_space")).alias("n_other"),
+        pm("n_letters", "n_chars").alias("letter_permille"),
+        pm("n_digits", "n_chars").alias("digit_permille"),
+        pm("n_space", "n_chars").alias("space_permille"),
+        pm("n_upper", "n_letters").alias("upper_permille"),
+    ).orderBy("source")
+
+
+def q_charclass_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return charclass_stats(table(spark, sf_dir, "documents"))
+
+
+CHARCLASS_SQL = r"""
+WITH per AS (
+  SELECT source,
+         length(text) AS n_all,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_letters,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+         length(regexp_replace(text, '\S', '', 'g')) AS n_space
+  FROM documents
+), agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_all) AS BIGINT) AS n_chars,
+         CAST(SUM(n_letters) AS BIGINT) AS n_letters,
+         CAST(SUM(n_upper) AS BIGINT) AS n_upper,
+         CAST(SUM(n_digits) AS BIGINT) AS n_digits,
+         CAST(SUM(n_space) AS BIGINT) AS n_space
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_chars,
+       n_chars - n_letters - n_digits - n_space AS n_other,
+       CASE WHEN n_chars > 0 THEN (1000 * n_letters) // n_chars ELSE 0 END AS letter_permille,
+       CASE WHEN n_chars > 0 THEN (1000 * n_digits) // n_chars ELSE 0 END AS digit_permille,
+       CASE WHEN n_chars > 0 THEN (1000 * n_space) // n_chars ELSE 0 END AS space_permille,
+       CASE WHEN n_letters > 0 THEN (1000 * n_upper) // n_letters ELSE 0 END AS upper_permille
+FROM agg ORDER BY source
+"""
