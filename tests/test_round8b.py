@@ -467,3 +467,50 @@ def test_charclass_partition_is_total(spark):
     assert r["digit_permille"] == 1000 * 3 // 15
     assert r["space_permille"] == 1000 * 4 // 15
     assert r["upper_permille"] == 1000 * 3 // 6
+
+
+def test_streaming_checksum_matches_batch(spark, tmp_path):
+    """Per-batch checksum partials re-reduced mod 2^61 at drain == the
+    batch checksum bit-exactly (modular addition is admission-order
+    independent)."""
+    from wurzel_spark.operators.textstats import corpus_checksum
+    from wurzel_spark.streaming.checksum import checksum_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+    d = str(tmp_path / "ck_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = sorted(
+        map(
+            tuple,
+            checksum_stream(
+                stream, str(tmp_path / "ck_state"), str(tmp_path / "ck_ckpt"),
+                compact_every=2,
+            ).collect(),
+        )
+    )
+    exp = sorted(map(tuple, corpus_checksum(docs).collect()))
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_checksum_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.operators.textstats import corpus_checksum
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.checksum import drain_checksum_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "ck_replay")
+
+    def _stage(df, bid):
+        mine = corpus_checksum(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(spark, mine, state, bid, ["src_batch", "source"], None)
+
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = sorted(map(tuple, drain_checksum_state(spark, state).collect()))
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)  # replay
+    assert sorted(map(tuple, drain_checksum_state(spark, state).collect())) == once
