@@ -514,3 +514,97 @@ def test_streaming_checksum_replay_is_idempotent(spark, tmp_path):
     once = sorted(map(tuple, drain_checksum_state(spark, state).collect()))
     _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)  # replay
     assert sorted(map(tuple, drain_checksum_state(spark, state).collect())) == once
+
+
+# ----------------------------- self-review regressions (r8 session 2)
+
+
+def test_rendezvous_negative_ids_stay_in_range(spark):
+    """Signed ids: both engines' % keeps the dividend's sign, so without
+    the double-mod a negative doc_id produced shards outside 0..NS-1."""
+    docs = _docs(spark, [(i, "x", "s", "en", 1) for i in range(-100, 0)])
+    rows = {r["shard"]: r for r in rendezvous_shard_stats(docs).collect()}
+    assert all(0 <= s < RDV_N_SHARDS for s in rows)
+    assert sum(r["n_docs"] for r in rows.values()) == 100
+    for s, r in rows.items():
+        assert r["moved_out_on_drop0"] == (r["n_docs"] if s == 0 else 0)
+
+
+def test_checksum_distinguishes_null_positions(spark):
+    """concat_ws silently skips NULLs — the sentinel coalesce must keep
+    (lang=NULL, text='a') and (lang='a', text=NULL) apart, and both must
+    differ from the no-null row."""
+    from wurzel_spark.operators.textstats import corpus_checksum
+
+    def chk(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string, n_chars long"
+        )
+        return corpus_checksum(df).collect()[0]["checksum"]
+
+    a = chk([(1, "a", "s", None, 1)])
+    b = chk([(1, None, "s", "a", 1)])
+    c = chk([(1, "a", "s", "a", 1)])
+    assert len({a, b, c}) == 3
+
+
+def test_checksum_null_row_matches_oracle(spark):
+    """A NULL-lang row must land in BOTH engines' checksums (the '||'
+    oracle would have dropped it silently without the COALESCE)."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from wurzel_spark.operators.textstats import corpus_checksum
+
+    rows = [(1, "alpha beta", "s", None, 10), (2, "gamma", "s", "en", 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    got = {r["source"]: r["checksum"] for r in corpus_checksum(df).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR,"
+        " lang VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+    exp = {r[0]: r[3] for r in con.execute(e.oracle_sql()["corpus_checksum"]).fetchall()}
+    assert got == exp
+
+
+def test_charclass_vertical_tab_counts_as_space_both_engines(spark):
+    """\\S differs between Java and RE2 on U+000B; the explicit class
+    must agree across engines on exactly that character."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from wurzel_spark.operators.textstats import charclass_stats
+
+    rows = [(1, "A\x0bB", "s", "en", 3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    got = charclass_stats(df).collect()[0]
+    assert got["n_chars"] == 3 and got["n_other"] == 0  # VT is whitespace
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR,"
+        " lang VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+    exp = con.execute(e.oracle_sql()["charclass_stats"]).fetchdf().iloc[0]
+    assert int(exp["n_other"]) == 0 and int(exp["space_permille"]) == got["space_permille"]
+
+
+def test_norm_outliers_wrong_scale_batch_does_not_overflow(spark):
+    """The int64-wrap case from review: high-dim vectors with ~110-scale
+    components (q≈1.15e8, Σq² ≈ 1e19 > 2^63). The decimal accumulator
+    must keep n2 positive and flag the bad batch instead of wrapping."""
+    from wurzel_spark.operators.linalg import embedding_norm_outliers
+
+    good = [(i, [1.0] * 768, 0) for i in range(30)]
+    bad = [(99, [110.0] * 768, 0)]
+    r = embedding_norm_outliers(_vecs(spark, good + bad)).collect()[0]
+    assert r["max_norm2q"] > 0  # a wrapped sum would be negative
+    assert r["n_outliers"] >= 1  # the wrong-scale batch is flagged
+    # the good mass compresses to b=0 against the huge max; median sane
+    assert r["median_b"] == 0

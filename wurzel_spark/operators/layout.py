@@ -412,7 +412,11 @@ def _rdv_score(id_col: Column, shard: int) -> Column:
     arithmetic as ordering._det_hash — reproducible in any engine, no
     xxhash (a production corpus swaps in a full-width splitmix64 once
     no oracle is in the loop; hash VALUES then aren't portable)."""
-    mixed = ((id_col * F.lit(131) + F.lit(shard * 7919)) % F.lit(_RDV_MOD)) * F.lit(
+    # double-mod keeps the fold non-negative for SIGNED ids too: both
+    # engines' % is a remainder (dividend's sign), so a negative doc_id
+    # would otherwise yield negative scores and a shard outside 0..NS-1
+    folded = (id_col * F.lit(131) + F.lit(shard * 7919)) % F.lit(_RDV_MOD)
+    mixed = ((folded + F.lit(_RDV_MOD)) % F.lit(_RDV_MOD)) * F.lit(
         _RDV_KNUTH
     ) % F.lit(4294967296)
     return mixed * F.lit(RDV_N_SHARDS) + F.lit(shard)
@@ -469,7 +473,8 @@ def q_rendezvous_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rdv_score_sql(shard: int) -> str:
     return (
-        f"((((doc_id * 131 + {shard * 7919}) % {_RDV_MOD}) * {_RDV_KNUTH}) "
+        f"(((((doc_id * 131 + {shard * 7919}) % {_RDV_MOD} + {_RDV_MOD})"
+        f" % {_RDV_MOD}) * {_RDV_KNUTH}) "
         f"% 4294967296) * {RDV_N_SHARDS} + {shard}"
     )
 

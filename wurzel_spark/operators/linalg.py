@@ -291,43 +291,62 @@ def embedding_norm_outliers(
     gate would let a bad batch drag its own threshold.
 
     Exactness: components quantize floor(x·2^20) (the [[linalg]] gram
-    convention), so ‖v‖²_q is an exact int64; norms then map to a
-    0..1000 permille-of-label-max scale ``b`` and the whole
+    convention), CLAMPED to ±2^31 so each squared term fits int64 even
+    for the wrong-scale batches this gate exists to catch (a clamped
+    term still lands in the far tail, which is all the gate needs), and
+    ‖v‖²_q accumulates in decimal(38,0) Spark-side / HUGEINT
+    oracle-side — the house wide-integer convention, because the SUM of
+    int64-safe terms can itself pass 2^63 at high dimension. Norms then
+    map to a 0..1000 permille-of-label-max scale ``b`` and the whole
     median/MAD/gate battery runs on the ≤1001-row per-label HISTOGRAM —
     the score_label_hist trick: order statistics become cumulative sums
     over metadata-sized rows, never a corpus-wide sort. Median/MAD use
     the house rank-ceil convention (events.anomalies_from_hourly);
     the gate ``adev > K·mad`` is strict, so a zero-MAD (constant-norm)
     label flags ANY deviation — the behavior you want from a QA gate.
+    ``max_norm2q`` is published as DOUBLE (both engines round the same
+    exact integer to the same double).
 
-    Scale shape: one row-local quantize+sum map, one max/count
-    aggregate, one histogram aggregate (the only corpus-sized shuffle,
-    carrying (label, b) ints), then windows over ≤1001-row partitions."""
+    Scale shape: TWO corpus passes by design — the per-label max pass,
+    then the rescale+histogram pass (the same two-phase shape as
+    quality_percentile_gate; materializing the corpus-grain n2 table to
+    save the second scan is the ccnet-documented trap). The label-grain
+    ``mx`` and the ≤1001-row-per-label histogram are localCheckpointed
+    because FIVE downstream subtrees consume them — without the cut each
+    consumer would re-run its own corpus scan (measured: 7 scans → 2).
+    Everything above the histogram is metadata-sized."""
     from pyspark.sql import Window as W
 
+    two31 = F.lit(1 << 31).cast("long")
     qs = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast("double") * QSCALE).cast("long")
+        F.col(vec_col),
+        lambda x: F.greatest(
+            F.least(F.floor(x.cast("double") * QSCALE).cast("long"), two31), -two31
+        ),
     )
-    n2 = F.aggregate(qs, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    n2 = F.aggregate(
+        qs,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + (x * x).cast("decimal(38,0)"),
+    )
     per = df.select(F.col(label_col).alias("label"), n2.alias("n2"))
     mx = per.groupBy("label").agg(
         F.max("n2").alias("max_norm2q"), F.count(F.lit(1)).alias("n_vectors")
-    )
-    # 1000·n2 can pass 2^63 for a wrong-scale vector (the exact case this
-    # gate exists to catch), so the permille rescale runs in decimal(38,0)
-    # Spark-side / HUGEINT oracle-side — the house wide-integer convention.
+    ).localCheckpoint(eager=True)  # label-grain; feeds b, med, mad, output
     b = per.join(F.broadcast(mx), "label").select(
         "label",
         F.when(
             F.col("max_norm2q") > 0,
-            F.expr(
-                "CAST(div(CAST(n2 AS DECIMAL(38,0)) * 1000, max_norm2q) AS BIGINT)"
-            ),
+            F.expr("CAST(div(n2 * 1000, max_norm2q) AS BIGINT)"),
         )
         .otherwise(F.lit(0))
         .alias("b"),
     )
-    hist = b.groupBy("label", "b").agg(F.count(F.lit(1)).alias("c"))
+    hist = (
+        b.groupBy("label", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # ≤1001 rows/label; feeds med, devh, flags
+    )
     wl = W.partitionBy("label")
     rk = F.ceil(F.col("n_vectors") / 2).cast("long")
     ranked = hist.withColumn("cum", F.sum("c").over(wl.orderBy("b"))).join(
@@ -377,7 +396,7 @@ def embedding_norm_outliers(
         .select(
             "label",
             "n_vectors",
-            "max_norm2q",
+            F.col("max_norm2q").cast("double").alias("max_norm2q"),
             "median_b",
             "mad_b",
             "n_outliers",
@@ -394,18 +413,20 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 NORM_OUTLIERS_SQL = f"""
 WITH per AS (
   SELECT label,
-         list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                 x -> CAST(floor(x * {QSCALE}) AS BIGINT)
-                                      * CAST(floor(x * {QSCALE}) AS BIGINT))) AS n2
+         list_sum(list_transform(
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> GREATEST(LEAST(CAST(floor(x * {QSCALE}) AS BIGINT),
+                                              2147483648), -2147483648)),
+           q -> CAST(q AS HUGEINT) * q)) AS n2
   FROM embeddings
 ), mx AS (
-  SELECT label, CAST(MAX(n2) AS BIGINT) AS max_norm2q,
+  SELECT label, MAX(n2) AS max_norm2q,
          COUNT(*) AS n_vectors
   FROM per GROUP BY label
 ), scored AS (
   SELECT per.label,
          CASE WHEN mx.max_norm2q > 0
-              THEN CAST((CAST(per.n2 AS HUGEINT) * 1000) // mx.max_norm2q AS BIGINT)
+              THEN CAST((per.n2 * 1000) // mx.max_norm2q AS BIGINT)
               ELSE 0 END AS b
   FROM per JOIN mx ON per.label = mx.label
 ), hist AS (
@@ -439,7 +460,7 @@ WITH per AS (
               JOIN mad x ON h.label = x.label
   GROUP BY h.label
 )
-SELECT mx.label, mx.n_vectors, mx.max_norm2q,
+SELECT mx.label, mx.n_vectors, CAST(mx.max_norm2q AS DOUBLE) AS max_norm2q,
        med.median_b, mad.mad_b, flags.n_outliers, flags.max_abs_dev
 FROM mx JOIN med ON mx.label = med.label
         JOIN mad ON mx.label = mad.label

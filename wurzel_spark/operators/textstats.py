@@ -3901,7 +3901,10 @@ def blocklist_from_partials(partials: DataFrame) -> DataFrame:
         "hit_permille",
         F.when(
             F.col("total_tokens") > 0,
-            (F.col("total_hits") * 1000 / F.col("total_tokens")).cast("long"),
+            # integer floor-div, NOT double division: at 100 TB counts the
+            # double numerator rounds above 2^53 and can disagree with the
+            # oracle's exact `//` by one permille
+            F.expr("div(1000 * total_hits, total_tokens)"),
         ),
     ).orderBy("source")
 
@@ -4031,7 +4034,11 @@ def ccnet_lm_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
     train — held-out docs exercise genuine backoff), and the negative
     log-likelihood ``nll = -Σ m·⌊ln((c12+1)/(c1+V))·2^20⌋`` plus its
     per-bigram mean — the perplexity proxy CCNet buckets into
-    head/middle/tail quality bands.
+    head/middle/tail quality bands. Contract: every document WITH AT
+    LEAST ONE BIGRAM gets a row; empty and one-token docs have no
+    bigram likelihood and are absent by definition — a pipeline gating
+    on this score must left-join and treat the missing rows as their
+    own (junk) band.
 
     Differs from [[bigram_lm_score]] (self-trained pooled ratio, one
     final float): this is a real train/score split with per-language
@@ -4083,9 +4090,22 @@ def ccnet_doc_bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         "source",
         "lang",
-        md5_prefix_hash(F.concat_ws("\x1f", F.col("lang"), F.col("b.w1"))).alias("h1"),
+        # lang coalesces to a \x02 sentinel inside the hash: concat_ws
+        # SKIPS a NULL (Spark) while '||' PROPAGATES it (the oracle), so
+        # an un-tagged document would otherwise hash differently per
+        # engine; the sentinel makes both sides position-faithful
         md5_prefix_hash(
-            F.concat_ws("\x1f", F.col("lang"), F.col("b.w1"), F.col("b.w2"))
+            F.concat_ws(
+                "\x1f", F.coalesce(F.col("lang"), F.lit("\x02")), F.col("b.w1")
+            )
+        ).alias("h1"),
+        md5_prefix_hash(
+            F.concat_ws(
+                "\x1f",
+                F.coalesce(F.col("lang"), F.lit("\x02")),
+                F.col("b.w1"),
+                F.col("b.w2"),
+            )
         ).alias("h2"),
     )
     return bg.groupBy("doc_id", "source", "lang", "h1", "h2").agg(
@@ -4157,8 +4177,8 @@ WITH toks AS (
   FROM documents
 ), bg AS (
   SELECT doc_id, source, lang,
-         CAST(concat('0x', substr(md5(lang || chr(31) || ws[i]), 1, 15)) AS BIGINT) AS h1,
-         CAST(concat('0x', substr(md5(lang || chr(31) || ws[i] || chr(31) || ws[i + 1]), 1, 15)) AS BIGINT) AS h2
+         CAST(concat('0x', substr(md5(COALESCE(lang, chr(2)) || chr(31) || ws[i]), 1, 15)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(COALESCE(lang, chr(2)) || chr(31) || ws[i] || chr(31) || ws[i + 1]), 1, 15)) AS BIGINT) AS h2
   FROM toks, UNNEST(range(1, len(ws))) AS t(i)
   WHERE len(ws) >= 2
 ), sc AS (
@@ -4317,8 +4337,17 @@ def corpus_checksum(
     precedent; production uses xxhash64 via ``hasher=``."""
     from wurzel_spark.operators.dedup import md5_prefix_hash
 
+    # NULL fields coalesce to a \x02 sentinel BEFORE concatenation: Spark's
+    # concat_ws silently skips NULLs (so (NULL,'a') and ('a',NULL) would
+    # collide — invisible to an integrity check) while SQL '||' propagates
+    # NULL (the row would vanish from the oracle SUM entirely). With the
+    # sentinel both engines hash every row, position-faithfully.
+    sent = F.lit("\x02")
     row = F.concat_ws(
-        "\x1f", F.col("doc_id").cast("string"), F.col("lang"), F.col(text_col)
+        "\x1f",
+        F.coalesce(F.col("doc_id").cast("string"), sent),
+        F.coalesce(F.col("lang"), sent),
+        F.coalesce(F.col(text_col), sent),
     )
     if hasher == "md5":
         h = md5_prefix_hash(row)
@@ -4345,7 +4374,11 @@ def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_CHECKSUM_SQL = f"""
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       CAST(SUM(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || lang || chr(31) || text), 1, 15)) AS BIGINT) AS HUGEINT)) % {_CHK_MOD} AS BIGINT) AS checksum
+       CAST(SUM(CAST(CAST(concat('0x', substr(md5(
+           COALESCE(CAST(doc_id AS VARCHAR), chr(2)) || chr(31)
+           || COALESCE(lang, chr(2)) || chr(31)
+           || COALESCE(text, chr(2))), 1, 15)) AS BIGINT) AS HUGEINT))
+         % {_CHK_MOD} AS BIGINT) AS checksum
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -4369,7 +4402,10 @@ def charclass_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_letters = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
     n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
     n_digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    n_space = F.length(F.regexp_replace(c, r"\S", ""))
+    # explicit whitespace class, NOT \S: Java's \s includes vertical tab
+    # \x0B while RE2's does not, so \S would diverge between engines on
+    # exactly the OCR/table-dump inputs this diagnostic targets
+    n_space = F.length(F.regexp_replace(c, "[^ \\t\\n\\x0B\\f\\r]", ""))
     per = df.select(
         "source",
         n_all.alias("n_all"),
@@ -4412,7 +4448,7 @@ WITH per AS (
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_letters,
          length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
-         length(regexp_replace(text, '\S', '', 'g')) AS n_space
+         length(regexp_replace(text, '[^ \t\n\x0B\f\r]', '', 'g')) AS n_space
   FROM documents
 ), agg AS (
   SELECT source, COUNT(*) AS n_docs,
