@@ -608,3 +608,31 @@ def test_norm_outliers_wrong_scale_batch_does_not_overflow(spark):
     assert r["n_outliers"] >= 1  # the wrong-scale batch is flagged
     # the good mass compresses to b=0 against the huge max; median sane
     assert r["median_b"] == 0
+
+
+def test_luhn_detects_19_digit_separated_card(spark):
+    """Review finding: the old {10,17} char cap truncated a 19-digit PAN
+    written with separators to a 16-digit prefix that could never
+    validate. Build a valid 19-digit Luhn number and format it with
+    spaces."""
+    from wurzel_spark.operators.textstats import pii_luhn_validated
+
+    base = "621234567890123456"  # 18 digits; compute the check digit
+    def luhn_check_digit(digits):
+        total = 0
+        for i, ch in enumerate(reversed(digits)):
+            d = int(ch)
+            if i % 2 == 0:  # positions 1,3,... from the right of the FULL pan
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return str((10 - total % 10) % 10)
+
+    pan = base + luhn_check_digit(base)
+    assert len(pan) == 19
+    spaced = " ".join(pan[i : i + 4] for i in range(0, 19, 4))
+    docs = _docs(spark, [(1, f"card {spaced} end", "s", "en", 30)])
+    r = pii_luhn_validated(docs).collect()[0]
+    assert r["n_candidates"] == 1
+    assert r["n_luhn_valid"] == 1 and r["card_flag"]

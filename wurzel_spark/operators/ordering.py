@@ -540,10 +540,17 @@ def shuffle_run_stats(shuffled: DataFrame, source_col: str = "source") -> DataFr
     exchange), NOT a global-order window, so no single-partition sort at
     100 TB. runs_permille = 1000·n_runs div n_docs (exact floor-div; 1000
     = perfectly interleaved at the doc grain).
+
+    The narrow (pos, source) projection is checkpointed before the self-
+    join: both join sides derive from it, but their plans differ (pos vs
+    pos+1) so ReusedExchange never fires — without the cut the whole
+    upstream shuffle subtree (scan + hash + offset join + ranking window)
+    ran twice (review finding, r8; the graph_transitivity edge-list
+    precedent). ~16 B/row, far cheaper than the subtree it pins.
     """
     cur = shuffled.select(
         F.col("shuffle_pos").alias("pos"), F.col(source_col).alias("source")
-    )
+    ).localCheckpoint(eager=True)
     prev = cur.select((F.col("pos") + 1).alias("pos"), F.col("source").alias("prev_source"))
     marked = cur.join(prev, "pos", "left").select(
         "source",

@@ -1096,15 +1096,24 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     region of any downstream pipeline.
     """
     flags, n_words = _gopher_flag_exprs(F.col(text_col))
-    keep = None
-    for f in flags.values():
-        keep = f if keep is None else (keep & f)
+    keep = _gopher_keep(flags)
     return df.select(
         "doc_id",
         n_words.alias("n_words"),
         *[v.alias(k) for k, v in flags.items()],
         keep.alias("gopher_keep"),
     ).orderBy("doc_id")
+
+
+def _gopher_keep(flags):
+    """AND-fold of the Gopher flags — ONE definition of the keep verdict
+    (the keep conjunction was written inline at three call sites, the
+    exact drift pattern _gopher_flag_exprs exists to prevent; review
+    finding, r8). The SQL twin is _GOPHER_KEEP_EXPR."""
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return keep
 
 
 def _gopher_flag_exprs(c):
@@ -3292,9 +3301,7 @@ def score_label_hist(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(TXT.words(c))
     stop_hits = TXT.marker_words_count(c, STOPWORDS)
     flags, _ = _gopher_flag_exprs(c)
-    keep = None
-    for f in flags.values():
-        keep = f if keep is None else (keep & f)
+    keep = _gopher_keep(flags)
     per_doc = df.select(
         "source",
         F.when(n_words > 0, F.lit(1000) * stop_hits.cast("long"))
@@ -3539,7 +3546,11 @@ LANGID_CONFUSION_SQL = _langid_confusion_sql()
 
 # -------------------------------------------- Luhn-validated PII (round 8)
 
-_CARD_CANDIDATE_RE = r"[0-9](?:[0-9 -]{10,17})[0-9]"
+# inner {11,21} = 13..23 total CHARS: a 19-digit PAN written with four
+# separators ("6212 3456 7890 1234 567") is 23 chars — the old {10,17}
+# cap truncated it to a 16-digit prefix that could never Luhn-validate
+# (review finding, r8). Cleaned-length 13..19 stays the digit gate.
+_CARD_CANDIDATE_RE = r"[0-9](?:[0-9 -]{11,21})[0-9]"
 
 
 def pii_luhn_validated(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -3593,13 +3604,13 @@ def q_pii_luhn_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_luhn_validated(table(spark, sf_dir, "documents"))
 
 
-PII_LUHN_SQL = r"""
+_PII_LUHN_SQL_RAW = r"""
 WITH cands AS (
   SELECT doc_id,
          list_transform(
-           regexp_extract_all(text, '[0-9](?:[0-9 -]{10,17})[0-9]'),
+           regexp_extract_all(text, '@CARD_RE@'),
            g -> regexp_replace(g, '[^0-9]', '', 'g')) AS cleaned,
-         len(regexp_extract_all(text, '[0-9](?:[0-9 -]{10,17})[0-9]')) AS n_candidates
+         len(regexp_extract_all(text, '@CARD_RE@')) AS n_candidates
   FROM documents
 ), v AS (
   SELECT doc_id, n_candidates,
@@ -3620,6 +3631,8 @@ SELECT doc_id,
        (n_luhn_valid > 0) AS card_flag
 FROM v ORDER BY doc_id
 """
+
+PII_LUHN_SQL = _PII_LUHN_SQL_RAW.replace("@CARD_RE@", _CARD_CANDIDATE_RE)
 
 
 # --------------------------------------- inverted-index build stats (r8)
@@ -3749,6 +3762,14 @@ def auc_from_hist(hist: DataFrame) -> DataFrame:
         .orderBy("q1000")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # U-statistic arithmetic runs in decimal(38,0) Spark-side / HUGEINT
+    # oracle-side (the house wide-integer convention): pos·neg_below can
+    # pass 2^63 per ROW once a source holds ~10^10 docs per class, and
+    # 1000·u2 / 2·n_pos·n_neg certainly does at the docstring's 100 TB
+    # shape. u2 is PUBLISHED as DOUBLE — both engines round the same
+    # exact integer to the same double (the max_norm2q precedent);
+    # auc_permille stays an exact ≤1000 integer.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     scored = hist.select(
         "source",
         "pos",
@@ -3758,22 +3779,26 @@ def auc_from_hist(hist: DataFrame) -> DataFrame:
         "source",
         "pos",
         "neg",
-        (F.lit(2) * F.col("pos") * F.col("neg_below") + F.col("pos") * F.col("neg"))
-        .alias("u2_part"),
+        (
+            F.lit(2) * dec(F.col("pos")) * F.col("neg_below")
+            + dec(F.col("pos")) * F.col("neg")
+        ).alias("u2_part"),
     )
     agg = scored.groupBy("source").agg(
         F.sum("pos").alias("n_pos"),
         F.sum("neg").alias("n_neg"),
-        F.sum("u2_part").alias("u2"),
+        F.sum("u2_part").cast("decimal(38,0)").alias("u2"),
     )
     return agg.select(
         "source",
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
-        F.col("u2").cast("long").alias("u2"),
+        F.col("u2").cast("double").alias("u2"),
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.expr("(1000 * u2) div (2 * n_pos * n_neg)"),
+            F.expr(
+                "div(u2 * 1000, 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+            ),
         )
         .cast("long")
         .alias("auc_permille"),
@@ -3812,12 +3837,13 @@ keepers AS (
   SELECT source,
          CAST(SUM(pos) AS BIGINT) AS n_pos,
          CAST(SUM(neg) AS BIGINT) AS n_neg,
-         CAST(SUM(2 * pos * neg_below + pos * neg) AS BIGINT) AS u2
+         SUM(2 * CAST(pos AS HUGEINT) * neg_below
+             + CAST(pos AS HUGEINT) * neg) AS u2
   FROM cum GROUP BY source
 )
-SELECT source, n_pos, n_neg, u2,
+SELECT source, n_pos, n_neg, CAST(u2 AS DOUBLE) AS u2,
        CASE WHEN n_pos > 0 AND n_neg > 0
-            THEN CAST((1000 * u2) // (2 * n_pos * n_neg) AS BIGINT)
+            THEN CAST((u2 * 1000) // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
             ELSE NULL END AS auc_permille
 FROM agg ORDER BY source
 """
@@ -4235,9 +4261,7 @@ def filter_agreement_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     select, one n_sources-row grouped aggregate. No joins, no windows."""
     c = F.col(text_col)
     flags, n_words = _gopher_flag_exprs(c)
-    g = None
-    for f_ in flags.values():
-        g = f_ if g is None else (g & f_)
+    g = _gopher_keep(flags)
     n_hits = blocklist_hits(text_col)
     b = ~(
         (n_words > 0)
