@@ -251,6 +251,7 @@ HEADLINE = [
     "ngram_diversity_hll_fast",
     "corpus_checksum",
     "charclass_stats",
+    "join_size_estimate",
 ]
 
 

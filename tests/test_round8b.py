@@ -636,3 +636,37 @@ def test_luhn_detects_19_digit_separated_card(spark):
     r = pii_luhn_validated(docs).collect()[0]
     assert r["n_candidates"] == 1
     assert r["n_luhn_valid"] == 1 and r["card_flag"]
+
+
+# ------------------------------------------------ join size estimate
+
+
+def test_join_size_estimate_exact_math_and_hot_key(spark):
+    """exact_pairs = Σ c_k²; a planted hot key dominates; the estimate
+    is the deterministic 1/8 sample scaled ×8 (recomputed independently
+    here via the same md5-prefix rule)."""
+    from wurzel_spark.operators.dedup import md5_prefix_hash
+    from wurzel_spark.queries.events import join_size_estimate
+
+    import datetime
+    ts = datetime.datetime(2026, 1, 1)
+    # type A: user 1 ×10 (hot), users 2..5 ×1 → exact = 100 + 4 = 104
+    rows = [(i, ts, 1, "A", 0.0, "{}") for i in range(10)]
+    rows += [(10 + u, ts, u, "A", 0.0, "{}") for u in (2, 3, 4, 5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = {x["event_type"]: x for x in join_size_estimate(ev).collect()}["A"]
+    assert r["n_rows"] == 14 and r["n_keys"] == 5
+    assert r["exact_pairs"] == 104.0
+    sampled = {
+        u["user_id"]
+        for u in ev.select("user_id")
+        .distinct()
+        .filter(F.pmod(md5_prefix_hash(F.col("user_id").cast("string")), F.lit(8)) == 0)
+        .collect()
+    }
+    contrib = {1: 100, 2: 1, 3: 1, 4: 1, 5: 1}
+    expected_est = 8 * sum(contrib[u] for u in sampled)
+    assert r["est_pairs"] == float(expected_est)
+    assert r["err_permille"] == abs(expected_est - 104) * 1000 // 104

@@ -142,6 +142,7 @@ QUERIES = [
     "ngram_diversity_hll_fast",
     "corpus_checksum",
     "charclass_stats",
+    "join_size_estimate",
 ]
 
 

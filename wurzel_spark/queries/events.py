@@ -486,3 +486,103 @@ FROM dev d JOIN mad x ON x.event_type = d.event_type
 WHERE d.adev > {ANOMALY_MAD_K} * x.mad
 ORDER BY d.event_type, d.hour
 """
+
+
+# ------------------------------------------------ join-size estimation
+
+JOIN_EST_RATE_BITS = 3  # deterministic 1/8 key sample
+
+
+def join_size_estimate(
+    ev: DataFrame, key_col: str = "user_id", type_col: str = "event_type"
+) -> DataFrame:
+    """Pre-join explosion audit: per event type, the EXACT self-join
+    cardinality on ``key_col`` (Σ c_k² — what sessionization/funnel
+    self-joins would actually materialize) next to a sampled ESTIMATE
+    from a deterministic 1/8 key sample (keys whose md5-prefix hash ≡ 0
+    mod 8, scaled ×8) — the estimator a planner can afford BEFORE paying
+    the full per-key count. err_permille quantifies the estimator on
+    this corpus; a hot key (one user = half the events) shows up as
+    exact_pairs ≫ n_rows and is the signal to salt before joining.
+
+    Exactness: per-key squares run in decimal(38,0) Spark / HUGEINT
+    oracle (c² passes 2^63 once one key holds ~3e9 rows); pair counts
+    publish as DOUBLE (same exact integer → same double, the
+    max_norm2q precedent); err_permille stays an exact integer.
+
+    Scale shape (audit configuration): ONE corpus shuffle — the
+    (type, key) count — checkpointed for its two consumers; everything
+    above is key-distinct-sized. The production path flips the order
+    (filter the 1/8 key sample FIRST, then count), paying 1/8 of the
+    shuffle and skipping the exact branch entirely."""
+    from wurzel_spark.operators.dedup import md5_prefix_hash
+
+    counts = (
+        ev.groupBy(type_col, key_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # feeds the exact AND sampled branches
+    )
+    sq = (F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sq")
+    exact = counts.select(type_col, "c", sq).groupBy(type_col).agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("sq").alias("exact_pairs"),
+    )
+    h = md5_prefix_hash(F.col(key_col).cast("string"))
+    sampled = (
+        counts.filter(F.pmod(h, F.lit(1 << JOIN_EST_RATE_BITS)) == 0)
+        .select(type_col, "c", sq)
+        .groupBy(type_col)
+        .agg(
+            (F.sum("sq") * F.lit(1 << JOIN_EST_RATE_BITS)).alias("est_pairs"),
+        )
+    )
+    return (
+        exact.join(sampled, type_col, "left")
+        .select(
+            F.col(type_col).alias("event_type"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("exact_pairs").cast("double").alias("exact_pairs"),
+            F.coalesce(F.col("est_pairs"), F.lit(0))
+            .cast("double")
+            .alias("est_pairs"),
+            F.expr(
+                "CAST(div(abs(CAST(coalesce(est_pairs, 0) AS DECIMAL(38,0))"
+                " - exact_pairs) * 1000, exact_pairs) AS BIGINT)"
+            ).alias("err_permille"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return join_size_estimate(table(spark, sf_dir, "events"))
+
+
+JOIN_SIZE_EST_SQL = f"""
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY event_type, user_id
+), exact AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         COUNT(*) AS n_keys,
+         SUM(CAST(c AS HUGEINT) * c) AS exact_pairs
+  FROM counts GROUP BY event_type
+), sampled AS (
+  SELECT event_type,
+         SUM(CAST(c AS HUGEINT) * c) * {1 << JOIN_EST_RATE_BITS} AS est_pairs
+  FROM counts
+  WHERE CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % {1 << JOIN_EST_RATE_BITS} = 0
+  GROUP BY event_type
+)
+SELECT e.event_type AS event_type, e.n_rows, e.n_keys,
+       CAST(e.exact_pairs AS DOUBLE) AS exact_pairs,
+       CAST(COALESCE(s.est_pairs, 0) AS DOUBLE) AS est_pairs,
+       CAST((ABS(COALESCE(s.est_pairs, 0) - e.exact_pairs) * 1000)
+            // e.exact_pairs AS BIGINT) AS err_permille
+FROM exact e LEFT JOIN sampled s ON e.event_type = s.event_type
+ORDER BY e.event_type
+"""
