@@ -252,6 +252,7 @@ HEADLINE = [
     "corpus_checksum",
     "charclass_stats",
     "join_size_estimate",
+    "embedding_nan_stats",
 ]
 
 

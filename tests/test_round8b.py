@@ -670,3 +670,23 @@ def test_join_size_estimate_exact_math_and_hot_key(spark):
     expected_est = 8 * sum(contrib[u] for u in sampled)
     assert r["est_pairs"] == float(expected_est)
     assert r["err_permille"] == abs(expected_est - 104) * 1000 // 104
+
+
+def test_nan_stats_flags_planted_defects(spark):
+    """Planted NULL / NaN / Inf / zero / ragged-dim vectors all surface
+    in the right counter (the clean rows in none)."""
+    from wurzel_spark.operators.linalg import embedding_nan_stats
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], 0),
+        (2, [float("nan"), 1.0, 1.0], 0),
+        (3, [float("inf"), 1.0, 1.0], 0),
+        (4, [0.0, 0.0, 0.0], 0),
+        (5, None, 0),
+        (6, [1.0, 2.0], 0),  # ragged
+    ]
+    r = embedding_nan_stats(_vecs(spark, rows)).collect()[0]
+    assert r["n_vectors"] == 6
+    assert r["n_null"] == 1 and r["n_nan"] == 1 and r["n_inf"] == 1
+    assert r["n_zero"] == 1
+    assert r["min_dim"] == -1 and r["max_dim"] == 3  # -1 = the NULL row

@@ -143,6 +143,7 @@ QUERIES = [
     "corpus_checksum",
     "charclass_stats",
     "join_size_estimate",
+    "embedding_nan_stats",
 ]
 
 

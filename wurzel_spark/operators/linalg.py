@@ -467,3 +467,84 @@ FROM mx JOIN med ON mx.label = med.label
         JOIN flags ON mx.label = flags.label
 ORDER BY mx.label
 """
+
+
+# ------------------------------------------------ embedding nan audit
+
+def embedding_nan_stats(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """The cheap half of the embedding QA battery (the robust-norm gate
+    [[embedding_norm_outliers]] is the statistical half): per label,
+    counts of NULL vectors, vectors containing NaN, containing ±Inf,
+    exactly-zero vectors, and the dim range (min_dim ≠ max_dim = a
+    ragged batch — a truncated write or a mixed-model ingest). Every
+    one of these poisons a downstream index silently: NaN cosines
+    compare false everywhere, zero vectors divide by zero in
+    normalization, ragged dims crash a C++ ANN loader at load time —
+    all cheaper to catch at ingest than at serve.
+
+    Row-local EXISTS/forall over the array + one per-label aggregate;
+    all counts exact integers."""
+    v = F.col(vec_col)
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    has_inf = F.exists(v, lambda x: F.abs(x) == float("inf"))
+    is_zero = F.forall(v, lambda x: x == 0.0) & (F.size(v) > 0)
+    per = df.select(
+        F.col(label_col).alias("label"),
+        v.isNull().cast("long").alias("is_null"),
+        F.coalesce(has_nan, F.lit(False)).cast("long").alias("has_nan"),
+        F.coalesce(has_inf, F.lit(False)).cast("long").alias("has_inf"),
+        F.coalesce(is_zero, F.lit(False)).cast("long").alias("is_zero"),
+        F.coalesce(F.size(v), F.lit(-1)).alias("dim"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("is_null").alias("n_null"),
+            F.sum("has_nan").alias("n_nan"),
+            F.sum("has_inf").alias("n_inf"),
+            F.sum("is_zero").alias("n_zero"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+        )
+        .select(
+            "label", "n_vectors", "n_null", "n_nan", "n_inf", "n_zero",
+            F.col("min_dim").cast("long").alias("min_dim"),
+            F.col("max_dim").cast("long").alias("max_dim"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_embedding_nan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_nan_stats(table(spark, sf_dir, "embeddings"))
+
+
+NAN_STATS_SQL = """
+WITH per AS (
+  SELECT label,
+         CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+         CASE WHEN embedding IS NOT NULL
+               AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x))) > 0
+              THEN 1 ELSE 0 END AS has_nan,
+         CASE WHEN embedding IS NOT NULL
+               AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> isinf(x))) > 0
+              THEN 1 ELSE 0 END AS has_inf,
+         CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+               AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x != 0.0)) = 0
+              THEN 1 ELSE 0 END AS is_zero,
+         COALESCE(len(embedding), -1) AS dim
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(is_null) AS BIGINT) AS n_null,
+       CAST(SUM(has_nan) AS BIGINT) AS n_nan,
+       CAST(SUM(has_inf) AS BIGINT) AS n_inf,
+       CAST(SUM(is_zero) AS BIGINT) AS n_zero,
+       CAST(MIN(dim) AS BIGINT) AS min_dim,
+       CAST(MAX(dim) AS BIGINT) AS max_dim
+FROM per GROUP BY label ORDER BY label
+"""
