@@ -253,6 +253,7 @@ HEADLINE = [
     "charclass_stats",
     "join_size_estimate",
     "embedding_nan_stats",
+    "priority_sample",
 ]
 
 

@@ -690,3 +690,40 @@ def test_nan_stats_flags_planted_defects(spark):
     assert r["n_null"] == 1 and r["n_nan"] == 1 and r["n_inf"] == 1
     assert r["n_zero"] == 1
     assert r["min_dim"] == -1 and r["max_dim"] == 3  # -1 = the NULL row
+
+
+# ------------------------------------------------- priority sampling
+
+
+def test_priority_sample_fixed_size_and_unbiased_shape(spark):
+    """Exactly k rows; every HT term >= the row's own weight; estimator
+    lands within a loose envelope of the true total; small corpora
+    (< k+1 rows) degrade to the exact census (est == 1000*w)."""
+    from wurzel_spark.operators.selection import PRIORITY_K, priority_sample
+
+    rows = [(i, "x", f"src{i % 4}", "en", 10 + (i * 37) % 500) for i in range(1, 401)]
+    docs = _docs(spark, rows)
+    out = priority_sample(docs).collect()
+    assert len(out) == PRIORITY_K
+    total = sum(r[4] for r in rows)
+    est = sum(r["est_weight_q3"] for r in out) / 1000.0
+    for r in out:
+        assert r["est_weight_q3"] >= r["weight"] * 1000
+    # priority sampling is unbiased; for this smooth weight profile the
+    # single-draw deviation stays well inside a factor-2 envelope
+    assert 0.5 * total <= est <= 2.0 * total, (est, total)
+    # census case: fewer than k+1 rows → tau = 0 → HT term == weight
+    small = priority_sample(_docs(spark, rows[:10]))
+    srows = small.collect()
+    assert len(srows) == 10
+    assert all(r["est_weight_q3"] == r["weight"] * 1000 for r in srows)
+
+
+def test_priority_sample_partitioning_independent(spark):
+    from wurzel_spark.operators.selection import priority_sample
+
+    rows = [(i, "x", "s", "en", 1 + (i * 13) % 97) for i in range(1, 301)]
+    docs = _docs(spark, rows)
+    a = [tuple(r) for r in priority_sample(docs).collect()]
+    b = [tuple(r) for r in priority_sample(docs.repartition(11)).collect()]
+    assert a == b

@@ -144,6 +144,7 @@ QUERIES = [
     "charclass_stats",
     "join_size_estimate",
     "embedding_nan_stats",
+    "priority_sample",
 ]
 
 

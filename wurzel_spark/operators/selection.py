@@ -761,3 +761,100 @@ FROM {prev} ORDER BY source
 
 
 DOREMI_SQL = _doremi_sql()
+
+
+# ------------------------------------------------- priority sampling
+
+PRIORITY_K = 64
+_PRI_U_RANGE = 1 << 60  # md5-prefix hash range → u uniform in [1, 2^60]
+
+
+def priority_sample(
+    df: DataFrame, weight_col: str = "n_chars", k: int = PRIORITY_K
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup 2007): a FIXED-SIZE
+    weighted sample with unbiased subset-sum estimates — the primitive
+    for "give me 64 documents whose weights let me estimate any slice's
+    token mass" under a hard sample budget, where permille mixture gates
+    ([[temperature_mixture_sample]]) can't bound the output size.
+    Each row draws priority q = w/u (u uniform from the row's md5-prefix
+    hash — deterministic, partitioning-independent, no RNG); the k
+    highest-priority rows are the sample and τ = the (k+1)-th priority;
+    each sampled row's Horvitz–Thompson term is max(w, τ), so
+    Σ max(w, τ) over the sample unbiasedly estimates total corpus weight
+    (column est_weight_q3, permille-quantized; the last column lets the
+    reader check the estimate against the exact total of THIS corpus).
+
+    Exactness: q scales to floor(w·2^60 / u) in decimal(38,0) Spark /
+    HUGEINT DuckDB (w·2^60 passes int64 immediately); ties break on
+    doc_id so the order is total. Published priority is DOUBLE (same
+    exact integer → same double).
+
+    Scale shape: a global sort-limit TopK — Spark takes per-partition
+    top-(k+1) then merges (k+1)·n_partitions rows, never a full sort;
+    the τ window runs over k+1 collected-scale rows."""
+    from wurzel_spark.operators.dedup import md5_prefix_hash
+
+    u = md5_prefix_hash(F.col("doc_id").cast("string")) + 1
+    q = F.expr(
+        f"CAST(div(CAST(w AS DECIMAL(38,0)) * {_PRI_U_RANGE}, u)"
+        " AS DECIMAL(38,0))"
+    )
+    top = (
+        df.select("doc_id", "source", F.col(weight_col).alias("w"), u.alias("u"))
+        .select("doc_id", "source", "w", q.alias("q"))
+        .orderBy(F.col("q").desc(), "doc_id")
+        .limit(k + 1)
+    )
+    w_all = W.orderBy(F.col("q").desc(), "doc_id")
+    ranked = top.withColumn("rn", F.row_number().over(w_all))
+    tau = ranked.filter(F.col("rn") == k + 1).select(
+        F.col("q").alias("tau_q")
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau.select(F.coalesce(F.first("tau_q"), F.lit(0)).alias("tau_q"))))
+        .select(
+            "doc_id",
+            "source",
+            F.col("w").cast("long").alias("weight"),
+            F.col("q").cast("double").alias("priority_q"),
+            # τ is ALREADY in weight units: q_scaled = w·2^60/u_int =
+            # w/u_real — the 2^60 cancels against u's own scaling
+            F.greatest(
+                F.col("w").cast("decimal(38,0)") * 1000,
+                F.expr("CAST(tau_q * 1000 AS DECIMAL(38,0))"),
+            )
+            .cast("double")
+            .alias("est_weight_q3"),
+        )
+        .orderBy(F.col("priority_q").desc(), "doc_id")
+    )
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return priority_sample(table(spark, sf_dir, "documents"))
+
+
+PRIORITY_SAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars AS w,
+         (CAST(n_chars AS HUGEINT) * {_PRI_U_RANGE})
+           // (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1) AS q
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, w, q,
+         ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rn
+  FROM scored
+), tau AS (
+  SELECT COALESCE(MAX(q), 0) AS tau_q FROM ranked WHERE rn = {PRIORITY_K + 1}
+)
+SELECT r.doc_id, r.source,
+       CAST(r.w AS BIGINT) AS weight,
+       CAST(r.q AS DOUBLE) AS priority_q,
+       CAST(GREATEST(CAST(r.w AS HUGEINT) * 1000,
+                     t.tau_q * 1000) AS DOUBLE) AS est_weight_q3
+FROM ranked r CROSS JOIN tau t
+WHERE r.rn <= {PRIORITY_K}
+ORDER BY r.q DESC, r.doc_id
+"""
