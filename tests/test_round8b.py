@@ -727,3 +727,53 @@ def test_priority_sample_partitioning_independent(spark):
     a = [tuple(r) for r in priority_sample(docs).collect()]
     b = [tuple(r) for r in priority_sample(docs.repartition(11)).collect()]
     assert a == b
+
+
+def test_streaming_priority_sample_matches_batch(spark, tmp_path):
+    """Per-batch top-(k+1) candidate staging == the batch sample
+    bit-exactly (top-k sets are a mergeable semilattice)."""
+    from wurzel_spark.operators.selection import priority_sample
+    from wurzel_spark.streaming.priority import priority_sample_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+    d = str(tmp_path / "pr_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = [
+        tuple(r)
+        for r in priority_sample_stream(
+            stream, str(tmp_path / "pr_state"), str(tmp_path / "pr_ckpt"),
+            compact_every=2,
+        ).collect()
+    ]
+    exp = [tuple(r) for r in priority_sample(docs).collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_priority_replay_is_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from wurzel_spark.operators.selection import priority_scores
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.priority import drain_priority_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "pr_replay")
+
+    def _stage(df, bid):
+        mine = (
+            priority_scores(df)
+            .orderBy(F.col("q").desc(), "doc_id")
+            .limit(65)
+            .withColumn("src_batch", F.lit(bid))
+        )
+        write_batch_state(spark, mine, state, bid, ["src_batch", "doc_id"], None)
+
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = [tuple(r) for r in drain_priority_state(spark, state).collect()]
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)  # replay
+    assert [tuple(r) for r in drain_priority_state(spark, state).collect()] == once

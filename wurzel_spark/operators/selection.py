@@ -792,7 +792,17 @@ def priority_sample(
 
     Scale shape: a global sort-limit TopK — Spark takes per-partition
     top-(k+1) then merges (k+1)·n_partitions rows, never a full sort;
-    the τ window runs over k+1 collected-scale rows."""
+    the τ window runs over k+1 collected-scale rows.
+
+    Split as scorer + tail: top-(k+1) sets form a MERGEABLE semilattice
+    (every global top-(k+1) row is in its subset's top-(k+1)), so the
+    streaming twin (streaming/priority.py) stages each batch's k+1
+    candidates and the drain runs the same tail over their union."""
+    return priority_from_scores(priority_scores(df, weight_col), k)
+
+
+def priority_scores(df: DataFrame, weight_col: str = "n_chars") -> DataFrame:
+    """Row-local deterministic priorities (doc_id, source, w, q)."""
     from wurzel_spark.operators.dedup import md5_prefix_hash
 
     u = md5_prefix_hash(F.col("doc_id").cast("string")) + 1
@@ -800,12 +810,15 @@ def priority_sample(
         f"CAST(div(CAST(w AS DECIMAL(38,0)) * {_PRI_U_RANGE}, u)"
         " AS DECIMAL(38,0))"
     )
-    top = (
-        df.select("doc_id", "source", F.col(weight_col).alias("w"), u.alias("u"))
-        .select("doc_id", "source", "w", q.alias("q"))
-        .orderBy(F.col("q").desc(), "doc_id")
-        .limit(k + 1)
-    )
+    return df.select(
+        "doc_id", "source", F.col(weight_col).alias("w"), u.alias("u")
+    ).select("doc_id", "source", "w", q.alias("q"))
+
+
+def priority_from_scores(scored: DataFrame, k: int = PRIORITY_K) -> DataFrame:
+    """The top-(k+1) → τ → Horvitz–Thompson tail, shared with the
+    streaming drain."""
+    top = scored.orderBy(F.col("q").desc(), "doc_id").limit(k + 1)
     w_all = W.orderBy(F.col("q").desc(), "doc_id")
     ranked = top.withColumn("rn", F.row_number().over(w_all))
     tau = ranked.filter(F.col("rn") == k + 1).select(
