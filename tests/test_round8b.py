@@ -777,3 +777,34 @@ def test_streaming_priority_replay_is_idempotent(spark, tmp_path):
     once = [tuple(r) for r in drain_priority_state(spark, state).collect()]
     _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)  # replay
     assert [tuple(r) for r in drain_priority_state(spark, state).collect()] == once
+
+
+def test_norm_outliers_excludes_null_element_vectors(spark):
+    """least/greatest skip NULLs in both engines, so a NULL component
+    would have clamped to +2^31 and made the corrupt vector the label
+    max — such vectors are excluded from the norm battery (they belong
+    to embedding_nan_stats)."""
+    from wurzel_spark.operators.linalg import embedding_norm_outliers
+
+    rows = [(i, [1.0, 2.0], 0) for i in range(20)] + [(99, [None, 2.0], 0)]
+    r = embedding_norm_outliers(_vecs(spark, rows)).collect()[0]
+    assert r["n_vectors"] == 20  # the NULL-element vector is out
+    assert r["n_outliers"] == 0 and r["mad_b"] == 0
+
+
+def test_nan_stats_null_element_is_not_zero_vector(spark):
+    """[0.0, NULL] must NOT count as a zero vector (three-valued-logic
+    parity with the oracle's list_filter form)."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from wurzel_spark.operators.linalg import embedding_nan_stats
+
+    rows = [(1, [0.0, None], 0), (2, [0.0, 0.0], 0)]
+    r = embedding_nan_stats(_vecs(spark, rows)).collect()[0]
+    assert r["n_zero"] == 1  # only the all-zero vector
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?,?,?)", rows)
+    exp = con.execute(e.oracle_sql()["embedding_nan_stats"]).fetchdf().iloc[0]
+    assert int(exp["n_zero"]) == 1

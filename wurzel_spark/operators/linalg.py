@@ -329,7 +329,16 @@ def embedding_norm_outliers(
         F.lit(0).cast("decimal(38,0)"),
         lambda acc, x: acc + (x * x).cast("decimal(38,0)"),
     )
-    per = df.select(F.col(label_col).alias("label"), n2.alias("n2"))
+    # vectors with NULL elements are EXCLUDED from the norm battery:
+    # least/greatest SKIP NULLs in both engines, so the clamp would turn
+    # one NULL component into a +2^31 term that makes the corrupt vector
+    # the label max and wrecks everyone else's permille scale (review
+    # finding, r8). NULL-containing vectors belong to
+    # embedding_nan_stats' n_null/n_nan accounting, not this gate.
+    per = df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(F.col(label_col).alias("label"), n2.alias("n2"))
     mx = per.groupBy("label").agg(
         F.max("n2").alias("max_norm2q"), F.count(F.lit(1)).alias("n_vectors")
     ).localCheckpoint(eager=True)  # label-grain; feeds b, med, mad, output
@@ -419,6 +428,8 @@ WITH per AS (
                                               2147483648), -2147483648)),
            q -> CAST(q AS HUGEINT) * q)) AS n2
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), mx AS (
   SELECT label, MAX(n2) AS max_norm2q,
          COUNT(*) AS n_vectors
@@ -489,7 +500,12 @@ def embedding_nan_stats(
     v = F.col(vec_col)
     has_nan = F.exists(v, lambda x: F.isnan(x))
     has_inf = F.exists(v, lambda x: F.abs(x) == float("inf"))
-    is_zero = F.forall(v, lambda x: x == 0.0) & (F.size(v) > 0)
+    # the NULL-element predicate is explicit: forall(x == 0.0) over
+    # [0.0, NULL] is NULL (→ coalesced false) in Spark while the oracle's
+    # list_filter drops the NULL verdict and would call it zero — the
+    # same three-valued-logic divergence class as the checksum fix. A
+    # vector counts as zero only if every element IS non-NULL zero.
+    is_zero = F.forall(v, lambda x: x.isNotNull() & (x == 0.0)) & (F.size(v) > 0)
     per = df.select(
         F.col(label_col).alias("label"),
         v.isNull().cast("long").alias("is_null"),
@@ -533,7 +549,8 @@ WITH per AS (
                AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> isinf(x))) > 0
               THEN 1 ELSE 0 END AS has_inf,
          CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
-               AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x != 0.0)) = 0
+               AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                                   x -> x IS NULL OR x != 0.0)) = 0
               THEN 1 ELSE 0 END AS is_zero,
          COALESCE(len(embedding), -1) AS dim
   FROM embeddings

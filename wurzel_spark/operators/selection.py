@@ -827,6 +827,10 @@ def priority_from_scores(scored: DataFrame, k: int = PRIORITY_K) -> DataFrame:
     return (
         ranked.filter(F.col("rn") <= k)
         .crossJoin(F.broadcast(tau.select(F.coalesce(F.first("tau_q"), F.lit(0)).alias("tau_q"))))
+        # ORDER ON THE EXACT decimal q, not the published double: two top
+        # priorities above 2^53 can round to the same double and flip the
+        # row order vs the oracle's exact sort (review finding, r8)
+        .orderBy(F.col("q").desc(), "doc_id")
         .select(
             "doc_id",
             "source",
@@ -841,7 +845,6 @@ def priority_from_scores(scored: DataFrame, k: int = PRIORITY_K) -> DataFrame:
             .cast("double")
             .alias("est_weight_q3"),
         )
-        .orderBy(F.col("priority_q").desc(), "doc_id")
     )
 
 

@@ -94,6 +94,8 @@ def drain_auc_state(spark, state_dir: str) -> DataFrame:
     hist = _summed_hist(spark, state_dir)
     if hist is None:
         return spark.createDataFrame(
-            [], "source string, n_pos long, n_neg long, u2 long, auc_permille long"
+            # u2 is DOUBLE since the decimal/HUGEINT hardening (it can
+            # pass 2^63 at scale) — the empty schema must match the tail
+            [], "source string, n_pos long, n_neg long, u2 double, auc_permille long"
         )
     return auc_from_hist(hist)

@@ -79,9 +79,10 @@ def drain_priority_state(spark, state_dir: str, k: int = PRIORITY_K) -> DataFram
         )
     staged = (
         spark.read.parquet(state_dir)
-        .select("src_batch", "doc_id", "source", "w", "q")
-        .dropDuplicates(["src_batch", "doc_id"])
-        .dropDuplicates(["doc_id"])
         .select("doc_id", "source", "w", "q")
+        # one dedup on doc_id subsumes the protocol's (src_batch, doc_id)
+        # key-dedup here: a doc's priority row is deterministic, so
+        # duplicates across batches AND replays are identical rows
+        .dropDuplicates(["doc_id"])
     )
     return priority_from_scores(staged, k)
