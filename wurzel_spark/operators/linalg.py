@@ -333,10 +333,15 @@ def embedding_norm_outliers(
     # least/greatest SKIP NULLs in both engines, so the clamp would turn
     # one NULL component into a +2^31 term that makes the corrupt vector
     # the label max and wrecks everyone else's permille scale (review
-    # finding, r8). NULL-containing vectors belong to
-    # embedding_nan_stats' n_null/n_nan accounting, not this gate.
+    # finding, r8). EMPTY vectors are excluded too: DuckDB's list_sum([])
+    # is NULL while F.aggregate's 0-seed fold returns 0, so an empty
+    # vector would land in bucket b=NULL oracle-side vs b=0 Spark-side
+    # and shift every cumulative rank for the label (ADVICE r8).
+    # NULL-element and empty vectors belong to embedding_nan_stats'
+    # n_null / dim accounting, not this gate.
     per = df.filter(
         F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) > 0)
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     ).select(F.col(label_col).alias("label"), n2.alias("n2"))
     mx = per.groupBy("label").agg(
@@ -429,6 +434,7 @@ WITH per AS (
            q -> CAST(q AS HUGEINT) * q)) AS n2
   FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) > 0
     AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), mx AS (
   SELECT label, MAX(n2) AS max_norm2q,

@@ -806,8 +806,21 @@ def priority_scores(df: DataFrame, weight_col: str = "n_chars") -> DataFrame:
     from wurzel_spark.operators.dedup import md5_prefix_hash
 
     u = md5_prefix_hash(F.col("doc_id").cast("string")) + 1
+    # q = floor(w*2^60 / u) computed as two-stage long division:
+    #   q = div(w,u)*2^60 + floor((w mod u)*2^60 / u).
+    # Spark's `div` on DECIMAL operands returns LONG and silently WRAPS
+    # whenever the quotient passes 2^63 (ADVICE r8: div(9*2^60, 1) came
+    # back negative) — and a single decimal division overflows
+    # DECIMAL(38,6) once the quotient passes 10^32. The split keeps every
+    # intermediate in range for the FULL int64 weight domain: div/pmod on
+    # longs are exact, (w mod u)*2^60 < 2^120 fits DECIMAL(38,0), its
+    # quotient < 2^60 fits the 32 integer digits of the division result,
+    # and subtracting pmod first makes that division exact (integral), so
+    # the result equals the oracle's HUGEINT `//` bit-for-bit.
+    _r1n = f"CAST(pmod(w, u) AS DECIMAL(38,0)) * {_PRI_U_RANGE}"
     q = F.expr(
-        f"CAST(div(CAST(w AS DECIMAL(38,0)) * {_PRI_U_RANGE}, u)"
+        f"CAST(CAST(div(w, u) AS DECIMAL(38,0)) * {_PRI_U_RANGE}"
+        f" + CAST(({_r1n} - pmod({_r1n}, u)) / u AS DECIMAL(38,0))"
         " AS DECIMAL(38,0))"
     )
     return df.select(
@@ -850,6 +863,97 @@ def priority_from_scores(scored: DataFrame, k: int = PRIORITY_K) -> DataFrame:
 
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------- stratified priority sampling
+
+PRIORITY_STRAT_K = 8
+
+
+def priority_sample_stratified(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    k: int = PRIORITY_STRAT_K,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group priority sampling: an independent fixed-size
+    Duffield–Lund–Thorup weighted sample PER SOURCE — the "give every
+    domain its own k-row budget" variant of :func:`priority_sample`,
+    the shape a per-domain inspection/eval manifest needs (a global
+    sample lets one huge domain crowd out every small one). Priorities
+    are the SAME row-local deterministic q = w·2^60/u as the global
+    sampler (shared :func:`priority_scores`), so a doc's priority does
+    not depend on which stratum it lands in; τ and the Horvitz–Thompson
+    term max(w, τ_source) are computed per group, giving unbiased
+    per-source subset-sum estimates under each group's own budget.
+
+    Scale shape: ONE corpus scan → row_number over (source | q desc,
+    doc_id). Spark's InferWindowGroupLimit turns the rn ≤ k+1 filter
+    into a partial per-partition top-(k+1)-per-group prune BEFORE the
+    exchange (plan-asserted in tests), so the shuffle carries at most
+    (k+1)·n_sources·n_input_partitions rows, never the corpus. τ comes
+    from a second window over the ≤(k+1)-per-group survivors with the
+    SAME partitioning (exchange reused — no join, no second scan).
+    Groups with ≤ k rows keep everything with τ=0 (HT term = w exactly,
+    the estimator's census degradation), matching the global sampler.
+    """
+    scored = priority_scores(df, weight_col)
+    wg = W.partitionBy(group_col).orderBy(F.col("q").desc(), "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(wg)).filter(
+        F.col("rn") <= k + 1
+    )
+    tau = F.max(
+        F.when(F.col("rn") == k + 1, F.col("q")).otherwise(
+            F.lit(0).cast("decimal(38,0)")
+        )
+    ).over(W.partitionBy(group_col))
+    return (
+        ranked.withColumn("tau_q", tau)
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col(group_col),
+            "doc_id",
+            F.col("w").cast("long").alias("weight"),
+            F.col("q").cast("double").alias("priority_q"),
+            F.greatest(
+                F.col("w").cast("decimal(38,0)") * 1000,
+                F.expr("CAST(tau_q * 1000 AS DECIMAL(38,0))"),
+            )
+            .cast("double")
+            .alias("est_weight_q3"),
+        )
+        .orderBy(group_col, F.col("priority_q").desc(), "doc_id")
+    )
+
+
+def q_priority_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return priority_sample_stratified(table(spark, sf_dir, "documents"))
+
+
+PRIORITY_STRAT_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars AS w,
+         (CAST(n_chars AS HUGEINT) * {_PRI_U_RANGE})
+           // (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1) AS q
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, w, q,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+  FROM scored
+), pruned AS (
+  SELECT source, doc_id, w, q, rn,
+         MAX(CASE WHEN rn = {PRIORITY_STRAT_K + 1} THEN q ELSE 0 END)
+           OVER (PARTITION BY source) AS tau_q
+  FROM ranked WHERE rn <= {PRIORITY_STRAT_K + 1}
+)
+SELECT source, doc_id,
+       CAST(w AS BIGINT) AS weight,
+       CAST(q AS DOUBLE) AS priority_q,
+       CAST(GREATEST(CAST(w AS HUGEINT) * 1000, tau_q * 1000) AS DOUBLE) AS est_weight_q3
+FROM pruned
+WHERE rn <= {PRIORITY_STRAT_K}
+ORDER BY source, priority_q DESC, doc_id
+"""
 
 
 PRIORITY_SAMPLE_SQL = f"""
