@@ -4491,3 +4491,200 @@ SELECT source, n_docs, n_chars,
        CASE WHEN n_letters > 0 THEN (1000 * n_upper) // n_letters ELSE 0 END AS upper_permille
 FROM agg ORDER BY source
 """
+
+
+# ------------------------------------------------ unicode normalization
+
+# Invisible / zero-width characters removed outright: ZWSP, ZWNJ, ZWJ,
+# word joiner, BOM/ZWNBSP, soft hyphen. The classic crawl-ingest
+# contaminants — they split tokens invisibly and leak into BPE merges.
+UNICODE_ZW = "​‌‍⁠﻿­"
+# C0 control characters removed outright (NUL..BS, SO..US, DEL).
+# \t \n \r stay (real whitespace); \x0B \x0C are WHITESPACE per the
+# charclass_stats adjudication, so they map to space instead.
+UNICODE_CTRL = "".join(
+    chr(c) for c in (*range(0x00, 0x09), *range(0x0E, 0x20), 0x7F)
+)
+# Exotic spaces mapped to ASCII space: NBSP, VT, FF, ideographic space.
+UNICODE_WSMAP = " \x0b\x0c　"
+# Fullwidth ASCII (U+FF01..U+FF5E) folded to its ASCII twin — the CJK
+# copy-paste artifact that hides `１２３` from every numeric regex.
+UNICODE_FW_FROM = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+UNICODE_FW_TO = "".join(chr(c) for c in range(0x21, 0x7F))
+
+
+def _unicode_clean_cols(text_col: str = "text"):
+    """Shared per-doc clean + counts (stats and mutation MUST derive from
+    the same expressions — the C4 drift lesson, see _gopher_keep)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_zw = F.length(c) - F.length(F.translate(c, UNICODE_ZW, ""))
+    n_ctrl = F.length(c) - F.length(F.translate(c, UNICODE_CTRL, ""))
+    n_ws = F.length(c) - F.length(F.translate(c, UNICODE_WSMAP, ""))
+    n_fw = F.length(c) - F.length(F.translate(c, UNICODE_FW_FROM, ""))
+    cleaned = F.translate(
+        F.translate(
+            F.translate(c, UNICODE_FW_FROM, UNICODE_FW_TO),
+            UNICODE_WSMAP,
+            "    ",
+        ),
+        UNICODE_ZW + UNICODE_CTRL,
+        "",
+    )
+    return cleaned, n_zw, n_ctrl, n_ws, n_fw
+
+
+def unicode_clean_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode ingest normalization — the mutation: strip zero-width and
+    control characters, map exotic spaces to ASCII space, fold fullwidth
+    ASCII to its ASCII twin. The row-local pre-tokenizer scrub every
+    crawl pipeline runs before anything downstream sees the text (C4 /
+    ccnet do heavier versions; this is the deterministic, engine-exact
+    core). Pure translate() chains — SQL-standard semantics in both
+    engines (chars beyond the `to` string are deleted), no regex, no
+    UDF, fully codegen'd.
+
+    Scale shape: 1:1 row-local projection, zero shuffles."""
+    cleaned, n_zw, n_ctrl, n_ws, n_fw = _unicode_clean_cols(text_col)
+    return df.select(
+        "doc_id",
+        "source",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("n_chars_clean"),
+        (n_zw + n_ctrl).alias("n_removed"),
+        (n_ws + n_fw).alias("n_mapped"),
+    ).orderBy("doc_id")
+
+
+def unicode_clean_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source audit of :func:`unicode_clean_docs`: how much invisible
+    junk does each source carry — zero-width chars, stray C0 controls,
+    exotic spaces, fullwidth ASCII — counts, affected-doc counts, and the
+    contaminated-char permille. The source-triage readout that says
+    "this crawl slice needs the scrub / this one is clean" before paying
+    a full rewrite of 100 TB.
+
+    Exactness: every count is a length difference of translate() —
+    pure integers, identical semantics both engines. Scale shape:
+    row-local counts + one per-source aggregate; the stats NEVER
+    materialize the cleaned text (translate for counting is cheaper
+    than carrying the rewritten column through the shuffle)."""
+    _, n_zw, n_ctrl, n_ws, n_fw = _unicode_clean_cols(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    per = df.select(
+        "source",
+        F.length(c).alias("n_all"),
+        n_zw.alias("n_zw"),
+        n_ctrl.alias("n_ctrl"),
+        n_ws.alias("n_ws"),
+        n_fw.alias("n_fw"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("n_zw") + F.col("n_ctrl") + F.col("n_ws") + F.col("n_fw")) > 0,
+                1,
+            ).otherwise(0)
+        ).alias("n_docs_affected"),
+        F.sum("n_all").alias("n_chars"),
+        F.sum("n_zw").alias("n_zero_width"),
+        F.sum("n_ctrl").alias("n_control"),
+        F.sum("n_ws").alias("n_space_mapped"),
+        F.sum("n_fw").alias("n_fullwidth"),
+    )
+    return agg.withColumn(
+        "n_dirty",
+        F.col("n_zero_width")
+        + F.col("n_control")
+        + F.col("n_space_mapped")
+        + F.col("n_fullwidth"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_docs_affected",
+        "n_chars",
+        "n_zero_width",
+        "n_control",
+        "n_space_mapped",
+        "n_fullwidth",
+        F.when(F.col("n_chars") > 0, F.expr("div(1000 * n_dirty, n_chars)"))
+        .otherwise(F.lit(0))
+        .alias("dirty_permille"),
+    ).orderBy("source")
+
+
+def q_unicode_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unicode_clean_docs(table(spark, sf_dir, "documents"))
+
+
+def q_unicode_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unicode_clean_stats(table(spark, sf_dir, "documents"))
+
+
+def _sql_chars(s: str) -> str:
+    """Render a constant char set as a DuckDB string expression. Control
+    characters can't sit inside a SQL literal (NUL truncates the query),
+    so any char < 0x20 or == 0x7F goes through chr(); printable runs stay
+    literal with '' quote-escaping."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if ord(ch) < 0x20 or ord(ch) == 0x7F:
+            if run:
+                parts.append("'" + run.replace("'", "''") + "'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            run += ch
+    if run:
+        parts.append("'" + run.replace("'", "''") + "'")
+    return "(" + " || ".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+_ZW_SQL = _sql_chars(UNICODE_ZW)
+_CTRL_SQL = _sql_chars(UNICODE_CTRL)
+_WSMAP_SQL = _sql_chars(UNICODE_WSMAP)
+_FW_FROM_SQL = _sql_chars(UNICODE_FW_FROM)
+_FW_TO_SQL = _sql_chars(UNICODE_FW_TO)
+
+_UNICODE_PER_SQL = f"""
+  SELECT doc_id, source,
+         length(t) AS n_all,
+         length(t) - length(translate(t, {_ZW_SQL}, '')) AS n_zw,
+         length(t) - length(translate(t, {_CTRL_SQL}, '')) AS n_ctrl,
+         length(t) - length(translate(t, {_WSMAP_SQL}, '')) AS n_ws,
+         length(t) - length(translate(t, {_FW_FROM_SQL}, '')) AS n_fw,
+         translate(translate(translate(t, {_FW_FROM_SQL}, {_FW_TO_SQL}),
+                             {_WSMAP_SQL}, '    '),
+                   {_ZW_SQL} || {_CTRL_SQL}, '') AS clean_text
+  FROM (SELECT doc_id, source, COALESCE(text, '') AS t FROM documents)
+"""
+
+UNICODE_CLEAN_DOCS_SQL = f"""
+WITH per AS ({_UNICODE_PER_SQL})
+SELECT doc_id, source, clean_text,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+       CAST(n_zw + n_ctrl AS BIGINT) AS n_removed,
+       CAST(n_ws + n_fw AS BIGINT) AS n_mapped
+FROM per ORDER BY doc_id
+"""
+
+UNICODE_CLEAN_STATS_SQL = f"""
+WITH per AS ({_UNICODE_PER_SQL}),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN n_zw + n_ctrl + n_ws + n_fw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected,
+         CAST(SUM(n_all) AS BIGINT) AS n_chars,
+         CAST(SUM(n_zw) AS BIGINT) AS n_zero_width,
+         CAST(SUM(n_ctrl) AS BIGINT) AS n_control,
+         CAST(SUM(n_ws) AS BIGINT) AS n_space_mapped,
+         CAST(SUM(n_fw) AS BIGINT) AS n_fullwidth
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_docs_affected, n_chars,
+       n_zero_width, n_control, n_space_mapped, n_fullwidth,
+       CASE WHEN n_chars > 0
+            THEN (1000 * (n_zero_width + n_control + n_space_mapped + n_fullwidth)) // n_chars
+            ELSE 0 END AS dirty_permille
+FROM agg ORDER BY source
+"""
