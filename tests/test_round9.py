@@ -159,3 +159,60 @@ def test_unicode_clean_stats_fixture_matches_oracle(spark):
     by_src = {t[0]: t for t in got}
     assert by_src["a"][2] == 2  # docs 2 and 3 affected
     assert by_src["b"][2] == 2  # docs 4 and 5 affected
+
+
+# ----------------------------------- streaming stratified priority twin
+
+
+def test_streaming_stratified_priority_matches_batch(spark, tmp_path):
+    """Per-batch per-SOURCE top-(k+1) staging == the batch stratified
+    sample bit-exactly (the semilattice argument holds group-wise)."""
+    from wurzel_spark.operators.selection import priority_sample_stratified
+    from wurzel_spark.streaming.priority import priority_stratified_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+    d = str(tmp_path / "ps_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = [
+        tuple(r)
+        for r in priority_stratified_stream(
+            stream, str(tmp_path / "ps_state"), str(tmp_path / "ps_ckpt"),
+            compact_every=2,
+        ).collect()
+    ]
+    exp = [tuple(r) for r in priority_sample_stratified(docs).collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_stratified_replay_is_idempotent(spark, tmp_path):
+    from pyspark.sql import Window as W
+
+    from wurzel_spark.operators.selection import priority_scores
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.priority import drain_priority_stratified_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "ps_replay")
+    wg = W.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+
+    def _stage(df, bid):
+        mine = (
+            priority_scores(df)
+            .withColumn("rn", F.row_number().over(wg))
+            .filter(F.col("rn") <= 9)
+            .drop("rn")
+            .withColumn("src_batch", F.lit(bid))
+        )
+        write_batch_state(spark, mine, state, bid, ["src_batch", "doc_id"], None)
+
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = [tuple(r) for r in drain_priority_stratified_state(spark, state).collect()]
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)  # replay
+    got = [tuple(r) for r in drain_priority_stratified_state(spark, state).collect()]
+    assert got == once and len(once) > 0

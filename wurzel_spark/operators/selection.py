@@ -897,7 +897,17 @@ def priority_sample_stratified(
     Groups with ≤ k rows keep everything with τ=0 (HT term = w exactly,
     the estimator's census degradation), matching the global sampler.
     """
-    scored = priority_scores(df, weight_col)
+    return priority_stratified_from_scores(
+        priority_scores(df, weight_col), k, group_col
+    )
+
+
+def priority_stratified_from_scores(
+    scored: DataFrame, k: int = PRIORITY_STRAT_K, group_col: str = "source"
+) -> DataFrame:
+    """The per-group top-(k+1) → τ → Horvitz–Thompson tail, shared with
+    the streaming drain (streaming/priority.py) — per-group top-(k+1)
+    sets are a mergeable semilattice exactly like the global sampler's."""
     wg = W.partitionBy(group_col).orderBy(F.col("q").desc(), "doc_id")
     ranked = scored.withColumn("rn", F.row_number().over(wg)).filter(
         F.col("rn") <= k + 1
