@@ -4688,3 +4688,205 @@ SELECT source, n_docs, n_docs_affected, n_chars,
             ELSE 0 END AS dirty_permille
 FROM agg ORDER BY source
 """
+
+
+# --------------------------------------------- token-budget water-filling
+
+WATERFILL_BUDGET_NUM = 2  # budget = floor(2 * total available tokens / 3)
+WATERFILL_BUDGET_DEN = 3  # — big enough that heavy-weight sources hit their caps
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    rates_permille: dict[str, int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Water-filling token allocation: distribute a training-token budget
+    across sources PROPORTIONALLY TO MIXTURE WEIGHTS subject to each
+    source's availability cap — the allocator that answers "source X only
+    has 2B tokens but its weight asks for 9B; who absorbs the surplus?".
+    [[data_budget_plan]] diagnoses the epochs a fixed mixture implies;
+    this op REPAIRS the mixture: capped sources keep everything they
+    have, the freed budget re-spreads over uncapped sources at one shared
+    water level λ (alloc_i = min(avail_i, λ·w_i), Σ alloc = budget) — the
+    continuous analog of the epoch-capped reallocation in
+    data-constrained scaling work (Muennighoff et al. 2023).
+
+    Exact integer algorithm, no iteration: sort sources by the
+    saturation ratio r_i = avail_i/w_i (sort key floor(avail·10^9/w) is
+    COLLISION-FREE for distinct ratios: permille weights ≤ 1000 make
+    distinct ratios differ by ≥ 10⁻⁶ > 10³/10⁹). A source saturates iff
+    r_i ≤ the water level computed as if it and everything after stayed
+    unsaturated — prefix-monotone in r-order (saturating a source with
+    r > λ only lowers λ), so the flag is one exclusive-prefix-sum
+    comparison a_i·W_rest ≤ (budget−A_prev)·w_i in decimal(38,0)/HUGEINT
+    (no division at all until the final per-source alloc floor-div).
+    The budget is self-normalizing — floor({WATERFILL_BUDGET_NUM}·total_available/
+    {WATERFILL_BUDGET_DEN}) — so the query exercises both regimes
+    at every scale.
+
+    Scale shape: ONE corpus scan (explode-free token count + grouped
+    agg); everything after the first aggregate runs on |sources| rows —
+    the sort, prefix sums, and flag algebra are metadata-sized.
+    """
+    from pyspark.sql import Window as W
+
+    rates = rates_permille or MIXTURE_PERMILLE
+    rate_expr = None
+    for src, permille in rates.items():
+        cond = F.col("source") == src
+        rate_expr = (
+            F.when(cond, permille)
+            if rate_expr is None
+            else rate_expr.when(cond, permille)
+        )
+    rate_expr = rate_expr.otherwise(F.lit(0))
+    per = (
+        df.select("source", TXT.word_count(F.col(text_col)).alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("avail"))
+        .withColumn("w", rate_expr.cast("long"))
+    )
+    # totals over the positive-weight pool (zero-weight sources are shown
+    # but get alloc 0 and contribute nothing to the budget)
+    tot = per.filter(F.col("w") > 0).agg(
+        F.sum("avail").alias("total_avail"), F.sum("w").alias("total_w")
+    )
+    base = per.crossJoin(F.broadcast(tot)).withColumn(
+        "budget",
+        F.expr(
+            f"CAST(div(total_avail * {WATERFILL_BUDGET_NUM},"
+            f" {WATERFILL_BUDGET_DEN}) AS DECIMAL(38,0))"
+        ),
+    )
+    # exact ratio sort key (decimal floor-division via the pmod identity —
+    # div() would wrap past 2^63, see priority_scores)
+    _n = "CAST(avail AS DECIMAL(38,0)) * 1000000000"
+    key = F.expr(f"CAST(({_n} - pmod({_n}, w)) / w AS DECIMAL(38,0))")
+    pos = base.filter(F.col("w") > 0).withColumn("rkey", key)
+    ws = W.orderBy("rkey", "source")
+    cum_a = F.coalesce(
+        F.sum("avail").over(ws.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("decimal(38,0)")
+    cum_w = F.coalesce(
+        F.sum("w").over(ws.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    ).cast("decimal(38,0)")
+    flagged = pos.withColumn(
+        "saturated",
+        F.col("avail").cast("decimal(38,0)")
+        * (F.col("total_w").cast("decimal(38,0)") - cum_w)
+        <= (F.col("budget") - cum_a) * F.col("w").cast("decimal(38,0)"),
+    )
+    sat = flagged.agg(
+        F.sum(F.when(F.col("saturated"), F.col("avail")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("a_sat"),
+        F.sum(F.when(F.col("saturated"), F.col("w")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("w_sat"),
+    )
+    out = flagged.crossJoin(F.broadcast(sat)).withColumn(
+        "w_free", F.col("total_w").cast("decimal(38,0)") - F.col("w_sat")
+    )
+    alloc = (
+        F.when(F.col("saturated") | (F.col("w_free") == 0), F.col("avail"))
+        .otherwise(
+            F.expr("div((budget - a_sat) * w, w_free)")
+        )
+        .cast("long")
+    )
+    pos_out = out.select(
+        "source",
+        F.col("w").alias("weight_permille"),
+        F.col("avail").cast("long").alias("avail_tokens"),
+        alloc.alias("alloc_tokens"),
+        "saturated",
+        F.col("budget").cast("long").alias("budget_tokens"),
+    )
+    zero_out = base.filter(F.col("w") <= 0).select(
+        "source",
+        F.col("w").alias("weight_permille"),
+        F.col("avail").cast("long").alias("avail_tokens"),
+        F.lit(0).cast("long").alias("alloc_tokens"),
+        F.lit(False).alias("saturated"),
+        F.col("budget").cast("long").alias("budget_tokens"),
+    )
+    both = pos_out.unionByName(zero_out)
+    return both.select(
+        "source",
+        "weight_permille",
+        "avail_tokens",
+        "alloc_tokens",
+        "saturated",
+        F.when(
+            F.col("avail_tokens") > 0,
+            F.expr("div(1000 * alloc_tokens, avail_tokens)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("fill_permille"),
+        "budget_tokens",
+    ).orderBy("source")
+
+
+def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_waterfill(table(spark, sf_dir, "documents"))
+
+
+def _waterfill_sql() -> str:
+    case = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIXTURE_PERMILLE.items()
+    )
+    return rf"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x != ''))) AS HUGEINT) AS avail,
+         CAST(CASE {case} ELSE 0 END AS BIGINT) AS w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(avail) AS HUGEINT) AS total_avail,
+         CAST(SUM(w) AS HUGEINT) AS total_w,
+         (CAST(SUM(avail) AS HUGEINT) * {WATERFILL_BUDGET_NUM}) // {WATERFILL_BUDGET_DEN} AS budget
+  FROM per WHERE w > 0
+), ranked AS (
+  SELECT p.source, p.avail, p.w, t.total_w, t.budget,
+         (p.avail * 1000000000) // p.w AS rkey,
+         COALESCE(SUM(p.avail) OVER (ORDER BY (p.avail * 1000000000) // p.w, p.source
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_a,
+         COALESCE(SUM(p.w) OVER (ORDER BY (p.avail * 1000000000) // p.w, p.source
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_w
+  FROM per p CROSS JOIN tot t WHERE p.w > 0
+), flagged AS (
+  SELECT *, avail * (total_w - cum_w) <= (budget - cum_a) * w AS saturated
+  FROM ranked
+), sat AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN saturated THEN avail ELSE 0 END), 0) AS HUGEINT) AS a_sat,
+         CAST(COALESCE(SUM(CASE WHEN saturated THEN w ELSE 0 END), 0) AS HUGEINT) AS w_sat
+  FROM flagged
+), pos_out AS (
+  SELECT f.source, CAST(f.w AS BIGINT) AS weight_permille,
+         CAST(f.avail AS BIGINT) AS avail_tokens,
+         CAST(CASE WHEN f.saturated OR f.total_w - s.w_sat = 0 THEN f.avail
+                   ELSE ((f.budget - s.a_sat) * f.w) // (f.total_w - s.w_sat)
+              END AS BIGINT) AS alloc_tokens,
+         f.saturated, CAST(f.budget AS BIGINT) AS budget_tokens
+  FROM flagged f CROSS JOIN sat s
+), zero_out AS (
+  SELECT p.source, CAST(p.w AS BIGINT) AS weight_permille,
+         CAST(p.avail AS BIGINT) AS avail_tokens,
+         CAST(0 AS BIGINT) AS alloc_tokens,
+         FALSE AS saturated, CAST(t.budget AS BIGINT) AS budget_tokens
+  FROM per p CROSS JOIN tot t WHERE p.w <= 0
+), combined AS (
+  SELECT * FROM pos_out UNION ALL SELECT * FROM zero_out
+)
+SELECT source, weight_permille, avail_tokens, alloc_tokens, saturated,
+       CASE WHEN avail_tokens > 0 THEN (1000 * alloc_tokens) // avail_tokens
+            ELSE 0 END AS fill_permille,
+       budget_tokens
+FROM combined ORDER BY source
+"""
+
+
+WATERFILL_SQL = _waterfill_sql()
