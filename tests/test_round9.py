@@ -330,3 +330,68 @@ def test_waterfill_registered_fixture_matches_oracle(spark):
     assert got == exp
     by = {t[0]: t for t in got}
     assert by["src0"][4] is True  # 20 tokens vs weight 1000 — saturates
+
+
+# --------------------------------------------------- IBAN validation
+
+
+_IBAN_ROWS = [
+    (1, "pay to DE44 5001 0517 5407 3249 31 thanks", "a", "de", 40),
+    (2, "GB82 WEST 1234 5698 7654 32 and FR14 2004 1010 0505 0001 3M02 606", "a", "en", 60),
+    (3, "fake DE44 5001 0517 5407 3249 32 nope", "a", "de", 30),  # bad check digit
+    (4, "no ibans here, just text 1234", "b", "en", 25),
+    (5, "GB82 WEST 1234 5698 7654 32 BIC: MARKDEF1100", "b", "en", 40),
+    (6, None, "b", "en", 0),
+    (7, "lowercase de44 5001 0517 5407 3249 31 ignored", "b", "de", 40),
+    # structurally plausible, checksum-valid, but WRONG registry length
+    # for DE (20 chars instead of 22): must be rejected by the length map
+    (8, "DE13 5001 0517 5407 3249", "a", "de", 25),
+]
+
+
+def test_iban_fixture_matches_oracle(spark):
+    from wurzel_spark.operators.textstats import pii_iban_validated
+
+    got = [tuple(r) for r in pii_iban_validated(_docs(spark, _IBAN_ROWS)).collect()]
+    con = _duck_docs(_IBAN_ROWS)
+    exp = [tuple(r) for r in con.execute(e.oracle_sql()["pii_iban_validated"]).fetchall()]
+    assert got == exp
+
+
+def test_iban_semantics(spark):
+    from wurzel_spark.operators.textstats import pii_iban_validated
+
+    out = {r["doc_id"]: r for r in pii_iban_validated(_docs(spark, _IBAN_ROWS)).collect()}
+    assert out[1]["n_iban_valid"] == 1 and out[1]["iban_flag"]
+    assert out[2]["n_iban_valid"] == 2  # GB + FR both validate
+    assert out[3]["n_candidates"] == 1 and out[3]["n_iban_valid"] == 0
+    assert out[4]["n_candidates"] == 0
+    assert out[5]["n_iban_valid"] == 1  # trailing caps BIC doesn't break it
+    assert out[7]["n_candidates"] == 0  # lowercase never matches
+
+
+def test_iban_checksum_against_reference_mod97(spark):
+    """The powers-table checksum must equal Python's big-int mod 97 on a
+    spread of country formats (including 30+ char Malta/Seychelles-style
+    lengths that exercise the k>=32 power-table entries)."""
+    from wurzel_spark.operators.textstats import pii_iban_validated
+
+    def py_valid(iban: str) -> bool:
+        s = iban.replace(" ", "")
+        r = s[4:] + s[:4]
+        num = int("".join(str(int(ch, 36)) for ch in r))
+        return num % 97 == 1
+
+    # build a valid 31-char IBAN-like string for an unknown country code
+    # (registry fallback): brute the check digits
+    body = "QQ00ABCD1234EFGH5678IJKL9012MNO"
+    fixed = None
+    for cd in range(2, 99):
+        cand = f"QQ{cd:02d}" + body[4:]
+        if py_valid(cand):
+            fixed = cand
+            break
+    assert fixed is not None
+    rows = [(1, f"x {fixed[:4]} {fixed[4:8]} {fixed[8:]} y", "a", "en", 40)]
+    out = pii_iban_validated(_docs(spark, rows)).collect()[0]
+    assert out["n_iban_valid"] == 1

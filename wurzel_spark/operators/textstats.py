@@ -4890,3 +4890,146 @@ FROM combined ORDER BY source
 
 
 WATERFILL_SQL = _waterfill_sql()
+
+
+# ------------------------------------------------- IBAN validation
+
+# Candidate: country code + 2 check digits + 4-char groups, optional
+# single-space separators (the print format). No lookarounds — RE2 (the
+# DuckDB twin) has none. A following ALL-CAPS 4-char word can glom onto
+# a candidate (documented trade — it then simply fails the checksum);
+# lowercase words never match the class, so prose stays out.
+_IBAN_CANDIDATE_RE = r"[A-Z]{2}[0-9]{2}(?: ?[A-Z0-9]{4}){2,7}(?: ?[A-Z0-9]{1,3})?"
+
+# 10^k mod 97 for k = 0..95 (Fermat: 10^96 ≡ 1 mod 97, so indexing k mod
+# 96 is exact for any length). Position weights replace the left-to-right
+# fold — BOTH engines compute Σ d_i · P[(L−i) mod 96] with list_sum /
+# F.aggregate over row-local arrays, no engine-specific reduce needed.
+_POW10_MOD97 = [pow(10, k, 97) for k in range(96)]
+
+# ISO 13616 registry lengths for the common SEPA countries; unknown
+# country codes fall back to the 15..34 structural bound.
+_IBAN_LENGTHS = {
+    "AT": 20, "BE": 16, "CH": 21, "DE": 22, "ES": 24, "FR": 27,
+    "GB": 22, "IE": 22, "IT": 27, "LU": 20, "NL": 18, "PT": 25,
+}
+
+
+def pii_iban_validated(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Checksum-validated IBAN detection — the bank-account sibling of
+    :func:`pii_luhn_validated`: regex candidates are filtered through the
+    ISO 7064 mod-97-10 check (move the first 4 chars to the end, map
+    A→10..Z→35, the resulting number ≡ 1 mod 97) plus the per-country
+    registry length. The checksum computes WITHOUT big-int division:
+    digits weight by a 96-entry 10^k-mod-97 table (Fermat periodicity),
+    so the whole validation is one list_sum of products mod 97 — exact
+    int64, identical algebra in both engines, no fold, no UDF.
+
+    Scale shape: row-local regexp + let-bound array transforms, one scan,
+    no shuffle beyond the final sort (1:1 projection like the Luhn twin).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.regexp_extract_all(c, F.lit(_IBAN_CANDIDATE_RE), 0)
+    cleaned = F.transform(cands, lambda g: F.regexp_replace(g, r" ", ""))
+    pow_arr = F.array(*[F.lit(p) for p in _POW10_MOD97])
+
+    len_case = "CASE " + " ".join(
+        f"WHEN cc = '{k}' THEN {v}" for k, v in sorted(_IBAN_LENGTHS.items())
+    ) + " ELSE -1 END"
+
+    def _iban_ok(s):
+        n = F.length(s)
+        # registry length: unknown country -> structural bound only
+        reg = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in sorted(_IBAN_LENGTHS)]),
+                F.array(*[F.lit(v) for _, v in sorted(_IBAN_LENGTHS.items())]),
+            ),
+            F.substring(s, 1, 2),
+        )
+        len_ok = (n >= 15) & (n <= 34) & (reg.isNull() | (reg == n))
+        rearr = F.concat(F.substring(s, 5, 1_000_000), F.substring(s, 1, 4))
+        # char walk via range+substr (split-by-'' semantics differ
+        # between engines; positional substr is identical)
+        expanded = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), F.length(rearr)),
+                lambda i: F.when(
+                    (F.ascii(F.substring(rearr, i, 1)) >= 48)
+                    & (F.ascii(F.substring(rearr, i, 1)) <= 57),
+                    F.substring(rearr, i, 1),
+                ).otherwise(
+                    (F.ascii(F.substring(rearr, i, 1)) - 55).cast("string")
+                ),
+            ),
+        )
+        ln = F.length(expanded)
+        total = F.aggregate(
+            F.sequence(F.lit(1), ln),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + (F.ascii(F.substring(expanded, i, 1)) - 48)
+            * F.element_at(pow_arr, ((ln - i) % 96) + 1),
+        )
+        return len_ok & ((total % 97) == 1)
+
+    valid = F.filter(cleaned, _iban_ok)
+    return df.select(
+        "doc_id",
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_iban_valid"),
+        (F.size(valid) > 0).alias("iban_flag"),
+    ).orderBy("doc_id")
+
+
+def q_pii_iban_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_iban_validated(table(spark, sf_dir, "documents"))
+
+
+def _iban_sql() -> str:
+    pow_list = ", ".join(str(p) for p in _POW10_MOD97)
+    len_case = " ".join(
+        f"WHEN substr(s, 1, 2) = '{k}' THEN length(s) = {v}"
+        for k, v in sorted(_IBAN_LENGTHS.items())
+    )
+    # the expanded digit string (letters -> two-digit values) repeats in
+    # the lambda — DuckDB lambdas have no let-binding; oracle-side only.
+    exp = (
+        "array_to_string(list_transform("
+        "range(1, length(substr(s, 5) || substr(s, 1, 4)) + 1), "
+        "j -> CASE WHEN ascii(substr(substr(s, 5) || substr(s, 1, 4), CAST(j AS INT), 1)) "
+        "BETWEEN 48 AND 57 "
+        "THEN substr(substr(s, 5) || substr(s, 1, 4), CAST(j AS INT), 1) "
+        "ELSE CAST(ascii(substr(substr(s, 5) || substr(s, 1, 4), CAST(j AS INT), 1)) - 55 "
+        "AS VARCHAR) END), '')"
+    )
+    return rf"""
+WITH cands AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(COALESCE(text, ''), '@IBAN_RE@'),
+           g -> replace(g, ' ', '')) AS cleaned,
+         len(regexp_extract_all(COALESCE(text, ''), '@IBAN_RE@')) AS n_candidates
+  FROM documents
+), v AS (
+  SELECT doc_id, n_candidates,
+         len(list_filter(cleaned, s ->
+           length(s) >= 15 AND length(s) <= 34 AND
+           (CASE {len_case} ELSE TRUE END) AND
+           (list_sum(list_transform(range(1, length({exp}) + 1), i ->
+             (ascii(substr({exp}, CAST(i AS INT), 1)) - 48)
+             * ([{pow_list}])[((length({exp}) - i) % 96) + 1]
+           )) % 97) = 1
+         )) AS n_iban_valid
+  FROM cands
+)
+SELECT doc_id,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_iban_valid AS BIGINT) AS n_iban_valid,
+       (n_iban_valid > 0) AS iban_flag
+FROM v ORDER BY doc_id
+""".replace("@IBAN_RE@", _IBAN_CANDIDATE_RE)
+
+
+PII_IBAN_SQL = _iban_sql()
