@@ -395,3 +395,147 @@ def test_iban_checksum_against_reference_mod97(spark):
     rows = [(1, f"x {fixed[:4]} {fixed[4:8]} {fixed[8:]} y", "a", "en", 40)]
     out = pii_iban_validated(_docs(spark, rows)).collect()[0]
     assert out["n_iban_valid"] == 1
+
+
+# ------------------------------------------------ bitext margin mining
+
+
+def _bitext_fixture(spark):
+    """8 seed vectors (vec_id 0..7, one per axis pair) + two language
+    sides in 4-dim space with EXACTLY representable components, so any
+    dot-product summation order gives identical doubles. Docs 100..104
+    are 'de', 200..204 'fr'; (100, 200) is a planted translation pair
+    (identical vectors); everything else is noise near other axes."""
+    seeds = [(i, [1.0 if j == i % 4 else 0.25 * ((i >> 2) + 1), 0.5, 0.125, 0.0625][:4], 0) for i, j in
+             [(i, i % 4) for i in range(8)]]
+    # hand-build instead: exact simple vectors
+    seeds = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0), (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.0], 0), (3, [0.0, 0.0, 0.0, 1.0], 0),
+        (4, [1.0, 1.0, 0.0, 0.0], 0), (5, [0.0, 1.0, 1.0, 0.0], 0),
+        (6, [0.0, 0.0, 1.0, 1.0], 0), (7, [1.0, 0.0, 0.0, 1.0], 0),
+    ]
+    pair_vec = [0.75, 0.5, 0.25, 0.125]
+    de = [(100, pair_vec), (101, [0.875, 0.125, 0.0, 0.0]),
+          (102, [0.0, 0.75, 0.25, 0.0]), (103, [0.5, 0.0, 0.5, 0.0]),
+          (104, [0.0625, 0.0, 0.0, 0.875])]
+    fr = [(200, pair_vec), (201, [0.0, 0.875, 0.125, 0.0]),
+          (202, [0.25, 0.0, 0.75, 0.0]), (203, [0.0, 0.5, 0.0, 0.5]),
+          (204, [0.875, 0.0625, 0.0, 0.0])]
+    emb_rows = seeds + [(i, v, 1) for i, v in de] + [(i, v, 2) for i, v in fr]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>, label int")
+    doc_rows = (
+        [(i, "seed", "s", "xx", 4) for i in range(8)]
+        + [(i, "de text", "s", "de", 7) for i, _ in de]
+        + [(i, "fr text", "s", "fr", 7) for i, _ in fr]
+    )
+    docs = spark.createDataFrame(
+        doc_rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    return docs, emb, de, fr
+
+
+def test_bitext_planted_pair_is_mined_mutual(spark):
+    from wurzel_spark.operators.similarity import bitext_margin_pairs
+
+    docs, emb, de, fr = _bitext_fixture(spark)
+    out = {r["src_id"]: r for r in bitext_margin_pairs(docs, emb).collect()}
+    assert 100 in out
+    assert out[100]["tgt_id"] == 200
+    assert out[100]["is_mutual"]
+    # identical vectors: cos = 1 exactly -> cos_q = QSCALE
+    assert out[100]["cos_q"] == 1 << 20
+    # the planted pair carries the highest raw cosine of all mined pairs
+    # (margins are neighborhood-RELATIVE, so an isolated moderate-cos
+    # pair can legitimately out-margin it — not asserted)
+    assert out[100]["cos_q"] == max(r["cos_q"] for r in out.values())
+
+
+def test_bitext_matches_numpy_reference(spark):
+    """Independent matrix-algebra reference (numpy, full candidate
+    enumeration through the same cell assignment) on the exact-double
+    fixture. Checks margins, forward-best picks, and mutual flags."""
+    import numpy as np
+
+    from wurzel_spark.operators.similarity import (
+        BITEXT_K,
+        BITEXT_PROBE,
+        bitext_margin_pairs,
+    )
+
+    docs, emb, de, fr = _bitext_fixture(spark)
+    seeds = {i: np.array(v) for i, v in [
+        (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]), (3, [0.0, 0.0, 0.0, 1.0]),
+        (4, [1.0, 1.0, 0.0, 0.0]), (5, [0.0, 1.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 1.0, 1.0]), (7, [1.0, 0.0, 0.0, 1.0]),
+    ]}
+
+    def cos(u, v):
+        return float(np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    def cells(vec):
+        sims = sorted(
+            ((cos(np.array(vec), sv), -c) for c, sv in seeds.items()),
+            reverse=True,
+        )
+        return {-c for _, c in sims[:BITEXT_PROBE]}
+
+    a_cells = {i: cells(v) for i, v in de}
+    b_cells = {i: cells(v) for i, v in fr}
+    de_v, fr_v = dict(de), dict(fr)
+    cand = [
+        (x, y)
+        for x in de_v
+        for y in fr_v
+        if a_cells[x] & b_cells[y]
+    ]
+    q = {
+        (x, y): int(np.floor(cos(np.array(de_v[x]), np.array(fr_v[y])) * (1 << 20)))
+        for x, y in cand
+    }
+
+    def topk(items, k=BITEXT_K):
+        return sorted(items, reverse=True)[:k]
+
+    margins = {}
+    for x, y in cand:
+        tx = topk([(q[(x, yy)], -yy) for xx, yy in cand if xx == x])
+        ty = topk([(q[(xx, y)], -xx) for xx, yy in cand if yy == y])
+        sx, nx = sum(v for v, _ in tx), len(tx)
+        sy, ny = sum(v for v, _ in ty), len(ty)
+        margins[(x, y)] = 2 * nx * ny * q[(x, y)] - (ny * sx + nx * sy)
+    fwd_best = {}
+    for x in de_v:
+        opts = [(margins[(x, y)], -y) for xx, y in cand if xx == x]
+        if opts:
+            m, ny = max(opts)
+            if m > 0:
+                fwd_best[x] = (-ny, m)
+    bwd_best = {}
+    for y in fr_v:
+        opts = [(margins[(x, y)], -x) for x, yy in cand if yy == y]
+        if opts:
+            m, nx = max(opts)
+            bwd_best[y] = -nx
+
+    got = {r["src_id"]: r for r in bitext_margin_pairs(docs, emb).collect()}
+    assert set(got) == set(fwd_best)
+    for x, (y, m) in fwd_best.items():
+        assert got[x]["tgt_id"] == y
+        assert got[x]["margin_q"] == m
+        assert got[x]["is_mutual"] == (bwd_best.get(y) == x)
+
+
+def test_bitext_partitioning_independent(spark):
+    from wurzel_spark.operators.similarity import bitext_margin_pairs
+    from wurzel_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    docs, emb = _table(spark, sf, "documents"), _table(spark, sf, "embeddings")
+    a = [tuple(r) for r in bitext_margin_pairs(docs, emb).collect()]
+    b = [
+        tuple(r)
+        for r in bitext_margin_pairs(docs.repartition(7), emb.repartition(5)).collect()
+    ]
+    assert a == b and len(a) > 0

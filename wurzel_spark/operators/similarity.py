@@ -2253,3 +2253,221 @@ SELECT query_id, neg_rank, neighbor_id, cos_sim, gold_cos
 FROM negs WHERE neg_rank <= 5
 ORDER BY query_id, neg_rank
 """
+
+
+# --------------------------------------------- bitext margin mining
+
+BITEXT_SRC_LANG = "de"
+BITEXT_TGT_LANG = "fr"
+BITEXT_K = 4  # neighborhood size for the margin denominator
+BITEXT_CELLS = 8  # IVF cell seeds (vec_id < BITEXT_CELLS, the kmeans_cell_stats convention)
+BITEXT_PROBE = 2  # top-P cells per vector (multi-probe recall, ann_topk_multiprobe precedent)
+_BITEXT_QSCALE = 1 << 20  # quantize cos once (the linalg QSCALE convention)
+
+
+def bitext_margin_pairs(
+    docs: DataFrame,
+    emb: DataFrame,
+    src_lang: str = BITEXT_SRC_LANG,
+    tgt_lang: str = BITEXT_TGT_LANG,
+    k: int = BITEXT_K,
+    n_cells: int = BITEXT_CELLS,
+    probe: int = BITEXT_PROBE,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    ccMatrix/LASER recipe): for every source-language document, the
+    target-language document whose cosine stands out ABOVE both of their
+    neighborhoods — margin(x,y) = cos(x,y) − (avgₖ(x)+avgₖ(y))/2, the
+    distance-margin variant — plus the mutual-best flag (x's best pick
+    also picks x back), the standard high-precision filter for mined
+    translation pairs.
+
+    Candidates are IVF-cell-pruned, NOT the full cross product: both
+    sides assign to their top-``probe`` of ``n_cells`` seed centroids
+    (the kmeans_cell_stats seed convention) and only same-cell pairs
+    are scored — the scale path for a 100 TB per-language-pair mine,
+    where the registered seed count is the tuning knob (4096 cells at
+    production scale, same plan shape). The margin's neighborhood
+    averages run over the SAME candidate set, so the approximation is
+    self-consistent (standard in faiss-based mining).
+
+    Exactness: pair cosines use the sequential-fold double dot (the
+    proven list_dot_product twin), quantized ONCE to ``cos_q`` ints;
+    margins clear denominators — margin_q = 2·nx·ny·cos_q − (ny·sx +
+    nx·sy) with nx,ny the actual neighborhood counts — so ranking and
+    the >0 gate are pure integer algebra, bit-equal cross-engine.
+
+    Scale shape: one ALL-WINDOW pipeline over the candidate-pair table —
+    per-side top-k sums, both margin ranks, and the mutual flag are six
+    window functions over two partitionings (src, tgt); no self-join,
+    no re-scan, and the pair table never carries the vectors past the
+    cos projection. The rank-1 filters prune via WindowGroupLimit."""
+    from pyspark.sql import Window as W
+
+    seeds = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+
+    def _side(lang: str, idc: str) -> DataFrame:
+        return (
+            docs.filter(F.col("lang") == lang)
+            .join(emb, docs.doc_id == emb.vec_id)
+            .select(F.col("doc_id").alias(idc), F.col("embedding").alias(f"{idc}_vec"))
+        )
+
+    a, b = _side(src_lang, "src_id"), _side(tgt_lang, "tgt_id")
+
+    def _cells(side: DataFrame, idc: str) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(seeds)).select(
+            idc, "cell", cosine(F.col(f"{idc}_vec"), F.col("cvec")).alias("sim")
+        )
+        wv = W.partitionBy(idc).orderBy(F.col("sim").desc(), "cell")
+        return (
+            scored.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") <= probe)
+            .select(idc, "cell")
+        )
+
+    cand = (
+        _cells(a, "src_id")
+        .join(_cells(b, "tgt_id"), "cell")
+        .select("src_id", "tgt_id")
+        .distinct()  # a pair sharing both probe cells scores once
+    )
+    pairs = (
+        cand.join(a, "src_id")
+        .join(b, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(
+                cosine(F.col("src_id_vec"), F.col("tgt_id_vec")) * _BITEXT_QSCALE
+            )
+            .cast("long")
+            .alias("cos_q"),
+        )
+    )
+    wx, wy = W.partitionBy("src_id"), W.partitionBy("tgt_id")
+    rnx = F.row_number().over(wx.orderBy(F.col("cos_q").desc(), "tgt_id"))
+    rny = F.row_number().over(wy.orderBy(F.col("cos_q").desc(), "src_id"))
+    enriched = (
+        pairs.withColumn("rn_x", rnx)
+        .withColumn("rn_y", rny)
+        .withColumn(
+            "sx",
+            F.sum(F.when(F.col("rn_x") <= k, F.col("cos_q")).otherwise(F.lit(0))).over(wx),
+        )
+        .withColumn(
+            "nx", F.sum(F.when(F.col("rn_x") <= k, 1).otherwise(0)).over(wx)
+        )
+        .withColumn(
+            "sy",
+            F.sum(F.when(F.col("rn_y") <= k, F.col("cos_q")).otherwise(F.lit(0))).over(wy),
+        )
+        .withColumn(
+            "ny", F.sum(F.when(F.col("rn_y") <= k, 1).otherwise(0)).over(wy)
+        )
+        .withColumn(
+            "margin_q",
+            2 * F.col("nx") * F.col("ny") * F.col("cos_q")
+            - (F.col("ny") * F.col("sx") + F.col("nx") * F.col("sy")),
+        )
+    )
+    fwd = F.row_number().over(wx.orderBy(F.col("margin_q").desc(), "tgt_id"))
+    bwd = F.row_number().over(wy.orderBy(F.col("margin_q").desc(), "src_id"))
+    return (
+        enriched.withColumn("fwd_rn", fwd)
+        .withColumn("bwd_rn", bwd)
+        .filter((F.col("fwd_rn") == 1) & (F.col("margin_q") > 0))
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_q",
+            F.col("margin_q").cast("long").alias("margin_q"),
+            (F.col("bwd_rn") == 1).alias("is_mutual"),
+        )
+        .orderBy("src_id")
+    )
+
+
+def q_bitext_margin_pairs(spark, sf_dir: str) -> DataFrame:
+    return bitext_margin_pairs(
+        table(spark, sf_dir, "documents"), table(spark, sf_dir, "embeddings")
+    )
+
+
+def _bitext_sql() -> str:
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+            f" / (sqrt(list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product(CAST({y} AS DOUBLE[]), CAST({y} AS DOUBLE[]))))"
+        )
+
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+  WHERE vec_id < {BITEXT_CELLS}
+), a AS (
+  SELECT d.doc_id AS src_id, e.embedding AS vec
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = '{BITEXT_SRC_LANG}'
+), b AS (
+  SELECT d.doc_id AS tgt_id, e.embedding AS vec
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = '{BITEXT_TGT_LANG}'
+), a_cells AS (
+  SELECT src_id, cell FROM (
+    SELECT a.src_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY a.src_id
+                              ORDER BY {cos("a.vec", "s.cvec")} DESC, s.cell) AS rn
+    FROM a CROSS JOIN seeds s
+  ) WHERE rn <= {BITEXT_PROBE}
+), b_cells AS (
+  SELECT tgt_id, cell FROM (
+    SELECT b.tgt_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.tgt_id
+                              ORDER BY {cos("b.vec", "s.cvec")} DESC, s.cell) AS rn
+    FROM b CROSS JOIN seeds s
+  ) WHERE rn <= {BITEXT_PROBE}
+), cand AS (
+  SELECT DISTINCT ac.src_id, bc.tgt_id
+  FROM a_cells ac JOIN b_cells bc ON ac.cell = bc.cell
+), pairs AS (
+  SELECT c.src_id, c.tgt_id,
+         CAST(floor({cos("a.vec", "b.vec")} * {_BITEXT_QSCALE}) AS BIGINT) AS cos_q
+  FROM cand c JOIN a ON c.src_id = a.src_id JOIN b ON c.tgt_id = b.tgt_id
+), enriched AS (
+  SELECT src_id, tgt_id, cos_q,
+         ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_q DESC, tgt_id) AS rn_x,
+         ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos_q DESC, src_id) AS rn_y
+  FROM pairs
+), summed AS (
+  SELECT src_id, tgt_id, cos_q,
+         CAST(SUM(CASE WHEN rn_x <= {BITEXT_K} THEN cos_q ELSE 0 END)
+              OVER (PARTITION BY src_id) AS BIGINT) AS sx,
+         CAST(SUM(CASE WHEN rn_x <= {BITEXT_K} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY src_id) AS BIGINT) AS nx,
+         CAST(SUM(CASE WHEN rn_y <= {BITEXT_K} THEN cos_q ELSE 0 END)
+              OVER (PARTITION BY tgt_id) AS BIGINT) AS sy,
+         CAST(SUM(CASE WHEN rn_y <= {BITEXT_K} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY tgt_id) AS BIGINT) AS ny
+  FROM enriched
+), margins AS (
+  SELECT src_id, tgt_id, cos_q,
+         2 * nx * ny * cos_q - (ny * sx + nx * sy) AS margin_q
+  FROM summed
+), ranked AS (
+  SELECT src_id, tgt_id, cos_q, margin_q,
+         ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin_q DESC, tgt_id) AS fwd_rn,
+         ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY margin_q DESC, src_id) AS bwd_rn
+  FROM margins
+)
+SELECT src_id, tgt_id, cos_q, CAST(margin_q AS BIGINT) AS margin_q,
+       (bwd_rn = 1) AS is_mutual
+FROM ranked WHERE fwd_rn = 1 AND margin_q > 0
+ORDER BY src_id
+"""
+
+
+BITEXT_MARGIN_SQL = _bitext_sql()
