@@ -458,37 +458,44 @@ def test_bitext_matches_numpy_reference(spark):
     import numpy as np
 
     from wurzel_spark.operators.similarity import (
+        BITEXT_BANDS,
         BITEXT_K,
-        BITEXT_PROBE,
+        _bitext_bits,
         bitext_margin_pairs,
     )
 
     docs, emb, de, fr = _bitext_fixture(spark)
-    seeds = {i: np.array(v) for i, v in [
-        (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
-        (2, [0.0, 0.0, 1.0, 0.0]), (3, [0.0, 0.0, 0.0, 1.0]),
-        (4, [1.0, 1.0, 0.0, 0.0]), (5, [0.0, 1.0, 1.0, 0.0]),
-        (6, [0.0, 0.0, 1.0, 1.0]), (7, [1.0, 0.0, 0.0, 1.0]),
-    ]}
+    planes = [
+        [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0],
+        [1.0, 1.0, 0.0, 0.0], [0.0, 1.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0], [1.0, 0.0, 0.0, 1.0],
+    ]
 
     def cos(u, v):
         return float(np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v)))
 
-    def cells(vec):
-        sims = sorted(
-            ((cos(np.array(vec), sv), -c) for c, sv in seeds.items()),
-            reverse=True,
-        )
-        return {-c for _, c in sims[:BITEXT_PROBE]}
+    # band-bucket candidate enumeration mirroring the operator's params:
+    # 8 available planes (< BITEXT_PLANES in the fixture), bits capped
+    # by the pool -> 2 bits x 4 bands
+    planes_used = min(BITEXT_BANDS * _bitext_bits(5), len(planes))
+    bits = planes_used // BITEXT_BANDS
 
-    a_cells = {i: cells(v) for i, v in de}
-    b_cells = {i: cells(v) for i, v in fr}
+    def bands_of(vec):
+        sig = "".join(
+            "1" if float(np.dot(np.array(vec), np.array(p))) >= 0 else "0"
+            for p in planes[: bits * BITEXT_BANDS]
+        )
+        return {(i, sig[i * bits : (i + 1) * bits]) for i in range(BITEXT_BANDS)}
+
+    a_bands = {i: bands_of(v) for i, v in de}
+    b_bands = {i: bands_of(v) for i, v in fr}
     de_v, fr_v = dict(de), dict(fr)
     cand = [
         (x, y)
         for x in de_v
         for y in fr_v
-        if a_cells[x] & b_cells[y]
+        if a_bands[x] & b_bands[y]
     ]
     q = {
         (x, y): int(np.floor(cos(np.array(de_v[x]), np.array(fr_v[y])) * (1 << 20)))

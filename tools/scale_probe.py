@@ -145,6 +145,15 @@ QUERIES = [
     "join_size_estimate",
     "embedding_nan_stats",
     "priority_sample",
+    # round-9 additions
+    "priority_sample_stratified",
+    "unicode_clean_stats",
+    # unicode_clean_docs + pii_iban_validated EXCLUDED: count() prunes
+    # their 1:1 row-local projections (tlsh/luhn precedent); the stats
+    # twin carries the unicode family's cost, and PERF.md records the
+    # IBAN digest-consuming measurement.
+    "token_budget_waterfill",
+    "bitext_margin_pairs",
 ]
 
 

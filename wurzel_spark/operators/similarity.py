@@ -2260,9 +2260,17 @@ ORDER BY query_id, neg_rank
 BITEXT_SRC_LANG = "de"
 BITEXT_TGT_LANG = "fr"
 BITEXT_K = 4  # neighborhood size for the margin denominator
-BITEXT_CELLS = 8  # IVF cell seeds (vec_id < BITEXT_CELLS, the kmeans_cell_stats convention)
-BITEXT_PROBE = 2  # top-P cells per vector (multi-probe recall, ann_topk_multiprobe precedent)
+BITEXT_PLANES = 48  # hyperplane pool (vec_id < 48, the cosine_near_dup_scaled convention)
+BITEXT_BANDS = 4
 _BITEXT_QSCALE = 1 << 20  # quantize cos once (the linalg QSCALE convention)
+
+
+def _bitext_bits(n_small: int) -> int:
+    """Band width ∝ log₂(smaller side): floor(log2 n) − 2, clamped to
+    [3, 12] — per-band buckets scale with the data, so candidate volume
+    stays ~linear (the cosine_near_dup_scaled bits-∝-log₂n rule; the
+    8-fixed-cell first cut probed 27.5× supralinear)."""
+    return min(12, max(3, max(n_small, 1).bit_length() - 3))
 
 
 def bitext_margin_pairs(
@@ -2271,8 +2279,8 @@ def bitext_margin_pairs(
     src_lang: str = BITEXT_SRC_LANG,
     tgt_lang: str = BITEXT_TGT_LANG,
     k: int = BITEXT_K,
-    n_cells: int = BITEXT_CELLS,
-    probe: int = BITEXT_PROBE,
+    n_planes: int = BITEXT_PLANES,
+    bands: int = BITEXT_BANDS,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the
     ccMatrix/LASER recipe): for every source-language document, the
@@ -2282,31 +2290,34 @@ def bitext_margin_pairs(
     also picks x back), the standard high-precision filter for mined
     translation pairs.
 
-    Candidates are IVF-cell-pruned, NOT the full cross product: both
-    sides assign to their top-``probe`` of ``n_cells`` seed centroids
-    (the kmeans_cell_stats seed convention) and only same-cell pairs
-    are scored — the scale path for a 100 TB per-language-pair mine,
-    where the registered seed count is the tuning knob (4096 cells at
-    production scale, same plan shape). The margin's neighborhood
-    averages run over the SAME candidate set, so the approximation is
-    self-consistent (standard in faiss-based mining).
+    Candidates are banded sign-LSH buckets over SHARED data-derived
+    hyperplanes (first ``n_planes`` corpus vectors — the proven
+    cosine_near_dup_scaled convention), NOT the full cross product; band
+    width scales with log₂ of the smaller side so buckets grow with the
+    data and candidate volume stays ~linear (probe-verified — the fixed
+    8-cell first cut grew 27.5×). A true translation pair (cos → 1)
+    collides in EVERY band, so mining recall concentrates exactly where
+    precision matters. The margin's neighborhood averages run over the
+    same candidate set, so the approximation is self-consistent
+    (standard in faiss-based mining).
 
-    Exactness: pair cosines use the sequential-fold double dot (the
-    proven list_dot_product twin), quantized ONCE to ``cos_q`` ints;
-    margins clear denominators — margin_q = 2·nx·ny·cos_q − (ny·sx +
-    nx·sy) with nx,ny the actual neighborhood counts — so ranking and
-    the >0 gate are pure integer algebra, bit-equal cross-engine.
+    Exactness: pair cosines use the Arrow-batched sequential-fold dot
+    (the proven list_dot_product twin), quantized ONCE to ``cos_q``
+    ints; margins clear denominators — margin_q = 2·nx·ny·cos_q −
+    (ny·sx + nx·sy) with nx,ny the actual neighborhood counts — so
+    ranking and the >0 gate are pure integer algebra, bit-equal
+    cross-engine. Band width and plane count derive from exact COUNTs
+    (floor(log2 n) is rounding-safe for n < 2⁴⁰), computed driver-side
+    here and by scalar subqueries in the oracle.
 
-    Scale shape: one ALL-WINDOW pipeline over the candidate-pair table —
-    per-side top-k sums, both margin ranks, and the mutual flag are six
-    window functions over two partitionings (src, tgt); no self-join,
-    no re-scan, and the pair table never carries the vectors past the
-    cos projection. The rank-1 filters prune via WindowGroupLimit."""
+    Scale shape: candidate generation is an equi hash join on
+    (band, bits) — never a cartesian; a pair sharing several bands is
+    kept once via the zip_with first-shared-band trick (no distinct()
+    over the pair set); then one ALL-WINDOW pipeline over the candidate
+    table — per-side top-k sums, both margin ranks, and the mutual flag
+    are six window functions over two partitionings, no self-join, and
+    vectors drop right after the cos projection."""
     from pyspark.sql import Window as W
-
-    seeds = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
-    )
 
     def _side(lang: str, idc: str) -> DataFrame:
         return (
@@ -2316,33 +2327,49 @@ def bitext_margin_pairs(
         )
 
     a, b = _side(src_lang, "src_id"), _side(tgt_lang, "tgt_id")
+    n_a, n_b = a.count(), b.count()
+    n_seed = emb.filter(F.col("vec_id") < n_planes).count()
+    planes_used = min(bands * _bitext_bits(min(n_a, n_b)), n_seed)
+    bits = planes_used // bands
+    planes_used = bits * bands
+    planes = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < planes_used)
+        .orderBy("vec_id")
+        .collect()
+    ]
 
-    def _cells(side: DataFrame, idc: str) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(seeds)).select(
-            idc, "cell", cosine(F.col(f"{idc}_vec"), F.col("cvec")).alias("sim")
+    def _banded(side: DataFrame, idc: str) -> DataFrame:
+        bucketed = hyperplane_lsh_buckets(side, planes, idc, f"{idc}_vec")
+        band_arr = F.array(
+            *[F.substring("bucket", i * bits + 1, bits) for i in range(bands)]
         )
-        wv = W.partitionBy(idc).orderBy(F.col("sim").desc(), "cell")
-        return (
-            scored.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") <= probe)
-            .select(idc, "cell")
+        return bucketed.select(
+            F.col(idc),
+            F.col(f"{idc}_vec").alias(f"{idc[:3]}_vec"),
+            band_arr.alias(f"{idc[:3]}_bvs"),
+        ).selectExpr(
+            idc,
+            f"{idc[:3]}_vec",
+            f"{idc[:3]}_bvs",
+            f"posexplode({idc[:3]}_bvs) AS (band_idx, bv)",
         )
-
-    cand = (
-        _cells(a, "src_id")
-        .join(_cells(b, "tgt_id"), "cell")
-        .select("src_id", "tgt_id")
-        .distinct()  # a pair sharing both probe cells scores once
+    ab, bb = _banded(a, "src_id"), _banded(b, "tgt_id")
+    first_shared = F.expr(
+        "array_position(zip_with(src_bvs, tgt_bvs, (x, y) -> x = y), true) - 1"
     )
     pairs = (
-        cand.join(a, "src_id")
-        .join(b, "tgt_id")
+        ab.join(
+            bb.withColumnRenamed("band_idx", "b_band_idx").withColumnRenamed(
+                "bv", "b_bv"
+            ),
+            (F.col("band_idx") == F.col("b_band_idx")) & (F.col("bv") == F.col("b_bv")),
+        )
+        .filter(F.col("band_idx") == first_shared)
         .select(
             "src_id",
             "tgt_id",
-            F.floor(
-                cosine(F.col("src_id_vec"), F.col("tgt_id_vec")) * _BITEXT_QSCALE
-            )
+            F.floor(cosine_pd(F.col("src_vec"), F.col("tgt_vec")) * _BITEXT_QSCALE)
             .cast("long")
             .alias("cos_q"),
         )
@@ -2405,10 +2432,7 @@ def _bitext_sql() -> str:
         )
 
     return f"""
-WITH seeds AS (
-  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
-  WHERE vec_id < {BITEXT_CELLS}
-), a AS (
+WITH a AS (
   SELECT d.doc_id AS src_id, e.embedding AS vec
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
   WHERE d.lang = '{BITEXT_SRC_LANG}'
@@ -2416,23 +2440,39 @@ WITH seeds AS (
   SELECT d.doc_id AS tgt_id, e.embedding AS vec
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
   WHERE d.lang = '{BITEXT_TGT_LANG}'
-), a_cells AS (
-  SELECT src_id, cell FROM (
-    SELECT a.src_id, s.cell,
-           ROW_NUMBER() OVER (PARTITION BY a.src_id
-                              ORDER BY {cos("a.vec", "s.cvec")} DESC, s.cell) AS rn
-    FROM a CROSS JOIN seeds s
-  ) WHERE rn <= {BITEXT_PROBE}
-), b_cells AS (
-  SELECT tgt_id, cell FROM (
-    SELECT b.tgt_id, s.cell,
-           ROW_NUMBER() OVER (PARTITION BY b.tgt_id
-                              ORDER BY {cos("b.vec", "s.cvec")} DESC, s.cell) AS rn
-    FROM b CROSS JOIN seeds s
-  ) WHERE rn <= {BITEXT_PROBE}
+), params AS (
+  SELECT ((LEAST(
+            {BITEXT_BANDS} * LEAST(12, GREATEST(3,
+              CAST(FLOOR(LOG2(GREATEST(LEAST((SELECT COUNT(*) FROM a),
+                                             (SELECT COUNT(*) FROM b)), 1))) AS INT) - 2)),
+            (SELECT COUNT(*) FROM embeddings WHERE vec_id < {BITEXT_PLANES})
+          )) // {BITEXT_BANDS}) AS bits
+), planes AS (
+  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pvec
+  FROM embeddings WHERE vec_id < (SELECT bits * {BITEXT_BANDS} FROM params)
+), abits AS (
+  SELECT a.src_id,
+         string_agg(CASE WHEN list_dot_product(CAST(a.vec AS DOUBLE[]), p.pvec) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS bucket
+  FROM a CROSS JOIN planes p GROUP BY a.src_id
+), bbits AS (
+  SELECT b.tgt_id,
+         string_agg(CASE WHEN list_dot_product(CAST(b.vec AS DOUBLE[]), p.pvec) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS bucket
+  FROM b CROSS JOIN planes p GROUP BY b.tgt_id
+), aband AS (
+  SELECT src_id, t.band_idx,
+         substring(bucket, CAST(t.band_idx * (SELECT bits FROM params) + 1 AS INT),
+                   CAST((SELECT bits FROM params) AS INT)) AS bv
+  FROM abits, range({BITEXT_BANDS}) t(band_idx)
+), bband AS (
+  SELECT tgt_id, t.band_idx,
+         substring(bucket, CAST(t.band_idx * (SELECT bits FROM params) + 1 AS INT),
+                   CAST((SELECT bits FROM params) AS INT)) AS bv
+  FROM bbits, range({BITEXT_BANDS}) t(band_idx)
 ), cand AS (
-  SELECT DISTINCT ac.src_id, bc.tgt_id
-  FROM a_cells ac JOIN b_cells bc ON ac.cell = bc.cell
+  SELECT DISTINCT ab.src_id, bb.tgt_id
+  FROM aband ab JOIN bband bb ON ab.band_idx = bb.band_idx AND ab.bv = bb.bv
 ), pairs AS (
   SELECT c.src_id, c.tgt_id,
          CAST(floor({cos("a.vec", "b.vec")} * {_BITEXT_QSCALE}) AS BIGINT) AS cos_q

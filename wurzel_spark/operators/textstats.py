@@ -4568,6 +4568,12 @@ def unicode_clean_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     row-local counts + one per-source aggregate; the stats NEVER
     materialize the cleaned text (translate for counting is cheaper
     than carrying the rewritten column through the shuffle)."""
+    return unicode_stats_from_partials(unicode_stats_partials(df, text_col))
+
+
+def unicode_stats_partials(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source ADDITIVE partials (every column sums across batches) —
+    the staged unit of the streaming twin (streaming/unicode.py)."""
     _, n_zw, n_ctrl, n_ws, n_fw = _unicode_clean_cols(text_col)
     c = F.coalesce(F.col(text_col), F.lit(""))
     per = df.select(
@@ -4578,7 +4584,7 @@ def unicode_clean_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_ws.alias("n_ws"),
         n_fw.alias("n_fw"),
     )
-    agg = per.groupBy("source").agg(
+    return per.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
             F.when(
@@ -4592,6 +4598,10 @@ def unicode_clean_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("n_ws").alias("n_space_mapped"),
         F.sum("n_fw").alias("n_fullwidth"),
     )
+
+
+def unicode_stats_from_partials(agg: DataFrame) -> DataFrame:
+    """Permille tail over per-source partials (shared with the drain)."""
     return agg.withColumn(
         "n_dirty",
         F.col("n_zero_width")
@@ -4729,6 +4739,21 @@ def token_budget_waterfill(
     agg); everything after the first aggregate runs on |sources| rows —
     the sort, prefix sums, and flag algebra are metadata-sized.
     """
+    rates = rates_permille or MIXTURE_PERMILLE
+    per = (
+        df.select("source", TXT.word_count(F.col(text_col)).alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("avail"))
+    )
+    return waterfill_from_avail(per, rates)
+
+
+def waterfill_from_avail(
+    per: DataFrame, rates_permille: dict[str, int] | None = None
+) -> DataFrame:
+    """The metadata-sized water-filling tail over per-source (source,
+    avail) rows — shared with the streaming drain (streaming/waterfill.py),
+    where avail arrives as summed per-batch additive partials."""
     from pyspark.sql import Window as W
 
     rates = rates_permille or MIXTURE_PERMILLE
@@ -4741,12 +4766,7 @@ def token_budget_waterfill(
             else rate_expr.when(cond, permille)
         )
     rate_expr = rate_expr.otherwise(F.lit(0))
-    per = (
-        df.select("source", TXT.word_count(F.col(text_col)).alias("n_toks"))
-        .groupBy("source")
-        .agg(F.sum("n_toks").alias("avail"))
-        .withColumn("w", rate_expr.cast("long"))
-    )
+    per = per.withColumn("w", rate_expr.cast("long"))
     # totals over the positive-weight pool (zero-weight sources are shown
     # but get alloc 0 and contribute nothing to the budget)
     tot = per.filter(F.col("w") > 0).agg(
