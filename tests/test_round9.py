@@ -546,3 +546,97 @@ def test_bitext_partitioning_independent(spark):
         for r in bitext_margin_pairs(docs.repartition(7), emb.repartition(5)).collect()
     ]
     assert a == b and len(a) > 0
+
+
+# ------------------------------ streaming unicode + waterfill twins
+
+
+def _doc_stream(spark, tmp_path, name):
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+    d = str(tmp_path / f"{name}_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    return docs, stream
+
+
+def test_streaming_unicode_stats_matches_batch(spark, tmp_path):
+    from wurzel_spark.operators.textstats import unicode_clean_stats
+    from wurzel_spark.streaming.unicode import unicode_stats_stream
+
+    docs, stream = _doc_stream(spark, tmp_path, "uc")
+    got = [
+        tuple(r)
+        for r in unicode_stats_stream(
+            stream, str(tmp_path / "uc_state"), str(tmp_path / "uc_ckpt"),
+            compact_every=2,
+        ).collect()
+    ]
+    exp = [tuple(r) for r in unicode_clean_stats(docs).collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_waterfill_matches_batch(spark, tmp_path):
+    from wurzel_spark.operators.textstats import token_budget_waterfill
+    from wurzel_spark.streaming.waterfill import waterfill_stream
+
+    docs, stream = _doc_stream(spark, tmp_path, "wf")
+    got = [
+        tuple(r)
+        for r in waterfill_stream(
+            stream, str(tmp_path / "wf_state"), str(tmp_path / "wf_ckpt"),
+            compact_every=2,
+        ).collect()
+    ]
+    exp = [tuple(r) for r in token_budget_waterfill(docs).collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_waterfill_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.functions import text as TXT
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.waterfill import drain_waterfill_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "wf_replay")
+
+    def _stage(df, bid):
+        mine = (
+            df.select("source", TXT.word_count(F.col("text")).alias("n_toks"))
+            .groupBy("source")
+            .agg(F.sum("n_toks").alias("avail"))
+            .withColumn("src_batch", F.lit(bid))
+        )
+        write_batch_state(spark, mine, state, bid, ["src_batch", "source"], None)
+
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = [tuple(r) for r in drain_waterfill_state(spark, state).collect()]
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)  # replay
+    got = [tuple(r) for r in drain_waterfill_state(spark, state).collect()]
+    assert got == once and len(once) > 0
+
+
+def test_streaming_unicode_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.operators.textstats import unicode_stats_partials
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.unicode import drain_unicode_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "uc_replay")
+
+    def _stage(df, bid):
+        mine = unicode_stats_partials(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(spark, mine, state, bid, ["src_batch", "source"], None)
+
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = [tuple(r) for r in drain_unicode_state(spark, state).collect()]
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
+    got = [tuple(r) for r in drain_unicode_state(spark, state).collect()]
+    assert got == once and len(once) > 0
