@@ -41,6 +41,9 @@ def test_known_rows_only_set_is_intentional():
         # r8: xxhash64 production twin of ngram_diversity_hll (register
         # values engine-specific; n_grams parity pinned in test_round8b)
         "ngram_diversity_hll_fast",
+        # r9: recall/precision audit of the engine-specific MinHash-LSH
+        # pair set vs exact Jaccard; invariants pinned in test_round9
+        "lsh_recall_audit",
     ])
     # retrieval_self_eval HAS an oracle since its r6 restoration
     declared = [d for d in declared if d != "retrieval_self_eval"]

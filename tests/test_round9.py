@@ -640,3 +640,34 @@ def test_streaming_unicode_replay_is_idempotent(spark, tmp_path):
     _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
     got = [tuple(r) for r in drain_unicode_state(spark, state).collect()]
     assert got == once and len(once) > 0
+
+
+# ------------------------------------------------- LSH recall audit
+
+
+def test_lsh_recall_audit_invariants(spark):
+    """Set algebra must hold: hits <= min(exact, lsh), union = exact +
+    lsh - hits; at sf0.001's planted near-dups the production banding
+    should catch (nearly) everything."""
+    from wurzel_spark.operators.dedup import lsh_recall_audit
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    r = lsh_recall_audit(docs).collect()[0]
+    assert r["n_hits"] <= min(r["n_exact"], r["n_lsh"])
+    assert r["n_union"] == r["n_exact"] + r["n_lsh"] - r["n_hits"]
+    assert r["n_exact"] > 0
+    assert r["recall_permille"] >= 900  # planted dups are near-identical
+    assert r["recall_permille"] == 1000 * r["n_hits"] // r["n_exact"]
+
+
+def test_lsh_recall_audit_empty_corpus_sentinels(spark):
+    """No pairs on either side: permilles publish the -1 sentinel, not a
+    divide-by-zero or NULL."""
+    from wurzel_spark.operators.dedup import lsh_recall_audit
+
+    rows = [(1, "completely unique text one", "a", "en", 25),
+            (2, "another entirely different doc", "a", "en", 29)]
+    r = lsh_recall_audit(_docs(spark, rows)).collect()[0]
+    assert r["n_exact"] == 0 and r["n_lsh"] == 0 and r["n_union"] == 0
+    assert r["recall_permille"] == -1 and r["precision_permille"] == -1

@@ -2719,3 +2719,79 @@ def lsh_param_sweep(
 
 def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_param_sweep(table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- LSH recall audit
+
+
+def lsh_recall_audit(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Dedup-approximation governance: recall AND precision of the
+    MinHash-LSH candidate pairs against the exact n-gram Jaccard pair
+    set at the same threshold — the audit every fuzzy-dedup deployment
+    runs before trusting banding parameters on a new corpus
+    (NeMo-Curator-style parameter sign-off; [[lsh_param_sweep]] predicts
+    the S-curve, THIS measures the realized operating point).
+
+    One row: exact pairs, LSH pairs, their intersection, and integer
+    permilles — recall = hits/exact, precision = hits/lsh. Uses the
+    production configurations of BOTH sides (capped exact Jaccard =
+    the scale-safe oracle'd config; xxhash64 MinHash banding = the
+    engine-specific fast path), so the audit is rows-only by design
+    (its inputs include the engine-specific hash family; the exact side
+    is separately oracle-checked as ngram_jaccard_capped).
+
+    Scale shape: both pair sets are the already-bounded family outputs;
+    the audit adds one full-outer join on the canonical (id_a, id_b) key
+    and a single global aggregate.
+    """
+    from wurzel_spark.operators.dedup import (  # self-import for clarity
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    kw = {"max_df": max_df} if max_df is not None else {}
+    exact = ngram_jaccard_pairs(docs, threshold=threshold, **kw).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    lsh = minhash_dedup_pairs(docs, threshold=threshold).select(
+        "id_a", "id_b", F.lit(1).alias("in_lsh")
+    )
+    both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    # outer COALESCE: a pair-free corpus aggregates zero rows, where
+    # SUM returns NULL — the audit must publish honest zeros
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.coalesce(F.sum(F.coalesce("in_exact", F.lit(0))), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum(F.coalesce("in_lsh", F.lit(0))), F.lit(0)).alias("n_lsh"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_hits"),
+    )
+    pm = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.expr(f"div(1000 * {num}, {den})")
+    ).otherwise(F.lit(-1))
+    return agg.select(
+        "n_exact",
+        "n_lsh",
+        "n_hits",
+        "n_union",
+        pm("n_hits", "n_exact").alias("recall_permille"),
+        pm("n_hits", "n_lsh").alias("precision_permille"),
+    )
+
+
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wurzel_spark.tables import table as _table
+
+    return lsh_recall_audit(
+        _table(spark, sf_dir, "documents"), threshold=0.5, max_df=CAPPED_MAX_DF
+    )
