@@ -254,6 +254,14 @@ HEADLINE = [
     "join_size_estimate",
     "embedding_nan_stats",
     "priority_sample",
+    # round-9 additions; unicode_clean_docs + pii_iban_validated excluded
+    # (1:1 row-local projections — count() prunes them, tlsh/luhn
+    # precedent; unicode_clean_stats carries the family's scan cost)
+    "priority_sample_stratified",
+    "unicode_clean_stats",
+    "token_budget_waterfill",
+    "bitext_margin_pairs",
+    "lsh_recall_audit",
 ]
 
 
