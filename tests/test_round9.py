@@ -671,3 +671,72 @@ def test_lsh_recall_audit_empty_corpus_sentinels(spark):
     r = lsh_recall_audit(_docs(spark, rows)).collect()[0]
     assert r["n_exact"] == 0 and r["n_lsh"] == 0 and r["n_union"] == 0
     assert r["recall_permille"] == -1 and r["precision_permille"] == -1
+
+
+# ------------------------- code-switch + referential integrity audits
+
+
+def test_code_switch_fixture_matches_oracle(spark):
+    from wurzel_spark.operators.textstats import code_switch_stats
+
+    rows = [
+        (1, "the cat and the dog of the house is big", "a", "en", 40),     # en only
+        (2, "der Hund und die Katze ist the and of is", "a", "de", 40),    # de + en -> mixed
+        (3, "le chat et la maison est grande", "a", "fr", 31),             # fr only
+        (4, "xyzzy plugh qwerty", "b", "en", 18),                          # unmarked
+        (5, "el perro y los gatos es THE AND OF IS", "b", "es", 37),       # es + en (case-folded)
+        (6, None, "b", "en", 0),
+        (7, "the the the the", "b", "en", 15),  # repeats: only ONE distinct marker -> unmarked
+    ]
+    got = [tuple(r) for r in code_switch_stats(_docs(spark, rows)).collect()]
+    con = _duck_docs(rows)
+    exp = [tuple(r) for r in con.execute(e.oracle_sql()["code_switch_stats"]).fetchall()]
+    assert got == exp
+    by = {t[0]: t for t in got}
+    # source a: doc1 mono(en), doc2 mixed, doc3 mono(fr)
+    assert by["a"][2:5] == (0, 2, 1)  # unmarked, monolingual, mixed
+    # source b: doc4 unmarked, doc5 mixed, doc6 unmarked, doc7 unmarked
+    # (distinct-marker semantics: repeated 'the' counts once)
+    assert by["b"][2:5] == (3, 0, 1)
+
+
+def test_referential_integrity_fixture_matches_oracle(spark):
+    from wurzel_spark.operators.layout import referential_integrity_stats
+
+    doc_rows = [
+        (1, "a", "s", "en", 1), (2, "b", "s", "en", 1),
+        (2, "b-dup", "s", "en", 1),           # duplicate doc_id
+        (3, "c", "s", "en", 1),               # no embedding
+        (None, "nullkey", "s", "en", 1),      # NULL key
+    ]
+    emb_rows = [
+        (1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0),
+        (9, [5.0, 6.0, 7.0], 0),              # no doc (and ragged dim)
+        (9, [5.0, 6.0, 7.0], 0),              # duplicate vec_id
+        (10, None, 0),                        # NULL vector
+        (None, [0.0], 0),                     # NULL key
+    ]
+    docs = _docs(spark, doc_rows)
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>, label int")
+    got = referential_integrity_stats(docs, emb).collect()[0]
+    assert got["n_docs"] == 5 and got["n_embeddings"] == 6
+    assert got["n_doc_dup_rows"] == 1 and got["n_emb_dup_rows"] == 1
+    assert got["n_doc_null_keys"] == 1 and got["n_emb_null_keys"] == 1
+    assert got["n_docs_without_emb"] == 1  # doc 3
+    assert got["n_emb_without_doc"] == 2   # keys 9, 10
+    assert got["n_null_vectors"] == 1
+    assert got["dim_min"] == -1 and got["dim_max"] == 3  # NULL vec -> -1 convention
+
+    con = _duck_docs(doc_rows)
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?,?,?)", emb_rows)
+    exp = con.execute(e.oracle_sql()["referential_integrity"]).fetchall()[0]
+    assert tuple(got) == tuple(exp)
+
+
+def test_referential_integrity_clean_corpus(spark, sf_dir):
+    from wurzel_spark.operators.layout import q_referential_integrity
+
+    r = q_referential_integrity(spark, sf_dir).collect()[0]
+    assert r["n_doc_dup_rows"] == 0 and r["n_emb_dup_rows"] == 0
+    assert r["dim_min"] == r["dim_max"] == 64

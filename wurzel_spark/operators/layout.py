@@ -494,3 +494,138 @@ SELECT shard, COUNT(*) AS n_docs,
          AS moved_out_on_drop0
 FROM owned GROUP BY shard ORDER BY shard
 """
+
+
+# ------------------------------------------- referential integrity audit
+
+
+def referential_integrity_stats(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Ingest referential-integrity audit between the document corpus and
+    its embedding table: duplicate / NULL keys on either side, docs with
+    no vector, vectors with no doc, NULL vectors, and the dim range —
+    the one-row gate a pipeline checks BEFORE joining 100 TB of text to
+    its embeddings (a dup key silently fans out every downstream join;
+    a ragged dim poisons every kernel batch).
+
+    NULL keys are counted BEFORE the join and excluded from it — Spark's
+    USING join never matches NULL keys while SQL IS NOT DISTINCT FROM
+    pairs them, so letting NULLs into the join would diverge the
+    missing-row counts between engines.
+
+    Scale shape: two grouped aggregates (key-grain) feeding one
+    full-outer join on the non-null key, then a single global aggregate;
+    no text or vectors in any exchange (projected to ids/dims first)."""
+    d_all = docs.groupBy(F.col("doc_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("d_cnt")
+    )
+    ev = emb.select(
+        F.col("vec_id").alias("k"),
+        F.when(F.col("embedding").isNull(), 1).otherwise(0).alias("is_null_vec"),
+        # -1 convention for NULL vectors (Spark 4's size(NULL) is NULL,
+        # not the legacy -1 — coalesce to match the oracle's COALESCE)
+        F.coalesce(F.size(F.col("embedding")), F.lit(-1)).alias("dim"),
+    )
+    eg_all = ev.groupBy("k").agg(
+        F.count(F.lit(1)).alias("e_cnt"),
+        F.sum("is_null_vec").alias("e_null_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+    )
+    z = F.lit(0)
+    d_nulls = d_all.filter(F.col("k").isNull()).agg(
+        F.coalesce(F.sum("d_cnt"), z).cast("long").alias("n_doc_null_keys")
+    )
+    e_nulls = eg_all.filter(F.col("k").isNull()).agg(
+        F.coalesce(F.sum("e_cnt"), z).cast("long").alias("n_emb_null_keys")
+    )
+    j = d_all.filter(F.col("k").isNotNull()).join(
+        eg_all.filter(F.col("k").isNotNull()), "k", "full_outer"
+    )
+    core = j.agg(
+        F.coalesce(F.sum("d_cnt"), z).cast("long").alias("n_docs_keyed"),
+        F.coalesce(F.sum("e_cnt"), z).cast("long").alias("n_emb_keyed"),
+        F.coalesce(
+            F.sum(F.when(F.col("d_cnt") > 1, F.col("d_cnt") - 1).otherwise(0)), z
+        )
+        .cast("long")
+        .alias("n_doc_dup_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("e_cnt") > 1, F.col("e_cnt") - 1).otherwise(0)), z
+        )
+        .cast("long")
+        .alias("n_emb_dup_rows"),
+        F.coalesce(F.sum(F.when(F.col("e_cnt").isNull(), 1).otherwise(0)), z)
+        .cast("long")
+        .alias("n_docs_without_emb"),
+        F.coalesce(F.sum(F.when(F.col("d_cnt").isNull(), 1).otherwise(0)), z)
+        .cast("long")
+        .alias("n_emb_without_doc"),
+        F.coalesce(F.sum("e_null_vecs"), z).cast("long").alias("n_null_vectors"),
+        F.coalesce(F.min("dim_min"), F.lit(-1)).cast("long").alias("dim_min"),
+        F.coalesce(F.max("dim_max"), F.lit(-1)).cast("long").alias("dim_max"),
+    )
+    return (
+        core.crossJoin(F.broadcast(d_nulls))
+        .crossJoin(F.broadcast(e_nulls))
+        .select(
+            (F.col("n_docs_keyed") + F.col("n_doc_null_keys")).alias("n_docs"),
+            (F.col("n_emb_keyed") + F.col("n_emb_null_keys")).alias("n_embeddings"),
+            "n_doc_dup_rows",
+            "n_emb_dup_rows",
+            "n_doc_null_keys",
+            "n_emb_null_keys",
+            "n_docs_without_emb",
+            "n_emb_without_doc",
+            "n_null_vectors",
+            "dim_min",
+            "dim_max",
+        )
+    )
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return referential_integrity_stats(
+        table(spark, sf_dir, "documents"), table(spark, sf_dir, "embeddings")
+    )
+
+
+REFERENTIAL_INTEGRITY_SQL = """
+WITH d_all AS (
+  SELECT doc_id AS k, COUNT(*) AS d_cnt FROM documents GROUP BY doc_id
+), ev AS (
+  SELECT vec_id AS k,
+         CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null_vec,
+         COALESCE(len(embedding), -1) AS dim
+  FROM embeddings
+), eg_all AS (
+  SELECT k, COUNT(*) AS e_cnt, SUM(is_null_vec) AS e_null_vecs,
+         MIN(dim) AS dim_min, MAX(dim) AS dim_max
+  FROM ev GROUP BY k
+), j AS (
+  SELECT d.d_cnt, eg.e_cnt, eg.e_null_vecs, eg.dim_min, eg.dim_max
+  FROM (SELECT * FROM d_all WHERE k IS NOT NULL) d
+  FULL OUTER JOIN (SELECT * FROM eg_all WHERE k IS NOT NULL) eg
+  ON d.k = eg.k
+), core AS (
+  SELECT CAST(COALESCE(SUM(d_cnt), 0) AS BIGINT) AS n_docs_keyed,
+         CAST(COALESCE(SUM(e_cnt), 0) AS BIGINT) AS n_emb_keyed,
+         CAST(COALESCE(SUM(CASE WHEN d_cnt > 1 THEN d_cnt - 1 ELSE 0 END), 0) AS BIGINT) AS n_doc_dup_rows,
+         CAST(COALESCE(SUM(CASE WHEN e_cnt > 1 THEN e_cnt - 1 ELSE 0 END), 0) AS BIGINT) AS n_emb_dup_rows,
+         CAST(COALESCE(SUM(CASE WHEN e_cnt IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_without_emb,
+         CAST(COALESCE(SUM(CASE WHEN d_cnt IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_emb_without_doc,
+         CAST(COALESCE(SUM(e_null_vecs), 0) AS BIGINT) AS n_null_vectors,
+         CAST(COALESCE(MIN(dim_min), -1) AS BIGINT) AS dim_min,
+         CAST(COALESCE(MAX(dim_max), -1) AS BIGINT) AS dim_max
+  FROM j
+), nulls AS (
+  SELECT CAST(COALESCE((SELECT SUM(d_cnt) FROM d_all WHERE k IS NULL), 0) AS BIGINT) AS n_doc_null_keys,
+         CAST(COALESCE((SELECT SUM(e_cnt) FROM eg_all WHERE k IS NULL), 0) AS BIGINT) AS n_emb_null_keys
+)
+SELECT core.n_docs_keyed + nulls.n_doc_null_keys AS n_docs,
+       core.n_emb_keyed + nulls.n_emb_null_keys AS n_embeddings,
+       core.n_doc_dup_rows, core.n_emb_dup_rows,
+       nulls.n_doc_null_keys, nulls.n_emb_null_keys,
+       core.n_docs_without_emb, core.n_emb_without_doc,
+       core.n_null_vectors, core.dim_min, core.dim_max
+FROM core CROSS JOIN nulls
+"""

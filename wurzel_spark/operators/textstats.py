@@ -5053,3 +5053,92 @@ FROM v ORDER BY doc_id
 
 
 PII_IBAN_SQL = _iban_sql()
+
+
+# ------------------------------------------------ code-switching audit
+
+CS_MIN_MARKERS = 2  # distinct markers of a language needed to count it
+
+
+def code_switch_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-switching / mixed-language contamination audit: a document
+    "speaks" a language when ≥{CS_MIN_MARKERS} DISTINCT markers of that
+    language appear ([[lang_id]]'s marker lists); docs speaking ≥2
+    languages are code-switched — the multilingual-contamination readout
+    that decides whether a source needs segment-level (not doc-level)
+    language ID before training (mixed docs poison per-language
+    perplexity filters and BPE merges).
+
+    Exactness: marker presence is array_intersect/list_intersect SIZE —
+    distinct-element semantics in BOTH engines — so every count is a
+    pure integer. Scale shape: row-local set algebra over the token
+    array, one per-source aggregate, text never shuffles."""
+    c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = TXT.words(c)
+    n_langs = None
+    for lang, marks in sorted(LANG_MARKERS.items()):
+        hit = (
+            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks])))
+            >= CS_MIN_MARKERS
+        ).cast("int")
+        n_langs = hit if n_langs is None else n_langs + hit
+    per = df.select("source", n_langs.alias("n_langs"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_langs") == 0, 1).otherwise(0)).alias("n_unmarked"),
+            F.sum(F.when(F.col("n_langs") == 1, 1).otherwise(0)).alias(
+                "n_monolingual"
+            ),
+            F.sum(F.when(F.col("n_langs") >= 2, 1).otherwise(0)).alias("n_mixed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unmarked",
+            "n_monolingual",
+            "n_mixed",
+            F.when(
+                F.col("n_docs") > 0, F.expr("div(1000 * n_mixed, n_docs)")
+            )
+            .otherwise(F.lit(0))
+            .alias("mixed_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_code_switch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return code_switch_stats(table(spark, sf_dir, "documents"))
+
+
+def _code_switch_sql() -> str:
+    hits = " + ".join(
+        "(CASE WHEN len(list_intersect(toks, ["
+        + ", ".join(f"'{m}'" for m in marks)
+        + f"])) >= {CS_MIN_MARKERS} THEN 1 ELSE 0 END)"
+        for lang, marks in sorted(LANG_MARKERS.items())
+    )
+    return rf"""
+WITH toksed AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), per AS (
+  SELECT source, {hits} AS n_langs FROM toksed
+), agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN n_langs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unmarked,
+         CAST(SUM(CASE WHEN n_langs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_monolingual,
+         CAST(SUM(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_unmarked, n_monolingual, n_mixed,
+       CASE WHEN n_docs > 0 THEN (1000 * n_mixed) // n_docs ELSE 0 END AS mixed_permille
+FROM agg ORDER BY source
+"""
+
+
+CODE_SWITCH_SQL = _code_switch_sql()
