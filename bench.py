@@ -262,6 +262,8 @@ HEADLINE = [
     "token_budget_waterfill",
     "bitext_margin_pairs",
     "lsh_recall_audit",
+    "code_switch_stats",
+    "referential_integrity",
 ]
 
 

@@ -154,6 +154,9 @@ QUERIES = [
     # IBAN digest-consuming measurement.
     "token_budget_waterfill",
     "bitext_margin_pairs",
+    "code_switch_stats",
+    "referential_integrity",
+    "lsh_recall_audit",
 ]
 
 
