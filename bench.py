@@ -264,6 +264,9 @@ HEADLINE = [
     "lsh_recall_audit",
     "code_switch_stats",
     "referential_integrity",
+    "waterfill_sample_stats",
+    "line_lang_spans",
+    "embedding_centroid_stats",
 ]
 
 

@@ -740,3 +740,133 @@ def test_referential_integrity_clean_corpus(spark, sf_dir):
     r = q_referential_integrity(spark, sf_dir).collect()[0]
     assert r["n_doc_dup_rows"] == 0 and r["n_emb_dup_rows"] == 0
     assert r["dim_min"] == r["dim_max"] == 64
+
+
+# ------------------ waterfill application + line langs + centroids
+
+
+def test_waterfill_sample_tracks_allocation(spark):
+    """Sampled token mass must land within per-doc granularity of the
+    allocation: err <= max doc tokens of the source (discretization),
+    and saturated sources (fill=1000) sample EVERYTHING."""
+    from wurzel_spark.operators.textstats import waterfill_sample_stats
+
+    rows = []
+    i = 0
+    sizes = {"src0": 10, "src5": 300, "src10": 600, "src15": 900}
+    for src, n in sizes.items():
+        for _ in range(4):
+            rows.append((i, " ".join(f"w{j}" for j in range(n)), src, "en", n))
+            i += 1
+    got = {r["source"]: r for r in waterfill_sample_stats(_docs(spark, rows)).collect()}
+    for src, n in sizes.items():
+        r = got[src]
+        assert r["sampled_tokens"] <= 4 * n
+        if r["fill_permille"] == 1000:
+            assert r["sampled_docs"] == 4 and r["sampled_tokens"] == 4 * n
+            assert r["err_permille"] <= 1  # alloc == avail up to floor
+    con = _duck_docs(rows)
+    import __spark_entry__ as em
+
+    exp = {t[0]: t for t in con.execute(em.oracle_sql()["waterfill_sample_stats"]).fetchall()}
+    for src in sizes:
+        assert tuple(got[src]) == exp[src]
+
+
+def test_line_lang_spans_fixture(spark):
+    from wurzel_spark.operators.textstats import line_lang_spans
+
+    rows = [
+        (1, "the cat and the dog is big\nder hund und die katze ist da\nxyzzy qq",
+         "a", "en", 60),
+        (2, "le chat et la maison est belle\nthe dog and the cat is small",
+         "a", "fr", 58),
+        (3, "\n\n  \n", "b", "en", 4),  # all-blank: contributes nothing
+        (4, None, "b", "en", 0),
+        (5, "el perro y los gatos es grande", "b", "es", 30),
+    ]
+    got = [tuple(r) for r in line_lang_spans(_docs(spark, rows)).collect()]
+    con = _duck_docs(rows)
+    exp = [tuple(r) for r in con.execute(e.oracle_sql()["line_lang_spans"]).fetchall()]
+    assert got == exp
+    by = {(t[0], t[1]): t for t in got}
+    assert by[("a", "en")][2] == 2  # one en line in each of docs 1, 2
+    assert by[("a", "de")][2] == 1
+    assert by[("a", "fr")][2] == 1
+    assert by[("a", "und")][2] == 1  # the xyzzy line
+    assert by[("a", "en")][3] == 2  # n_docs with an en line
+    assert ("b", "es") in by and ("b", "und") not in by
+    # shares per source sum to <= 1000 (floor rounding)
+    import collections
+
+    shares = collections.defaultdict(int)
+    for (src, _), t in by.items():
+        shares[src] += t[4]
+    assert all(990 <= s <= 1000 for s in shares.values())
+
+
+def test_line_lang_tie_breaks_to_first_lang(spark):
+    """A line carrying >=2 distinct markers of BOTH de and en picks 'de'
+    (lexicographic) in both engines."""
+    from wurzel_spark.operators.textstats import line_lang_spans
+
+    rows = [(1, "the and der und", "a", "en", 15)]
+    got = line_lang_spans(_docs(spark, rows)).collect()
+    assert len(got) == 1 and got[0]["lang"] == "de"
+
+
+def test_centroid_stats_collapse_and_dispersion(spark):
+    """Label 0: all vectors identical -> every member cos == QSCALE
+    (collapse). Label 1: orthogonal pair -> centroid at 45 deg, both
+    members at cos ~ 0.7071 of it; exact values must match the oracle."""
+    import duckdb
+
+    from wurzel_spark.operators.linalg import CENTROID_DIM, embedding_centroid_stats
+
+    def vec(*pairs):
+        v = [0.0] * CENTROID_DIM
+        for idx, val in pairs:
+            v[idx] = val
+        return v
+
+    rows = [
+        (1, vec((0, 1.0)), 0), (2, vec((0, 1.0)), 0), (3, vec((0, 1.0)), 0),
+        (10, vec((0, 1.0)), 1), (11, vec((1, 1.0)), 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in embedding_centroid_stats(emb).collect()}
+    q = 1 << 20
+    assert got[0]["avg_cos_q"] == q and got[0]["min_cos_q"] == q
+    # cos(member, centroid) = 1/sqrt(2) for the orthogonal pair
+    assert abs(got[1]["avg_cos_q"] - int(q / 2**0.5)) <= 1
+    assert got[1]["min_cos_q"] == got[1]["avg_cos_q"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?,?,?)", rows)
+    import __spark_entry__ as em
+
+    exp = [tuple(r) for r in con.execute(em.oracle_sql()["embedding_centroid_stats"]).fetchall()]
+    assert [tuple(got[k]) for k in sorted(got)] == exp
+
+
+def test_centroid_negative_component_floor_division(spark):
+    """Negative per-dim sums exercise the pmod floor-div identity (plain
+    div truncates toward zero and would diverge from DuckDB //)."""
+    import duckdb
+
+    from wurzel_spark.operators.linalg import CENTROID_DIM, embedding_centroid_stats
+
+    def vec(x):
+        return [x] + [0.0] * (CENTROID_DIM - 1)
+
+    rows = [(1, vec(-1.0), 0), (2, vec(-1.0), 0), (3, vec(0.5), 0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = [tuple(r) for r in embedding_centroid_stats(emb).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?,?,?)", rows)
+    import __spark_entry__ as em
+
+    exp = [tuple(r) for r in con.execute(em.oracle_sql()["embedding_centroid_stats"]).fetchall()]
+    assert got == exp

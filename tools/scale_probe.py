@@ -157,6 +157,9 @@ QUERIES = [
     "code_switch_stats",
     "referential_integrity",
     "lsh_recall_audit",
+    "waterfill_sample_stats",
+    "line_lang_spans",
+    "embedding_centroid_stats",
 ]
 
 

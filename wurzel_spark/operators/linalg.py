@@ -571,3 +571,184 @@ SELECT label,
        CAST(MAX(dim) AS BIGINT) AS max_dim
 FROM per GROUP BY label ORDER BY label
 """
+
+
+# ------------------------------------------- per-label centroid geometry
+
+CENTROID_DIM = 64  # the embeddings table's dimension
+
+
+def embedding_centroid_stats(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid geometry: the quantized mean vector's squared
+    norm plus the average and minimum cosine of members to their own
+    centroid — the collapse/dispersion readout of an embedding space
+    (avg_cos → 1000·QSCALE⁻¹-scale means the label collapsed to a point:
+    mode collapse or duplicated inputs; a very low min_cos flags members
+    that don't belong). Complements [[embedding_norm_outliers]] (scale
+    defects) with DIRECTION defects.
+
+    Exactness: components quantize once (floor(x·2^20), the QSCALE
+    convention, ±2^31 clamp); per-dim centroid sums and every dot/norm
+    accumulate in decimal(38,0)/HUGEINT (the r8 norm-outlier lesson: a
+    wrong-scale batch must not be able to wrap the very gate that
+    exists to catch it); centroid components are floor-divided via the
+    pmod identity (components go NEGATIVE, where Spark div truncates
+    but DuckDB // floors); the single cos division runs in doubles cast
+    from exact integers — identical IEEE ops both engines — and
+    quantizes once.
+
+    Scale shape: TWO corpus passes by design (sum pass → rescale pass
+    against the broadcast label-grain centroid table), like the
+    percentile/norm gates; the per-dim aggregate is 64 sum columns over
+    one scan — no explode, map-side combine keeps the exchange at
+    |labels|·64 integers."""
+    two31 = F.lit(1 << 31).cast("long")
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.greatest(
+            F.least(F.floor(x.cast("double") * QSCALE).cast("long"), two31), -two31
+        ),
+    )
+    base = df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == CENTROID_DIM)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(F.col(label_col).alias("label"), qv.alias("qv"))
+    sums = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[
+            F.sum(F.element_at("qv", i + 1))
+            .cast("decimal(38,0)")
+            .alias(f"s{i}")
+            for i in range(CENTROID_DIM)
+        ],
+    )
+    # centroid component = s_i div n — TRUNCATING division, matching
+    # DuckDB // exactly for the negative sums too (_tdiv convention);
+    # quotients are component-scale (≤ 2^31) so div cannot wrap
+    cent = sums.select(
+        "label",
+        "n_vectors",
+        F.array(
+            *[
+                F.expr(f"CAST(div(s{i}, n_vectors) AS LONG)")
+                for i in range(CENTROID_DIM)
+            ]
+        ).alias("cv"),
+    ).localCheckpoint(eager=True)  # label-grain; feeds the rescale pass + output
+    n2c = F.aggregate(
+        F.col("cv"),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + (x * x).cast("decimal(38,0)"),
+    )
+    scored = base.join(F.broadcast(cent), "label").select(
+        "label",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: a * b),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x.cast("decimal(38,0)"),
+        ).alias("dot"),
+        F.aggregate(
+            "qv",
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + (x * x).cast("decimal(38,0)"),
+        ).alias("n2v"),
+        n2c.alias("n2c"),
+    )
+    cos_q = F.when(
+        (F.col("n2v") > 0) & (F.col("n2c") > 0),
+        F.floor(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("n2v").cast("double")) * F.sqrt(F.col("n2c").cast("double")))
+            * QSCALE
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    stats = (
+        scored.select("label", cos_q.alias("cos_q"))
+        .groupBy("label")
+        .agg(
+            F.sum("cos_q").alias("sum_cos_q"),
+            F.min("cos_q").alias("min_cos_q"),
+        )
+    )
+    return (
+        cent.select("label", "n_vectors", n2c.cast("double").alias("centroid_norm2q"))
+        .join(stats, "label")
+        .select(
+            "label",
+            "n_vectors",
+            "centroid_norm2q",
+            F.expr("CAST(div(sum_cos_q, n_vectors) AS LONG)").alias(
+                "avg_cos_q"
+            ),
+            "min_cos_q",
+        )
+        .orderBy("label")
+    )
+
+
+def q_embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_centroid_stats(table(spark, sf_dir, "embeddings"))
+
+
+def _centroid_sql() -> str:
+    qx = (
+        f"GREATEST(LEAST(CAST(floor(embedding[i + 1] * {QSCALE}) AS BIGINT),"
+        " 2147483648), -2147483648)"
+    )
+    return f"""
+WITH base AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {CENTROID_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), dimsums AS (
+  SELECT label, t.i, CAST(SUM({qx}) AS HUGEINT) AS s
+  FROM base, range({CENTROID_DIM}) t(i)
+  GROUP BY label, t.i
+), ns AS (
+  SELECT label, COUNT(*) AS n_vectors FROM base GROUP BY label
+), cent AS (
+  SELECT d.label, n.n_vectors,
+         list(CAST(d.s // n.n_vectors AS BIGINT) ORDER BY d.i) AS cv
+  FROM dimsums d JOIN ns n ON d.label = n.label
+  GROUP BY d.label, n.n_vectors
+), centn AS (
+  SELECT label, n_vectors, cv,
+         list_sum(list_transform(cv, x -> CAST(x AS HUGEINT) * x)) AS n2c
+  FROM cent
+), scored AS (
+  SELECT b.label,
+         list_sum(list_transform(range({CENTROID_DIM}), i ->
+           CAST({qx.replace("i + 1", "CAST(i AS INT) + 1")} AS HUGEINT)
+           * c.cv[CAST(i AS INT) + 1])) AS dot,
+         list_sum(list_transform(range({CENTROID_DIM}), i ->
+           CAST({qx.replace("i + 1", "CAST(i AS INT) + 1")} AS HUGEINT)
+           * {qx.replace("i + 1", "CAST(i AS INT) + 1")})) AS n2v,
+         c.n2c
+  FROM base b JOIN centn c ON b.label = c.label
+), cosd AS (
+  SELECT label,
+         CASE WHEN n2v > 0 AND n2c > 0
+              THEN CAST(floor(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+                   * {QSCALE}) AS BIGINT)
+              ELSE 0 END AS cos_q
+  FROM scored
+), stats AS (
+  SELECT label, CAST(SUM(cos_q) AS HUGEINT) AS sum_cos_q,
+         CAST(MIN(cos_q) AS BIGINT) AS min_cos_q
+  FROM cosd GROUP BY label
+)
+SELECT c.label, CAST(c.n_vectors AS BIGINT) AS n_vectors,
+       CAST(c.n2c AS DOUBLE) AS centroid_norm2q,
+       CAST(s.sum_cos_q // c.n_vectors AS BIGINT) AS avg_cos_q,
+       s.min_cos_q
+FROM centn c JOIN stats s ON c.label = s.label
+ORDER BY c.label
+"""
+
+
+CENTROID_STATS_SQL = _centroid_sql()

@@ -5142,3 +5142,270 @@ FROM agg ORDER BY source
 
 
 CODE_SWITCH_SQL = _code_switch_sql()
+
+
+def waterfill_sample_stats(
+    df: DataFrame,
+    rates_permille: dict[str, int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """The water-filling allocation APPLIED: sample each source at its
+    realized fill rate (fill_permille from [[token_budget_waterfill]])
+    with the deterministic Knuth-hash gate of [[mixture_sample]], and
+    audit how close the sampled token mass lands to the allocation —
+    the end-to-end check that the planner's numbers survive contact
+    with per-document granularity (they do, up to one doc's tokens per
+    source; err_permille publishes exactly that discretization error).
+
+    Scale shape: the allocator tail is metadata-sized; applying it is
+    ONE more corpus scan filtered through a 20-row broadcast join —
+    the whole composition is two scans end to end, and the sampling
+    decision is the same zero-shuffle row-local hash gate every re-run
+    reproduces bit-exactly."""
+    plan = waterfill_from_avail(
+        df.select("source", TXT.word_count(F.col(text_col)).alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("avail")),
+        rates_permille,
+    ).select("source", "alloc_tokens", "avail_tokens", "fill_permille")
+    h = (
+        (F.col("doc_id") % 1000003) * F.lit(2654435761) % F.lit(4294967296)
+    ) % F.lit(1000)
+    per = df.select(
+        "source", "doc_id", TXT.word_count(F.col(text_col)).alias("n_toks")
+    ).join(F.broadcast(plan), "source")
+    sampled = per.withColumn("keep", h < F.col("fill_permille"))
+    agg = sampled.groupBy("source").agg(
+        F.max("alloc_tokens").alias("alloc_tokens"),
+        F.max("fill_permille").alias("fill_permille"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("sampled_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), F.col("n_toks")).otherwise(0)), F.lit(0)
+        ).alias("sampled_tokens"),
+    )
+    err = F.abs(F.col("sampled_tokens") - F.col("alloc_tokens"))
+    return agg.select(
+        "source",
+        "alloc_tokens",
+        "fill_permille",
+        "sampled_docs",
+        "sampled_tokens",
+        F.when(
+            F.col("alloc_tokens") > 0,
+            F.expr(f"div(1000 * {'abs(sampled_tokens - alloc_tokens)'}, alloc_tokens)"),
+        )
+        .otherwise(F.when(err == 0, F.lit(0)).otherwise(F.lit(-1)))
+        .alias("err_permille"),
+    ).orderBy("source")
+
+
+def q_waterfill_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return waterfill_sample_stats(table(spark, sf_dir, "documents"))
+
+
+def _waterfill_sample_sql() -> str:
+    plan_sql = WATERFILL_SQL.strip().rstrip()
+    # reuse the allocator SQL as a subquery; strip its ORDER BY tail
+    plan_sql = plan_sql[: plan_sql.rindex("ORDER BY source")]
+    return rf"""
+WITH plan AS (
+  {plan_sql}
+), per AS (
+  SELECT d.source, d.doc_id,
+         len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
+                         x -> x != '')) AS n_toks,
+         p.alloc_tokens, p.fill_permille,
+         ((d.doc_id % 1000003) * 2654435761) % 4294967296 % 1000
+           < p.fill_permille AS keep
+  FROM documents d JOIN plan p ON d.source = p.source
+), agg AS (
+  SELECT source,
+         MAX(alloc_tokens) AS alloc_tokens,
+         MAX(fill_permille) AS fill_permille,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+         CAST(COALESCE(SUM(CASE WHEN keep THEN n_toks ELSE 0 END), 0) AS BIGINT) AS sampled_tokens
+  FROM per GROUP BY source
+)
+SELECT source, alloc_tokens, fill_permille, sampled_docs, sampled_tokens,
+       CASE WHEN alloc_tokens > 0
+            THEN (1000 * abs(sampled_tokens - alloc_tokens)) // alloc_tokens
+            WHEN sampled_tokens = alloc_tokens THEN 0
+            ELSE -1 END AS err_permille
+FROM agg ORDER BY source
+"""
+
+
+WATERFILL_SAMPLE_SQL = _waterfill_sample_sql()
+
+
+# ------------------------------------------------ line-level language spans
+
+_LANGS_SORTED = tuple(sorted(LANG_MARKERS))  # de, en, es, fr, zh
+
+
+def line_lang_spans(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Segment-level language ID — the repair [[code_switch_stats]]
+    points at: label every non-blank LINE with the language whose
+    markers it carries (argmax of distinct-marker counts, ties to the
+    lexicographically first language, no markers → 'und'), and publish
+    per (source, lang) line counts, affected-doc counts, and line share.
+    Mixed documents stop being an anomaly count and become a split plan:
+    "source X is 310‰ French lines inside English docs" is actionable —
+    route those lines to the French pipeline.
+
+    Exactness: marker presence is distinct-set size (array_intersect /
+    list_intersect), the argmax is a deterministic CASE over a
+    MATERIALIZED per-line struct of counts — two chained transforms, so
+    the count expressions evaluate once per line (the interpreted-HOF
+    re-evaluation trap); every output is a pure integer.
+
+    Scale shape: entirely row-local until ONE per-source aggregate of
+    6 count columns; lines never explode into rows, text never enters
+    an exchange; the (source, lang) unpivot runs on |sources| rows."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.length(F.trim(ln)) > 0)
+    counts = F.transform(
+        lines,
+        lambda ln: F.struct(
+            *[
+                F.size(
+                    F.array_intersect(
+                        TXT.words(F.lower(ln)),
+                        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]),
+                    )
+                ).alias(f"c_{lang}")
+                for lang in _LANGS_SORTED
+            ]
+        ),
+    )
+
+    def _label(s):
+        mx = F.greatest(*[s[f"c_{lang}"] for lang in _LANGS_SORTED])
+        out = F.lit("und")
+        # first (lexicographic) lang attaining the max wins — build the
+        # CASE back-to-front so earlier langs take precedence
+        for lang in reversed(_LANGS_SORTED):
+            out = F.when((mx > 0) & (s[f"c_{lang}"] == mx), F.lit(lang)).otherwise(
+                out
+            )
+        return out
+
+    labels = F.transform(counts, _label)
+    all_langs = (*_LANGS_SORTED, "und")
+
+    def _eq(lg):
+        # NOT `lambda x, lg=lg`: F.filter treats a two-parameter lambda
+        # as (element, index) and binds the INDEX over the default
+        return lambda x: x == F.lit(lg)
+
+    per = df.select(
+        "source",
+        *[
+            F.size(F.filter(labels, _eq(lg))).alias(f"n_{lg}")
+            for lg in all_langs
+        ],
+    )
+    agg = per.groupBy("source").agg(
+        *[F.sum(f"n_{lg}").alias(f"l_{lg}") for lg in all_langs],
+        *[
+            F.sum(F.when(F.col(f"n_{lg}") > 0, 1).otherwise(0)).alias(f"d_{lg}")
+            for lg in all_langs
+        ],
+    )
+    total = None
+    for lg in all_langs:
+        col = F.col(f"l_{lg}")
+        total = col if total is None else total + col
+    stacked = agg.withColumn("total_lines", total).selectExpr(
+        "source",
+        "total_lines",
+        "stack("
+        + str(len(all_langs))
+        + ", "
+        + ", ".join(f"'{lg}', l_{lg}, d_{lg}" for lg in all_langs)
+        + ") AS (lang, n_lines, n_docs)",
+    )
+    return (
+        stacked.filter(F.col("n_lines") > 0)
+        .select(
+            "source",
+            "lang",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.when(
+                F.col("total_lines") > 0,
+                F.expr("div(1000 * n_lines, total_lines)"),
+            )
+            .otherwise(F.lit(0))
+            .alias("line_share_permille"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def q_line_lang_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_lang_spans(table(spark, sf_dir, "documents"))
+
+
+def _line_lang_sql() -> str:
+    struct_fields = ", ".join(
+        f"c_{lang} := len(list_intersect("
+        "list_filter(regexp_split_to_array(trim(lower(ln)), '\\s+'), x -> x != ''), ["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + "]))"
+        for lang in _LANGS_SORTED
+    )
+    mx = "GREATEST(" + ", ".join(f"s.c_{lg}" for lg in _LANGS_SORTED) + ")"
+    label = "CASE"
+    for lg in _LANGS_SORTED:
+        label += (
+            f" WHEN {mx} > 0 AND s.c_{lg} = {mx} THEN '{lg}'"
+        )
+    label += " ELSE 'und' END"
+    all_langs = (*_LANGS_SORTED, "und")
+    lsums = ", ".join(
+        f"CAST(SUM(n_{lg}) AS BIGINT) AS l_{lg}, "
+        f"CAST(SUM(CASE WHEN n_{lg} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_{lg}"
+        for lg in all_langs
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT source, '{lg}' AS lang, l_{lg} AS n_lines, d_{lg} AS n_docs,"
+        f" total_lines FROM agg"
+        for lg in all_langs
+    )
+    n_cols = " + ".join(f"l_{lg}" for lg in all_langs)
+    counts = ", ".join(
+        f"len(list_filter(labels, x -> x = '{lg}')) AS n_{lg}" for lg in all_langs
+    )
+    return rf"""
+WITH lined AS (
+  SELECT source,
+         list_filter(string_split(COALESCE(text, ''), chr(10)),
+                     ln -> length(trim(ln)) > 0) AS lines
+  FROM documents
+), counted AS (
+  SELECT source,
+         list_transform(lines, ln -> struct_pack({struct_fields})) AS cs
+  FROM lined
+), labeled AS (
+  SELECT source,
+         list_transform(cs, s -> {label}) AS labels
+  FROM counted
+), per AS (
+  SELECT source, {counts} FROM labeled
+), agg AS (
+  SELECT source, {lsums}, {n_cols} AS total_lines
+  FROM (SELECT source, {', '.join(f'n_{lg}' for lg in all_langs)},
+               0 AS _pad FROM per) GROUP BY source
+), un AS (
+  {unions}
+)
+SELECT source, lang, n_lines, n_docs,
+       CASE WHEN total_lines > 0 THEN (1000 * n_lines) // total_lines
+            ELSE 0 END AS line_share_permille
+FROM un WHERE n_lines > 0
+ORDER BY source, lang
+"""
+
+
+LINE_LANG_SQL = _line_lang_sql()
