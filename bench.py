@@ -267,6 +267,8 @@ HEADLINE = [
     "waterfill_sample_stats",
     "line_lang_spans",
     "embedding_centroid_stats",
+    "dup_pair_evidence",
+    "event_transition_matrix",
 ]
 
 

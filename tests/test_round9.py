@@ -870,3 +870,83 @@ def test_centroid_negative_component_floor_division(spark):
 
     exp = [tuple(r) for r in con.execute(em.oracle_sql()["embedding_centroid_stats"]).fetchall()]
     assert got == exp
+
+
+# ------------------------ evidence + transitions + line-lang twin
+
+
+def test_dup_pair_evidence_fixture(spark):
+    """Two near-identical docs sharing a distinctive phrase: evidence is
+    that phrase's shingles, rarest first, never boilerplate that exceeds
+    the df cap."""
+    from wurzel_spark.operators.dedup import dup_pair_evidence
+
+    common = "the standard header every doc repeats " * 1
+    rows = [
+        (1, common + "zebra quantum flamingo dances tonight", "a", "en", 60),
+        (2, common + "zebra quantum flamingo dances today", "a", "en", 60),
+        (3, common + "entirely different body content here", "a", "en", 60),
+        (4, common + "another unrelated body of words", "a", "en", 55),
+    ]
+    out = dup_pair_evidence(_docs(spark, rows), top_pairs=4, top_grams=2,
+                            threshold=0.3, max_df=3).collect()
+    assert len(out) > 0
+    pair = [(r["id_a"], r["id_b"]) for r in out]
+    assert (1, 2) in pair
+    ev = [r["gram"] for r in out if (r["id_a"], r["id_b"]) == (1, 2)]
+    assert any("zebra" in g or "quantum" in g or "flamingo" in g for g in ev)
+    for r in out:
+        assert r["gram_df"] <= 3  # capped-out grams can't be cited
+
+
+def test_event_transition_rows_sum_to_row_total(spark, sf_dir):
+    from wurzel_spark.queries.events import event_transition_matrix
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    assert len(rows) > 0
+    import collections
+
+    by_from = collections.defaultdict(int)
+    for r in rows:
+        by_from[r["from_type"]] += r["prob_permille"]
+    # floor rounding: each row's permilles sum within |types| of 1000
+    assert all(1000 - len(by_from) * 2 <= s <= 1000 for s in by_from.values())
+
+
+def test_streaming_line_lang_matches_batch(spark, tmp_path):
+    from wurzel_spark.operators.textstats import line_lang_spans
+    from wurzel_spark.streaming.langspans import line_lang_stream
+
+    docs, stream = _doc_stream(spark, tmp_path, "ll")
+    got = [
+        tuple(r)
+        for r in line_lang_stream(
+            stream, str(tmp_path / "ll_state"), str(tmp_path / "ll_ckpt"),
+            compact_every=2,
+        ).collect()
+    ]
+    exp = [tuple(r) for r in line_lang_spans(docs).collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_line_lang_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.operators.textstats import line_lang_partials
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.langspans import drain_line_lang_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "ll_replay")
+
+    def _stage(df, bid):
+        mine = line_lang_partials(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(
+            spark, mine, state, bid, ["src_batch", "source", "lang"], None
+        )
+
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = [tuple(r) for r in drain_line_lang_state(spark, state).collect()]
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
+    got = [tuple(r) for r in drain_line_lang_state(spark, state).collect()]
+    assert got == once and len(once) > 0

@@ -160,6 +160,7 @@ QUERIES = [
     "waterfill_sample_stats",
     "line_lang_spans",
     "embedding_centroid_stats",
+    "dup_pair_evidence",
 ]
 
 

@@ -2795,3 +2795,124 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_audit(
         _table(spark, sf_dir, "documents"), threshold=0.5, max_df=CAPPED_MAX_DF
     )
+
+
+# ------------------------------------------------- dup-pair evidence
+
+EVIDENCE_TOP_PAIRS = 16
+EVIDENCE_TOP_GRAMS = 3
+
+
+def dup_pair_evidence(
+    df: DataFrame,
+    top_pairs: int = EVIDENCE_TOP_PAIRS,
+    top_grams: int = EVIDENCE_TOP_GRAMS,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup EXPLAINABILITY: for the top near-dup pairs (by exact
+    capped Jaccard), the rarest shared n-gram shingles as human-readable
+    evidence — what a reviewer looks at before signing off a dedup
+    threshold change ("these two docs share THESE exact phrases"). Rarity
+    ranks by global document frequency ascending (ties lexicographic), so
+    boilerplate shared by everyone never outranks the smoking-gun phrase.
+
+    Scale shape: the pair set is the already-bounded capped family
+    output; a TopK limit keeps ``top_pairs`` rows, whose ≤ 2·top_pairs
+    doc ids SEMI-JOIN-prune the shingle table before the evidence
+    intersect — so the per-pair work is bounded however large the
+    corpus. The global gram-df aggregate is one linear groupBy (the same
+    shuffle the pair family already pays). The df-cap applies to
+    evidence too: a gram too frequent to count toward similarity can't
+    be cited as evidence either (consistency with the pair scores).
+    """
+    from pyspark.sql import Window as W
+
+    pairs = ngram_jaccard_pairs(
+        df, n=n, threshold=threshold, sort=False, max_df=max_df
+    )
+    top = pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(top_pairs)
+    grams = _parallelize(df).select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles(F.col("text"), n)).alias("gram"),
+    )
+    gdf = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+    if max_df is not None:
+        gdf = gdf.filter(F.col("gram_df") <= max_df)
+    ids = (
+        top.select(F.col("id_a").alias("id"))
+        .unionByName(top.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    pruned = grams.join(F.broadcast(ids), "id")
+    ga = pruned.select(F.col("id").alias("id_a"), "gram")
+    gb = pruned.select(F.col("id").alias("id_b"), "gram")
+    shared = (
+        F.broadcast(top)
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .join(gdf, "gram")  # inner: capped-out grams drop from evidence
+    )
+    wp = W.partitionBy("id_a", "id_b").orderBy("gram_df", "gram")
+    return (
+        shared.withColumn("rank", F.row_number().over(wp))
+        .filter(F.col("rank") <= top_grams)
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.col("rank").cast("int").alias("rank"),
+            "gram",
+            F.col("gram_df").cast("long").alias("gram_df"),
+        )
+        .orderBy("id_a", "id_b", "rank")
+    )
+
+
+def q_dup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_pair_evidence(
+        table(spark, sf_dir, "documents"), max_df=CAPPED_MAX_DF
+    )
+
+
+def _dup_pair_evidence_sql() -> str:
+    capped = NGRAM_JACCARD_CAPPED_SQL.strip()
+    capped = capped[: capped.rindex("ORDER BY id_a, id_b")]
+    return rf"""
+WITH pairs AS (
+  {capped}
+), top_pairs AS (
+  SELECT id_a, id_b, jaccard FROM pairs
+  ORDER BY jaccard DESC, id_a, id_b LIMIT {EVIDENCE_TOP_PAIRS}
+), grams AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3
+         THEN list_transform(range(1, len(ws) - 1),
+                             i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [array_to_string(ws, ' ')] END)) AS gram
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+        FROM documents)
+), gdf AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_df FROM grams GROUP BY gram
+  HAVING COUNT(*) <= @MAXDF@
+), shared AS (
+  SELECT t.id_a, t.id_b, t.jaccard, g.gram, d.gram_df
+  FROM top_pairs t
+  JOIN grams ga ON ga.id = t.id_a
+  JOIN grams g ON g.id = t.id_b AND g.gram = ga.gram
+  JOIN gdf d ON d.gram = g.gram
+), ranked AS (
+  SELECT id_a, id_b, jaccard, gram, gram_df,
+         ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                            ORDER BY gram_df, gram) AS rank
+  FROM shared
+)
+SELECT id_a, id_b, jaccard, CAST(rank AS INT) AS rank, gram, gram_df
+FROM ranked WHERE rank <= {EVIDENCE_TOP_GRAMS}
+ORDER BY id_a, id_b, rank
+"""
+
+
+DUP_PAIR_EVIDENCE_SQL = _dup_pair_evidence_sql().replace("@MAXDF@", str(CAPPED_MAX_DF))

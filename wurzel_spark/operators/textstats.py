@@ -5244,6 +5244,13 @@ _LANGS_SORTED = tuple(sorted(LANG_MARKERS))  # de, en, es, fr, zh
 
 
 def line_lang_spans(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """See :func:`line_lang_partials` (the pipeline head) and
+    :func:`line_lang_from_partials` (the share tail, shared with the
+    streaming drain)."""
+    return line_lang_from_partials(line_lang_partials(df, text_col))
+
+
+def line_lang_partials(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Segment-level language ID — the repair [[code_switch_stats]]
     points at: label every non-blank LINE with the language whose
     markers it carries (argmax of distinct-marker counts, ties to the
@@ -5312,21 +5319,29 @@ def line_lang_spans(df: DataFrame, text_col: str = "text") -> DataFrame:
             for lg in all_langs
         ],
     )
-    total = None
-    for lg in all_langs:
-        col = F.col(f"l_{lg}")
-        total = col if total is None else total + col
-    stacked = agg.withColumn("total_lines", total).selectExpr(
+    stacked = agg.selectExpr(
         "source",
-        "total_lines",
         "stack("
         + str(len(all_langs))
         + ", "
         + ", ".join(f"'{lg}', l_{lg}, d_{lg}" for lg in all_langs)
         + ") AS (lang, n_lines, n_docs)",
     )
+    return stacked
+
+
+def line_lang_from_partials(stacked: DataFrame) -> DataFrame:
+    """Share tail over per-(source, lang) ADDITIVE partials (n_lines and
+    n_docs both sum across batches — docs never straddle a batch), shared
+    with the streaming drain (streaming/langspans.py). The per-source
+    denominator re-derives as a window sum, so it needs no extra staged
+    state."""
+    from pyspark.sql import Window as W
+
+    total = F.sum("n_lines").over(W.partitionBy("source"))
     return (
-        stacked.filter(F.col("n_lines") > 0)
+        stacked.withColumn("total_lines", total)
+        .filter(F.col("n_lines") > 0)
         .select(
             "source",
             "lang",
@@ -5341,6 +5356,9 @@ def line_lang_spans(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+
 
 
 def q_line_lang_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

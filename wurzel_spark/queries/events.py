@@ -586,3 +586,72 @@ SELECT e.event_type AS event_type, e.n_rows, e.n_keys,
 FROM exact e LEFT JOIN sampled s ON e.event_type = s.event_type
 ORDER BY e.event_type
 """
+
+
+# ------------------------------------------- event transition matrix
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between event types within a
+    user's session continuity (gap ≤ SESSION_GAP_SECONDS, the sessionize
+    convention): per (from_type, to_type) the transition count and its
+    row-normalized permille — the product-analytics "what happens after
+    X" matrix, and the drift baseline a bot-detection or funnel change
+    is compared against.
+
+    Exactness: ordering ties break on event_id, the permille is integer
+    floor-div of exact counts. Scale shape: one window per user (lag),
+    one grouped count, one from_type-grain window for the row sums —
+    the matrix is |types|² rows."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    trans = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+            gap_us.alias("gap_us"),
+        )
+        .filter(
+            F.col("from_type").isNotNull()
+            & (F.col("gap_us") <= SESSION_GAP_SECONDS * 1_000_000)
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wrow = W.partitionBy("from_type")
+    return (
+        trans.withColumn("row_total", F.sum("n_transitions").over(wrow))
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.expr("div(1000 * n_transitions, row_total)").alias("prob_permille"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITION_SQL = f"""
+WITH lagged AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER w AS from_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), trans AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM lagged
+  WHERE from_type IS NOT NULL AND gap_us <= {SESSION_GAP_SECONDS * 1_000_000}
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       (1000 * n_transitions) // CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS prob_permille
+FROM trans
+ORDER BY from_type, to_type
+"""
