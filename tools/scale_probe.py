@@ -161,6 +161,7 @@ QUERIES = [
     "line_lang_spans",
     "embedding_centroid_stats",
     "dup_pair_evidence",
+    "event_transition_matrix",
 ]
 
 
