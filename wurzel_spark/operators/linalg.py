@@ -619,7 +619,11 @@ def embedding_centroid_stats(
     sums = base.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         *[
-            F.sum(F.element_at("qv", i + 1))
+            # cast INSIDE the sum: a LONG accumulator wraps around
+            # n ≈ 2^63/2^21 ≈ 4.4e12 rows — within reach of a 100 TB
+            # embedding table (the r8 norm-outlier lesson); DuckDB's
+            # SUM(BIGINT) is HUGEINT automatically
+            F.sum(F.element_at("qv", i + 1).cast("decimal(38,0)"))
             .cast("decimal(38,0)")
             .alias(f"s{i}")
             for i in range(CENTROID_DIM)
@@ -669,7 +673,9 @@ def embedding_centroid_stats(
         scored.select("label", cos_q.alias("cos_q"))
         .groupBy("label")
         .agg(
-            F.sum("cos_q").alias("sum_cos_q"),
+            # decimal accumulator: Σ cos_q over a label wraps LONG at
+            # n ≈ 2^43 members — same guard as the per-dim sums
+            F.sum(F.col("cos_q").cast("decimal(38,0)")).alias("sum_cos_q"),
             F.min("cos_q").alias("min_cos_q"),
         )
     )
