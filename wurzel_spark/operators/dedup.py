@@ -2832,7 +2832,15 @@ def dup_pair_evidence(
     pairs = ngram_jaccard_pairs(
         df, n=n, threshold=threshold, sort=False, max_df=max_df
     )
-    top = pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(top_pairs)
+    # top is consumed THREE times (the id prune, the pair broadcast, the
+    # output) — without the cut each consumer re-runs the whole exact
+    # pair-family subtree (measured: 9.2 s → ~2.8 s at sf0.1). 16 rows,
+    # always safe to pin eagerly.
+    top = (
+        pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(top_pairs)
+        .localCheckpoint(eager=True)
+    )
     grams = _parallelize(df).select(
         F.col("doc_id").alias("id"),
         F.explode(shingles(F.col("text"), n)).alias("gram"),
@@ -2845,7 +2853,9 @@ def dup_pair_evidence(
         .unionByName(top.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    pruned = grams.join(F.broadcast(ids), "id")
+    # ≤ 2·top_pairs docs' shingles; consumed by BOTH evidence sides —
+    # pin so the corpus shingle explode runs once for the pair of joins
+    pruned = grams.join(F.broadcast(ids), "id").localCheckpoint(eager=True)
     ga = pruned.select(F.col("id").alias("id_a"), "gram")
     gb = pruned.select(F.col("id").alias("id_b"), "gram")
     shared = (
