@@ -950,3 +950,40 @@ def test_streaming_line_lang_replay_is_idempotent(spark, tmp_path):
     _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
     got = [tuple(r) for r in drain_line_lang_state(spark, state).collect()]
     assert got == once and len(once) > 0
+
+
+def test_streaming_code_switch_matches_batch(spark, tmp_path):
+    from wurzel_spark.operators.textstats import code_switch_stats
+    from wurzel_spark.streaming.codeswitch import code_switch_stream
+
+    docs, stream = _doc_stream(spark, tmp_path, "cs")
+    got = [
+        tuple(r)
+        for r in code_switch_stream(
+            stream, str(tmp_path / "cs_state"), str(tmp_path / "cs_ckpt"),
+            compact_every=2,
+        ).collect()
+    ]
+    exp = [tuple(r) for r in code_switch_stats(docs).collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_code_switch_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.operators.textstats import code_switch_partials
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.codeswitch import drain_code_switch_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "cs_replay")
+
+    def _stage(df, bid):
+        mine = code_switch_partials(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(spark, mine, state, bid, ["src_batch", "source"], None)
+
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = [tuple(r) for r in drain_code_switch_state(spark, state).collect()]
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)  # replay
+    got = [tuple(r) for r in drain_code_switch_state(spark, state).collect()]
+    assert got == once and len(once) > 0

@@ -5083,30 +5083,49 @@ def code_switch_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).cast("int")
         n_langs = hit if n_langs is None else n_langs + hit
     per = df.select("source", n_langs.alias("n_langs"))
-    return (
-        per.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("n_langs") == 0, 1).otherwise(0)).alias("n_unmarked"),
-            F.sum(F.when(F.col("n_langs") == 1, 1).otherwise(0)).alias(
-                "n_monolingual"
-            ),
-            F.sum(F.when(F.col("n_langs") >= 2, 1).otherwise(0)).alias("n_mixed"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "n_unmarked",
-            "n_monolingual",
-            "n_mixed",
-            F.when(
-                F.col("n_docs") > 0, F.expr("div(1000 * n_mixed, n_docs)")
-            )
-            .otherwise(F.lit(0))
-            .alias("mixed_permille"),
-        )
-        .orderBy("source")
+    return code_switch_from_partials(code_switch_partials_from_doc_counts(per))
+
+
+def code_switch_partials_from_doc_counts(per: DataFrame) -> DataFrame:
+    """Per-source ADDITIVE partials from per-doc n_langs rows — the
+    staged unit of the streaming twin (streaming/codeswitch.py)."""
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_langs") == 0, 1).otherwise(0)).alias("n_unmarked"),
+        F.sum(F.when(F.col("n_langs") == 1, 1).otherwise(0)).alias("n_monolingual"),
+        F.sum(F.when(F.col("n_langs") >= 2, 1).otherwise(0)).alias("n_mixed"),
     )
+
+
+def code_switch_partials(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pipeline head for the streaming twin: per-doc marker verdicts →
+    per-source additive counts (everything sums across batches)."""
+    c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = TXT.words(c)
+    n_langs = None
+    for lang, marks in sorted(LANG_MARKERS.items()):
+        hit = (
+            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks])))
+            >= CS_MIN_MARKERS
+        ).cast("int")
+        n_langs = hit if n_langs is None else n_langs + hit
+    return code_switch_partials_from_doc_counts(
+        df.select("source", n_langs.alias("n_langs"))
+    )
+
+
+def code_switch_from_partials(agg: DataFrame) -> DataFrame:
+    """Permille tail over per-source partials (shared with the drain)."""
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unmarked",
+        "n_monolingual",
+        "n_mixed",
+        F.when(F.col("n_docs") > 0, F.expr("div(1000 * n_mixed, n_docs)"))
+        .otherwise(F.lit(0))
+        .alias("mixed_permille"),
+    ).orderBy("source")
 
 
 def q_code_switch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
