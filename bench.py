@@ -269,6 +269,7 @@ HEADLINE = [
     "embedding_centroid_stats",
     "dup_pair_evidence",
     "event_transition_matrix",
+    "dedup_verdict_matrix",
 ]
 
 

@@ -987,3 +987,45 @@ def test_streaming_code_switch_replay_is_idempotent(spark, tmp_path):
     _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)  # replay
     got = [tuple(r) for r in drain_code_switch_state(spark, state).collect()]
     assert got == once and len(once) > 0
+
+
+def test_dedup_verdict_matrix_planted_overlaps(spark):
+    """Planted corpus: docs 1/2 byte-identical (exact+near), doc 3 a
+    near-dup of 1 (near only), doc 4 self-repetitive (span only), doc 5
+    clean. Embedding side: vecs 0..7 seeds + two near-identical members
+    -> one sem drop."""
+    from wurzel_spark.operators.dedup import dedup_verdict_matrix
+
+    body = " ".join(f"w{i}" for i in range(40))
+    rep = " ".join(["alpha beta gamma delta"] * 12)
+    rows = [
+        (1, body, "a", "en", 10),
+        (2, body, "a", "en", 10),                      # exact copy of 1
+        (3, body + " extra", "a", "en", 10),           # near-dup of 1/2
+        (4, rep, "a", "en", 10),                       # intra-doc spans
+        (5, "totally unique text of its own kind qq", "a", "en", 10),
+    ]
+    docs = _docs(spark, rows)
+    import duckdb
+
+    vecs = [(i, [1.0 if j == i % 4 else 0.0 for j in range(4)], 0) for i in range(8)]
+    vecs += [(101, [0.9, 0.1, 0.0, 0.0], 1), (102, [0.9, 0.1, 0.0, 0.001], 1)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    got = dedup_verdict_matrix(docs, emb).collect()[0]
+    assert got["n_docs"] == 5
+    assert got["n_exact"] == 1          # doc 2 (non-representative copy)
+    assert got["n_near"] >= 2           # at least docs of the 1/2/3 family
+    assert got["n_span"] >= 1           # doc 4
+    assert got["n_exact_near"] == 1     # doc 2 fires both
+    assert got["n_any"] <= 5
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR,"
+        " lang VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?,?,?)", vecs)
+    exp = con.execute(e.oracle_sql()["dedup_verdict_matrix"]).fetchall()[0]
+    assert tuple(got) == tuple(exp)

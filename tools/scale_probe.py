@@ -162,6 +162,7 @@ QUERIES = [
     "embedding_centroid_stats",
     "dup_pair_evidence",
     "event_transition_matrix",
+    "dedup_verdict_matrix",
 ]
 
 

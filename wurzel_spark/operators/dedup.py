@@ -2926,3 +2926,155 @@ ORDER BY id_a, id_b, rank
 
 
 DUP_PAIR_EVIDENCE_SQL = _dup_pair_evidence_sql().replace("@MAXDF@", str(CAPPED_MAX_DF))
+
+
+# --------------------------------------------- dedup verdict matrix
+
+
+def dedup_verdict_matrix(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Cross-family dedup governance: one row of overlap counts between
+    the FOUR dedup signals a pipeline can fire on a document — exact
+    content-hash duplication (non-representative copies), capped n-gram
+    near-duplication (either side of a pair), intra-doc duplicated
+    spans, and SemDeDup embedding drops — the [[filter_agreement_stats]]
+    of the dedup side: how much of each family's drop set is unique
+    signal vs already covered by a cheaper family (the question that
+    decides whether the expensive embedding pass earns its cost on THIS
+    corpus).
+
+    Verdicts reuse the production configurations of their families
+    (capped Jaccard, seed-celled SemDeDup) — drift-proof by
+    construction, the C4 lesson. Exact-dup grouping runs as a WINDOW
+    over the content hash in both engines (a join on the hash would
+    silently drop NULL-text docs — NULL never equi-joins, but window
+    partitions group NULLs identically in both engines).
+
+    Scale shape: the component families carry their own probe
+    certificates; the matrix adds three doc-grain left joins and ONE
+    global aggregate. Docs absent from a family (no spans window, no
+    embedding row) default to an honest false."""
+    from pyspark.sql import Window as W
+
+    from wurzel_spark.operators.similarity import semdedup_keep
+
+    h = F.sha2(F.col("text"), 256)
+    wh = W.partitionBy("h")
+    exact = docs.select("doc_id", h.alias("h")).select(
+        "doc_id",
+        (
+            (F.count(F.lit(1)).over(wh) > 1)
+            & (F.col("doc_id") != F.min("doc_id").over(wh))
+        ).alias("v_exact"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, sort=False, max_df=CAPPED_MAX_DF
+    )
+    near = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("v_near", F.lit(True))
+    )
+    spans = duplicated_span_stats(docs, n=20).select(
+        "doc_id", (F.col("n_dup_spans") > 0).alias("v_span")
+    )
+    keep = semdedup_keep(
+        emb, emb.filter(F.col("vec_id") < 8), threshold=0.4
+    ).select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("kept"))
+    sem = (
+        emb.select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .join(keep, "doc_id", "left")
+        .select("doc_id", F.col("kept").isNull().alias("v_sem"))
+    )
+    v = (
+        exact.join(near, "doc_id", "left")
+        .join(spans, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "v_exact",
+            F.coalesce("v_near", F.lit(False)).alias("v_near"),
+            F.coalesce("v_span", F.lit(False)).alias("v_span"),
+            F.coalesce("v_sem", F.lit(False)).alias("v_sem"),
+        )
+    )
+
+    def cnt(cond):
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long")
+
+    names = ["exact", "near", "span", "sem"]
+    duos = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[cnt(F.col(f"v_{n}")).alias(f"n_{n}") for n in names],
+        *[
+            cnt(F.col(f"v_{a}") & F.col(f"v_{b}")).alias(f"n_{a}_{b}")
+            for a, b in duos
+        ],
+        cnt(
+            F.col("v_exact") | F.col("v_near") | F.col("v_span") | F.col("v_sem")
+        ).alias("n_any"),
+    )
+
+
+def q_dedup_verdict_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_verdict_matrix(
+        table(spark, sf_dir, "documents"), table(spark, sf_dir, "embeddings")
+    )
+
+
+def _verdict_matrix_sql() -> str:
+    from wurzel_spark.operators.similarity import SEMDEDUP_SQL
+
+    def strip(sql: str) -> str:
+        s = sql.strip()
+        return s[: s.rindex("ORDER BY")]
+
+    duos = [("exact", "near"), ("exact", "span"), ("exact", "sem"),
+            ("near", "span"), ("near", "sem"), ("span", "sem")]
+    duo_cols = ",\n       ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN v_{a} AND v_{b} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_{a}_{b}"
+        for a, b in duos
+    )
+    return f"""
+WITH near_pairs AS (
+  {strip(NGRAM_JACCARD_CAPPED_SQL)}
+), span_stats AS (
+  {strip(DUP_SPANS_SQL)}
+), sem_keep AS (
+  {strip(SEMDEDUP_SQL)}
+), exactv AS (
+  SELECT doc_id,
+         (COUNT(*) OVER (PARTITION BY sha256(text)) > 1
+          AND doc_id != MIN(doc_id) OVER (PARTITION BY sha256(text))) AS v_exact
+  FROM documents
+), nearv AS (
+  SELECT DISTINCT id AS doc_id, TRUE AS v_near FROM (
+    SELECT id_a AS id FROM near_pairs UNION ALL SELECT id_b FROM near_pairs
+  )
+), semv AS (
+  SELECT e.vec_id AS doc_id, k.vec_id IS NULL AS v_sem
+  FROM (SELECT DISTINCT vec_id FROM embeddings) e
+  LEFT JOIN sem_keep k ON k.vec_id = e.vec_id
+), v AS (
+  SELECT x.v_exact,
+         COALESCE(n.v_near, FALSE) AS v_near,
+         COALESCE(s.n_dup_spans > 0, FALSE) AS v_span,
+         COALESCE(m.v_sem, FALSE) AS v_sem
+  FROM exactv x
+  LEFT JOIN nearv n ON n.doc_id = x.doc_id
+  LEFT JOIN span_stats s ON s.doc_id = x.doc_id
+  LEFT JOIN semv m ON m.doc_id = x.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN v_exact THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(SUM(CASE WHEN v_near THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near,
+       CAST(COALESCE(SUM(CASE WHEN v_span THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_span,
+       CAST(COALESCE(SUM(CASE WHEN v_sem THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sem,
+       {duo_cols},
+       CAST(COALESCE(SUM(CASE WHEN v_exact OR v_near OR v_span OR v_sem THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_any
+FROM v
+"""
+
+
+DEDUP_VERDICT_SQL = _verdict_matrix_sql()
