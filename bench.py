@@ -270,6 +270,7 @@ HEADLINE = [
     "dup_pair_evidence",
     "event_transition_matrix",
     "dedup_verdict_matrix",
+    "binary_embedding_recall",
 ]
 
 

@@ -1029,3 +1029,35 @@ def test_dedup_verdict_matrix_planted_overlaps(spark):
     con.executemany("INSERT INTO embeddings VALUES (?,?,?)", vecs)
     exp = con.execute(e.oracle_sql()["dedup_verdict_matrix"]).fetchall()[0]
     assert tuple(got) == tuple(exp)
+
+
+def test_binary_recall_identical_vector_is_top1(spark):
+    """A candidate identical to the query has hamming 0 AND cos 1 ->
+    rank 1 in both orderings: top1_match True, and it counts toward
+    overlap. Opposite-sign vectors land at hamming 64."""
+    import duckdb
+
+    from wurzel_spark.operators.similarity import binary_embedding_recall
+
+    dim = 64
+    a = [0.5 if i % 2 == 0 else -0.5 for i in range(dim)]
+    neg = [-x for x in a]
+    rows = [(0, a, 0), (100, a, 1), (101, neg, 1)]
+    # pad candidate pool with axis-ish noise so k isn't degenerate
+    for j in range(12):
+        v = [0.01] * dim
+        v[j % dim] = 1.0
+        v[(j * 7 + 3) % dim] = -1.0
+        rows.append((200 + j, v, 2))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["query_id"]: r for r in binary_embedding_recall(emb, k=3, n_queries=1).collect()}
+    assert got[0]["top1_match"] is True
+    assert got[0]["n_overlap"] >= 1
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?,?,?)", rows)
+    # the registered config (k=10, 10 queries) must match the oracle too
+    got_reg = [tuple(r) for r in binary_embedding_recall(emb).collect()]
+    exp = [tuple(r) for r in con.execute(e.oracle_sql()["binary_embedding_recall"]).fetchall()]
+    assert got_reg == exp

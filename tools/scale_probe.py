@@ -163,6 +163,7 @@ QUERIES = [
     "dup_pair_evidence",
     "event_transition_matrix",
     "dedup_verdict_matrix",
+    "binary_embedding_recall",
 ]
 
 

@@ -2511,3 +2511,157 @@ ORDER BY src_id
 
 
 BITEXT_MARGIN_SQL = _bitext_sql()
+
+
+# ------------------------------------------- binary-embedding retrieval audit
+
+BINARY_RECALL_K = 10
+BINARY_N_QUERIES = 10
+_BINARY_DIM = 64
+
+
+def binary_embedding_recall(
+    emb: DataFrame,
+    k: int = BINARY_RECALL_K,
+    n_queries: int = BINARY_N_QUERIES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-embedding retrieval sign-off: recall@k of 1-bit (sign)
+    quantized Hamming ranking against the exact cosine ranking, per
+    query — the audit behind the 32×-memory-cut binary-embedding trade
+    (Hamming distance over sign bits approximates angle; this measures
+    how much of the true top-k survives on THIS corpus before an index
+    is rebuilt in binary form).
+
+    Exactness: sign bits pack into TWO 32-bit halves (bit 63 would need
+    2^63, past signed BIGINT — the split keeps every sum in range);
+    Hamming = bit_count(xor(lo)) + bit_count(xor(hi)) — pure integer in
+    both engines; the exact ranking uses the certified sequential-fold
+    cosine doubles; both rankings tie-break on candidate id.
+
+    Scale shape: the ``n_queries`` query rows broadcast against the
+    corpus — ONE linear pass producing both rankings from the same pair
+    projection (two windows per query partition, rank-1 prune via
+    WindowGroupLimit); the audit is the exact-verifier configuration
+    (ann_topk_bruteforce precedent) — the production path is the packed
+    bitmap index this audit signs off."""
+    from pyspark.sql import Window as W
+
+    pow_lo = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+
+    def pack(vec, off):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(vec, i + 1 + off) >= 0, F.element_at(pow_lo, i + 1)
+            ).otherwise(F.lit(0)),
+        )
+
+    base = emb.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == _BINARY_DIM)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        pack(F.col(vec_col), 0).alias("lo"),
+        pack(F.col(vec_col), 32).alias("hi"),
+    )
+    q = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(F.col("id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "id",
+        F.expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").alias("hamming"),
+        cosine(F.col("vec"), F.col("qvec")).alias("cos"),
+    )
+    wq = W.partitionBy("query_id")
+    ranked = scored.withColumn(
+        "rn_ham", F.row_number().over(wq.orderBy("hamming", "id"))
+    ).withColumn("rn_cos", F.row_number().over(wq.orderBy(F.col("cos").desc(), "id")))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("rn_ham") <= k) & (F.col("rn_cos") <= k), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_overlap"),
+            F.max(
+                F.when(
+                    (F.col("rn_ham") == 1) & (F.col("rn_cos") == 1), True
+                ).otherwise(False)
+            ).alias("top1_match"),
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.expr(f"div(1000 * n_overlap, {k})").alias("recall_permille"),
+            "top1_match",
+        )
+        .orderBy("query_id")
+    )
+
+
+def q_binary_embedding_recall(spark, sf_dir: str) -> DataFrame:
+    return binary_embedding_recall(table(spark, sf_dir, "embeddings"))
+
+
+def _binary_recall_sql() -> str:
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+            f" / (sqrt(list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product(CAST({y} AS DOUBLE[]), CAST({y} AS DOUBLE[]))))"
+        )
+
+    def pack(off: int) -> str:
+        return (
+            "list_sum(list_transform(range(0, 32), i -> CASE WHEN "
+            f"embedding[CAST(i AS INT) + 1 + {off}] >= 0 "
+            "THEN ([" + ", ".join(str(1 << i) for i in range(32)) + "])[CAST(i AS INT) + 1] "
+            "ELSE 0 END))"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding AS vec,
+         CAST({pack(0)} AS BIGINT) AS lo,
+         CAST({pack(32)} AS BIGINT) AS hi
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_BINARY_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), q AS (
+  SELECT id AS query_id, vec AS qvec, lo AS qlo, hi AS qhi
+  FROM base WHERE id < {BINARY_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, b.id,
+         bit_count(xor(b.lo, q.qlo)) + bit_count(xor(b.hi, q.qhi)) AS hamming,
+         {cos("b.vec", "q.qvec")} AS cos
+  FROM base b CROSS JOIN q WHERE b.id != q.query_id
+), ranked AS (
+  SELECT query_id, id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, id) AS rn_ham,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn_cos
+  FROM scored
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN rn_ham <= {BINARY_RECALL_K} AND rn_cos <= {BINARY_RECALL_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST((1000 * SUM(CASE WHEN rn_ham <= {BINARY_RECALL_K} AND rn_cos <= {BINARY_RECALL_K}
+                             THEN 1 ELSE 0 END)) // {BINARY_RECALL_K} AS BIGINT) AS recall_permille,
+       CAST(MAX(CASE WHEN rn_ham = 1 AND rn_cos = 1 THEN 1 ELSE 0 END) AS BOOLEAN) AS top1_match
+FROM ranked GROUP BY query_id
+ORDER BY query_id
+"""
+
+
+BINARY_RECALL_SQL = _binary_recall_sql()
