@@ -271,6 +271,7 @@ HEADLINE = [
     "event_transition_matrix",
     "dedup_verdict_matrix",
     "binary_embedding_recall",
+    "user_type_gini",
 ]
 
 

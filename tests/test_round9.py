@@ -1061,3 +1061,32 @@ def test_binary_recall_identical_vector_is_top1(spark):
     got_reg = [tuple(r) for r in binary_embedding_recall(emb).collect()]
     exp = [tuple(r) for r in con.execute(e.oracle_sql()["binary_embedding_recall"]).fetchall()]
     assert got_reg == exp
+
+
+def test_user_type_gini_extremes(spark, tmp_path):
+    """Single-type user -> 0 permille; near-uniform over k types ->
+    approaches (1 - 1/k)*1000; cross-engine equality on the fixture."""
+    import duckdb
+
+    from wurzel_spark.queries.events import USER_TYPE_GINI_SQL, user_type_gini
+    from datetime import datetime
+
+    rows = []
+    for i in range(12):
+        rows.append((i, datetime(2025, 1, 1, 0, i), 1, "click", 0.0, "{}"))
+    for i in range(12):
+        rows.append((100 + i, datetime(2025, 1, 1, 1, i), 2,
+                     ["a", "b", "c", "d"][i % 4], 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    got = {r["user_id"]: r for r in user_type_gini(spark, d).collect()}
+    assert got[1]["gini_permille"] == 0
+    assert got[2]["gini_permille"] == 750  # uniform over 4 types
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    exp = [tuple(r) for r in con.execute(USER_TYPE_GINI_SQL).fetchall()]
+    assert [tuple(got[k]) for k in sorted(got)] == exp

@@ -164,6 +164,7 @@ QUERIES = [
     "event_transition_matrix",
     "dedup_verdict_matrix",
     "binary_embedding_recall",
+    "user_type_gini",
 ]
 
 

@@ -655,3 +655,53 @@ SELECT from_type, to_type, n_transitions,
 FROM trans
 ORDER BY from_type, to_type
 """
+
+
+# --------------------------------------------- behavioral diversity (Gini)
+
+
+def user_type_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: exact-integer Gini impurity of the
+    user's event-type distribution — 0‰ = a single-type account (bot
+    signature: all clicks), approaching (1−1/k)·1000‰ = uniform over k
+    types (organic usage). The per-account feature behind engagement
+    scoring and bot triage, computed WITHOUT entropy's logarithm so both
+    engines agree bit-for-bit: gini = 1 − Σp² clears denominators to
+    (T² − Σc²)·1000 // T² — counts are exact ints, the square passes
+    int64 only at T > 3B events per user (decimal/HUGEINT anyway).
+
+    Scale shape: one (user, type) grouped count, one user-grain
+    re-aggregate — both map-side combinable; output is |users| rows."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("user_id").agg(
+        F.sum("c").cast("decimal(38,0)").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")).alias(
+            "sum_c2"
+        ),
+    )
+    return agg.select(
+        "user_id",
+        F.col("t").cast("long").alias("n_events"),
+        "n_types",
+        F.expr("CAST(div((t * t - sum_c2) * 1000, t * t) AS BIGINT)").alias(
+            "gini_permille"
+        ),
+    ).orderBy("user_id")
+
+
+USER_TYPE_GINI_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events GROUP BY user_id, event_type
+), agg AS (
+  SELECT user_id, SUM(c) AS t, COUNT(*) AS n_types, SUM(c * c) AS sum_c2
+  FROM per GROUP BY user_id
+)
+SELECT user_id,
+       CAST(t AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(((t * t - sum_c2) * 1000) // (t * t) AS BIGINT) AS gini_permille
+FROM agg ORDER BY user_id
+"""
