@@ -272,6 +272,7 @@ HEADLINE = [
     "dedup_verdict_matrix",
     "binary_embedding_recall",
     "user_type_gini",
+    "tcloseness_release",
 ]
 
 

@@ -165,6 +165,7 @@ QUERIES = [
     "dedup_verdict_matrix",
     "binary_embedding_recall",
     "user_type_gini",
+    "tcloseness_release",
 ]
 
 

@@ -4021,6 +4021,122 @@ def q_ldiversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldiversity_release(table(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------------- t-closeness release
+
+TCLOSE_MAX_PERMILLE = 400
+
+
+def tcloseness_release(
+    df: DataFrame,
+    quasi_col: str = "source",
+    sensitive_col: str = "lang",
+    max_permille: int = TCLOSE_MAX_PERMILLE,
+) -> DataFrame:
+    """t-closeness gate (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy ladder after [[kanon]] size and
+    [[ldiversity]] distinctness: a quasi-identifier group may be
+    published only if its sensitive-attribute DISTRIBUTION stays within
+    distance t of the global one — l distinct values still leak when
+    one value dominates (skewness attack). For a categorical sensitive
+    attribute the EMD ground distance is uniform, so the distance is
+    total-variation: tvd = ½·Σ_v |c_gv/n_g − c_v/N|.
+
+    Exactness: denominators clear to integers —
+    ``tvd·2·N·n_g = Σ_v |c_gv·N − c_v·n_g|`` where v ranges over ALL
+    global values; values ABSENT from the group contribute c_v·n_g, and
+    since Σ_v c_v = N the absent tail closes to
+    ``N·n_g + Σ_{v∈g} (|c_gv·N − c_v·n_g| − c_v·n_g)`` — only PRESENT
+    (quasi, sensitive) rows are ever materialized. Products reach N²
+    (~10²⁴ at 100 TB row counts), so the sums run in decimal(38,0) /
+    HUGEINT. Failing groups coalesce into one ``__suppressed__`` bucket
+    so totals reconcile, the [[kanon]] convention.
+
+    Scale shape: ONE corpus-grain grouped count over
+    (quasi, sensitive); everything after runs on group-sized rows
+    (three windows — group total, value total, grand total — then two
+    aggregates). Output is |released groups| + 1 rows."""
+    from pyspark.sql import Window as W
+
+    per = df.groupBy(quasi_col, sensitive_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    per = per.select(
+        quasi_col,
+        sensitive_col,
+        "c",
+        F.sum("c").over(W.partitionBy(quasi_col)).alias("n_g"),
+        F.sum("c").over(W.partitionBy(sensitive_col)).alias("c_v"),
+        F.sum("c").over(W.partitionBy()).alias("n_total"),
+    )
+    grp = per.groupBy(quasi_col).agg(
+        F.first("n_g").alias("n_g"),
+        F.first("n_total").alias("n_total"),
+        F.sum(
+            F.abs(F.col("c") * F.col("n_total") - F.col("c_v") * F.col("n_g"))
+            - F.col("c_v") * F.col("n_g")
+        ).alias("present_term"),
+    )
+    grp = grp.select(
+        quasi_col,
+        F.col("n_g").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(div(1000 * (n_total * n_g + present_term),"
+            " 2 * n_total * n_g) AS BIGINT)"
+        ).alias("tvd_permille"),
+    )
+    relabeled = grp.select(
+        F.when(F.col("tvd_permille") > max_permille, F.lit("__suppressed__"))
+        .otherwise(F.col(quasi_col))
+        .alias(quasi_col),
+        "n_docs",
+        "tvd_permille",
+    )
+    return (
+        relabeled.groupBy(quasi_col)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.max("tvd_permille").alias("max_tvd_permille"),
+            F.count(F.lit(1)).alias("n_merged_groups"),
+        )
+        .orderBy(quasi_col)
+    )
+
+
+def q_tcloseness_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tcloseness_release(table(spark, sf_dir, "documents"))
+
+
+TCLOSENESS_SQL = f"""
+WITH per AS (
+  SELECT source, lang, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM documents GROUP BY source, lang
+), win AS (
+  SELECT source, lang, c,
+         SUM(c) OVER (PARTITION BY source) AS n_g,
+         SUM(c) OVER (PARTITION BY lang) AS c_v,
+         SUM(c) OVER () AS n_total
+  FROM per
+), grp AS (
+  SELECT source,
+         CAST(MIN(n_g) AS BIGINT) AS n_docs,
+         CAST((1000 * (MIN(n_total) * MIN(n_g)
+                       + SUM(ABS(c * n_total - c_v * n_g) - c_v * n_g)))
+              // (2 * MIN(n_total) * MIN(n_g)) AS BIGINT) AS tvd_permille
+  FROM win GROUP BY source
+), relabeled AS (
+  SELECT CASE WHEN tvd_permille > {TCLOSE_MAX_PERMILLE}
+              THEN '__suppressed__' ELSE source END AS source,
+         n_docs, tvd_permille
+  FROM grp
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(tvd_permille) AS BIGINT) AS max_tvd_permille,
+       COUNT(*) AS n_merged_groups
+FROM relabeled GROUP BY source ORDER BY source
+"""
+
+
 LDIVERSITY_SQL = f"""
 WITH per AS (
   SELECT source, lang, COUNT(*) AS n_docs,
