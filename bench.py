@@ -273,6 +273,7 @@ HEADLINE = [
     "binary_embedding_recall",
     "user_type_gini",
     "tcloseness_release",
+    "retrieval_ndcg_eval",
 ]
 
 

@@ -109,3 +109,93 @@ def test_tcloseness_cross_engine_fixture(spark):
         tuple(r) for r in con.execute(e.oracle_sql()["tcloseness_release"]).fetchall()
     )
     assert mine == oracle
+
+
+# --------------------------------------------------- retrieval nDCG eval
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_ndcg_perfect_ranking_is_1000(spark):
+    """A query whose same-label candidates dominate the cosine ranking
+    exactly in ideal order must score ndcg=1000 and rr=1000000."""
+    from wurzel_spark.operators.similarity import retrieval_ndcg_eval
+
+    dim = 64
+
+    def vec(x, y):
+        v = [0.0] * dim
+        v[0], v[1] = x, y
+        return v
+
+    rows = [(0, vec(1.0, 0.0), 5)]
+    # 3 same-label candidates closest, then 2 adjacent, then junk
+    rows += [(10 + i, vec(1.0, 0.01 * (i + 1)), 5) for i in range(3)]
+    rows += [(20 + i, vec(1.0, 0.2 * (i + 1)), 6) for i in range(2)]
+    rows += [(30 + i, vec(0.0, 1.0), 9) for i in range(5)]
+    out = retrieval_ndcg_eval(_emb(spark, rows), n_queries=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ndcg_permille"] == 1000
+    assert r["rr_micros"] == 1_000_000
+
+
+def test_ndcg_matches_python_reference(spark):
+    """Integer DCG/IDCG/MRR must equal a direct Python recomputation with
+    the shared discount table on a deterministic mixed fixture."""
+    from wurzel_spark.operators.similarity import (
+        NDCG_DISCOUNTS,
+        NDCG_K,
+        retrieval_ndcg_eval,
+    )
+
+    dim = 64
+
+    def vec(seed):
+        # deterministic, irregular but reproducible components
+        return [((seed * 37 + j * 13) % 97 - 48) / 48.0 for j in range(dim)]
+
+    rows = [(i, vec(i), (i * 7) % 5) for i in range(40)]
+    out = {r["query_id"]: r for r in retrieval_ndcg_eval(_emb(spark, rows), n_queries=3).collect()}
+
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for qid in range(3):
+        qvec, qlbl = vec(qid), (qid * 7) % 5
+        cands = []
+        for i in range(40):
+            if i == qid:
+                continue
+            lbl = (i * 7) % 5
+            rel = 2 if lbl == qlbl else (1 if abs(lbl - qlbl) == 1 else 0)
+            cands.append((i, rel, cos(vec(i), qvec)))
+        by_cos = sorted(cands, key=lambda t: (-t[2], t[0]))
+        by_rel = sorted(cands, key=lambda t: (-t[1], t[0]))
+        dcg = sum(
+            rel * NDCG_DISCOUNTS[rank] for rank, (_, rel, _c) in enumerate(by_cos[:NDCG_K])
+        )
+        idcg = sum(
+            rel * NDCG_DISCOUNTS[rank] for rank, (_, rel, _c) in enumerate(by_rel[:NDCG_K])
+        )
+        best = next((rank + 1 for rank, (_, rel, _c) in enumerate(by_cos) if rel >= 1), None)
+        r = out[qid]
+        assert r["dcg_q"] == dcg and r["idcg_q"] == idcg
+        assert r["ndcg_permille"] == (1000 * dcg) // idcg
+        assert r["rr_micros"] == (1_000_000 // best if best else 0)
+
+
+def test_ndcg_no_relevant_candidates_is_null(spark):
+    """A query with zero relevant candidates: idcg=0 -> NULL ndcg, rr=0."""
+    from wurzel_spark.operators.similarity import retrieval_ndcg_eval
+
+    dim = 64
+    rows = [(0, [1.0] + [0.0] * (dim - 1), 0)]
+    rows += [(10 + i, [0.5] * dim, 9) for i in range(6)]
+    r = retrieval_ndcg_eval(_emb(spark, rows), n_queries=1).collect()[0]
+    assert r["idcg_q"] == 0 and r["ndcg_permille"] is None and r["rr_micros"] == 0

@@ -166,6 +166,7 @@ QUERIES = [
     "binary_embedding_recall",
     "user_type_gini",
     "tcloseness_release",
+    "retrieval_ndcg_eval",
 ]
 
 

@@ -2665,3 +2665,159 @@ ORDER BY query_id
 
 
 BINARY_RECALL_SQL = _binary_recall_sql()
+
+
+# ------------------------------------------------ graded retrieval eval
+
+NDCG_K = 10
+NDCG_N_QUERIES = 10
+_NDCG_SCALE = 1 << 20
+# Position discounts floor(2^20 / log2(rank+1)) precomputed ONCE here and
+# inlined as the same integer literals in both engines — log2 never runs
+# inside either engine, so the per-rank discount is a shared constant and
+# every DCG term is an exact integer product.
+NDCG_DISCOUNTS = [
+    int(_NDCG_SCALE / __import__("math").log2(rank + 1)) for rank in range(1, NDCG_K + 1)
+]
+
+
+def retrieval_ndcg_eval(
+    emb: DataFrame,
+    k: int = NDCG_K,
+    n_queries: int = NDCG_N_QUERIES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Graded retrieval quality sign-off: nDCG@k and MRR of the exact
+    cosine ranking against label-derived graded relevance — the standard
+    eval pair (Järvelin & Kekäläinen 2002) behind every retrieval-stack
+    regression gate; [[binary_embedding_recall]] audits an INDEX against
+    the exact ranking, this audits the exact ranking against GROUND
+    TRUTH. Relevance grades derive deterministically from the label
+    space: 2 = same label, 1 = adjacent label (|Δ| = 1), 0 otherwise.
+
+    Exactness: discounts are the shared NDCG_DISCOUNTS integer table
+    (log2 precomputed once module-side, never inside an engine), so
+    DCG/IDCG are exact integer sums; ndcg_permille is integer floor-div,
+    MRR is floor(10⁶/rank). The cosine is used ONLY to rank (the
+    certified sequential-fold doubles, tie-break on candidate id) —
+    no float ever reaches an output column. IDCG ranks the SAME
+    candidate pool by relevance (tie id), so ndcg ≤ 1000 by
+    construction; a query whose pool holds no relevant candidate gets
+    NULL ndcg (0//0 guard) and rr_micros 0.
+
+    Scale shape: the n_queries rows broadcast against the corpus — one
+    linear pair pass, two windows per query partition (rank prune via
+    WindowGroupLimit), one grouped aggregate; the audit configuration
+    (fixed query count) per the ann_topk_bruteforce precedent."""
+    from pyspark.sql import Window as W
+
+    disc = F.array(*[F.lit(d).cast("long") for d in NDCG_DISCOUNTS])
+    base = emb.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == _BINARY_DIM)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col(label_col).alias("lbl")
+    )
+    q = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("lbl").alias("qlbl"),
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(F.col("id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "id",
+        F.when(F.col("lbl") == F.col("qlbl"), F.lit(2))
+        .when(F.abs(F.col("lbl") - F.col("qlbl")) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rel"),
+        cosine(F.col("vec"), F.col("qvec")).alias("cos"),
+    )
+    wq = W.partitionBy("query_id")
+    ranked = scored.withColumn(
+        "rn_cos", F.row_number().over(wq.orderBy(F.col("cos").desc(), "id"))
+    ).withColumn("rn_ideal", F.row_number().over(wq.orderBy(F.col("rel").desc(), "id")))
+    agg = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when(F.col("rn_cos") <= k, F.col("rel") * F.element_at(disc, F.col("rn_cos").cast("int")))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_q"),
+        F.sum(
+            F.when(
+                F.col("rn_ideal") <= k,
+                F.col("rel") * F.element_at(disc, F.col("rn_ideal").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("idcg_q"),
+        F.min(F.when(F.col("rel") >= 1, F.col("rn_cos"))).alias("best_rank"),
+    )
+    return agg.select(
+        "query_id",
+        "dcg_q",
+        "idcg_q",
+        F.expr(
+            "CASE WHEN idcg_q > 0 THEN div(1000 * dcg_q, idcg_q) ELSE NULL END"
+        ).alias("ndcg_permille"),
+        F.expr(
+            "CAST(CASE WHEN best_rank IS NULL THEN 0 ELSE div(1000000, best_rank) END AS BIGINT)"
+        ).alias("rr_micros"),
+    ).orderBy("query_id")
+
+
+def q_retrieval_ndcg_eval(spark, sf_dir: str) -> DataFrame:
+    return retrieval_ndcg_eval(table(spark, sf_dir, "embeddings"))
+
+
+def _ndcg_sql() -> str:
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+            f" / (sqrt(list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product(CAST({y} AS DOUBLE[]), CAST({y} AS DOUBLE[]))))"
+        )
+
+    disc = "[" + ", ".join(str(d) for d in NDCG_DISCOUNTS) + "]"
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding AS vec, label AS lbl
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_BINARY_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND label IS NOT NULL
+), q AS (
+  SELECT id AS query_id, vec AS qvec, lbl AS qlbl FROM base WHERE id < {NDCG_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, b.id,
+         CAST(CASE WHEN b.lbl = q.qlbl THEN 2
+                   WHEN ABS(b.lbl - q.qlbl) = 1 THEN 1 ELSE 0 END AS BIGINT) AS rel,
+         {cos("b.vec", "q.qvec")} AS cos
+  FROM base b CROSS JOIN q WHERE b.id != q.query_id
+), ranked AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn_ideal
+  FROM scored
+), agg AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN rn_cos <= {NDCG_K}
+                       THEN rel * ({disc})[CAST(rn_cos AS INT)] ELSE 0 END) AS BIGINT) AS dcg_q,
+         CAST(SUM(CASE WHEN rn_ideal <= {NDCG_K}
+                       THEN rel * ({disc})[CAST(rn_ideal AS INT)] ELSE 0 END) AS BIGINT) AS idcg_q,
+         MIN(CASE WHEN rel >= 1 THEN rn_cos END) AS best_rank
+  FROM ranked GROUP BY query_id
+)
+SELECT query_id, dcg_q, idcg_q,
+       CASE WHEN idcg_q > 0 THEN (1000 * dcg_q) // idcg_q ELSE NULL END AS ndcg_permille,
+       CAST(CASE WHEN best_rank IS NULL THEN 0 ELSE 1000000 // best_rank END AS BIGINT) AS rr_micros
+FROM agg ORDER BY query_id
+"""
+
+
+NDCG_EVAL_SQL = _ndcg_sql()
