@@ -274,6 +274,8 @@ HEADLINE = [
     "user_type_gini",
     "tcloseness_release",
     "retrieval_ndcg_eval",
+    "name_edit_near_pairs",
+    "entity_blocking_stats",
 ]
 
 

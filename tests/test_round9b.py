@@ -199,3 +199,91 @@ def test_ndcg_no_relevant_candidates_is_null(spark):
     rows += [(10 + i, [0.5] * dim, 9) for i in range(6)]
     r = retrieval_ndcg_eval(_emb(spark, rows), n_queries=1).collect()[0]
     assert r["idcg_q"] == 0 and r["ndcg_permille"] is None and r["rr_micros"] == 0
+
+
+# ------------------------------------------ blocked-Levenshtein entities
+
+
+def _parts(spark, names):
+    return spark.createDataFrame(
+        [(i, n, "B", "T", 1, 1.0) for i, n in enumerate(names)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+
+
+def test_name_edit_pairs_planted_typos(spark):
+    """Planted single-edit typos inside a block match; cross-block pairs
+    (different last token) are the documented blocking misses."""
+    from wurzel_spark.operators.dedup import name_edit_near_pairs
+
+    names = ["cold gear", "old gear", "cold gears", "red bolt", "red bol",
+             "cold widget", "wold gear"]
+    # multiplicity: "cold gear" appears 3x
+    df = _parts(spark, names + ["cold gear", "cold gear"])
+    out = {(r["name_a"], r["name_b"]): (r["edit_distance"], r["n_rows_a"], r["n_rows_b"])
+           for r in name_edit_near_pairs(df).collect()}
+    assert out[("cold gear", "old gear")][0] == 1
+    assert out[("cold gear", "old gear")][1] == 3  # multiplicity carried
+    assert out[("cold gear", "wold gear")][0] == 1
+    assert out[("old gear", "wold gear")][0] == 1  # insert 'w'
+    # same block, distance 2 via suffix... "cold gears" is blk="gears": MISS
+    assert not any("cold gears" in k for k in out)
+    # "red bol" blocks under "bol" — cross-block miss despite distance 1
+    assert not any("red bol" in k for k in out)
+    # widget shares no block partner
+    assert not any("cold widget" in k for k in out)
+
+
+def test_entity_blocking_stats_counts(spark):
+    """Candidate/matched/reduction arithmetic on a hand-countable fixture."""
+    from wurzel_spark.operators.dedup import entity_blocking_stats
+
+    names = ["cold gear", "old gear", "bold gear", "red bolt", "red belt"]
+    r = entity_blocking_stats(_parts(spark, names)).collect()[0]
+    assert r["n_rows"] == 5 and r["n_names"] == 5
+    assert r["n_blocks"] == 3  # gear, bolt, belt
+    assert r["n_blocks_capped"] == 0
+    assert r["n_candidate_pairs"] == 3  # the gear block's C(3,2)
+    assert r["n_matched_pairs"] == 3   # all within distance 2 of each other
+    assert r["reduction_permille"] == (2000 * 3) // (5 * 4)
+
+
+def test_entity_block_cap_excludes_megablock(spark):
+    """Blocks past the cap are excluded wholesale and counted."""
+    from wurzel_spark.operators.dedup import (
+        entity_blocking_stats,
+        name_edit_near_pairs,
+    )
+
+    names = [f"v{i:04d} mega" for i in range(30)] + ["red bolt", "red bol6"]
+    df = _parts(spark, names)
+    pairs = name_edit_near_pairs(df, block_cap=10).collect()
+    assert {(p["name_a"], p["name_b"]) for p in pairs} == set()  # bolt/bol6 differ in blk
+    stats = entity_blocking_stats(df, block_cap=10).collect()[0]
+    assert stats["n_blocks_capped"] == 1
+    assert stats["n_candidate_pairs"] == 0
+
+
+def test_entity_cross_engine_fixture(spark):
+    """Planted-typo fixture matches the oracle SQL bit-for-bit."""
+    from wurzel_spark.operators.dedup import name_edit_near_pairs
+
+    names = ["cold plate", "old plate", "gold plate", "cool plate",
+             "red rod", "red root", "blue gizmo"] * 2
+    df = _parts(spark, names)
+    mine = [
+        (r["name_a"], r["name_b"], r["edit_distance"], r["n_rows_a"], r["n_rows_b"])
+        for r in name_edit_near_pairs(df).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE part(p_partkey BIGINT, p_name VARCHAR, p_brand VARCHAR,"
+        " p_type VARCHAR, p_size INT, p_retailprice DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO part VALUES (?,?,?,?,?,?)",
+        [(i, n, "B", "T", 1, 1.0) for i, n in enumerate(names)],
+    )
+    oracle = [tuple(r) for r in con.execute(e.oracle_sql()["name_edit_near_pairs"]).fetchall()]
+    assert mine == oracle and len(mine) >= 3

@@ -167,6 +167,10 @@ QUERIES = [
     "user_type_gini",
     "tcloseness_release",
     "retrieval_ndcg_eval",
+    # name_edit_near_pairs / entity_blocking_stats EXCLUDED: they read the
+    # part table, absent from the documents-only probe dir (zorder
+    # precedent); growth is vocab-bounded by construction (edit distance
+    # runs on DISTINCT names, Heaps-sublinear in rows).
 ]
 
 

@@ -3078,3 +3078,221 @@ FROM v
 
 
 DEDUP_VERDICT_SQL = _verdict_matrix_sql()
+
+
+# ------------------------------------------ blocked-Levenshtein entity pairs
+
+ENTITY_MAX_D = 2
+ENTITY_BLOCK_CAP = 256
+
+
+def _name_vocab_blocks(df: DataFrame, name_col: str) -> DataFrame:
+    """Distinct-name vocab with row multiplicities and block keys — the
+    standard entity-resolution reduction: edit distance runs on the
+    VOCAB (V distinct names, grows ~Heaps-sublinearly), never on rows.
+    Block = the last whitespace token (the category/surname-style key
+    every blocking textbook starts with)."""
+    from pyspark.sql import Window as W
+
+    vocab = (
+        df.filter(F.col(name_col).isNotNull())
+        .groupBy(F.col(name_col).alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            "name",
+            "n_rows",
+            F.element_at(F.split(F.col("name"), " "), -1).alias("blk"),
+            F.length("name").alias("len"),
+        )
+    )
+    return vocab.withColumn(
+        "blk_size", F.count(F.lit(1)).over(W.partitionBy("blk"))
+    )
+
+
+def name_edit_near_pairs(
+    df: DataFrame,
+    name_col: str = "p_name",
+    max_d: int = ENTITY_MAX_D,
+    block_cap: int = ENTITY_BLOCK_CAP,
+) -> DataFrame:
+    """Entity-resolution matching: near-identical name pairs by exact
+    Levenshtein distance ≤ max_d within blocking-key groups — the
+    fuzzy-join primitive behind supplier/customer master-data dedup
+    (reference's exact-hash DropDuplicationStep has no fuzzy tier;
+    this is the string-space analog of the embedding-space near-dup
+    family). Candidates form ONLY inside a block (last name token)
+    within a length band (|Δlen| ≤ max_d — the Levenshtein lower
+    bound), and oversized blocks (> block_cap distinct names) are
+    excluded wholesale, the df-cap convention — [[entity_blocking_stats]]
+    reports how much the caps dropped.
+
+    Exactness: unit-cost Levenshtein is the same integer in both
+    engines; pair key orders name_a < name_b; row multiplicities come
+    from the vocab counts.
+
+    Scale shape: one corpus-grain grouped count (the vocab build);
+    blocking + the length band bound the pair join to Σ_blk min(size,
+    cap)² over VOCAB-sized rows."""
+    v = _name_vocab_blocks(df, name_col).filter(F.col("blk_size") <= block_cap)
+    a = v.select(
+        F.col("name").alias("name_a"),
+        F.col("n_rows").alias("n_rows_a"),
+        "blk",
+        F.col("len").alias("len_a"),
+    )
+    b = v.select(
+        F.col("name").alias("name_b"),
+        F.col("n_rows").alias("n_rows_b"),
+        "blk",
+        F.col("len").alias("len_b"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_d)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_distance"),
+            "n_rows_a",
+            "n_rows_b",
+        )
+        .filter(F.col("edit_distance") <= max_d)
+    )
+    return pairs.orderBy("name_a", "name_b")
+
+
+def q_name_edit_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return name_edit_near_pairs(table(spark, sf_dir, "part"))
+
+
+NAME_EDIT_PAIRS_SQL = f"""
+WITH vocab AS (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         string_split(p_name, ' ')[-1] AS blk,
+         length(p_name) AS len
+  FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY blk) AS blk_size FROM vocab
+), v AS (
+  SELECT * FROM sized WHERE blk_size <= {ENTITY_BLOCK_CAP}
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance,
+       a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+FROM v a JOIN v b ON a.blk = b.blk AND a.name < b.name
+         AND ABS(a.len - b.len) <= {ENTITY_MAX_D}
+WHERE levenshtein(a.name, b.name) <= {ENTITY_MAX_D}
+ORDER BY name_a, name_b
+"""
+
+
+def entity_blocking_stats(
+    df: DataFrame,
+    name_col: str = "p_name",
+    max_d: int = ENTITY_MAX_D,
+    block_cap: int = ENTITY_BLOCK_CAP,
+) -> DataFrame:
+    """Blocking sign-off for [[name_edit_near_pairs]]: one row of the
+    reduction the blocking scheme buys vs all-pairs — n_rows, distinct
+    names, blocks, capped-out blocks (and the names inside them), the
+    candidate count the length-banded block join actually materializes,
+    matched pairs, and reduction_permille = 1000·candidates // allpairs
+    (V·(V−1)/2). The record-linkage literature's RR/PC readout: pair it
+    with a recall check in tests (pairs planted across blocks are the
+    known misses).
+
+    Scale shape: everything after the vocab build is vocab-sized; the
+    candidate count is a SUM of per-block products, not a materialized
+    join."""
+    v = _name_vocab_blocks(df, name_col)
+    total = v.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_names"),
+    )
+    blocks = v.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    bstats = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("sz") > block_cap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_blocks_capped"),
+    )
+    kept = _name_vocab_blocks(df, name_col).filter(F.col("blk_size") <= block_cap)
+    a = kept.select(F.col("name").alias("name_a"), "blk", F.col("len").alias("len_a"))
+    b = kept.select(F.col("name").alias("name_b"), "blk", F.col("len").alias("len_b"))
+    cand = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_d)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.sum(
+                F.when(F.levenshtein("name_a", "name_b") <= max_d, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matched_pairs"),
+        )
+    )
+    return (
+        total.crossJoin(bstats)
+        .crossJoin(cand)
+        .select(
+            "n_rows",
+            "n_names",
+            "n_blocks",
+            "n_blocks_capped",
+            "n_candidate_pairs",
+            "n_matched_pairs",
+            # allpairs = V(V−1)/2 exactly, so 1000·c/(V(V−1)/2) clears to
+            # 2000·c // (V(V−1)) — Spark `/` on longs would return DOUBLE.
+            F.expr(
+                "CASE WHEN n_names > 1 THEN CAST(div(2000 * n_candidate_pairs,"
+                " n_names * (n_names - 1)) AS BIGINT) ELSE NULL END"
+            ).alias("reduction_permille"),
+        )
+    )
+
+
+def q_entity_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entity_blocking_stats(table(spark, sf_dir, "part"))
+
+
+ENTITY_BLOCKING_SQL = f"""
+WITH vocab AS (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         string_split(p_name, ' ')[-1] AS blk,
+         length(p_name) AS len
+  FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY blk) AS blk_size FROM vocab
+), total AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_names
+  FROM vocab
+), bstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CASE WHEN sz > {ENTITY_BLOCK_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_blocks_capped
+  FROM (SELECT blk, COUNT(*) AS sz FROM vocab GROUP BY blk)
+), cand AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+         CAST(SUM(CASE WHEN levenshtein(a.name, b.name) <= {ENTITY_MAX_D}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_pairs
+  FROM (SELECT * FROM sized WHERE blk_size <= {ENTITY_BLOCK_CAP}) a
+  JOIN (SELECT * FROM sized WHERE blk_size <= {ENTITY_BLOCK_CAP}) b
+    ON a.blk = b.blk AND a.name < b.name AND ABS(a.len - b.len) <= {ENTITY_MAX_D}
+)
+SELECT n_rows, n_names, n_blocks, n_blocks_capped,
+       n_candidate_pairs, n_matched_pairs,
+       CASE WHEN n_names > 1
+            THEN (2000 * n_candidate_pairs) // (n_names * (n_names - 1))
+            ELSE NULL END AS reduction_permille
+FROM total, bstats, cand
+"""
