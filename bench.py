@@ -276,6 +276,7 @@ HEADLINE = [
     "retrieval_ndcg_eval",
     "name_edit_near_pairs",
     "entity_blocking_stats",
+    "part_affinity_pairs",
 ]
 
 

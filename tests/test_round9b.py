@@ -287,3 +287,65 @@ def test_entity_cross_engine_fixture(spark):
     )
     oracle = [tuple(r) for r in con.execute(e.oracle_sql()["name_edit_near_pairs"]).fetchall()]
     assert mine == oracle and len(mine) >= 3
+
+
+# --------------------------------------------- market-basket part affinity
+
+
+def test_part_affinity_hand_computed(spark, tmp_path):
+    """Lift/support arithmetic on a hand-countable basket fixture."""
+    from wurzel_spark.queries.relational import part_affinity_pairs
+
+    rows = []
+    # 4 orders; parts 1&2 co-occur in 3 of them; part 3 alone in one
+    baskets = {10: [1, 2], 11: [1, 2], 12: [1, 2, 3], 13: [3]}
+    ln = 0
+    for ok, parts in baskets.items():
+        for p in parts:
+            ln += 1
+            rows.append((ok, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    d = tmp_path / "lineitem.parquet"
+    df.coalesce(1).write.parquet(str(d))
+    import shutil, glob, os
+    # table() reads <dir>/lineitem.parquet as a file-or-dir path; the dir form works
+    out = part_affinity_pairs(spark, str(tmp_path)).collect()
+    by_pair = {(r["part_a"], r["part_b"]): r for r in out}
+    r12 = by_pair[(1, 2)]
+    assert r12["n_ab"] == 3 and r12["n_a"] == 3 and r12["n_b"] == 3
+    assert r12["support_permille"] == (1000 * 3) // 4
+    assert r12["lift_permille"] == (1000 * 3 * 4) // (3 * 3)  # 1333
+    r13 = by_pair[(1, 3)]
+    assert r13["n_ab"] == 1 and r13["lift_permille"] == (1000 * 1 * 4) // (3 * 2)
+
+
+def test_part_affinity_basket_cap_prunes_megabasket(spark, tmp_path):
+    """A basket past BASKET_CAP contributes only its first cap items (by
+    partkey) — the pathological-basket guard; and the plan carries the
+    pre-shuffle WindowGroupLimit prune."""
+    import wurzel_spark.queries.relational as R
+
+    rows = []
+    ln = 0
+    for p in range(100):  # one mega-order with 100 distinct parts
+        ln += 1
+        rows.append((1, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+    rows.append((2, 0, 1, ln + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = R.part_affinity_pairs(spark, str(tmp_path))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    pairs = out.collect()
+    # parts >= BASKET_CAP never appear
+    assert all(r["part_a"] < R.BASKET_CAP and r["part_b"] < R.BASKET_CAP for r in pairs)

@@ -171,6 +171,9 @@ QUERIES = [
     # part table, absent from the documents-only probe dir (zorder
     # precedent); growth is vocab-bounded by construction (edit distance
     # runs on DISTINCT names, Heaps-sublinear in rows).
+    # part_affinity_pairs EXCLUDED: reads lineitem (zorder precedent);
+    # growth is linear-in-orders by the BASKET_CAP bound (<= C(cap,2)
+    # pairs per order), plan-asserted WindowGroupLimit prune.
 ]
 
 

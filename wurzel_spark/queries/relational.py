@@ -1689,3 +1689,119 @@ SELECT n_keys, n_rows, max_key_rows,
        top_keys_json
 FROM stats, top
 """
+
+
+# --------------------------------------------- market-basket part affinity
+
+BASKET_CAP = 32
+AFFINITY_TOP_K = 50
+
+
+def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top co-purchased part pairs by LIFT
+    with exact support — the classic association-rule readout (Agrawal &
+    Srikant 1994, reduced to the 2-itemset tier that drives
+    recommendation candidates and co-location layout decisions).
+
+    Exactness: lift = P(ab)/(P(a)P(b)) clears denominators to
+    ``1000·n_ab·N // (n_a·n_b)`` — counts are exact ints, the product
+    n_ab·N reaches ~10²⁴ at 100 TB order counts so the multiply runs in
+    decimal(38,0)/HUGEINT; support is ``1000·n_ab // N``. The top-K
+    sort key (lift desc, n_ab desc, part_a, part_b) is total, so LIMIT
+    is deterministic.
+
+    Scale shape: baskets are per-order item sets capped at BASKET_CAP
+    items (row_number within order — WindowGroupLimit prunes pre-shuffle;
+    TPC-H orders hold ≤7 items, the cap guards pathological baskets at
+    scale), so the self-join fans out ≤ C(cap,2) per order — linear in
+    orders. Item counts and the scalar N are grouped aggregates; the
+    final sort is a TopK (take-ordered), never a full shuffle."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    w = W.partitionBy("l_orderkey").orderBy("l_partkey")
+    basket = (
+        items.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BASKET_CAP)
+        .drop("rn")
+    )
+    n_orders = basket.agg(
+        F.countDistinct("l_orderkey").cast("decimal(38,0)").alias("n_orders")
+    )
+    counts = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_single")
+    )
+    a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pair_counts = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_ab"))
+    )
+    joined = (
+        pair_counts.join(
+            counts.select(F.col("l_partkey").alias("part_a"), F.col("n_single").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            counts.select(F.col("l_partkey").alias("part_b"), F.col("n_single").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    scored = joined.select(
+        "part_a",
+        "part_b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr("CAST(div(1000 * n_ab, n_orders) AS BIGINT)").alias("support_permille"),
+        F.expr("CAST(div(1000 * n_ab * n_orders, n_a * n_b) AS BIGINT)").alias(
+            "lift_permille"
+        ),
+    )
+    return scored.orderBy(
+        F.col("lift_permille").desc(),
+        F.col("n_ab").desc(),
+        "part_a",
+        "part_b",
+    ).limit(AFFINITY_TOP_K)
+
+
+PART_AFFINITY_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), basket AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM items
+  ) WHERE rn <= {BASKET_CAP}
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS HUGEINT) AS n_orders FROM basket
+), counts AS (
+  SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS n_single
+  FROM basket GROUP BY l_partkey
+), pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS HUGEINT) AS n_ab
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ca.n_single AS BIGINT) AS n_a,
+       CAST(cb.n_single AS BIGINT) AS n_b,
+       CAST((1000 * n_ab) // n_orders AS BIGINT) AS support_permille,
+       CAST((1000 * n_ab * n_orders) // (ca.n_single * cb.n_single) AS BIGINT)
+         AS lift_permille
+FROM pair_counts
+JOIN counts ca ON ca.l_partkey = part_a
+JOIN counts cb ON cb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY lift_permille DESC, n_ab DESC, part_a, part_b
+LIMIT {AFFINITY_TOP_K}
+"""
