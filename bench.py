@@ -277,6 +277,7 @@ HEADLINE = [
     "name_edit_near_pairs",
     "entity_blocking_stats",
     "part_affinity_pairs",
+    "readability_stats",
 ]
 
 

@@ -349,3 +349,88 @@ def test_part_affinity_basket_cap_prunes_megabasket(spark, tmp_path):
     pairs = out.collect()
     # parts >= BASKET_CAP never appear
     assert all(r["part_a"] < R.BASKET_CAP and r["part_b"] < R.BASKET_CAP for r in pairs)
+
+
+# ---------------------------------------------------- readability battery
+
+
+def test_readability_hand_computed(spark):
+    """Flesch/FK milli-unit integer formulas on a hand-countable doc."""
+    from wurzel_spark.operators.textstats import readability_stats
+
+    text = "The cat sat. The dog ran!"
+    # words: The cat sat The dog ran = 6; syllables (vowel groups) = 6;
+    # sentences: '.' and '!' = 2
+    w, y, s = 6, 6, 2
+    flesch = 206835 - (1015 * w) // s - (84600 * y) // w
+    grade = (390 * w) // s + (11800 * y) // w - 15590
+    r = readability_stats(_docs(spark, [(1, text, "s0", "en", len(text))])).collect()[0]
+    assert r["n_docs"] == 1 and r["n_unscored"] == 0
+    assert r["sum_flesch_milli"] == flesch
+    assert r["sum_grade_milli"] == grade
+    assert (r["n_easy"], r["n_standard"], r["n_hard"]) == (1, 0, 0)
+
+
+def test_readability_unscored_and_bands(spark):
+    """Zero-word docs count as unscored; a vowel-dense one-sentence wall
+    lands in the hard band; cross-engine equality on the mixed fixture."""
+    from wurzel_spark.operators.textstats import readability_stats
+
+    hard = ("extraordinarily " * 40).strip()  # 40 long words, 1 sentence floor
+    rows = [
+        (1, "The cat sat. The dog ran!", "s0", "en", 25),
+        (2, "12345 !!!", "s0", "en", 9),          # no words -> unscored
+        (3, hard, "s0", "en", len(hard)),
+        (4, None, "s1", "en", 0),                  # NULL text -> unscored
+    ]
+    out = {r["source"]: r for r in readability_stats(_docs(spark, rows)).collect()}
+    assert out["s0"]["n_docs"] == 3 and out["s0"]["n_unscored"] == 1
+    assert out["s0"]["n_hard"] == 1 and out["s0"]["n_easy"] == 1
+    assert out["s1"]["n_unscored"] == 1
+    con = _duck_docs(rows)
+    oracle = [tuple(r) for r in con.execute(e.oracle_sql()["readability_stats"]).fetchall()]
+    mine = [tuple(r) for r in readability_stats(_docs(spark, rows)).collect()]
+    assert mine == oracle
+
+
+def test_streaming_readability_matches_batch(spark, tmp_path):
+    from wurzel_spark.operators.textstats import readability_stats
+    from wurzel_spark.streaming.readability import readability_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+    d = str(tmp_path / "rd_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = [
+        tuple(r)
+        for r in readability_stream(
+            stream, str(tmp_path / "rd_state"), str(tmp_path / "rd_ckpt"),
+            compact_every=2,
+        ).collect()
+    ]
+    exp = [tuple(r) for r in readability_stats(docs).collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_readability_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.operators.textstats import readability_partials
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.readability import drain_readability_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "rd_replay")
+
+    def _stage(df, bid):
+        mine = readability_partials(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(spark, mine, state, bid, ["src_batch", "source"], None)
+
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = [tuple(r) for r in drain_readability_state(spark, state).collect()]
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
+    got = [tuple(r) for r in drain_readability_state(spark, state).collect()]
+    assert got == once and len(once) > 0

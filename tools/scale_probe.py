@@ -174,6 +174,7 @@ QUERIES = [
     # part_affinity_pairs EXCLUDED: reads lineitem (zorder precedent);
     # growth is linear-in-orders by the BASKET_CAP bound (<= C(cap,2)
     # pairs per order), plan-asserted WindowGroupLimit prune.
+    "readability_stats",
 ]
 
 

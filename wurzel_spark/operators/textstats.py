@@ -5562,3 +5562,122 @@ ORDER BY source, lang
 
 
 LINE_LANG_SQL = _line_lang_sql()
+
+
+# ---------------------------------------------------- readability battery
+
+_READ_WORD_RE = "[A-Za-z]+"
+_READ_SYL_RE = "[AEIOUYaeiouy]+"
+_READ_SENT_RE = "[.!?]+"
+READ_EASY_MILLI = 70_000
+READ_HARD_MILLI = 30_000
+
+
+def readability_partials(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source ADDITIVE readability partials — the staged unit of the
+    streaming twin. Flesch reading ease and Flesch–Kincaid grade in
+    exact integer MILLI-units: words W = ``[A-Za-z]+`` runs, syllables
+    Y = vowel-group runs (the standard heuristic), sentences
+    S = ``[.!?]+`` runs floored at 1. Per doc
+    ``flesch_milli = 206835 − ⌊1015·W/S⌋ − ⌊84600·Y/W⌋`` and
+    ``grade_milli = ⌊390·W/S⌋ + ⌊11800·Y/W⌋ − 15590`` — every division
+    has non-negative operands (the truncate-vs-floor trap never fires);
+    the subtraction may go negative AFTER the divisions, which is safe.
+    Docs with zero words are counted, never scored.
+
+    Scale shape: row-local regexp counts + one per-source aggregate;
+    sums run in decimal(38,0) (a 10¹² -doc source would pass int64)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    w = F.regexp_count(c, F.lit(_READ_WORD_RE))
+    y = F.regexp_count(c, F.lit(_READ_SYL_RE))
+    s = F.greatest(F.regexp_count(c, F.lit(_READ_SENT_RE)), F.lit(1))
+    per = df.select(
+        "source",
+        w.cast("long").alias("w"),
+        y.cast("long").alias("y"),
+        s.cast("long").alias("s"),
+    ).select(
+        "source",
+        "w",
+        F.expr(
+            "CASE WHEN w > 0 THEN 206835 - div(1015 * w, s) - div(84600 * y, w) END"
+        ).alias("flesch_milli"),
+        F.expr(
+            "CASE WHEN w > 0 THEN div(390 * w, s) + div(11800 * y, w) - 15590 END"
+        ).alias("grade_milli"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0)).alias("n_unscored"),
+        F.sum(F.col("flesch_milli").cast("decimal(38,0)")).alias("sum_flesch_milli"),
+        F.sum(F.col("grade_milli").cast("decimal(38,0)")).alias("sum_grade_milli"),
+        F.sum(
+            F.when(F.col("flesch_milli") >= READ_EASY_MILLI, 1).otherwise(0)
+        ).alias("n_easy"),
+        F.sum(
+            F.when(
+                (F.col("flesch_milli") < READ_EASY_MILLI)
+                & (F.col("flesch_milli") >= READ_HARD_MILLI),
+                1,
+            ).otherwise(0)
+        ).alias("n_standard"),
+        F.sum(
+            F.when(F.col("flesch_milli") < READ_HARD_MILLI, 1).otherwise(0)
+        ).alias("n_hard"),
+    )
+
+
+def readability_from_partials(agg: DataFrame) -> DataFrame:
+    """Cast/order tail over per-source partials (shared with the drain)."""
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_unscored").cast("long").alias("n_unscored"),
+        F.col("sum_flesch_milli").cast("long").alias("sum_flesch_milli"),
+        F.col("sum_grade_milli").cast("long").alias("sum_grade_milli"),
+        F.col("n_easy").cast("long").alias("n_easy"),
+        F.col("n_standard").cast("long").alias("n_standard"),
+        F.col("n_hard").cast("long").alias("n_hard"),
+    ).orderBy("source")
+
+
+def readability_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source readability profile: Flesch reading-ease / FK-grade
+    integer sums and easy/standard/hard band counts — the
+    audience-difficulty readout a curation mixture uses next to
+    [[gopher_quality_flags]] (structural junk) and [[ccnet_lm_perplexity]]
+    (LM fit): quality gates pass textbook prose AND legalese; this tells
+    them apart. Sums (not averages) are emitted so the output stays pure
+    integer — a negative sum through floor-vs-truncate division is the
+    one divergence class this family would otherwise risk."""
+    return readability_from_partials(readability_partials(df, text_col))
+
+
+def q_readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability_stats(table(spark, sf_dir, "documents"))
+
+
+READABILITY_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '{_READ_WORD_RE}')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '{_READ_SYL_RE}')) AS BIGINT) AS y,
+         CAST(GREATEST(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')), 1) AS BIGINT) AS s
+  FROM documents
+), scored AS (
+  SELECT source, w,
+         CASE WHEN w > 0 THEN 206835 - (1015 * w) // s - (84600 * y) // w END AS flesch_milli,
+         CASE WHEN w > 0 THEN (390 * w) // s + (11800 * y) // w - 15590 END AS grade_milli
+  FROM per
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unscored,
+       CAST(SUM(CAST(flesch_milli AS HUGEINT)) AS BIGINT) AS sum_flesch_milli,
+       CAST(SUM(CAST(grade_milli AS HUGEINT)) AS BIGINT) AS sum_grade_milli,
+       CAST(SUM(CASE WHEN flesch_milli >= {READ_EASY_MILLI} THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+       CAST(SUM(CASE WHEN flesch_milli < {READ_EASY_MILLI}
+                      AND flesch_milli >= {READ_HARD_MILLI} THEN 1 ELSE 0 END) AS BIGINT) AS n_standard,
+       CAST(SUM(CASE WHEN flesch_milli < {READ_HARD_MILLI} THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+FROM scored GROUP BY source ORDER BY source
+"""
