@@ -278,6 +278,7 @@ HEADLINE = [
     "entity_blocking_stats",
     "part_affinity_pairs",
     "readability_stats",
+    "event_cusum_drift",
 ]
 
 

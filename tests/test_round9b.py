@@ -434,3 +434,90 @@ def test_streaming_readability_replay_is_idempotent(spark, tmp_path):
     _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
     got = [tuple(r) for r in drain_readability_state(spark, state).collect()]
     assert got == once and len(once) > 0
+
+
+# --------------------------------------------- CUSUM change-point detection
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_cusum_matches_python_recursion(spark, tmp_path):
+    """The window closed form must equal the literal Page recursion
+    S_h = max(0, S_{h-1} + dev_h) on a planted level-shift series."""
+    import datetime as dt
+    from wurzel_spark.queries.events import event_cusum_drift
+
+    # 12 hours at rate 2, then 12 hours at rate 10 — an upward shift
+    counts = [2] * 12 + [10] * 12
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for k in range(c):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1, h), 1, "click", 1.0, None))
+    _events(spark, rows).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = event_cusum_drift(spark, str(tmp_path)).collect()
+
+    t = sum(counts)
+    h_n = len(counts)
+    s_up = s_dn = 0
+    for i, r in enumerate(out):
+        dev = counts[i] * h_n - t
+        s_up = max(0, s_up + dev)
+        s_dn = max(0, s_dn - dev)
+        assert r["n_events"] == counts[i]
+        assert r["cusum_up_permille"] == (1000 * s_up) // (t * h_n), i
+        assert r["cusum_dn_permille"] == (1000 * s_dn) // (t * h_n), i
+    # with a retrospective mean, early low-rate hours drift the DOWNWARD
+    # arm (that IS a level difference); the UPWARD arm must stay quiet
+    # until the shift and fire after it
+    up = [r["cusum_up_permille"] for r in out]
+    assert all(v == 0 for v in up[:12])
+    assert up[-1] > 0
+    assert any(r["drift_flag"] for r in out[12:])
+
+
+def test_cusum_flat_series_never_flags(spark, tmp_path):
+    """A constant-rate series has dev=0 everywhere: statistic 0, no flag."""
+    import datetime as dt
+    from wurzel_spark.queries.events import event_cusum_drift
+
+    rows = []
+    eid = 0
+    for h in range(24):
+        for k in range(5):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 2, 1, h), 1, "view", 1.0, None))
+    _events(spark, rows).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = event_cusum_drift(spark, str(tmp_path)).collect()
+    assert all(
+        r["cusum_up_permille"] == 0
+        and r["cusum_dn_permille"] == 0
+        and not r["drift_flag"]
+        for r in out
+    )
+
+
+def test_cusum_downward_shift_flags_dn(spark, tmp_path):
+    """A rate DROP trips the downward detector, not the upward one."""
+    import datetime as dt
+    from wurzel_spark.queries.events import event_cusum_drift
+
+    counts = [10] * 12 + [1] * 12
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for k in range(c):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 3, 1, h), 1, "buy", 1.0, None))
+    _events(spark, rows).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = event_cusum_drift(spark, str(tmp_path)).collect()
+    last = out[-1]
+    assert last["cusum_dn_permille"] > last["cusum_up_permille"]
+    assert any(r["drift_flag"] for r in out[12:])

@@ -175,6 +175,7 @@ QUERIES = [
     # growth is linear-in-orders by the BASKET_CAP bound (<= C(cap,2)
     # pairs per order), plan-asserted WindowGroupLimit prune.
     "readability_stats",
+    "event_cusum_drift",
 ]
 
 

@@ -705,3 +705,108 @@ SELECT user_id,
        CAST(((t * t - sum_c2) * 1000) // (t * t) AS BIGINT) AS gini_permille
 FROM agg ORDER BY user_id
 """
+
+
+# --------------------------------------------- CUSUM change-point detection
+
+CUSUM_FLAG_PERMILLE = 50
+
+
+def event_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point statistic over each event type's
+    hourly count series — the classic Page (1954) drift detector next to
+    the distributional [[event_type_drift]] (PSI compares two windows;
+    CUSUM localizes WHEN the rate shifted). The recursion
+    ``S_h = max(0, S_{h−1} + dev_h)`` has the closed form
+    ``S_h = P_h − min(0, min_{j≤h} P_j)`` (prefix sum minus running
+    prefix minimum), so the whole statistic is two running windows —
+    no iteration, no recursive CTE.
+
+    Exactness: deviations clear the mean's denominator —
+    ``dev_h = c_h·H − T`` (T = type total, H = observed hours), so P is
+    an exact integer in count·hour units and the normalized statistic is
+    ``1000·S // (T·H)`` with non-negative operands. decimal/HUGEINT:
+    c_h·H reaches ~10¹⁸ at 100 TB event counts. Hour buckets are the
+    OBSERVED hours of the type (the materialized-rollup grain of
+    [[events_daily_from_hourly]]); a silent hour reads as a gap, not a
+    zero — the downward detector catches rate DROPS via dev's negative
+    drift across the remaining buckets.
+
+    Scale shape: one corpus-grain grouped count to the (type, hour)
+    rollup; everything after is windows over rollup-sized rows
+    partitioned by type."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    wt = W.partitionBy("event_type")
+    enriched = hourly.select(
+        "event_type",
+        "hour",
+        "c",
+        F.sum("c").over(wt).alias("t"),
+        F.count(F.lit(1)).over(wt).cast("decimal(38,0)").alias("h_n"),
+    )
+    wrun = wt.orderBy("hour").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = enriched.select(
+        "event_type",
+        "hour",
+        "c",
+        "t",
+        "h_n",
+        F.sum(F.col("c") * F.col("h_n") - F.col("t")).over(wrun).alias("p"),
+    ).select(
+        "*",
+        F.least(F.lit(0).cast("decimal(38,0)"), F.min("p").over(wrun)).alias("m_lo"),
+        F.greatest(F.lit(0).cast("decimal(38,0)"), F.max("p").over(wrun)).alias("m_hi"),
+    )
+    return run.select(
+        "event_type",
+        "hour",
+        F.col("c").cast("long").alias("n_events"),
+        F.expr("CAST(div(1000 * (p - m_lo), t * h_n) AS BIGINT)").alias(
+            "cusum_up_permille"
+        ),
+        F.expr("CAST(div(1000 * (m_hi - p), t * h_n) AS BIGINT)").alias(
+            "cusum_dn_permille"
+        ),
+        (
+            F.expr(f"div(1000 * (p - m_lo), t * h_n) > {CUSUM_FLAG_PERMILLE}")
+            | F.expr(f"div(1000 * (m_hi - p), t * h_n) > {CUSUM_FLAG_PERMILLE}")
+        ).alias("drift_flag"),
+    ).orderBy("event_type", "hour")
+
+
+EVENT_CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), enriched AS (
+  SELECT event_type, hour, c,
+         SUM(c) OVER (PARTITION BY event_type) AS t,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) AS h_n
+  FROM hourly
+), run AS (
+  SELECT event_type, hour, c, t, h_n,
+         SUM(c * h_n - t) OVER w AS p
+  FROM enriched
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), extrema AS (
+  SELECT event_type, hour, c, t, h_n, p,
+         LEAST(CAST(0 AS HUGEINT), MIN(p) OVER w) AS m_lo,
+         GREATEST(CAST(0 AS HUGEINT), MAX(p) OVER w) AS m_hi
+  FROM run
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hour, CAST(c AS BIGINT) AS n_events,
+       CAST((1000 * (p - m_lo)) // (t * h_n) AS BIGINT) AS cusum_up_permille,
+       CAST((1000 * (m_hi - p)) // (t * h_n) AS BIGINT) AS cusum_dn_permille,
+       ((1000 * (p - m_lo)) // (t * h_n) > {CUSUM_FLAG_PERMILLE}
+        OR (1000 * (m_hi - p)) // (t * h_n) > {CUSUM_FLAG_PERMILLE}) AS drift_flag
+FROM extrema ORDER BY event_type, hour
+"""
