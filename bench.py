@@ -279,6 +279,7 @@ HEADLINE = [
     "part_affinity_pairs",
     "readability_stats",
     "event_cusum_drift",
+    "magic_byte_stats",
 ]
 
 

@@ -521,3 +521,72 @@ def test_cusum_downward_shift_flags_dn(spark, tmp_path):
     last = out[-1]
     assert last["cusum_dn_permille"] > last["cusum_up_permille"]
     assert any(r["drift_flag"] for r in out[12:])
+
+
+# ------------------------------------------------- magic-byte sniffing audit
+
+
+def test_magic_signatures_fire_on_real_prefixes(spark):
+    """Each container signature fires on a planted real magic prefix, and
+    the declared-mime cross-check flags mislabels."""
+    from wurzel_spark.operators.multimodal import magic_byte_stats
+
+    def asset(aid, kind, mime, content):
+        return (aid, kind, bytearray(content), {"mime": mime, "width": 1,
+                "height": 1, "duration_ms": 1, "sample_rate": 1})
+
+    rows = [
+        asset(1, "image", "image/jpeg", b"\xff\xd8\xff\xe0rest"),
+        asset(2, "image", "image/png", b"\x89PNG\r\n\x1a\nrest"),
+        asset(3, "image", "image/gif", b"GIF89a..."),
+        asset(4, "audio", "audio/wav", b"RIFF\x00\x00\x00\x00WAVEfmt "),
+        asset(5, "video", "video/mp4", b"\x00\x00\x00\x18ftypisom...."),
+        asset(6, "doc", "application/pdf", b"%PDF-1.7 ..."),
+        asset(7, "blob", "application/gzip", b"\x1f\x8b\x08rest"),
+        asset(8, "blob", "application/zip", b"PK\x03\x04rest"),
+        asset(9, "audio", "audio/ogg", b"OggS\x00rest"),
+        # mislabeled: declared png, actually jpeg
+        asset(10, "image", "image/png", b"\xff\xd8\xff\xe1exif"),
+        # html error page saved as jpeg
+        asset(11, "image", "image/jpeg", b"<html>404</html>"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:bigint,sample_rate:int>",
+    )
+    out = {(r["kind"], r["mime"], r["detected"]): r for r in magic_byte_stats(df).collect()}
+    assert out[("image", "image/jpeg", "jpeg")]["mime_match"] is True
+    assert out[("image", "image/png", "png")]["mime_match"] is True
+    assert out[("image", "image/gif", "gif")]["mime_match"] is True
+    assert out[("audio", "audio/wav", "wav")]["mime_match"] is True
+    assert out[("video", "video/mp4", "mp4")]["mime_match"] is True
+    assert out[("doc", "application/pdf", "pdf")]["mime_match"] is True
+    assert out[("blob", "application/gzip", "gzip")]["n_assets"] == 1
+    assert out[("blob", "application/zip", "zip")]["n_assets"] == 1
+    assert out[("audio", "audio/ogg", "ogg")]["mime_match"] is True
+    assert out[("image", "image/png", "jpeg")]["mime_match"] is False
+    assert out[("image", "image/jpeg", "unknown")]["mime_match"] is False
+
+
+def test_magic_riff_without_wave_is_riff(spark):
+    """RIFF container that is not WAVE (e.g. AVI) detects as riff, and a
+    NULL content row lands in unknown — no crash."""
+    from wurzel_spark.operators.multimodal import magic_byte_stats
+
+    rows = [
+        (1, "video", bytearray(b"RIFF\x00\x00\x00\x00AVI LIST"),
+         {"mime": "video/avi", "width": 1, "height": 1, "duration_ms": 1,
+          "sample_rate": 1}),
+        (2, "video", None,
+         {"mime": "video/mp4", "width": 1, "height": 1, "duration_ms": 1,
+          "sample_rate": 1}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:bigint,sample_rate:int>",
+    )
+    out = {r["detected"]: r for r in magic_byte_stats(df).collect()}
+    assert out["riff"]["n_assets"] == 1 and out["riff"]["mime_match"] is False
+    assert out["unknown"]["n_assets"] == 1

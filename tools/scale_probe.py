@@ -176,6 +176,7 @@ QUERIES = [
     # pairs per order), plan-asserted WindowGroupLimit prune.
     "readability_stats",
     "event_cusum_drift",
+    "magic_byte_stats",
 ]
 
 

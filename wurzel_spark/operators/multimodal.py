@@ -589,3 +589,105 @@ def q_image_near_dup(spark, sf_dir: str) -> DataFrame:
         "asset_id", F.col("asset_id") + F.lit(1_000_000)
     )
     return image_near_dup_pairs(assets.unionByName(mirrored))
+
+
+# ------------------------------------------------- magic-byte sniffing audit
+
+# (hex-prefix predicate, label) — shared SQL CASE rendered ONCE here and
+# used verbatim in both engines, so classification can never drift. The
+# signatures are the standard container magics (JPEG SOI, PNG, GIF87a/89a,
+# RIFF+WAVE, ISO-BMFF ftyp at byte 5, PDF, gzip, zip, OggS).
+_MAGIC_CASE = """CASE
+  WHEN left({h}, 6) = 'FFD8FF' THEN 'jpeg'
+  WHEN left({h}, 16) = '89504E470D0A1A0A' THEN 'png'
+  WHEN left({h}, 12) IN ('474946383761', '474946383961') THEN 'gif'
+  WHEN left({h}, 8) = '52494646' AND substr({h}, 17, 8) = '57415645' THEN 'wav'
+  WHEN left({h}, 8) = '52494646' THEN 'riff'
+  WHEN substr({h}, 9, 8) = '66747970' THEN 'mp4'
+  WHEN left({h}, 10) = '255044462D' THEN 'pdf'
+  WHEN left({h}, 4) = '1F8B' THEN 'gzip'
+  WHEN left({h}, 8) = '504B0304' THEN 'zip'
+  WHEN left({h}, 8) = '4F676753' THEN 'ogg'
+  ELSE 'unknown' END"""
+
+_MIME_CONTAINER = """CASE {m}
+  WHEN 'image/jpeg' THEN 'jpeg'
+  WHEN 'image/png' THEN 'png'
+  WHEN 'image/gif' THEN 'gif'
+  WHEN 'audio/wav' THEN 'wav'
+  WHEN 'video/mp4' THEN 'mp4'
+  WHEN 'application/pdf' THEN 'pdf'
+  WHEN 'audio/ogg' THEN 'ogg'
+  ELSE 'unknown' END"""
+
+
+def magic_byte_stats(assets: DataFrame) -> DataFrame:
+    """Container-vs-metadata integrity audit: sniff the REAL container
+    from the first 16 content bytes (the standard magic-number table)
+    and cross it with the DECLARED mime — the ingest gate that catches
+    mislabeled assets (HTML error pages saved as .jpg, truncated
+    uploads) before a decoder fans out over 100 TB of media. On the
+    deterministic text-derived asset stand-in every row sniffs
+    'unknown' (honest: the bytes are not media) — the fixtures plant
+    real JPEG/PNG/RIFF/ftyp prefixes to prove each signature fires.
+
+    Exactness: classification is one shared SQL CASE over the UPPERCASE
+    hex of the 16-byte prefix (rendered once module-side into both
+    engines); counts/sums are exact ints. Scale shape: a row-local
+    prefix projection (never hexes the full blob Spark-side) + one
+    grouped aggregate — output is |kind × mime × container| rows."""
+    m = assets.select(
+        "kind",
+        F.col("meta.mime").alias("mime"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.expr(_MAGIC_CASE.format(h="hex(substring(content, 1, 16))")).alias(
+            "detected"
+        ),
+    ).withColumn(
+        "mime_match",
+        F.col("detected") == F.expr(_MIME_CONTAINER.format(m="mime")),
+    )
+    return (
+        m.groupBy("kind", "mime", "detected", "mime_match")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("kind", "mime", "detected", "mime_match")
+    )
+
+
+def q_magic_byte_stats(spark, sf_dir: str) -> DataFrame:
+    from wurzel_spark.tables import table as _table
+
+    return magic_byte_stats(assets_from_documents(_table(spark, sf_dir, "documents")))
+
+
+def _magic_sql() -> str:
+    h = "left(hex(encode(text)), 32)"
+    mime = """CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END"""
+    return f"""
+WITH m AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         {mime} AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         {_MAGIC_CASE.format(h=h)} AS detected
+  FROM documents
+), flagged AS (
+  SELECT kind, mime, n_bytes, detected,
+         detected = {_MIME_CONTAINER.format(m='mime')} AS mime_match
+  FROM m
+)
+SELECT kind, mime, detected, mime_match,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+FROM flagged GROUP BY kind, mime, detected, mime_match
+ORDER BY kind, mime, detected, mime_match
+"""
+
+
+MAGIC_BYTE_SQL = _magic_sql()
