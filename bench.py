@@ -280,6 +280,7 @@ HEADLINE = [
     "readability_stats",
     "event_cusum_drift",
     "magic_byte_stats",
+    "benford_value_audit",
 ]
 
 

@@ -590,3 +590,40 @@ def test_magic_riff_without_wave_is_riff(spark):
     out = {r["detected"]: r for r in magic_byte_stats(df).collect()}
     assert out["riff"]["n_assets"] == 1 and out["riff"]["mime_match"] is False
     assert out["unknown"]["n_assets"] == 1
+
+
+# --------------------------------------------------- Benford digit audit
+
+
+def test_benford_table_matches_log10():
+    """The shared permille table IS floor(1000·log10(1+1/d))."""
+    import math
+    from wurzel_spark.queries.relational import BENFORD_PERMILLE
+
+    assert BENFORD_PERMILLE == [int(1000 * math.log10(1 + 1 / d)) for d in range(1, 10)]
+    # floors round down, so the 9 floored shares sum just under 1000
+    assert BENFORD_PERMILLE[0] == 301 and sum(BENFORD_PERMILLE) == 995
+
+
+def test_benford_hand_computed(spark, tmp_path):
+    """Digit histogram + exclusions on a hand-built price list."""
+    from wurzel_spark.queries.relational import benford_value_audit
+
+    prices = [1.23, 19.99, 150.0, 0.17, 2.5, 9.01, -3.0, 0.0]
+    # cents: 123, 1999, 15000, 17, 250, 901 -> digits 1,1,1,1,2,9; excluded: -300, 0
+    rows = [
+        (1, 1, 1, i + 1, 1.0, p, 0.0, 0.0, "N", "O", None)
+        for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["digit"]: r for r in benford_value_audit(spark, str(tmp_path)).collect()}
+    assert out[1]["n_values"] == 4 and out[2]["n_values"] == 1 and out[9]["n_values"] == 1
+    assert out[1]["obs_permille"] == (1000 * 4) // 6
+    assert out[1]["exp_permille"] == 301
+    assert out[1]["n_excluded"] == 2
+    assert out[1]["dev_permille"] == out[1]["obs_permille"] - 301

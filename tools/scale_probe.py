@@ -177,6 +177,9 @@ QUERIES = [
     "readability_stats",
     "event_cusum_drift",
     "magic_byte_stats",
+    # benford_value_audit EXCLUDED: reads lineitem (zorder precedent);
+    # one row-local projection + a 9-group aggregate - map-side
+    # combinable, trivially linear.
 ]
 
 

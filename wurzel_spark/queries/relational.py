@@ -1805,3 +1805,95 @@ CROSS JOIN n
 ORDER BY lift_permille DESC, n_ab DESC, part_a, part_b
 LIMIT {AFFINITY_TOP_K}
 """
+
+
+# --------------------------------------------------- Benford digit audit
+
+# floor(1000·log10(1 + 1/d)) for d = 1..9, precomputed ONCE here and
+# inlined as the same integer literals in both engines (the NDCG-discount
+# convention — log10 never runs inside an engine).
+BENFORD_PERMILLE = [
+    int(1000 * __import__("math").log10(1 + 1 / d)) for d in range(1, 10)
+]
+
+
+def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the money column — the classic
+    fabricated-data / unit-mixing detector (Benford 1938; the auditor's
+    screen): naturally-spread multiplicative quantities put ~30.1% of
+    first digits at 1, while fabricated, truncated, or unit-mixed
+    batches flatten the curve. Emits the observed-vs-expected digit
+    distribution; the deviation column makes the violating digits
+    directly readable.
+
+    Exactness: cents = FLOOR(price·100) — FLOOR on both sides (cast
+    truncate-vs-round differs across engines, the floor-not-cast rule);
+    the first digit comes from the BIGINT's decimal string (identical
+    rendering both engines, no logarithm); expected permilles are the
+    shared BENFORD_PERMILLE table; observed permille is integer
+    floor-div. Non-positive values are excluded (no first digit) and
+    surfaced via n_excluded.
+
+    Scale shape: one row-local projection + one 9-group aggregate +
+    one 9-row window for the total — map-side combinable end to end."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    exp_arr = F.array(*[F.lit(p).cast("long") for p in BENFORD_PERMILLE])
+    base = li.select(
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("cents")
+    )
+    excl = base.agg(
+        F.sum(F.when(F.col("cents") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_excluded")
+    )
+    digits = (
+        base.filter(F.col("cents") > 0)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+    )
+    w = W.partitionBy()
+    return (
+        digits.withColumn("total", F.sum("n_values").over(w))
+        .crossJoin(F.broadcast(excl))
+        .select(
+            "digit",
+            "n_values",
+            F.expr("div(1000 * n_values, total)").alias("obs_permille"),
+            F.element_at(exp_arr, F.col("digit")).alias("exp_permille"),
+            (
+                F.expr("div(1000 * n_values, total)")
+                - F.element_at(exp_arr, F.col("digit"))
+            ).alias("dev_permille"),
+            "n_excluded",
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_sql() -> str:
+    exp_arr = "[" + ", ".join(str(p) for p in BENFORD_PERMILLE) + "]"
+    return f"""
+WITH base AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+), excl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded FROM base WHERE cents <= 0
+), digits AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_values
+  FROM base WHERE cents > 0 GROUP BY 1
+)
+SELECT digit, n_values,
+       CAST((1000 * n_values) // SUM(n_values) OVER () AS BIGINT) AS obs_permille,
+       CAST(({exp_arr})[digit] AS BIGINT) AS exp_permille,
+       CAST((1000 * n_values) // SUM(n_values) OVER ()
+            - ({exp_arr})[digit] AS BIGINT) AS dev_permille,
+       n_excluded
+FROM digits CROSS JOIN excl
+ORDER BY digit
+"""
+
+
+BENFORD_SQL = _benford_sql()
