@@ -281,6 +281,7 @@ HEADLINE = [
     "event_cusum_drift",
     "magic_byte_stats",
     "benford_value_audit",
+    "doc_tfidf_keywords",
 ]
 
 

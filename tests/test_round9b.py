@@ -627,3 +627,52 @@ def test_benford_hand_computed(spark, tmp_path):
     assert out[1]["exp_permille"] == 301
     assert out[1]["n_excluded"] == 2
     assert out[1]["dev_permille"] == out[1]["obs_permille"] - 301
+
+
+# ---------------------------------------------------- per-doc TF-IDF keywords
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """score_q = tf * floor(ln((N+1)/(df+1))*2^20) on a tiny corpus, with
+    corpus-global df including docs OUTSIDE the audit slice."""
+    import math
+    from wurzel_spark.operators.textstats import doc_tfidf_keywords
+
+    rows = [
+        (0, "apple apple banana cherry", "s", "en", 25),
+        (1, "banana cherry cherry", "s", "en", 20),
+        # outside the slice (doc_id >= 50) but inside the df universe
+        (60, "banana banana date", "s", "en", 18),
+        (61, "cherry date", "s", "en", 11),
+    ]
+    out = {(r["doc_id"], r["term"]): r for r in
+           doc_tfidf_keywords(_docs(spark, rows)).collect()}
+    n = 4
+
+    def q(dfc):
+        return math.floor(math.log((n + 1.0) / (dfc + 1.0)) * (1 << 20))
+
+    # doc 0: apple tf=2 df=1, banana tf=1 df=3, cherry tf=1 df=3
+    assert out[(0, "apple")]["score_q"] == 2 * q(1)
+    assert out[(0, "banana")]["score_q"] == 1 * q(3)
+    assert out[(0, "banana")]["dfc"] == 3
+    # rank 1 must be apple (highest score); banana/cherry tie broken by term
+    assert out[(0, "apple")]["rank"] == 1
+    assert out[(0, "banana")]["rank"] == 2 and out[(0, "cherry")]["rank"] == 3
+    # docs outside the slice never emit rows
+    assert not any(d >= 50 for d, _ in out)
+
+
+def test_tfidf_keywords_cross_engine(spark):
+    """Fixture equality through the oracle SQL (ln quantization shared)."""
+    from wurzel_spark.operators.textstats import doc_tfidf_keywords
+
+    rows = [
+        (0, "alpha beta beta gamma", "s", "en", 20),
+        (1, "beta gamma gamma delta", "s", "en", 21),
+        (70, "alpha delta epsilon", "s", "en", 19),
+    ]
+    mine = [tuple(r) for r in doc_tfidf_keywords(_docs(spark, rows)).collect()]
+    con = _duck_docs(rows)
+    oracle = [tuple(r) for r in con.execute(e.oracle_sql()["doc_tfidf_keywords"]).fetchall()]
+    assert mine == oracle and len(mine) > 0

@@ -180,6 +180,7 @@ QUERIES = [
     # benford_value_audit EXCLUDED: reads lineitem (zorder precedent);
     # one row-local projection + a 9-group aggregate - map-side
     # combinable, trivially linear.
+    "doc_tfidf_keywords",
 ]
 
 

@@ -5681,3 +5681,115 @@ SELECT source,
        CAST(SUM(CASE WHEN flesch_milli < {READ_HARD_MILLI} THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
 FROM scored GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------- per-doc TF-IDF keywords
+
+TFIDF_DOC_LIMIT = 50  # fixed audit slice (the binary-recall precedent)
+TFIDF_TOP_K = 3
+_TFIDF_SCALE = float(1 << 20)  # the PMI/BM25 quantization convention
+
+
+def doc_tfidf_keywords(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document keyword extraction: the top-k whitespace terms by
+    TF·IDF with the IDF taken over the FULL corpus — the classic
+    Spärck Jones readout behind doc tagging, snippet labeling, and
+    near-dup triage ("what is this cluster about"). Runs on the fixed
+    ``doc_id < TFIDF_DOC_LIMIT`` audit slice; [[distinctive_terms]] is
+    the source-grain sibling, this is the doc-grain one.
+
+    Exactness: each term's idf is quantized ONCE at the term grain —
+    ``idf_q = ⌊ln((N+1)/(df+1))·2^20⌋`` (identical IEEE division then
+    one ln, the BM25 convention) — so score_q = tf·idf_q is an exact
+    integer product and the top-k window (score desc, term) is total.
+
+    Scale shape: the sampled docs' term stream is doc-slice-sized
+    (predicate pushed to the scan); the corpus-grain df pass is
+    SEMI-JOIN PRUNED to the candidate terms (broadcast of the sampled
+    vocabulary — the dup_pair_evidence trick), so the global explode
+    never shuffles the full vocabulary; one top-k window per doc with
+    the WindowGroupLimit pre-shuffle prune."""
+    from pyspark.sql import Window as W
+
+    sample = df.filter(F.col("doc_id") < TFIDF_DOC_LIMIT)
+    stf = (
+        sample.select("doc_id", F.explode(TXT.words(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cand = stf.select("term").distinct()
+    dfc = (
+        df.select("doc_id", F.explode(TXT.words(F.col(text_col))).alias("term"))
+        .join(F.broadcast(cand), "term")
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("dfc"))
+    )
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        stf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dfc",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0)) / (F.col("dfc") + F.lit(1.0))
+                    )
+                    * F.lit(_TFIDF_SCALE)
+                ).cast("long")
+            ).alias("score_q"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_q"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "dfc", "score_q")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_tfidf_keywords(table(spark, sf_dir, "documents"))
+
+
+DOC_TFIDF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), stf AS (
+  SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks, UNNEST(ws) AS t(term)
+  WHERE doc_id < {TFIDF_DOC_LIMIT}
+  GROUP BY doc_id, t.term
+), cand AS (
+  SELECT DISTINCT term FROM stf
+), dfc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc FROM (
+    SELECT DISTINCT toks.doc_id, t.term
+    FROM toks, UNNEST(ws) AS t(term)
+    WHERE t.term IN (SELECT term FROM cand)
+  ) GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, stf.term, tf, dfc.dfc,
+         tf * CAST(FLOOR(ln((n.n_docs + 1.0) / (dfc.dfc + 1.0)) * {_TFIDF_SCALE!r})
+                   AS BIGINT) AS score_q
+  FROM stf JOIN dfc ON dfc.term = stf.term CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, dfc, score_q FROM (
+  SELECT doc_id, term, tf, dfc, score_q,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_q DESC, term) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
