@@ -282,6 +282,7 @@ HEADLINE = [
     "magic_byte_stats",
     "benford_value_audit",
     "doc_tfidf_keywords",
+    "hilbert_layout_stats",
 ]
 
 

@@ -676,3 +676,76 @@ def test_tfidf_keywords_cross_engine(spark):
     con = _duck_docs(rows)
     oracle = [tuple(r) for r in con.execute(e.oracle_sql()["doc_tfidf_keywords"]).fetchall()]
     assert mine == oracle and len(mine) > 0
+
+
+# ------------------------------------------------------- Hilbert layout
+
+
+def _xy2d_ref(bits, x, y):
+    """Canonical xy2d reference (Wikipedia form)."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_index_matches_reference(spark):
+    """The unrolled SQL walk equals the canonical xy2d on a full 3-bit
+    grid AND on scattered 16-bit points."""
+    from wurzel_spark.operators.layout import hilbert_index
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = hilbert_index(df.selectExpr("x AS px", "y AS py", "x", "y"), bits=3)
+    vals = {(r["px"], r["py"]): r["h"] for r in out.collect()}
+    for x, y in pts:
+        assert vals[(x, y)] == _xy2d_ref(3, x, y), (x, y)
+
+    big = [(12345, 54321), (0, 0), (65535, 65535), (65535, 0), (1, 65534)]
+    dfb = spark.createDataFrame(big, "x long, y long")
+    outb = hilbert_index(dfb.selectExpr("x AS px", "y AS py", "x", "y"), bits=16)
+    valsb = {(r["px"], r["py"]): r["h"] for r in outb.collect()}
+    for x, y in big:
+        assert valsb[(x, y)] == _xy2d_ref(16, x, y), (x, y)
+
+
+def test_hilbert_curve_is_continuous(spark):
+    """Consecutive Hilbert indices are grid-neighbors (|dx|+|dy| = 1) —
+    the property Morton z-order lacks and the reason Hilbert buckets
+    have no jump discontinuities."""
+    from wurzel_spark.operators.layout import hilbert_index
+
+    bits = 3
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = hilbert_index(df.selectExpr("x AS px", "y AS py", "x", "y"), bits=bits)
+    byd = {r["h"]: (r["px"], r["py"]) for r in out.collect()}
+    assert sorted(byd) == list(range(64))
+    for d in range(63):
+        (x1, y1), (x2, y2) = byd[d], byd[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_buckets_tighter_than_zorder(spark):
+    """On the real sf0.001 lineitem grid the Hilbert buckets' summed max
+    span must not exceed the z-order buckets' (locality dominance on
+    this data — the reason to pay for the longer index walk)."""
+    from wurzel_spark.operators.layout import hilbert_layout_stats, zorder_layout_stats
+    from wurzel_spark.tables import table as _table
+
+    li = _table(spark, "/root/testdata/sf0.001", "lineitem")
+    hil = hilbert_layout_stats(li, "l_partkey", "l_suppkey").collect()
+    zed = zorder_layout_stats(li, "l_partkey", "l_suppkey").collect()
+    h_span = sum(r["span_a"] + r["span_b"] for r in hil)
+    z_span = sum(r["span_a"] + r["span_b"] for r in zed)
+    assert h_span <= z_span, (h_span, z_span)

@@ -181,6 +181,9 @@ QUERIES = [
     # one row-local projection + a 9-group aggregate - map-side
     # combinable, trivially linear.
     "doc_tfidf_keywords",
+    # hilbert_layout_stats EXCLUDED: reads lineitem (zorder precedent);
+    # identical shape to the probed-linear z twin (one collapsed
+    # projection + one grouped aggregate).
 ]
 
 
