@@ -283,6 +283,8 @@ HEADLINE = [
     "benford_value_audit",
     "doc_tfidf_keywords",
     "hilbert_layout_stats",
+    "ks_length_drift",
+    "rfm_segments",
 ]
 
 

@@ -749,3 +749,135 @@ def test_hilbert_buckets_tighter_than_zorder(spark):
     h_span = sum(r["span_a"] + r["span_b"] for r in hil)
     z_span = sum(r["span_a"] + r["span_b"] for r in zed)
     assert h_span <= z_span, (h_span, z_span)
+
+
+# ------------------------------------------- KS two-sample length drift
+
+
+def test_ks_matches_python_reference(spark):
+    """Integer KS permille equals a direct two-sample D computation
+    (source vs rest) with exact fractions on a planted-shift fixture."""
+    from fractions import Fraction
+    from wurzel_spark.operators.textstats import ks_length_drift
+
+    rows = []
+    # s0: lengths 10..29; s1: same distribution; s2: shifted +100
+    for i in range(20):
+        rows.append((i, "t", "s0", "en", 10 + i))
+        rows.append((100 + i, "t", "s1", "en", 10 + i))
+        rows.append((200 + i, "t", "s2", "en", 110 + i))
+    out = {r["source"]: r for r in ks_length_drift(_docs(spark, rows)).collect()}
+
+    def ks(src):
+        mine = sorted(v for _, _, s, _, v in rows if s == src)
+        rest = sorted(v for _, _, s, _, v in rows if s != src)
+        grid = sorted(set(mine) | set(rest))
+        d = Fraction(0)
+        for v in grid:
+            cg = sum(1 for x in mine if x <= v)
+            cr = sum(1 for x in rest if x <= v)
+            d = max(d, abs(Fraction(cg, len(mine)) - Fraction(cr, len(rest))))
+        return d
+
+    for src in ("s0", "s1", "s2"):
+        assert out[src]["ks_permille"] == int(1000 * ks(src)), src
+    # the fully-disjoint source saturates at D=1; one-vs-REST also flags
+    # s0/s1 (their rest contains the shifted s2 - D=0.5), by design
+    assert out["s2"]["ks_permille"] == 1000 and out["s2"]["drift_flag"] is True
+    assert out["s0"]["ks_permille"] < out["s2"]["ks_permille"]
+
+
+def test_ks_cross_engine_fixture(spark):
+    rows = [(i, "t", f"s{i % 3}", "en", (i * 13) % 50 + (100 if i % 3 == 2 else 0))
+            for i in range(60)]
+    from wurzel_spark.operators.textstats import ks_length_drift
+
+    mine = [tuple(r) for r in ks_length_drift(_docs(spark, rows)).collect()]
+    con = _duck_docs(rows)
+    oracle = [tuple(r) for r in con.execute(e.oracle_sql()["ks_length_drift"]).fetchall()]
+    assert mine == oracle
+
+
+# --------------------------------------------------- RFM segmentation
+
+
+def test_rfm_hand_computed(spark, tmp_path):
+    """Quintile formula + segment labels on a 10-customer fixture."""
+    import datetime as dt
+    from wurzel_spark.queries.relational import rfm_segments
+
+    rows = []
+    ok = 0
+    # customer k: k+1 orders, each 100*(k+1) cents, last date advancing
+    for k in range(10):
+        for j in range(k + 1):
+            ok += 1
+            rows.append((ok, k, "O", (k + 1) * 1.0,
+                         dt.datetime(2024, 1, 1 + k), "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    out = rfm_segments(spark, str(tmp_path)).collect()
+    # customer k has rank k+1 on every metric -> score 1+(5k)//10
+    from collections import Counter
+    expected = Counter()
+    for k in range(10):
+        s = 1 + (5 * k) // 10
+        expected[(s, s, s)] += 1
+    got = {(r["r_score"], r["f_score"], r["m_score"]): r["n_customers"] for r in out}
+    assert got == dict(expected)
+    # the top customer lands in champion, the bottom in lost
+    labels = {(r["r_score"], r["f_score"], r["m_score"]): r["segment"] for r in out}
+    assert labels[(5, 5, 5)] == "champion" and labels[(1, 1, 1)] == "lost"
+    # monetary cents are exact integer sums of floored per-order cents
+    cents = {(r["r_score"], r["f_score"], r["m_score"]): r["total_cents"] for r in out}
+    # bucket (5,5,5) holds customers 8 and 9: 9x9.00 + 10x10.00
+    assert cents[(5, 5, 5)] == 9 * 900 + 10 * 1000
+
+
+# --------------------------------------------- streaming t-closeness twin
+
+
+def test_streaming_tcloseness_matches_batch(spark, tmp_path):
+    from wurzel_spark.operators.textstats import tcloseness_release
+    from wurzel_spark.streaming.tcloseness import tcloseness_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+    d = str(tmp_path / "tc_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = [
+        tuple(r)
+        for r in tcloseness_stream(
+            stream, str(tmp_path / "tc_state"), str(tmp_path / "tc_ckpt"),
+            compact_every=2,
+        ).collect()
+    ]
+    exp = [tuple(r) for r in tcloseness_release(docs).collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_tcloseness_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.operators.textstats import tcloseness_partials
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.tcloseness import drain_tcloseness_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "tc_replay")
+
+    def _stage(df, bid):
+        mine = tcloseness_partials(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(spark, mine, state, bid, ["src_batch", "source", "lang"], None)
+
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = [tuple(r) for r in drain_tcloseness_state(spark, state).collect()]
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
+    got = [tuple(r) for r in drain_tcloseness_state(spark, state).collect()]
+    assert got == once and len(once) > 0

@@ -184,6 +184,10 @@ QUERIES = [
     # hilbert_layout_stats EXCLUDED: reads lineitem (zorder precedent);
     # identical shape to the probed-linear z twin (one collapsed
     # projection + one grouped aggregate).
+    "ks_length_drift",
+    # rfm_segments EXCLUDED: reads orders (zorder precedent); one
+    # fact-grain aggregate + dimension-sized global-order windows (the
+    # corpus_shuffle cost class).
 ]
 
 

@@ -4026,40 +4026,28 @@ def q_ldiversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 TCLOSE_MAX_PERMILLE = 400
 
 
-def tcloseness_release(
-    df: DataFrame,
+def tcloseness_partials(
+    df: DataFrame, quasi_col: str = "source", sensitive_col: str = "lang"
+) -> DataFrame:
+    """Per-(quasi, sensitive) ADDITIVE counts — the staged unit of the
+    streaming twin (streaming/tcloseness.py). The whole t-closeness
+    computation downstream of this one corpus-grain aggregate runs on
+    group-sized rows, so the drain re-derives windows + gate exactly."""
+    return df.groupBy(quasi_col, sensitive_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+
+
+def tcloseness_from_partials(
+    per: DataFrame,
     quasi_col: str = "source",
     sensitive_col: str = "lang",
     max_permille: int = TCLOSE_MAX_PERMILLE,
 ) -> DataFrame:
-    """t-closeness gate (Li, Li & Venkatasubramanian, ICDE 2007) — the
-    third rung of the privacy ladder after [[kanon]] size and
-    [[ldiversity]] distinctness: a quasi-identifier group may be
-    published only if its sensitive-attribute DISTRIBUTION stays within
-    distance t of the global one — l distinct values still leak when
-    one value dominates (skewness attack). For a categorical sensitive
-    attribute the EMD ground distance is uniform, so the distance is
-    total-variation: tvd = ½·Σ_v |c_gv/n_g − c_v/N|.
-
-    Exactness: denominators clear to integers —
-    ``tvd·2·N·n_g = Σ_v |c_gv·N − c_v·n_g|`` where v ranges over ALL
-    global values; values ABSENT from the group contribute c_v·n_g, and
-    since Σ_v c_v = N the absent tail closes to
-    ``N·n_g + Σ_{v∈g} (|c_gv·N − c_v·n_g| − c_v·n_g)`` — only PRESENT
-    (quasi, sensitive) rows are ever materialized. Products reach N²
-    (~10²⁴ at 100 TB row counts), so the sums run in decimal(38,0) /
-    HUGEINT. Failing groups coalesce into one ``__suppressed__`` bucket
-    so totals reconcile, the [[kanon]] convention.
-
-    Scale shape: ONE corpus-grain grouped count over
-    (quasi, sensitive); everything after runs on group-sized rows
-    (three windows — group total, value total, grand total — then two
-    aggregates). Output is |released groups| + 1 rows."""
+    """Window + gate tail over (quasi, sensitive) counts (shared with
+    the streaming drain)."""
     from pyspark.sql import Window as W
 
-    per = df.groupBy(quasi_col, sensitive_col).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
-    )
     per = per.select(
         quasi_col,
         sensitive_col,
@@ -4099,6 +4087,43 @@ def tcloseness_release(
             F.count(F.lit(1)).alias("n_merged_groups"),
         )
         .orderBy(quasi_col)
+    )
+
+
+def tcloseness_release(
+    df: DataFrame,
+    quasi_col: str = "source",
+    sensitive_col: str = "lang",
+    max_permille: int = TCLOSE_MAX_PERMILLE,
+) -> DataFrame:
+    """t-closeness gate (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy ladder after [[kanon]] size and
+    [[ldiversity]] distinctness: a quasi-identifier group may be
+    published only if its sensitive-attribute DISTRIBUTION stays within
+    distance t of the global one — l distinct values still leak when
+    one value dominates (skewness attack). For a categorical sensitive
+    attribute the EMD ground distance is uniform, so the distance is
+    total-variation: tvd = ½·Σ_v |c_gv/n_g − c_v/N|.
+
+    Exactness: denominators clear to integers —
+    ``tvd·2·N·n_g = Σ_v |c_gv·N − c_v·n_g|`` where v ranges over ALL
+    global values; values ABSENT from the group contribute c_v·n_g, and
+    since Σ_v c_v = N the absent tail closes to
+    ``N·n_g + Σ_{v∈g} (|c_gv·N − c_v·n_g| − c_v·n_g)`` — only PRESENT
+    (quasi, sensitive) rows are ever materialized. Products reach N²
+    (~10²⁴ at 100 TB row counts), so the sums run in decimal(38,0) /
+    HUGEINT. Failing groups coalesce into one ``__suppressed__`` bucket
+    so totals reconcile, the [[kanon]] convention.
+
+    Scale shape: ONE corpus-grain grouped count over
+    (quasi, sensitive); everything after runs on group-sized rows
+    (three windows — group total, value total, grand total — then two
+    aggregates). Output is |released groups| + 1 rows."""
+    return tcloseness_from_partials(
+        tcloseness_partials(df, quasi_col, sensitive_col),
+        quasi_col,
+        sensitive_col,
+        max_permille,
     )
 
 
@@ -5792,4 +5817,127 @@ SELECT doc_id, rank, term, tf, dfc, score_q FROM (
   FROM scored
 ) WHERE rank <= {TFIDF_TOP_K}
 ORDER BY doc_id, rank
+"""
+
+
+# ------------------------------------------- KS two-sample length drift
+
+KS_FLAG_PERMILLE = 100
+
+
+def ks_length_drift(df: DataFrame, value_col: str = "n_chars") -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift of each source's doc-length
+    distribution against the REST of the corpus — the nonparametric
+    "does this slice look like everything else" test that completes the
+    drift battery ([[event_type_drift]] is binned PSI over two time
+    windows, [[event_cusum_drift]] localizes rate shifts in time, this
+    compares whole DISTRIBUTIONS with no binning choice at all).
+
+    Exactness: D = max_v |cdf_g(v) − cdf_rest(v)| clears denominators to
+    ``max_v |cum_g·n_rest − cum_rest·n_g|`` over the merged value grid —
+    exact integers (decimal/HUGEINT; the product reaches n²); cum_rest
+    derives as cum_all − cum_g, so only the per-(source, value) counts
+    ever aggregate. Every source is evaluated at EVERY observed value
+    (the dense source × value grid — cdf steps of OTHER sources move
+    cdf_rest even where this source has no mass).
+
+    Scale shape: ONE corpus-grain grouped count; the grid is
+    |sources| × |distinct lengths| (bounded by the value domain, not the
+    corpus) with two running windows and one max-aggregate over it."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy("source", F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    vals = counts.groupBy("v").agg(F.sum("c").alias("tot_v"))
+    vals = vals.select(
+        "v",
+        F.sum("tot_v").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_all"),
+        F.sum("tot_v").over(W.partitionBy()).alias("n_total"),
+    )
+    srcs = counts.groupBy("source").agg(F.sum("c").alias("n_g"))
+    grid = (
+        srcs.crossJoin(vals)
+        .join(counts, ["source", "v"], "left")
+        .select(
+            "source",
+            "v",
+            "n_g",
+            "cum_all",
+            "n_total",
+            F.coalesce(F.col("c"), F.lit(0).cast("decimal(38,0)")).alias("c"),
+        )
+    )
+    wg = W.partitionBy("source").orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    stat = grid.select(
+        "source",
+        "n_g",
+        "n_total",
+        F.abs(
+            F.sum("c").over(wg) * (F.col("n_total") - F.col("n_g"))
+            - (F.col("cum_all") - F.sum("c").over(wg)) * F.col("n_g")
+        ).alias("gap"),
+    )
+    agg = stat.groupBy("source").agg(
+        F.first("n_g").alias("n_g"),
+        F.first("n_total").alias("n_total"),
+        F.max("gap").alias("d_num"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_g").cast("long").alias("n_docs"),
+        F.expr(
+            "CASE WHEN n_total > n_g THEN"
+            " CAST(div(1000 * d_num, n_g * (n_total - n_g)) AS BIGINT) END"
+        ).alias("ks_permille"),
+        F.expr(
+            f"CASE WHEN n_total > n_g THEN"
+            f" div(1000 * d_num, n_g * (n_total - n_g)) > {KS_FLAG_PERMILLE} END"
+        ).alias("drift_flag"),
+    ).orderBy("source")
+
+
+def q_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_length_drift(table(spark, sf_dir, "documents"))
+
+
+KS_LENGTH_SQL = f"""
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY source, n_chars
+), vals AS (
+  SELECT v,
+         SUM(tot_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_all,
+         SUM(tot_v) OVER () AS n_total
+  FROM (SELECT v, SUM(c) AS tot_v FROM counts GROUP BY v)
+), srcs AS (
+  SELECT source, SUM(c) AS n_g FROM counts GROUP BY source
+), grid AS (
+  SELECT s.source, va.v, s.n_g, va.cum_all, va.n_total,
+         COALESCE(c.c, 0) AS c
+  FROM srcs s CROSS JOIN vals va
+  LEFT JOIN counts c ON c.source = s.source AND c.v = va.v
+), stat AS (
+  SELECT source, n_g, n_total,
+         ABS(SUM(c) OVER w * (n_total - n_g)
+             - (cum_all - SUM(c) OVER w) * n_g) AS gap
+  FROM grid
+  WINDOW w AS (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT source, MIN(n_g) AS n_g, MIN(n_total) AS n_total, MAX(gap) AS d_num
+  FROM stat GROUP BY source
+)
+SELECT source,
+       CAST(n_g AS BIGINT) AS n_docs,
+       CASE WHEN n_total > n_g
+            THEN CAST((1000 * d_num) // (n_g * (n_total - n_g)) AS BIGINT)
+            END AS ks_permille,
+       CASE WHEN n_total > n_g
+            THEN (1000 * d_num) // (n_g * (n_total - n_g)) > {KS_FLAG_PERMILLE}
+            END AS drift_flag
+FROM agg ORDER BY source
 """

@@ -1897,3 +1897,102 @@ ORDER BY digit
 
 
 BENFORD_SQL = _benford_sql()
+
+
+# --------------------------------------------------- RFM segmentation
+
+_RFM_LABEL_CASE = """CASE
+  WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+  WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+  WHEN r_score = 1 AND f_score <= 2 THEN 'lost'
+  WHEN f_score >= 4 THEN 'loyal'
+  WHEN m_score = 5 THEN 'big_spender'
+  ELSE 'other' END"""
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994, the retention-marketing
+    classic): quintile scores for Recency (last order date), Frequency
+    (order count), Monetary (lifetime cents), rolled up to segment
+    counts with the standard champion/at-risk/lost labels — the
+    analytics readout every CRM pipeline derives from the order fact
+    stream.
+
+    Exactness: monetary sums FLOOR(price·100) cents per order BEFORE
+    the integer sum (a double sum is order-dependent); quintiles come
+    from ``1 + (5·(rn−1)) div n`` over row_number with custkey
+    tie-break — unambiguous integer algebra, no NTILE
+    remainder-distribution semantics to match across engines.
+
+    Scale shape: one order-fact grouped aggregate to customer grain,
+    then three global-order windows over the CUSTOMER table (the
+    corpus_shuffle cost class — dimension-sized, not fact-sized; at
+    1000 executors the sort is range-partitioned and the ranks derive
+    from partition offsets), then a ≤125-group rollup."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        # o_orderdate is TIMESTAMP_NTZ; cast through TIMESTAMP (session tz
+        # is pinned UTC) so unix_micros accepts it — same instant as the
+        # oracle's epoch_us on the naive value.
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).alias("cents"),
+    )
+    n = W.partitionBy()
+    scored = cust.select(
+        "o_custkey",
+        "cents",
+        F.row_number().over(W.orderBy("last_us", "o_custkey")).alias("rn_r"),
+        F.row_number().over(W.orderBy("freq", "o_custkey")).alias("rn_f"),
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("rn_m"),
+        F.count(F.lit(1)).over(n).alias("n_cust"),
+    ).select(
+        "cents",
+        F.expr("1 + div(5 * (rn_r - 1), n_cust)").alias("r_score"),
+        F.expr("1 + div(5 * (rn_f - 1), n_cust)").alias("f_score"),
+        F.expr("1 + div(5 * (rn_m - 1), n_cust)").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            F.expr(_RFM_LABEL_CASE).alias("segment"),
+            "n_customers",
+            "total_cents",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(epoch_us(o_orderdate)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT cents,
+         1 + (5 * (ROW_NUMBER() OVER (ORDER BY last_us, o_custkey) - 1))
+             // COUNT(*) OVER () AS r_score,
+         1 + (5 * (ROW_NUMBER() OVER (ORDER BY freq, o_custkey) - 1))
+             // COUNT(*) OVER () AS f_score,
+         1 + (5 * (ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1))
+             // COUNT(*) OVER () AS m_score
+  FROM cust
+)
+SELECT r_score, f_score, m_score,
+       {_RFM_LABEL_CASE} AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM scored GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
