@@ -1,0 +1,137 @@
+"""Plan-shape guards for the round-9 late-session operators — the
+100 TB-relevant properties locked in as regressions: no cartesian/NLJ
+hazards, no Python in relational paths, text kept out of exchanges,
+pre-shuffle WindowGroupLimit prunes where the design promises them."""
+
+from __future__ import annotations
+
+import re
+
+from wurzel_spark.plans import plan_text
+from wurzel_spark.tables import table
+
+
+def _clean(df, allow_cross_broadcast=False):
+    t = plan_text(df)
+    if allow_cross_broadcast:
+        for line in t.splitlines():
+            if "BroadcastNestedLoopJoin" in line and ("+-" in line or ":-" in line):
+                # broadcast panel may be the build side on either end
+                # (srcs × vals builds LEFT: the tiny sources panel)
+                assert re.search(r"Cross Build(Left|Right)", line), line
+    else:
+        assert "BroadcastNestedLoopJoin" not in t, t
+    assert "CartesianProduct" not in t, t
+    return t
+
+
+def _no_python(t):
+    assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t, t
+
+
+def _no_text_in_exchanges(t):
+    for block in re.findall(r"\(\d+\) Exchange\n(.*?)(?:\n\n|\Z)", t, re.S):
+        assert not re.search(r"[\[, ]text#\d+[,\]]", block), block
+
+
+def test_tcloseness_plan(spark, sf_dir):
+    """One corpus-grain aggregate; exchanges carry (source, lang) counts,
+    never text; pure codegen."""
+    from wurzel_spark.operators.textstats import tcloseness_release
+
+    t = _clean(tcloseness_release(table(spark, sf_dir, "documents")))
+    _no_python(t)
+    _no_text_in_exchanges(t)
+
+
+def test_part_affinity_plan(spark, sf_dir):
+    """Basket cap prunes pre-shuffle (WindowGroupLimit); the 1-row
+    n_orders panel broadcasts; no Python."""
+    from wurzel_spark.queries.relational import part_affinity_pairs
+
+    t = _clean(part_affinity_pairs(spark, sf_dir), allow_cross_broadcast=True)
+    _no_python(t)
+    assert "WindowGroupLimit" in t, t
+
+
+def test_readability_plan(spark, sf_dir):
+    """Row-local regexp counts + one per-source aggregate — text never
+    reaches an exchange; pure codegen."""
+    from wurzel_spark.operators.textstats import readability_stats
+
+    t = _clean(readability_stats(table(spark, sf_dir, "documents")))
+    _no_python(t)
+    _no_text_in_exchanges(t)
+
+
+def test_benford_plan(spark, sf_dir):
+    """Row-local cents projection reads only l_extendedprice; the 9-digit
+    group aggregate is map-side combinable; exclusion panel broadcasts."""
+    from wurzel_spark.queries.relational import benford_value_audit
+
+    t = _clean(benford_value_audit(spark, sf_dir), allow_cross_broadcast=True)
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and m.group(1).strip() == "l_extendedprice:double", m and m.group(1)
+
+
+def test_doc_tfidf_plan(spark, sf_dir):
+    """The audit-slice filter pushes to the scan; the per-doc top-k
+    window carries the WindowGroupLimit prune; candidate prune joins are
+    broadcasts; no Python."""
+    from wurzel_spark.operators.textstats import doc_tfidf_keywords
+
+    t = _clean(doc_tfidf_keywords(table(spark, sf_dir, "documents")),
+               allow_cross_broadcast=True)
+    _no_python(t)
+    assert "WindowGroupLimit" in t, t
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]" in t or \
+        "LessThan(doc_id,50)" in t, t
+
+
+def test_hilbert_plan(spark, sf_dir):
+    """The 16 unrolled steps collapse into projections inside ONE
+    whole-stage codegen span before the aggregate — no per-step plan
+    nodes survive; only the two key columns are read."""
+    from wurzel_spark.operators.layout import hilbert_layout_stats
+
+    t = _clean(
+        hilbert_layout_stats(table(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey"),
+        allow_cross_broadcast=True,
+    )
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_partkey",
+        "l_suppkey",
+    }, m and m.group(1)
+
+
+def test_ks_drift_plan(spark, sf_dir):
+    """One corpus-grain aggregate; the grid windows run over group-sized
+    rows; text never shuffles; no Python."""
+    from wurzel_spark.operators.textstats import ks_length_drift
+
+    t = _clean(ks_length_drift(table(spark, sf_dir, "documents")),
+               allow_cross_broadcast=True)
+    _no_python(t)
+    _no_text_in_exchanges(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "source",
+        "n_chars",
+    }, m and m.group(1)
+
+
+def test_cusum_plan(spark, sf_dir):
+    """One corpus-grain rollup; windows partition by event_type (no
+    global-order window over event rows); no Python."""
+    from wurzel_spark.queries.events import event_cusum_drift
+
+    t = _clean(event_cusum_drift(spark, sf_dir))
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "event_type",
+        "ts",
+    }, m and m.group(1)
