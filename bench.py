@@ -285,6 +285,9 @@ HEADLINE = [
     "hilbert_layout_stats",
     "ks_length_drift",
     "rfm_segments",
+    "event_path_trigrams",
+    "fd_violation_stats",
+    "iqr_outlier_stats",
 ]
 
 

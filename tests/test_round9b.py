@@ -881,3 +881,106 @@ def test_streaming_tcloseness_replay_is_idempotent(spark, tmp_path):
     _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
     got = [tuple(r) for r in drain_tcloseness_state(spark, state).collect()]
     assert got == once and len(once) > 0
+
+
+# --------------------------------------------- session path trigrams
+
+
+def test_path_trigrams_hand_counted(spark, tmp_path):
+    """Trigram counts with session-gap breaks on a scripted user."""
+    import datetime as dt
+    from wurzel_spark.queries.events import event_path_trigrams
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    seq = [
+        ("view", 0), ("click", 10), ("buy", 20),        # view>click>buy
+        ("view", 30), ("click", 40),                     # click>view? no: buy>view>click, view>click? need 3
+        ("view", 7200),                                  # session break: gap > 30min
+        ("click", 7210), ("buy", 7220),                  # view>click>buy again
+    ]
+    rows = [
+        (i + 1, t0 + dt.timedelta(seconds=s), 1, et, 1.0, None)
+        for i, (et, s) in enumerate(seq)
+    ]
+    _events(spark, rows).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {(r["t1"], r["t2"], r["t3"]): r["n_paths"]
+           for r in event_path_trigrams(spark, str(tmp_path)).collect()}
+    # continuous prefix: view,click,buy,view,click -> trigrams
+    # (view,click,buy), (click,buy,view), (buy,view,click)
+    # after the break: view,click,buy -> (view,click,buy)
+    assert out[("view", "click", "buy")] == 2
+    assert out[("click", "buy", "view")] == 1
+    assert out[("buy", "view", "click")] == 1
+    # nothing spans the 2h gap
+    assert ("view", "click", "view") not in out and ("click", "view", "click") not in out
+
+
+# --------------------------------------------------- FD violation profiler
+
+
+def test_fd_profiler_hand_counted(spark, tmp_path):
+    """Violating-group/g3 accounting on a planted near-FD."""
+    from wurzel_spark.queries.relational import fd_violation_stats
+    import wurzel_spark.queries.relational as R
+
+    # monkeypatch-free: write a tiny part table and restrict candidates
+    parts = [
+        (1, "red bolt", "B1", "T1", 1, 1.0),
+        (2, "red bolt", "B1", "T1", 1, 1.0),
+        (3, "red bolt", "B2", "T1", 1, 1.0),   # name->brand violated (B1x2, B2x1)
+        (4, "blue gear", "B3", "T2", 1, 1.0),
+        (5, "blue gear", "B3", "T2", 1, 1.0),
+    ]
+    spark.createDataFrame(
+        parts,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+    cust = [(1, "c", 1, 1.0, "SEG")]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    out = {r["fd"]: r for r in fd_violation_stats(spark, str(tmp_path)).collect()}
+    r = out["part.p_name->p_brand"]
+    assert r["n_groups"] == 2 and r["n_violating_groups"] == 1
+    assert r["n_rows_in_violations"] == 3
+    # g3 keep: plurality of the violating group (B1, 2 rows) + clean group (2)
+    assert r["g3_keep_permille"] == (1000 * (2 + 2)) // 5
+    # name->type holds exactly
+    assert out["part.p_name->p_type"]["n_violating_groups"] == 0
+    assert out["part.p_name->p_type"]["g3_keep_permille"] == 1000
+
+
+# --------------------------------------------------- IQR outlier audit
+
+
+def test_iqr_outliers_hand_computed(spark, tmp_path):
+    """Quartile ranks and Tukey fences on a hand-built distribution."""
+    from wurzel_spark.queries.relational import iqr_outlier_stats
+
+    # 20 clustered values + one fat-finger magnitude
+    prices = [10.0 + i * 0.1 for i in range(20)] + [1000.0]
+    rows = [
+        (i + 1, 1, 1, i + 1, 1.0, p, 0.0, 0.0, "N", "O", None)
+        for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = iqr_outlier_stats(spark, str(tmp_path)).collect()[0]
+    import math
+    cents = sorted(int(math.floor(p * 100)) for p in prices)
+    n = len(cents)
+    q1 = cents[math.ceil(0.25 * n) - 1]
+    q3 = cents[math.ceil(0.75 * n) - 1]
+    lo = sum(1 for c in cents if 4 * c < 4 * q1 - 6 * (q3 - q1))
+    hi = sum(1 for c in cents if 4 * c > 4 * q3 + 6 * (q3 - q1))
+    assert (r["q1_cents"], r["q3_cents"]) == (q1, q3)
+    assert (r["n_low_outliers"], r["n_high_outliers"]) == (lo, hi)
+    assert hi == 1  # the fat finger
+    assert r["outlier_permille"] == (1000 * (lo + hi)) // n

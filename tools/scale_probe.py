@@ -185,6 +185,10 @@ QUERIES = [
     # identical shape to the probed-linear z twin (one collapsed
     # projection + one grouped aggregate).
     "ks_length_drift",
+    "event_path_trigrams",
+    # fd_violation_stats / iqr_outlier_stats EXCLUDED: read part/customer/
+    # lineitem (zorder precedent); both are one grouped count + group-
+    # sized tails per the plan guards.
     # rfm_segments EXCLUDED: reads orders (zorder precedent); one
     # fact-grain aggregate + dimension-sized global-order windows (the
     # corpus_shuffle cost class).

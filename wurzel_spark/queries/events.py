@@ -810,3 +810,86 @@ SELECT event_type, hour, CAST(c AS BIGINT) AS n_events,
         OR (1000 * (m_hi - p)) // (t * h_n) > {CUSUM_FLAG_PERMILLE}) AS drift_flag
 FROM extrema ORDER BY event_type, hour
 """
+
+
+# --------------------------------------------- session path trigrams
+
+PATH_TOP_K = 25
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K 3-step behavioral paths: (type → type → type) trigrams
+    within session continuity — the path-analysis readout one step above
+    [[event_transition_matrix]]'s first-order Markov view (second-order
+    structure is where funnels show their real shape: A→B→buy vs
+    C→B→buy separate here, never in the pair matrix).
+
+    Exactness: both lag gaps must sit inside the session window (the
+    sessionize convention); counts are exact ints and permille shares
+    clear against the trigram total; the top-K sort key (n desc, then
+    the three types) is total so LIMIT is deterministic.
+
+    Scale shape: ONE window partitioned by user (two lags from the same
+    ordered partition — one shuffle), a grouped count, and a TopK sort
+    over |type|³-bounded rows."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # prev_gap derives from lag-1/lag-2 epochs directly — a lag OF a
+    # lagged expression would be a nested window call (DuckDB rejects it)
+    us = F.unix_micros(F.col("ts"))
+    lagged = ev.select(
+        F.col("event_type").alias("t3"),
+        F.lag("event_type").over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        (F.lag(us).over(w) - F.lag(us, 2).over(w)).alias("prev_gap_us"),
+    )
+    tri = (
+        lagged.filter(
+            F.col("t1").isNotNull()
+            & (F.col("gap_us") <= SESSION_GAP_SECONDS * 1_000_000)
+            & (F.col("prev_gap_us") <= SESSION_GAP_SECONDS * 1_000_000)
+        )
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    w_tot = W.partitionBy()
+    return (
+        tri.withColumn("total", F.sum("n_paths").over(w_tot))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n_paths",
+            F.expr("div(1000 * n_paths, total)").alias("share_permille"),
+        )
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(PATH_TOP_K)
+    )
+
+
+EVENT_PATH_SQL = f"""
+WITH lagged AS (
+  SELECT event_type AS t3,
+         LAG(event_type) OVER w AS t2,
+         LAG(event_type, 2) OVER w AS t1,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+         LAG(epoch_us(ts)) OVER w - LAG(epoch_us(ts), 2) OVER w AS prev_gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM lagged
+  WHERE t1 IS NOT NULL
+    AND gap_us <= {SESSION_GAP_SECONDS * 1_000_000}
+    AND prev_gap_us <= {SESSION_GAP_SECONDS * 1_000_000}
+  GROUP BY t1, t2, t3
+)
+SELECT t1, t2, t3, n_paths,
+       CAST((1000 * n_paths) // SUM(n_paths) OVER () AS BIGINT) AS share_permille
+FROM tri
+ORDER BY n_paths DESC, t1, t2, t3
+LIMIT {PATH_TOP_K}
+"""

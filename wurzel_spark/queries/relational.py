@@ -1996,3 +1996,213 @@ SELECT r_score, f_score, m_score,
 FROM scored GROUP BY r_score, f_score, m_score
 ORDER BY r_score, f_score, m_score
 """
+
+
+# --------------------------------------------------- FD violation profiler
+
+# (determinant, dependent) candidate functional dependencies to profile —
+# the schema-discovery pass every data-profiling tool (Metanome/HyFD
+# lineage) runs before trusting a column as a key or a lookup.
+FD_CANDIDATES = [
+    ("part", "p_name", "p_brand"),
+    ("part", "p_name", "p_type"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+]
+
+
+def fd_violation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiler: for each candidate X → Y, how
+    close does the data come to satisfying it — distinct determinant
+    groups, groups where Y is NOT single-valued (the violations), rows
+    trapped in violating groups, and the g3-style satisfaction permille
+    (kept rows under the minimal repair = keep each group's plurality
+    value). The readout that separates "safe join key / derivable
+    column" from "needs cleansing" before a 100 TB denormalization.
+
+    Exactness: plurality per group = max per-(X, Y) count with
+    lexicographic Y tie-break — deterministic in both engines via
+    (count desc, Y) row_number; all outputs exact integer counts.
+
+    Scale shape: per FD one (X, Y) grouped count (corpus shuffle),
+    then group-sized aggregates; the per-table FDs union at the end
+    (each branch prunes to its two columns at the scan)."""
+    from pyspark.sql import Window as W
+
+    outs = []
+    for tbl, det, dep in FD_CANDIDATES:
+        t = table(spark, sf_dir, tbl)
+        per = t.groupBy(F.col(det).alias("x"), F.col(dep).alias("y")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        wg = W.partitionBy("x").orderBy(F.desc("c"), "y")
+        grp = (
+            per.withColumn("rn", F.row_number().over(wg))
+            .groupBy("x")
+            .agg(
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_values"),
+                F.sum(F.when(F.col("rn") == 1, F.col("c")).otherwise(0)).alias(
+                    "n_plurality"
+                ),
+            )
+        )
+        outs.append(
+            grp.agg(
+                F.lit(f"{tbl}.{det}->{dep}").alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("n_values") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.sum(F.when(F.col("n_values") > 1, F.col("n_rows")).otherwise(0))
+                .cast("long")
+                .alias("n_rows_in_violations"),
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.expr(
+                    "CAST(div(1000 * SUM(n_plurality), SUM(n_rows)) AS BIGINT)"
+                ).alias("g3_keep_permille"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fd")
+
+
+def _fd_sql() -> str:
+    branches = []
+    for tbl, det, dep in FD_CANDIDATES:
+        branches.append(f"""
+SELECT '{tbl}.{det}->{dep}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_values > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(SUM(CASE WHEN n_values > 1 THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_in_violations,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST((1000 * SUM(n_plurality)) // SUM(n_rows) AS BIGINT) AS g3_keep_permille
+FROM (
+  SELECT x, SUM(c) AS n_rows, COUNT(*) AS n_values,
+         SUM(CASE WHEN rn = 1 THEN c ELSE 0 END) AS n_plurality
+  FROM (
+    SELECT x, y, c, ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+    FROM (SELECT {det} AS x, {dep} AS y, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {tbl} GROUP BY {det}, {dep})
+  ) GROUP BY x
+)""")
+    return "\nUNION ALL\n".join(branches) + "\nORDER BY fd"
+
+
+FD_VIOLATION_SQL = _fd_sql()
+
+
+# --------------------------------------------------- IQR outlier audit
+
+
+def iqr_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit of the money column per return-flag
+    group — the boxplot screen (Tukey 1977) that pairs with
+    [[benford_value_audit]]: Benford catches fabricated DIGITS, the IQR
+    fences catch fat-finger magnitudes (an extra zero) before they skew
+    downstream revenue aggregates.
+
+    Exactness: cents = FLOOR(price·100); quartiles are the exact
+    rank-based value at 1-based rank ceil(p·n) (the
+    corpus_length_quantiles DEFINITION — interpolating percentiles
+    differ across engines); the 1.5·IQR fences clear the half to
+    quarter-cents — ``4·x < 4·q1 − 6·iqr`` — so the outlier predicate is
+    pure integer comparison. Ties in value need no tie-break: the value
+    AT a rank is well-defined whatever the tie order.
+
+    Scale shape: one window shuffle on the group key (the per-group sort
+    that exact quantiles cost), a group-sized quartile panel, and a
+    broadcast join back for the fence counts."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = W.partitionBy("l_returnflag").orderBy("cents")
+    wc = W.partitionBy("l_returnflag")
+    ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wc)
+    )
+    quart = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("__rn") == F.ceil(F.col("__n") * F.lit(0.25)).cast("int"),
+                F.col("cents"),
+            )
+        ).alias("q1_cents"),
+        F.max(
+            F.when(
+                F.col("__rn") == F.ceil(F.col("__n") * F.lit(0.75)).cast("int"),
+                F.col("cents"),
+            )
+        ).alias("q3_cents"),
+    )
+    joined = base.join(F.broadcast(quart), "l_returnflag")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.first("q1_cents").alias("q1_cents"),
+            F.first("q3_cents").alias("q3_cents"),
+            F.sum(
+                F.expr("CASE WHEN 4 * cents < 4 * q1_cents - 6 * (q3_cents - q1_cents)"
+                       " THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.expr("CASE WHEN 4 * cents > 4 * q3_cents + 6 * (q3_cents - q1_cents)"
+                       " THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "q1_cents",
+            "q3_cents",
+            "n_low_outliers",
+            "n_high_outliers",
+            F.expr(
+                "div(1000 * (n_low_outliers + n_high_outliers), n_rows)"
+            ).alias("outlier_permille"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+IQR_OUTLIER_SQL = """
+WITH base AS (
+  SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM base
+), quart AS (
+  SELECT l_returnflag,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.25) AS INT) THEN cents END) AS q1_cents,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.75) AS INT) THEN cents END) AS q3_cents
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT b.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(q1_cents) AS BIGINT) AS q1_cents,
+       CAST(MIN(q3_cents) AS BIGINT) AS q3_cents,
+       CAST(SUM(CASE WHEN 4 * cents < 4 * q1_cents - 6 * (q3_cents - q1_cents)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN 4 * cents > 4 * q3_cents + 6 * (q3_cents - q1_cents)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       (1000 * CAST(SUM(CASE WHEN 4 * cents < 4 * q1_cents - 6 * (q3_cents - q1_cents)
+                              OR 4 * cents > 4 * q3_cents + 6 * (q3_cents - q1_cents)
+                             THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS outlier_permille
+FROM base b JOIN quart q ON q.l_returnflag = b.l_returnflag
+GROUP BY b.l_returnflag ORDER BY b.l_returnflag
+"""
