@@ -288,6 +288,7 @@ HEADLINE = [
     "event_path_trigrams",
     "fd_violation_stats",
     "iqr_outlier_stats",
+    "event_mannkendall_trend",
 ]
 
 

@@ -984,3 +984,88 @@ def test_iqr_outliers_hand_computed(spark, tmp_path):
     assert (r["n_low_outliers"], r["n_high_outliers"]) == (lo, hi)
     assert hi == 1  # the fat finger
     assert r["outlier_permille"] == (1000 * (lo + hi)) // n
+
+
+# --------------------------------------------- Mann-Kendall trend test
+
+
+def test_mannkendall_matches_python_reference(spark, tmp_path):
+    """S and tau equal the literal pairwise definition on planted rising,
+    falling, and flat series."""
+    import datetime as dt
+    from wurzel_spark.queries.events import event_mannkendall_trend
+
+    series = {
+        "up": [2, 3, 5, 7, 8, 11, 13, 14],
+        "down": [14, 11, 9, 9, 6, 4, 3, 1],
+        "flat": [5, 5, 5, 5, 5, 5, 5, 5],
+    }
+    rows = []
+    eid = 0
+    for et, counts in series.items():
+        for h, c in enumerate(counts):
+            for _ in range(c):
+                eid += 1
+                rows.append((eid, dt.datetime(2024, 1, 1, h), 1, et, 1.0, None))
+    _events(spark, rows).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["event_type"]: r for r in
+           event_mannkendall_trend(spark, str(tmp_path)).collect()}
+
+    def sgn(x):
+        return (x > 0) - (x < 0)
+
+    for et, cs in series.items():
+        s = sum(sgn(cs[j] - cs[i]) for i in range(len(cs)) for j in range(i + 1, len(cs)))
+        h = len(cs)
+        tau = (2000 * s) // (h * (h - 1)) if s >= 0 else -((2000 * -s) // (h * (h - 1)))
+        r = out[et]
+        assert r["s_stat"] == s and r["tau_permille"] == tau, et
+    assert out["up"]["trend"] == "rising"
+    assert out["down"]["trend"] == "falling"
+    assert out["flat"]["trend"] == "flat" and out["flat"]["s_stat"] == 0
+
+
+# --------------------------------------------- streaming KS drift twin
+
+
+def test_streaming_ks_matches_batch(spark, tmp_path):
+    from wurzel_spark.operators.textstats import ks_length_drift
+    from wurzel_spark.streaming.ksdrift import ks_drift_stream
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents").localCheckpoint()
+    d = str(tmp_path / "ks_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = [
+        tuple(r)
+        for r in ks_drift_stream(
+            stream, str(tmp_path / "ks_state"), str(tmp_path / "ks_ckpt"),
+            compact_every=2,
+        ).collect()
+    ]
+    exp = [tuple(r) for r in ks_length_drift(docs).collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_ks_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.operators.textstats import ks_length_partials
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.ksdrift import drain_ks_state
+    from wurzel_spark.tables import table as _table
+
+    docs = _table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "ks_replay")
+
+    def _stage(df, bid):
+        mine = ks_length_partials(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(spark, mine, state, bid, ["src_batch", "source", "v"], None)
+
+    _stage(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    once = [tuple(r) for r in drain_ks_state(spark, state).collect()]
+    _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
+    got = [tuple(r) for r in drain_ks_state(spark, state).collect()]
+    assert got == once and len(once) > 0

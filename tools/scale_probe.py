@@ -186,6 +186,7 @@ QUERIES = [
     # projection + one grouped aggregate).
     "ks_length_drift",
     "event_path_trigrams",
+    "event_mannkendall_trend",
     # fd_violation_stats / iqr_outlier_stats EXCLUDED: read part/customer/
     # lineitem (zorder precedent); both are one grouped count + group-
     # sized tails per the plan guards.

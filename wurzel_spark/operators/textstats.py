@@ -5844,13 +5844,25 @@ def ks_length_drift(df: DataFrame, value_col: str = "n_chars") -> DataFrame:
     Scale shape: ONE corpus-grain grouped count; the grid is
     |sources| × |distinct lengths| (bounded by the value domain, not the
     corpus) with two running windows and one max-aggregate over it."""
-    from pyspark.sql import Window as W
+    return ks_from_partials(ks_length_partials(df, value_col))
 
-    counts = (
+
+def ks_length_partials(df: DataFrame, value_col: str = "n_chars") -> DataFrame:
+    """Per-(source, value) ADDITIVE counts — the staged unit of the
+    streaming twin (streaming/ksdrift.py). Everything downstream of this
+    one corpus-grain aggregate runs on value-domain-sized rows."""
+    return (
         df.filter(F.col(value_col).isNotNull())
         .groupBy("source", F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
     )
+
+
+def ks_from_partials(counts: DataFrame) -> DataFrame:
+    """Grid + window + max tail over (source, value) counts (shared with
+    the streaming drain)."""
+    from pyspark.sql import Window as W
+
     vals = counts.groupBy("v").agg(F.sum("c").alias("tot_v"))
     vals = vals.select(
         "v",

@@ -893,3 +893,90 @@ FROM tri
 ORDER BY n_paths DESC, t1, t2, t3
 LIMIT {PATH_TOP_K}
 """
+
+
+# --------------------------------------------- Mann-Kendall trend test
+
+MK_TREND_PERMILLE = 200
+
+
+def event_mannkendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per event type over the hourly
+    count series — the distribution-free trend detector (Mann 1945,
+    Kendall 1975) that completes the temporal battery: [[event_cusum_drift]]
+    localizes a LEVEL SHIFT, this scores sustained monotonic DRIFT that
+    never shifts abruptly (slow decay of an event type, creeping bot
+    growth). S = Σ_{i<j} sgn(c_j − c_i); Kendall's τ normalizes by the
+    pair count.
+
+    Exactness: S and the pair count are exact integers;
+    ``tau_permille = sign(S) · (2000·|S|) div (H·(H−1))`` keeps every
+    division non-negative (div truncates toward zero while the floor
+    identity floors — they diverge on negatives, the centroid lesson).
+
+    Scale shape: the O(H²) pair join runs on the HOURLY ROLLUP
+    (rollup-sized, bounded by the time span — never the event corpus);
+    one corpus-grain grouped count feeds it."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = hourly.select("event_type", F.col("hour").alias("h1"), F.col("c").alias("c1"))
+    b = hourly.select("event_type", F.col("hour").alias("h2"), F.col("c").alias("c2"))
+    pairs = a.join(b, "event_type").filter(F.col("h1") < F.col("h2"))
+    agg = pairs.groupBy("event_type").agg(
+        F.sum(F.signum(F.col("c2") - F.col("c1")).cast("long")).alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    hn = hourly.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
+    out = agg.join(hn, "event_type").select(
+        "event_type",
+        "n_hours",
+        "s_stat",
+        F.expr(
+            "CAST(CASE WHEN s_stat >= 0 THEN div(2000 * s_stat, n_hours * (n_hours - 1))"
+            " ELSE -div(2000 * -s_stat, n_hours * (n_hours - 1)) END AS BIGINT)"
+        ).alias("tau_permille"),
+    )
+    return out.select(
+        "event_type",
+        "n_hours",
+        "s_stat",
+        "tau_permille",
+        F.expr(
+            f"CASE WHEN tau_permille > {MK_TREND_PERMILLE} THEN 'rising'"
+            f" WHEN tau_permille < -{MK_TREND_PERMILLE} THEN 'falling'"
+            f" ELSE 'flat' END"
+        ).alias("trend"),
+    ).orderBy("event_type")
+
+
+MANNKENDALL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), pairs AS (
+  SELECT a.event_type,
+         CAST(SUM(SIGN(b.c - a.c)) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.hour < b.hour
+  GROUP BY a.event_type
+), hn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM hourly GROUP BY event_type
+), scored AS (
+  SELECT p.event_type, hn.n_hours, p.s_stat,
+         CAST(CASE WHEN s_stat >= 0
+                   THEN (2000 * s_stat) // (n_hours * (n_hours - 1))
+                   ELSE -((2000 * -s_stat) // (n_hours * (n_hours - 1)))
+                   END AS BIGINT) AS tau_permille
+  FROM pairs p JOIN hn ON hn.event_type = p.event_type
+)
+SELECT event_type, n_hours, s_stat, tau_permille,
+       CASE WHEN tau_permille > {MK_TREND_PERMILLE} THEN 'rising'
+            WHEN tau_permille < -{MK_TREND_PERMILLE} THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM scored ORDER BY event_type
+"""
