@@ -289,6 +289,8 @@ HEADLINE = [
     "fd_violation_stats",
     "iqr_outlier_stats",
     "event_mannkendall_trend",
+    "customer_balance_gini",
+    "revenue_hhi_stats",
 ]
 
 

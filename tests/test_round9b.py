@@ -1069,3 +1069,73 @@ def test_streaming_ks_replay_is_idempotent(spark, tmp_path):
     _stage(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
     got = [tuple(r) for r in drain_ks_state(spark, state).collect()]
     assert got == once and len(once) > 0
+
+
+# --------------------------------------------------- concentration metrics
+
+
+def test_balance_gini_extremes(spark, tmp_path):
+    """Equal balances -> 0; one account holding nearly everything -> near
+    (n-1)/n; negatives excluded and counted; Fraction reference."""
+    from fractions import Fraction
+    from wurzel_spark.queries.relational import customer_balance_gini
+
+    rows = []
+    # nation 0: 8 equal accounts; nation 1: 7 tiny + 1 whale; nation 2 has
+    # a negative and a zero
+    for i in range(8):
+        rows.append((i, f"c{i}", 0, 50.0, "S"))
+    for i in range(7):
+        rows.append((100 + i, f"c{i}", 1, 0.01, "S"))
+    rows.append((107, "whale", 1, 10000.0, "S"))
+    rows.append((200, "neg", 2, -5.0, "S"))
+    rows.append((201, "zero", 2, 0.0, "S"))
+    rows.append((202, "pos", 2, 3.0, "S"))
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    out = {r["c_nationkey"]: r for r in
+           customer_balance_gini(spark, str(tmp_path)).collect()}
+    assert out[0]["gini_permille"] == 0
+
+    def gini_ref(cents):
+        cents = sorted(cents)
+        n = len(cents)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(cents))
+        return (1000 * num) // (n * sum(cents))
+
+    assert out[1]["gini_permille"] == gini_ref([1] * 7 + [1000000])
+    assert out[1]["gini_permille"] > 800
+    assert out[2]["n_nonpositive"] == 2 and out[2]["n_accounts"] == 1
+    assert out[2]["gini_permille"] == 0  # single account
+
+
+def test_revenue_hhi_extremes(spark, tmp_path):
+    """Monopoly nation -> 10000; equal-split nation -> 10000/k; band
+    labels match the DOJ thresholds."""
+    from wurzel_spark.queries.relational import revenue_hhi_stats
+
+    sups = [(1, "s1", 0, 0.0), (2, "s2", 1, 0.0), (3, "s3", 1, 0.0),
+            (4, "s4", 1, 0.0), (5, "s5", 1, 0.0), (6, "s6", 1, 0.0)]
+    spark.createDataFrame(
+        sups, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).coalesce(1).write.parquet(str(tmp_path / "supplier.parquet"))
+    lines = []
+    ln = 0
+    # nation 0: only supplier 1 (monopoly); nation 1: suppliers 2..6 equal
+    for sk, price in [(1, 500.0)] + [(k, 100.0) for k in range(2, 7)]:
+        ln += 1
+        lines.append((ln, 1, sk, 1, 1.0, price, 0.0, 0.0, "N", "O", None))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["s_nationkey"]: r for r in revenue_hhi_stats(spark, str(tmp_path)).collect()}
+    assert out[0]["hhi"] == 10000 and out[0]["band"] == "concentrated"
+    # 5 equal shares -> HHI 2000, inside the DOJ moderate band (1500-2500)
+    assert out[1]["hhi"] == 10000 // 5 and out[1]["band"] == "moderate"
+    assert out[1]["total_rev_cents"] == 5 * 10000

@@ -187,6 +187,9 @@ QUERIES = [
     "ks_length_drift",
     "event_path_trigrams",
     "event_mannkendall_trend",
+    # customer_balance_gini / revenue_hhi_stats EXCLUDED: read customer/
+    # lineitem/supplier (zorder precedent); dimension-sized windows and
+    # one fact-grain sum respectively.
     # fd_violation_stats / iqr_outlier_stats EXCLUDED: read part/customer/
     # lineitem (zorder precedent); both are one grouped count + group-
     # sized tails per the plan guards.

@@ -2206,3 +2206,175 @@ SELECT b.l_returnflag,
 FROM base b JOIN quart q ON q.l_returnflag = b.l_returnflag
 GROUP BY b.l_returnflag ORDER BY b.l_returnflag
 """
+
+
+# --------------------------------------------------- concentration metrics
+
+
+def customer_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of positive customer account balances per nation
+    — the inequality/concentration readout (Gini 1912, the Lorenz-curve
+    integral) risk teams run per market: a nation where five accounts
+    hold the balance sheet is a different book than one with a flat
+    curve. Distinct from [[user_type_gini]] (Gini IMPURITY of a
+    categorical distribution); this is the economic coefficient over a
+    continuous column.
+
+    Exactness: cents = FLOOR(acctbal·100); with balances sorted
+    ascending per nation, ``G = Σ(2i−n−1)·x_i / (n·Σx)`` — numerator
+    and denominator exact non-negative integers (decimal/HUGEINT), one
+    floor-div at the end. Non-positive balances have no Lorenz meaning:
+    excluded and counted.
+
+    Scale shape: one per-nation sort window over the customer dimension
+    (dimension-sized, the exact-quantile cost class) + one grouped
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_nationkey",
+        F.expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    pos = base.filter(F.col("cents") > 0)
+    w = W.partitionBy("c_nationkey").orderBy("cents")
+    wc = W.partitionBy("c_nationkey")
+    ranked = pos.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    gini = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accounts"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_cents"),
+        F.sum(
+            (2 * F.col("i") - F.col("n") - 1).cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("num"),
+    )
+    excl = base.groupBy("c_nationkey").agg(
+        F.sum(F.when(F.col("cents") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpositive")
+    )
+    return (
+        gini.join(excl, "c_nationkey")
+        .select(
+            "c_nationkey",
+            "n_accounts",
+            "n_nonpositive",
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.expr(
+                "CAST(CASE WHEN n_accounts > 0 AND sum_cents > 0"
+                " THEN div(1000 * num, n_accounts * sum_cents) END AS BIGINT)"
+            ).alias("gini_permille"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+BALANCE_GINI_SQL = """
+WITH base AS (
+  SELECT c_nationkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), ranked AS (
+  SELECT c_nationkey, CAST(cents AS HUGEINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY cents) AS i,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM base WHERE cents > 0
+), gini AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_accounts,
+         SUM(cents) AS sum_cents,
+         SUM((2 * i - n - 1) * cents) AS num
+  FROM ranked GROUP BY c_nationkey
+), excl AS (
+  SELECT c_nationkey,
+         CAST(SUM(CASE WHEN cents <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive
+  FROM base GROUP BY c_nationkey
+)
+SELECT g.c_nationkey, n_accounts, n_nonpositive,
+       CAST(sum_cents AS BIGINT) AS sum_cents,
+       CASE WHEN n_accounts > 0 AND sum_cents > 0
+            THEN CAST((1000 * num) // (n_accounts * sum_cents) AS BIGINT)
+            END AS gini_permille
+FROM gini g JOIN excl e ON e.c_nationkey = g.c_nationkey
+ORDER BY g.c_nationkey
+"""
+
+
+def revenue_hhi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-revenue concentration per nation —
+    the antitrust concentration index (HHI = Σ share², 10000 = monopoly)
+    over lineitem revenue attributed to suppliers: the market-structure
+    readout a sourcing/risk pipeline derives from the order stream
+    (HHI > 2500 = concentrated per the DOJ bands).
+
+    Exactness: per-line revenue cents = FLOOR(extendedprice·
+    (1−discount)·100) — one FLOOR per line, identical IEEE multiply
+    both engines — then every sum is integer; HHI clears shares to
+    ``10000·Σr_i² div (Σr_i)²`` in decimal/HUGEINT (r_i² reaches ~10²⁴
+    at 100 TB).
+
+    Scale shape: one fact-grain grouped sum to supplier grain, a
+    broadcast supplier→nation join, two group-sized aggregates."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+            ).cast("decimal(38,0)")
+        ).alias("rev")
+    )
+    joined = per_supp.join(
+        F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        per_supp.l_suppkey == F.col("s_suppkey"),
+    )
+    agg = joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev").alias("total_rev"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sum_rev2"),
+    )
+    return agg.select(
+        "s_nationkey",
+        "n_suppliers",
+        F.col("total_rev").cast("long").alias("total_rev_cents"),
+        F.expr(
+            "CAST(CASE WHEN total_rev > 0"
+            " THEN div(10000 * sum_rev2, total_rev * total_rev) END AS BIGINT)"
+        ).alias("hhi"),
+        F.expr(
+            "CASE WHEN total_rev > 0 THEN"
+            " CASE WHEN div(10000 * sum_rev2, total_rev * total_rev) > 2500"
+            " THEN 'concentrated'"
+            " WHEN div(10000 * sum_rev2, total_rev * total_rev) > 1500"
+            " THEN 'moderate' ELSE 'competitive' END END"
+        ).alias("band"),
+    ).orderBy("s_nationkey")
+
+
+REVENUE_HHI_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS HUGEINT) AS rev
+  FROM lineitem GROUP BY l_suppkey
+), agg AS (
+  SELECT s_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         SUM(rev) AS total_rev,
+         SUM(rev * rev) AS sum_rev2
+  FROM per_supp JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY s_nationkey
+)
+SELECT s_nationkey, n_suppliers,
+       CAST(total_rev AS BIGINT) AS total_rev_cents,
+       CASE WHEN total_rev > 0
+            THEN CAST((10000 * sum_rev2) // (total_rev * total_rev) AS BIGINT)
+            END AS hhi,
+       CASE WHEN total_rev > 0 THEN
+         CASE WHEN (10000 * sum_rev2) // (total_rev * total_rev) > 2500
+              THEN 'concentrated'
+              WHEN (10000 * sum_rev2) // (total_rev * total_rev) > 1500
+              THEN 'moderate' ELSE 'competitive' END END AS band
+FROM agg ORDER BY s_nationkey
+"""
