@@ -291,6 +291,7 @@ HEADLINE = [
     "event_mannkendall_trend",
     "customer_balance_gini",
     "revenue_hhi_stats",
+    "event_acf_stats",
 ]
 
 

@@ -1139,3 +1139,51 @@ def test_revenue_hhi_extremes(spark, tmp_path):
     # 5 equal shares -> HHI 2000, inside the DOJ moderate band (1500-2500)
     assert out[1]["hhi"] == 10000 // 5 and out[1]["band"] == "moderate"
     assert out[1]["total_rev_cents"] == 5 * 10000
+
+
+# --------------------------------------------- autocorrelation (seasonality)
+
+
+def test_acf_matches_python_reference(spark, tmp_path):
+    """Integer ACF equals the literal deviation-product definition on a
+    planted periodic series; a period-24 wave scores high lag-24, an
+    alternating series scores negative lag-1."""
+    import datetime as dt
+    from wurzel_spark.queries.events import event_acf_stats
+
+    series = {
+        # 3 days of a clean daily wave: high at hours 8-16
+        "wave": [(10 if 8 <= (h % 24) <= 16 else 2) for h in range(72)],
+        # strict alternation: maximally negative lag-1
+        "alt": [(9 if h % 2 == 0 else 1) for h in range(48)],
+    }
+    rows = []
+    eid = 0
+    for et, counts in series.items():
+        for h, c in enumerate(counts):
+            for _ in range(c):
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), 1, et,
+                     1.0, None)
+                )
+    _events(spark, rows).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["event_type"]: r for r in event_acf_stats(spark, str(tmp_path)).collect()}
+
+    def ref(cs, k):
+        h = len(cs)
+        t = sum(cs)
+        dev = [c * h - t for c in cs]
+        num = sum(dev[i] * dev[i + k] for i in range(h - k))
+        den = sum(d * d for d in dev)
+        q = (1000 * num) // den if num >= 0 else -((1000 * -num) // den)
+        return q
+
+    for et, cs in series.items():
+        assert out[et]["acf1_permille"] == ref(cs, 1), et
+        assert out[et]["acf24_permille"] == ref(cs, 24), et
+    # the biased estimator's numerator has only H-k overlap terms, so a
+    # perfect period-24 wave on 72 hours tops out near (72-24)/72 = 667
+    assert out["wave"]["acf24_permille"] > 600   # daily period
+    assert out["wave"]["acf1_permille"] > 500    # persistence of the plateau
+    assert out["alt"]["acf1_permille"] < -800    # alternation

@@ -187,6 +187,7 @@ QUERIES = [
     "ks_length_drift",
     "event_path_trigrams",
     "event_mannkendall_trend",
+    "event_acf_stats",
     # customer_balance_gini / revenue_hhi_stats EXCLUDED: read customer/
     # lineitem/supplier (zorder precedent); dimension-sized windows and
     # one fact-grain sum respectively.
