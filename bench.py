@@ -292,6 +292,7 @@ HEADLINE = [
     "customer_balance_gini",
     "revenue_hhi_stats",
     "event_acf_stats",
+    "cohort_ltv_curve",
 ]
 
 

@@ -1187,3 +1187,41 @@ def test_acf_matches_python_reference(spark, tmp_path):
     assert out["wave"]["acf24_permille"] > 600   # daily period
     assert out["wave"]["acf1_permille"] > 500    # persistence of the plateau
     assert out["alt"]["acf1_permille"] < -800    # alternation
+
+
+# --------------------------------------------------- cohort LTV curve
+
+
+def test_cohort_ltv_hand_computed(spark, tmp_path):
+    """Cohorting, age indexing across a year boundary, and the cumulative
+    permille curve on a scripted two-cohort ledger."""
+    import datetime as dt
+    from wurzel_spark.queries.relational import cohort_ltv_curve
+
+    rows = [
+        # customer 1: first order 2023-11, then 2023-12 and 2024-02
+        (1, 1, "O", 10.0, dt.datetime(2023, 11, 5), "P"),
+        (2, 1, "O", 20.0, dt.datetime(2023, 12, 5), "P"),
+        (3, 1, "O", 30.0, dt.datetime(2024, 2, 5), "P"),
+        # customer 2: same cohort month, one order
+        (4, 2, "O", 40.0, dt.datetime(2023, 11, 20), "P"),
+        # customer 3: 2024-01 cohort
+        (5, 3, "O", 50.0, dt.datetime(2024, 1, 1), "P"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {(r["cohort_year"], r["cohort_month"], r["age_months"]): r
+           for r in cohort_ltv_curve(spark, str(tmp_path)).collect()}
+    c_nov = (2023, 11)
+    total_nov = 1000 + 2000 + 3000 + 4000
+    r0 = out[(*c_nov, 0)]
+    assert r0["rev_cents"] == 1000 + 4000 and r0["n_active"] == 2
+    assert r0["ltv_permille"] == (1000 * 5000) // total_nov
+    # age 3 = 2024-02 (cross-year month arithmetic)
+    r3 = out[(*c_nov, 3)]
+    assert r3["rev_cents"] == 3000
+    assert r3["cum_rev_cents"] == total_nov and r3["ltv_permille"] == 1000
+    assert out[(2024, 1, 0)]["ltv_permille"] == 1000

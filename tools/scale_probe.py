@@ -188,9 +188,9 @@ QUERIES = [
     "event_path_trigrams",
     "event_mannkendall_trend",
     "event_acf_stats",
-    # customer_balance_gini / revenue_hhi_stats EXCLUDED: read customer/
-    # lineitem/supplier (zorder precedent); dimension-sized windows and
-    # one fact-grain sum respectively.
+    # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve
+    # EXCLUDED: read customer/lineitem/supplier/orders (zorder precedent);
+    # dimension-sized windows / one fact-grain sum / one custkey window.
     # fd_violation_stats / iqr_outlier_stats EXCLUDED: read part/customer/
     # lineitem (zorder precedent); both are one grouped count + group-
     # sized tails per the plan guards.

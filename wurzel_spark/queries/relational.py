@@ -2378,3 +2378,97 @@ SELECT s_nationkey, n_suppliers,
               THEN 'moderate' ELSE 'competitive' END END AS band
 FROM agg ORDER BY s_nationkey
 """
+
+
+# --------------------------------------------------- cohort LTV curve
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by FIRST order
+    month, revenue accumulated by cohort age in months — the
+    complement to [[cohort_retention]] (events-based activity): that
+    says who came back, this says what they were WORTH, the payback
+    readout every acquisition decision reads.
+
+    Exactness: cohort/age months via exact integer month index
+    (year·12 + month — no months_between float semantics to match);
+    revenue cents FLOOR'd per order before any sum; ltv_permille =
+    cumulative cents // cohort lifetime total (non-negative because
+    TPC-H totalprice > 0; a refunds-bearing ledger would sign-split).
+
+    Scale shape: one customer-grain window for the first-order month
+    (fact rows shuffle once on custkey), one grouped sum to
+    (cohort, age) grain, then windows over cohort-sized rows."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    wc = W.partitionBy("o_custkey")
+    aged = base.withColumn("cohort_midx", F.min("midx").over(wc)).select(
+        "cohort_midx",
+        (F.col("midx") - F.col("cohort_midx")).alias("age_months"),
+        "cents",
+        "o_custkey",
+    )
+    grid = aged.groupBy("cohort_midx", "age_months").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev"),
+        F.countDistinct("o_custkey").cast("long").alias("n_active"),
+    )
+    wr = W.partitionBy("cohort_midx").orderBy("age_months").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("cohort_midx")
+    return (
+        grid.withColumn("cum_rev", F.sum("rev").over(wr))
+        .withColumn("total_rev", F.sum("rev").over(wt))
+        .select(
+            F.expr("CAST(div(cohort_midx - 1, 12) AS INT)").alias("cohort_year"),
+            F.expr("CAST(pmod(cohort_midx - 1, 12) + 1 AS INT)").alias("cohort_month"),
+            "age_months",
+            "n_active",
+            F.col("rev").cast("long").alias("rev_cents"),
+            F.col("cum_rev").cast("long").alias("cum_rev_cents"),
+            F.expr("CAST(div(1000 * cum_rev, total_rev) AS BIGINT)").alias(
+                "ltv_permille"
+            ),
+        )
+        .orderBy("cohort_year", "cohort_month", "age_months")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), aged AS (
+  SELECT MIN(midx) OVER (PARTITION BY o_custkey) AS cohort_midx,
+         midx - MIN(midx) OVER (PARTITION BY o_custkey) AS age_months,
+         cents, o_custkey
+  FROM base
+), grid AS (
+  SELECT cohort_midx, age_months,
+         CAST(SUM(cents) AS HUGEINT) AS rev,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active
+  FROM aged GROUP BY cohort_midx, age_months
+), curved AS (
+  SELECT cohort_midx, age_months, n_active, rev,
+         SUM(rev) OVER (PARTITION BY cohort_midx ORDER BY age_months
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         SUM(rev) OVER (PARTITION BY cohort_midx) AS total_rev
+  FROM grid
+)
+SELECT CAST((cohort_midx - 1) // 12 AS INT) AS cohort_year,
+       CAST((cohort_midx - 1) % 12 + 1 AS INT) AS cohort_month,
+       age_months, n_active,
+       CAST(rev AS BIGINT) AS rev_cents,
+       CAST(cum_rev AS BIGINT) AS cum_rev_cents,
+       CAST((1000 * cum_rev) // total_rev AS BIGINT) AS ltv_permille
+FROM curved
+ORDER BY cohort_year, cohort_month, age_months
+"""
