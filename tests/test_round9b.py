@@ -1225,3 +1225,55 @@ def test_cohort_ltv_hand_computed(spark, tmp_path):
     assert r3["rev_cents"] == 3000
     assert r3["cum_rev_cents"] == total_nov and r3["ltv_permille"] == 1000
     assert out[(2024, 1, 0)]["ltv_permille"] == 1000
+
+
+# --------------------------------------------- streaming Benford twin
+
+
+def _li_stream(spark, tmp_path, name):
+    from wurzel_spark.tables import table as _table
+
+    li = _table(spark, "/root/testdata/sf0.001", "lineitem").localCheckpoint()
+    d = str(tmp_path / f"{name}_in")
+    li.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(li.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    return li, stream
+
+
+def test_streaming_benford_matches_batch(spark, tmp_path):
+    from wurzel_spark.queries.relational import benford_value_audit
+    from wurzel_spark.streaming.benford import benford_stream
+
+    li, stream = _li_stream(spark, tmp_path, "bf")
+    got = [
+        tuple(r)
+        for r in benford_stream(
+            stream, str(tmp_path / "bf_state"), str(tmp_path / "bf_ckpt"),
+            compact_every=2,
+        ).collect()
+    ]
+    exp = [tuple(r) for r in benford_value_audit(spark, "/root/testdata/sf0.001").collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_benford_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.queries.relational import benford_partials
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.benford import drain_benford_state
+    from wurzel_spark.tables import table as _table
+
+    li = _table(spark, "/root/testdata/sf0.001", "lineitem")
+    state = str(tmp_path / "bf_replay")
+
+    def _stage(df, bid):
+        mine = benford_partials(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(spark, mine, state, bid, ["src_batch", "digit"], None)
+
+    _stage(li.filter(F.col("l_orderkey") % 2 == 0), 0)
+    _stage(li.filter(F.col("l_orderkey") % 2 == 1), 1)
+    once = [tuple(r) for r in drain_benford_state(spark, state).collect()]
+    _stage(li.filter(F.col("l_orderkey") % 2 == 1), 1)  # replay
+    got = [tuple(r) for r in drain_benford_state(spark, state).collect()]
+    assert got == once and len(once) > 0

@@ -1836,24 +1836,38 @@ def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one row-local projection + one 9-group aggregate +
     one 9-row window for the total — map-side combinable end to end."""
+    return benford_from_partials(
+        benford_partials(table(spark, sf_dir, "lineitem"))
+    )
+
+
+def benford_partials(df: DataFrame, value_col: str = "l_extendedprice") -> DataFrame:
+    """ADDITIVE digit counts — the staged unit of the streaming twin
+    (streaming/benford.py). Digit 0 is the excluded (non-positive)
+    bucket; 1..9 are first digits."""
+    base = df.select(
+        F.expr(f"CAST(FLOOR({value_col} * 100) AS BIGINT)").alias("cents")
+    )
+    return base.select(
+        F.when(F.col("cents") <= 0, F.lit(0))
+        .otherwise(
+            F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+        )
+        .alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+
+
+def benford_from_partials(counts: DataFrame) -> DataFrame:
+    """Permille tail over digit counts (shared with the streaming drain)."""
     from pyspark.sql import Window as W
 
-    li = table(spark, sf_dir, "lineitem")
     exp_arr = F.array(*[F.lit(p).cast("long") for p in BENFORD_PERMILLE])
-    base = li.select(
-        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("cents")
-    )
-    excl = base.agg(
-        F.sum(F.when(F.col("cents") <= 0, 1).otherwise(0))
+    excl = counts.agg(
+        F.sum(F.when(F.col("digit") == 0, F.col("n_values")).otherwise(0))
         .cast("long")
         .alias("n_excluded")
     )
-    digits = (
-        base.filter(F.col("cents") > 0)
-        .select(F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit"))
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
-    )
+    digits = counts.filter(F.col("digit") > 0)
     w = W.partitionBy()
     return (
         digits.withColumn("total", F.sum("n_values").over(w))
