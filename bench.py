@@ -293,6 +293,7 @@ HEADLINE = [
     "revenue_hhi_stats",
     "event_acf_stats",
     "cohort_ltv_curve",
+    "spearman_qty_price",
 ]
 
 

@@ -1277,3 +1277,54 @@ def test_streaming_benford_replay_is_idempotent(spark, tmp_path):
     _stage(li.filter(F.col("l_orderkey") % 2 == 1), 1)  # replay
     got = [tuple(r) for r in drain_benford_state(spark, state).collect()]
     assert got == once and len(once) > 0
+
+
+# --------------------------------------------------- Spearman correlation
+
+
+def test_spearman_matches_scipy_free_reference(spark, tmp_path):
+    """Tie-averaged-rank Spearman equals a direct Python computation on a
+    fixture WITH ties; a perfect monotone (nonlinear) relation scores 1."""
+    from wurzel_spark.queries.relational import spearman_qty_price
+
+    # flag A: y = x^3 (monotone, nonlinear, no ties) -> rho exactly 1
+    # flag B: ties in both columns
+    rows = []
+    ln = 0
+    for i in range(1, 11):
+        ln += 1
+        rows.append((ln, 1, 1, ln, float(i), float(i ** 3), 0.0, 0.0, "A", "O", None))
+    bx = [1, 1, 2, 3, 3, 3, 4]
+    by = [2, 1, 1, 5, 5, 4, 9]
+    for x, y in zip(bx, by):
+        ln += 1
+        rows.append((ln, 1, 1, ln, float(x), float(y), 0.0, 0.0, "B", "O", None))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["l_returnflag"]: r for r in spearman_qty_price(spark, str(tmp_path)).collect()}
+    assert abs(out["A"]["spearman_rho"] - 1.0) < 1e-12
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                r[order[k]] = avg
+            i = j
+        return r
+
+    rx, ry = avg_ranks([x * 100 for x in bx]), avg_ranks([y * 100 for y in by])
+    n = len(bx)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)) ** 0.5
+    assert abs(out["B"]["spearman_rho"] - num / den) < 1e-9

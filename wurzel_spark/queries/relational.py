@@ -2486,3 +2486,86 @@ SELECT CAST((cohort_midx - 1) // 12 AS INT) AS cohort_year,
 FROM curved
 ORDER BY cohort_year, cohort_month, age_months
 """
+
+
+# --------------------------------------------------- Spearman correlation
+
+
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per return
+    flag — the nonparametric complement to [[corr_quantity_price]]'s
+    Pearson: monotone-but-curved relationships (price grows with
+    quantity but saturates) score high here while Pearson undersells
+    them; the d²-shortcut form is WRONG under ties, so this is Pearson
+    computed on tie-averaged ranks.
+
+    Exactness: average ranks are kept integer as ``r2 = 2·rank_min +
+    ties − 1`` (twice the average rank — the 2× cancels inside the
+    correlation); the rank power sums accumulate in decimal(38,0)/
+    HUGEINT and each moment numerator is rounded to double ONCE (the
+    corr_quantity_price single-rounding convention).
+
+    Scale shape: two rank windows per group over the fact table (the
+    exact-quantile cost class), then one grouped aggregate."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_quantity * 100) AS BIGINT)").alias("x"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    )
+    g = "l_returnflag"
+
+    def r2(col):
+        wr = W.partitionBy(g).orderBy(col)
+        wt = W.partitionBy(g, col)
+        return (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("decimal(38,0)")
+
+    ranked = base.select(g, r2("x").alias("rx"), r2("y").alias("ry"))
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("rx"), F.sum("ry")
+    sxy = F.sum(F.expr("CAST(rx * ry AS DECIMAL(38,0))"))
+    sxx = F.sum(F.expr("CAST(rx * rx AS DECIMAL(38,0))"))
+    syy = F.sum(F.expr("CAST(ry * ry AS DECIMAL(38,0))"))
+    return (
+        ranked.groupBy(g)
+        .agg(
+            n.cast("long").alias("n_rows"),
+            ((n * sxy - sx * sy).cast("double")
+             / F.sqrt(
+                 (n * sxx - sx * sx).cast("double")
+                 * (n * syy - sy * sy).cast("double")
+             )).alias("spearman_rho"),
+        )
+        .orderBy(g)
+    )
+
+
+SPEARMAN_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity * 100) AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag,
+         CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS HUGEINT) AS rx,
+         CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS HUGEINT) AS ry
+  FROM base
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+FROM s ORDER BY l_returnflag
+"""
