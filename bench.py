@@ -294,6 +294,7 @@ HEADLINE = [
     "event_acf_stats",
     "cohort_ltv_curve",
     "spearman_qty_price",
+    "kmv_overlap_matrix",
 ]
 
 

@@ -1328,3 +1328,42 @@ def test_spearman_matches_scipy_free_reference(spark, tmp_path):
     num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
     den = (sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)) ** 0.5
     assert abs(out["B"]["spearman_rho"] - num / den) < 1e-9
+
+
+# ------------------------------------------------------- KMV set operations
+
+
+def test_kmv_overlap_small_pairs_are_exact(spark):
+    """When the merged sketch holds the whole union (k_used < k), the
+    estimator degenerates to the exact Jaccard — err_permille == 0."""
+    from wurzel_spark.operators.sketches import kmv_overlap_matrix
+
+    rows = []
+    # s0 and s1 share exactly half a 40-word vocabulary
+    for i in range(40):
+        rows.append((i, f"w{i:03d}", "s0", "en", 10))
+    for i in range(20, 60):
+        rows.append((100 + i, f"w{i:03d}", "s1", "en", 10))
+    out = kmv_overlap_matrix(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # |inter| = 20, |union| = 60
+    assert r["jacc_exact_permille"] == (1000 * 20) // 60
+    assert r["err_permille"] == 0 and r["jacc_est_permille"] == r["jacc_exact_permille"]
+
+
+def test_kmv_overlap_estimator_tracks_planted_overlap(spark):
+    """On vocabularies larger than k the estimate lands near the exact
+    Jaccard (KMV concentration; tolerance generous for k=256)."""
+    from wurzel_spark.operators.sketches import kmv_overlap_matrix
+
+    rows = []
+    # 2000-word vocabs, 50% overlap -> exact jaccard 1/3
+    for i in range(2000):
+        rows.append((i, f"w{i:05d}", "a0", "en", 10))
+    for i in range(1000, 3000):
+        rows.append((10000 + i, f"w{i:05d}", "a1", "en", 10))
+    r = kmv_overlap_matrix(_docs(spark, rows)).collect()[0]
+    assert r["jacc_exact_permille"] == (1000 * 1000) // 3000
+    assert r["k_used"] == 256
+    assert abs(r["jacc_est_permille"] - r["jacc_exact_permille"]) < 120

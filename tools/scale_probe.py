@@ -188,6 +188,7 @@ QUERIES = [
     "event_path_trigrams",
     "event_mannkendall_trend",
     "event_acf_stats",
+    "kmv_overlap_matrix",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve
     # EXCLUDED: read customer/lineitem/supplier/orders (zorder precedent);
     # dimension-sized windows / one fact-grain sum / one custkey window.

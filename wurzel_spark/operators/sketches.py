@@ -1323,3 +1323,172 @@ SELECT source, n, n_grams, n_buckets_hit, hll_sum_scaled,
 FROM est
 ORDER BY source, n
 """
+
+
+# ------------------------------------------------------- KMV set operations
+
+KMV_PAIR_K = 256
+
+
+def kmv_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = KMV_PAIR_K,
+) -> DataFrame:
+    """Pairwise source-overlap ESTIMATED from mergeable bottom-k
+    sketches, reported against the exact Jaccard it approximates — the
+    KMV set-operation estimator (Beyer et al., SIGMOD 2007): merge two
+    sketches, re-truncate to k, and the shared fraction under the k-th
+    threshold estimates Jaccard. This is the sketch path for
+    [[source_overlap_matrix]]-class questions at 100 TB: per-source
+    state is k hashes (kilobytes), pairwise comparison is sketch-sized,
+    and no corpus-grain pair join ever runs — only the error-readout
+    branch here touches the exact sets.
+
+    Exactness: sketch contents are md5-prefix hash VALUES (selected
+    minima must agree across engines, the kmv convention);
+    ``jacc_est_permille = 1000·shared_in_k div k_used`` is a ratio of
+    exact integers (k_used < k ⇒ the merged sketch IS the union:
+    estimate = exact on small pairs); the exact branch clears Jaccard to
+    ``1000·|A∩B| div |A∪B|``.
+
+    Scale shape: one vocab-grain distinct (8-byte hashes), one
+    bottom-k rank window per source; everything pairwise runs on
+    ≤ 2k·|pairs| sketch rows."""
+    from pyspark.sql import Window as W
+
+    hashed = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(TXT.words(F.col(text_col))).alias("w"),
+        )
+        .select("source", md5_prefix_hash(F.col("w")).alias("h"))
+        .distinct()
+    )
+    bk = (
+        hashed.withColumn(
+            "rn", F.row_number().over(W.partitionBy("source").orderBy("h"))
+        )
+        .filter(F.col("rn") <= k)
+        .select("source", "h")
+    )
+    srcs = bk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    side_a = pairs.join(bk, pairs.sa == bk.source).select("sa", "sb", "h")
+    side_b = pairs.join(bk, pairs.sb == bk.source).select("sa", "sb", "h")
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("sa", "sb", "h")
+        .agg(F.count(F.lit(1)).alias("n_sides"))
+    )
+    wpair = W.partitionBy("sa", "sb").orderBy("h")
+    ranked = merged.withColumn("rn", F.row_number().over(wpair))
+    est = ranked.filter(F.col("rn") <= k).groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("shared_in_k"),
+    )
+    # exact branch (error readout only — the expensive side a production
+    # run drops)
+    ha = hashed.select(F.col("source").alias("sa"), "h")
+    hb = hashed.select(F.col("source").alias("sb"), "h")
+    inter = (
+        ha.join(hb, "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sizes = hashed.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    exact = (
+        est.join(inter, ["sa", "sb"], "left")
+        .join(sizes.select(F.col("source").alias("sa"), F.col("d").alias("da")), "sa")
+        .join(sizes.select(F.col("source").alias("sb"), F.col("d").alias("db")), "sb")
+        .select(
+            "sa",
+            "sb",
+            "k_used",
+            "shared_in_k",
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+            (F.col("da") + F.col("db") - F.coalesce(F.col("n_inter"), F.lit(0))).alias(
+                "n_union"
+            ),
+        )
+    )
+    return exact.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "k_used",
+        "shared_in_k",
+        F.expr("div(1000 * shared_in_k, k_used)").alias("jacc_est_permille"),
+        F.expr("div(1000 * n_inter, n_union)").alias("jacc_exact_permille"),
+        F.expr(
+            "abs(div(1000 * shared_in_k, k_used) - div(1000 * n_inter, n_union))"
+        ).alias("err_permille"),
+    ).orderBy("source_a", "source_b")
+
+
+def q_kmv_overlap_matrix(spark, sf_dir: str) -> DataFrame:
+    from wurzel_spark.tables import table as _table
+
+    return kmv_overlap_matrix(_table(spark, sf_dir, "documents"))
+
+
+KMV_OVERLAP_SQL = rf"""
+WITH hashed AS (
+  SELECT DISTINCT source, {_SQL_H.format(x="t.w")} AS h
+  FROM (
+    SELECT source,
+           list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
+    FROM documents
+  ), UNNEST(ws) AS t(w)
+), bk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {KMV_PAIR_K}
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM bk) a
+  JOIN (SELECT DISTINCT source FROM bk) b ON a.source < b.source
+), merged AS (
+  SELECT sa, sb, h, COUNT(*) AS n_sides FROM (
+    SELECT p.sa, p.sb, k.h FROM pairs p JOIN bk k ON k.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, k.h FROM pairs p JOIN bk k ON k.source = p.sb
+  ) GROUP BY sa, sb, h
+), est AS (
+  SELECT sa, sb,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_in_k
+  FROM (
+    SELECT sa, sb, n_sides,
+           ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM merged
+  ) WHERE rn <= {KMV_PAIR_K} GROUP BY sa, sb
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS d FROM hashed GROUP BY source
+)
+SELECT e.sa AS source_a, e.sb AS source_b, k_used, shared_in_k,
+       (1000 * shared_in_k) // k_used AS jacc_est_permille,
+       (1000 * COALESCE(n_inter, 0)) // (da.d + db.d - COALESCE(n_inter, 0))
+         AS jacc_exact_permille,
+       ABS((1000 * shared_in_k) // k_used
+           - (1000 * COALESCE(n_inter, 0)) // (da.d + db.d - COALESCE(n_inter, 0)))
+         AS err_permille
+FROM est e
+LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+JOIN sizes da ON da.source = e.sa
+JOIN sizes db ON db.source = e.sb
+ORDER BY source_a, source_b
+"""
