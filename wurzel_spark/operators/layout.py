@@ -633,7 +633,13 @@ FROM core CROSS JOIN nulls
 
 # ------------------------------------------------------- Hilbert layout
 
-HILBERT_BITS = Z_BITS  # same grid as the z-curve so spans compare 1:1
+# 10 bits per dim (a 1024×1024 grid) — 16× finer than the 64-bucket
+# readout needs. NOT Z_BITS: Catalyst collapses the unrolled walk into
+# one projection by SUBSTITUTING each step's x/y into the next, so the
+# expression tree grows superlinearly in steps — measured at sf0.1:
+# 16 bits = 9.2 s, 10 bits = 2.0 s, z-order = 1.3 s. The curve itself is
+# exact at any bits; only the normalization granularity changes.
+HILBERT_BITS = 10
 
 
 def _hilbert_step_exprs(s: int, n: int) -> tuple[str, str, str]:
