@@ -1367,3 +1367,63 @@ def test_kmv_overlap_estimator_tracks_planted_overlap(spark):
     assert r["jacc_exact_permille"] == (1000 * 1000) // 3000
     assert r["k_used"] == 256
     assert abs(r["jacc_est_permille"] - r["jacc_exact_permille"]) < 120
+
+
+# --------------------------------------------- streaming temporal battery
+
+
+def test_streaming_temporal_battery_matches_batch(spark, tmp_path):
+    """One staged hourly rollup; all three detectors drain bit-equal to
+    their batch twins."""
+    from wurzel_spark.queries.events import (
+        event_acf_stats,
+        event_cusum_drift,
+        event_mannkendall_trend,
+    )
+    from wurzel_spark.streaming.temporal import temporal_battery_stream
+    from wurzel_spark.tables import table as _table
+
+    ev = _table(spark, "/root/testdata/sf0.001", "events").localCheckpoint()
+    d = str(tmp_path / "tb_in")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = temporal_battery_stream(
+        stream, str(tmp_path / "tb_state"), str(tmp_path / "tb_ckpt"), compact_every=2
+    )
+    sf = "/root/testdata/sf0.001"
+    assert [tuple(r) for r in got["cusum"].collect()] == [
+        tuple(r) for r in event_cusum_drift(spark, sf).collect()
+    ]
+    assert [tuple(r) for r in got["mannkendall"].collect()] == [
+        tuple(r) for r in event_mannkendall_trend(spark, sf).collect()
+    ]
+    acf = [tuple(r) for r in got["acf"].collect()]
+    assert acf == [tuple(r) for r in event_acf_stats(spark, sf).collect()]
+    assert len(acf) > 0
+
+
+def test_streaming_temporal_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.queries.events import hourly_rollup
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.temporal import drain_temporal_state
+    from wurzel_spark.tables import table as _table
+
+    ev = _table(spark, "/root/testdata/sf0.001", "events")
+    state = str(tmp_path / "tb_replay")
+
+    def _stage(df, bid):
+        mine = hourly_rollup(df).withColumn("src_batch", F.lit(bid))
+        write_batch_state(
+            spark, mine, state, bid, ["src_batch", "event_type", "hour"], None
+        )
+
+    _stage(ev.filter(F.col("event_id") % 2 == 0), 0)
+    _stage(ev.filter(F.col("event_id") % 2 == 1), 1)
+    once = {k: [tuple(r) for r in v.collect()]
+            for k, v in drain_temporal_state(spark, state).items()}
+    _stage(ev.filter(F.col("event_id") % 2 == 1), 1)  # replay
+    got = {k: [tuple(r) for r in v.collect()]
+           for k, v in drain_temporal_state(spark, state).items()}
+    assert got == once and all(len(v) > 0 for v in once.values())

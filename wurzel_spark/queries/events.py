@@ -735,12 +735,22 @@ def event_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus-grain grouped count to the (type, hour)
     rollup; everything after is windows over rollup-sized rows
     partitioned by type."""
-    from pyspark.sql import Window as W
+    return cusum_from_rollup(hourly_rollup(table(spark, sf_dir, "events")))
 
-    ev = table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+
+def hourly_rollup(ev: DataFrame) -> DataFrame:
+    """(event_type, hour) counts — the shared ADDITIVE input of the
+    temporal battery (CUSUM / Mann–Kendall / ACF) and the staged unit of
+    their streaming twins (streaming/temporal.py)."""
+    return ev.groupBy(
         F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+
+
+def cusum_from_rollup(hourly: DataFrame) -> DataFrame:
+    """Window tail over the hourly rollup (shared with the drain)."""
+    from pyspark.sql import Window as W
+
     wt = W.partitionBy("event_type")
     enriched = hourly.select(
         "event_type",
@@ -917,10 +927,12 @@ def event_mannkendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the O(H²) pair join runs on the HOURLY ROLLUP
     (rollup-sized, bounded by the time span — never the event corpus);
     one corpus-grain grouped count feeds it."""
-    ev = table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return mannkendall_from_rollup(hourly_rollup(table(spark, sf_dir, "events")))
+
+
+def mannkendall_from_rollup(hourly: DataFrame) -> DataFrame:
+    """Pair-join tail over the hourly rollup (shared with the drain)."""
+    hourly = hourly.select("event_type", "hour", F.col("c").cast("long").alias("c"))
     a = hourly.select("event_type", F.col("hour").alias("h1"), F.col("c").alias("c1"))
     b = hourly.select("event_type", F.col("hour").alias("h2"), F.col("c").alias("c2"))
     pairs = a.join(b, "event_type").filter(F.col("h1") < F.col("h2"))
@@ -1006,12 +1018,13 @@ def event_acf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus-grain rollup, then per-type ordered windows
     (lead) over rollup-sized rows and one grouped aggregate."""
+    return acf_from_rollup(hourly_rollup(table(spark, sf_dir, "events")))
+
+
+def acf_from_rollup(hourly: DataFrame) -> DataFrame:
+    """Lead-window tail over the hourly rollup (shared with the drain)."""
     from pyspark.sql import Window as W
 
-    ev = table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
     wt = W.partitionBy("event_type")
     wo = wt.orderBy("hour")
     dev = hourly.select(
