@@ -295,6 +295,7 @@ HEADLINE = [
     "cohort_ltv_curve",
     "spearman_qty_price",
     "kmv_overlap_matrix",
+    "robust_length_stats",
 ]
 
 

@@ -1427,3 +1427,34 @@ def test_streaming_temporal_replay_is_idempotent(spark, tmp_path):
     got = {k: [tuple(r) for r in v.collect()]
            for k, v in drain_temporal_state(spark, state).items()}
     assert got == once and all(len(v) > 0 for v in once.values())
+
+
+# ------------------------------------------------- trimmed/winsorized stats
+
+
+def test_robust_stats_hand_computed(spark):
+    """Trim cut, trimmed sum, clamp values, and winsorized sum on a
+    hand-built distribution with one extreme tail value each side."""
+    from wurzel_spark.operators.textstats import robust_length_stats
+
+    vals = [1] + list(range(10, 28)) + [1000]  # n=20, lo = 20*50//1000 = 1
+    rows = [(i, "t", "s0", "en", v) for i, v in enumerate(vals)]
+    r = robust_length_stats(_docs(spark, rows)).collect()[0]
+    assert r["n_docs"] == 20 and r["n_trimmed_per_tail"] == 1
+    kept = sorted(vals)[1:-1]
+    assert r["sum_trimmed"] == sum(kept) and r["n_kept"] == 18
+    assert (r["clamp_lo"], r["clamp_hi"]) == (kept[0], kept[-1])
+    assert r["sum_winsorized"] == sum(kept) + kept[0] + kept[-1]
+    assert r["sum_raw"] == sum(vals)
+    # the winsorized sum bounds how much the tails moved the raw sum
+    assert r["sum_winsorized"] < r["sum_raw"]
+
+
+def test_robust_stats_small_group_untrimmed(spark):
+    """n < 20 at 5% -> lo = 0: nothing trimmed, winsorized == raw."""
+    from wurzel_spark.operators.textstats import robust_length_stats
+
+    rows = [(i, "t", "s0", "en", 10 + i) for i in range(7)]
+    r = robust_length_stats(_docs(spark, rows)).collect()[0]
+    assert r["n_trimmed_per_tail"] == 0
+    assert r["sum_trimmed"] == r["sum_raw"] == r["sum_winsorized"]

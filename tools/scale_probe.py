@@ -189,6 +189,7 @@ QUERIES = [
     "event_mannkendall_trend",
     "event_acf_stats",
     "kmv_overlap_matrix",
+    "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve
     # EXCLUDED: read customer/lineitem/supplier/orders (zorder precedent);
     # dimension-sized windows / one fact-grain sum / one custkey window.

@@ -5953,3 +5953,101 @@ SELECT source,
             END AS drift_flag
 FROM agg ORDER BY source
 """
+
+
+# ------------------------------------------------- trimmed/winsorized stats
+
+TRIM_PERMILLE = 50  # 5% per tail, the conventional trimmed-mean cut
+
+
+def robust_length_stats(df: DataFrame, value_col: str = "n_chars") -> DataFrame:
+    """Trimmed and winsorized location of the doc-length distribution per
+    source — the robust-estimator pair (Tukey 1962) beside the
+    [[iqr_outlier_stats]] fences and the exact quantiles: the trimmed
+    mean DROPS each 5% tail, the winsorized mean CLAMPS it to the cut
+    values, so together they bound how much the tails move the plain
+    mean (big gap = heavy tails = the mean is lying).
+
+    Exactness: cut ranks are ``lo = ⌊n·t/1000⌋`` rows per tail (rank-
+    based, no interpolation); sums are exact integers, and SUMS + counts
+    are emitted (not means — a negative sum through floor-vs-truncate
+    division is the divergence class, and n_chars sums stay
+    non-negative anyway, but the convention keeps outputs pure). The
+    winsorized clamp values are the values AT ranks lo+1 and n−lo
+    (well-defined under ties).
+
+    Scale shape: one rank window per source (the exact-quantile cost
+    class) + one grouped aggregate."""
+    from pyspark.sql import Window as W
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        "source", F.col(value_col).cast("long").alias("v")
+    )
+    w = W.partitionBy("source").orderBy("v")
+    wc = W.partitionBy("source")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    ).withColumn("lo", F.expr(f"div(n * {TRIM_PERMILLE}, 1000)"))
+    kept = (F.col("rn") > F.col("lo")) & (F.col("rn") <= F.col("n") - F.col("lo"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.first("lo").cast("long").alias("n_trimmed_per_tail"),
+            F.sum("v").cast("long").alias("sum_raw"),
+            F.sum(F.when(kept, F.col("v")).otherwise(0)).cast("long").alias(
+                "sum_trimmed"
+            ),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.min(F.when(kept, F.col("v"))).cast("long").alias("clamp_lo"),
+            F.max(F.when(kept, F.col("v"))).cast("long").alias("clamp_hi"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_trimmed_per_tail",
+            "sum_raw",
+            "sum_trimmed",
+            "n_kept",
+            "clamp_lo",
+            "clamp_hi",
+            # winsorized sum = trimmed sum + each tail clamped to its cut
+            (
+                F.col("sum_trimmed")
+                + F.col("n_trimmed_per_tail") * (F.col("clamp_lo") + F.col("clamp_hi"))
+            ).alias("sum_winsorized"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_robust_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return robust_length_stats(table(spark, sf_dir, "documents"))
+
+
+ROBUST_LENGTH_SQL = f"""
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents WHERE n_chars IS NOT NULL
+), cut AS (
+  SELECT source, v, rn, n, (n * {TRIM_PERMILLE}) // 1000 AS lo FROM ranked
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MIN(lo) AS BIGINT) AS n_trimmed_per_tail,
+         CAST(SUM(v) AS BIGINT) AS sum_raw,
+         CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo THEN v ELSE 0 END) AS BIGINT)
+           AS sum_trimmed,
+         CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(MIN(CASE WHEN rn > lo AND rn <= n - lo THEN v END) AS BIGINT) AS clamp_lo,
+         CAST(MAX(CASE WHEN rn > lo AND rn <= n - lo THEN v END) AS BIGINT) AS clamp_hi
+  FROM cut GROUP BY source
+)
+SELECT source, n_docs, n_trimmed_per_tail, sum_raw, sum_trimmed, n_kept,
+       clamp_lo, clamp_hi,
+       sum_trimmed + n_trimmed_per_tail * (clamp_lo + clamp_hi) AS sum_winsorized
+FROM agg ORDER BY source
+"""
