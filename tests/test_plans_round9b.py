@@ -135,3 +135,76 @@ def test_cusum_plan(spark, sf_dir):
         "event_type",
         "ts",
     }, m and m.group(1)
+
+
+def test_mannkendall_plan(spark, sf_dir):
+    """The O(H²) pair join runs AFTER the rollup (rollup-sized inputs);
+    only (event_type, ts) read; no Python."""
+    from wurzel_spark.queries.events import event_mannkendall_trend
+
+    t = _clean(event_mannkendall_trend(spark, sf_dir))
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "event_type", "ts",
+    }
+
+
+def test_acf_plan(spark, sf_dir):
+    """Lead windows partition by event_type — no global-order window."""
+    from wurzel_spark.queries.events import event_acf_stats
+
+    t = _clean(event_acf_stats(spark, sf_dir))
+    _no_python(t)
+
+
+def test_concentration_plans(spark, sf_dir):
+    """Gini reads only (c_nationkey, c_acctbal); HHI broadcasts the
+    supplier dim and reads only three lineitem columns."""
+    from wurzel_spark.queries.relational import (
+        customer_balance_gini,
+        revenue_hhi_stats,
+    )
+
+    t = _clean(customer_balance_gini(spark, sf_dir))
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "c_nationkey", "c_acctbal",
+    }
+    t2 = _clean(revenue_hhi_stats(spark, sf_dir))
+    _no_python(t2)
+    assert "BroadcastHashJoin" in t2 or "BroadcastExchange" in t2, t2
+
+
+def test_spearman_and_robust_plans(spark, sf_dir):
+    """Rank windows partition by their group key; two-column ReadSchemas."""
+    from wurzel_spark.operators.textstats import robust_length_stats
+    from wurzel_spark.queries.relational import spearman_qty_price
+    from wurzel_spark.tables import table as _table
+
+    t = _clean(spearman_qty_price(spark, sf_dir))
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_returnflag", "l_quantity", "l_extendedprice",
+    }
+    t2 = _clean(robust_length_stats(_table(spark, sf_dir, "documents")))
+    _no_python(t2)
+    m2 = re.search(r"ReadSchema: struct<([^>]*)>", t2)
+    assert m2 and set(c.split(":")[0] for c in m2.group(1).split(",")) == {
+        "source", "n_chars",
+    }
+
+
+def test_cohort_ltv_plan(spark, sf_dir):
+    """Reads only the three needed order columns; cohort windows
+    partition by custkey then cohort — no global-order window."""
+    from wurzel_spark.queries.relational import cohort_ltv_curve
+
+    t = _clean(cohort_ltv_curve(spark, sf_dir))
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "o_custkey", "o_totalprice", "o_orderdate",
+    }
