@@ -296,6 +296,7 @@ HEADLINE = [
     "spearman_qty_price",
     "kmv_overlap_matrix",
     "robust_length_stats",
+    "pareto_concentration",
 ]
 
 

@@ -1458,3 +1458,30 @@ def test_robust_stats_small_group_untrimmed(spark):
     r = robust_length_stats(_docs(spark, rows)).collect()[0]
     assert r["n_trimmed_per_tail"] == 0
     assert r["sum_trimmed"] == r["sum_raw"] == r["sum_winsorized"]
+
+
+# --------------------------------------------------- Pareto 80/20
+
+
+def test_pareto_hand_computed(spark, tmp_path):
+    """Cover count on a whale-dominated book and an equal book."""
+    from wurzel_spark.queries.relational import pareto_concentration
+
+    rows = []
+    # nation 0: one whale = 80% exactly with one account
+    rows.append((1, "w", 0, 80.0, "S"))
+    for i in range(20):
+        rows.append((10 + i, f"c{i}", 0, 1.0, "S"))
+    # nation 1: 10 equal accounts -> need 8 for 80%
+    for i in range(10):
+        rows.append((100 + i, f"e{i}", 1, 5.0, "S"))
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    out = {r["c_nationkey"]: r for r in pareto_concentration(spark, str(tmp_path)).collect()}
+    # nation 0 total = 10000 cents; whale = 8000 = exactly 80%
+    assert out[0]["n_for_80pct"] == 1 and out[0]["n_accounts"] == 21
+    assert out[1]["n_for_80pct"] == 8
+    assert out[1]["account_share_permille"] == (1000 * 8) // 10

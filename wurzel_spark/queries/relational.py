@@ -2569,3 +2569,87 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
                 * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
 FROM s ORDER BY l_returnflag
 """
+
+
+# --------------------------------------------------- Pareto 80/20
+
+
+PARETO_TARGET_PERMILLE = 800
+
+
+def pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 readout per nation: the SMALLEST number of customer
+    accounts whose balances cover 80% of the nation's positive balance
+    sheet — the actionable complement to [[customer_balance_gini]]'s
+    coefficient (Gini says "concentrated", this says "these 37
+    accounts ARE the book", the number a risk or key-account team
+    actually staffs against).
+
+    Exactness: accounts rank DESCENDING by cents (tie-break custkey);
+    the cover count is the first rank whose running sum clears
+    ``⌈0.8·total⌉`` — the comparison ``1000·cum ≥ 800·total`` stays in
+    exact integers, no division at all until the final share permilles.
+
+    Scale shape: one per-nation sort window over the customer dimension
+    (the gini cost class) + one grouped aggregate."""
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    ).filter(F.col("cents") > 0)
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("cents"), "c_custkey")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy("c_nationkey")
+    ranked = base.select(
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(wrun).alias("cum"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("n_accounts"),
+    )
+    return (
+        ranked.filter(
+            F.lit(1000) * F.col("cum") >= F.lit(PARETO_TARGET_PERMILLE) * F.col("total")
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.min("rn").cast("long").alias("n_for_80pct"),
+            F.first("n_accounts").cast("long").alias("n_accounts"),
+        )
+        .select(
+            "c_nationkey",
+            "n_for_80pct",
+            "n_accounts",
+            F.expr("div(1000 * n_for_80pct, n_accounts)").alias(
+                "account_share_permille"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+PARETO_SQL = f"""
+WITH base AS (
+  SELECT c_nationkey, c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > 0
+), ranked AS (
+  SELECT c_nationkey,
+         ROW_NUMBER() OVER w AS rn,
+         SUM(CAST(cents AS HUGEINT)) OVER (PARTITION BY c_nationkey ORDER BY cents DESC, c_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(CAST(cents AS HUGEINT)) OVER (PARTITION BY c_nationkey) AS total,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n_accounts
+  FROM base
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents DESC, c_custkey)
+)
+SELECT c_nationkey,
+       CAST(MIN(rn) AS BIGINT) AS n_for_80pct,
+       CAST(MIN(n_accounts) AS BIGINT) AS n_accounts,
+       CAST((1000 * MIN(rn)) // MIN(n_accounts) AS BIGINT) AS account_share_permille
+FROM ranked
+WHERE 1000 * cum >= {PARETO_TARGET_PERMILLE} * total
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
