@@ -208,3 +208,18 @@ def test_cohort_ltv_plan(spark, sf_dir):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "o_custkey", "o_totalprice", "o_orderdate",
     }
+
+
+def test_burstiness_plan(spark, sf_dir):
+    """One corpus-grain rollup then a rollup-sized grouped aggregate —
+    no join anywhere, only (event_type, ts) read; pure codegen."""
+    from wurzel_spark.queries.events import event_burstiness_stats
+
+    t = _clean(event_burstiness_stats(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t, t
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "event_type",
+        "ts",
+    }, m and m.group(1)

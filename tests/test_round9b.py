@@ -1377,6 +1377,7 @@ def test_streaming_temporal_battery_matches_batch(spark, tmp_path):
     their batch twins."""
     from wurzel_spark.queries.events import (
         event_acf_stats,
+        event_burstiness_stats,
         event_cusum_drift,
         event_mannkendall_trend,
     )
@@ -1402,6 +1403,9 @@ def test_streaming_temporal_battery_matches_batch(spark, tmp_path):
     acf = [tuple(r) for r in got["acf"].collect()]
     assert acf == [tuple(r) for r in event_acf_stats(spark, sf).collect()]
     assert len(acf) > 0
+    assert [tuple(r) for r in got["burstiness"].collect()] == [
+        tuple(r) for r in event_burstiness_stats(spark, sf).collect()
+    ]
 
 
 def test_streaming_temporal_replay_is_idempotent(spark, tmp_path):

@@ -188,6 +188,7 @@ QUERIES = [
     "event_path_trigrams",
     "event_mannkendall_trend",
     "event_acf_stats",
+    "event_burstiness_stats",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -1099,3 +1099,116 @@ FROM agg ORDER BY event_type
 
 
 EVENT_ACF_SQL = _acf_sql()
+
+
+# --------------------------------------------- burstiness (Fano factor)
+
+BURSTY_PERMILLE = 2000
+REGULAR_PERMILLE = 500
+
+
+def event_burstiness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor, variance/mean) of each event
+    type's hourly arrival counts over its DENSE hour span — the
+    dispersion leg of the temporal battery: [[event_cusum_drift]] finds
+    level SHIFTS, [[event_mannkendall_trend]] TREND, [[event_acf_stats]]
+    PERIODICITY, and this scores BURSTINESS — a Poisson arrival process
+    has D ≈ 1; batchy/bot traffic (bursts then silence) has D ≫ 1;
+    rate-limited/metered traffic has D ≪ 1. Unlike the positional
+    detectors, silent hours are real zeros here (a type that fires 10⁶
+    events in one hour of a month is the canonical burst), so the span
+    h_span = max_hour − min_hour + 1 denominates, and the s2/t sums are
+    unaffected by the absent rows (they contribute 0 to both).
+
+    Exactness: with T = Σc, S2 = Σc² and H = h_span, the sample
+    variance over the dense H-length series is (H·S2 − T²)/(H·(H−1))
+    and the mean T/H, so D = (H·S2 − T²)/((H−1)·T) — a ratio of exact
+    integers, non-negative by Cauchy–Schwarz (T² ≤ n_active·S2 ≤ H·S2),
+    emitted as ``div(1000·(H·S2 − T²), (H−1)·T)``. decimal(38,0) bound:
+    1000·H·S2 < 10³⁸ holds past 10⁹ events/hour over 10⁵ hours.
+    Single-hour types (H = 1) have no variance: NULL + 'single-hour'.
+
+    Scale shape: ONE corpus-grain rollup (map-side combinable) then a
+    rollup-sized grouped aggregate; shares [[hourly_rollup]] with the
+    battery, so the streaming twin drains from the same staged state."""
+    return burstiness_from_rollup(hourly_rollup(table(spark, sf_dir, "events")))
+
+
+def burstiness_from_rollup(hourly: DataFrame) -> DataFrame:
+    """Grouped-aggregate tail over the hourly rollup (shared with the
+    streaming drain)."""
+    eh = F.expr("div(unix_micros(hour), 3600000000)")
+    agg = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_hours"),
+        F.sum("c").alias("t"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.min(eh).alias("h_lo"),
+        F.max(eh).alias("h_hi"),
+    )
+    scored = agg.select(
+        "event_type",
+        "n_active_hours",
+        "t",
+        "s2",
+        (F.col("h_hi") - F.col("h_lo") + F.lit(1)).cast("decimal(38,0)").alias("h_span"),
+    ).select(
+        "event_type",
+        F.col("h_span").cast("long").alias("span_hours"),
+        "n_active_hours",
+        F.col("t").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN h_span > 1"
+            " THEN div(1000 * (h_span * s2 - t * t), (h_span - 1) * t)"
+            " END AS BIGINT)"
+        ).alias("dispersion_permille"),
+    )
+    return scored.select(
+        "event_type",
+        "span_hours",
+        "n_active_hours",
+        "n_events",
+        "dispersion_permille",
+        F.expr(
+            f"CASE WHEN dispersion_permille IS NULL THEN 'single-hour'"
+            f" WHEN dispersion_permille > {BURSTY_PERMILLE} THEN 'bursty'"
+            f" WHEN dispersion_permille < {REGULAR_PERMILLE} THEN 'regular'"
+            f" ELSE 'poisson-like' END"
+        ).alias("label"),
+    ).orderBy("event_type")
+
+
+EVENT_BURSTINESS_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+         SUM(c) AS t,
+         SUM(c * c) AS s2,
+         MIN(epoch_us(hour) // 3600000000) AS h_lo,
+         MAX(epoch_us(hour) // 3600000000) AS h_hi
+  FROM hourly GROUP BY event_type
+), scored AS (
+  SELECT event_type,
+         CAST(h_hi - h_lo + 1 AS HUGEINT) AS h_span,
+         n_active_hours, t, s2
+  FROM agg
+), disp AS (
+  SELECT event_type,
+         CAST(h_span AS BIGINT) AS span_hours,
+         n_active_hours,
+         CAST(t AS BIGINT) AS n_events,
+         CAST(CASE WHEN h_span > 1
+                   THEN (1000 * (h_span * s2 - t * t)) // ((h_span - 1) * t)
+              END AS BIGINT) AS dispersion_permille
+  FROM scored
+)
+SELECT event_type, span_hours, n_active_hours, n_events, dispersion_permille,
+       CASE WHEN dispersion_permille IS NULL THEN 'single-hour'
+            WHEN dispersion_permille > {BURSTY_PERMILLE} THEN 'bursty'
+            WHEN dispersion_permille < {REGULAR_PERMILLE} THEN 'regular'
+            ELSE 'poisson-like' END AS label
+FROM disp ORDER BY event_type
+"""

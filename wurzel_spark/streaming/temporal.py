@@ -1,9 +1,9 @@
-"""Streaming temporal battery: ONE staged hourly rollup feeds THREE
+"""Streaming temporal battery: ONE staged hourly rollup feeds FOUR
 drift detectors — CUSUM level shifts, Mann–Kendall trend, lag-1/24
-autocorrelation.
+autocorrelation, and Fano-factor burstiness.
 
 Batch twins: queries/events.event_cusum_drift / event_mannkendall_trend
-/ event_acf_stats.  All three consume only the (event_type, hour) count
+/ event_acf_stats / event_burstiness_stats.  All consume only the (event_type, hour) count
 rollup — pure integer sums, additive across any batch admission split
 (a micro-batch that splits an hour stages two partials that sum back) —
 so each batch stages its rollup keyed by (src_batch, event_type, hour)
@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from wurzel_spark.queries.events import (
     acf_from_rollup,
+    burstiness_from_rollup,
     cusum_from_rollup,
     hourly_rollup,
     mannkendall_from_rollup,
@@ -94,9 +95,20 @@ def drain_temporal_state(spark, state_dir: str) -> dict[str, DataFrame]:
             [], "event_type string, n_hours long, acf1_permille long,"
             " acf24_permille long",
         )
-        return {"cusum": empty_cusum, "mannkendall": empty_mk, "acf": empty_acf}
+        empty_burst = spark.createDataFrame(
+            [],
+            "event_type string, span_hours long, n_active_hours long,"
+            " n_events long, dispersion_permille long, label string",
+        )
+        return {
+            "cusum": empty_cusum,
+            "mannkendall": empty_mk,
+            "acf": empty_acf,
+            "burstiness": empty_burst,
+        }
     return {
         "cusum": cusum_from_rollup(rollup),
         "mannkendall": mannkendall_from_rollup(rollup),
         "acf": acf_from_rollup(rollup),
+        "burstiness": burstiness_from_rollup(rollup),
     }
