@@ -245,3 +245,19 @@ def test_theil_sen_plan(spark, sf_dir):
     if join_pos == -1:
         join_pos = t.find("BroadcastHashJoin")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_independence_plan(spark, sf_dir):
+    """One corpus-grain grouped count to (type × 24) cells; windows and
+    the aggregate run over cell-grain rows; only (event_type, ts) read;
+    no join, no Python."""
+    from wurzel_spark.queries.events import event_hour_independence
+
+    t = _clean(event_hour_independence(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t, t
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "event_type",
+        "ts",
+    }, m and m.group(1)

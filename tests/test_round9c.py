@@ -186,3 +186,96 @@ def test_theil_sen_outlier_immune_and_matches_reference(spark, tmp_path):
     # outlier immunity: median slope stays at ~+1/hour despite hour 3
     assert 900 <= out["outlier"]["sen_slope_q"] <= 1300
     assert out["falling"]["sen_slope_q"] == -2000
+
+
+# --------------------------------- chi-square independence (Cramér's V)
+
+
+def _chi2_ref(cells: dict[tuple[str, int], int]):
+    """Python mirror of the per-cell-floored chi² identity."""
+    types = sorted({t for t, _ in cells})
+    hods = sorted({h for _, h in cells})
+    n = sum(cells.values())
+    r = {t: sum(c for (tt, _), c in cells.items() if tt == t) for t in types}
+    col = {h: sum(c for (_, hh), c in cells.items() if hh == h) for h in hods}
+    term_sum = sum(
+        (1000 * n * o * o) // (r[t] * col[h]) for (t, h), o in cells.items()
+    )
+    chi2 = max(term_sum - 1000 * n, 0)
+    mrc = min(len(types), len(hods))
+    v2 = chi2 // (n * (mrc - 1)) if mrc > 1 else None
+    return n, len(types), len(hods), chi2, v2
+
+
+def _write_cells(spark, cells, tmp_path):
+    rows, eid = [], 0
+    for (et, h), c in cells.items():
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1, h), 1, et, 1.0, None))
+    return _write_events(spark, rows, tmp_path)
+
+
+def test_independence_perfectly_independent_is_zero(spark, tmp_path):
+    """Identical hourly profiles across types ⇒ every o equals r·c/N
+    EXACTLY ⇒ chi² lands on 0 with no flooring slack."""
+    from wurzel_spark.queries.events import event_hour_independence
+
+    cells = {}
+    for et in ("a", "b", "c"):
+        cells[(et, 0)] = 4
+        cells[(et, 1)] = 8
+        cells[(et, 2)] = 12
+    sf = _write_cells(spark, cells, tmp_path)
+    r = event_hour_independence(spark, sf).collect()[0]
+    assert r["chi2_permille"] == 0
+    assert r["cramer_v2_permille"] == 0
+    assert r["assoc_label"] == "negligible"
+    assert r["dof"] == 4
+
+
+def test_independence_perfect_association_is_full_v(spark, tmp_path):
+    """Disjoint type↔hour support ⇒ V² = 1 (1000 permille, exact)."""
+    from wurzel_spark.queries.events import event_hour_independence
+
+    sf = _write_cells(spark, {("a", 0): 5, ("b", 1): 5}, tmp_path)
+    r = event_hour_independence(spark, sf).collect()[0]
+    assert r["cramer_v2_permille"] == 1000
+    assert r["assoc_label"] == "strong"
+    assert r["chi2_permille"] == 10000  # chi² = N with R=C=2 disjoint
+
+
+def test_independence_single_type_is_undefined(spark, tmp_path):
+    from wurzel_spark.queries.events import event_hour_independence
+
+    sf = _write_cells(spark, {("only", 0): 3, ("only", 5): 4}, tmp_path)
+    r = event_hour_independence(spark, sf).collect()[0]
+    assert r["cramer_v2_permille"] is None
+    assert r["assoc_label"] == "undefined"
+
+
+def test_independence_matches_python_and_oracle(spark, tmp_path):
+    """Arbitrary ragged table: Spark == Python mirror == DuckDB twin."""
+    import duckdb
+    from wurzel_spark.queries.events import (
+        EVENT_INDEPENDENCE_SQL,
+        event_hour_independence,
+    )
+
+    cells = {
+        ("click", 0): 7, ("click", 1): 2, ("click", 9): 5,
+        ("view", 0): 3, ("view", 9): 11,
+        ("buy", 1): 1, ("buy", 9): 1,
+    }
+    sf = _write_cells(spark, cells, tmp_path)
+    r = event_hour_independence(spark, sf).collect()[0]
+    n, nt, nh, chi2, v2 = _chi2_ref(cells)
+    assert (r["n_events"], r["n_types"], r["n_hour_buckets"]) == (n, nt, nh)
+    assert r["chi2_permille"] == chi2
+    assert r["cramer_v2_permille"] == v2
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(x) for x in con.execute(EVENT_INDEPENDENCE_SQL).fetchall()]
+    assert [tuple(r)] == want

@@ -1335,3 +1335,135 @@ FROM agg ORDER BY event_type
 
 
 THEIL_SEN_SQL = _theil_sen_sql()
+
+
+# --------------------------------- chi-square independence (Cramér's V)
+
+CRAMER_STRONG_PERMILLE = 90   # V² ≥ 0.09  ⇔  V ≥ 0.3
+CRAMER_WEAK_PERMILLE = 10     # V² ≥ 0.01  ⇔  V ≥ 0.1
+
+
+def event_hour_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type × hour-of-day with
+    Cramér's V — "does traffic SHAPE depend on event type?" in one
+    effect-size number.  [[event_acf_stats]] scores each type's own
+    periodicity; this scores whether the types' daily profiles DIFFER
+    (V ≈ 0: every type follows the same diurnal curve, hour is
+    uninformative for routing/sampling; V large: types have distinct
+    clocks — a bot type that fires flat while users sleep shows up
+    here).
+
+    Exactness (log-free, sqrt-free): the textbook Σ(o−e)²/e collapses
+    to ``chi² = N·Σ_cells o²/(r·c) − N`` where absent cells contribute
+    ZERO — no absent-cell tail to close (the tcloseness lesson handled;
+    this identity sidesteps it).  Quantized per cell as
+    ``div(1000·N·o², r·c)`` and summed: every term floors a
+    non-negative integer ratio, so both engines agree bit-for-bit and
+    the total undershoots the true chi² by < #cells permille;
+    ``GREATEST(·−1000·N, 0)`` clamps the flooring's possible −#cells.
+    Effect size ``V² = chi²/(N·(min(R,C)−1))`` is emitted as permille
+    (V² not V — no square root ever runs); decimal(38,0) bound:
+    1000·N·o² < 10³⁸ holds past 10¹² events.  Degenerate single-row or
+    single-column tables have no independence question: NULL +
+    'undefined'.
+
+    Scale shape: ONE corpus-grain grouped count to (type × 24) cells
+    (map-side combinable), then windows and one aggregate over
+    cell-grain rows."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    wt = W.partitionBy("event_type")
+    wh = W.partitionBy("hod")
+    wg = W.partitionBy()
+    scored = cells.select(
+        "event_type",
+        "hod",
+        "o",
+        F.sum("o").over(wt).alias("r"),
+        F.sum("o").over(wh).alias("c"),
+        F.sum("o").over(wg).alias("n"),
+    ).select(
+        "event_type",
+        "hod",
+        "n",
+        F.expr("div(1000 * n * o * o, r * c)").alias("term"),
+    )
+    agg = scored.groupBy().agg(
+        F.max("n").cast("decimal(38,0)").alias("n"),
+        F.countDistinct("event_type").cast("decimal(38,0)").alias("n_types"),
+        F.countDistinct("hod").cast("decimal(38,0)").alias("n_buckets"),
+        F.sum("term").alias("term_sum"),
+    )
+    out = agg.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_buckets").cast("long").alias("n_hour_buckets"),
+        ((F.col("n_types") - 1) * (F.col("n_buckets") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.expr("CAST(greatest(term_sum - 1000 * n, 0) AS DECIMAL(38,0))").alias(
+            "chi2_raw"
+        ),
+        F.expr(
+            "CAST(CASE WHEN least(n_types, n_buckets) > 1"
+            " THEN div(greatest(term_sum - 1000 * n, 0),"
+            "          n * (least(n_types, n_buckets) - 1))"
+            " END AS BIGINT)"
+        ).alias("cramer_v2_permille"),
+    ).select(
+        "n_events",
+        "n_types",
+        "n_hour_buckets",
+        "dof",
+        F.col("chi2_raw").cast("long").alias("chi2_permille"),
+        "cramer_v2_permille",
+        F.expr(
+            f"CASE WHEN cramer_v2_permille IS NULL THEN 'undefined'"
+            f" WHEN cramer_v2_permille >= {CRAMER_STRONG_PERMILLE} THEN 'strong'"
+            f" WHEN cramer_v2_permille >= {CRAMER_WEAK_PERMILLE} THEN 'weak'"
+            f" ELSE 'negligible' END"
+        ).alias("assoc_label"),
+    )
+    return out
+
+
+EVENT_INDEPENDENCE_SQL = f"""
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS HUGEINT) AS o
+  FROM events GROUP BY event_type, hour(ts)
+), scored AS (
+  SELECT event_type, hod,
+         SUM(o) OVER () AS n,
+         (1000 * SUM(o) OVER () * o * o)
+           // (SUM(o) OVER (PARTITION BY event_type)
+               * SUM(o) OVER (PARTITION BY hod)) AS term
+  FROM cells
+), agg AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(DISTINCT event_type) AS HUGEINT) AS n_types,
+         CAST(COUNT(DISTINCT hod) AS HUGEINT) AS n_buckets,
+         SUM(term) AS term_sum
+  FROM scored
+), out AS (
+  SELECT CAST(n AS BIGINT) AS n_events,
+         CAST(n_types AS BIGINT) AS n_types,
+         CAST(n_buckets AS BIGINT) AS n_hour_buckets,
+         CAST((n_types - 1) * (n_buckets - 1) AS BIGINT) AS dof,
+         CAST(greatest(term_sum - 1000 * n, 0) AS BIGINT) AS chi2_permille,
+         CAST(CASE WHEN least(n_types, n_buckets) > 1
+                   THEN greatest(term_sum - 1000 * n, 0)
+                        // (n * (least(n_types, n_buckets) - 1))
+              END AS BIGINT) AS cramer_v2_permille
+  FROM agg
+)
+SELECT n_events, n_types, n_hour_buckets, dof, chi2_permille,
+       cramer_v2_permille,
+       CASE WHEN cramer_v2_permille IS NULL THEN 'undefined'
+            WHEN cramer_v2_permille >= {CRAMER_STRONG_PERMILLE} THEN 'strong'
+            WHEN cramer_v2_permille >= {CRAMER_WEAK_PERMILLE} THEN 'weak'
+            ELSE 'negligible' END AS assoc_label
+FROM out
+"""
