@@ -261,3 +261,20 @@ def test_independence_plan(spark, sf_dir):
         "event_type",
         "ts",
     }, m and m.group(1)
+
+
+def test_order_gap_plan(spark, sf_dir):
+    """Reads only (o_custkey, o_orderkey, o_orderdate) + two customer
+    columns; the lag window partitions by custkey (never global-order
+    over the fact stream); no Python."""
+    from wurzel_spark.queries.relational import order_gap_stats
+
+    t = _clean(order_gap_stats(spark, sf_dir))
+    _no_python(t)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", t)
+    cols = set()
+    for s in schemas:
+        cols |= {c.split(":")[0] for c in s.split(",")}
+    assert cols <= {
+        "o_custkey", "o_orderkey", "o_orderdate", "c_custkey", "c_mktsegment",
+    }, cols

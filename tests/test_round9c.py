@@ -279,3 +279,100 @@ def test_independence_matches_python_and_oracle(spark, tmp_path):
     )
     want = [tuple(x) for x in con.execute(EVENT_INDEPENDENCE_SQL).fetchall()]
     assert [tuple(r)] == want
+
+
+# --------------------------------------------- inter-order gap analysis
+
+
+def _write_order_fixture(spark, tmp_path, customers, orders):
+    spark.createDataFrame(
+        customers, "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string"
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_order_gap_hand_computed(spark, tmp_path):
+    """Gaps, repeat rate and rank quantiles on a scripted ledger: two
+    segments, one single-order customer (no gap), one same-day double
+    order (gap 0)."""
+    from wurzel_spark.queries.relational import order_gap_stats
+
+    customers = [
+        (1, "a", 0, 0.0, "AUTO"),
+        (2, "b", 0, 0.0, "AUTO"),
+        (3, "c", 0, 0.0, "MACH"),
+        (4, "d", 0, 0.0, "MACH"),
+    ]
+    d = dt.datetime
+    orders = [
+        # cust 1 (AUTO): gaps 10, 20
+        (1, 1, "O", 1.0, d(2024, 1, 1), "P"),
+        (2, 1, "O", 1.0, d(2024, 1, 11), "P"),
+        (3, 1, "O", 1.0, d(2024, 1, 31), "P"),
+        # cust 2 (AUTO): single order — no gap, not a repeat customer
+        (4, 2, "O", 1.0, d(2024, 3, 1), "P"),
+        # cust 3 (MACH): same-day double order — gap 0 (orderkey breaks the tie)
+        (5, 3, "O", 1.0, d(2024, 2, 1), "P"),
+        (6, 3, "O", 1.0, d(2024, 2, 1), "P"),
+        # cust 4 (MACH): gap 100
+        (7, 4, "O", 1.0, d(2024, 1, 1), "P"),
+        (8, 4, "O", 1.0, d(2024, 4, 10), "P"),
+    ]
+    sf = _write_order_fixture(spark, tmp_path, customers, orders)
+    out = {r["segment"]: r for r in order_gap_stats(spark, sf).collect()}
+
+    auto = out["AUTO"]
+    assert (auto["n_customers"], auto["repeat_customers"]) == (2, 1)
+    assert auto["repeat_permille"] == 500
+    assert auto["n_gaps"] == 2 and auto["gap_days_sum"] == 30
+    # ranks over sorted gaps [10, 20]: p50 -> rank ceil(0.5*2)=1 -> 10,
+    # p90 -> rank ceil(0.9*2)=2 -> 20
+    assert (auto["gap_p500_days"], auto["gap_p900_days"]) == (10, 20)
+
+    mach = out["MACH"]
+    assert (mach["n_customers"], mach["repeat_customers"]) == (2, 2)
+    assert mach["n_gaps"] == 2 and mach["gap_days_sum"] == 100
+    assert (mach["gap_p500_days"], mach["gap_p900_days"]) == (0, 100)
+
+
+def test_order_gap_no_repeat_segment_is_null(spark, tmp_path):
+    """A segment of only single-order customers has no gaps: NULL
+    quantiles, zero repeat rate, and the left join keeps the row."""
+    from wurzel_spark.queries.relational import order_gap_stats
+
+    customers = [(1, "a", 0, 0.0, "LONELY")]
+    orders = [(1, 1, "O", 1.0, dt.datetime(2024, 1, 1), "P")]
+    sf = _write_order_fixture(spark, tmp_path, customers, orders)
+    r = order_gap_stats(spark, sf).collect()[0]
+    assert (r["n_customers"], r["repeat_customers"], r["repeat_permille"]) == (1, 0, 0)
+    assert r["n_gaps"] is None and r["gap_p500_days"] is None
+
+
+def test_order_gap_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.relational import ORDER_GAP_SQL, order_gap_stats
+
+    customers = [(1, "a", 0, 0.0, "S1"), (2, "b", 0, 0.0, "S1"), (3, "c", 0, 0.0, "S2")]
+    d = dt.datetime
+    orders = [
+        (1, 1, "O", 1.0, d(2024, 1, 1), "P"),
+        (2, 1, "O", 1.0, d(2024, 1, 8), "P"),
+        (3, 2, "O", 1.0, d(2024, 2, 1), "P"),
+        (4, 3, "O", 1.0, d(2024, 2, 1), "P"),
+        (5, 3, "O", 1.0, d(2024, 2, 21), "P"),
+    ]
+    sf = _write_order_fixture(spark, tmp_path, customers, orders)
+    got = [tuple(r) for r in order_gap_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet/*.parquet')"
+        )
+    want = [tuple(r) for r in con.execute(ORDER_GAP_SQL).fetchall()]
+    assert got == want

@@ -2653,3 +2653,151 @@ FROM ranked
 WHERE 1000 * cum >= {PARETO_TARGET_PERMILLE} * total
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+# --------------------------------------------- inter-order gap analysis
+
+GAP_QUANTILES = (500, 900)
+
+
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap analysis per market segment: how often do
+    customers come back, and how long between orders?  The cadence
+    readout between [[rfm_segments]]' point-in-time scores and
+    [[cohort_retention]]'s monthly grid — median/p90 gap days set
+    reorder-reminder windows and churn thresholds ("a MACHINERY
+    customer 200 days silent is normal; an AUTOMOBILE one is gone").
+
+    Exactness: gaps are integer epoch-day differences
+    (``div(unix_micros, 86400·10⁶)`` / ``epoch_us // 86400·10⁶`` — the
+    orderdate column is a timestamp, so clearing to epoch days avoids
+    any engine date-diff convention); consecutive-order adjacency is
+    the total order (o_orderdate, o_orderkey); gap quantiles are exact
+    rank-based values at integer-ceiling ranks ``div(p·n+999, 1000)``
+    (the Theil–Sen convention); SUMS are emitted beside counts (never a
+    mean — the single-rounding rule has nothing to round here).
+
+    Scale shape: orders ⋈ customer keyed on custkey (fact-grain hash
+    join), ONE custkey-partitioned lag window over the joined fact
+    stream, a customer-grain grouped count, then per-segment rank
+    windows over gap rows (the robust_length_stats cost class: one rank
+    window per segment, range-partitioned at scale)."""
+    from pyspark.sql import Window as W
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        # NTZ → TIMESTAMP cast is identity under the session's UTC tz
+        # (the rfm_segments lesson: unix_micros rejects TIMESTAMP_NTZ)
+        F.expr(
+            "div(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 86400000000)"
+        ).alias("eday"),
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_custkey", "o_orderkey", "eday"
+    )
+    w = W.partitionBy("o_custkey").orderBy("eday", "o_orderkey")
+    gaps = j.select(
+        "segment",
+        (F.col("eday") - F.lag("eday").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+
+    per_cust = j.groupBy("segment", "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    seg_cust = per_cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("repeat_customers"),
+    )
+
+    wseg = W.partitionBy("segment").orderBy("gap_days")
+    ranked = gaps.select(
+        "segment",
+        "gap_days",
+        F.row_number().over(wseg).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("segment")).alias("n_gaps"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"CAST(div({p} * n_gaps + 999, 1000) AS BIGINT)"),
+                F.col("gap_days"),
+            )
+        ).alias(f"gap_p{p}_days")
+        for p in GAP_QUANTILES
+    ]
+    seg_gaps = ranked.groupBy("segment").agg(
+        F.max("n_gaps").cast("long").alias("n_gaps"),
+        F.sum("gap_days").cast("long").alias("gap_days_sum"),
+        *picks,
+    )
+    return (
+        seg_cust.join(seg_gaps, "segment", "left")
+        .select(
+            "segment",
+            "n_customers",
+            "repeat_customers",
+            F.expr("div(1000 * repeat_customers, n_customers)").alias(
+                "repeat_permille"
+            ),
+            "n_gaps",
+            "gap_days_sum",
+            f"gap_p{GAP_QUANTILES[0]}_days",
+            f"gap_p{GAP_QUANTILES[1]}_days",
+        )
+        .orderBy("segment")
+    )
+
+
+def _order_gap_sql() -> str:
+    picks = ",\n         ".join(
+        f"MAX(CASE WHEN rn = ({p} * n_gaps + 999) // 1000"
+        f" THEN gap_days END) AS gap_p{p}_days"
+        for p in GAP_QUANTILES
+    )
+    return f"""
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey, o.o_orderkey,
+         epoch_us(o.o_orderdate) // 86400000000 AS eday
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), gaps AS (
+  SELECT segment,
+         eday - LAG(eday) OVER (PARTITION BY o_custkey
+                                ORDER BY eday, o_orderkey) AS gap_days
+  FROM j
+  QUALIFY gap_days IS NOT NULL
+), seg_cust AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS repeat_customers
+  FROM (
+    SELECT segment, o_custkey, COUNT(*) AS n_orders
+    FROM j GROUP BY segment, o_custkey
+  ) GROUP BY segment
+), ranked AS (
+  SELECT segment, gap_days,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY gap_days) AS rn,
+         COUNT(*) OVER (PARTITION BY segment) AS n_gaps
+  FROM gaps
+), seg_gaps AS (
+  SELECT segment,
+         CAST(MAX(n_gaps) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_days) AS BIGINT) AS gap_days_sum,
+         {picks}
+  FROM ranked GROUP BY segment
+)
+SELECT sc.segment, sc.n_customers, sc.repeat_customers,
+       CAST((1000 * sc.repeat_customers) // sc.n_customers AS BIGINT)
+         AS repeat_permille,
+       sg.n_gaps, sg.gap_days_sum,
+       sg.gap_p{GAP_QUANTILES[0]}_days, sg.gap_p{GAP_QUANTILES[1]}_days
+FROM seg_cust sc LEFT JOIN seg_gaps sg ON sg.segment = sc.segment
+ORDER BY sc.segment
+"""
+
+
+ORDER_GAP_SQL = _order_gap_sql()
