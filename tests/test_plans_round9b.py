@@ -278,3 +278,19 @@ def test_order_gap_plan(spark, sf_dir):
     assert cols <= {
         "o_custkey", "o_orderkey", "o_orderdate", "c_custkey", "c_mktsegment",
     }, cols
+
+
+def test_file_pruning_plan(spark, sf_dir):
+    """Reads only (o_orderkey, o_orderdate); the two layout branches are
+    global-order windows folding to file grain (corpus_shuffle cost
+    class, the audit's honest cost); no join, no Python."""
+    from wurzel_spark.operators.layout import q_file_pruning_stats
+
+    t = _clean(q_file_pruning_stats(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t, t
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
+        assert {c.split(":")[0] for c in s.split(",")} <= {
+            "o_orderkey",
+            "o_orderdate",
+        }, s

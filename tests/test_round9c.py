@@ -376,3 +376,68 @@ def test_order_gap_matches_oracle_on_fixture(spark, tmp_path):
         )
     want = [tuple(r) for r in con.execute(ORDER_GAP_SQL).fetchall()]
     assert got == want
+
+
+# --------------------------------------------- min-max file skipping
+
+
+def _write_orders(spark, tmp_path, orders):
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_file_pruning_hand_computed(spark, tmp_path):
+    """16 rows / 4-row files, dates shuffled by construction so the
+    arrival layout interleaves every file into the window while the
+    sorted layout isolates it — counts checked by hand."""
+    from wurzel_spark.operators.layout import q_file_pruning_stats
+
+    d = dt.datetime
+    # days 0..15 (Jan 1..16); span 15 -> window [0+15*45//100, 0+15*55//100]
+    # = days [6, 8] -> Jan 7, 8, 9 (3 rows).
+    # arrival order = orderkey; days laid out so each 4-row arrival file
+    # contains one window day or its straddle:
+    days_by_key = [0, 6, 15, 1, 7, 2, 14, 8, 3, 13, 4, 12, 5, 11, 9, 10]
+    orders = [
+        (k + 1, 1, "O", 1.0, d(2024, 1, 1 + days_by_key[k]), "P")
+        for k in range(16)
+    ]
+    sf = _write_orders(spark, tmp_path, orders)
+    out = {
+        r["layout"]: r
+        for r in q_file_pruning_stats(spark, sf, file_rows=4).collect()
+    }
+    a, s = out["arrival"], out["date_sorted"]
+    # window days {6,7,8} -> rows_hit 3, min_files ceil(3/4) = 1
+    assert a["rows_hit"] == s["rows_hit"] == 3
+    assert a["min_files"] == s["min_files"] == 1
+    assert a["n_files"] == s["n_files"] == 4
+    # arrival files by key: [0,6,15,1],[7,2,14,8],[3,13,4,12],[5,11,9,10]
+    # min/max spans: [0,15],[2,14],[3,13],[5,11] — ALL overlap [6,8]
+    assert a["files_hit"] == 4 and a["pruned_permille"] == 0
+    # sorted files: days [0..3],[4..7],[8..11],[12..15] -> hits 2 files
+    assert s["files_hit"] == 2
+    assert s["pruned_permille"] == (1000 * 2) // 4
+
+
+def test_file_pruning_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.operators.layout import _file_pruning_sql, q_file_pruning_stats
+
+    d = dt.datetime
+    orders = [
+        (k + 1, 1, "O", 1.0, d(2024, 2, 1 + (k * 7) % 27), "P") for k in range(30)
+    ]
+    sf = _write_orders(spark, tmp_path, orders)
+    got = [tuple(r) for r in q_file_pruning_stats(spark, sf, file_rows=5).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM parquet_scan('{sf}/orders.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(_file_pruning_sql(5)).fetchall()]
+    assert got == want
+    assert got[0][1] == 6  # 30 rows / 5-row files

@@ -779,3 +779,163 @@ FROM bucketed GROUP BY bucket ORDER BY bucket
 
 
 HILBERT_LAYOUT_SQL = _hilbert_sql()
+
+
+# --------------------------------------------- min-max file skipping
+
+PRUNE_FILE_ROWS = 4096
+PRUNE_WINDOW_LO_PCT = 45  # predicate window: the middle 10% of the span
+PRUNE_WINDOW_HI_PCT = 55
+
+
+def q_file_pruning_stats(
+    spark: SparkSession, sf_dir: str, file_rows: int = PRUNE_FILE_ROWS
+) -> DataFrame:
+    """Zone-map (min/max) file-skipping effectiveness: how many files a
+    date-window predicate must scan under the ARRIVAL layout (orderkey
+    order — the ingest default) vs the DATE-SORTED layout — the
+    measured before/after of running OPTIMIZE ... ORDER BY on the one
+    filter column every pipeline has. [[q_zorder_layout]] and the
+    Hilbert twin answer the TWO-column clustering question; this is the
+    single-column decision, and `min_files` (= ceil(rows_hit / file
+    rows)) is the floor any layout can reach, so `files_hit` vs
+    `min_files` reads as "how far from perfect".
+
+    Exactness: everything is integer — epoch-day order dates, file ids
+    from ``(row_number − 1) div FILE_ROWS`` over a TOTAL order (arrival:
+    o_orderkey, unique; sorted: (eday, o_orderkey)), the predicate
+    window from integer percent clearing ``lo + div(span·pct, 100)``,
+    and overlap tests on per-file min/max.
+
+    Scale shape: two global-order windows over the fact stream (the
+    corpus_shuffle cost class — range-partitioned sorts at scale; a
+    layout audit's honest cost is the sort it simulates), each folding
+    to file-grain rows before the 2-row readout."""
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "div(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 86400000000)"
+        ).alias("eday"),
+    )
+    wg = W.partitionBy()
+    bounded = orders.select(
+        "o_orderkey",
+        "eday",
+        F.min("eday").over(wg).alias("d_lo"),
+        F.max("eday").over(wg).alias("d_hi"),
+    ).select(
+        "o_orderkey",
+        "eday",
+        F.expr(
+            f"d_lo + div((d_hi - d_lo) * {PRUNE_WINDOW_LO_PCT}, 100)"
+        ).alias("q_lo"),
+        F.expr(
+            f"d_lo + div((d_hi - d_lo) * {PRUNE_WINDOW_HI_PCT}, 100)"
+        ).alias("q_hi"),
+    )
+
+    def files_for(order_cols, name):
+        w = W.partitionBy().orderBy(*order_cols)
+        return (
+            bounded.select(
+                "eday",
+                "q_lo",
+                "q_hi",
+                F.expr(f"div(row_number() OVER (ORDER BY {', '.join(order_cols)}) - 1,"
+                       f" {file_rows})").alias("fid"),
+            )
+            .groupBy("fid")
+            .agg(
+                F.min("eday").alias("f_lo"),
+                F.max("eday").alias("f_hi"),
+                F.max("q_lo").alias("q_lo"),
+                F.max("q_hi").alias("q_hi"),
+                F.sum(
+                    F.when(
+                        (F.col("eday") >= F.col("q_lo"))
+                        & (F.col("eday") <= F.col("q_hi")),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias("rows_hit"),
+            )
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(
+                    F.when(
+                        (F.col("f_lo") <= F.col("q_hi"))
+                        & (F.col("f_hi") >= F.col("q_lo")),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias("files_hit"),
+                F.sum("rows_hit").cast("long").alias("rows_hit"),
+            )
+            .select(F.lit(name).alias("layout"), "n_files", "files_hit", "rows_hit")
+        )
+
+    both = files_for(["o_orderkey"], "arrival").unionByName(
+        files_for(["eday", "o_orderkey"], "date_sorted")
+    )
+    return both.select(
+        "layout",
+        "n_files",
+        "files_hit",
+        F.expr("div(1000 * (n_files - files_hit), n_files)").alias(
+            "pruned_permille"
+        ),
+        "rows_hit",
+        F.expr(f"CAST(div(rows_hit + {file_rows - 1}, {file_rows})"
+               f" AS BIGINT)").alias("min_files"),
+    ).orderBy("layout")
+
+
+def _file_pruning_sql(file_rows: int = PRUNE_FILE_ROWS) -> str:
+    def branch(order_cols, name):
+        return f"""
+  SELECT '{name}' AS layout,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(CASE WHEN f_lo <= q_hi AND f_hi >= q_lo THEN 1 ELSE 0 END)
+              AS BIGINT) AS files_hit,
+         CAST(SUM(rows_hit) AS BIGINT) AS rows_hit
+  FROM (
+    SELECT fid, MIN(eday) AS f_lo, MAX(eday) AS f_hi,
+           MAX(q_lo) AS q_lo, MAX(q_hi) AS q_hi,
+           SUM(CASE WHEN eday >= q_lo AND eday <= q_hi THEN 1 ELSE 0 END)
+             AS rows_hit
+    FROM (
+      SELECT eday, q_lo, q_hi,
+             (ROW_NUMBER() OVER (ORDER BY {order_cols}) - 1)
+               // {file_rows} AS fid
+      FROM bounded
+    ) GROUP BY fid
+  )"""
+
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS eday
+  FROM orders
+), bounded AS (
+  SELECT o_orderkey, eday,
+         MIN(eday) OVER () + (((MAX(eday) OVER ()) - (MIN(eday) OVER ()))
+           * {PRUNE_WINDOW_LO_PCT}) // 100 AS q_lo,
+         MIN(eday) OVER () + (((MAX(eday) OVER ()) - (MIN(eday) OVER ()))
+           * {PRUNE_WINDOW_HI_PCT}) // 100 AS q_hi
+  FROM base
+), layouts AS (
+{branch("o_orderkey", "arrival")}
+  UNION ALL
+{branch("eday, o_orderkey", "date_sorted")}
+)
+SELECT layout, n_files, files_hit,
+       CAST((1000 * (n_files - files_hit)) // n_files AS BIGINT)
+         AS pruned_permille,
+       rows_hit,
+       CAST((rows_hit + {file_rows - 1}) // {file_rows} AS BIGINT)
+         AS min_files
+FROM layouts ORDER BY layout
+"""
+
+
+FILE_PRUNING_SQL = _file_pruning_sql()
