@@ -294,3 +294,17 @@ def test_file_pruning_plan(spark, sf_dir):
             "o_orderkey",
             "o_orderdate",
         }, s
+
+
+def test_migration_matrix_plan(spark, sf_dir):
+    """One fact-grain conditional aggregate to customer grain; reads only
+    (o_custkey, o_orderdate) + two customer columns; no Python."""
+    from wurzel_spark.queries.relational import customer_migration_matrix
+
+    t = _clean(customer_migration_matrix(spark, sf_dir),
+               allow_cross_broadcast=True)
+    _no_python(t)
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
+        assert {c.split(":")[0] for c in s.split(",")} <= {
+            "o_custkey", "o_orderdate", "c_custkey", "c_mktsegment",
+        }, s

@@ -441,3 +441,72 @@ def test_file_pruning_matches_oracle_on_fixture(spark, tmp_path):
     want = [tuple(r) for r in con.execute(_file_pruning_sql(5)).fetchall()]
     assert got == want
     assert got[0][1] == 6  # 30 rows / 5-row files
+
+
+# ----------------------------------------- customer migration matrix
+
+
+def test_migration_matrix_hand_computed(spark, tmp_path):
+    """Scripted ledger: churned / retained / new / resurrected-to-multi
+    customers land in the right cells; midpoint-day orders belong to H1."""
+    from wurzel_spark.queries.relational import customer_migration_matrix
+
+    customers = [
+        (1, "a", 0, 0.0, "S"),
+        (2, "b", 0, 0.0, "S"),
+        (3, "c", 0, 0.0, "S"),
+        (4, "d", 0, 0.0, "S"),
+    ]
+    d = dt.datetime
+    # span: Jan 1 .. Jan 11 -> mid = day 5 (Jan 6, inclusive to H1)
+    orders = [
+        # cust 1: one order H1 only -> (one, none) = churned
+        (1, 1, "O", 1.0, d(2024, 1, 1), "P"),
+        # cust 2: H1 two orders (one ON the midpoint), H2 one -> (multi, one)
+        (2, 2, "O", 1.0, d(2024, 1, 2), "P"),
+        (3, 2, "O", 1.0, d(2024, 1, 6), "P"),
+        (4, 2, "O", 1.0, d(2024, 1, 8), "P"),
+        # cust 3: H2 only -> (none, one) = new
+        (5, 3, "O", 1.0, d(2024, 1, 10), "P"),
+        # cust 4: spans both, multi in H2 -> (one, multi)
+        (6, 4, "O", 1.0, d(2024, 1, 3), "P"),
+        (7, 4, "O", 1.0, d(2024, 1, 9), "P"),
+        (8, 4, "O", 1.0, d(2024, 1, 11), "P"),
+    ]
+    sf = _write_order_fixture(spark, tmp_path, customers, orders)
+    out = {
+        (r["tier_h1"], r["tier_h2"]): r
+        for r in customer_migration_matrix(spark, sf).collect()
+    }
+    assert out[("one", "none")]["n_customers"] == 1      # churned
+    assert out[("multi", "one")]["n_customers"] == 1     # midpoint counts H1
+    assert out[("none", "one")]["n_customers"] == 1      # new
+    assert out[("one", "multi")]["n_customers"] == 1     # growing
+    assert len(out) == 4
+    assert all(r["share_permille"] == 250 for r in out.values())
+
+
+def test_migration_matrix_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.relational import (
+        MIGRATION_SQL,
+        customer_migration_matrix,
+    )
+
+    customers = [(1, "a", 0, 0.0, "X"), (2, "b", 0, 0.0, "Y")]
+    d = dt.datetime
+    orders = [
+        (1, 1, "O", 1.0, d(2024, 5, 1), "P"),
+        (2, 1, "O", 1.0, d(2024, 5, 2), "P"),
+        (3, 1, "O", 1.0, d(2024, 5, 30), "P"),
+        (4, 2, "O", 1.0, d(2024, 5, 16), "P"),
+    ]
+    sf = _write_order_fixture(spark, tmp_path, customers, orders)
+    got = [tuple(r) for r in customer_migration_matrix(spark, sf).collect()]
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet/*.parquet')"
+        )
+    want = [tuple(r) for r in con.execute(MIGRATION_SQL).fetchall()]
+    assert got == want and len(got) == 2

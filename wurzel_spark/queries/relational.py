@@ -2801,3 +2801,117 @@ ORDER BY sc.segment
 
 
 ORDER_GAP_SQL = _order_gap_sql()
+
+
+# ----------------------------------------- customer migration matrix
+
+MIGRATION_TIERS = ("none", "one", "multi")
+
+
+def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-tier migration matrix per market segment: each
+    customer's order count in the FIRST half of the observed span vs
+    the SECOND half, tiered none/one/multi — the churn-dynamics grid
+    ([[order_gap_stats]] says how long between orders; this says who
+    moved between silent, one-off and repeat engagement, the
+    new/retained/churned/resurrected readout a growth dashboard is).
+
+    Exactness: the span midpoint is integer epoch-day algebra
+    ``mid = lo + div(hi − lo, 2)`` (orders ON the midpoint day belong
+    to H1 — documented, both engines share the literal comparison);
+    tiers are exact count thresholds; every cell is a plain count.
+    Customers with zero orders in both halves cannot appear (the grid
+    is over customers WITH orders; the all-none cell is structurally
+    empty).
+
+    Scale shape: one fact-grain conditional aggregate to customer grain
+    (map-side combinable after the custkey shuffle), a broadcast-sized
+    1-row bounds panel, the custkey ⋈ customer dim join, then a
+    ≤(S·9)-row grouped count."""
+    from pyspark.sql import Window as W
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "div(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 86400000000)"
+        ).alias("eday"),
+    )
+    wg = W.partitionBy()
+    flagged = orders.select(
+        "o_custkey",
+        "eday",
+        (F.min("eday").over(wg)
+         + F.expr("div(CAST(max(eday) OVER () - min(eday) OVER () AS BIGINT), 2)")
+         ).alias("mid"),
+    )
+    per_cust = flagged.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("eday") <= F.col("mid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_h1"),
+        F.sum(F.when(F.col("eday") > F.col("mid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_h2"),
+    )
+
+    def tier(col):
+        return F.expr(
+            f"CASE WHEN {col} = 0 THEN '{MIGRATION_TIERS[0]}'"
+            f" WHEN {col} = 1 THEN '{MIGRATION_TIERS[1]}'"
+            f" ELSE '{MIGRATION_TIERS[2]}' END"
+        )
+
+    joined = per_cust.join(cust, per_cust.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        tier("n_h1").alias("tier_h1"),
+        tier("n_h2").alias("tier_h2"),
+    )
+    cells = joined.groupBy("segment", "tier_h1", "tier_h2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    wseg = W.partitionBy("segment")
+    return (
+        cells.withColumn("seg_total", F.sum("n_customers").over(wseg))
+        .select(
+            "segment",
+            "tier_h1",
+            "tier_h2",
+            "n_customers",
+            F.expr("div(1000 * n_customers, seg_total)").alias("share_permille"),
+        )
+        .orderBy("segment", "tier_h1", "tier_h2")
+    )
+
+
+MIGRATION_SQL = f"""
+WITH base AS (
+  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS eday
+  FROM orders
+), flagged AS (
+  SELECT o_custkey, eday,
+         MIN(eday) OVER () + (MAX(eday) OVER () - MIN(eday) OVER ()) // 2
+           AS mid
+  FROM base
+), per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN eday <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_h1,
+         CAST(SUM(CASE WHEN eday > mid THEN 1 ELSE 0 END) AS BIGINT) AS n_h2
+  FROM flagged GROUP BY o_custkey
+), cells AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN n_h1 = 0 THEN '{MIGRATION_TIERS[0]}'
+              WHEN n_h1 = 1 THEN '{MIGRATION_TIERS[1]}'
+              ELSE '{MIGRATION_TIERS[2]}' END AS tier_h1,
+         CASE WHEN n_h2 = 0 THEN '{MIGRATION_TIERS[0]}'
+              WHEN n_h2 = 1 THEN '{MIGRATION_TIERS[1]}'
+              ELSE '{MIGRATION_TIERS[2]}' END AS tier_h2,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT segment, tier_h1, tier_h2, n_customers,
+       CAST((1000 * n_customers)
+            // SUM(n_customers) OVER (PARTITION BY segment) AS BIGINT)
+         AS share_permille
+FROM cells ORDER BY segment, tier_h1, tier_h2
+"""
