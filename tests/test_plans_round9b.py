@@ -308,3 +308,17 @@ def test_migration_matrix_plan(spark, sf_dir):
         assert {c.split(":")[0] for c in s.split(",")} <= {
             "o_custkey", "o_orderdate", "c_custkey", "c_mktsegment",
         }, s
+
+
+def test_ols_plan(spark, sf_dir):
+    """ONE map-side-combinable grouped aggregate; reads only the three
+    fit columns; no join, no window, no Python."""
+    from wurzel_spark.queries.relational import ols_price_quantity
+
+    t = _clean(ols_price_quantity(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t and "Window" not in t, t
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_returnflag", "l_quantity", "l_extendedprice",
+    }, m and m.group(1)

@@ -510,3 +510,87 @@ def test_migration_matrix_matches_oracle_on_fixture(spark, tmp_path):
         )
     want = [tuple(r) for r in con.execute(MIGRATION_SQL).fetchall()]
     assert got == want and len(got) == 2
+
+
+# --------------------------------------------- exact-integer OLS fit
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def _li_row(flag, qty, price, k):
+    return (k, 1, 1, 1, float(qty), float(price), 0.0, 0.0, flag, "O",
+            dt.datetime(2024, 1, 1))
+
+
+def test_ols_perfect_line_is_exact(spark, tmp_path):
+    """y = 150 + 250·x cents exactly ⇒ slope 250 cents/unit = 250 000
+    millicents, intercept 150 — recovered with zero quantization loss."""
+    from wurzel_spark.queries.relational import ols_price_quantity
+
+    rows = [
+        _li_row("A", q, (150 + 250 * q) / 100.0, k + 1)
+        for k, q in enumerate([1, 2, 3, 5, 8, 13])
+    ]
+    sf = _write_lineitem(spark, tmp_path, rows)
+    r = ols_price_quantity(spark, sf).collect()[0]
+    assert r["slope_millicents_per_unit"] == 250_000
+    assert r["intercept_cents"] == 150
+
+
+def test_ols_matches_fraction_reference_and_oracle(spark, tmp_path):
+    """Arbitrary scatter (negative slope group included): Spark equals
+    the big-int Fraction mirror of the shared algebra, and the DuckDB
+    twin bit-for-bit."""
+    import duckdb
+    from wurzel_spark.queries.relational import OLS_SQL, ols_price_quantity
+
+    data = {
+        "A": [(1, 9.37), (2, 7.11), (3, 6.02), (4, 3.99)],   # falling
+        "B": [(10, 1.00), (20, 3.50), (30, 2.25)],           # noisy rising
+        "C": [(5, 2.00)],                                    # den = 0
+    }
+    rows, k = [], 0
+    for flag, pts in data.items():
+        for q, p in pts:
+            k += 1
+            rows.append(_li_row(flag, q, p, k))
+    sf = _write_lineitem(spark, tmp_path, rows)
+    out = {r["l_returnflag"]: r for r in ols_price_quantity(spark, sf).collect()}
+
+    S = 100_000
+    for flag, pts in data.items():
+        xs = [100 * q for q, _ in pts]
+        ys = [round(p * 100) for _, p in pts]
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            slope = inter = None
+        else:
+            a = abs(num)
+            q_ = (a // den) * S + ((a % den) * S) // den
+            slope = q_ if num >= 0 else -q_
+            nb = S * sy - slope * sx
+            inter = nb // (S * n) if nb >= 0 else -((-nb) // (S * n))
+        r = out[flag]
+        assert r["slope_millicents_per_unit"] == slope, flag
+        assert r["intercept_cents"] == inter, flag
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM parquet_scan('{sf}/lineitem.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(OLS_SQL).fetchall()]
+    got = [tuple(r) for r in ols_price_quantity(spark, sf).collect()]
+    assert got == want

@@ -2915,3 +2915,119 @@ SELECT segment, tier_h1, tier_h2, n_customers,
          AS share_permille
 FROM cells ORDER BY segment, tier_h1, tier_h2
 """
+
+
+# --------------------------------------------- exact-integer OLS fit
+
+OLS_SLOPE_SCALE = 100_000  # 1e5 × cents/centiunit = millicents per unit
+
+
+def ols_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares fit of extended price (cents) on quantity
+    per return flag — the EFFECT SIZE next to [[corr_quantity_price]]'s
+    unitless correlation and [[spearman_qty_price]]'s rank view: the
+    slope is the marginal cents a unit adds (the empirical unit price),
+    the intercept the fixed offset a zero-quantity extrapolation pays.
+
+    Exactness (no double anywhere): power sums in integer CENTI-units
+    (decimal(38,0) / HUGEINT); slope = num/den with
+    num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² ≥ 0, quantized via the
+    TWO-STAGE long division ``div(a, den)·S + div(pmod(a, den)·S, den)``
+    (the priority_scores lesson: a single a·S product wraps decimal(38)
+    once n passes ~10¹¹ rows — the split is exact over the full domain),
+    sign-split outside.  Intercept reuses the QUANTIZED slope
+    (deterministic shared algebra): ``div(S·Σy − slope_q·Σx, S·n)``,
+    sign-split.  The 10⁵ scale on cents/centiunit lands the slope in
+    millicents per unit.
+
+    Scale shape: ONE map-side-combinable grouped aggregate over the
+    fact stream; 3-row tail algebra."""
+    li = table(spark, sf_dir, "lineitem")
+    cx = (_dec("l_quantity") * F.lit(100)).cast("decimal(38,0)")
+    cy = (_dec("l_extendedprice") * F.lit(100)).cast("decimal(38,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(cx).alias("sx"),
+        F.sum(cy).alias("sy"),
+        F.sum((cx * cy).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((cx * cx).cast("decimal(38,0)")).alias("sxx"),
+    )
+    s = OLS_SLOPE_SCALE
+    fit = agg.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+    ).select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            f"CAST(CASE WHEN den = 0 THEN NULL"
+            f" WHEN num >= 0 THEN div(num, den) * {s}"
+            f"   + div(pmod(num, den) * {s}, den)"
+            f" ELSE -(div(-num, den) * {s} + div(pmod(-num, den) * {s}, den))"
+            f" END AS BIGINT)"
+        ).alias("slope_millicents_per_unit"),
+    )
+    out = fit.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("sx").cast("long").alias("sum_centiqty"),
+        F.col("sy").cast("long").alias("sum_cents"),
+        "slope_millicents_per_unit",
+        F.expr(
+            f"CAST(CASE WHEN slope_millicents_per_unit IS NULL THEN NULL"
+            f" WHEN {s} * sy - slope_millicents_per_unit * sx >= 0"
+            f" THEN div({s} * sy - slope_millicents_per_unit * sx, {s} * n)"
+            f" ELSE -div(-({s} * sy - slope_millicents_per_unit * sx), {s} * n)"
+            f" END AS BIGINT)"
+        ).alias("intercept_cents"),
+    )
+    return out.orderBy("l_returnflag")
+
+
+OLS_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+           AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+), fit AS (
+  SELECT l_returnflag, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM s
+), sloped AS (
+  SELECT l_returnflag, n, sx, sy,
+         CAST(CASE WHEN den = 0 THEN NULL
+              WHEN num >= 0 THEN (num // den) * {OLS_SLOPE_SCALE}
+                + ((num % den) * {OLS_SLOPE_SCALE}) // den
+              ELSE -(((-num) // den) * {OLS_SLOPE_SCALE}
+                + (((-num) % den) * {OLS_SLOPE_SCALE}) // den)
+              END AS BIGINT) AS slope_millicents_per_unit
+  FROM fit
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(sx AS BIGINT) AS sum_centiqty,
+       CAST(sy AS BIGINT) AS sum_cents,
+       slope_millicents_per_unit,
+       CAST(CASE WHEN slope_millicents_per_unit IS NULL THEN NULL
+            WHEN {OLS_SLOPE_SCALE} * sy - slope_millicents_per_unit * sx >= 0
+            THEN ({OLS_SLOPE_SCALE} * sy - slope_millicents_per_unit * sx)
+                 // ({OLS_SLOPE_SCALE} * n)
+            ELSE -((-({OLS_SLOPE_SCALE} * sy - slope_millicents_per_unit * sx))
+                 // ({OLS_SLOPE_SCALE} * n))
+            END AS BIGINT) AS intercept_cents
+FROM sloped ORDER BY l_returnflag
+"""
