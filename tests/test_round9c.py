@@ -594,3 +594,54 @@ def test_ols_matches_fraction_reference_and_oracle(spark, tmp_path):
     want = [tuple(r) for r in con.execute(OLS_SQL).fetchall()]
     got = [tuple(r) for r in ols_price_quantity(spark, sf).collect()]
     assert got == want
+
+
+# --------------------------------------------- streaming OLS twin
+
+
+def test_streaming_ols_matches_batch(spark, tmp_path):
+    """Per-batch staged power sums drain bit-equal to the batch fit."""
+    from wurzel_spark.queries.relational import ols_price_quantity
+    from wurzel_spark.streaming.ols import ols_stream
+    from wurzel_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    li = _table(spark, sf, "lineitem").localCheckpoint()
+    d = str(tmp_path / "ols_in")
+    li.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(li.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = ols_stream(
+        stream, str(tmp_path / "ols_state"), str(tmp_path / "ols_ckpt"),
+        compact_every=2,
+    )
+    want = ols_price_quantity(spark, sf)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+
+def test_streaming_ols_replay_is_idempotent(spark, tmp_path):
+    """Re-staging the same batch id overwrites, never double-counts."""
+    from wurzel_spark.queries.relational import ols_partials, ols_price_quantity
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.ols import drain_ols_state
+    from wurzel_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    li = _table(spark, sf, "lineitem").localCheckpoint()
+    state = str(tmp_path / "ols_state2")
+    mine = ols_partials(li).withColumn("src_batch", F_lit0())
+    for _ in range(3):  # replayed crash-window duplicates
+        write_batch_state(spark, mine, state, 0, ["src_batch", "l_returnflag"], None)
+    got = drain_ols_state(spark, state)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in ols_price_quantity(spark, sf).collect()
+    )
+
+
+def F_lit0():
+    from pyspark.sql import functions as F
+
+    return F.lit(0)

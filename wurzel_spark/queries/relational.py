@@ -2941,17 +2941,27 @@ def ols_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     millicents per unit.
 
     Scale shape: ONE map-side-combinable grouped aggregate over the
-    fact stream; 3-row tail algebra."""
-    li = table(spark, sf_dir, "lineitem")
+    fact stream; 3-row tail algebra.  The power sums are ADDITIVE, so
+    the streaming twin (streaming/ols.py) stages them per batch and
+    drains through `ols_from_partials`."""
+    return ols_from_partials(ols_partials(table(spark, sf_dir, "lineitem")))
+
+
+def ols_partials(li: DataFrame) -> DataFrame:
+    """Per-returnflag integer power sums — the additive staged unit."""
     cx = (_dec("l_quantity") * F.lit(100)).cast("decimal(38,0)")
     cy = (_dec("l_extendedprice") * F.lit(100)).cast("decimal(38,0)")
-    agg = li.groupBy("l_returnflag").agg(
+    return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum(cx).alias("sx"),
         F.sum(cy).alias("sy"),
         F.sum((cx * cy).cast("decimal(38,0)")).alias("sxy"),
         F.sum((cx * cx).cast("decimal(38,0)")).alias("sxx"),
     )
+
+
+def ols_from_partials(agg: DataFrame) -> DataFrame:
+    """Fit tail over summed power sums (shared with the streaming drain)."""
     s = OLS_SLOPE_SCALE
     fit = agg.select(
         "l_returnflag",
