@@ -322,3 +322,21 @@ def test_ols_plan(spark, sf_dir):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "l_returnflag", "l_quantity", "l_extendedprice",
     }, m and m.group(1)
+
+
+def test_ivf_sweep_plan(spark, sf_dir):
+    """Centroids and queries broadcast against the corpus (no shuffle of
+    the embedding table for the pair passes); the brute top-k window
+    prunes pre-shuffle; the only nested-loop joins are the crank ≤ nprobe
+    conditional joins over ≤ n_centroids-row histogram panels (LeftOuter
+    by construction — corpus-grain data never reaches them); no Python."""
+    from wurzel_spark.plans import plan_text
+    from wurzel_spark.operators.similarity import q_ivf_nprobe_sweep
+
+    t = plan_text(q_ivf_nprobe_sweep(spark, sf_dir))
+    assert "CartesianProduct" not in t, t
+    for line in t.splitlines():
+        if "BroadcastNestedLoopJoin" in line and ("+-" in line or ":-" in line):
+            assert re.search(r"(Cross Build(Left|Right)|LeftOuter Build)", line), line
+    _no_python(t)
+    assert "WindowGroupLimit" in t, t

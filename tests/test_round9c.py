@@ -645,3 +645,66 @@ def F_lit0():
     from pyspark.sql import functions as F
 
     return F.lit(0)
+
+
+# --------------------------------------------- IVF nprobe tuning sweep
+
+
+def _vec64(**at):
+    v = [0.0] * 64
+    for k, x in at.items():
+        v[int(k[1:])] = x
+    return [float(x) for x in v]
+
+
+def test_ivf_sweep_hand_planted_clusters(spark):
+    """Two orthogonal clusters, one cross-cell neighbor: query 0's brute
+    top-2 splits across cells, so recall climbs 500 → 1000 exactly as
+    nprobe covers the second cell; full probe is always 1000."""
+    from wurzel_spark.operators.similarity import ivf_nprobe_sweep
+
+    rows = [
+        # centroids (ids 0,1): cell A ~ e0, cell B ~ e2
+        (0, _vec64(d0=1.0), 0),
+        (1, _vec64(d2=1.0), 1),
+        # id 2: firmly cell A (query 0's nearest non-self)
+        (2, _vec64(d0=0.9), 0),
+        # id 6: geometrically between, ASSIGNED to cell B (0.8 > 0.6)
+        # but still query 0's second-best match (cos 0.6 > 0)
+        (6, _vec64(d0=0.6, d2=0.8), 1),
+        # far fillers in cell B
+        (7, _vec64(d2=0.95), 1),
+        (8, _vec64(d2=0.97), 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r["nprobe"]: r
+        for r in ivf_nprobe_sweep(emb, k=2, n_centroids=2, n_queries=1).collect()
+    }
+    # query 0 brute top-2 = ids 2 (cell A) and 6 (cell B)
+    assert out[1]["recall_permille"] == 500
+    assert out[2]["recall_permille"] == 1000
+    assert out[8]["recall_permille"] == 1000  # full probe sanity
+    # cell A holds ids {0, 2} of 6 vectors -> 333 permille scanned at np=1
+    assert out[1]["candidates_permille"] == (1000 * 2) // 6
+    assert out[2]["candidates_permille"] == 1000
+
+
+def test_ivf_sweep_monotone_and_matches_oracle_at_sf(spark):
+    """On real sf0.001 embeddings the curve is monotone in nprobe and the
+    registered DuckDB twin agrees bit-for-bit."""
+    import duckdb
+    from wurzel_spark.operators.similarity import IVF_SWEEP_SQL, q_ivf_nprobe_sweep
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in q_ivf_nprobe_sweep(spark, sf).collect()]
+    rec = [g[2] for g in got]
+    cand = [g[3] for g in got]
+    assert rec == sorted(rec) and cand == sorted(cand)
+    assert got[-1][2] == 1000 and got[-1][3] == 1000
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM parquet_scan('{sf}/embeddings.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(IVF_SWEEP_SQL).fetchall()]
+    assert got == want

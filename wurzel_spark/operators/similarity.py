@@ -2821,3 +2821,205 @@ FROM agg ORDER BY query_id
 
 
 NDCG_EVAL_SQL = _ndcg_sql()
+
+
+# --------------------------------------------- IVF nprobe tuning sweep
+
+IVF_SWEEP_NPROBES = (1, 2, 4, 8)
+IVF_SWEEP_K = 10
+IVF_SWEEP_N_CENTROIDS = 8
+IVF_SWEEP_N_QUERIES = 20
+
+
+def ivf_nprobe_sweep(
+    emb: DataFrame,
+    k: int = IVF_SWEEP_K,
+    n_centroids: int = IVF_SWEEP_N_CENTROIDS,
+    n_queries: int = IVF_SWEEP_N_QUERIES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The canonical IVF tuning table: recall@k and scanned-candidate
+    share at nprobe ∈ {1,2,4,8} — the curve every ANN deployment reads
+    before fixing its latency/recall trade ([[ivf_topk]] runs ONE point
+    of it; this is the decision sheet).  At the top nprobe (= all
+    cells) recall is 1000 by construction — the sweep's built-in
+    sanity row.
+
+    Exactness: recall@k needs no second retrieval pass — a brute-force
+    top-k member in a probed cell is NECESSARILY in the IVF top-k (it
+    outranks every candidate that outranks nothing above it), and every
+    IVF∩brute member is such a row, so
+    ``recall = #(brute top-k in probed cells) / k`` exactly.  Cosine is
+    the certified sequential-fold double used ONLY to rank (desc, id
+    tie-break — the retrieval_ndcg convention); cells, ranks, hit
+    counts and permilles are all integers.  Candidate share counts FULL
+    cell sizes (the self row stays in its cell's cost; it is excluded
+    only from the top-k pool).
+
+    Scale shape: one corpus × broadcast-centroids assignment pass (one
+    rank window per corpus row over 8 rows), one corpus ×
+    broadcast-queries brute pass with the per-query top-k pruned by
+    WindowGroupLimit, then centroid-grain joins — the audit
+    configuration (fixed query count), linear in the corpus."""
+    from pyspark.sql import Window as W
+
+    base = emb.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == _BINARY_DIM)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cents = base.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    queries = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+
+    # corpus → nearest-centroid cell (rank 1 of the per-row centroid order)
+    w_assign = W.partitionBy("id").orderBy(F.desc("ccos"), "cid")
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select("id", "cid", cosine(F.col("vec"), F.col("cvec")).alias("ccos"))
+        .withColumn("crn", F.row_number().over(w_assign))
+        .filter(F.col("crn") == 1)
+        .select("id", F.col("cid").alias("cell"))
+    )
+    cell_sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+
+    # per-query centroid ranking (which cells probe first)
+    w_q = W.partitionBy("query_id").orderBy(F.desc("qcos"), "cid")
+    qranks = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "cid", cosine(F.col("qvec"), F.col("cvec")).alias("qcos"))
+        .select("query_id", "cid", F.row_number().over(w_q).alias("crank"))
+    )
+
+    # brute-force top-k (the ground truth), each member tagged with its cell
+    w_b = W.partitionBy("query_id").orderBy(F.desc("cos"), "id")
+    topk = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", cosine(F.col("vec"), F.col("qvec")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= k)
+        .join(assigned, "id")
+        .join(qranks.withColumnRenamed("query_id", "qq"),
+              (F.col("query_id") == F.col("qq")) & (F.col("cell") == F.col("cid")))
+        .select("query_id", "crank")
+    )
+    n_corpus = base.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    cand = (
+        qranks.withColumnRenamed("cid", "cell")
+        .join(cell_sizes, "cell", "left")
+        .select("query_id", "crank", F.coalesce("sz", F.lit(0)).alias("sz"))
+    )
+
+    # ONE pass over the expensive subtrees: fold top-k hits and scanned
+    # candidates to crank-grain histograms (≤ n_centroids rows), then the
+    # probe rows derive from tiny crank ≤ nprobe conditional joins.
+    hist = topk.groupBy("crank").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits_at")
+    )
+    candh = cand.groupBy("crank").agg(F.sum("sz").cast("long").alias("scanned_at"))
+    nq = queries.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    probes = (
+        nq.crossJoin(n_corpus)
+        .select(
+            "n_queries",
+            "n_corpus",
+            F.explode(
+                F.array(*[F.lit(p).cast("long") for p in IVF_SWEEP_NPROBES])
+            ).alias("nprobe"),
+        )
+    )
+    agg = (
+        probes.join(hist, hist.crank <= probes.nprobe, "left")
+        .groupBy("nprobe", "n_queries", "n_corpus")
+        .agg(F.coalesce(F.sum("n_hits_at"), F.lit(0)).alias("n_hits"))
+        .join(
+            probes.select("nprobe")
+            .join(candh, candh.crank <= F.col("nprobe"), "left")
+            .groupBy("nprobe")
+            .agg(F.coalesce(F.sum("scanned_at"), F.lit(0)).alias("n_scanned")),
+            "nprobe",
+        )
+    )
+    return agg.select(
+        "nprobe",
+        "n_queries",
+        F.expr(f"div(1000 * n_hits, n_queries * {k})").alias("recall_permille"),
+        F.expr("div(1000 * n_scanned, n_queries * n_corpus)").alias(
+            "candidates_permille"
+        ),
+    ).orderBy("nprobe")
+
+
+def q_ivf_nprobe_sweep(spark, sf_dir: str) -> DataFrame:
+    return ivf_nprobe_sweep(table(spark, sf_dir, "embeddings"))
+
+
+def _ivf_sweep_sql() -> str:
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+            f" / (sqrt(list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product(CAST({y} AS DOUBLE[]), CAST({y} AS DOUBLE[]))))"
+        )
+
+    probes = ", ".join(str(p) for p in IVF_SWEEP_NPROBES)
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding AS vec
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_BINARY_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), cents AS (
+  SELECT id AS cid, vec AS cvec FROM base WHERE id < {IVF_SWEEP_N_CENTROIDS}
+), q AS (
+  SELECT id AS query_id, vec AS qvec FROM base WHERE id < {IVF_SWEEP_N_QUERIES}
+), assigned AS (
+  SELECT id, cid AS cell FROM (
+    SELECT b.id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.id
+                              ORDER BY {cos("b.vec", "c.cvec")} DESC, c.cid) AS crn
+    FROM base b CROSS JOIN cents c
+  ) WHERE crn = 1
+), cell_sizes AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz FROM assigned GROUP BY cell
+), qranks AS (
+  SELECT query_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {cos("q.qvec", "c.cvec")} DESC, c.cid) AS crank
+  FROM q CROSS JOIN cents c
+), topk AS (
+  SELECT s.query_id, qr.crank FROM (
+    SELECT b.id, q.query_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos("b.vec", "q.qvec")} DESC, b.id) AS rn
+    FROM base b CROSS JOIN q WHERE b.id != q.query_id
+  ) s
+  JOIN assigned a ON a.id = s.id
+  JOIN qranks qr ON qr.query_id = s.query_id AND qr.cid = a.cell
+  WHERE s.rn <= {IVF_SWEEP_K}
+), cand AS (
+  SELECT qr.query_id, qr.crank, COALESCE(cs.sz, 0) AS sz
+  FROM qranks qr LEFT JOIN cell_sizes cs ON cs.cell = qr.cid
+), consts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_corpus,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries
+)
+SELECT CAST(np AS BIGINT) AS nprobe,
+       n_queries,
+       CAST((1000 * (SELECT COUNT(*) FROM topk t WHERE t.crank <= np))
+            // (n_queries * {IVF_SWEEP_K}) AS BIGINT) AS recall_permille,
+       CAST((1000 * (SELECT COALESCE(SUM(sz), 0) FROM cand c WHERE c.crank <= np))
+            // (n_queries * n_corpus) AS BIGINT) AS candidates_permille
+FROM consts CROSS JOIN (SELECT UNNEST([{probes}]) AS np)
+ORDER BY nprobe
+"""
+
+
+IVF_SWEEP_SQL = _ivf_sweep_sql()
