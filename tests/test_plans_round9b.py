@@ -340,3 +340,14 @@ def test_ivf_sweep_plan(spark, sf_dir):
             assert re.search(r"(Cross Build(Left|Right)|LeftOuter Build)", line), line
     _no_python(t)
     assert "WindowGroupLimit" in t, t
+
+
+def test_importance_ess_plan(spark, sf_dir):
+    """The DSIR bucket table broadcasts back to the token stream (no
+    corpus-grain shuffle on the join); one per-source aggregate; no
+    Python."""
+    from wurzel_spark.operators.textstats import q_importance_ess
+
+    t = _clean(q_importance_ess(spark, sf_dir), allow_cross_broadcast=True)
+    _no_python(t)
+    assert "BroadcastHashJoin" in t, t

@@ -708,3 +708,79 @@ def test_ivf_sweep_monotone_and_matches_oracle_at_sf(spark):
     )
     want = [tuple(r) for r in con.execute(IVF_SWEEP_SQL).fetchall()]
     assert got == want
+
+
+# ------------------------------------------ importance-weight ESS audit
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_ess_uniform_weights_is_1000(spark, tmp_path):
+    """Identical documents ⇒ identical quantized weights ⇒ ESS exactly
+    1000 permille (the Cauchy–Schwarz equality case)."""
+    from wurzel_spark.operators.textstats import importance_ess_stats
+    from wurzel_spark.tables import table as _table
+
+    rows = [(i, "alpha beta gamma", "en", "src0" if i < 3 else "plain", 16)
+            for i in range(8)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r for r in
+           importance_ess_stats(_table(spark, sf, "documents")).collect()}
+    assert out["src0"]["ess_permille"] == 1000
+    assert out["plain"]["ess_permille"] == 1000
+
+
+def test_ess_matches_python_mirror(spark, tmp_path):
+    """Mixed corpus: every emitted number equals the literal big-int
+    mirror of the shared algebra (bucket hash included)."""
+    import hashlib
+    from wurzel_spark.operators.textstats import (
+        ESS_WEIGHT_SCALE,
+        _DSIR_BUCKETS,
+        importance_ess_stats,
+    )
+    from wurzel_spark.tables import table as _table
+
+    docs = {
+        1: ("the target words here", "src0"),
+        2: ("target words again target", "src0"),
+        3: ("totally other vocabulary now", "web"),
+        4: ("the the the the the the", "web"),
+        5: ("words target the other", "web"),
+    }
+    rows = [(i, t, "en", s, len(t)) for i, (t, s) in docs.items()]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["source"]: r for r in
+           importance_ess_stats(_table(spark, sf, "documents")).collect()}
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % _DSIR_BUCKETS
+
+    c_raw, c_tgt = {}, {}
+    for i, (t, s) in docs.items():
+        for w in t.split():
+            b = bucket(w)
+            c_raw[b] = c_raw.get(b, 0) + 1
+            if s in ("src0", "src1", "src2"):
+                c_tgt[b] = c_tgt.get(b, 0) + 1
+    t_raw, t_tgt = sum(c_raw.values()), sum(c_tgt.values())
+    per_source = {}
+    for i, (t, s) in docs.items():
+        ws = t.split()
+        n = len(ws)
+        sr = sum(c_raw[bucket(w)] for w in ws)
+        st = sum(c_tgt.get(bucket(w), 0) for w in ws)
+        wq = (ESS_WEIGHT_SCALE * (st + n) * (t_raw + n)) // ((sr + n) * (t_tgt + n))
+        per_source.setdefault(s, []).append(wq)
+    for s, wqs in per_source.items():
+        n, wsum, w2 = len(wqs), sum(wqs), sum(w * w for w in wqs)
+        ess = (1000 * wsum * wsum) // (n * w2) if w2 else None
+        r = got[s]
+        assert (r["n_docs"], r["wq_sum"], r["wq2_sum"]) == (n, wsum, w2), s
+        assert r["ess_permille"] == ess, s
+        assert r["ess_permille"] <= 1000  # Cauchy–Schwarz

@@ -192,6 +192,7 @@ QUERIES = [
     "event_theil_sen_trend",
     "event_hour_independence",
     "ivf_nprobe_sweep",
+    "importance_ess_stats",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

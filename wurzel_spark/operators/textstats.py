@@ -1805,7 +1805,7 @@ def dsir_importance_scores(
     )
     per_doc = (
         toks.join(F.broadcast(counts), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "source")  # doc_id unique: source rides along
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("c_raw").alias("sum_raw"),
@@ -1820,7 +1820,8 @@ def dsir_importance_scores(
         / (F.col("t_raw") + F.col("n_words")).cast("double")
     )
     return per_doc.crossJoin(F.broadcast(totals)).select(
-        "doc_id", "n_words", "sum_tgt", "sum_raw", score.alias("importance")
+        "doc_id", "source", "n_words", "sum_tgt", "sum_raw",
+        "t_tgt", "t_raw", score.alias("importance")
     )
 
 
@@ -1836,6 +1837,7 @@ def dsir_importance_sample(
     return (
         dsir_importance_scores(df, target_sources)
         .filter(F.col("importance") >= F.lit(threshold))
+        .select("doc_id", "n_words", "sum_tgt", "sum_raw", "importance")
         .orderBy("doc_id")
     )
 
@@ -6051,3 +6053,117 @@ SELECT source, n_docs, n_trimmed_per_tail, sum_raw, sum_trimmed, n_kept,
        sum_trimmed + n_trimmed_per_tail * (clamp_lo + clamp_hi) AS sum_winsorized
 FROM agg ORDER BY source
 """
+
+
+# ------------------------------------------ importance-weight ESS audit
+
+ESS_WEIGHT_SCALE = 1024  # 2^10: keeps (Σwq)² inside decimal(38,0) at 1e13 docs
+
+
+def importance_ess_stats(
+    df: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Effective sample size of the DSIR importance weights per source —
+    Kong (1992)'s ESS = (Σw)²/Σw², THE degeneracy diagnostic every
+    importance-weighted pipeline reads before trusting its resample: at
+    1000‰ the weights are uniform (the selection is doing nothing); as a
+    few documents soak up the mass the ratio collapses toward 1/n and
+    the 'sample' is really a handful of documents wearing a corpus
+    costume. [[dsir_importance_scores]] produces the weights; this says
+    whether they are USABLE.
+
+    Exactness: ESS is scale-invariant in w, so the common
+    (t_raw+n)/(t_tgt+n) factor is kept (it cancels) and each weight is
+    quantized ONCE as the exact integer
+    ``wq = div(1024·(sum_tgt+n)·(t_raw+n), (sum_raw+n)·(t_tgt+n))``
+    (both engines share the literal algebra); Σwq and Σwq² accumulate
+    in decimal(38,0)/HUGEINT and ess_permille = div(1000·(Σwq)², n·Σwq²)
+    — non-negative integers throughout, ≤1000 by Cauchy–Schwarz.  The
+    2¹⁰ scale bounds (Σwq)² under 10³⁸ past 10¹² docs (the OLS
+    two-stage lesson traded down to a smaller scale instead: ESS needs
+    3 digits, not 5).
+
+    Scale shape: the DSIR two-pass estimator (bucket table broadcast,
+    map-side combinable sums) + ONE per-source aggregate."""
+    scores = dsir_importance_scores(df, target_sources, text_col)
+    wq = scores.select(
+        "source",
+        F.expr(
+            f"CAST(div({ESS_WEIGHT_SCALE} * (sum_tgt + n_words)"
+            f" * (t_raw + n_words),"
+            f" (sum_raw + n_words) * (t_tgt + n_words)) AS DECIMAL(38,0))"
+        ).alias("wq"),
+    )
+    agg = wq.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("wq").alias("w_sum"),
+        F.sum((F.col("wq") * F.col("wq")).cast("decimal(38,0)")).alias("w2_sum"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("w_sum").cast("long").alias("wq_sum"),
+        F.col("w2_sum").cast("long").alias("wq2_sum"),
+        F.expr(
+            "CAST(CASE WHEN w2_sum > 0 THEN div(1000 * w_sum * w_sum, n * w2_sum)"
+            " END AS BIGINT)"
+        ).alias("ess_permille"),
+    ).orderBy("source")
+
+
+def q_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return importance_ess_stats(table(spark, sf_dir, "documents"))
+
+
+def _importance_ess_sql() -> str:
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return rf"""
+WITH words AS (
+  SELECT doc_id, source,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x != '')) AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS b
+  FROM words
+), counts AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw,
+         CAST(SUM(CASE WHEN source IN ({tgt}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_tgt
+  FROM toks GROUP BY b
+), totals AS (
+  SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM counts
+), per_doc AS (
+  SELECT t.doc_id, t.source,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(c.c_raw) AS BIGINT) AS sum_raw,
+         CAST(SUM(c.c_tgt) AS BIGINT) AS sum_tgt
+  FROM toks t JOIN counts c ON t.b = c.b
+  GROUP BY t.doc_id, t.source
+), wq AS (
+  SELECT source,
+         CAST(({ESS_WEIGHT_SCALE} * (sum_tgt + n_words)
+               * (CAST(t_raw AS HUGEINT) + n_words))
+              // ((sum_raw + n_words) * (CAST(t_tgt AS HUGEINT) + n_words))
+           AS HUGEINT) AS wq
+  FROM per_doc CROSS JOIN totals
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(wq) AS w_sum, SUM(wq * wq) AS w2_sum
+  FROM wq GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(w_sum AS BIGINT) AS wq_sum,
+       CAST(w2_sum AS BIGINT) AS wq2_sum,
+       CAST(CASE WHEN w2_sum > 0 THEN (1000 * w_sum * w_sum) // (n * w2_sum)
+            END AS BIGINT) AS ess_permille
+FROM agg ORDER BY source
+"""
+
+
+IMPORTANCE_ESS_SQL = _importance_ess_sql()
