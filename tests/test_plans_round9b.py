@@ -351,3 +351,13 @@ def test_importance_ess_plan(spark, sf_dir):
     t = _clean(q_importance_ess(spark, sf_dir), allow_cross_broadcast=True)
     _no_python(t)
     assert "BroadcastHashJoin" in t, t
+
+
+def test_scd2_plan(spark, sf_dir):
+    """ONE id-partitioned ordered window builds the whole history — no
+    self-join, no as-of loop; no Python."""
+    from wurzel_spark.operators.snapshots import q_scd2_intervals
+
+    t = _clean(q_scd2_intervals(spark, sf_dir))
+    _no_python(t)
+    assert "SortMergeJoin" not in t and "BroadcastHashJoin" not in t, t

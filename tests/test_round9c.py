@@ -784,3 +784,62 @@ def test_ess_matches_python_mirror(spark, tmp_path):
         assert (r["n_docs"], r["wq_sum"], r["wq2_sum"]) == (n, wsum, w2), s
         assert r["ess_permille"] == ess, s
         assert r["ess_permille"] <= 1000  # Cauchy–Schwarz
+
+
+# --------------------------------------------- SCD2 interval build
+
+
+def test_scd2_hand_built_history(spark):
+    """Insert→update→delete for one id, insert-only for another: version
+    numbering, touching bounds, tombstone closure and currency flags all
+    land per the SCD2 contract."""
+    from wurzel_spark.operators.snapshots import scd2_intervals
+
+    d = dt.datetime
+    log = spark.createDataFrame(
+        [
+            (1, d(2026, 1, 1), "upsert", "v1"),
+            (1, d(2026, 1, 5), "upsert", "v2"),
+            (1, d(2026, 1, 9), "delete", None),
+            (2, d(2026, 1, 2), "upsert", "only"),
+        ],
+        "doc_id long, ts timestamp, op string, text string",
+    )
+    rows = {(r["doc_id"], r["version_n"]): r
+            for r in scd2_intervals(log).collect()}
+    assert len(rows) == 3  # the tombstone contributes no interval
+    v1, v2 = rows[(1, 1)], rows[(1, 2)]
+    assert v1["valid_from"] == d(2026, 1, 1) and v1["valid_to"] == d(2026, 1, 5)
+    assert not v1["is_current"]
+    # the delete closes v2 — id 1 has NO current row
+    assert v2["valid_from"] == d(2026, 1, 5) and v2["valid_to"] == d(2026, 1, 9)
+    assert not v2["is_current"]
+    only = rows[(2, 1)]
+    assert only["is_current"] and only["valid_to"] == d(2200, 1, 1)
+    # intervals tile: as-of day 3 sees v1, day 6 sees v2, day 10 nothing
+    def asof(t):
+        return [k for k, r in rows.items()
+                if k[0] == 1 and r["valid_from"] <= t < r["valid_to"]]
+    assert asof(d(2026, 1, 3)) == [(1, 1)]
+    assert asof(d(2026, 1, 6)) == [(1, 2)]
+    assert asof(d(2026, 1, 10)) == []
+
+
+def test_scd2_agrees_with_cdc_snapshot_at(spark):
+    """The interval table's as-of filter reproduces cdc_snapshot_at's
+    point read on the shared synthetic log — the two CDC views are one
+    consistent history."""
+    from wurzel_spark.operators.snapshots import q_cdc_snapshot_at, q_scd2_intervals
+
+    sf = "/root/testdata/sf0.001"
+    at = dt.datetime(2026, 1, 16)  # day 15 boundary, the snapshot's AS OF
+    hist = q_scd2_intervals(spark, sf).collect()
+    from_hist = sorted(
+        (r["doc_id"], r["content_sha256"]) for r in hist
+        if r["valid_from"] <= at and at < r["valid_to"]
+    )
+    snap = sorted(
+        (r["doc_id"], r["content_sha256"])
+        for r in q_cdc_snapshot_at(spark, sf).collect()
+    )
+    assert from_hist == snap and len(snap) > 0

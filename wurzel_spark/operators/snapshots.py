@@ -358,3 +358,128 @@ SELECT doc_id, sha256(text) AS content_sha256
 FROM ranked WHERE rn = 1 AND op = 'upsert'
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------- SCD2 interval build
+
+
+def scd2_intervals(
+    log: DataFrame,
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a CDC log:
+    one row per upsert VERSION with ``[valid_from, valid_to)`` bounds —
+    the warehouse-standard temporal table that [[cdc_snapshot_at]]'s
+    point read and [[cdc_apply_changes]]'s head state both project out
+    of; with the interval table materialized, any as-of read is a
+    ``valid_from <= t < valid_to`` filter (partition-prunable on
+    valid_from at scale) instead of a per-read window over the log.
+
+    Semantics: versions order by (ts, op) within id; an upsert opens an
+    interval, the NEXT change of any kind closes it (a delete is a
+    tombstone — it closes the last interval and contributes no row);
+    the open interval (valid_to NULL) is current iff the id's last
+    change is an upsert.  version_n numbers upserts from 1.
+
+    Scale shape: ONE id-partitioned ordered window (lead + row_number
+    from the same frame) over the change log — no self-join, no as-of
+    loop."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(ts_col, "op")
+    timed = log.select(
+        id_col,
+        ts_col,
+        "op",
+        payload_col,
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )
+    ups = timed.filter(F.col("op") == CDC_UPSERT)
+    wv = W.partitionBy(id_col).orderBy(ts_col, "op")
+    # high-end-date sentinel (2200: inside pandas' ns range, the warehouse convention scaled to the tooling) (NULL valid_to
+    # also breaks NaT-vs-NaT value comparison in pandas-side consumers)
+    return ups.select(
+        id_col,
+        F.row_number().over(wv).cast("long").alias("version_n"),
+        F.col(ts_col).alias("valid_from"),
+        F.col("valid_to").isNull().alias("is_current"),
+        F.coalesce(
+            F.col("valid_to"), F.to_timestamp(F.lit("2200-01-01 00:00:00"))
+        ).alias("valid_to"),
+        payload_col,
+    ).select(
+        id_col, "version_n", "valid_from", "valid_to", "is_current", payload_col
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history over the same synthetic CDC log as
+    [[q_cdc_snapshot_at]] (insert at t0+(id%7)d, 11-residue update at
+    day 10, 13-residue delete at day 20): updated docs carry two
+    versions with touching bounds, deleted docs' last interval closes at
+    the tombstone, everything else is a single current row."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    ins = docs.select(
+        "doc_id",
+        F.timestamp_add("DAY", (F.col("doc_id") % 7).cast("int"), t0).alias("ts"),
+        F.lit(CDC_UPSERT).alias("op"),
+        "text",
+    )
+    upd = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.timestamp_add("DAY", F.lit(10), t0).alias("ts"),
+        F.lit(CDC_UPSERT).alias("op"),
+        F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+    )
+    dele = docs.filter(F.col("doc_id") % 13 == 5).select(
+        "doc_id",
+        F.timestamp_add("DAY", F.lit(20), t0).alias("ts"),
+        F.lit(CDC_DELETE).alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    hist = scd2_intervals(ins.unionByName(upd).unionByName(dele))
+    return hist.select(
+        "doc_id",
+        "version_n",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    ).orderBy("doc_id", "version_n")
+
+
+SCD2_SQL = """
+WITH log AS (
+  SELECT doc_id,
+         TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id % 7) DAY AS ts,
+         'upsert' AS op, text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00' + INTERVAL 10 DAY,
+         'upsert', text || ' [v2]'
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, TIMESTAMP '2026-01-01 00:00:00' + INTERVAL 20 DAY,
+         'delete', CAST(NULL AS VARCHAR)
+  FROM documents WHERE doc_id % 13 = 5
+), timed AS (
+  SELECT doc_id, ts, op, text,
+         LEAD(ts) OVER (PARTITION BY doc_id ORDER BY ts, op) AS valid_to
+  FROM log
+), ups AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ts, op)
+              AS BIGINT) AS version_n,
+         ts AS valid_from,
+         COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+         valid_to IS NULL AS is_current,
+         text
+  FROM timed WHERE op = 'upsert'
+)
+SELECT doc_id, version_n, valid_from, valid_to, is_current,
+       sha256(text) AS content_sha256
+FROM ups ORDER BY doc_id, version_n
+"""
