@@ -361,3 +361,15 @@ def test_scd2_plan(spark, sf_dir):
     t = _clean(q_scd2_intervals(spark, sf_dir))
     _no_python(t)
     assert "SortMergeJoin" not in t and "BroadcastHashJoin" not in t, t
+
+
+def test_source_tv_plan(spark, sf_dir):
+    """Text never reaches an exchange (counts fold at term grain before
+    any shuffle); the head vocab broadcasts into the prune and grid
+    joins; no Python."""
+    from wurzel_spark.operators.textstats import q_source_tv_matrix
+
+    t = _clean(q_source_tv_matrix(spark, sf_dir), allow_cross_broadcast=True)
+    _no_python(t)
+    _no_text_in_exchanges(t)
+    assert "BroadcastHashJoin" in t, t

@@ -843,3 +843,76 @@ def test_scd2_agrees_with_cdc_snapshot_at(spark):
         for r in q_cdc_snapshot_at(spark, sf).collect()
     )
     assert from_hist == snap and len(snap) > 0
+
+
+# ----------------------------------------- source term-frequency drift
+
+
+def test_source_tv_extremes(spark, tmp_path):
+    """Identical usage rates ⇒ TV 0; disjoint head usage ⇒ TV 1000; a
+    planted half-shift lands exactly on the Fraction mirror."""
+    from fractions import Fraction
+    from wurzel_spark.operators.textstats import source_tv_matrix
+    from wurzel_spark.tables import table as _table
+
+    rows = [
+        # twin_a / twin_b: same rates (2:1 alpha:beta) -> TV 0
+        (1, "alpha alpha beta", "en", "twin_a", 1),
+        (2, "alpha alpha beta alpha alpha beta", "en", "twin_b", 1),
+        # disjoint: only gammas -> vs twins TV 1000
+        (3, "gamma gamma gamma", "en", "disjoint", 1),
+        # half: alpha only (twins are 2/3 alpha 1/3 beta)
+        (4, "alpha alpha alpha", "en", "half", 1),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {(r["src_a"], r["src_b"]): r["head_tv_permille"]
+           for r in source_tv_matrix(_table(spark, sf, "documents")).collect()}
+    assert out[("twin_a", "twin_b")] == 0
+    assert out[("disjoint", "twin_a")] == 1000
+    assert out[("disjoint", "half")] == 1000
+    # TV(half, twin_a) = 1/2(|1 - 2/3| + |0 - 1/3|) = 1/3
+    want = int(Fraction(1, 3) * 1000)
+    assert out[("half", "twin_a")] == want
+
+
+def test_source_tv_head_truncation_is_honest(spark, tmp_path):
+    """head_share reports the truncated mass: a source whose tokens all
+    sit outside the head vocab shows share 0 and NULL TV (n_head = 0),
+    never a silently wrong 0-distance."""
+    from wurzel_spark.operators.textstats import TV_HEAD_VOCAB, source_tv_matrix
+    from wurzel_spark.tables import table as _table
+
+    # head vocab = 500: fill it with 500 distinct hot terms from 'hot',
+    # then 'cold' uses only terms that lose every tie to the hot ones
+    hot_terms = " ".join(f"aa{i:04d} aa{i:04d}" for i in range(TV_HEAD_VOCAB))
+    cold_terms = " ".join(f"zz{i:04d}" for i in range(50))
+    rows = [
+        (1, hot_terms, "en", "hot", 1),
+        (2, cold_terms, "en", "cold", 1),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = source_tv_matrix(_table(spark, sf, "documents")).collect()
+    r = {(x["src_a"], x["src_b"]): x for x in got}[("cold", "hot")]
+    assert r["head_share_a"] == 0 and r["head_share_b"] == 1000
+    assert r["head_tv_permille"] is None
+
+
+def test_source_tv_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.operators.textstats import SOURCE_TV_SQL, source_tv_matrix
+    from wurzel_spark.tables import table as _table
+
+    rows = [
+        (1, "a a b c", "en", "s1", 1),
+        (2, "a b b d", "en", "s2", 1),
+        (3, "c c d", "en", "s3", 1),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in
+           source_tv_matrix(_table(spark, sf, "documents")).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(SOURCE_TV_SQL).fetchall()]
+    assert got == want and len(got) == 3

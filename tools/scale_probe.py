@@ -193,6 +193,7 @@ QUERIES = [
     "event_hour_independence",
     "ivf_nprobe_sweep",
     "importance_ess_stats",
+    "source_tv_matrix",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

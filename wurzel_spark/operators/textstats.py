@@ -6167,3 +6167,166 @@ FROM agg ORDER BY source
 
 
 IMPORTANCE_ESS_SQL = _importance_ess_sql()
+
+
+# ----------------------------------------- source term-frequency drift
+
+TV_HEAD_VOCAB = 500
+
+
+def source_tv_matrix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pairwise total-variation distance between sources' term-FREQUENCY
+    distributions over the global top-V head vocabulary — the usage-rate
+    drift matrix: [[kmv_overlap_matrix]] and source_overlap_matrix score
+    SET overlap (do the sources share words at all), this scores whether
+    they USE the shared words at the same rates (two mirrors of one crawl
+    have TV ≈ 0; a code source and a prose source share 'the' and 'line'
+    but at wildly different rates and land near 1000‰).  TV is the
+    tcloseness gate's metric lifted from (quasi, sensitive) groups to
+    source pairs.
+
+    Exactness (log-free): head vocab = top-V terms by (global count
+    desc, term) — a total order, so the vocabulary is deterministic;
+    the per-source grid over it is DENSE (absent terms are real zeros —
+    built by cross-joining the source panel with the head vocab, so the
+    |p − q| sum never loses one-sided terms); TV clears denominators to
+    ``div(500·Σ_v |c_av·N_b − c_bv·N_a|, N_a·N_b)`` in decimal(38,0)/
+    HUGEINT (the ks_length_drift clearing, pairwise).  head_share
+    permilles report how much of each source the head explains, keeping
+    the truncation honest.
+
+    Scale shape: one corpus-grain token count folds to term grain
+    (map-side combinable); the head prune is a V-row sort-limit; the
+    dense grid and pair join are (S·V)- and (S²·V)-row — dimension ×
+    head bounded, never corpus-sized."""
+    toks = df.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    per_sw = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    head = (
+        per_sw.groupBy("w")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.desc("gc"), "w")
+        .limit(TV_HEAD_VOCAB)
+        .select("w")
+    )
+    src_tot = per_sw.groupBy("source").agg(F.sum("c").alias("t_all"))
+    head_counts = per_sw.join(F.broadcast(head), "w")
+    head_tot = head_counts.groupBy("source").agg(F.sum("c").alias("n_head"))
+    srcs = src_tot.join(head_tot, "source", "left").select(
+        "source",
+        "t_all",
+        F.coalesce("n_head", F.lit(0).cast("decimal(38,0)")).alias("n_head"),
+    )
+    grid = (
+        srcs.select("source", "n_head")
+        .crossJoin(F.broadcast(head))
+        .join(head_counts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            "n_head",
+            F.coalesce("c", F.lit(0).cast("decimal(38,0)")).alias("c"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"),
+        "w",
+        F.col("c").alias("c_a"),
+        F.col("n_head").alias("n_a"),
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"),
+        "w",
+        F.col("c").alias("c_b"),
+        F.col("n_head").alias("n_b"),
+    )
+    pairs = a.join(b, "w").filter(F.col("src_a") < F.col("src_b"))
+    tv = pairs.groupBy("src_a", "src_b", "n_a", "n_b").agg(
+        F.sum(F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))).alias(
+            "absdiff"
+        )
+    )
+    shares = srcs.select(
+        "source",
+        F.expr(
+            "CAST(CASE WHEN t_all > 0 THEN div(1000 * n_head, t_all) END AS BIGINT)"
+        ).alias("head_share"),
+    )
+    return (
+        tv.select(
+            "src_a",
+            "src_b",
+            F.expr(
+                "CAST(CASE WHEN n_a > 0 AND n_b > 0"
+                " THEN div(500 * absdiff, n_a * n_b) END AS BIGINT)"
+            ).alias("head_tv_permille"),
+        )
+        .join(shares.withColumnRenamed("source", "src_a")
+              .withColumnRenamed("head_share", "head_share_a"), "src_a")
+        .join(shares.withColumnRenamed("source", "src_b")
+              .withColumnRenamed("head_share", "head_share_b"), "src_b")
+        .select("src_a", "src_b", "head_tv_permille",
+                "head_share_a", "head_share_b")
+        .orderBy("src_a", "src_b")
+    )
+
+
+def q_source_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_tv_matrix(table(spark, sf_dir, "documents"))
+
+
+SOURCE_TV_SQL = rf"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x != '')) AS w
+  FROM documents
+), per_sw AS (
+  SELECT source, w, CAST(COUNT(*) AS HUGEINT) AS c FROM toks GROUP BY source, w
+), head AS (
+  SELECT w FROM (
+    SELECT w, SUM(c) AS gc FROM per_sw GROUP BY w
+    ORDER BY gc DESC, w LIMIT {TV_HEAD_VOCAB}
+  )
+), src_tot AS (
+  SELECT source, SUM(c) AS t_all FROM per_sw GROUP BY source
+), head_counts AS (
+  SELECT p.source, p.w, p.c FROM per_sw p JOIN head h ON h.w = p.w
+), head_tot AS (
+  SELECT source, SUM(c) AS n_head FROM head_counts GROUP BY source
+), srcs AS (
+  SELECT st.source, st.t_all, COALESCE(ht.n_head, 0) AS n_head
+  FROM src_tot st LEFT JOIN head_tot ht ON ht.source = st.source
+), grid AS (
+  SELECT s.source, h.w, s.n_head, COALESCE(hc.c, 0) AS c
+  FROM srcs s CROSS JOIN head h
+  LEFT JOIN head_counts hc ON hc.source = s.source AND hc.w = h.w
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.n_head AS n_a,
+         b.n_head AS n_b,
+         SUM(ABS(a.c * b.n_head - b.c * a.n_head)) AS absdiff
+  FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source, a.n_head, b.n_head
+), shares AS (
+  SELECT source,
+         CAST(CASE WHEN t_all > 0 THEN (1000 * n_head) // t_all END AS BIGINT)
+           AS head_share
+  FROM srcs
+)
+SELECT p.src_a, p.src_b,
+       CAST(CASE WHEN p.n_a > 0 AND p.n_b > 0
+            THEN (500 * p.absdiff) // (p.n_a * p.n_b) END AS BIGINT)
+         AS head_tv_permille,
+       sa.head_share AS head_share_a,
+       sb.head_share AS head_share_b
+FROM pairs p
+JOIN shares sa ON sa.source = p.src_a
+JOIN shares sb ON sb.source = p.src_b
+ORDER BY p.src_a, p.src_b
+"""
