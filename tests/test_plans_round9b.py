@@ -373,3 +373,16 @@ def test_source_tv_plan(spark, sf_dir):
     _no_python(t)
     _no_text_in_exchanges(t)
     assert "BroadcastHashJoin" in t, t
+
+
+def test_retention_plan(spark, sf_dir):
+    """One distinct fold to (user, week) grain, user-grain min, cell
+    count — reads only (user_id, ts); no Python."""
+    from wurzel_spark.queries.events import user_retention_curve
+
+    t = _clean(user_retention_curve(spark, sf_dir))
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "user_id", "ts",
+    }, m and m.group(1)

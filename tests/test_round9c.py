@@ -916,3 +916,62 @@ def test_source_tv_matches_oracle_on_fixture(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(SOURCE_TV_SQL).fetchall()]
     assert got == want and len(got) == 3
+
+
+# --------------------------------------------- weekly retention curve
+
+
+def test_retention_curve_hand_computed(spark, tmp_path):
+    """Two cohorts, users dropping out at known weeks: the grid, the
+    guaranteed-1000 diagonal, and resurrection (a silent week then back)
+    all count as designed."""
+    from wurzel_spark.queries.events import user_retention_curve
+
+    d = dt.datetime
+    rows, eid = [], 0
+    # cohort week of 2024-01-01 (a Monday): users 1,2,3
+    #   u1 active weeks 0,1,2 ; u2 weeks 0,2 (resurrected) ; u3 week 0 only
+    # cohort +1 week: users 4,5 — u4 weeks 0,1 ; u5 week 0
+    plan = {
+        1: [d(2024, 1, 1), d(2024, 1, 8), d(2024, 1, 15)],
+        2: [d(2024, 1, 2), d(2024, 1, 16)],
+        3: [d(2024, 1, 3)],
+        4: [d(2024, 1, 8), d(2024, 1, 15)],
+        5: [d(2024, 1, 9)],
+    }
+    for u, times in plan.items():
+        for t in times:
+            eid += 1
+            rows.append((eid, t, u, "click", 1.0, None))
+    sf = _write_events(spark, rows, tmp_path)
+    out = {(r["cohort_week"], r["age_weeks"]): r
+           for r in user_retention_curve(spark, sf).collect()}
+    c0 = min(k[0] for k in out)
+    assert out[(c0, 0)]["n_retained"] == 3
+    assert out[(c0, 0)]["retention_permille"] == 1000  # the diagonal
+    assert out[(c0, 1)]["n_retained"] == 1            # only u1
+    assert out[(c0, 2)]["n_retained"] == 2            # u1 + resurrected u2
+    assert out[(c0, 2)]["retention_permille"] == 666
+    assert out[(c0 + 1, 0)]["n_retained"] == 2
+    assert out[(c0 + 1, 1)]["n_retained"] == 1
+    assert (c0 + 1, 2) not in out
+
+
+def test_retention_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import RETENTION_SQL, user_retention_curve
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 3, 4), 1, "a", 1.0, None),
+        (2, d(2024, 3, 12), 1, "a", 1.0, None),
+        (3, d(2024, 3, 5), 2, "a", 1.0, None),
+    ]
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in user_retention_curve(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(RETENTION_SQL).fetchall()]
+    assert got == want and len(got) == 2

@@ -194,6 +194,7 @@ QUERIES = [
     "ivf_nprobe_sweep",
     "importance_ess_stats",
     "source_tv_matrix",
+    "user_retention_curve",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -1467,3 +1467,78 @@ SELECT n_events, n_types, n_hour_buckets, dof, chi2_permille,
             ELSE 'negligible' END AS assoc_label
 FROM out
 """
+
+
+# --------------------------------------------- weekly retention curve
+
+
+def user_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the EVENT stream: users cohorted by
+    first-seen epoch week, the share still active N weeks later — the
+    behavioral-analytics staple ([[cohort_retention]]'s orders-side
+    monthly grid has no events-side twin until this; purchase cadence
+    and product usage retain differently, and growth teams read both).
+
+    Exactness: epoch week = ``div(epoch_day, 7)`` on integer epoch days
+    (no week-of-year calendar semantics to cross-match — ISO weeks
+    disagree across engines at year boundaries); age = week − cohort
+    week; every cell is a distinct-user count and cohort size is the
+    age-0 cell (every user is active in their own first week by
+    construction, so retention_permille(0) = 1000 — the built-in sanity
+    diagonal).
+
+    Scale shape: one corpus-grain distinct fold to (user, week) grain,
+    a user-grain min, then a (cohort, age)-grain count — all
+    map-side-combinable after the user_id shuffle."""
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr(
+            "div(div(unix_micros(CAST(ts AS TIMESTAMP)), 86400000000), 7)"
+        ).alias("week"),
+    ).distinct()
+    w0 = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        uw.join(w0, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("age_weeks"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_retained"))
+    )
+    sizes = cells.filter(F.col("age_weeks") == 0).select(
+        "cohort_week", F.col("n_retained").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_retained",
+            "cohort_size",
+            F.expr("div(1000 * n_retained, cohort_size)").alias(
+                "retention_permille"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000) // 7 AS week
+  FROM events
+), w0 AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+), cells AS (
+  SELECT w0.cohort_week, uw.week - w0.cohort_week AS age_weeks,
+         CAST(COUNT(*) AS BIGINT) AS n_retained
+  FROM uw JOIN w0 ON uw.user_id = w0.user_id
+  GROUP BY w0.cohort_week, uw.week - w0.cohort_week
+), sizes AS (
+  SELECT cohort_week, n_retained AS cohort_size FROM cells WHERE age_weeks = 0
+)
+SELECT c.cohort_week, c.age_weeks, c.n_retained, s.cohort_size,
+       CAST((1000 * c.n_retained) // s.cohort_size AS BIGINT)
+         AS retention_permille
+FROM cells c JOIN sizes s ON s.cohort_week = c.cohort_week
+ORDER BY c.cohort_week, c.age_weeks
+"""
