@@ -386,3 +386,16 @@ def test_retention_plan(spark, sf_dir):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "user_id", "ts",
     }, m and m.group(1)
+
+
+def test_funnel_latency_plan(spark, sf_dir):
+    """One user-grain conditional aggregate; rank windows partition by
+    leg; reads only (user_id, event_type, ts); no Python."""
+    from wurzel_spark.queries.events import funnel_latency_stats
+
+    t = _clean(funnel_latency_stats(spark, sf_dir))
+    _no_python(t)
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
+        assert {c.split(":")[0] for c in s.split(",")} <= {
+            "user_id", "event_type", "ts",
+        }, s

@@ -975,3 +975,65 @@ def test_retention_matches_oracle_on_fixture(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(RETENTION_SQL).fetchall()]
     assert got == want and len(got) == 2
+
+
+# --------------------------------------------- funnel step latency
+
+
+def test_funnel_latency_hand_computed(spark, tmp_path):
+    """Known first-occurrence times: out-of-order users drop, repeat
+    events don't move the FIRST timestamps, quantiles hit the planted
+    values."""
+    from wurzel_spark.queries.events import funnel_latency_stats
+
+    d = dt.datetime
+    rows, eid = [], 0
+
+    def ev(u, t, ts):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, u, t, 1.0, None))
+
+    # u1: view 10:00, click 10:01 (61s later a SECOND view — ignored),
+    #     purchase 10:11 -> legs 60 s and 600 s
+    ev(1, "view", d(2024, 1, 1, 10, 0, 0))
+    ev(1, "click", d(2024, 1, 1, 10, 1, 0))
+    ev(1, "view", d(2024, 1, 1, 10, 1, 1))
+    ev(1, "purchase", d(2024, 1, 1, 10, 11, 0))
+    # u2: view then click 120 s later, no purchase
+    ev(2, "view", d(2024, 1, 1, 11, 0, 0))
+    ev(2, "click", d(2024, 1, 1, 11, 2, 0))
+    # u3: click BEFORE view -> drops from view->click, no purchase leg
+    ev(3, "click", d(2024, 1, 1, 12, 0, 0))
+    ev(3, "view", d(2024, 1, 1, 12, 5, 0))
+    sf = _write_events(spark, rows, tmp_path)
+    out = {r["leg"]: r for r in funnel_latency_stats(spark, sf).collect()}
+    vc = out["view->click"]
+    assert vc["n_users"] == 2 and vc["lat_sum_s"] == 180
+    # sorted [60, 120]: p50 -> rank 1 -> 60, p90 -> rank 2 -> 120
+    assert (vc["lat_p500_s"], vc["lat_p900_s"]) == (60, 120)
+    cp = out["click->purchase"]
+    assert cp["n_users"] == 1 and cp["lat_sum_s"] == 600
+    assert (cp["lat_p500_s"], cp["lat_p900_s"]) == (600, 600)
+
+
+def test_funnel_latency_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import FUNNEL_LATENCY_SQL, funnel_latency_stats
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 2, 1, 9, 0, 0), 1, "view", 1.0, None),
+        (2, d(2024, 2, 1, 9, 0, 30), 1, "click", 1.0, None),
+        (3, d(2024, 2, 1, 9, 5, 0), 1, "purchase", 1.0, None),
+        (4, d(2024, 2, 1, 10, 0, 0), 2, "view", 1.0, None),
+        (5, d(2024, 2, 1, 10, 0, 45), 2, "click", 1.0, None),
+    ]
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in funnel_latency_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(FUNNEL_LATENCY_SQL).fetchall()]
+    assert got == want and len(got) == 2

@@ -195,6 +195,7 @@ QUERIES = [
     "importance_ess_stats",
     "source_tv_matrix",
     "user_retention_curve",
+    "funnel_latency_stats",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

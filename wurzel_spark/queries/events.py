@@ -1542,3 +1542,121 @@ SELECT c.cohort_week, c.age_weeks, c.n_retained, s.cohort_size,
 FROM cells c JOIN sizes s ON s.cohort_week = c.cohort_week
 ORDER BY c.cohort_week, c.age_weeks
 """
+
+
+# --------------------------------------------- funnel step latency
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+LATENCY_QUANTILES = (500, 900)
+
+
+def funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per adjacent funnel step pair
+    (view→click, click→purchase): median and p90 seconds between a
+    user's FIRST occurrence of each step, over users who performed the
+    steps in order — [[events_funnel]] counts WHO converts, this says
+    HOW LONG conversion takes (the number an SLA or a remarketing-delay
+    decision actually needs).
+
+    Exactness: first-occurrence epochs are conditional integer mins
+    (the funnel convention); latencies are integer SECONDS
+    ``div(Δus, 10⁶)`` (non-negative by the in-order filter); quantiles
+    are exact rank-based values at integer-ceiling ranks (the Theil–Sen
+    convention); SUMS emitted beside counts.
+
+    Scale shape: one user-grain conditional aggregate (map-side
+    combinable), then per-step-pair rank windows over converting-user
+    rows (the order_gap_stats cost class)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("event_type") == t,
+                    F.expr("unix_micros(CAST(ts AS TIMESTAMP))"),
+                )
+            ).alias(f"t_{t}")
+            for t in FUNNEL_STEPS
+        ]
+    )
+    legs = []
+    for a, b in zip(FUNNEL_STEPS, FUNNEL_STEPS[1:]):
+        legs.append(
+            firsts.filter(
+                F.col(f"t_{a}").isNotNull()
+                & F.col(f"t_{b}").isNotNull()
+                & (F.col(f"t_{a}") < F.col(f"t_{b}"))
+            ).select(
+                F.lit(f"{a}->{b}").alias("leg"),
+                F.expr(f"div(t_{b} - t_{a}, 1000000)").alias("lat_s"),
+            )
+        )
+    lat = legs[0]
+    for l in legs[1:]:
+        lat = lat.unionByName(l)
+    wl = W.partitionBy("leg").orderBy("lat_s")
+    ranked = lat.select(
+        "leg",
+        "lat_s",
+        F.row_number().over(wl).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("leg")).alias("n_users"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"CAST(div({p} * n_users + 999, 1000) AS BIGINT)"),
+                F.col("lat_s"),
+            )
+        ).alias(f"lat_p{p}_s")
+        for p in LATENCY_QUANTILES
+    ]
+    return (
+        ranked.groupBy("leg")
+        .agg(
+            F.max("n_users").cast("long").alias("n_users"),
+            F.sum("lat_s").cast("long").alias("lat_sum_s"),
+            *picks,
+        )
+        .orderBy("leg")
+    )
+
+
+def _funnel_latency_sql() -> str:
+    legs = []
+    for a, b in zip(FUNNEL_STEPS, FUNNEL_STEPS[1:]):
+        legs.append(f"""
+  SELECT '{a}->{b}' AS leg, (t_{b} - t_{a}) // 1000000 AS lat_s
+  FROM firsts WHERE t_{a} IS NOT NULL AND t_{b} IS NOT NULL AND t_{a} < t_{b}""")
+    mins = ",\n         ".join(
+        f"MIN(CASE WHEN event_type = '{t}' THEN epoch_us(ts) END) AS t_{t}"
+        for t in FUNNEL_STEPS
+    )
+    picks = ",\n       ".join(
+        f"MAX(CASE WHEN rn = ({p} * n_users + 999) // 1000"
+        f" THEN lat_s END) AS lat_p{p}_s"
+        for p in LATENCY_QUANTILES
+    )
+    union = "\n  UNION ALL".join(legs)
+    return f"""
+WITH firsts AS (
+  SELECT user_id,
+         {mins}
+  FROM events GROUP BY user_id
+), lat AS ({union}
+), ranked AS (
+  SELECT leg, lat_s,
+         ROW_NUMBER() OVER (PARTITION BY leg ORDER BY lat_s) AS rn,
+         COUNT(*) OVER (PARTITION BY leg) AS n_users
+  FROM lat
+)
+SELECT leg,
+       CAST(MAX(n_users) AS BIGINT) AS n_users,
+       CAST(SUM(lat_s) AS BIGINT) AS lat_sum_s,
+       {picks}
+FROM ranked GROUP BY leg ORDER BY leg
+"""
+
+
+FUNNEL_LATENCY_SQL = _funnel_latency_sql()
