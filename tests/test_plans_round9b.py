@@ -399,3 +399,13 @@ def test_funnel_latency_plan(spark, sf_dir):
         assert {c.split(":")[0] for c in s.split(",")} <= {
             "user_id", "event_type", "ts",
         }, s
+
+
+def test_brier_plan(spark, sf_dir):
+    """One shared corpus pass (the score_label_hist subtree), then
+    histogram-sized algebra; text never reaches an exchange; no Python."""
+    from wurzel_spark.operators.textstats import q_brier_decomposition
+
+    t = _clean(q_brier_decomposition(spark, sf_dir), allow_cross_broadcast=True)
+    _no_python(t)
+    _no_text_in_exchanges(t)

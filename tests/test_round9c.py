@@ -1037,3 +1037,72 @@ def test_funnel_latency_matches_oracle_on_fixture(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(FUNNEL_LATENCY_SQL).fetchall()]
     assert got == want and len(got) == 2
+
+
+# ------------------------------------------ Brier score decomposition
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(rows, "source string, q1000 long, pos long, neg long")
+
+
+def test_brier_perfectly_calibrated_is_pure_uncertainty(spark):
+    """Constant forecast q = base rate ⇒ REL = RES = residual = 0 and
+    Brier = UNC exactly (the Murphy identity's equality case)."""
+    from wurzel_spark.operators.textstats import brier_from_hist
+
+    r = brier_from_hist(_hist(spark, [("s", 500, 5, 5)])).collect()[0]
+    assert r["brier_micros"] == 250_000
+    assert r["reliability_micros"] == 0
+    assert r["resolution_micros"] == 0
+    assert r["uncertainty_micros"] == 250_000
+    assert r["residual_micros"] == 0
+
+
+def test_brier_perfect_and_inverted_forecasters(spark):
+    """A perfect forecaster (q=1000 on keeps, q=0 on drops) scores Brier 0
+    with RES = UNC; an inverted one scores Brier 1e6 with the same RES."""
+    from wurzel_spark.operators.textstats import brier_from_hist
+
+    perfect = _hist(spark, [("p", 1000, 7, 0), ("p", 0, 0, 3)])
+    r = {x["source"]: x for x in brier_from_hist(perfect).collect()}["p"]
+    assert r["brier_micros"] == 0 and r["reliability_micros"] == 0
+    assert r["uncertainty_micros"] == 700 * 300
+    assert r["resolution_micros"] == r["uncertainty_micros"]
+    assert r["residual_micros"] == 0
+
+    inverted = _hist(spark, [("i", 0, 7, 0), ("i", 1000, 0, 3)])
+    r2 = brier_from_hist(inverted).collect()[0]
+    assert r2["brier_micros"] == 1_000_000
+    assert r2["resolution_micros"] == 700 * 300
+    # Brier = REL - RES + UNC closes: REL = 1e6 + RES - UNC
+    assert r2["reliability_micros"] == 1_000_000
+    assert r2["residual_micros"] == 0
+
+
+def test_brier_matches_python_mirror_with_remainder(spark):
+    """Mixed within-bin forecasts: the three-term identity does NOT close
+    (the classic form assumes constant forecasts per bin) — the emitted
+    residual carries exactly the remainder."""
+    from wurzel_spark.operators.textstats import brier_from_hist
+
+    rows = [("m", 120, 3, 7), ("m", 180, 5, 5), ("m", 920, 9, 1), ("m", 450, 2, 8)]
+    r = brier_from_hist(_hist(spark, rows)).collect()[0]
+    n = sum(p + ng for _, _, p, ng in rows)
+    pt = sum(p for _, _, p, _ in rows)
+    brier = sum(p * (q - 1000) ** 2 + ng * q * q for _, q, p, ng in rows) // n
+    ybar = 1000 * pt // n
+    bins = {}
+    for _, q, p, ng in rows:
+        b = min(q // 100, 9)
+        nb, yb, sb = bins.get(b, (0, 0, 0))
+        bins[b] = (nb + p + ng, yb + 1000 * p, sb + q * (p + ng))
+    rel = sum((sb - yb) ** 2 // nb for nb, yb, sb in bins.values()) // n
+    res = sum((yb - nb * ybar) ** 2 // nb for nb, yb, sb in bins.values()) // n
+    unc = ybar * (1000 - ybar)
+    assert r["brier_micros"] == brier
+    assert r["reliability_micros"] == rel
+    assert r["resolution_micros"] == res
+    assert r["uncertainty_micros"] == unc
+    assert r["residual_micros"] == brier - rel + res - unc
+    assert r["residual_micros"] != 0  # the remainder is real here

@@ -196,6 +196,7 @@ QUERIES = [
     "source_tv_matrix",
     "user_retention_curve",
     "funnel_latency_stats",
+    "brier_decomposition",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

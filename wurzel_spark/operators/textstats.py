@@ -6330,3 +6330,161 @@ JOIN shares sa ON sa.source = p.src_a
 JOIN shares sb ON sb.source = p.src_b
 ORDER BY p.src_a, p.src_b
 """
+
+
+# ------------------------------------------ Brier score decomposition
+
+
+def brier_decomposition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score per source for the
+    stopword-density score read as a keep-probability against the Gopher
+    verdict — Brier = REL − RES + UNC (+ the within-bin remainder):
+    [[score_calibration_bins]] shows the reliability diagram,
+    [[q_score_auc]] ranks, and this SPLITS the squared error into the
+    part recalibration can remove (REL), the part the score genuinely
+    knows (RES) and the base-rate floor no scorer can beat (UNC).  A
+    proxy gate with high REL needs a calibration map before deployment;
+    one with low RES is not worth deploying at all.
+
+    Exactness: derives entirely from [[score_label_hist]] (the shared
+    additive pass — q1000 is exact per row, so the RAW Brier sum
+    Σ pos·(q−1000)² + neg·q² is exact, not the binned approximation);
+    bin terms clear denominators — REL's Σ_b div((s_b − y_b)², n_b) and
+    RES's Σ_b div((y_b − n_b·ȳ_q)², n_b) with the global base rate
+    floored ONCE to permille (documented quantization both engines
+    share); UNC = ȳ_q·(1000 − ȳ_q) is already micro-units.  The signed
+    ``residual_micros`` closes the identity exactly — it carries the
+    within-bin variance the classic three-term form assumes away plus
+    the flooring slack, emitted rather than hidden.  decimal(38,0)
+    bound: (1000·n_b)² < 10³⁸ holds to 10¹⁶ docs per bin.
+
+    Scale shape: the ONE shared corpus pass, then ≤1001-row histogram
+    algebra per source."""
+    return brier_from_hist(score_label_hist(df, text_col))
+
+
+def brier_from_hist(hist: DataFrame) -> DataFrame:
+    """Decomposition algebra over the (source, q1000, pos, neg) histogram
+    (shared with fixtures and any streaming drain)."""
+    binned = hist.groupBy(
+        "source",
+        F.least(F.expr("q1000 div 100"), F.lit(CALIBRATION_N_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+    ).agg(
+        F.sum(F.col("pos") + F.col("neg")).cast("decimal(38,0)").alias("n_b"),
+        F.sum(F.lit(1000) * F.col("pos")).cast("decimal(38,0)").alias("y_b"),
+        F.sum(F.col("q1000") * (F.col("pos") + F.col("neg")))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
+    )
+    raw = hist.groupBy("source").agg(
+        F.sum(F.col("pos") + F.col("neg")).cast("decimal(38,0)").alias("n"),
+        F.sum("pos").cast("decimal(38,0)").alias("p"),
+        F.sum(
+            (
+                F.col("pos") * (F.col("q1000") - F.lit(1000)) * (F.col("q1000") - F.lit(1000))
+                + F.col("neg") * F.col("q1000") * F.col("q1000")
+            ).cast("decimal(38,0)")
+        ).alias("brier_sum"),
+    ).withColumn("ybar_q", F.expr("div(1000 * p, n)"))
+    terms = (
+        binned.join(raw.select("source", "n", "ybar_q"), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr("div((s_b - y_b) * (s_b - y_b), n_b)")).alias("rel_sum"),
+            F.sum(
+                F.expr(
+                    "div((y_b - n_b * ybar_q) * (y_b - n_b * ybar_q), n_b)"
+                )
+            ).alias("res_sum"),
+        )
+    )
+    out = raw.join(terms, "source").select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("CAST(div(brier_sum, n) AS BIGINT)").alias("brier_micros"),
+        F.expr("CAST(div(rel_sum, n) AS BIGINT)").alias("reliability_micros"),
+        F.expr("CAST(div(res_sum, n) AS BIGINT)").alias("resolution_micros"),
+        F.expr("CAST(ybar_q * (1000 - ybar_q) AS BIGINT)").alias(
+            "uncertainty_micros"
+        ),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "brier_micros",
+        "reliability_micros",
+        "resolution_micros",
+        "uncertainty_micros",
+        (
+            F.col("brier_micros")
+            - F.col("reliability_micros")
+            + F.col("resolution_micros")
+            - F.col("uncertainty_micros")
+        ).cast("long").alias("residual_micros"),
+    ).orderBy("source")
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brier_decomposition(table(spark, sf_dir, "documents"))
+
+
+def _brier_sql() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH {_GOPHER_CTE},
+keepers AS (
+  SELECT doc_id, {_GOPHER_KEEP_EXPR} AS gopher_keep FROM f
+), per_doc AS (
+  SELECT b.source,
+         CASE WHEN len(ws) > 0
+              THEN (1000 * len(list_filter(ws, w -> list_contains([{stoplist}], w)))) // len(ws)
+              ELSE 0 END AS q1000,
+         CASE WHEN k.gopher_keep THEN 1 ELSE 0 END AS keep
+  FROM base b JOIN keepers k USING (doc_id)
+), hist AS (
+  SELECT source, q1000,
+         CAST(SUM(keep) AS HUGEINT) AS pos,
+         CAST(COUNT(*) - SUM(keep) AS HUGEINT) AS neg
+  FROM per_doc GROUP BY source, q1000
+), binned AS (
+  SELECT source, LEAST(q1000 // 100, {CALIBRATION_N_BINS - 1}) AS bin,
+         SUM(pos + neg) AS n_b,
+         SUM(1000 * pos) AS y_b,
+         SUM(q1000 * (pos + neg)) AS s_b
+  FROM hist GROUP BY source, LEAST(q1000 // 100, {CALIBRATION_N_BINS - 1})
+), raw AS (
+  SELECT source,
+         SUM(pos + neg) AS n,
+         SUM(pos) AS p,
+         SUM(pos * (q1000 - 1000) * (q1000 - 1000) + neg * q1000 * q1000)
+           AS brier_sum
+  FROM hist GROUP BY source
+), based AS (
+  SELECT source, n, brier_sum, (1000 * p) // n AS ybar_q FROM raw
+), terms AS (
+  SELECT b.source,
+         SUM(((s_b - y_b) * (s_b - y_b)) // n_b) AS rel_sum,
+         SUM(((y_b - n_b * r.ybar_q) * (y_b - n_b * r.ybar_q)) // n_b)
+           AS res_sum
+  FROM binned b JOIN based r ON r.source = b.source
+  GROUP BY b.source
+), out AS (
+  SELECT r.source,
+         CAST(r.n AS BIGINT) AS n_docs,
+         CAST(r.brier_sum // r.n AS BIGINT) AS brier_micros,
+         CAST(t.rel_sum // r.n AS BIGINT) AS reliability_micros,
+         CAST(t.res_sum // r.n AS BIGINT) AS resolution_micros,
+         CAST(r.ybar_q * (1000 - r.ybar_q) AS BIGINT) AS uncertainty_micros
+  FROM based r JOIN terms t ON t.source = r.source
+)
+SELECT source, n_docs, brier_micros, reliability_micros, resolution_micros,
+       uncertainty_micros,
+       brier_micros - reliability_micros + resolution_micros
+         - uncertainty_micros AS residual_micros
+FROM out ORDER BY source
+"""
+
+
+BRIER_SQL = _brier_sql()
