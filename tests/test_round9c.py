@@ -1106,3 +1106,46 @@ def test_brier_matches_python_mirror_with_remainder(spark):
     assert r["uncertainty_micros"] == unc
     assert r["residual_micros"] == brier - rel + res - unc
     assert r["residual_micros"] != 0  # the remainder is real here
+
+
+# ----------------------------------------- streaming source-TV twin
+
+
+def test_streaming_source_tv_matches_batch(spark, tmp_path):
+    """Per-batch staged term counts drain bit-equal to the batch matrix."""
+    from wurzel_spark.operators.textstats import source_tv_matrix
+    from wurzel_spark.streaming.sourcetv import source_tv_stream
+    from wurzel_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    docs = _table(spark, sf, "documents").localCheckpoint()
+    d = str(tmp_path / "tv_in")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = source_tv_stream(
+        stream, str(tmp_path / "tv_state"), str(tmp_path / "tv_ckpt"),
+        compact_every=2,
+    )
+    want = source_tv_matrix(docs)
+    g = sorted(tuple(r) for r in got.collect())
+    assert g == sorted(tuple(r) for r in want.collect()) and len(g) > 0
+
+
+def test_streaming_source_tv_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.operators.textstats import source_tv_matrix
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.sourcetv import _term_counts, drain_source_tv_state
+    from wurzel_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    docs = _table(spark, sf, "documents").localCheckpoint()
+    state = str(tmp_path / "tv_state2")
+    mine = _term_counts(docs, "text").withColumn("src_batch", F_lit0())
+    for _ in range(3):
+        write_batch_state(spark, mine, state, 0, ["src_batch", "source", "w"], None)
+    got = drain_source_tv_state(spark, state)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in source_tv_matrix(docs).collect()
+    )

@@ -6208,6 +6208,13 @@ def source_tv_matrix(df: DataFrame, text_col: str = "text") -> DataFrame:
     per_sw = toks.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
     )
+    return source_tv_from_counts(per_sw)
+
+
+def source_tv_from_counts(per_sw: DataFrame) -> DataFrame:
+    """TV-matrix tail over (source, w, c) term counts — the counts are
+    additive across any corpus split, so this is also the streaming
+    drain (streaming/sourcetv.py)."""
     head = (
         per_sw.groupBy("w")
         .agg(F.sum("c").alias("gc"))
