@@ -297,6 +297,24 @@ HEADLINE = [
     "kmv_overlap_matrix",
     "robust_length_stats",
     "pareto_concentration",
+    # round 9 continuation session
+    "event_burstiness_stats",
+    "event_theil_sen_trend",
+    "event_hour_independence",
+    "order_gap_stats",
+    "file_pruning_stats",
+    "customer_migration_matrix",
+    "ols_price_quantity",
+    "ivf_nprobe_sweep",
+    "importance_ess_stats",
+    "scd2_intervals",
+    "source_tv_matrix",
+    "user_retention_curve",
+    "funnel_latency_stats",
+    "brier_decomposition",
+    "purchase_attribution",
+    "length_anova_stats",
+    "fisher_separability_stats",
 ]
 
 

@@ -409,3 +409,47 @@ def test_brier_plan(spark, sf_dir):
     t = _clean(q_brier_decomposition(spark, sf_dir), allow_cross_broadcast=True)
     _no_python(t)
     _no_text_in_exchanges(t)
+
+
+def test_attribution_plan(spark, sf_dir):
+    """ONE user-partitioned ordered window (both conditional lasts share
+    the frame); reads only (user_id, event_type, ts, event_id); no
+    Python."""
+    from wurzel_spark.queries.events import purchase_attribution
+
+    t = _clean(purchase_attribution(spark, sf_dir))
+    _no_python(t)
+    assert t.count("Window") <= 4, t
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
+        assert {c.split(":")[0] for c in s.split(",")} <= {
+            "user_id", "event_type", "ts", "event_id",
+        }, s
+
+
+def test_anova_plan(spark, sf_dir):
+    """ONE grouped aggregate to language grain; reads only (lang,
+    n_chars); no join, no window, no Python."""
+    from wurzel_spark.operators.textstats import q_length_anova
+
+    t = _clean(q_length_anova(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t and "Window" not in t, t
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "lang", "n_chars",
+    }, m and m.group(1)
+
+
+def test_fisher_plan(spark, sf_dir):
+    """One corpus aggregate to |labels|×129 integers (the posexplode runs
+    at LABEL grain, after the aggregate); reads only (embedding, label);
+    no join; no Python."""
+    from wurzel_spark.operators.linalg import q_fisher_separability
+
+    t = _clean(q_fisher_separability(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t, t
+    m = re.search(r"ReadSchema: struct<(.*)$", t[t.index("ReadSchema"):].split("\n")[0])
+    s = m.group(1) if m else ""
+    # the nested array<float> defeats comma-splitting: assert by name
+    assert "embedding" in s and "label" in s and "vec_id" not in s, s

@@ -1149,3 +1149,210 @@ def test_streaming_source_tv_replay_is_idempotent(spark, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in source_tv_matrix(docs).collect()
     )
+
+
+# --------------------------------------------- last-touch attribution
+
+
+def test_attribution_hand_computed(spark, tmp_path):
+    """In-window touch credits its type; stale touch and no-touch are
+    organic; a purchase between touches takes the LATEST preceding one."""
+    from wurzel_spark.queries.events import purchase_attribution
+
+    d = dt.datetime
+    rows, eid = [], 0
+
+    def ev(u, t, ts):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, u, t, 1.0, None))
+
+    # u1: click 10:00 -> purchase 10:10 (in window, credited to click)
+    ev(1, "click", d(2024, 1, 1, 10, 0))
+    ev(1, "purchase", d(2024, 1, 1, 10, 10))
+    # u2: view 09:00 -> purchase 11:00 (stale, organic)
+    ev(2, "view", d(2024, 1, 1, 9, 0))
+    ev(2, "purchase", d(2024, 1, 1, 11, 0))
+    # u3: purchase with no prior events at all (organic)
+    ev(3, "purchase", d(2024, 1, 1, 12, 0))
+    # u4: view 13:00, click 13:05, purchase 13:10 -> latest touch = click
+    ev(4, "view", d(2024, 1, 1, 13, 0))
+    ev(4, "click", d(2024, 1, 1, 13, 5))
+    ev(4, "purchase", d(2024, 1, 1, 13, 10))
+    # u5: purchase 14:00 then click 14:01 (touch AFTER purchase ignored)
+    ev(5, "purchase", d(2024, 1, 1, 14, 0))
+    ev(5, "click", d(2024, 1, 1, 14, 1))
+    sf = _write_events(spark, rows, tmp_path)
+    out = {r["attributed_to"]: r for r in purchase_attribution(spark, sf).collect()}
+    assert out["click"]["n_purchases"] == 2  # u1 + u4
+    assert out["organic"]["n_purchases"] == 3  # u2 stale, u3 cold, u5 post-touch
+    assert "view" not in out
+    assert out["click"]["share_permille"] == 400
+
+
+def test_attribution_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import ATTRIBUTION_SQL, purchase_attribution
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 5, 1, 8, 0), 1, "view", 1.0, None),
+        (2, d(2024, 5, 1, 8, 20), 1, "purchase", 1.0, None),
+        (3, d(2024, 5, 1, 9, 0), 2, "purchase", 1.0, None),
+        (4, d(2024, 5, 1, 9, 30), 2, "click", 1.0, None),
+        (5, d(2024, 5, 1, 9, 45), 2, "purchase", 1.0, None),
+    ]
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in purchase_attribution(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(ATTRIBUTION_SQL).fetchall()]
+    assert got == want and len(got) >= 2
+
+
+# ------------------------------------------ one-way ANOVA (length ~ lang)
+
+
+def test_anova_identical_groups_is_zero_between(spark, tmp_path):
+    """Same length distribution in every language ⇒ SSB 0, F 0, η² 0."""
+    from wurzel_spark.operators.textstats import length_anova_stats
+    from wurzel_spark.tables import table as _table
+
+    rows = []
+    i = 0
+    for lang in ("en", "de", "fr"):
+        for n in (100, 200, 300):
+            i += 1
+            rows.append((i, "x", lang, "s", n))
+    sf = _write_docs(spark, tmp_path, rows)
+    r = length_anova_stats(_table(spark, sf, "documents")).collect()[0]
+    assert r["ss_between"] == 0
+    assert r["f_permille"] == 0 and r["eta2_permille"] == 0
+
+
+def test_anova_separated_groups_and_python_mirror(spark, tmp_path):
+    """Fully separated groups push η² toward 1000; every number equals
+    the literal big-int mirror of the per-group-floored algebra."""
+    from wurzel_spark.operators.textstats import length_anova_stats
+    from wurzel_spark.tables import table as _table
+
+    groups = {"short": [10, 12, 11, 13], "long": [500, 498, 502], "mid": [200, 204]}
+    rows, i = [], 0
+    for lang, lens in groups.items():
+        for n in lens:
+            i += 1
+            rows.append((i, "x", lang, "s", n))
+    sf = _write_docs(spark, tmp_path, rows)
+    r = length_anova_stats(_table(spark, sf, "documents")).collect()[0]
+
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    s2 = sum(x * x for v in groups.values() for x in v)
+    gsum = sum(sum(v) ** 2 // len(v) for v in groups.values())
+    ssb = max(gsum - s * s // n, 0)
+    ssw = s2 - gsum
+    assert (r["n_groups"], r["n_docs"]) == (k, n)
+    assert r["ss_between"] == ssb and r["ss_within"] == ssw
+    assert r["f_permille"] == (1000 * ssb * (n - k)) // (ssw * (k - 1))
+    assert r["eta2_permille"] == (1000 * ssb) // (ssb + ssw)
+    assert r["eta2_permille"] > 990
+
+
+def test_anova_single_group_is_null_f(spark, tmp_path):
+    from wurzel_spark.operators.textstats import length_anova_stats
+    from wurzel_spark.tables import table as _table
+
+    rows = [(1, "x", "en", "s", 10), (2, "x", "en", "s", 20)]
+    sf = _write_docs(spark, tmp_path, rows)
+    r = length_anova_stats(_table(spark, sf, "documents")).collect()[0]
+    assert r["f_permille"] is None
+
+
+def test_anova_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.operators.textstats import LENGTH_ANOVA_SQL, length_anova_stats
+    from wurzel_spark.tables import table as _table
+
+    rows = [(i, "x", ["en", "de"][i % 2], "s", 50 + 37 * i) for i in range(12)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in length_anova_stats(_table(spark, sf, "documents")).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(LENGTH_ANOVA_SQL).fetchall()]
+    assert got == want
+
+
+# ------------------------------------------ Fisher label separability
+
+
+def test_fisher_separated_vs_shuffled_labels(spark):
+    """Label-aligned clusters score high η²; the SAME vectors with labels
+    decoupled from geometry score near zero — the readout the family
+    exists for."""
+    from wurzel_spark.operators.linalg import fisher_separability_stats
+
+    def vec(axis, eps):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[axis + 1] = eps
+        return v
+
+    rows_sep, rows_mix = [], []
+    i = 0
+    for axis, lbl in ((0, 0), (10, 1), (20, 2)):
+        for k in range(6):
+            i += 1
+            rows_sep.append((i, vec(axis, 0.01 * k), lbl))
+            # same geometry, label assigned round-robin (decoupled)
+            rows_mix.append((i, vec(axis, 0.01 * k), i % 3))
+    schema = "vec_id long, embedding array<float>, label int"
+    sep = fisher_separability_stats(spark.createDataFrame(rows_sep, schema)).collect()[0]
+    mix = fisher_separability_stats(spark.createDataFrame(rows_mix, schema)).collect()[0]
+    assert sep["eta2_permille"] > 950
+    assert mix["eta2_permille"] < 100
+    assert sep["n_labels"] == 3 and sep["n_vectors"] == 18
+
+
+def test_fisher_matches_python_mirror(spark):
+    """Every emitted number equals the literal per-dim floored-scatter
+    mirror at the 2^10 quantization."""
+    from wurzel_spark.operators.linalg import FISHER_QSCALE, fisher_separability_stats
+
+    import math
+    vecs = {
+        0: [[0.9, 0.1] + [0.0] * 62, [0.8, 0.2] + [0.0] * 62],
+        1: [[0.1, 0.9] + [0.0] * 62, [0.3, 0.7] + [0.0] * 62, [0.2, 0.8] + [0.0] * 62],
+    }
+    rows = []
+    i = 0
+    for lbl, vs in vecs.items():
+        for v in vs:
+            i += 1
+            rows.append((i, v, lbl))
+    got = fisher_separability_stats(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    ).collect()[0]
+
+    def q(x):
+        # float32 storage: quantize the float32-rounded value like the engines
+        import struct
+        x32 = struct.unpack("f", struct.pack("f", x))[0]
+        return max(min(math.floor(x32 * FISHER_QSCALE), 2147483648), -2147483648)
+
+    ssb = ssw = 0
+    for d in range(64):
+        per = {l: [q(v[d]) for v in vs] for l, vs in vecs.items()}
+        gsum = sum(sum(xs) ** 2 // len(xs) for xs in per.values())
+        sd = sum(sum(xs) for xs in per.values())
+        s2d = sum(x * x for xs in per.values() for x in xs)
+        n = sum(len(xs) for xs in per.values())
+        ssb += max(gsum - (sd * sd) // n, 0)
+        ssw += s2d - gsum
+    assert got["trace_between"] == ssb
+    assert got["trace_within"] == ssw
+    assert got["eta2_permille"] == (1000 * ssb) // (ssb + ssw)

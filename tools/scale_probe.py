@@ -197,6 +197,9 @@ QUERIES = [
     "user_retention_curve",
     "funnel_latency_stats",
     "brier_decomposition",
+    "purchase_attribution",
+    "length_anova_stats",
+    "fisher_separability_stats",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

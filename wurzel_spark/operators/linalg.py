@@ -758,3 +758,164 @@ ORDER BY c.label
 
 
 CENTROID_STATS_SQL = _centroid_sql()
+
+
+# ------------------------------------------ Fisher label separability
+
+FISHER_QSCALE = 1 << 10  # coarser than QSCALE: s² must stay inside 10³⁸
+
+
+def fisher_separability_stats(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Fisher separability of labels in embedding space: the trace ratio
+    of between-label to within-label scatter — the multivariate ANOVA
+    (``length_anova_stats``' algebra lifted to 64 dims) answering the
+    question every classifier-on-embeddings project asks first: do the
+    labels separate AT ALL in this space?  η² ≈ 0 means the embedding
+    carries no label signal and the downstream probe will learn noise;
+    [[embedding_centroid_stats]] shows each label's own geometry, this
+    scores the between-vs-within contrast in one number.
+
+    Exactness: components quantize ONCE at 2¹⁰ (coarser than the
+    centroid family's 2²⁰ — per-label component sums get SQUARED here,
+    and n²·2²⁰ < 10³⁸ holds past 10¹⁵ vectors per label where the 2²⁰
+    scale would wrap at 3·10⁸; the ESS trade-down precedent); scatter
+    splits clear each label's ``s²/n`` with one floor-div (the χ²/ANOVA
+    convention, GREATEST-clamped); the trace sums are exact integers
+    and the two emitted ratios are floor-div permilles.
+
+    Scale shape: ONE corpus pass to (label × 64 per-dim sum/square)
+    columns (map-side combinable, no explode of corpus rows — the
+    exchange carries |labels|·129 integers), then (labels·64)-row tail
+    algebra."""
+    from pyspark.sql import functions as F
+
+    base = df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == CENTROID_DIM)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & F.col(label_col).isNotNull()
+    ).select(F.col(label_col).alias("lbl"), F.col(vec_col).alias("v"))
+
+    def qx(d: int):
+        return F.expr(
+            f"GREATEST(LEAST(CAST(floor(v[{d}] * {FISHER_QSCALE}) AS BIGINT),"
+            f" 2147483648), -2147483648)"
+        )
+
+    lbl = base.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_l"),
+        F.array(*[F.sum(qx(d).cast("decimal(38,0)")).cast("decimal(38,0)")
+                  for d in range(CENTROID_DIM)]).alias("s_arr"),
+        F.array(*[
+            F.sum((qx(d) * qx(d)).cast("decimal(38,0)")).cast("decimal(38,0)")
+            for d in range(CENTROID_DIM)
+        ]).alias("s2_arr"),
+    )
+    dims = lbl.select(
+        "lbl",
+        "n_l",
+        F.posexplode(F.arrays_zip("s_arr", "s2_arr")).alias("d", "z"),
+    ).select(
+        "lbl",
+        "n_l",
+        "d",
+        F.col("z.s_arr").alias("s"),
+        F.col("z.s2_arr").alias("s2"),
+    )
+    per_dim = dims.groupBy("d").agg(
+        F.sum(F.expr("div(s * s, n_l)")).alias("gsum"),
+        F.sum("s").alias("sd"),
+        F.sum("s2").alias("s2d"),
+        F.sum("n_l").alias("n"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+    )
+    split = per_dim.select(
+        "k",
+        "n",
+        F.expr("CAST(greatest(gsum - div(sd * sd, n), 0) AS DECIMAL(38,0))").alias(
+            "ssb_d"
+        ),
+        F.expr("CAST(s2d - gsum AS DECIMAL(38,0))").alias("ssw_d"),
+    )
+    tail = split.groupBy().agg(
+        F.max("k").cast("long").alias("n_labels"),
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum("ssb_d").alias("ssb"),
+        F.sum("ssw_d").alias("ssw"),
+        F.max("k").alias("kd"),
+        F.max("n").alias("nd"),
+    )
+    return tail.select(
+        "n_labels",
+        "n_vectors",
+        F.col("ssb").cast("long").alias("trace_between"),
+        F.col("ssw").cast("long").alias("trace_within"),
+        F.expr(
+            "CAST(CASE WHEN ssb + ssw > 0 THEN div(1000 * ssb, ssb + ssw)"
+            " END AS BIGINT)"
+        ).alias("eta2_permille"),
+        F.expr(
+            "CAST(CASE WHEN kd > 1 AND ssw > 0"
+            " THEN div(1000 * ssb * (nd - kd), ssw * (kd - 1))"
+            " END AS BIGINT)"
+        ).alias("f_permille"),
+    )
+
+
+def q_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fisher_separability_stats(table(spark, sf_dir, "embeddings"))
+
+
+def _fisher_sql() -> str:
+    qx = (
+        f"GREATEST(LEAST(CAST(floor(embedding[i + 1] * {FISHER_QSCALE}) AS BIGINT),"
+        " 2147483648), -2147483648)"
+    )
+    return f"""
+WITH base AS (
+  SELECT label AS lbl, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {CENTROID_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND label IS NOT NULL
+), dimsums AS (
+  SELECT lbl, t.i AS d,
+         CAST(COUNT(*) AS HUGEINT) AS n_l,
+         CAST(SUM({qx}) AS HUGEINT) AS s,
+         CAST(SUM(CAST({qx} AS HUGEINT) * {qx}) AS HUGEINT) AS s2
+  FROM base, range({CENTROID_DIM}) t(i)
+  GROUP BY lbl, t.i
+), per_dim AS (
+  SELECT d,
+         SUM((s * s) // n_l) AS gsum,
+         SUM(s) AS sd,
+         SUM(s2) AS s2d,
+         SUM(n_l) AS n,
+         CAST(COUNT(*) AS HUGEINT) AS k
+  FROM dimsums GROUP BY d
+), split AS (
+  SELECT k, n,
+         GREATEST(gsum - (sd * sd) // n, 0) AS ssb_d,
+         s2d - gsum AS ssw_d
+  FROM per_dim
+), tail AS (
+  SELECT CAST(MAX(k) AS BIGINT) AS n_labels,
+         CAST(MAX(n) AS BIGINT) AS n_vectors,
+         SUM(ssb_d) AS ssb, SUM(ssw_d) AS ssw,
+         MAX(k) AS kd, MAX(n) AS nd
+  FROM split
+)
+SELECT n_labels, n_vectors,
+       CAST(ssb AS BIGINT) AS trace_between,
+       CAST(ssw AS BIGINT) AS trace_within,
+       CAST(CASE WHEN ssb + ssw > 0 THEN (1000 * ssb) // (ssb + ssw)
+            END AS BIGINT) AS eta2_permille,
+       CAST(CASE WHEN kd > 1 AND ssw > 0
+            THEN (1000 * ssb * (nd - kd)) // (ssw * (kd - 1))
+            END AS BIGINT) AS f_permille
+FROM tail
+"""
+
+
+FISHER_SQL = _fisher_sql()

@@ -6495,3 +6495,108 @@ FROM out ORDER BY source
 
 
 BRIER_SQL = _brier_sql()
+
+
+# ------------------------------------------ one-way ANOVA (length ~ lang)
+
+
+def length_anova_stats(df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """One-way ANOVA of document length across languages — the
+    categorical-vs-numeric leg of the inferential battery
+    ([[event_hour_independence]] is categorical×categorical χ²,
+    [[ols_price_quantity]] numeric×numeric): does doc length genuinely
+    differ by language, or is the per-lang mean gap noise?  η² (the
+    explained-variance share) is the effect size a mixture designer
+    reads before stratifying length buckets by language; F is the
+    classic test statistic.
+
+    Exactness (no float): group power sums n_g, s_g, s2_g in
+    decimal(38,0)/HUGEINT; the between/within split clears each group's
+    ``s_g²/n_g`` with ONE floor-div per group (the χ² per-cell-flooring
+    convention — the emitted statistic is the per-group-floored variant
+    both engines share; slack < #groups against SST ~ N·σ²):
+    ``ssb_q = GREATEST(Σ_g div(s_g², n_g) − div(S², N), 0)`` (the
+    flooring can dip below zero by < #groups — clamped, the χ² lesson),
+    ``ssw_q = Σ s2 − Σ_g div(s_g², n_g)``,
+    ``F_permille = div(1000·ssb_q·(N−k), ssw_q·(k−1))``,
+    ``eta2_permille = div(1000·ssb_q, ssb_q + ssw_q)``.
+    Degenerate k=1 or zero within-variance surfaces NULL F.
+
+    Scale shape: ONE map-side-combinable grouped aggregate to language
+    grain, then k-row tail algebra."""
+    agg = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_g"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("s_g"),
+        F.sum(
+            (F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2_g"),
+    )
+    tail = agg.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("s2_g").alias("s2"),
+        F.sum(F.expr("div(s_g * s_g, n_g)")).alias("gsum"),
+    )
+    out = tail.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("CAST(greatest(gsum - div(s * s, n), 0) AS DECIMAL(38,0))").alias("ssb_q"),
+        F.expr("CAST(s2 - gsum AS DECIMAL(38,0))").alias("ssw_q"),
+        "k",
+        "n",
+    )
+    return out.select(
+        "n_groups",
+        "n_docs",
+        F.col("ssb_q").cast("long").alias("ss_between"),
+        F.col("ssw_q").cast("long").alias("ss_within"),
+        F.expr(
+            "CAST(CASE WHEN k > 1 AND ssw_q > 0"
+            " THEN div(1000 * ssb_q * (n - k), ssw_q * (k - 1))"
+            " END AS BIGINT)"
+        ).alias("f_permille"),
+        F.expr(
+            "CAST(CASE WHEN ssb_q + ssw_q > 0"
+            " THEN div(1000 * ssb_q, ssb_q + ssw_q)"
+            " END AS BIGINT)"
+        ).alias("eta2_permille"),
+    )
+
+
+def q_length_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_anova_stats(table(spark, sf_dir, "documents"))
+
+
+LENGTH_ANOVA_SQL = """
+WITH agg AS (
+  SELECT lang AS g,
+         CAST(COUNT(*) AS HUGEINT) AS n_g,
+         SUM(CAST(n_chars AS HUGEINT)) AS s_g,
+         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2_g
+  FROM documents GROUP BY lang
+), tail AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+         SUM(n_g) AS n, SUM(s_g) AS s, SUM(s2_g) AS s2,
+         SUM((s_g * s_g) // n_g) AS gsum
+  FROM agg
+), split AS (
+  SELECT k, n,
+         greatest(gsum - (s * s) // n, 0) AS ssb_q,
+         s2 - gsum AS ssw_q
+  FROM tail
+)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(ssb_q AS BIGINT) AS ss_between,
+       CAST(ssw_q AS BIGINT) AS ss_within,
+       CAST(CASE WHEN k > 1 AND ssw_q > 0
+            THEN (1000 * ssb_q * (n - k)) // (ssw_q * (k - 1))
+            END AS BIGINT) AS f_permille,
+       CAST(CASE WHEN ssb_q + ssw_q > 0
+            THEN (1000 * ssb_q) // (ssb_q + ssw_q)
+            END AS BIGINT) AS eta2_permille
+FROM split
+"""

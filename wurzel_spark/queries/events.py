@@ -1660,3 +1660,98 @@ FROM ranked GROUP BY leg ORDER BY leg
 
 
 FUNNEL_LATENCY_SQL = _funnel_latency_sql()
+
+
+# --------------------------------------------- last-touch attribution
+
+ATTRIBUTION_WINDOW_S = 30 * 60  # the sessionize gap: a touch older is organic
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent non-purchase event within the attribution window (the
+    sessionize gap), else counts as organic — the marketing-analytics
+    staple that [[events_funnel]] (who converts) and
+    [[funnel_latency_stats]] (how fast) lead up to: WHICH touch gets
+    the credit.
+
+    Exactness: the preceding touch comes from ``last(..., ignorenulls)``
+    over the user-ordered frame ending 1 row before the purchase —
+    deterministic because the frame order (ts, event_id) is total; the
+    window test is an integer microsecond comparison; every output is a
+    count or floor-div permille.
+
+    Scale shape: ONE user-partitioned ordered window over the event
+    stream (two conditional last() calls from the same frame), then a
+    ≤|types|-row grouped count."""
+    ev = table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_us = F.last(
+        F.when(F.col("event_type") != "purchase", us), ignorenulls=True
+    ).over(w)
+    purchases = (
+        ev.select(
+            "event_type",
+            (us).alias("p_us"),
+            touch_type.alias("t_type"),
+            touch_us.alias("t_us"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("t_us").isNotNull()
+                & (F.col("p_us") - F.col("t_us") <= ATTRIBUTION_WINDOW_S * 1_000_000),
+                F.col("t_type"),
+            )
+            .otherwise(F.lit("organic"))
+            .alias("attributed_to")
+        )
+    )
+    wt = W.partitionBy()
+    return (
+        purchases.groupBy("attributed_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .withColumn("total", F.sum("n_purchases").over(wt))
+        .select(
+            "attributed_to",
+            "n_purchases",
+            F.expr("div(1000 * n_purchases, total)").alias("share_permille"),
+        )
+        .orderBy("attributed_to")
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH touched AS (
+  SELECT event_type,
+         epoch_us(ts) AS p_us,
+         LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS t_type,
+         LAST_VALUE(CASE WHEN event_type != 'purchase' THEN epoch_us(ts) END
+                    IGNORE NULLS) OVER w AS t_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), attributed AS (
+  SELECT CASE WHEN t_us IS NOT NULL
+              AND p_us - t_us <= {ATTRIBUTION_WINDOW_S * 1_000_000}
+              THEN t_type ELSE 'organic' END AS attributed_to
+  FROM touched WHERE event_type = 'purchase'
+), counts AS (
+  SELECT attributed_to, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM attributed GROUP BY attributed_to
+)
+SELECT attributed_to, n_purchases,
+       CAST((1000 * n_purchases) // SUM(n_purchases) OVER () AS BIGINT)
+         AS share_permille
+FROM counts ORDER BY attributed_to
+"""
