@@ -453,3 +453,17 @@ def test_fisher_plan(spark, sf_dir):
     s = m.group(1) if m else ""
     # the nested array<float> defeats comma-splitting: assert by name
     assert "embedding" in s and "label" in s and "vec_id" not in s, s
+
+
+def test_slo_burn_plan(spark, sf_dir):
+    """One corpus-grain rollup collapsed to hour grain; the ordered
+    window runs over hour-grain (rollup-sized) rows; reads only
+    (event_type, ts); no Python."""
+    from wurzel_spark.queries.events import slo_burn_stats
+
+    t = _clean(slo_burn_stats(spark, sf_dir))
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "event_type", "ts",
+    }, m and m.group(1)

@@ -1406,6 +1406,10 @@ def test_streaming_temporal_battery_matches_batch(spark, tmp_path):
     assert [tuple(r) for r in got["burstiness"].collect()] == [
         tuple(r) for r in event_burstiness_stats(spark, sf).collect()
     ]
+    from wurzel_spark.queries.events import slo_burn_stats
+    assert [tuple(r) for r in got["slo"].collect()] == [
+        tuple(r) for r in slo_burn_stats(spark, sf).collect()
+    ]
 
 
 def test_streaming_temporal_replay_is_idempotent(spark, tmp_path):

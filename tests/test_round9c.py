@@ -1356,3 +1356,58 @@ def test_fisher_matches_python_mirror(spark):
     assert got["trace_between"] == ssb
     assert got["trace_within"] == ssw
     assert got["eta2_permille"] == (1000 * ssb) // (ssb + ssw)
+
+
+# --------------------------------------------- SLO burn-rate alerts
+
+
+def test_slo_burn_hand_computed(spark, tmp_path):
+    """A planted error storm fires fast_burn exactly in its hours; the
+    quiet baseline never flags; window shares match the literal sums."""
+    from wurzel_spark.queries.events import slo_burn_stats
+
+    d = dt.datetime
+    rows, eid = [], 0
+    # 29 quiet hours (1% errors — half the budget), then a TWO-hour storm
+    # at 50% errors: hour 29 must NOT page yet (the 6h window hasn't
+    # burned — the multi-window design suppresses one-hour blips), hour
+    # 30 pages.
+    for h in range(31):
+        n_err = 50 if h >= 29 else 1
+        for i in range(100):
+            eid += 1
+            rows.append((eid, d(2024, 1, 1) + dt.timedelta(hours=h), 1,
+                         "error" if i < n_err else "click", 1.0, None))
+    sf = _write_events(spark, rows, tmp_path)
+    out = {r["hour"].hour + 24 * (r["hour"].day - 1): r
+           for r in slo_burn_stats(spark, sf).collect()}
+    blip, storm = out[29], out[30]
+    assert blip["err_permille"] == storm["err_permille"] == 500
+    assert blip["err6_permille"] == (1000 * 55) // 600   # 91 < 120: hold
+    assert not blip["fast_burn"]
+    assert storm["err6_permille"] == (1000 * 104) // 600  # 173 > 120: page
+    assert storm["fast_burn"]
+    quiet = out[15]
+    assert quiet["err_permille"] == 10
+    assert not quiet["fast_burn"] and not quiet["slow_burn"]
+
+
+def test_slo_burn_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import SLO_BURN_SQL, slo_burn_stats
+
+    d = dt.datetime
+    rows, eid = [], 0
+    for h in range(8):
+        for i in range(20):
+            eid += 1
+            rows.append((eid, d(2024, 6, 1) + dt.timedelta(hours=h), 1,
+                         "error" if i < (h % 4) else "view", 1.0, None))
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in slo_burn_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(SLO_BURN_SQL).fetchall()]
+    assert got == want and len(got) == 8

@@ -200,6 +200,7 @@ QUERIES = [
     "purchase_attribution",
     "length_anova_stats",
     "fisher_separability_stats",
+    "slo_burn_stats",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -1755,3 +1755,101 @@ SELECT attributed_to, n_purchases,
          AS share_permille
 FROM counts ORDER BY attributed_to
 """
+
+
+# --------------------------------------------- SLO burn-rate alerts
+
+SLO_TARGET_PERMILLE = 20   # error budget: 2% of events may be errors
+SLO_FAST_BURN = 6          # 1h AND 6h both > 6x target -> page
+SLO_SLOW_BURN = 3          # 6h AND 24h both > 3x target -> ticket
+SLO_WINDOWS = (6, 24)      # trailing observed-hour window lengths
+
+
+def slo_burn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error burn-rate readout (the SRE-workbook alert
+    shape): per hour, the error share over the hour itself and the
+    trailing 6 h / 24 h observed-hour windows, with the fast-burn (page)
+    and slow-burn (ticket) flags — [[event_cusum_drift]] localizes a
+    rate SHIFT in any one type; this reads the 'error' type against an
+    explicit BUDGET, the on-call contract.
+
+    Exactness: error shares are ``div(1000·e, t)`` over exact rollup
+    counts; trailing windows are POSITIONAL over observed hours (the
+    ACF/CUSUM convention — silent hours carry no traffic and no error
+    budget); both burn tests are integer comparisons with the budget
+    cleared (``1000·e·1 > BURN·TARGET·t`` avoids dividing at all in the
+    flag path... emitted shares divide once for the readout).
+
+    Scale shape: one corpus-grain rollup collapsed to hour grain, then
+    ONE ordered window over hour-grain rows (rollup-sized — bounded by
+    the time span, never the corpus)."""
+    return slo_burn_from_rollup(hourly_rollup(table(spark, sf_dir, "events")))
+
+
+SLO_BURN_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS t_h,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS e_h
+  FROM events GROUP BY date_trunc('hour', ts)
+), win AS (
+  SELECT hour, t_h, e_h,
+         SUM(t_h) OVER (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS t6,
+         SUM(e_h) OVER (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6,
+         SUM(t_h) OVER (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS t24,
+         SUM(e_h) OVER (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS e24
+  FROM hourly
+)
+SELECT hour, t_h, e_h,
+       CAST((1000 * e_h) // t_h AS BIGINT) AS err_permille,
+       CAST((1000 * e6) // t6 AS BIGINT) AS err6_permille,
+       CAST((1000 * e24) // t24 AS BIGINT) AS err24_permille,
+       1000 * e_h > {SLO_FAST_BURN * SLO_TARGET_PERMILLE} * t_h
+         AND 1000 * e6 > {SLO_FAST_BURN * SLO_TARGET_PERMILLE} * t6 AS fast_burn,
+       1000 * e6 > {SLO_SLOW_BURN * SLO_TARGET_PERMILLE} * t6
+         AND 1000 * e24 > {SLO_SLOW_BURN * SLO_TARGET_PERMILLE} * t24 AS slow_burn
+FROM win ORDER BY hour
+"""
+
+
+def slo_burn_from_rollup(hourly_typed: DataFrame) -> DataFrame:
+    """Window tail over the (event_type, hour) rollup (shared with the
+    streaming drain — the temporal battery's state feeds this too)."""
+    hourly = hourly_typed.groupBy("hour").agg(
+        F.sum("c").cast("long").alias("t_h"),
+        F.sum(F.when(F.col("event_type") == "error", F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("e_h"),
+    )
+    wo = W.partitionBy().orderBy("hour")
+    windows = hourly.select(
+        "hour",
+        "t_h",
+        "e_h",
+        *[
+            c
+            for k in SLO_WINDOWS
+            for c in (
+                F.sum("t_h").over(wo.rowsBetween(-(k - 1), 0)).alias(f"t{k}"),
+                F.sum("e_h").over(wo.rowsBetween(-(k - 1), 0)).alias(f"e{k}"),
+            )
+        ],
+    )
+    tgt = SLO_TARGET_PERMILLE
+    return windows.select(
+        "hour",
+        "t_h",
+        "e_h",
+        F.expr("div(1000 * e_h, t_h)").alias("err_permille"),
+        F.expr("div(1000 * e6, t6)").alias("err6_permille"),
+        F.expr("div(1000 * e24, t24)").alias("err24_permille"),
+        F.expr(
+            f"1000 * e_h > {SLO_FAST_BURN * tgt} * t_h"
+            f" AND 1000 * e6 > {SLO_FAST_BURN * tgt} * t6"
+        ).alias("fast_burn"),
+        F.expr(
+            f"1000 * e6 > {SLO_SLOW_BURN * tgt} * t6"
+            f" AND 1000 * e24 > {SLO_SLOW_BURN * tgt} * t24"
+        ).alias("slow_burn"),
+    ).orderBy("hour")

@@ -1,6 +1,6 @@
-"""Streaming temporal battery: ONE staged hourly rollup feeds FOUR
-drift detectors — CUSUM level shifts, Mann–Kendall trend, lag-1/24
-autocorrelation, and Fano-factor burstiness.
+"""Streaming temporal battery: ONE staged hourly rollup feeds FIVE
+live monitors — CUSUM level shifts, Mann–Kendall trend, lag-1/24
+autocorrelation, Fano-factor burstiness, and the SLO burn-rate alerts.
 
 Batch twins: queries/events.event_cusum_drift / event_mannkendall_trend
 / event_acf_stats / event_burstiness_stats.  All consume only the (event_type, hour) count
@@ -9,8 +9,9 @@ rollup — pure integer sums, additive across any batch admission split
 so each batch stages its rollup keyed by (src_batch, event_type, hour)
 and every detector drains from the SAME summed state through its shared
 batch tail (`cusum_from_rollup` / `mannkendall_from_rollup` /
-`acf_from_rollup`, imported, not re-implemented). One state store, three
-live monitors: the level-shift, trend, and seasonality readouts of an
+`acf_from_rollup`, imported, not re-implemented). One state store, five
+live monitors: the level-shift, trend, seasonality, dispersion and
+SLO-burn readouts of an
 unbounded event stream are always current for the corpus seen, bit-equal
 to their batch queries on the same rows. Replayed batches overwrite
 their partition and crash-window duplicates collapse under the key-dedup
@@ -31,6 +32,7 @@ from wurzel_spark.queries.events import (
     cusum_from_rollup,
     hourly_rollup,
     mannkendall_from_rollup,
+    slo_burn_from_rollup,
 )
 from wurzel_spark.streaming._fs import path_exists
 from wurzel_spark.streaming._state import recover_fold, write_batch_state
@@ -42,7 +44,7 @@ def temporal_battery_stream(
     checkpoint_dir: str,
     compact_every: int | None = 8,
 ) -> dict[str, DataFrame]:
-    """Drain an availableNow event stream; return all three detector
+    """Drain an availableNow event stream; return all five monitor
     tables for the full stream seen — identical to their batch twins."""
     spark = stream.sparkSession
 
@@ -78,7 +80,7 @@ def _summed_rollup(spark, state_dir: str) -> DataFrame | None:
 
 
 def drain_temporal_state(spark, state_dir: str) -> dict[str, DataFrame]:
-    """Sum the staged rollup once, then run all three shared tails."""
+    """Sum the staged rollup once, then run all five shared tails."""
     rollup = _summed_rollup(spark, state_dir)
     if rollup is None:
         empty_cusum = spark.createDataFrame(
@@ -100,15 +102,23 @@ def drain_temporal_state(spark, state_dir: str) -> dict[str, DataFrame]:
             "event_type string, span_hours long, n_active_hours long,"
             " n_events long, dispersion_permille long, label string",
         )
+        empty_slo = spark.createDataFrame(
+            [],
+            "hour timestamp, t_h long, e_h long, err_permille long,"
+            " err6_permille long, err24_permille long, fast_burn boolean,"
+            " slow_burn boolean",
+        )
         return {
             "cusum": empty_cusum,
             "mannkendall": empty_mk,
             "acf": empty_acf,
             "burstiness": empty_burst,
+            "slo": empty_slo,
         }
     return {
         "cusum": cusum_from_rollup(rollup),
         "mannkendall": mannkendall_from_rollup(rollup),
         "acf": acf_from_rollup(rollup),
         "burstiness": burstiness_from_rollup(rollup),
+        "slo": slo_burn_from_rollup(rollup),
     }
