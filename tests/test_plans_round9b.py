@@ -467,3 +467,17 @@ def test_slo_burn_plan(spark, sf_dir):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "event_type", "ts",
     }, m and m.group(1)
+
+
+def test_value_percentiles_plan(spark, sf_dir):
+    """Rank windows partition by event_type; reads only (event_type,
+    value); no join, no Python."""
+    from wurzel_spark.queries.events import value_percentiles_by_type
+
+    t = _clean(value_percentiles_by_type(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t, t
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "event_type", "value",
+    }, m and m.group(1)

@@ -1411,3 +1411,47 @@ def test_slo_burn_matches_oracle_on_fixture(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(SLO_BURN_SQL).fetchall()]
     assert got == want and len(got) == 8
+
+
+# --------------------------------------------- value percentiles
+
+
+def test_value_percentiles_hand_computed(spark, tmp_path):
+    """Known values incl. a negative and a NaN: floor-quantization
+    (floor, not cast — negative values floor DOWN), NaN exclusion, and
+    the three rank picks all land."""
+    import math
+    from wurzel_spark.queries.events import value_percentiles_by_type
+
+    d = dt.datetime
+    vals = [0.0015, 0.5, 1.2349, -0.0011, 2.0, 0.75, 3.5, 1.0, 0.25, 4.2]
+    rows = [(i + 1, d(2024, 1, 1), 1, "lat", v, None) for i, v in enumerate(vals)]
+    rows.append((99, d(2024, 1, 1), 1, "lat", float("nan"), None))
+    sf = _write_events(spark, rows, tmp_path)
+    r = value_percentiles_by_type(spark, sf).collect()[0]
+    milli = sorted(math.floor(v * 1000) for v in vals)
+    assert r["n_values"] == 10 and r["sum_milli"] == sum(milli)
+    assert r["p500_milli"] == milli[(500 * 10 + 999) // 1000 - 1]
+    assert r["p900_milli"] == milli[(900 * 10 + 999) // 1000 - 1]
+    assert r["p990_milli"] == milli[-1]
+    assert min(milli) == -2  # floor(-0.0011*1000) = -2, not -1
+
+
+def test_value_percentiles_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import (
+        VALUE_PERCENTILES_SQL,
+        value_percentiles_by_type,
+    )
+
+    d = dt.datetime
+    rows = [(i + 1, d(2024, 1, 1), 1, ["a", "b"][i % 2], 0.37 * i - 1.1, None)
+            for i in range(17)]
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in value_percentiles_by_type(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(VALUE_PERCENTILES_SQL).fetchall()]
+    assert got == want and len(got) == 2

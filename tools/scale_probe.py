@@ -201,6 +201,7 @@ QUERIES = [
     "length_anova_stats",
     "fisher_separability_stats",
     "slo_burn_stats",
+    "value_percentiles_by_type",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -1853,3 +1853,85 @@ def slo_burn_from_rollup(hourly_typed: DataFrame) -> DataFrame:
             f" AND 1000 * e24 > {SLO_SLOW_BURN * tgt} * t24"
         ).alias("slow_burn"),
     ).orderBy("hour")
+
+
+# --------------------------------------------- value percentiles
+
+VALUE_QUANTILES = (500, 900, 990)
+
+
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of the event value per type — the latency-percentile
+    dashboard row (the single most-read ops query there is), done with
+    EXACT rank-based quantiles instead of an approximate sketch:
+    [[events_hourly_stats]] sums value, this distributes it.
+
+    Exactness: values quantize ONCE to milli-units (``floor(value·1000)``
+    — floor, not cast, the house rule) so ranking and the emitted
+    numbers are integers; quantiles are values at integer-ceiling ranks
+    (the Theil–Sen convention); NULL/NaN values are excluded and
+    counted (NaN ordering differs across engines — they never reach the
+    rank window).
+
+    Scale shape: one rank window per type over the event stream (the
+    robust_length_stats cost class — range-partitioned at scale; the
+    exact-quantile audit configuration next to the sketch family's
+    hash_sample_quantiles scale path)."""
+    ev = table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("v_milli"),
+    ).filter(F.col("v_milli").isNotNull() & ~F.isnan(F.col("value")))
+    wt = W.partitionBy("event_type").orderBy("v_milli")
+    ranked = vals.select(
+        "event_type",
+        "v_milli",
+        F.row_number().over(wt).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"CAST(div({p} * n + 999, 1000) AS BIGINT)"),
+                F.col("v_milli"),
+            )
+        ).alias(f"p{p}_milli")
+        for p in VALUE_QUANTILES
+    ]
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_values"),
+            F.sum("v_milli").cast("long").alias("sum_milli"),
+            *picks,
+        )
+        .orderBy("event_type")
+    )
+
+
+def _value_percentiles_sql() -> str:
+    picks = ",\n       ".join(
+        f"MAX(CASE WHEN rn = ({p} * n + 999) // 1000"
+        f" THEN v_milli END) AS p{p}_milli"
+        for p in VALUE_QUANTILES
+    )
+    return f"""
+WITH vals AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), ranked AS (
+  SELECT event_type, v_milli,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_milli) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM vals
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       CAST(SUM(v_milli) AS BIGINT) AS sum_milli,
+       {picks}
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
+VALUE_PERCENTILES_SQL = _value_percentiles_sql()
