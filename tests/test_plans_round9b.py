@@ -481,3 +481,15 @@ def test_value_percentiles_plan(spark, sf_dir):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "event_type", "value",
     }, m and m.group(1)
+
+
+def test_column_encoding_plan(spark, sf_dir):
+    """ONE sorted pass computes every column's lag (a single Window node,
+    never one sort per column); no join; no Python."""
+    from wurzel_spark.operators.layout import q_column_encoding_stats
+
+    t = _clean(q_column_encoding_stats(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t, t
+    # exactly one Window operator in the physical plan
+    assert len(re.findall(r"\(\d+\) Window\b", t)) == 1, t

@@ -1455,3 +1455,65 @@ def test_value_percentiles_matches_oracle_on_fixture(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(VALUE_PERCENTILES_SQL).fetchall()]
     assert got == want and len(got) == 2
+
+
+# ------------------------------------------ column encoding audit
+
+
+def test_column_encoding_hand_computed(spark, tmp_path):
+    """Constant, two-run, alternating and all-distinct columns land in
+    rle/dict/plain with hand-counted runs and exact dict bits."""
+    from wurzel_spark.operators.layout import q_column_encoding_stats
+
+    d = dt.datetime
+    rows = []
+    for i in range(20):
+        rows.append((
+            i + 1, 1, 1, 1,
+            # l_quantity: constant -> 1 run, rle
+            5.0,
+            # l_extendedprice unused by the audit
+            1.0,
+            # l_discount: alternating 0/0.05 -> 20 runs, 2 distinct -> dict
+            [0.0, 0.05][i % 2],
+            0.0,
+            # l_returnflag: first half A, second half B -> 2 runs
+            "A" if i < 10 else "B",
+            "O",
+            # l_shipdate: all distinct days -> 20 runs, plain-ish
+            d(2024, 1, 1 + i),
+        ))
+    sf = _write_lineitem(spark, tmp_path, rows)
+    out = {r["column_name"]: r for r in q_column_encoding_stats(spark, sf).collect()}
+    q = out["l_quantity"]
+    assert (q["n_runs"], q["n_distinct"], q["suggested"]) == (1, 1, "rle")
+    assert q["dict_bits"] == 0
+    disc = out["l_discount"]
+    assert (disc["n_runs"], disc["n_distinct"], disc["dict_bits"]) == (20, 2, 1)
+    flag = out["l_returnflag"]
+    # 2 runs / 20 rows = exactly 100‰ — the strict < boundary: NOT rle,
+    # falls through to the 1-bit dictionary
+    assert (flag["n_runs"], flag["run_permille"], flag["suggested"]) == (2, 100, "dict")
+    ship = out["l_shipdate"]
+    assert ship["n_runs"] == 20 and ship["n_distinct"] == 20
+    assert ship["dict_bits"] == 5  # ceil_log2(20) = len(bin(19)) = 5
+
+
+def test_column_encoding_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.operators.layout import COLUMN_ENCODING_SQL, q_column_encoding_stats
+
+    d = dt.datetime
+    rows = [
+        (k + 1, 1, 1, 1, float(k % 3), 1.0, 0.01 * (k % 5), 0.0,
+         "RAN"[k % 3], "O", d(2024, 2, 1 + k % 7))
+        for k in range(30)
+    ]
+    sf = _write_lineitem(spark, tmp_path, rows)
+    got = [tuple(r) for r in q_column_encoding_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM parquet_scan('{sf}/lineitem.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(COLUMN_ENCODING_SQL).fetchall()]
+    assert got == want and len(got) == 4

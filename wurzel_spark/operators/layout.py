@@ -939,3 +939,116 @@ FROM layouts ORDER BY layout
 
 
 FILE_PRUNING_SQL = _file_pruning_sql()
+
+
+# ------------------------------------------ column encoding audit
+
+ENCODING_COLUMNS = ("l_shipdate", "l_quantity", "l_discount", "l_returnflag")
+RLE_GOOD_PERMILLE = 100   # <10% runs -> RLE wins
+DICT_NARROW_BITS = 8      # <=256 values -> 1-byte dictionary codes
+
+
+def q_column_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding audit over the fact table's hot columns: run
+    count under the ARRIVAL order (RLE's win), distinct cardinality and
+    its dictionary code width, and the suggested encoding — the
+    PLAIN/RLE/DICT decision parquet writers make per column, surfaced as
+    a query so a layout change (say, sorting by shipdate — see
+    [[q_file_pruning_stats]]) can be COSTED before rewriting 100 TB: a
+    column whose runs collapse under the new sort is the one that pays
+    for it.
+
+    Exactness: runs count ``value ≠ lag(value)`` transitions over the
+    total arrival order (l_orderkey, l_linenumber) with NULL-safe
+    comparison; dict bits = ``length(bin(d − 1))`` for d ≥ 2 (exact
+    ceil-log2 — both engines' bin() drops leading zeros); everything
+    else is counts and floor-div permilles.
+
+    Scale shape: ONE sorted pass computes every column's lag from the
+    SAME window (never one sort per column), one aggregate with the
+    distinct counts, then a 4-row unpivot."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *ENCODING_COLUMNS
+    )
+    w = W.partitionBy().orderBy("l_orderkey", "l_linenumber")
+    lagged = li.select(
+        *[
+            (~F.col(c).eqNullSafe(F.lag(c).over(w))).cast("long").alias(f"chg_{c}")
+            for c in ENCODING_COLUMNS
+        ],
+        *ENCODING_COLUMNS,
+    )
+    agg = lagged.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.sum(f"chg_{c}").cast("long").alias(f"runs_{c}") for c in ENCODING_COLUMNS],
+        *[F.countDistinct(c).cast("long").alias(f"nd_{c}") for c in ENCODING_COLUMNS],
+    )
+    stack = ", ".join(
+        f"'{c}', runs_{c}, nd_{c}" for c in ENCODING_COLUMNS
+    )
+    rows = agg.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(ENCODING_COLUMNS)}, {stack}) AS (column_name, n_runs, n_distinct)"
+        ),
+    )
+    return rows.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        F.expr("div(1000 * n_runs, n_rows)").alias("run_permille"),
+        F.expr(
+            "CAST(CASE WHEN n_distinct <= 1 THEN 0"
+            " ELSE length(bin(n_distinct - 1)) END AS BIGINT)"
+        ).alias("dict_bits"),
+        F.expr(
+            f"CASE WHEN div(1000 * n_runs, n_rows) < {RLE_GOOD_PERMILLE} THEN 'rle'"
+            f" WHEN n_distinct > 1 AND length(bin(n_distinct - 1)) <= {DICT_NARROW_BITS}"
+            f" THEN 'dict' ELSE 'plain' END"
+        ).alias("suggested"),
+    ).orderBy("column_name")
+
+
+def _column_encoding_sql() -> str:
+    chg = ",\n         ".join(
+        f"CASE WHEN {c} IS DISTINCT FROM LAG({c}) OVER w THEN 1 ELSE 0 END AS chg_{c}"
+        for c in ENCODING_COLUMNS
+    )
+    aggs = ",\n         ".join(
+        f"CAST(SUM(chg_{c}) AS BIGINT) AS runs_{c},"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}"
+        for c in ENCODING_COLUMNS
+    )
+    branches = "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nd_{c} AS n_distinct,"
+        f" runs_{c} AS n_runs FROM agg"
+        for c in ENCODING_COLUMNS
+    )
+    return f"""
+WITH lagged AS (
+  SELECT {", ".join(ENCODING_COLUMNS)},
+         {chg}
+  FROM lineitem
+  WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {aggs}
+  FROM lagged
+), rows_ AS (
+  {branches}
+)
+SELECT column_name, n_rows, n_distinct, n_runs,
+       CAST((1000 * n_runs) // n_rows AS BIGINT) AS run_permille,
+       CAST(CASE WHEN n_distinct <= 1 THEN 0
+            ELSE length(bin(n_distinct - 1)) END AS BIGINT) AS dict_bits,
+       CASE WHEN (1000 * n_runs) // n_rows < {RLE_GOOD_PERMILLE} THEN 'rle'
+            WHEN n_distinct > 1 AND length(bin(n_distinct - 1)) <= {DICT_NARROW_BITS}
+            THEN 'dict' ELSE 'plain' END AS suggested
+FROM rows_ ORDER BY column_name
+"""
+
+
+COLUMN_ENCODING_SQL = _column_encoding_sql()
