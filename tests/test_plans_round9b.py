@@ -493,3 +493,14 @@ def test_column_encoding_plan(spark, sf_dir):
     assert "Join" not in t, t
     # exactly one Window operator in the physical plan
     assert len(re.findall(r"\(\d+\) Window\b", t)) == 1, t
+
+
+def test_knn_plan(spark, sf_dir):
+    """Queries broadcast against the corpus; the per-query top-k prunes
+    pre-shuffle (WindowGroupLimit); the only Python is the Arrow cosine
+    kernel (the brute_force_topk precedent — bit-identical to the fold)."""
+    from wurzel_spark.operators.similarity import q_knn_label_accuracy
+
+    t = _clean(q_knn_label_accuracy(spark, sf_dir), allow_cross_broadcast=True)
+    assert "BatchEvalPython" not in t, t  # never row-at-a-time
+    assert "WindowGroupLimit" in t, t

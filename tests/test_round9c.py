@@ -1517,3 +1517,49 @@ def test_column_encoding_matches_oracle_on_fixture(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(COLUMN_ENCODING_SQL).fetchall()]
     assert got == want and len(got) == 4
+
+
+# --------------------------------------------- kNN label accuracy
+
+
+def test_knn_majority_overrules_poisoned_nearest(spark):
+    """A mislabeled nearest neighbor flips top-1 but not the majority —
+    the robustness k buys, pinned."""
+    from wurzel_spark.operators.similarity import knn_label_accuracy
+
+    def vec(axis, eps):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[axis + 1] = eps
+        return v
+
+    rows = [(0, vec(0, 0.0), 0)]          # the query, label 0
+    # nearest neighbor: almost identical but MISLABELED
+    rows.append((1, vec(0, 0.001), 9))
+    # next four: label 0, slightly farther
+    for i in range(2, 6):
+        rows.append((i, vec(0, 0.01 * i), 0))
+    # far cluster, label 9
+    for i in range(6, 12):
+        rows.append((i, vec(30, 0.01 * i), 9))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r
+           for r in knn_label_accuracy(emb, k=5, n_queries=1).collect()}
+    r = out[0]
+    assert r["top1_correct"] == 0      # poisoned nearest
+    assert r["maj_correct"] == 1       # 4 of 5 votes are label 0
+    assert r["maj_permille"] == 1000
+
+
+def test_knn_matches_oracle_at_sf(spark):
+    import duckdb
+    from wurzel_spark.operators.similarity import KNN_ACCURACY_SQL, q_knn_label_accuracy
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in q_knn_label_accuracy(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM parquet_scan('{sf}/embeddings.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(KNN_ACCURACY_SQL).fetchall()]
+    assert got == want and len(got) > 0

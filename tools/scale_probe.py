@@ -202,6 +202,7 @@ QUERIES = [
     "fisher_separability_stats",
     "slo_burn_stats",
     "value_percentiles_by_type",
+    "knn_label_accuracy",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

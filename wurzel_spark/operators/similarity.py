@@ -3023,3 +3023,165 @@ ORDER BY nprobe
 
 
 IVF_SWEEP_SQL = _ivf_sweep_sql()
+
+
+# --------------------------------------------- kNN label accuracy
+
+KNN_EVAL_K = 10
+KNN_EVAL_N_QUERIES = 30
+
+
+def knn_label_accuracy(
+    emb: DataFrame,
+    k: int = KNN_EVAL_K,
+    n_queries: int = KNN_EVAL_N_QUERIES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN classifier evaluation per label: top-1 and majority-of-k
+    accuracy of the exact cosine neighbourhood against the query's own
+    label — the NONPARAMETRIC separability audit completing the
+    triangle: [[fisher_separability_stats]] scores linear (scatter)
+    separability, [[retrieval_ndcg_eval]] grades the ranking, this asks
+    the deployment question directly — would a kNN probe on this space
+    classify correctly?  A space can fail Fisher (nonlinear clusters)
+    and still ace kNN; both numbers together tell you which probe to
+    train.
+
+    Exactness: cosine is the certified sequential-fold double used ONLY
+    to rank (desc, id tie-break); the majority vote is a count with a
+    TOTAL tie order (count desc, label asc — ties go to the smaller
+    label, both engines share the literal rule); accuracies are
+    floor-div permilles of exact counts.
+
+    Scale shape: the audit configuration — queries broadcast against
+    the corpus, one linear pair pass, per-query WindowGroupLimit-pruned
+    top-k, then (query × label)-grain vote counts."""
+    from pyspark.sql import Window as W
+
+    base = emb.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == _BINARY_DIM)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).cast("long").alias("lbl"),
+    )
+    q = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("lbl").alias("qlbl"),
+    )
+    w_b = W.partitionBy("query_id").orderBy(F.desc("cos"), "id")
+    topk = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlbl",
+            "id",
+            "lbl",
+            # the Arrow kernel: bit-identical to the sequential fold,
+            # ~100x less interpreter than the HOF on the hot corpus pass
+            cosine_pd(F.col("vec"), F.col("qvec")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= k)
+    )
+    votes = topk.groupBy("query_id", "qlbl", "lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes"),
+        F.min(F.when(F.col("rn") == 1, F.col("lbl"))).alias("nn1"),
+    )
+    w_v = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "lbl")
+    verdicts = (
+        votes.withColumn("vr", F.row_number().over(w_v))
+        .groupBy("query_id", "qlbl")
+        .agg(
+            F.max(F.when(F.col("vr") == 1, F.col("lbl"))).alias("maj_lbl"),
+            F.max("nn1").alias("nn1_lbl"),
+        )
+    )
+    return (
+        verdicts.groupBy(F.col("qlbl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum((F.col("nn1_lbl") == F.col("qlbl")).cast("long"))
+            .cast("long")
+            .alias("top1_correct"),
+            F.sum((F.col("maj_lbl") == F.col("qlbl")).cast("long"))
+            .cast("long")
+            .alias("maj_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "top1_correct",
+            "maj_correct",
+            F.expr("div(1000 * top1_correct, n_queries)").alias("top1_permille"),
+            F.expr("div(1000 * maj_correct, n_queries)").alias("maj_permille"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_knn_label_accuracy(spark, sf_dir: str) -> DataFrame:
+    return knn_label_accuracy(table(spark, sf_dir, "embeddings"))
+
+
+def _knn_sql() -> str:
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+            f" / (sqrt(list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product(CAST({y} AS DOUBLE[]), CAST({y} AS DOUBLE[]))))"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding AS vec, CAST(label AS BIGINT) AS lbl
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_BINARY_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND label IS NOT NULL
+), q AS (
+  SELECT id AS query_id, vec AS qvec, lbl AS qlbl FROM base
+  WHERE id < {KNN_EVAL_N_QUERIES}
+), topk AS (
+  SELECT * FROM (
+    SELECT q.query_id, q.qlbl, b.id, b.lbl,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos("b.vec", "q.qvec")} DESC, b.id) AS rn
+    FROM base b CROSS JOIN q WHERE b.id != q.query_id
+  ) WHERE rn <= {KNN_EVAL_K}
+), votes AS (
+  SELECT query_id, qlbl, lbl,
+         CAST(COUNT(*) AS BIGINT) AS n_votes,
+         MIN(CASE WHEN rn = 1 THEN lbl END) AS nn1
+  FROM topk GROUP BY query_id, qlbl, lbl
+), verdicts AS (
+  SELECT query_id, qlbl,
+         MAX(CASE WHEN vr = 1 THEN lbl END) AS maj_lbl,
+         MAX(nn1) AS nn1_lbl
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, lbl) AS vr
+    FROM votes
+  ) GROUP BY query_id, qlbl
+)
+SELECT qlbl AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN nn1_lbl = qlbl THEN 1 ELSE 0 END) AS BIGINT)
+         AS top1_correct,
+       CAST(SUM(CASE WHEN maj_lbl = qlbl THEN 1 ELSE 0 END) AS BIGINT)
+         AS maj_correct,
+       CAST((1000 * SUM(CASE WHEN nn1_lbl = qlbl THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS top1_permille,
+       CAST((1000 * SUM(CASE WHEN maj_lbl = qlbl THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS maj_permille
+FROM verdicts GROUP BY qlbl ORDER BY qlbl
+"""
+
+
+KNN_ACCURACY_SQL = _knn_sql()
