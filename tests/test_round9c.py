@@ -1563,3 +1563,46 @@ def test_knn_matches_oracle_at_sf(spark):
     )
     want = [tuple(r) for r in con.execute(KNN_ACCURACY_SQL).fetchall()]
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------- streaming percentiles twin
+
+
+def test_streaming_percentiles_matches_batch(spark, tmp_path):
+    from wurzel_spark.queries.events import value_percentiles_by_type
+    from wurzel_spark.streaming.percentiles import value_percentiles_stream
+    from wurzel_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    ev = _table(spark, sf, "events").localCheckpoint()
+    d = str(tmp_path / "pct_in")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = value_percentiles_stream(
+        stream, str(tmp_path / "pct_state"), str(tmp_path / "pct_ckpt"),
+        compact_every=2,
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in value_percentiles_by_type(spark, sf).collect()
+    )
+
+
+def test_streaming_percentiles_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.queries.events import value_hist, value_percentiles_by_type
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.percentiles import drain_percentile_state
+    from wurzel_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    ev = _table(spark, sf, "events").localCheckpoint()
+    state = str(tmp_path / "pct_state2")
+    mine = value_hist(ev).withColumn("src_batch", F_lit0())
+    for _ in range(3):
+        write_batch_state(spark, mine, state, 0,
+                          ["src_batch", "event_type", "v_milli"], None)
+    got = drain_percentile_state(spark, state)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in value_percentiles_by_type(spark, sf).collect()
+    )

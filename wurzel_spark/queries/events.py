@@ -1877,32 +1877,52 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     robust_length_stats cost class — range-partitioned at scale; the
     exact-quantile audit configuration next to the sketch family's
     hash_sample_quantiles scale path)."""
-    ev = table(spark, sf_dir, "events")
+    return value_percentiles_from_hist(
+        value_hist(table(spark, sf_dir, "events"))
+    )
+
+
+def value_hist(ev: DataFrame) -> DataFrame:
+    """(event_type, v_milli) counts — ADDITIVE across any corpus split,
+    so it is also the staged unit of the streaming twin
+    (streaming/percentiles.py).  Value-grain, not row-grain: the state
+    and the rank window scale with DISTINCT values, not events."""
     vals = ev.select(
         "event_type",
         F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("v_milli"),
+        "value",
     ).filter(F.col("v_milli").isNotNull() & ~F.isnan(F.col("value")))
+    return vals.groupBy("event_type", "v_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def value_percentiles_from_hist(hist: DataFrame) -> DataFrame:
+    """Cumulative-rank tail over the value histogram (shared with the
+    streaming drain): quantile = smallest value whose cumulative count
+    reaches the integer-ceiling rank."""
     wt = W.partitionBy("event_type").orderBy("v_milli")
-    ranked = vals.select(
+    cum = hist.select(
         "event_type",
         "v_milli",
-        F.row_number().over(wt).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        "c",
+        F.sum("c").over(wt).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
     )
     picks = [
-        F.max(
+        F.min(
             F.when(
-                F.col("rn") == F.expr(f"CAST(div({p} * n + 999, 1000) AS BIGINT)"),
+                F.col("cum") >= F.expr(f"CAST(div({p} * n + 999, 1000) AS BIGINT)"),
                 F.col("v_milli"),
             )
         ).alias(f"p{p}_milli")
         for p in VALUE_QUANTILES
     ]
     return (
-        ranked.groupBy("event_type")
+        cum.groupBy("event_type")
         .agg(
             F.max("n").cast("long").alias("n_values"),
-            F.sum("v_milli").cast("long").alias("sum_milli"),
+            F.sum(F.col("v_milli") * F.col("c")).cast("long").alias("sum_milli"),
             *picks,
         )
         .orderBy("event_type")
@@ -1911,7 +1931,7 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _value_percentiles_sql() -> str:
     picks = ",\n       ".join(
-        f"MAX(CASE WHEN rn = ({p} * n + 999) // 1000"
+        f"MIN(CASE WHEN cum >= ({p} * n + 999) // 1000"
         f" THEN v_milli END) AS p{p}_milli"
         for p in VALUE_QUANTILES
     )
@@ -1920,17 +1940,20 @@ WITH vals AS (
   SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v_milli
   FROM events
   WHERE value IS NOT NULL AND NOT isnan(value)
-), ranked AS (
-  SELECT event_type, v_milli,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_milli) AS rn,
-         COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM vals
+), hist AS (
+  SELECT event_type, v_milli, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY event_type, v_milli
+), cum AS (
+  SELECT event_type, v_milli, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v_milli) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
 )
 SELECT event_type,
        CAST(MAX(n) AS BIGINT) AS n_values,
-       CAST(SUM(v_milli) AS BIGINT) AS sum_milli,
+       CAST(SUM(v_milli * c) AS BIGINT) AS sum_milli,
        {picks}
-FROM ranked GROUP BY event_type ORDER BY event_type
+FROM cum GROUP BY event_type ORDER BY event_type
 """
 
 
