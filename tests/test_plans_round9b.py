@@ -504,3 +504,16 @@ def test_knn_plan(spark, sf_dir):
     t = _clean(q_knn_label_accuracy(spark, sf_dir), allow_cross_broadcast=True)
     assert "BatchEvalPython" not in t, t  # never row-at-a-time
     assert "WindowGroupLimit" in t, t
+
+
+def test_bot_score_plan(spark, sf_dir):
+    """Three (user × small-domain) counts share the user_id shuffle key;
+    reads only (user_id, event_type, ts); no Python."""
+    from wurzel_spark.queries.events import bot_score_stats
+
+    t = _clean(bot_score_stats(spark, sf_dir))
+    _no_python(t)
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
+        assert {c.split(":")[0] for c in s.split(",")} <= {
+            "user_id", "event_type", "ts",
+        }, s

@@ -1606,3 +1606,65 @@ def test_streaming_percentiles_replay_is_idempotent(spark, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in value_percentiles_by_type(spark, sf).collect()
     )
+
+
+# --------------------------------------------- bot triage composite
+
+
+def test_bot_score_planted_personas(spark, tmp_path):
+    """A cron scraper (all three flags), an organic human (none), and a
+    small account (unscored) land in their rows."""
+    from wurzel_spark.queries.events import bot_score_stats
+
+    d = dt.datetime
+    rows, eid = [], 0
+
+    def ev(u, t, ts):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, u, t, 1.0, None))
+
+    # user 1: the cron scraper — all 'click', all at minute 0, a trickle
+    # of 1/hour for 20 hours then an 80-event storm hour: peak 80 over
+    # 21 active hours vs mean 100/21 — peak·k = 1680 ≥ 10·n = 1000
+    for h in range(20):
+        ev(1, "click", d(2024, 1, 1, h, 0, 0))
+    for i in range(80):
+        ev(1, "click", d(2024, 1, 1, 23, 0, i % 60))
+    # user 2: organic — 24 events, 4 types, spread over hours and minutes
+    for i in range(24):
+        ev(2, ["view", "click", "purchase", "signup"][i % 4],
+           d(2024, 1, 1, i % 12, (7 * i) % 60, 5))
+    # user 3: 5 events — under the floor, unscored
+    for i in range(5):
+        ev(3, "view", d(2024, 1, 1, 1, 0, i))
+    sf = _write_events(spark, rows, tmp_path)
+    out = {r["bot_score"]: r for r in bot_score_stats(spark, sf).collect()}
+    assert out[3]["n_users"] == 1          # the scraper
+    assert out[3]["n_monotype"] == 1 and out[3]["n_burst"] == 1
+    assert out[3]["n_clockwork"] == 1
+    assert out[0]["n_users"] == 1          # the human
+    assert out[-1]["n_users"] == 1         # unscored
+    assert sum(r["share_permille"] for r in out.values()) >= 999 - 3
+
+
+def test_bot_score_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import BOT_SCORE_SQL, bot_score_stats
+
+    d = dt.datetime
+    rows = []
+    eid = 0
+    for u in range(4):
+        for i in range(25):
+            eid += 1
+            rows.append((eid, d(2024, 1, 1, (u + i) % 24, (u * 13 + i * 7) % 60),
+                         u, ["view", "click"][i % (u + 1) == 0], 1.0, None))
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in bot_score_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(BOT_SCORE_SQL).fetchall()]
+    assert got == want and len(got) >= 1

@@ -203,6 +203,7 @@ QUERIES = [
     "slo_burn_stats",
     "value_percentiles_by_type",
     "knn_label_accuracy",
+    "bot_score_stats",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -1958,3 +1958,146 @@ FROM cum GROUP BY event_type ORDER BY event_type
 
 
 VALUE_PERCENTILES_SQL = _value_percentiles_sql()
+
+
+# --------------------------------------------- bot triage composite
+
+BOT_MONOTYPE_PERMILLE = 900   # one type ≥ 90% of the user's events
+BOT_BURST_X = 10              # peak hour ≥ 10× the user's own hourly mean
+BOT_CLOCKWORK_PERMILLE = 500  # ≥ 50% of events at one minute-of-hour
+BOT_MIN_EVENTS = 20           # below this, flags are noise: unscored
+
+
+def bot_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite bot-triage scoreboard: three per-user behavioral flags
+    — MONOTYPE (one event type dominates: scrapers click, humans mix),
+    BURST (the user's peak hour dwarfs their own mean rate:
+    [[event_burstiness_stats]]' dispersion read at USER grain), and
+    CLOCKWORK (events concentrate on one minute-of-hour: cron fires at
+    :00, people don't) — summed to a 0–3 score with user counts per
+    score and per-flag prevalence.  The corpus-level detectors say THAT
+    something is off; this is the per-account gate a ban pipeline
+    consumes.
+
+    Exactness: every flag is a cleared integer comparison over exact
+    counts (``1000·max_type ≥ 900·n``, ``peak·h_active ≥ 10·n``,
+    ``1000·max_minute ≥ 500·n``); users under {BOT_MIN_EVENTS} events
+    are 'unscored' (score −1) rather than silently flag-free.
+
+    Scale shape: three (user × small-domain) grouped counts sharing the
+    user_id shuffle key, folded to user grain, one ≤5-row scoreboard."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("div(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000)").alias("eh"),
+        F.minute("ts").alias("moh"),
+    )
+
+    def max_share(col, alias):
+        return (
+            ev.groupBy("user_id", col)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .groupBy("user_id")
+            .agg(
+                F.sum("c").cast("long").alias(f"n_{alias}"),
+                F.max("c").cast("long").alias(f"max_{alias}"),
+                F.count(F.lit(1)).cast("long").alias(f"k_{alias}"),
+            )
+        )
+
+    by_type = max_share("event_type", "t")
+    by_hour = max_share("eh", "h")
+    by_min = max_share("moh", "m")
+    per_user = (
+        by_type.join(by_hour, "user_id").join(by_min, "user_id")
+        .select(
+            "user_id",
+            F.col("n_t").alias("n"),
+            F.expr(f"1000 * max_t >= {BOT_MONOTYPE_PERMILLE} * n_t").alias("f_mono"),
+            F.expr(f"max_h * k_h >= {BOT_BURST_X} * n_h").alias("f_burst"),
+            F.expr(f"1000 * max_m >= {BOT_CLOCKWORK_PERMILLE} * n_m").alias("f_clock"),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                f"CASE WHEN n < {BOT_MIN_EVENTS} THEN -1"
+                " ELSE CAST(f_mono AS INT) + CAST(f_burst AS INT)"
+                " + CAST(f_clock AS INT) END"
+            ).cast("long").alias("bot_score"),
+            F.expr(f"n >= {BOT_MIN_EVENTS} AND f_mono").alias("mono"),
+            F.expr(f"n >= {BOT_MIN_EVENTS} AND f_burst").alias("burst"),
+            F.expr(f"n >= {BOT_MIN_EVENTS} AND f_clock").alias("clock"),
+        )
+    )
+    wt = W.partitionBy()
+    return (
+        per_user.groupBy("bot_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.col("mono").cast("long")).cast("long").alias("n_monotype"),
+            F.sum(F.col("burst").cast("long")).cast("long").alias("n_burst"),
+            F.sum(F.col("clock").cast("long")).cast("long").alias("n_clockwork"),
+        )
+        .withColumn("total", F.sum("n_users").over(wt))
+        .select(
+            "bot_score",
+            "n_users",
+            F.expr("div(1000 * n_users, total)").alias("share_permille"),
+            "n_monotype",
+            "n_burst",
+            "n_clockwork",
+        )
+        .orderBy("bot_score")
+    )
+
+
+BOT_SCORE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // 3600000000 AS eh,
+         minute(ts) AS moh
+  FROM events
+), by_type AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_t, CAST(MAX(c) AS BIGINT) AS max_t,
+         CAST(COUNT(*) AS BIGINT) AS k_t
+  FROM (SELECT user_id, event_type, COUNT(*) AS c FROM ev
+        GROUP BY user_id, event_type) GROUP BY user_id
+), by_hour AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_h, CAST(MAX(c) AS BIGINT) AS max_h,
+         CAST(COUNT(*) AS BIGINT) AS k_h
+  FROM (SELECT user_id, eh, COUNT(*) AS c FROM ev
+        GROUP BY user_id, eh) GROUP BY user_id
+), by_min AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_m, CAST(MAX(c) AS BIGINT) AS max_m,
+         CAST(COUNT(*) AS BIGINT) AS k_m
+  FROM (SELECT user_id, moh, COUNT(*) AS c FROM ev
+        GROUP BY user_id, moh) GROUP BY user_id
+), per_user AS (
+  SELECT t.user_id,
+         CASE WHEN t.n_t < {BOT_MIN_EVENTS} THEN -1
+              ELSE CAST(1000 * t.max_t >= {BOT_MONOTYPE_PERMILLE} * t.n_t AS INT)
+                 + CAST(h.max_h * h.k_h >= {BOT_BURST_X} * h.n_h AS INT)
+                 + CAST(1000 * m.max_m >= {BOT_CLOCKWORK_PERMILLE} * m.n_m AS INT)
+              END AS bot_score,
+         t.n_t >= {BOT_MIN_EVENTS}
+           AND 1000 * t.max_t >= {BOT_MONOTYPE_PERMILLE} * t.n_t AS mono,
+         t.n_t >= {BOT_MIN_EVENTS}
+           AND h.max_h * h.k_h >= {BOT_BURST_X} * h.n_h AS burst,
+         t.n_t >= {BOT_MIN_EVENTS}
+           AND 1000 * m.max_m >= {BOT_CLOCKWORK_PERMILLE} * m.n_m AS clock
+  FROM by_type t
+  JOIN by_hour h ON h.user_id = t.user_id
+  JOIN by_min m ON m.user_id = t.user_id
+), board AS (
+  SELECT CAST(bot_score AS BIGINT) AS bot_score,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN mono THEN 1 ELSE 0 END) AS BIGINT) AS n_monotype,
+         CAST(SUM(CASE WHEN burst THEN 1 ELSE 0 END) AS BIGINT) AS n_burst,
+         CAST(SUM(CASE WHEN clock THEN 1 ELSE 0 END) AS BIGINT) AS n_clockwork
+  FROM per_user GROUP BY bot_score
+)
+SELECT bot_score, n_users,
+       CAST((1000 * n_users) // SUM(n_users) OVER () AS BIGINT) AS share_permille,
+       n_monotype, n_burst, n_clockwork
+FROM board ORDER BY bot_score
+"""
