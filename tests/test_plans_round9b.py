@@ -517,3 +517,15 @@ def test_bot_score_plan(spark, sf_dir):
         assert {c.split(":")[0] for c in s.split(",")} <= {
             "user_id", "event_type", "ts",
         }, s
+
+
+def test_stickiness_plan(spark, sf_dir):
+    """The trailing windows come from an explode-to-EQUI-join (a BETWEEN
+    range join would be a BroadcastNestedLoopJoin hazard — asserted
+    absent); reads only (user_id, ts); no Python."""
+    from wurzel_spark.queries.events import active_user_stickiness
+
+    t = _clean(active_user_stickiness(spark, sf_dir))
+    _no_python(t)
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
+        assert {c.split(":")[0] for c in s.split(",")} <= {"user_id", "ts"}, s

@@ -1668,3 +1668,55 @@ def test_bot_score_matches_oracle_on_fixture(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(BOT_SCORE_SQL).fetchall()]
     assert got == want and len(got) >= 1
+
+
+# --------------------------------------------- DAU/WAU/MAU stickiness
+
+
+def test_stickiness_hand_computed(spark, tmp_path):
+    """Three users over four days: windows, new/returning split and the
+    stickiness ratio all hand-checked (incl. a user active twice in the
+    window counting ONCE)."""
+    from wurzel_spark.queries.events import active_user_stickiness
+
+    d = dt.datetime
+    rows, eid = [], 0
+    plan = {
+        1: [0, 1, 3],   # active days (offsets from Jan 1)
+        2: [0],
+        3: [3],
+    }
+    for u, ds in plan.items():
+        for dd in ds:
+            for _ in range(2):  # duplicate events same day: still 1 DAU
+                eid += 1
+                rows.append((eid, d(2024, 1, 1 + dd), u, "view", 1.0, None))
+    sf = _write_events(spark, rows, tmp_path)
+    out = {r["day"] - 19723: r for r in active_user_stickiness(spark, sf).collect()}
+    d0, d1, d3 = out[0], out[1], out[3]
+    assert (d0["dau"], d0["wau"], d0["mau"]) == (2, 2, 2)
+    assert (d0["n_new"], d0["n_returning"]) == (2, 0)
+    assert (d1["dau"], d1["wau"], d1["mau"]) == (1, 2, 2)
+    assert (d1["n_new"], d1["n_returning"]) == (0, 1)
+    # day 3: u1 returns (3rd active day, counted once in the window),
+    # u3 is new; window covers all three users
+    assert (d3["dau"], d3["wau"], d3["mau"]) == (2, 3, 3)
+    assert (d3["n_new"], d3["n_returning"]) == (1, 1)
+    assert d3["stickiness_permille"] == (1000 * 2) // 3
+
+
+def test_stickiness_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import STICKINESS_SQL, active_user_stickiness
+
+    d = dt.datetime
+    rows = [(i + 1, d(2024, 2, 1 + (i * 3) % 10), i % 4, "view", 1.0, None)
+            for i in range(40)]
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in active_user_stickiness(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(STICKINESS_SQL).fetchall()]
+    assert got == want and len(got) > 2

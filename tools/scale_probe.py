@@ -204,6 +204,7 @@ QUERIES = [
     "value_percentiles_by_type",
     "knn_label_accuracy",
     "bot_score_stats",
+    "active_user_stickiness",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

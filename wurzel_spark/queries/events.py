@@ -2101,3 +2101,102 @@ SELECT bot_score, n_users,
        n_monotype, n_burst, n_clockwork
 FROM board ORDER BY bot_score
 """
+
+
+# --------------------------------------------- DAU/WAU/MAU stickiness
+
+WAU_DAYS = 7
+MAU_DAYS = 30
+
+
+def active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth dashboard's top row: per day, DAU / trailing-7d WAU /
+    trailing-30d MAU, the DAU/MAU stickiness ratio, and the
+    new-vs-returning split — [[user_retention_curve]] reads cohorts,
+    this reads the aggregate pulse (stickiness ≈ 1000·DAU/MAU is THE
+    engagement north-star metric).
+
+    Exactness: integer epoch days; the trailing windows are built by
+    EXPLODING each distinct (user, day) pair to the ≤30 future days it
+    contributes to and equi-joining on the target day (a BETWEEN range
+    join would be a nested-loop hazard; the explode is rollup-grain ×30,
+    never event-grain), then conditional COUNT(DISTINCT) per target day;
+    'new' means first-ever appearance (min day per user).  Target days
+    inner-join the observed-day panel, so the ramp past the corpus edge
+    never emits phantom rows.
+
+    Scale shape: one corpus-grain distinct fold to (user, day), a
+    user-grain min, a ×30 rollup-grain explode, one grouped aggregate
+    with three conditional distincts — all keyed shuffles, no
+    broadcast-nested-loop anywhere."""
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr("div(unix_micros(CAST(ts AS TIMESTAMP)), 86400000000)").alias("day"),
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    days = uw.select("day").distinct()
+    contrib = (
+        uw.select(
+            "user_id",
+            "day",
+            F.explode(F.sequence(F.lit(0), F.lit(MAU_DAYS - 1))).alias("off"),
+        )
+        .select("user_id", "day", (F.col("day") + F.col("off")).alias("d"), "off")
+        .join(days.withColumnRenamed("day", "d"), "d")
+    )
+    per_day = contrib.groupBy("d").agg(
+        F.countDistinct(F.when(F.col("off") == 0, F.col("user_id"))).cast("long").alias("dau"),
+        F.countDistinct(F.when(F.col("off") < WAU_DAYS, F.col("user_id"))).cast("long").alias("wau"),
+        F.countDistinct("user_id").cast("long").alias("mau"),
+    )
+    new_per_day = (
+        uw.join(first, "user_id")
+        .filter(F.col("day") == F.col("first_day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    return (
+        per_day.join(new_per_day.withColumnRenamed("day", "d"), "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            (F.col("dau") - F.coalesce("n_new", F.lit(0))).cast("long").alias("n_returning"),
+            F.expr("div(1000 * dau, mau)").alias("stickiness_permille"),
+        )
+        .orderBy("day")
+    )
+
+
+STICKINESS_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), first_day AS (
+  SELECT user_id, MIN(day) AS first_day FROM uw GROUP BY user_id
+), days AS (
+  SELECT DISTINCT day AS d FROM uw
+), contrib AS (
+  SELECT uw.user_id, uw.day, uw.day + t.off AS d, t.off
+  FROM uw, (SELECT UNNEST(range({MAU_DAYS})) AS off) t
+  JOIN days ON days.d = uw.day + t.off
+), per_day AS (
+  SELECT d,
+         CAST(COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END) AS BIGINT) AS dau,
+         CAST(COUNT(DISTINCT CASE WHEN off < {WAU_DAYS} THEN user_id END) AS BIGINT) AS wau,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM contrib GROUP BY d
+), new_per_day AS (
+  SELECT uw.day AS d, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM uw JOIN first_day f ON f.user_id = uw.user_id AND uw.day = f.first_day
+  GROUP BY uw.day
+)
+SELECT p.d AS day, p.dau, p.wau, p.mau,
+       COALESCE(n.n_new, 0) AS n_new,
+       p.dau - COALESCE(n.n_new, 0) AS n_returning,
+       CAST((1000 * p.dau) // p.mau AS BIGINT) AS stickiness_permille
+FROM per_day p LEFT JOIN new_per_day n ON n.d = p.d
+ORDER BY p.d
+"""
