@@ -529,3 +529,17 @@ def test_stickiness_plan(spark, sf_dir):
     _no_python(t)
     for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
         assert {c.split(":")[0] for c in s.split(",")} <= {"user_id", "ts"}, s
+
+
+def test_lift_and_dups_plans(spark, sf_dir):
+    """Lift: the shared hist subtree, text never in exchanges. Dups:
+    one groupBy on the vector column, defect-sized output."""
+    from wurzel_spark.operators.linalg import q_embedding_exact_dups
+    from wurzel_spark.operators.textstats import q_score_lift_table
+
+    t = _clean(q_score_lift_table(spark, sf_dir), allow_cross_broadcast=True)
+    _no_python(t)
+    _no_text_in_exchanges(t)
+    t2 = _clean(q_embedding_exact_dups(spark, sf_dir))
+    _no_python(t2)
+    assert "Join" not in t2, t2

@@ -1720,3 +1720,95 @@ def test_stickiness_matches_oracle_on_fixture(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(STICKINESS_SQL).fetchall()]
     assert got == want and len(got) > 2
+
+
+# ------------------------------------------ exact duplicate vectors
+
+
+def test_embedding_exact_dups_planted(spark):
+    """A stuck-encoder default vector repeated 5× and a tight ingest-loop
+    pair are named with sizes and spans; near-duplicates (1 ulp off) are
+    NOT grouped — exact means exact."""
+    from wurzel_spark.operators.linalg import embedding_exact_dups
+
+    stuck = [0.5] * 64
+    near = [0.5] * 63 + [0.5000001]
+    pair = [float(i) / 64 for i in range(64)]
+    rows = (
+        [(i, stuck, 0) for i in (3, 17, 40, 41, 99)]
+        + [(100, near, 0)]
+        + [(7, pair, 0), (8, pair, 0)]
+        + [(50, [1.0] + [0.0] * 63, 0)]
+    )
+    out = {r["group_id"]: r for r in embedding_exact_dups(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    ).collect()}
+    assert len(out) == 2
+    assert out[3]["n_members"] == 5 and out[3]["id_span"] == 96
+    assert out[7]["n_members"] == 2 and out[7]["id_span"] == 1
+
+
+def test_embedding_exact_dups_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.operators.linalg import EMBEDDING_DUPS_SQL, embedding_exact_dups
+
+    dup = [0.25] * 64
+    rows = [(1, dup, 0), (2, dup, 1), (3, [0.1] * 64, 0), (4, dup, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    p = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = [tuple(r) for r in embedding_exact_dups(
+        spark.read.parquet(p)).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM parquet_scan('{p}/*.parquet')")
+    want = [tuple(r) for r in con.execute(EMBEDDING_DUPS_SQL).fetchall()]
+    assert got == want == [(1, 3, 3)]
+
+
+# ------------------------------------------ classifier lift table
+
+
+def test_lift_table_full_capture_and_random_floor(spark, tmp_path):
+    """On a planted corpus with REAL keepers (the synthetic sf corpora
+    have zero Gopher keeps — all-NULL ratios there, oracle-green but
+    degenerate): the full-table row captures 1000‰ at lift 1000, and a
+    keeper-rich top decile lifts above it."""
+    from wurzel_spark.operators.textstats import score_lift_table
+    from wurzel_spark.tables import table as _table
+
+    # gopher-passing template: ≥50 words, mean len 3-10, ≥2 stop words
+    good = " ".join(["the", "be", "to", "of", "and"] + [f"word{i}" for i in range(50)])
+    # stopword-dense variant (high q1000 score) that also passes
+    dense = " ".join(["the", "be", "to", "of", "and", "that", "have", "with"] * 8)
+    # junk: fails gopher (too short), low score
+    junk = "zz qq"
+    rows = (
+        [(i, dense, "en", "s", len(dense)) for i in range(5)]
+        + [(10 + i, good, "en", "s", len(good)) for i in range(5)]
+        + [(20 + i, junk, "en", "s", len(junk)) for i in range(10)]
+    )
+    sf = _write_docs(spark, tmp_path, rows)
+    out = score_lift_table(_table(spark, sf, "documents")).collect()
+    last = out[-1]  # ordered bin desc -> last = cumulative all
+    assert last["cum_docs"] == 20 and last["cum_keep"] == 10
+    assert last["capture_permille"] == 1000
+    assert last["lift_permille"] == 1000
+    top = out[0]  # best-score decile: all keepers -> lift N/P = 2x
+    assert top["n_keep"] == top["n_docs"] > 0
+    assert top["lift_permille"] == 2000
+    caps = [r["capture_permille"] for r in out]
+    assert caps == sorted(caps)
+
+
+def test_lift_table_matches_oracle_at_sf(spark):
+    import duckdb
+    from wurzel_spark.operators.textstats import SCORE_LIFT_SQL, q_score_lift_table
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in q_score_lift_table(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(SCORE_LIFT_SQL).fetchall()]
+    assert got == want and len(got) >= 2

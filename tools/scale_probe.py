@@ -205,6 +205,8 @@ QUERIES = [
     "knn_label_accuracy",
     "bot_score_stats",
     "active_user_stickiness",
+    "embedding_exact_dups",
+    "score_lift_table",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -919,3 +919,69 @@ FROM tail
 
 
 FISHER_SQL = _fisher_sql()
+
+
+# ------------------------------------------ exact duplicate vectors
+
+
+def embedding_exact_dups(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact duplicate-vector audit: groups of bit-identical embeddings
+    — the cheapest and most damning embedding-pipeline defect check
+    (a stuck encoder, a default-vector fallback, or duplicated inputs
+    all land as one vector repeated thousands of times;
+    [[embedding_centroid_stats]]' avg_cos ≈ 1 hints at it, this NAMES
+    the offending groups).  One row per duplicate group: size, the
+    smallest member id as the group key, and the span of member ids
+    (a tight span = an ingest loop; a wide span = a systemic default).
+
+    Exactness: grouping is on the raw float ARRAY (bit equality — no
+    quantization, no tolerance: 'exact' means exact; NULL-element and
+    wrong-dim vectors are excluded and would fail bit-grouping anyway).
+
+    Scale shape: one groupBy on the vector column (the shuffle carries
+    each distinct vector once per partition after map-side combine),
+    filtered to groups > 1 — output is defect-sized."""
+    base = df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == CENTROID_DIM)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return (
+        base.groupBy("vec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("id").cast("long").alias("group_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            "group_id",
+            "n_members",
+            (F.col("max_id") - F.col("group_id")).alias("id_span"),
+        )
+        .orderBy(F.desc("n_members"), "group_id")
+    )
+
+
+def q_embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_exact_dups(table(spark, sf_dir, "embeddings"))
+
+
+EMBEDDING_DUPS_SQL = f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding AS vec
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {CENTROID_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), groups AS (
+  SELECT CAST(MIN(id) AS BIGINT) AS group_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MAX(id) - MIN(id) AS BIGINT) AS id_span
+  FROM base GROUP BY vec
+)
+SELECT group_id, n_members, id_span
+FROM groups WHERE n_members > 1
+ORDER BY n_members DESC, group_id
+"""

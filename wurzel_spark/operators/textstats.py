@@ -6600,3 +6600,104 @@ SELECT CAST(k AS BIGINT) AS n_groups,
             END AS BIGINT) AS eta2_permille
 FROM split
 """
+
+
+# ------------------------------------------ classifier lift table
+
+
+def score_lift_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Decile gains/lift table for the quality score against the Gopher
+    verdict — the fourth and final classic of the classifier-eval suite
+    ([[score_calibration_bins]] reliability, [[q_score_auc]] ranking,
+    [[brier_decomposition]] error anatomy, THIS the business readout):
+    gating at the top-k deciles captures what share of the keepers, at
+    what lift over random?  'The top 30% of scores hold 520‰ of the
+    keeps at 1.7× lift' is the sentence a curation budget decision is.
+
+    Exactness: derives from [[score_label_hist]] (the shared additive
+    pass); deciles cumulate from the BEST-scored down (bin desc);
+    capture = div(1000·cum_pos, P), lift = div(1000·cum_pos·N, cum_n·P)
+    — exact integers end to end.
+
+    Scale shape: the one shared corpus pass, then a 10-row window."""
+    from pyspark.sql import Window as W
+
+    hist = score_label_hist(df, text_col)
+    bins = hist.groupBy(
+        F.least(F.expr("q1000 div 100"), F.lit(CALIBRATION_N_BINS - 1))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.sum(F.col("pos") + F.col("neg")).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_keep"),
+    )
+    wd = W.partitionBy().orderBy(F.desc("bin"))
+    wt = W.partitionBy()
+    cum = bins.select(
+        "bin",
+        "n_docs",
+        "n_keep",
+        F.sum("n_docs").over(wd).alias("cum_docs"),
+        F.sum("n_keep").over(wd).alias("cum_keep"),
+        F.sum("n_docs").over(wt).alias("n"),
+        F.sum("n_keep").over(wt).alias("p"),
+    )
+    return cum.select(
+        "bin",
+        "n_docs",
+        "n_keep",
+        F.col("cum_docs").cast("long").alias("cum_docs"),
+        F.col("cum_keep").cast("long").alias("cum_keep"),
+        F.expr("CAST(CASE WHEN p > 0 THEN div(1000 * cum_keep, p) END AS BIGINT)").alias(
+            "capture_permille"
+        ),
+        F.expr(
+            "CAST(CASE WHEN p > 0 AND cum_docs > 0"
+            " THEN div(1000 * cum_keep * n, cum_docs * p) END AS BIGINT)"
+        ).alias("lift_permille"),
+    ).orderBy(F.desc("bin"))
+
+
+def q_score_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return score_lift_table(table(spark, sf_dir, "documents"))
+
+
+def _lift_sql() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH {_GOPHER_CTE},
+keepers AS (
+  SELECT doc_id, {_GOPHER_KEEP_EXPR} AS gopher_keep FROM f
+), per_doc AS (
+  SELECT b.doc_id,
+         CASE WHEN len(ws) > 0
+              THEN (1000 * len(list_filter(ws, w -> list_contains([{stoplist}], w)))) // len(ws)
+              ELSE 0 END AS q1000,
+         CASE WHEN k.gopher_keep THEN 1 ELSE 0 END AS keep
+  FROM base b JOIN keepers k USING (doc_id)
+), bins AS (
+  SELECT LEAST(q1000 // 100, {CALIBRATION_N_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(keep) AS BIGINT) AS n_keep
+  FROM per_doc GROUP BY LEAST(q1000 // 100, {CALIBRATION_N_BINS - 1})
+), cum AS (
+  SELECT bin, n_docs, n_keep,
+         SUM(n_docs) OVER (ORDER BY bin DESC) AS cum_docs,
+         SUM(n_keep) OVER (ORDER BY bin DESC) AS cum_keep,
+         SUM(n_docs) OVER () AS n,
+         SUM(n_keep) OVER () AS p
+  FROM bins
+)
+SELECT bin, n_docs, n_keep,
+       CAST(cum_docs AS BIGINT) AS cum_docs,
+       CAST(cum_keep AS BIGINT) AS cum_keep,
+       CAST(CASE WHEN p > 0 THEN (1000 * cum_keep) // p END AS BIGINT)
+         AS capture_permille,
+       CAST(CASE WHEN p > 0 AND cum_docs > 0
+            THEN (1000 * cum_keep * n) // (cum_docs * p) END AS BIGINT)
+         AS lift_permille
+FROM cum ORDER BY bin DESC
+"""
+
+
+SCORE_LIFT_SQL = _lift_sql()
