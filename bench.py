@@ -315,6 +315,14 @@ HEADLINE = [
     "purchase_attribution",
     "length_anova_stats",
     "fisher_separability_stats",
+    "slo_burn_stats",
+    "value_percentiles_by_type",
+    "column_encoding_stats",
+    "knn_label_accuracy",
+    "bot_score_stats",
+    "active_user_stickiness",
+    "embedding_exact_dups",
+    "score_lift_table",
 ]
 
 
