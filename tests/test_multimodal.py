@@ -317,3 +317,57 @@ def test_jpeg_real_decode_with_pil_or_documented_fallback(spark):
         jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01" + b"\x00" * 32 + b"\xff\xd9"
         with _pytest.raises(NotImplementedError, match="needs PIL"):
             _real_pixels(jpeg)
+
+
+# ----------------------------------------- built-in PNM real decode
+
+
+def test_pnm_real_decode_end_to_end(spark):
+    """REAL decode of hand-written PPM/PGM bytes through the full
+    decode_images Spark path (no PIL, no fake): pixel-exact dims and
+    channel means, ascii and binary variants, comments, 16-bit scaling,
+    grayscale→RGB broadcast."""
+    import struct
+    from wurzel_spark.operators.multimodal import decode_images
+
+    # P6 2x2: known channel means
+    p6 = (b"P6\n# cam frame\n2 2\n255\n"
+          + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]))
+    # P2 ascii 3x1 grayscale, maxval 15
+    p2 = b"P2\n3 1\n15\n0 7 15\n"
+    # P5 binary 1x2 16-bit grayscale
+    p5 = b"P5\n1 2\n65535\n" + struct.pack(">HH", 65535, 0)
+    assets = spark.createDataFrame(
+        [(1, "image", p6, ("image/x-portable-pixmap", 2, 2, None, None)),
+         (2, "image", p2, ("image/x-portable-graymap", 3, 1, None, None)),
+         (3, "image", p5, ("image/x-portable-graymap", 1, 2, None, None))],
+        "asset_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+    out = {r["asset_id"]: r for r in
+           decode_images(assets, decoder="real").collect()}
+    a = out[1]
+    assert (a["width"], a["height"]) == (2, 2)
+    assert a["mean_r"] == (255 + 0 + 0 + 10) / 4.0
+    assert a["mean_g"] == (0 + 255 + 0 + 20) / 4.0
+    assert a["mean_b"] == (0 + 0 + 255 + 30) / 4.0
+    b = out[2]
+    assert (b["width"], b["height"]) == (3, 1)
+    assert b["mean_r"] == b["mean_g"] == b["mean_b"] == (0 + 7 * 255 // 15 + 255) / 3.0
+    c = out[3]
+    assert (c["width"], c["height"]) == (1, 2)
+    assert c["mean_r"] == (255 + 0) / 2.0
+
+
+def test_pnm_refusals_are_documented(spark):
+    """Truncated rasters and over-budget dims refuse with
+    NotImplementedError (the codec-refusal convention), never garbage."""
+    import pytest
+    from wurzel_spark.operators.multimodal import _pnm_pixels
+
+    with pytest.raises(NotImplementedError):
+        _pnm_pixels(b"P6\n2 2\n255\n" + bytes([1, 2, 3]))  # truncated
+    with pytest.raises(NotImplementedError):
+        _pnm_pixels(b"P5\n100000 100000\n255\n")  # over the pixel budget
+    with pytest.raises(NotImplementedError):
+        _pnm_pixels(b"P2\n1 1\n15\n99\n")  # sample exceeds maxval

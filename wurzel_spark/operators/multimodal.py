@@ -158,8 +158,73 @@ def _png_pixels(content: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
+
+_PNM_MAGICS = (b"P2", b"P3", b"P5", b"P6")
+
+
+def _pnm_pixels(content: bytes) -> np.ndarray:
+    """Built-in PNM (PGM P2/P5, PPM P3/P6) decoder → HxWx3 uint8.
+
+    The portable anymap family is the lib-free raster lingua franca of
+    CV pipelines (ffmpeg/ImageMagick emit it in streaming mode); the
+    format is a whitespace-tokenized header + raw or ascii samples, so
+    a correct decoder needs no codec library at all — this path is REAL
+    decode, not a stand-in. Comments (#...) are honored; 16-bit maxvals
+    are scaled to 8; grayscale broadcasts to RGB (the convert("RGB")
+    convention of the PIL path)."""
+    magic = content[:2]
+    if magic not in _PNM_MAGICS:
+        raise NotImplementedError("not a PNM payload")
+    # tokenize the header: magic, width, height, maxval — skipping
+    # comments; for binary variants the raster starts after EXACTLY one
+    # whitespace byte past maxval.
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(content[start:pos]))
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 65535:
+        raise NotImplementedError("PNM header out of range")
+    if w * h > _MAX_DECODE_PIXELS:
+        raise NotImplementedError(
+            f"builtin PNM decoder caps at {_MAX_DECODE_PIXELS} pixels"
+        )
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    n_samples = w * h * channels
+    if magic in (b"P5", b"P6"):
+        pos += 1  # the single whitespace after maxval
+        width_bytes = 2 if maxval > 255 else 1
+        raw = content[pos : pos + n_samples * width_bytes]
+        if len(raw) != n_samples * width_bytes:
+            raise NotImplementedError("truncated PNM raster")
+        dt = ">u2" if width_bytes == 2 else np.uint8
+        arr = np.frombuffer(raw, dtype=dt).astype(np.int64)
+    else:
+        toks = content[pos:].split()
+        if len(toks) < n_samples:
+            raise NotImplementedError("truncated ascii PNM raster")
+        arr = np.array([int(t) for t in toks[:n_samples]], dtype=np.int64)
+    if arr.max(initial=0) > maxval:
+        raise NotImplementedError("PNM sample exceeds maxval")
+    if maxval != 255:
+        arr = arr * 255 // maxval
+    px = arr.astype(np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px
+
+
 def _real_pixels(content: bytes, max_pixels: int | None = None) -> np.ndarray:
-    """Real image decode: PIL when importable, builtin PNG otherwise.
+    """Real image decode: PIL when importable, builtin PNG/PNM otherwise.
 
     ``max_pixels`` caps the RETURNED pixel count: larger decodes are
     nearest-neighbor decimated (aspect-preserving) so downstream feature
@@ -177,12 +242,15 @@ def _real_pixels(content: bytes, max_pixels: int | None = None) -> np.ndarray:
     except ImportError:
         pass
     if px is None:
-        if content[:8] != _PNG_MAGIC:
+        if content[:8] == _PNG_MAGIC:
+            px = _png_pixels(content)
+        elif content[:2] in _PNM_MAGICS:
+            px = _pnm_pixels(content)
+        else:
             raise NotImplementedError(
-                "real decode for non-PNG bytes needs PIL/opencv — install "
-                "pillow or plug a codec into _real_pixels"
+                "real decode for non-PNG/PNM bytes needs PIL/opencv — "
+                "install pillow or plug a codec into _real_pixels"
             )
-        px = _png_pixels(content)
     if max_pixels is not None and px.shape[0] * px.shape[1] > max_pixels:
         scale = (max_pixels / (px.shape[0] * px.shape[1])) ** 0.5
         nh = max(1, int(px.shape[0] * scale))
