@@ -549,6 +549,10 @@ def test_magic_signatures_fire_on_real_prefixes(spark):
         asset(10, "image", "image/png", b"\xff\xd8\xff\xe1exif"),
         # html error page saved as jpeg
         asset(11, "image", "image/jpeg", b"<html>404</html>"),
+        # PNM family: binary PPM correctly declared, and a PGM
+        # mislabeled as png
+        asset(12, "image", "image/x-portable-pixmap", b"P6\n2 2\n255\nxxxx"),
+        asset(13, "image", "image/png", b"P5\n1 1\n255\n\x00"),
     ]
     df = spark.createDataFrame(
         rows,
@@ -558,6 +562,8 @@ def test_magic_signatures_fire_on_real_prefixes(spark):
     out = {(r["kind"], r["mime"], r["detected"]): r for r in magic_byte_stats(df).collect()}
     assert out[("image", "image/jpeg", "jpeg")]["mime_match"] is True
     assert out[("image", "image/png", "png")]["mime_match"] is True
+    assert out[("image", "image/x-portable-pixmap", "pnm")]["mime_match"] is True
+    assert out[("image", "image/png", "pnm")]["mime_match"] is False
     assert out[("image", "image/gif", "gif")]["mime_match"] is True
     assert out[("audio", "audio/wav", "wav")]["mime_match"] is True
     assert out[("video", "video/mp4", "mp4")]["mime_match"] is True

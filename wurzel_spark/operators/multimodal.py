@@ -676,6 +676,7 @@ _MAGIC_CASE = """CASE
   WHEN left({h}, 4) = '1F8B' THEN 'gzip'
   WHEN left({h}, 8) = '504B0304' THEN 'zip'
   WHEN left({h}, 8) = '4F676753' THEN 'ogg'
+  WHEN left({h}, 4) IN ('5032', '5033', '5035', '5036') THEN 'pnm'
   ELSE 'unknown' END"""
 
 _MIME_CONTAINER = """CASE {m}
@@ -686,6 +687,8 @@ _MIME_CONTAINER = """CASE {m}
   WHEN 'video/mp4' THEN 'mp4'
   WHEN 'application/pdf' THEN 'pdf'
   WHEN 'audio/ogg' THEN 'ogg'
+  WHEN 'image/x-portable-pixmap' THEN 'pnm'
+  WHEN 'image/x-portable-graymap' THEN 'pnm'
   ELSE 'unknown' END"""
 
 
