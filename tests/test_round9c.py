@@ -1812,3 +1812,46 @@ def test_lift_table_matches_oracle_at_sf(spark):
     )
     want = [tuple(r) for r in con.execute(SCORE_LIFT_SQL).fetchall()]
     assert got == want and len(got) >= 2
+
+
+# --------------------------------------------- streaming bot-score twin
+
+
+def test_streaming_bot_score_matches_batch(spark, tmp_path):
+    from wurzel_spark.queries.events import bot_score_stats
+    from wurzel_spark.streaming.botscore import bot_score_stream
+    from wurzel_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    ev = _table(spark, sf, "events").localCheckpoint()
+    d = str(tmp_path / "bot_in")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got = bot_score_stream(
+        stream, str(tmp_path / "bot_state"), str(tmp_path / "bot_ckpt"),
+        compact_every=2,
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in bot_score_stats(spark, sf).collect()
+    )
+
+
+def test_streaming_bot_score_replay_is_idempotent(spark, tmp_path):
+    from wurzel_spark.queries.events import bot_partials, bot_score_stats
+    from wurzel_spark.streaming._state import write_batch_state
+    from wurzel_spark.streaming.botscore import drain_bot_state
+    from wurzel_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    ev = _table(spark, sf, "events").localCheckpoint()
+    state = str(tmp_path / "bot_state2")
+    mine = bot_partials(ev).withColumn("src_batch", F_lit0())
+    for _ in range(3):
+        write_batch_state(spark, mine, state, 0,
+                          ["src_batch", "user_id", "kind", "k"], None)
+    got = drain_bot_state(spark, state)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in bot_score_stats(spark, sf).collect()
+    )

@@ -1986,48 +1986,64 @@ def bot_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: three (user × small-domain) grouped counts sharing the
     user_id shuffle key, folded to user grain, one ≤5-row scoreboard."""
-    ev = table(spark, sf_dir, "events").select(
+    return bot_score_from_partials(bot_partials(table(spark, sf_dir, "events")))
+
+
+def bot_partials(ev: DataFrame) -> DataFrame:
+    """(user_id, kind, k, c) long-format counts over the three flag
+    domains (kind 't' = event_type, 'h' = epoch hour, 'm' = minute-of-
+    hour) — ADDITIVE across any corpus split, so this is also the staged
+    unit of the streaming twin (streaming/botscore.py)."""
+    base = ev.select(
         "user_id",
         "event_type",
         F.expr("div(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000)").alias("eh"),
         F.minute("ts").alias("moh"),
     )
+    long = (
+        base.select("user_id", F.lit("t").alias("kind"),
+                    F.col("event_type").alias("k"))
+        .unionByName(
+            base.select("user_id", F.lit("h").alias("kind"),
+                        F.col("eh").cast("string").alias("k")))
+        .unionByName(
+            base.select("user_id", F.lit("m").alias("kind"),
+                        F.col("moh").cast("string").alias("k")))
+    )
+    return long.groupBy("user_id", "kind", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
 
-    def max_share(col, alias):
-        return (
-            ev.groupBy("user_id", col)
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .groupBy("user_id")
-            .agg(
-                F.sum("c").cast("long").alias(f"n_{alias}"),
-                F.max("c").cast("long").alias(f"max_{alias}"),
-                F.count(F.lit(1)).cast("long").alias(f"k_{alias}"),
-            )
-        )
 
-    by_type = max_share("event_type", "t")
-    by_hour = max_share("eh", "h")
-    by_min = max_share("moh", "m")
-    per_user = (
-        by_type.join(by_hour, "user_id").join(by_min, "user_id")
-        .select(
-            "user_id",
-            F.col("n_t").alias("n"),
-            F.expr(f"1000 * max_t >= {BOT_MONOTYPE_PERMILLE} * n_t").alias("f_mono"),
-            F.expr(f"max_h * k_h >= {BOT_BURST_X} * n_h").alias("f_burst"),
-            F.expr(f"1000 * max_m >= {BOT_CLOCKWORK_PERMILLE} * n_m").alias("f_clock"),
-        )
-        .select(
-            "user_id",
-            F.expr(
-                f"CASE WHEN n < {BOT_MIN_EVENTS} THEN -1"
-                " ELSE CAST(f_mono AS INT) + CAST(f_burst AS INT)"
-                " + CAST(f_clock AS INT) END"
-            ).cast("long").alias("bot_score"),
-            F.expr(f"n >= {BOT_MIN_EVENTS} AND f_mono").alias("mono"),
-            F.expr(f"n >= {BOT_MIN_EVENTS} AND f_burst").alias("burst"),
-            F.expr(f"n >= {BOT_MIN_EVENTS} AND f_clock").alias("clock"),
-        )
+def bot_score_from_partials(p: DataFrame) -> DataFrame:
+    """Score tail over the summed partials (shared with the drain)."""
+    per_kind = p.groupBy("user_id", "kind").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.max("c").cast("long").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("kk"),
+    )
+    per_user = per_kind.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("kind") == kd, F.col(col))).alias(f"{col}_{kd}")
+            for kd in ("t", "h", "m")
+            for col in ("n", "mx", "kk")
+        ]
+    ).select(
+        "user_id",
+        F.col("n_t").alias("n"),
+        F.expr(f"1000 * mx_t >= {BOT_MONOTYPE_PERMILLE} * n_t").alias("f_mono"),
+        F.expr(f"mx_h * kk_h >= {BOT_BURST_X} * n_h").alias("f_burst"),
+        F.expr(f"1000 * mx_m >= {BOT_CLOCKWORK_PERMILLE} * n_m").alias("f_clock"),
+    ).select(
+        "user_id",
+        F.expr(
+            f"CASE WHEN n < {BOT_MIN_EVENTS} THEN -1"
+            " ELSE CAST(f_mono AS INT) + CAST(f_burst AS INT)"
+            " + CAST(f_clock AS INT) END"
+        ).cast("long").alias("bot_score"),
+        F.expr(f"n >= {BOT_MIN_EVENTS} AND f_mono").alias("mono"),
+        F.expr(f"n >= {BOT_MIN_EVENTS} AND f_burst").alias("burst"),
+        F.expr(f"n >= {BOT_MIN_EVENTS} AND f_clock").alias("clock"),
     )
     wt = W.partitionBy()
     return (
