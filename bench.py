@@ -323,6 +323,7 @@ HEADLINE = [
     "active_user_stickiness",
     "embedding_exact_dups",
     "score_lift_table",
+    "simpson_flip_audit",
 ]
 
 

@@ -543,3 +543,12 @@ def test_lift_and_dups_plans(spark, sf_dir):
     t2 = _clean(q_embedding_exact_dups(spark, sf_dir))
     _no_python(t2)
     assert "Join" not in t2, t2
+
+
+def test_simpson_plan(spark, sf_dir):
+    """The shared partials aggregate feeds both fit levels; the pooled
+    1-row panel broadcasts; no Python."""
+    from wurzel_spark.queries.relational import simpson_flip_audit
+
+    t = _clean(simpson_flip_audit(spark, sf_dir), allow_cross_broadcast=True)
+    _no_python(t)

@@ -1855,3 +1855,56 @@ def test_streaming_bot_score_replay_is_idempotent(spark, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in bot_score_stats(spark, sf).collect()
     )
+
+
+# --------------------------------------------- Simpson's paradox audit
+
+
+def test_simpson_flip_fires_on_planted_paradox(spark, tmp_path):
+    """Two groups each with POSITIVE slope whose pooled cloud slopes
+    NEGATIVE (the textbook construction: group means anti-ordered
+    against the within-group trend) — the flag fires with both group
+    slopes positive and the pooled slope negative."""
+    from wurzel_spark.queries.relational import simpson_flip_audit
+
+    rows, k = [], 0
+    # group A: x in 1..4, y = 90 + x  (high intercept, low x)
+    for x in range(1, 5):
+        k += 1
+        rows.append(_li_row("A", x, (9000 + 100 * x) / 100.0, k))
+    # group B: x in 20..23, y = 10 + x (low intercept, high x)
+    for x in range(20, 24):
+        k += 1
+        rows.append(_li_row("B", x, (1000 + 100 * x) / 100.0, k))
+    sf = _write_lineitem(spark, tmp_path, rows)
+    r = simpson_flip_audit(spark, sf).collect()[0]
+    assert r["n_groups"] == 2
+    assert r["min_group_slope"] > 0          # both groups trend UP
+    assert r["pooled_slope_millicents"] < 0  # the pool trends DOWN
+    assert r["n_sign_flips"] == 2 and r["simpson_flag"]
+
+
+def test_simpson_no_flip_on_consistent_data(spark, tmp_path):
+    from wurzel_spark.queries.relational import simpson_flip_audit
+
+    rows = [_li_row(f, q, (100 + 250 * q) / 100.0, i + 1)
+            for i, (f, q) in enumerate([("A", 1), ("A", 3), ("B", 2), ("B", 5)])]
+    sf = _write_lineitem(spark, tmp_path, rows)
+    r = simpson_flip_audit(spark, sf).collect()[0]
+    assert r["n_sign_flips"] == 0 and not r["simpson_flag"]
+
+
+def test_simpson_matches_oracle_on_fixture(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.relational import SIMPSON_SQL, simpson_flip_audit
+
+    rows = [_li_row(["A", "B", "C"][i % 3], 1 + i % 7, 1.0 + 0.37 * i, i + 1)
+            for i in range(21)]
+    sf = _write_lineitem(spark, tmp_path, rows)
+    got = [tuple(r) for r in simpson_flip_audit(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM parquet_scan('{sf}/lineitem.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(SIMPSON_SQL).fetchall()]
+    assert got == want

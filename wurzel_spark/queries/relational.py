@@ -3041,3 +3041,111 @@ SELECT l_returnflag,
             END AS BIGINT) AS intercept_cents
 FROM sloped ORDER BY l_returnflag
 """
+
+
+# --------------------------------------------- Simpson's paradox audit
+
+
+def simpson_flip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit on the price~quantity relation: the
+    POOLED OLS slope next to every per-returnflag slope, counting sign
+    flips — the aggregation trap made a query ("the discount helps in
+    every segment but hurts overall" is this audit firing).  Any
+    dashboard that reports a pooled trend over grouped data needs this
+    row before shipping the headline number.
+
+    Exactness: both levels reuse [[ols_price_quantity]]'s certified
+    machinery verbatim — [[ols_partials]] once, the per-group fit AND
+    the pooled fit (partials summed to one row, the additivity that
+    makes the streaming twin work) through the same two-stage-division
+    tail — so the two slopes being compared carry identical
+    quantization by construction; a sign flip is an integer comparison.
+
+    Scale shape: ONE map-side-combinable grouped aggregate (the shared
+    partials), 3-row + 1-row tails."""
+    li = table(spark, sf_dir, "lineitem")
+    parts = ols_partials(li)
+    per_group = ols_from_partials(parts).select(
+        "l_returnflag", F.col("slope_millicents_per_unit").alias("slope_g")
+    )
+    pooled_parts = parts.groupBy(F.lit("ALL").alias("l_returnflag")).agg(
+        F.sum("n").cast("decimal(38,0)").alias("n"),
+        F.sum("sx").cast("decimal(38,0)").alias("sx"),
+        F.sum("sy").cast("decimal(38,0)").alias("sy"),
+        F.sum("sxy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("sxx").cast("decimal(38,0)").alias("sxx"),
+    )
+    pooled = ols_from_partials(pooled_parts).select(
+        F.col("slope_millicents_per_unit").alias("pooled_slope")
+    )
+    return (
+        per_group.crossJoin(F.broadcast(pooled))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.max("pooled_slope").cast("long").alias("pooled_slope_millicents"),
+            F.min("slope_g").cast("long").alias("min_group_slope"),
+            F.max("slope_g").cast("long").alias("max_group_slope"),
+            F.sum(
+                F.when(F.expr("sign(slope_g) != sign(pooled_slope)"), 1).otherwise(0)
+            ).cast("long").alias("n_sign_flips"),
+        )
+        .select(
+            "n_groups",
+            "pooled_slope_millicents",
+            "min_group_slope",
+            "max_group_slope",
+            "n_sign_flips",
+            (F.col("n_sign_flips") > 0).alias("simpson_flag"),
+        )
+    )
+
+
+SIMPSON_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+           AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+), lvl AS (
+  SELECT l_returnflag, n, sx, sy, sxy, sxx FROM s
+  UNION ALL
+  SELECT 'ALL', SUM(n), SUM(sx), SUM(sy), SUM(sxy), SUM(sxx) FROM s
+), fit AS (
+  SELECT l_returnflag,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM lvl
+), sloped AS (
+  SELECT l_returnflag,
+         CAST(CASE WHEN den = 0 THEN NULL
+              WHEN num >= 0 THEN (num // den) * {OLS_SLOPE_SCALE}
+                + ((num % den) * {OLS_SLOPE_SCALE}) // den
+              ELSE -(((-num) // den) * {OLS_SLOPE_SCALE}
+                + (((-num) % den) * {OLS_SLOPE_SCALE}) // den)
+              END AS BIGINT) AS slope
+  FROM fit
+)
+SELECT CAST((SELECT COUNT(*) FROM sloped WHERE l_returnflag != 'ALL') AS BIGINT)
+         AS n_groups,
+       (SELECT slope FROM sloped WHERE l_returnflag = 'ALL')
+         AS pooled_slope_millicents,
+       (SELECT MIN(slope) FROM sloped WHERE l_returnflag != 'ALL')
+         AS min_group_slope,
+       (SELECT MAX(slope) FROM sloped WHERE l_returnflag != 'ALL')
+         AS max_group_slope,
+       CAST((SELECT COUNT(*) FROM sloped g WHERE g.l_returnflag != 'ALL'
+             AND SIGN(g.slope) != SIGN((SELECT slope FROM sloped
+                                        WHERE l_returnflag = 'ALL')))
+         AS BIGINT) AS n_sign_flips,
+       (SELECT COUNT(*) FROM sloped g WHERE g.l_returnflag != 'ALL'
+        AND SIGN(g.slope) != SIGN((SELECT slope FROM sloped
+                                   WHERE l_returnflag = 'ALL'))) > 0
+         AS simpson_flag
+"""
