@@ -324,6 +324,7 @@ HEADLINE = [
     "embedding_exact_dups",
     "score_lift_table",
     "simpson_flip_audit",
+    "supplier_leadtime_stats",
 ]
 
 

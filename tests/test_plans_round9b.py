@@ -552,3 +552,14 @@ def test_simpson_plan(spark, sf_dir):
 
     t = _clean(simpson_flip_audit(spark, sf_dir), allow_cross_broadcast=True)
     _no_python(t)
+
+
+def test_leadtime_plan(spark, sf_dir):
+    """Supplier dim broadcasts; quantiles come from nation-partitioned
+    windows over HISTOGRAM rows (distinct lags, not lineitems); no
+    Python."""
+    from wurzel_spark.queries.relational import supplier_leadtime_stats
+
+    t = _clean(supplier_leadtime_stats(spark, sf_dir))
+    _no_python(t)
+    assert "BroadcastHashJoin" in t, t

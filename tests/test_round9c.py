@@ -1908,3 +1908,60 @@ def test_simpson_matches_oracle_on_fixture(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(SIMPSON_SQL).fetchall()]
     assert got == want
+
+
+# --------------------------------------------- supplier lead time
+
+
+def test_leadtime_hand_computed(spark, tmp_path):
+    """Known lags across two nations: hist quantiles, sums, and the SLA
+    late share all hand-checked."""
+    from wurzel_spark.queries.relational import supplier_leadtime_stats
+
+    d = dt.datetime
+    spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    ).coalesce(1).write.parquet(str(tmp_path / "supplier.parquet"))
+    orders = [(k, 1, "O", 1.0, d(2024, 1, 1), "P") for k in range(1, 7)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    # nation 0 lags: 10, 20, 100 (one late) ; nation 1 lags: 5, 5
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 1, 11)),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 1, 21)),
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 4, 10)),
+        (4, 1, 2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 1, 6)),
+        (5, 1, 2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 1, 6)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["nation"]: r for r in
+           supplier_leadtime_stats(spark, str(tmp_path)).collect()}
+    n0 = out[0]
+    assert n0["n_lines"] == 3 and n0["lag_days_sum"] == 130
+    assert (n0["lag_p500_days"], n0["lag_p900_days"]) == (20, 100)
+    assert n0["n_late"] == 1 and n0["late_permille"] == 333
+    n1 = out[1]
+    assert (n1["lag_p500_days"], n1["n_late"]) == (5, 0)
+
+
+def test_leadtime_matches_oracle_at_sf(spark):
+    import duckdb
+    from wurzel_spark.queries.relational import LEADTIME_SQL, supplier_leadtime_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in supplier_leadtime_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet')")
+    want = [tuple(r) for r in con.execute(LEADTIME_SQL).fetchall()]
+    assert got == want and len(got) > 0

@@ -3149,3 +3149,133 @@ SELECT CAST((SELECT COUNT(*) FROM sloped WHERE l_returnflag != 'ALL') AS BIGINT)
                                    WHERE l_returnflag = 'ALL'))) > 0
          AS simpson_flag
 """
+
+
+# --------------------------------------------- supplier lead time
+
+LEADTIME_QUANTILES = (500, 900)
+
+
+def supplier_leadtime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time scorecard per nation: exact p50/p90 of the
+    order→ship lag in days, late-line share against a fixed SLA — the
+    operational complement to [[revenue_hhi_stats]]' concentration view
+    (a nation can be cheap AND slow; procurement reads both before
+    moving volume).
+
+    Exactness: lag = integer epoch-day difference (the order_gap_stats
+    clearing); rank quantiles at integer-ceiling ranks over a value
+    HISTOGRAM (the value_percentiles lesson: the rank window scales
+    with distinct lag values per nation, not lineitems); the SLA test
+    is an integer comparison; SUMS beside counts.
+
+    Scale shape: fact ⋈ broadcast-able supplier dim ⋈ orders on
+    orderkey (the fact stream's own key — co-partitioned at scale),
+    folded to (nation, lag)-grain counts, then nation-partitioned
+    cumulative windows over histogram rows."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "div(unix_micros(CAST(l_shipdate AS TIMESTAMP)), 86400000000)"
+        ).alias("ship_day"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr(
+            "div(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 86400000000)"
+        ).alias("order_day"),
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lag = (
+        li.join(orders, "l_orderkey")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("nation"),
+            (F.col("ship_day") - F.col("order_day")).alias("lag_days"),
+        )
+    )
+    hist = lag.groupBy("nation", "lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wn = W.partitionBy("nation").orderBy("lag_days")
+    cum = hist.select(
+        "nation",
+        "lag_days",
+        "c",
+        F.sum("c").over(wn).alias("cum"),
+        F.sum("c").over(W.partitionBy("nation")).alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"CAST(div({p} * n + 999, 1000) AS BIGINT)"),
+                F.col("lag_days"),
+            )
+        ).alias(f"lag_p{p}_days")
+        for p in LEADTIME_QUANTILES
+    ]
+    return (
+        cum.groupBy("nation")
+        .agg(
+            F.max("n").cast("long").alias("n_lines"),
+            F.sum(F.col("lag_days") * F.col("c")).cast("long").alias("lag_days_sum"),
+            *picks,
+            F.sum(F.when(F.col("lag_days") > SLA_LEADTIME_DAYS, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+        )
+        .select(
+            "nation",
+            "n_lines",
+            "lag_days_sum",
+            f"lag_p{LEADTIME_QUANTILES[0]}_days",
+            f"lag_p{LEADTIME_QUANTILES[1]}_days",
+            "n_late",
+            F.expr("div(1000 * n_late, n_lines)").alias("late_permille"),
+        )
+        .orderBy("nation")
+    )
+
+
+SLA_LEADTIME_DAYS = 90
+
+
+def _leadtime_sql() -> str:
+    picks = ",\n       ".join(
+        f"MIN(CASE WHEN cum >= ({p} * n + 999) // 1000"
+        f" THEN lag_days END) AS lag_p{p}_days"
+        for p in LEADTIME_QUANTILES
+    )
+    return f"""
+WITH lag AS (
+  SELECT s.s_nationkey AS nation,
+         epoch_us(l.l_shipdate) // 86400000000
+           - epoch_us(o.o_orderdate) // 86400000000 AS lag_days
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+), hist AS (
+  SELECT nation, lag_days, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lag GROUP BY nation, lag_days
+), cum AS (
+  SELECT nation, lag_days, c,
+         SUM(c) OVER (PARTITION BY nation ORDER BY lag_days) AS cum,
+         SUM(c) OVER (PARTITION BY nation) AS n
+  FROM hist
+)
+SELECT nation,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(SUM(lag_days * c) AS BIGINT) AS lag_days_sum,
+       {picks},
+       CAST(SUM(CASE WHEN lag_days > {SLA_LEADTIME_DAYS} THEN c ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST((1000 * SUM(CASE WHEN lag_days > {SLA_LEADTIME_DAYS} THEN c ELSE 0 END))
+            // MAX(n) AS BIGINT) AS late_permille
+FROM cum GROUP BY nation ORDER BY nation
+"""
+
+
+LEADTIME_SQL = _leadtime_sql()
