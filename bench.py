@@ -325,6 +325,7 @@ HEADLINE = [
     "score_lift_table",
     "simpson_flip_audit",
     "supplier_leadtime_stats",
+    "transition_predictability",
 ]
 
 

@@ -563,3 +563,17 @@ def test_leadtime_plan(spark, sf_dir):
     t = _clean(supplier_leadtime_stats(spark, sf_dir))
     _no_python(t)
     assert "BroadcastHashJoin" in t, t
+
+
+def test_transition_predictability_plan(spark, sf_dir):
+    """The transition matrix's own cost (one user window + grouped
+    count), then |types|-grain algebra; reads only the three needed
+    columns; no Python."""
+    from wurzel_spark.queries.events import transition_predictability
+
+    t = _clean(transition_predictability(spark, sf_dir))
+    _no_python(t)
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
+        assert {c.split(":")[0] for c in s.split(",")} <= {
+            "user_id", "event_type", "ts", "event_id",
+        }, s

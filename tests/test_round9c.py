@@ -1965,3 +1965,59 @@ def test_leadtime_matches_oracle_at_sf(spark):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet')")
     want = [tuple(r) for r in con.execute(LEADTIME_SQL).fetchall()]
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------ transition predictability
+
+
+def test_transition_predictability_extremes(spark, tmp_path):
+    """A scripted A→B flow scores gini 0 + flag; a uniform 4-way
+    follower scores 750; values match the literal formula."""
+    from wurzel_spark.queries.events import transition_predictability
+
+    d = dt.datetime
+    rows, eid = [], 0
+
+    def ev(u, t, second):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, d(2024, 1, 1, 10, 0, second), u, t, 1.0, None))
+
+    # users 1-4: scripted A -> B, every time (one transition each)
+    sec = 0
+    for u in range(1, 5):
+        ev(u, "A", sec); ev(u, "B", sec + 1); sec += 2
+    # users 11-14: C followed by a DIFFERENT type each time
+    for i, nxt in enumerate(["v", "w", "x", "y"]):
+        ev(11 + i, "C", sec); ev(11 + i, nxt, sec + 1); sec += 2
+    sf = _write_events(spark, rows, tmp_path)
+    out = {r["from_type"]: r for r in
+           transition_predictability(spark, sf).collect()}
+    a = out["A"]
+    assert (a["n_transitions"], a["n_next_types"], a["top_next"]) == (4, 1, "B")
+    assert a["gini_permille"] == 0 and a["scripted_flag"]
+    assert a["top_share_permille"] == 1000
+    c = out["C"]
+    # uniform over 4: gini = (16 - 4)*1000 // 16 = 750
+    assert c["gini_permille"] == 750 and not c["scripted_flag"]
+    assert c["top_share_permille"] == 250
+
+
+def test_transition_predictability_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import (
+        TRANSITION_PREDICT_SQL,
+        transition_predictability,
+    )
+
+    d = dt.datetime
+    rows = [(i + 1, d(2024, 1, 1, 9, 0, i), 1 + i // 8,
+             ["a", "b", "a", "c"][i % 4], 1.0, None) for i in range(24)]
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in transition_predictability(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(TRANSITION_PREDICT_SQL).fetchall()]
+    assert got == want and len(got) >= 2

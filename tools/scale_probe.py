@@ -207,6 +207,7 @@ QUERIES = [
     "active_user_stickiness",
     "embedding_exact_dups",
     "score_lift_table",
+    "transition_predictability",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -2216,3 +2216,102 @@ SELECT p.d AS day, p.dau, p.wau, p.mau,
 FROM per_day p LEFT JOIN new_per_day n ON n.d = p.d
 ORDER BY p.d
 """
+
+
+# ------------------------------------------ transition predictability
+
+PREDICTABLE_PERMILLE = 300   # gini below this -> next step is near-scripted
+
+
+def transition_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How PREDICTABLE is the next step after each event type — the Gini
+    impurity of every row of [[event_transition_matrix]] (log-free
+    entropy analog, the [[user_type_gini]] convention at transition
+    grain): impurity 0 means X is always followed by the same type (a
+    scripted flow or a bot), high impurity means genuinely open
+    behavior.  The one-number-per-row summary the |types|² matrix is
+    usually squinted at for.
+
+    Exactness: gini = (T² − Σc²)·1000 div T² over exact session-bounded
+    transition counts (decimal(38,0)/HUGEINT for the squares); the top
+    next-step and its share ride along with a deterministic (count
+    desc, to_type) tie-break.
+
+    Scale shape: the transition matrix's own cost (one user window +
+    one grouped count), then |types|-grain algebra."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    trans = (
+        ev.select(
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+            gap_us.alias("gap_us"),
+        )
+        .filter(
+            F.col("from_type").isNotNull()
+            & (F.col("gap_us") <= SESSION_GAP_SECONDS * 1_000_000)
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    wr = W.partitionBy("from_type").orderBy(F.desc("c"), "to_type")
+    rows = trans.withColumn("rn", F.row_number().over(wr))
+    agg = rows.groupBy("from_type").agg(
+        F.sum("c").alias("t"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+        F.max(F.when(F.col("rn") == 1, F.col("to_type"))).alias("top_next"),
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_c"),
+        F.count(F.lit(1)).cast("long").alias("n_next_types"),
+    )
+    return agg.select(
+        "from_type",
+        F.col("t").cast("long").alias("n_transitions"),
+        "n_next_types",
+        "top_next",
+        F.expr("div(1000 * top_c, t)").alias("top_share_permille"),
+        F.expr("CAST(div((t * t - s2) * 1000, t * t) AS BIGINT)").alias(
+            "gini_permille"
+        ),
+        F.expr(
+            f"CAST(div((t * t - s2) * 1000, t * t) AS BIGINT)"
+            f" < {PREDICTABLE_PERMILLE}"
+        ).alias("scripted_flag"),
+    ).orderBy("from_type")
+
+
+TRANSITION_PREDICT_SQL = f"""
+WITH lagged AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER w AS from_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), trans AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM lagged
+  WHERE from_type IS NOT NULL AND gap_us <= {SESSION_GAP_SECONDS * 1_000_000}
+  GROUP BY from_type, to_type
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+                               ORDER BY c DESC, to_type) AS rn
+  FROM trans
+), agg AS (
+  SELECT from_type,
+         SUM(c) AS t,
+         SUM(c * c) AS s2,
+         MAX(CASE WHEN rn = 1 THEN to_type END) AS top_next,
+         MAX(CASE WHEN rn = 1 THEN c END) AS top_c,
+         CAST(COUNT(*) AS BIGINT) AS n_next_types
+  FROM ranked GROUP BY from_type
+)
+SELECT from_type,
+       CAST(t AS BIGINT) AS n_transitions,
+       n_next_types,
+       top_next,
+       CAST((1000 * top_c) // t AS BIGINT) AS top_share_permille,
+       CAST(((t * t - s2) * 1000) // (t * t) AS BIGINT) AS gini_permille,
+       CAST(((t * t - s2) * 1000) // (t * t) AS BIGINT)
+         < {PREDICTABLE_PERMILLE} AS scripted_flag
+FROM agg ORDER BY from_type
+"""
