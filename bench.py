@@ -326,6 +326,7 @@ HEADLINE = [
     "simpson_flip_audit",
     "supplier_leadtime_stats",
     "transition_predictability",
+    "prefix_template_stats",
 ]
 
 

@@ -577,3 +577,14 @@ def test_transition_predictability_plan(spark, sf_dir):
         assert {c.split(":")[0] for c in s.split(",")} <= {
             "user_id", "event_type", "ts", "event_id",
         }, s
+
+
+def test_prefix_template_plan(spark, sf_dir):
+    """Text leaves the scan as a ≤8-word prefix: full bodies never reach
+    an exchange; source-grain windows over prefix-grain rows; no
+    Python."""
+    from wurzel_spark.operators.textstats import q_prefix_template_stats
+
+    t = _clean(q_prefix_template_stats(spark, sf_dir))
+    _no_python(t)
+    _no_text_in_exchanges(t)

@@ -2021,3 +2021,53 @@ def test_transition_predictability_matches_oracle(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(TRANSITION_PREDICT_SQL).fetchall()]
     assert got == want and len(got) >= 2
+
+
+# ------------------------------------------ template-opener detection
+
+
+def test_prefix_template_planted(spark, tmp_path):
+    """A 3-doc template family (same 8-word opener, different bodies),
+    a short-doc template pair, and unique docs: counts and the top
+    template hand-checked; case-insensitive grouping pinned."""
+    from wurzel_spark.operators.textstats import prefix_template_stats
+    from wurzel_spark.tables import table as _table
+
+    opener = "dear customer thank you for your recent order"
+    rows = [
+        (1, opener + " of widgets", "en", "mail", 1),
+        (2, opener + " of gadgets and more body text", "en", "mail", 1),
+        (3, "Dear Customer THANK you for your recent order refund", "en", "mail", 1),
+        (4, "completely unique message body", "en", "mail", 1),
+        # short docs: the whole 3-word text is the prefix
+        (5, "error not found", "en", "mail", 1),
+        (6, "error not found", "en", "mail", 1),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    r = prefix_template_stats(_table(spark, sf, "documents")).collect()[0]
+    assert r["n_docs"] == 6 and r["n_prefixes"] == 3
+    assert r["templated_docs"] == 5          # 3 openers + 2 errors
+    assert r["templated_permille"] == 833
+    assert r["top_prefix"] == opener         # lowercased, 3 members
+    assert r["top_share_permille"] == 500
+
+
+def test_prefix_template_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.operators.textstats import (
+        PREFIX_TEMPLATE_SQL,
+        prefix_template_stats,
+    )
+    from wurzel_spark.tables import table as _table
+
+    rows = [(i, f"w{i % 3} common words here and then tail {i}", "en",
+             ["a", "b"][i % 2], 1) for i in range(12)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in
+           prefix_template_stats(_table(spark, sf, "documents")).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(PREFIX_TEMPLATE_SQL).fetchall()]
+    assert got == want and len(got) == 2

@@ -208,6 +208,7 @@ QUERIES = [
     "embedding_exact_dups",
     "score_lift_table",
     "transition_predictability",
+    "prefix_template_stats",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -6701,3 +6701,94 @@ FROM cum ORDER BY bin DESC
 
 
 SCORE_LIFT_SQL = _lift_sql()
+
+
+# ------------------------------------------ template-opener detection
+
+TEMPLATE_PREFIX_WORDS = 8
+
+
+def prefix_template_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Template-opener audit per source: how many documents share their
+    first {TEMPLATE_PREFIX_WORDS} words with another document — the
+    boilerplate signature of scraped form pages, auto-generated reports
+    and mirrored templates that exact-hash dedup misses (the BODIES
+    differ) and near-dup scoring pays full price to find.  A cheap
+    prefix group-by catches the template family first;
+    [[duplicated_spans]] then only needs to chase what survives.
+
+    Exactness: the prefix is the lowercase first-k whitespace tokens
+    (shorter docs use all their tokens — a 3-word doc can still be a
+    template); every output is a count or floor-div permille; the top
+    template breaks ties deterministically (count desc, prefix asc).
+
+    Scale shape: one corpus-grain grouped count at (source, prefix)
+    grain (text leaves the scan as a ≤k-word prefix — never the full
+    body), then source-grain windows over prefix-grain rows."""
+    from pyspark.sql import Window as W
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    prefix = F.array_join(F.slice(toks, 1, TEMPLATE_PREFIX_WORDS), " ")
+    per_prefix = df.select("source", prefix.alias("prefix")).groupBy(
+        "source", "prefix"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wr = W.partitionBy("source").orderBy(F.desc("c"), "prefix")
+    ranked = per_prefix.withColumn("rn", F.row_number().over(wr))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("templated_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("prefix"))).alias("top_prefix"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).cast("long").alias("top_c"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_prefixes",
+            "templated_docs",
+            F.expr("div(1000 * templated_docs, n_docs)").alias(
+                "templated_permille"
+            ),
+            "top_prefix",
+            F.expr("div(1000 * top_c, n_docs)").alias("top_share_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_prefix_template_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_template_stats(table(spark, sf_dir, "documents"))
+
+
+PREFIX_TEMPLATE_SQL = rf"""
+WITH pre AS (
+  SELECT source,
+         array_to_string(
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x != '')[1:{TEMPLATE_PREFIX_WORDS}], ' ') AS prefix
+  FROM documents
+), per_prefix AS (
+  SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pre GROUP BY source, prefix
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY c DESC, prefix) AS rn
+  FROM per_prefix
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS templated_docs,
+       CAST((1000 * SUM(CASE WHEN c > 1 THEN c ELSE 0 END)) // SUM(c) AS BIGINT)
+         AS templated_permille,
+       MAX(CASE WHEN rn = 1 THEN prefix END) AS top_prefix,
+       CAST((1000 * MAX(CASE WHEN rn = 1 THEN c END)) // SUM(c) AS BIGINT)
+         AS top_share_permille
+FROM ranked GROUP BY source ORDER BY source
+"""
