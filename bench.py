@@ -327,6 +327,7 @@ HEADLINE = [
     "supplier_leadtime_stats",
     "transition_predictability",
     "prefix_template_stats",
+    "peak_concurrency_stats",
 ]
 
 

@@ -588,3 +588,17 @@ def test_prefix_template_plan(spark, sf_dir):
     t = _clean(q_prefix_template_stats(spark, sf_dir))
     _no_python(t)
     _no_text_in_exchanges(t)
+
+
+def test_peak_concurrency_plan(spark, sf_dir):
+    """One user window (the sessionize pass), a session-grain fold, a
+    bounded hour explode; reads only (user_id, ts, event_id); no
+    Python."""
+    from wurzel_spark.queries.events import peak_concurrency_stats
+
+    t = _clean(peak_concurrency_stats(spark, sf_dir))
+    _no_python(t)
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
+        assert {c.split(":")[0] for c in s.split(",")} <= {
+            "user_id", "ts", "event_id",
+        }, s

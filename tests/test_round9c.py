@@ -2071,3 +2071,59 @@ def test_prefix_template_matches_oracle(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(PREFIX_TEMPLATE_SQL).fetchall()]
     assert got == want and len(got) == 2
+
+
+# --------------------------------------------- peak concurrency
+
+
+def test_peak_concurrency_hand_computed(spark, tmp_path):
+    """A session spanning three hours loads all three; two users in one
+    hour = concurrency 2; a gap splits the session and frees the silent
+    hour ONLY when the gap crosses the session bound."""
+    from wurzel_spark.queries.events import peak_concurrency_stats
+
+    d = dt.datetime
+    rows, eid = [], 0
+
+    def ev(u, ts):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, u, "view", 1.0, None))
+
+    # user 1: ONE session 10:30 -> 12:10 (25-min hops, under the gap):
+    # active hours 10, 11, 12
+    for ts in (d(2024, 1, 1, 10, 30), d(2024, 1, 1, 10, 55),
+               d(2024, 1, 1, 11, 20), d(2024, 1, 1, 11, 45),
+               d(2024, 1, 1, 12, 10)):
+        ev(1, ts)
+    # user 2: events at 11:00 and 14:00 — TWO sessions (3h gap), so
+    # hours 12/13 carry no session despite user 2 "returning"
+    ev(2, d(2024, 1, 1, 11, 0))
+    ev(2, d(2024, 1, 1, 14, 0))
+    sf = _write_events(spark, rows, tmp_path)
+    base = 19723 * 24  # epoch hours of 2024-01-01 00:00
+    out = {r["eh"] - base: r for r in peak_concurrency_stats(spark, sf).collect()}
+    assert out[10]["n_active_sessions"] == 1
+    assert out[11]["n_active_sessions"] == 2   # both users
+    assert out[11]["n_active_users"] == 2
+    assert out[12]["n_active_sessions"] == 1   # user 1 still going
+    assert 13 not in out                       # nobody active
+    assert out[14]["n_active_sessions"] == 1   # user 2's second session
+    assert out[11]["n_events"] == 3            # 2 from u1 + 1 from u2
+
+
+def test_peak_concurrency_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import PEAK_CONCURRENCY_SQL, peak_concurrency_stats
+
+    d = dt.datetime
+    rows = [(i + 1, d(2024, 3, 1, (i * 2) % 12, (i * 17) % 60), 1 + i % 3,
+             "view", 1.0, None) for i in range(30)]
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in peak_concurrency_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(PEAK_CONCURRENCY_SQL).fetchall()]
+    assert got == want and len(got) > 2

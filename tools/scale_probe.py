@@ -209,6 +209,7 @@ QUERIES = [
     "score_lift_table",
     "transition_predictability",
     "prefix_template_stats",
+    "peak_concurrency_stats",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

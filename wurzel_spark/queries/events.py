@@ -2315,3 +2315,110 @@ SELECT from_type,
          < {PREDICTABLE_PERMILLE} AS scripted_flag
 FROM agg ORDER BY from_type
 """
+
+
+# --------------------------------------------- peak concurrency
+
+
+def peak_concurrency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session load per hour: how many sessions (and users)
+    were ACTIVE in each hour — the capacity-planning readout
+    ([[events_hourly_stats]] counts events, which undercounts quiet
+    long sessions and overcounts bursts; connection pools and license
+    seats are sized on CONCURRENCY).  A session spanning three hours
+    loads all three.
+
+    Exactness: sessions are the sessionize convention (per-user gap
+    split, integer epoch micros); each session explodes to the epoch
+    hours in [first_hour, last_hour] (integer sequence — bounded by the
+    session's real duration, and a session only spans hours it has
+    events near by the gap bound); counts are exact.
+
+    Scale shape: one user window (the sessionize pass), a session-grain
+    min/max fold, a bounded hour explode, one grouped count per hour —
+    plus the event-grain hourly count for the ratio column."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    w2 = W.partitionBy("user_id").orderBy("us", "event_id")
+    sess = (
+        ev.select(
+            "user_id",
+            "event_id",
+            us.alias("us"),
+            is_new.alias("is_new"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w2.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.expr("div(min(us), 3600000000)").alias("h_lo"),
+            F.expr("div(max(us), 3600000000)").alias("h_hi"),
+        )
+    )
+    active = sess.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("eh"),
+    )
+    conc = active.groupBy("eh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_active_users"),
+    )
+    ev_hour = ev.groupBy(
+        F.expr("div(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000)").alias("eh")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return (
+        conc.join(ev_hour, "eh", "left")
+        .select(
+            "eh",
+            "n_active_sessions",
+            "n_active_users",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("eh")
+    )
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+), flagged AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN us - LAG(us) OVER w IS NULL
+              OR us - LAG(us) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), numbered AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_seq,
+         MIN(us) // 3600000000 AS h_lo,
+         MAX(us) // 3600000000 AS h_hi
+  FROM numbered GROUP BY user_id, session_seq
+), active AS (
+  SELECT user_id, UNNEST(range(h_lo, h_hi + 1)) AS eh FROM sess
+), conc AS (
+  SELECT eh,
+         CAST(COUNT(*) AS BIGINT) AS n_active_sessions,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+  FROM active GROUP BY eh
+), ev_hour AS (
+  SELECT epoch_us(ts) // 3600000000 AS eh, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY epoch_us(ts) // 3600000000
+)
+SELECT c.eh, c.n_active_sessions, c.n_active_users,
+       COALESCE(e.n_events, 0) AS n_events
+FROM conc c LEFT JOIN ev_hour e ON e.eh = c.eh
+ORDER BY c.eh
+"""
