@@ -328,6 +328,7 @@ HEADLINE = [
     "transition_predictability",
     "prefix_template_stats",
     "peak_concurrency_stats",
+    "backlog_aging_stats",
 ]
 
 

@@ -602,3 +602,13 @@ def test_peak_concurrency_plan(spark, sf_dir):
         assert {c.split(":")[0] for c in s.split(",")} <= {
             "user_id", "ts", "event_id",
         }, s
+
+
+def test_backlog_aging_plan(spark, sf_dir):
+    """One fact scan + broadcast 1-row max-date panel + tiny count; the
+    status filter reaches the scan; no Python."""
+    from wurzel_spark.queries.relational import backlog_aging_stats
+
+    t = _clean(backlog_aging_stats(spark, sf_dir), allow_cross_broadcast=True)
+    _no_python(t)
+    assert "o_orderstatus" in t and "PushedFilters" in t, t

@@ -2127,3 +2127,57 @@ def test_peak_concurrency_matches_oracle(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(PEAK_CONCURRENCY_SQL).fetchall()]
     assert got == want and len(got) > 2
+
+
+# --------------------------------------------- open-order aging
+
+
+def test_backlog_aging_hand_computed(spark, tmp_path):
+    """Planted ages around every bucket edge (30/31, 90/91, 365/366) and
+    a closed order that must not appear."""
+    from wurzel_spark.queries.relational import backlog_aging_stats
+
+    d = dt.datetime
+    anchor = d(2024, 12, 31)
+    orders = []
+    for k, (age, status) in enumerate(
+        [(0, "O"), (30, "O"), (31, "O"), (90, "O"), (91, "O"),
+         (365, "O"), (366, "O"), (5, "F")]
+    ):
+        orders.append((k + 1, 1, status, 10.005,
+                       anchor - dt.timedelta(days=age), "P"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {r["age_bucket"]: r
+           for r in backlog_aging_stats(spark, str(tmp_path)).collect()}
+    assert out["0-30"]["n_orders"] == 2      # ages 0, 30
+    assert out["31-90"]["n_orders"] == 2     # 31, 90
+    assert out["91-365"]["n_orders"] == 2    # 91, 365
+    assert out["365+"]["n_orders"] == 1      # 366
+    assert sum(r["n_orders"] for r in out.values()) == 7  # 'F' excluded
+    # floor(10.005*100) = 1000 cents exactly, per order
+    assert out["0-30"]["open_cents"] == 2000
+
+
+def test_backlog_aging_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.relational import BACKLOG_AGING_SQL, backlog_aging_stats
+
+    d = dt.datetime
+    orders = [(k + 1, 1, "OF"[k % 2], 1.0 + k, d(2024, 1, 1 + (k * 11) % 28),
+               ["1-URGENT", "3-MEDIUM"][k % 2]) for k in range(20)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    got = [tuple(r) for r in backlog_aging_stats(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM parquet_scan('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(BACKLOG_AGING_SQL).fetchall()]
+    assert got == want and len(got) >= 1

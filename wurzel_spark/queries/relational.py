@@ -3279,3 +3279,96 @@ FROM cum GROUP BY nation ORDER BY nation
 
 
 LEADTIME_SQL = _leadtime_sql()
+
+
+# --------------------------------------------- open-order aging
+
+AGING_BUCKETS = ((0, 30), (31, 90), (91, 365), (366, None))
+
+
+def backlog_aging_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report per priority: orders still open ('O') at
+    the corpus's latest order date, bucketed by age — the
+    accounts-receivable/ops staple ("what's been sitting >90 days and
+    how much money is it") that every backlog review opens with.
+
+    Exactness: age = integer epoch-day difference against the global
+    max order date (a lazy 1-row panel — no eager driver count); value
+    sums FLOOR to cents before summing (the house money rule); bucket
+    edges are integer comparisons; the bucket label set is fixed so the
+    output grain is ≤ |priorities| × 4.
+
+    Scale shape: one fact scan + broadcast 1-row max-date panel + a
+    tiny grouped count."""
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr(
+            "div(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 86400000000)"
+        ).alias("eday"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    maxd = orders.groupBy().agg(F.max("eday").alias("max_day"))
+    aged = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_orderpriority",
+            (F.col("max_day") - F.col("eday")).alias("age_days"),
+            "cents",
+        )
+    )
+    bucket = F.expr(
+        "CASE WHEN age_days <= 30 THEN '0-30'"
+        " WHEN age_days <= 90 THEN '31-90'"
+        " WHEN age_days <= 365 THEN '91-365'"
+        " ELSE '365+' END"
+    )
+    wt = W.partitionBy("o_orderpriority")
+    return (
+        aged.groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("open_cents"),
+        )
+        .withColumn("prio_total", F.sum("n_orders").over(wt))
+        .select(
+            "o_orderpriority",
+            "age_bucket",
+            "n_orders",
+            "open_cents",
+            F.expr("div(1000 * n_orders, prio_total)").alias("share_permille"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
+
+
+BACKLOG_AGING_SQL = """
+WITH base AS (
+  SELECT o_orderstatus, o_orderpriority,
+         epoch_us(o_orderdate) // 86400000000 AS eday,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), maxd AS (
+  SELECT MAX(eday) AS max_day FROM base
+), aged AS (
+  SELECT o_orderpriority, max_day - eday AS age_days, cents
+  FROM base, maxd WHERE o_orderstatus = 'O'
+), bucketed AS (
+  SELECT o_orderpriority,
+         CASE WHEN age_days <= 30 THEN '0-30'
+              WHEN age_days <= 90 THEN '31-90'
+              WHEN age_days <= 365 THEN '91-365'
+              ELSE '365+' END AS age_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS open_cents
+  FROM aged GROUP BY 1, 2
+)
+SELECT o_orderpriority, age_bucket, n_orders, open_cents,
+       CAST((1000 * n_orders)
+            // SUM(n_orders) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+         AS share_permille
+FROM bucketed ORDER BY o_orderpriority, age_bucket
+"""
