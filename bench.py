@@ -329,6 +329,7 @@ HEADLINE = [
     "prefix_template_stats",
     "peak_concurrency_stats",
     "backlog_aging_stats",
+    "revenue_growth_stats",
 ]
 
 

@@ -612,3 +612,17 @@ def test_backlog_aging_plan(spark, sf_dir):
     t = _clean(backlog_aging_stats(spark, sf_dir), allow_cross_broadcast=True)
     _no_python(t)
     assert "o_orderstatus" in t and "PushedFilters" in t, t
+
+
+def test_revenue_growth_plan(spark, sf_dir):
+    """One fact-grain month rollup, then month-grain index self-joins
+    (never positional lags that misalign over gaps); reads only
+    (o_orderdate, o_totalprice); no Python."""
+    from wurzel_spark.queries.relational import revenue_growth_stats
+
+    t = _clean(revenue_growth_stats(spark, sf_dir))
+    _no_python(t)
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
+        assert {c.split(":")[0] for c in s.split(",")} <= {
+            "o_orderdate", "o_totalprice",
+        }, s

@@ -2181,3 +2181,59 @@ def test_backlog_aging_matches_oracle(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(BACKLOG_AGING_SQL).fetchall()]
     assert got == want and len(got) >= 1
+
+
+# --------------------------------------------- revenue growth (MoM/YoY)
+
+
+def test_revenue_growth_hand_computed(spark, tmp_path):
+    """Planted monthly ledger across a year boundary: MoM (incl. a
+    NEGATIVE month under sign-split), YoY to the exact month index, and
+    the NULL edges all hand-checked."""
+    from wurzel_spark.queries.relational import revenue_growth_stats
+
+    d = dt.datetime
+    ledger = {
+        (2023, 11): 100_00, (2023, 12): 150_00,
+        (2024, 1): 120_00, (2024, 11): 130_00, (2024, 12): 90_00,
+    }
+    orders, k = [], 0
+    for (y, m), cents in ledger.items():
+        k += 1
+        orders.append((k, 1, "O", cents / 100.0, d(y, m, 15), "P"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {(r["yr"], r["mo"]): r
+           for r in revenue_growth_stats(spark, str(tmp_path)).collect()}
+    assert out[(2023, 11)]["mom_permille"] is None
+    assert out[(2023, 12)]["mom_permille"] == 500       # 100 -> 150
+    assert out[(2024, 1)]["mom_permille"] == -200       # 150 -> 120
+    # 2024-11 has no 2024-10 sibling: NULL MoM, but YoY to 2023-11
+    assert out[(2024, 11)]["mom_permille"] is None
+    assert out[(2024, 11)]["yoy_permille"] == 300       # 100 -> 130
+    assert out[(2024, 12)]["yoy_permille"] == -400      # 150 -> 90
+    assert out[(2024, 12)]["mom_permille"] == -((1000 * 4000) // 13000)
+
+
+def test_revenue_growth_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.relational import REVENUE_GROWTH_SQL, revenue_growth_stats
+
+    d = dt.datetime
+    orders = [(k + 1, 1, "O", 10.0 + 3 * k, d(2023 + k // 12, 1 + k % 12, 5), "P")
+              for k in range(30)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    got = [tuple(r) for r in revenue_growth_stats(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM parquet_scan('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(REVENUE_GROWTH_SQL).fetchall()]
+    assert got == want and len(got) == 30

@@ -3372,3 +3372,90 @@ SELECT o_orderpriority, age_bucket, n_orders, open_cents,
          AS share_permille
 FROM bucketed ORDER BY o_orderpriority, age_bucket
 """
+
+
+# --------------------------------------------- revenue growth (MoM/YoY)
+
+
+def revenue_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year growth —
+    the finance dashboard's first page, exact: [[cohort_ltv_curve]]
+    slices revenue by cohort, this reads the top line's trajectory
+    (MoM catches the cliff, YoY sees through seasonality — both or
+    you're guessing).
+
+    Exactness: months are the exact integer index ``year·12 + month``
+    (the cohort_ltv convention — no months_between float semantics);
+    revenue FLOORs to cents per order BEFORE the sum; growth permilles
+    sign-split ``div(1000·(cur − prev), prev)`` (revenue deltas go
+    negative; div truncates, floor floors — the centroid lesson); a
+    month with no 12-back sibling in the OBSERVED series emits NULL
+    YoY, never a wrong join to the positionally-previous row (the
+    comparison joins on the month INDEX, not on lag position).
+
+    Scale shape: one fact-grain grouped sum to month grain (map-side
+    combinable), then month-grain self-joins on idx−1 / idx−12."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate)").alias("midx"),
+        F.expr("year(o_orderdate)").alias("yr"),
+        F.expr("month(o_orderdate)").alias("mo"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    monthly = orders.groupBy("midx", "yr", "mo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+    )
+    prev_m = monthly.select(
+        (F.col("midx") + 1).alias("midx"), F.col("rev_cents").alias("prev_rev")
+    )
+    prev_y = monthly.select(
+        (F.col("midx") + 12).alias("midx"), F.col("rev_cents").alias("yoy_rev")
+    )
+
+    def growth(cur, prev):
+        return F.expr(
+            f"CAST(CASE WHEN {prev} IS NULL OR {prev} = 0 THEN NULL"
+            f" WHEN {cur} >= {prev} THEN div(1000 * ({cur} - {prev}), {prev})"
+            f" ELSE -div(1000 * ({prev} - {cur}), {prev}) END AS BIGINT)"
+        )
+
+    return (
+        monthly.join(prev_m, "midx", "left")
+        .join(prev_y, "midx", "left")
+        .select(
+            "yr",
+            "mo",
+            "n_orders",
+            "rev_cents",
+            growth("rev_cents", "prev_rev").alias("mom_permille"),
+            growth("rev_cents", "yoy_rev").alias("yoy_permille"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+REVENUE_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+         year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT m.yr, m.mo, m.n_orders, m.rev_cents,
+       CAST(CASE WHEN pm.rev_cents IS NULL OR pm.rev_cents = 0 THEN NULL
+            WHEN m.rev_cents >= pm.rev_cents
+            THEN (1000 * (m.rev_cents - pm.rev_cents)) // pm.rev_cents
+            ELSE -((1000 * (pm.rev_cents - m.rev_cents)) // pm.rev_cents)
+            END AS BIGINT) AS mom_permille,
+       CAST(CASE WHEN py.rev_cents IS NULL OR py.rev_cents = 0 THEN NULL
+            WHEN m.rev_cents >= py.rev_cents
+            THEN (1000 * (m.rev_cents - py.rev_cents)) // py.rev_cents
+            ELSE -((1000 * (py.rev_cents - m.rev_cents)) // py.rev_cents)
+            END AS BIGINT) AS yoy_permille
+FROM monthly m
+LEFT JOIN monthly pm ON pm.midx = m.midx - 1
+LEFT JOIN monthly py ON py.midx = m.midx - 12
+ORDER BY m.yr, m.mo
+"""
