@@ -330,6 +330,7 @@ HEADLINE = [
     "peak_concurrency_stats",
     "backlog_aging_stats",
     "revenue_growth_stats",
+    "seasonality_strength",
 ]
 
 

@@ -626,3 +626,17 @@ def test_revenue_growth_plan(spark, sf_dir):
         assert {c.split(":")[0] for c in s.split(",")} <= {
             "o_orderdate", "o_totalprice",
         }, s
+
+
+def test_seasonality_plan(spark, sf_dir):
+    """The shared rollup then (type × 24)-grain algebra; reads only
+    (event_type, ts); no join, no window, no Python."""
+    from wurzel_spark.queries.events import seasonality_strength
+
+    t = _clean(seasonality_strength(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t and "Window" not in t, t
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "event_type", "ts",
+    }, m and m.group(1)

@@ -2237,3 +2237,55 @@ def test_revenue_growth_matches_oracle(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(REVENUE_GROWTH_SQL).fetchall()]
     assert got == want and len(got) == 30
+
+
+# --------------------------------------------- seasonality strength
+
+
+def test_seasonality_strength_extremes(spark, tmp_path):
+    """A pure clock (count depends only on hour-of-day across days)
+    scores η² 1000; a day-over-day gradient with a flat daily profile
+    scores 0."""
+    from wurzel_spark.queries.events import seasonality_strength
+
+    d = dt.datetime
+    rows, eid = [], 0
+
+    def pump(et, day, hr, n):
+        nonlocal eid
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, d(2024, 1, day, hr), 1, et, 1.0, None))
+
+    # 'clock': hour 9 always 10 events, hour 18 always 2 — identical
+    # across 3 days -> zero within-group variance, eta2 = 1000
+    for day in (1, 2, 3):
+        pump("clock", day, 9, 10)
+        pump("clock", day, 18, 2)
+    # 'trend': same hour each day but count grows 2,6,10 -> all variance
+    # WITHIN the single hod group, eta2 = 0
+    for day, n in ((1, 2), (2, 6), (3, 10)):
+        pump("trend", day, 12, n)
+    sf = _write_events(spark, rows, tmp_path)
+    out = {r["event_type"]: r for r in seasonality_strength(spark, sf).collect()}
+    assert out["clock"]["eta2_permille"] == 1000
+    assert out["clock"]["n_hod_groups"] == 2
+    assert out["trend"]["eta2_permille"] == 0
+    assert out["trend"]["f_permille"] is None  # k = 1: no between factor
+
+
+def test_seasonality_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import SEASONALITY_SQL, seasonality_strength
+
+    d = dt.datetime
+    rows = [(i + 1, d(2024, 1, 1 + i % 4, (i * 5) % 24), 1,
+             ["a", "b"][i % 2], 1.0, None) for i in range(60)]
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in seasonality_strength(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(SEASONALITY_SQL).fetchall()]
+    assert got == want and len(got) == 2

@@ -210,6 +210,7 @@ QUERIES = [
     "transition_predictability",
     "prefix_template_stats",
     "peak_concurrency_stats",
+    "seasonality_strength",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -2422,3 +2422,99 @@ SELECT c.eh, c.n_active_sessions, c.n_active_users,
 FROM conc c LEFT JOIN ev_hour e ON e.eh = c.eh
 ORDER BY c.eh
 """
+
+
+# --------------------------------------------- seasonality strength
+
+
+def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each type's hourly-count variance the hour-of-day
+    profile EXPLAINS — the one-way-ANOVA η² (length_anova's algebra on
+    the rollup) with hour-of-day as the factor: [[event_acf_stats]]'
+    lag-24 says periodicity EXISTS, this says how much of the variance
+    it owns (η² ≈ 1000: a pure clock; ≈ 0: the daily profile is
+    noise).  The number that decides whether an anomaly detector should
+    deseasonalize before thresholding.
+
+    Exactness: the ANOVA scatter split on exact rollup counts —
+    ``ssb = GREATEST(Σ_g div(s_g², n_g) − div(S², N), 0)`` per type
+    (per-group flooring, χ² convention), η² and F as floor-div
+    permilles; groups are the type's OBSERVED (hod, count) rows (the
+    positional-series convention of the battery).
+
+    Scale shape: the shared corpus rollup, then (type × 24)-grain
+    algebra — nothing beyond the battery's own cost."""
+    hourly = hourly_rollup(table(spark, sf_dir, "events")).select(
+        "event_type",
+        F.hour("hour").cast("long").alias("hod"),
+        F.col("c").cast("decimal(38,0)").alias("c"),
+    )
+    g = hourly.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_g"),
+        F.sum("c").alias("s_g"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2_g"),
+    )
+    tail = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("s2_g").alias("s2"),
+        F.sum(F.expr("div(s_g * s_g, n_g)")).alias("gsum"),
+    )
+    split = tail.select(
+        "event_type",
+        "k",
+        "n",
+        F.expr("CAST(greatest(gsum - div(s * s, n), 0) AS DECIMAL(38,0))").alias(
+            "ssb"
+        ),
+        F.expr("CAST(s2 - gsum AS DECIMAL(38,0))").alias("ssw"),
+    )
+    return split.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("k").cast("long").alias("n_hod_groups"),
+        F.expr(
+            "CAST(CASE WHEN ssb + ssw > 0 THEN div(1000 * ssb, ssb + ssw)"
+            " END AS BIGINT)"
+        ).alias("eta2_permille"),
+        F.expr(
+            "CAST(CASE WHEN k > 1 AND ssw > 0"
+            " THEN div(1000 * ssb * (n - k), ssw * (k - 1)) END AS BIGINT)"
+        ).alias("f_permille"),
+    ).orderBy("event_type")
+
+
+SEASONALITY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), g AS (
+  SELECT event_type, CAST(hour(hour) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS HUGEINT) AS n_g,
+         SUM(c) AS s_g,
+         SUM(c * c) AS s2_g
+  FROM hourly GROUP BY event_type, hour(hour)
+), tail AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS k,
+         SUM(n_g) AS n, SUM(s_g) AS s, SUM(s2_g) AS s2,
+         SUM((s_g * s_g) // n_g) AS gsum
+  FROM g GROUP BY event_type
+), split AS (
+  SELECT event_type, k, n,
+         GREATEST(gsum - (s * s) // n, 0) AS ssb,
+         s2 - gsum AS ssw
+  FROM tail
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       CAST(k AS BIGINT) AS n_hod_groups,
+       CAST(CASE WHEN ssb + ssw > 0 THEN (1000 * ssb) // (ssb + ssw)
+            END AS BIGINT) AS eta2_permille,
+       CAST(CASE WHEN k > 1 AND ssw > 0
+            THEN (1000 * ssb * (n - k)) // (ssw * (k - 1)) END AS BIGINT)
+         AS f_permille
+FROM split ORDER BY event_type
+"""
