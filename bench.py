@@ -331,6 +331,7 @@ HEADLINE = [
     "backlog_aging_stats",
     "revenue_growth_stats",
     "seasonality_strength",
+    "discount_band_stats",
 ]
 
 

@@ -640,3 +640,18 @@ def test_seasonality_plan(spark, sf_dir):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "event_type", "ts",
     }, m and m.group(1)
+
+
+def test_discount_band_plan(spark, sf_dir):
+    """Row-local projection + 4-group map-side-combinable aggregate;
+    reads only the three needed columns; no join, no window, no
+    Python."""
+    from wurzel_spark.queries.relational import discount_band_stats
+
+    t = _clean(discount_band_stats(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t and "Window" not in t, t
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_discount", "l_quantity", "l_extendedprice",
+    }, m and m.group(1)

@@ -2289,3 +2289,54 @@ def test_seasonality_matches_oracle(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(SEASONALITY_SQL).fetchall()]
     assert got == want and len(got) == 2
+
+
+# --------------------------------------------- discount band ROI
+
+
+def test_discount_band_hand_computed(spark, tmp_path):
+    """Band edges (0, 3/4, 6/7) and the exact decimal money path
+    hand-checked — incl. a price whose IEEE product would round wrong
+    if the decimal rule were broken."""
+    from wurzel_spark.queries.relational import discount_band_stats
+
+    rows = [
+        _li_row("N", 1, 10.00, 1),   # 0% band
+        _li_row("N", 2, 10.00, 2),   # 3% -> '1-3'
+        _li_row("N", 3, 10.00, 3),   # 4% -> '4-6'
+        _li_row("N", 4, 10.00, 4),   # 7% -> '7+'
+        _li_row("N", 5, 0.29, 5),    # 10%: 0.29*0.9 = 0.261 -> 26 cents
+    ]
+    discs = {1: 0.0, 2: 0.03, 3: 0.04, 4: 0.07, 5: 0.10}
+    rows = [
+        (k, pk, sk, ln, q, p, discs[k], t, rf, ls, sd)
+        for (k, pk, sk, ln, q, p, _, t, rf, ls, sd) in rows
+    ]
+    sf = _write_lineitem(spark, tmp_path, rows)
+    out = {r["disc_band"]: r for r in discount_band_stats(spark, sf).collect()}
+    assert out["0"]["net_cents"] == 1000
+    assert out["1-3"]["net_cents"] == 970
+    assert out["4-6"]["net_cents"] == 960
+    # 7+ band: 10.00 @7% = 930 + 0.29 @10% = 26 (decimal-exact floor)
+    assert out["7+"]["n_lines"] == 2
+    assert out["7+"]["net_cents"] == 930 + 26
+    assert out["0"]["kept_permille"] == 1000
+
+
+def test_discount_band_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.relational import DISCOUNT_BAND_SQL, discount_band_stats
+
+    rows = []
+    for i in range(40):
+        r = list(_li_row("N", 1 + i % 9, 1.37 * (i + 1), i + 1))
+        r[6] = (i % 11) / 100.0
+        rows.append(tuple(r))
+    sf = _write_lineitem(spark, tmp_path, rows)
+    got = [tuple(r) for r in discount_band_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM parquet_scan('{sf}/lineitem.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(DISCOUNT_BAND_SQL).fetchall()]
+    assert got == want and len(got) == 4

@@ -3459,3 +3459,97 @@ LEFT JOIN monthly pm ON pm.midx = m.midx - 1
 LEFT JOIN monthly py ON py.midx = m.midx - 12
 ORDER BY m.yr, m.mo
 """
+
+
+# --------------------------------------------- discount band ROI
+
+
+def discount_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo ROI by discount band: for 0% / 1–3% / 4–6% / 7%+ discount
+    lines, the volume and money given up — does a deeper discount buy
+    enough quantity?  [[q1_pricing_summary]] sums the ledger flat;
+    [[ols_price_quantity]] fits the marginal price; this is the
+    merchandising readout in the middle ("the 7%+ band moved 12% more
+    units per line and cost 9% of gross" is the promo decision).
+
+    Exactness: band from the exact centi-discount integer
+    (``CAST(discount·100 AS DECIMAL)`` is exact for 2-dp fractions);
+    per-line net FLOORs ONCE from the exact decimal product
+    ``price·(1−disc)·100`` (decimal arithmetic both engines — no IEEE
+    product in the money path); integer sums, floor-div permilles.
+
+    Scale shape: one row-local projection + a 4-group map-side
+    combinable aggregate."""
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount")
+    one = F.lit(1).cast("decimal(18,2)")
+    li = table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "disc_centi"
+        ),
+        F.expr("CAST(floor(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)").alias(
+            "qty_centi"
+        ),
+        F.expr("CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)").alias(
+            "gross_cents"
+        ),
+        (F.floor((price * (one - disc)) * F.lit(100))).cast("bigint").alias(
+            "net_cents"
+        ),
+    )
+    band = F.expr(
+        "CASE WHEN disc_centi = 0 THEN '0'"
+        " WHEN disc_centi <= 3 THEN '1-3'"
+        " WHEN disc_centi <= 6 THEN '4-6'"
+        " ELSE '7+' END"
+    )
+    return (
+        li.groupBy(band.alias("disc_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("qty_centi").cast("long").alias("qty_centi_sum"),
+            F.sum("gross_cents").cast("long").alias("gross_cents"),
+            F.sum("net_cents").cast("long").alias("net_cents"),
+        )
+        .select(
+            "disc_band",
+            "n_lines",
+            "qty_centi_sum",
+            "gross_cents",
+            "net_cents",
+            F.expr("div(1000 * net_cents, gross_cents)").alias("kept_permille"),
+            F.expr("div(qty_centi_sum, n_lines)").alias("qty_centi_per_line"),
+        )
+        .orderBy("disc_band")
+    )
+
+
+DISCOUNT_BAND_SQL = """
+WITH base AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_centi,
+         CAST(floor(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS qty_centi,
+         CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS gross_cents,
+         CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) * 100) AS BIGINT)
+           AS net_cents
+  FROM lineitem
+), banded AS (
+  SELECT CASE WHEN disc_centi = 0 THEN '0'
+              WHEN disc_centi <= 3 THEN '1-3'
+              WHEN disc_centi <= 6 THEN '4-6'
+              ELSE '7+' END AS disc_band,
+         qty_centi, gross_cents, net_cents
+  FROM base
+)
+SELECT disc_band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(qty_centi) AS BIGINT) AS qty_centi_sum,
+       CAST(SUM(gross_cents) AS BIGINT) AS gross_cents,
+       CAST(SUM(net_cents) AS BIGINT) AS net_cents,
+       CAST((1000 * SUM(net_cents)) // SUM(gross_cents) AS BIGINT)
+         AS kept_permille,
+       CAST(SUM(qty_centi) // COUNT(*) AS BIGINT) AS qty_centi_per_line
+FROM banded GROUP BY disc_band ORDER BY disc_band
+"""
