@@ -332,6 +332,8 @@ HEADLINE = [
     "revenue_growth_stats",
     "seasonality_strength",
     "discount_band_stats",
+    "user_activity_fof",
+    "single_source_parts",
 ]
 
 

@@ -655,3 +655,18 @@ def test_discount_band_plan(spark, sf_dir):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "l_discount", "l_quantity", "l_extendedprice",
     }, m and m.group(1)
+
+
+def test_user_fof_and_single_source_plans(spark, sf_dir):
+    """FoF: one user-grain count + ≤64-row band aggregate, (user_id)-only
+    read. Single-source: part dim broadcasts over the fact fold."""
+    from wurzel_spark.queries.events import user_activity_fof
+    from wurzel_spark.queries.relational import single_source_parts
+
+    t = _clean(user_activity_fof(spark, sf_dir))
+    _no_python(t)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", t)
+    assert m and m.group(1).startswith("user_id"), m and m.group(1)
+    t2 = _clean(single_source_parts(spark, sf_dir))
+    _no_python(t2)
+    assert "BroadcastHashJoin" in t2, t2

@@ -2340,3 +2340,93 @@ def test_discount_band_matches_oracle(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(DISCOUNT_BAND_SQL).fetchall()]
     assert got == want and len(got) == 4
+
+
+# --------------------------------------------- user activity histogram
+
+
+def test_user_fof_bands_hand_computed(spark, tmp_path):
+    """Counts 1, 2, 3, 7, 8 land in bands 1, 2, 2, 3, 4 with exact
+    2^(b-1)..2^b-1 bounds."""
+    from wurzel_spark.queries.events import user_activity_fof
+
+    d = dt.datetime
+    rows, eid = [], 0
+    for u, k in [(1, 1), (2, 2), (3, 3), (4, 7), (5, 8)]:
+        for i in range(k):
+            eid += 1
+            rows.append((eid, d(2024, 1, 1, 0, 0, i), u, "v", 1.0, None))
+    sf = _write_events(spark, rows, tmp_path)
+    out = {r["band"]: r for r in user_activity_fof(spark, sf).collect()}
+    assert out[1]["n_users"] == 1 and out[1]["max_events"] == 1
+    assert out[2]["n_users"] == 2
+    assert (out[2]["min_events"], out[2]["max_events"]) == (2, 3)
+    assert out[3]["n_users"] == 1 and out[3]["min_events"] == 7
+    assert out[4]["n_users"] == 1 and out[4]["min_events"] == 8
+    assert sum(r["n_users"] for r in out.values()) == 5
+
+
+def test_user_fof_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import USER_FOF_SQL, user_activity_fof
+
+    d = dt.datetime
+    rows = [(i + 1, d(2024, 1, 1, 0, 0, i % 60), 1 + i % 7, "v", 1.0, None)
+            for i in range(50)]
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in user_activity_fof(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(USER_FOF_SQL).fetchall()]
+    assert got == want and len(got) >= 1
+
+
+# --------------------------------------------- single-source exposure
+
+
+def test_single_source_hand_computed(spark, tmp_path):
+    """Part shipped only by supplier 1 flags; a dual-sourced part does
+    not; brands aggregate correctly."""
+    from wurzel_spark.queries.relational import single_source_parts
+
+    d = dt.datetime
+    spark.createDataFrame(
+        [(1, "BrandA"), (2, "BrandA"), (3, "BrandB")],
+        "p_partkey long, p_brand string",
+    ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 1, 1)),  # p1 s1
+        (2, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 1, 2)),  # p1 s1 again
+        (3, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 1, 3)),  # p2 s1
+        (4, 2, 2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 1, 4)),  # p2 s2
+        (5, 3, 9, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2024, 1, 5)),  # p3 s9
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["p_brand"]: r
+           for r in single_source_parts(spark, str(tmp_path)).collect()}
+    a = out["BrandA"]
+    assert (a["n_parts"], a["n_single_source"]) == (2, 1)  # p1 yes, p2 no
+    assert a["single_source_permille"] == 500
+    b = out["BrandB"]
+    assert (b["n_parts"], b["n_single_source"]) == (1, 1)
+
+
+def test_single_source_matches_oracle_at_sf(spark):
+    import duckdb
+    from wurzel_spark.queries.relational import SINGLE_SOURCE_SQL, single_source_parts
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in single_source_parts(spark, sf).collect()]
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet')")
+    want = [tuple(r) for r in con.execute(SINGLE_SOURCE_SQL).fetchall()]
+    assert got == want and len(got) > 0

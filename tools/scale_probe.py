@@ -211,6 +211,7 @@ QUERIES = [
     "prefix_template_stats",
     "peak_concurrency_stats",
     "seasonality_strength",
+    "user_activity_fof",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -2518,3 +2518,69 @@ SELECT event_type,
          AS f_permille
 FROM split ORDER BY event_type
 """
+
+
+# --------------------------------------------- user activity histogram
+
+
+def user_activity_fof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies of user activity in power-of-two bands:
+    how many users had 1, 2–3, 4–7, … events — the engagement histogram
+    ([[term_freq_of_freq]]'s Zipf readout at USER grain) whose shape IS
+    the product story: a long 1-event head is drive-by traffic, a fat
+    high band is whales (or bots — cross-read [[bot_score_stats]]).
+
+    Exactness: the band is ``length(bin(k))`` (exact ceil-log2 of the
+    integer event count — the column_encoding convention, no log in
+    either engine); band bounds are 2^(b−1) … 2^b − 1; every output is
+    a count or floor-div permille.
+
+    Scale shape: one user-grain count (map-side combinable) then a
+    ≤64-row band aggregate."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    wt = W.partitionBy()
+    return (
+        per_user.groupBy(F.expr("CAST(length(bin(k)) AS BIGINT)").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("k").cast("long").alias("n_events"),
+            F.min("k").cast("long").alias("min_events"),
+            F.max("k").cast("long").alias("max_events"),
+        )
+        .withColumn("total_users", F.sum("n_users").over(wt))
+        .withColumn("total_events", F.sum("n_events").over(wt))
+        .select(
+            "band",
+            "n_users",
+            "min_events",
+            "max_events",
+            F.expr("div(1000 * n_users, total_users)").alias("user_share_permille"),
+            F.expr("div(1000 * n_events, total_events)").alias(
+                "event_share_permille"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+USER_FOF_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k FROM events GROUP BY user_id
+), banded AS (
+  SELECT CAST(length(bin(k)) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(k) AS BIGINT) AS n_events,
+         CAST(MIN(k) AS BIGINT) AS min_events,
+         CAST(MAX(k) AS BIGINT) AS max_events
+  FROM per_user GROUP BY 1
+)
+SELECT band, n_users, min_events, max_events,
+       CAST((1000 * n_users) // SUM(n_users) OVER () AS BIGINT)
+         AS user_share_permille,
+       CAST((1000 * n_events) // SUM(n_events) OVER () AS BIGINT)
+         AS event_share_permille
+FROM banded ORDER BY band
+"""

@@ -3553,3 +3553,63 @@ SELECT disc_band,
        CAST(SUM(qty_centi) // COUNT(*) AS BIGINT) AS qty_centi_per_line
 FROM banded GROUP BY disc_band ORDER BY disc_band
 """
+
+
+# --------------------------------------------- single-source exposure
+
+
+def single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain single-source exposure: parts whose entire shipment
+    history comes from ONE supplier, by part brand — the procurement
+    risk register ("if that supplier fails, these SKUs stop").  The
+    concentration metrics ([[revenue_hhi_stats]]) score the revenue
+    side; this counts the parts with NO fallback at all.
+
+    Exactness: supplier breadth is an exact COUNT DISTINCT per part;
+    brand comes from the broadcast part dim; shares are floor-div
+    permilles.
+
+    Scale shape: one (partkey → distinct suppliers) fact fold, a
+    broadcast dim join, a brand-grain count."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    breadth = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers")
+    )
+    return (
+        breadth.join(
+            F.broadcast(part), breadth.l_partkey == part.p_partkey
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum((F.col("n_suppliers") == 1).cast("long"))
+            .cast("long")
+            .alias("n_single_source"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_single_source",
+            F.expr("div(1000 * n_single_source, n_parts)").alias(
+                "single_source_permille"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SINGLE_SOURCE_SQL = """
+WITH breadth AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN b.n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_source,
+       CAST((1000 * SUM(CASE WHEN b.n_suppliers = 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS single_source_permille
+FROM breadth b JOIN part p ON p.p_partkey = b.l_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
