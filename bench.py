@@ -334,6 +334,7 @@ HEADLINE = [
     "discount_band_stats",
     "user_activity_fof",
     "single_source_parts",
+    "embedding_anisotropy",
 ]
 
 

@@ -670,3 +670,14 @@ def test_user_fof_and_single_source_plans(spark, sf_dir):
     t2 = _clean(single_source_parts(spark, sf_dir))
     _no_python(t2)
     assert "BroadcastHashJoin" in t2, t2
+
+
+def test_anisotropy_plan(spark, sf_dir):
+    """ONE aggregate to 64 sums — O(n) for a pairwise statistic, the
+    pair join never materializes; reads only the vector column; no join,
+    no Python."""
+    from wurzel_spark.operators.linalg import q_embedding_anisotropy
+
+    t = _clean(q_embedding_anisotropy(spark, sf_dir))
+    _no_python(t)
+    assert "Join" not in t, t

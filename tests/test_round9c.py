@@ -2430,3 +2430,46 @@ def test_single_source_matches_oracle_at_sf(spark):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet')")
     want = [tuple(r) for r in con.execute(SINGLE_SOURCE_SQL).fetchall()]
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------ embedding anisotropy
+
+
+def test_anisotropy_extremes_and_identity(spark):
+    """Identical vectors ⇒ anisotropy 1000 exactly; a ± mirrored pair set
+    ⇒ strongly negative; the sum-vector identity equals the literal
+    pairwise mean on a small mixed set."""
+    from wurzel_spark.operators.linalg import FISHER_QSCALE, embedding_anisotropy
+
+    schema = "vec_id long, embedding array<float>, label int"
+    same = [(i, [0.5] * 64, 0) for i in range(6)]
+    r = embedding_anisotropy(spark.createDataFrame(same, schema)).collect()[0]
+    assert r["anisotropy_permille"] == 1000
+
+    v = [1.0] + [0.0] * 63
+    mirrored = [(1, v, 0), (2, [-x for x in v], 0),
+                (3, v, 0), (4, [-x for x in v], 0)]
+    r2 = embedding_anisotropy(spark.createDataFrame(mirrored, schema)).collect()[0]
+    # 12 cross pairs: 4 aligned (+q), 8 anti (-q) -> mean -1/3
+    assert r2["anisotropy_permille"] == -((1000 * 4) // 12)
+
+    import struct
+    mixed = [(1, [0.9, 0.1] + [0.0] * 62, 0), (2, [0.2, 0.7] + [0.0] * 62, 0),
+             (3, [0.5, 0.5] + [0.0] * 62, 0)]
+    got = embedding_anisotropy(spark.createDataFrame(mixed, schema)).collect()[0]
+
+    def q(x):
+        x32 = struct.unpack("f", struct.pack("f", x))[0]
+        import math
+        return math.floor(x32 * FISHER_QSCALE)
+
+    vecs = [[q(x) for x in v] for _, v, _ in mixed]
+    n = len(vecs)
+    pair_sum = sum(
+        sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        for i in range(n) for j in range(n) if i != j
+    )
+    qq = sum(x * x for v in vecs for x in v)
+    want = (1000 * pair_sum) // ((n - 1) * qq) if pair_sum >= 0 else -(
+        (1000 * -pair_sum) // ((n - 1) * qq))
+    assert got["anisotropy_permille"] == want

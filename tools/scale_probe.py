@@ -212,6 +212,7 @@ QUERIES = [
     "peak_concurrency_stats",
     "seasonality_strength",
     "user_activity_fof",
+    "embedding_anisotropy",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -985,3 +985,105 @@ SELECT group_id, n_members, id_span
 FROM groups WHERE n_members > 1
 ORDER BY n_members DESC, group_id
 """
+
+
+# ------------------------------------------ embedding anisotropy
+
+
+def embedding_anisotropy(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Anisotropy of the embedding space (Ethayarajh 2019's diagnostic):
+    the average pairwise dot product relative to the average self dot —
+    near 0 the directions spread (healthy); approaching 1000 the whole
+    space points one way (the contextual-embedding cone; a mean-centered
+    re-projection is indicated before ANY cosine-based op —
+    [[semdedup_keep]], [[cosine_near_dup_pairs]] and the ANN family all
+    degrade quietly on a collapsed space).
+
+    Exactness (the pair sum never materializes): with quantized
+    components, ``Σ_{i≠j} v_i·v_j = |Σv|² − Σ|v|²`` exactly — one pass
+    of 64 integer sums replaces the O(n²) pair join; the readout is
+    ``div(1000·(|S|² − Q), (n−1)·Q)`` with Q = Σ|v_q|², sign-split (a
+    spread space can push the numerator negative).  2¹⁰ quantization
+    (the Fisher bound: per-dim sums get squared).
+
+    Scale shape: ONE map-side-combinable aggregate to 64 sums + a
+    1-row tail — O(n) for a pairwise statistic."""
+    from pyspark.sql import functions as F
+
+    base = df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == CENTROID_DIM)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(F.col(vec_col).alias("v"))
+
+    def qx(d: int):
+        return F.expr(
+            f"GREATEST(LEAST(CAST(floor(v[{d}] * {FISHER_QSCALE}) AS BIGINT),"
+            f" 2147483648), -2147483648)"
+        )
+
+    agg = base.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        *[F.sum(qx(d).cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"s{d}")
+          for d in range(CENTROID_DIM)],
+        F.sum(
+            sum((qx(d) * qx(d) for d in range(CENTROID_DIM)), F.lit(0)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("q"),
+    )
+    s2 = " + ".join(f"s{d} * s{d}" for d in range(CENTROID_DIM))
+    return agg.select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.expr(f"CAST({s2} AS DECIMAL(38,0))").alias("sum_sq"),
+        "q",
+        "n",
+    ).select(
+        "n_vectors",
+        F.expr(
+            "CAST(CASE WHEN n > 1 AND q > 0 THEN"
+            " CASE WHEN sum_sq >= q THEN div(1000 * (sum_sq - q), (n - 1) * q)"
+            " ELSE -div(1000 * (q - sum_sq), (n - 1) * q) END"
+            " END AS BIGINT)"
+        ).alias("anisotropy_permille"),
+    )
+
+
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_anisotropy(table(spark, sf_dir, "embeddings"))
+
+
+def _anisotropy_sql() -> str:
+    qx = (
+        f"GREATEST(LEAST(CAST(floor(embedding[i + 1] * {FISHER_QSCALE}) AS BIGINT),"
+        " 2147483648), -2147483648)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {CENTROID_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+), dims AS (
+  SELECT t.i, CAST(SUM({qx}) AS HUGEINT) AS s,
+         CAST(SUM(CAST({qx} AS HUGEINT) * {qx}) AS HUGEINT) AS qpart
+  FROM base, range({CENTROID_DIM}) t(i)
+  GROUP BY t.i
+), tail AS (
+  SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM base) AS n,
+         SUM(s * s) AS sum_sq,
+         SUM(qpart) AS q
+  FROM dims
+)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       CAST(CASE WHEN n > 1 AND q > 0 THEN
+            CASE WHEN sum_sq >= q THEN (1000 * (sum_sq - q)) // ((n - 1) * q)
+            ELSE -((1000 * (q - sum_sq)) // ((n - 1) * q)) END
+            END AS BIGINT) AS anisotropy_permille
+FROM tail
+"""
+
+
+ANISOTROPY_SQL = _anisotropy_sql()
