@@ -335,6 +335,7 @@ HEADLINE = [
     "user_activity_fof",
     "single_source_parts",
     "embedding_anisotropy",
+    "session_duration_stats",
 ]
 
 

@@ -681,3 +681,16 @@ def test_anisotropy_plan(spark, sf_dir):
     t = _clean(q_embedding_anisotropy(spark, sf_dir))
     _no_python(t)
     assert "Join" not in t, t
+
+
+def test_session_duration_plan(spark, sf_dir):
+    """The sessionize window + session-grain fold + duration-histogram
+    rank; reads only (user_id, ts, event_id); no Python."""
+    from wurzel_spark.queries.events import session_duration_stats
+
+    t = _clean(session_duration_stats(spark, sf_dir))
+    _no_python(t)
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
+        assert {c.split(":")[0] for c in s.split(",")} <= {
+            "user_id", "ts", "event_id",
+        }, s

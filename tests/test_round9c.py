@@ -2473,3 +2473,49 @@ def test_anisotropy_extremes_and_identity(spark):
     want = (1000 * pair_sum) // ((n - 1) * qq) if pair_sum >= 0 else -(
         (1000 * -pair_sum) // ((n - 1) * qq))
     assert got["anisotropy_permille"] == want
+
+
+# --------------------------------------------- session duration
+
+
+def test_session_duration_hand_computed(spark, tmp_path):
+    """Three sessions with known durations (0 s bounce, 600 s, 1200 s):
+    quantiles, bounce share and events-per-session hand-checked."""
+    from wurzel_spark.queries.events import session_duration_stats
+
+    d = dt.datetime
+    rows, eid = [], 0
+
+    def ev(u, ts):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, u, "v", 1.0, None))
+
+    ev(1, d(2024, 1, 1, 10, 0))                      # bounce: 0 s, 1 event
+    ev(2, d(2024, 1, 1, 10, 0)); ev(2, d(2024, 1, 1, 10, 10))   # 600 s
+    ev(3, d(2024, 1, 1, 10, 0)); ev(3, d(2024, 1, 1, 10, 10))
+    ev(3, d(2024, 1, 1, 10, 20))                     # 1200 s, 3 events
+    sf = _write_events(spark, rows, tmp_path)
+    r = session_duration_stats(spark, sf).collect()[0]
+    assert (r["n_sessions"], r["n_events"], r["n_bounces"]) == (3, 6, 1)
+    assert r["bounce_permille"] == 333
+    assert r["events_per_session_centi"] == 200
+    # sorted durations [0, 600, 1200]: p50 -> rank 2 -> 600, p90 -> 1200
+    assert (r["dur_p500_s"], r["dur_p900_s"]) == (600, 1200)
+
+
+def test_session_duration_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.queries.events import SESSION_DURATION_SQL, session_duration_stats
+
+    d = dt.datetime
+    rows = [(i + 1, d(2024, 1, 1, (i * 3) % 24, (i * 11) % 60), 1 + i % 4,
+             "v", 1.0, None) for i in range(40)]
+    sf = _write_events(spark, rows, tmp_path)
+    got = [tuple(r) for r in session_duration_stats(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{sf}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(SESSION_DURATION_SQL).fetchall()]
+    assert got == want

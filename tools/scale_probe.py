@@ -213,6 +213,7 @@ QUERIES = [
     "seasonality_strength",
     "user_activity_fof",
     "embedding_anisotropy",
+    "session_duration_stats",
     "kmv_overlap_matrix",
     "robust_length_stats",
     # customer_balance_gini / revenue_hhi_stats / cohort_ltv_curve

@@ -2584,3 +2584,122 @@ SELECT band, n_users, min_events, max_events,
          AS event_share_permille
 FROM banded ORDER BY band
 """
+
+
+# --------------------------------------------- session duration
+
+SESSION_DUR_QUANTILES = (500, 900)
+
+
+def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution: exact p50/p90 duration seconds, the
+    single-event (bounce) share, and events-per-session — the
+    engagement-depth readout beside [[peak_concurrency_stats]]' load
+    view (same sessions, the other axis: how LONG do people stay).
+
+    Exactness: sessions per the sessionize convention; durations are
+    integer seconds ``div(max_us − min_us, 10⁶)``; quantiles are exact
+    rank-based values over a duration HISTOGRAM (the value_percentiles
+    shape — the rank window scales with distinct durations).
+
+    Scale shape: the sessionize window + a session-grain fold + a
+    duration-histogram rank."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    w2 = W.partitionBy("user_id").orderBy("us", "event_id")
+    sess = (
+        ev.select("user_id", "event_id", us.alias("us"), is_new.alias("is_new"))
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w2.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.expr("div(max(us) - min(us), 1000000)").alias("dur_s"),
+        )
+    )
+    hist = sess.groupBy("dur_s").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("n_ev").cast("long").alias("ev"),
+        F.sum((F.col("n_ev") == 1).cast("long")).cast("long").alias("bounces"),
+    )
+    wd = W.partitionBy().orderBy("dur_s")
+    cum = hist.select(
+        "dur_s",
+        "c",
+        "ev",
+        "bounces",
+        F.sum("c").over(wd).alias("cum"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"CAST(div({p} * n + 999, 1000) AS BIGINT)"),
+                F.col("dur_s"),
+            )
+        ).alias(f"dur_p{p}_s")
+        for p in SESSION_DUR_QUANTILES
+    ]
+    return cum.groupBy().agg(
+        F.max("n").cast("long").alias("n_sessions"),
+        F.sum("ev").cast("long").alias("n_events"),
+        F.sum("bounces").cast("long").alias("n_bounces"),
+        *picks,
+    ).select(
+        "n_sessions",
+        "n_events",
+        "n_bounces",
+        F.expr("div(1000 * n_bounces, n_sessions)").alias("bounce_permille"),
+        F.expr("div(100 * n_events, n_sessions)").alias("events_per_session_centi"),
+        f"dur_p{SESSION_DUR_QUANTILES[0]}_s",
+        f"dur_p{SESSION_DUR_QUANTILES[1]}_s",
+    )
+
+
+SESSION_DURATION_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER w IS NULL
+              OR us - LAG(us) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), numbered AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_seq,
+         CAST(COUNT(*) AS BIGINT) AS n_ev,
+         (MAX(us) - MIN(us)) // 1000000 AS dur_s
+  FROM numbered GROUP BY user_id, session_seq
+), hist AS (
+  SELECT dur_s, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(n_ev) AS BIGINT) AS ev,
+         CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces
+  FROM sess GROUP BY dur_s
+), cum AS (
+  SELECT dur_s, c, ev, bounces,
+         SUM(c) OVER (ORDER BY dur_s) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+       CAST(SUM(ev) AS BIGINT) AS n_events,
+       CAST(SUM(bounces) AS BIGINT) AS n_bounces,
+       CAST((1000 * SUM(bounces)) // MAX(n) AS BIGINT) AS bounce_permille,
+       CAST((100 * SUM(ev)) // MAX(n) AS BIGINT) AS events_per_session_centi,
+       MIN(CASE WHEN cum >= (500 * n + 999) // 1000 THEN dur_s END) AS dur_p500_s,
+       MIN(CASE WHEN cum >= (900 * n + 999) // 1000 THEN dur_s END) AS dur_p900_s
+FROM cum
+"""
