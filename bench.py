@@ -336,6 +336,7 @@ HEADLINE = [
     "single_source_parts",
     "embedding_anisotropy",
     "session_duration_stats",
+    "metadata_consistency_stats",
 ]
 
 

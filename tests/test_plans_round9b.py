@@ -694,3 +694,13 @@ def test_session_duration_plan(spark, sf_dir):
         assert {c.split(":")[0] for c in s.split(",")} <= {
             "user_id", "ts", "event_id",
         }, s
+
+
+def test_metadata_consistency_plan(spark, sf_dir):
+    """Row-local projection + per-source aggregate; text never reaches
+    an exchange; no Python."""
+    from wurzel_spark.operators.textstats import q_metadata_consistency
+
+    t = _clean(q_metadata_consistency(spark, sf_dir))
+    _no_python(t)
+    _no_text_in_exchanges(t)

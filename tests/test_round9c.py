@@ -2519,3 +2519,50 @@ def test_session_duration_matches_oracle(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(SESSION_DURATION_SQL).fetchall()]
     assert got == want
+
+
+# ------------------------------------------ metadata consistency audit
+
+
+def test_metadata_consistency_planted(spark, tmp_path):
+    """A truthful doc, a stale-metadata doc (text rewritten, n_chars
+    not), and a NULL-text doc each land in their counter."""
+    from wurzel_spark.operators.textstats import metadata_consistency_stats
+    from wurzel_spark.tables import table as _table
+
+    rows = [
+        (1, "hello", "en", "s", 5),       # consistent
+        (2, "rewritten text", "en", "s", 5),  # stale: 14 vs 5
+        (3, None, "en", "s", 7),          # null text
+        (4, "ok", "en", "t", 2),          # consistent, other source
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r for r in
+           metadata_consistency_stats(_table(spark, sf, "documents")).collect()}
+    s = out["s"]
+    assert (s["n_docs"], s["n_null_text"], s["n_stale"]) == (3, 1, 1)
+    assert s["max_abs_delta"] == 9
+    assert s["stale_permille"] == 333
+    t = out["t"]
+    assert (t["n_stale"], t["max_abs_delta"]) == (0, 0)
+
+
+def test_metadata_consistency_matches_oracle(spark, tmp_path):
+    import duckdb
+    from wurzel_spark.operators.textstats import (
+        METADATA_CONSISTENCY_SQL,
+        metadata_consistency_stats,
+    )
+    from wurzel_spark.tables import table as _table
+
+    rows = [(i, "x" * (i % 9), "en", ["a", "b"][i % 2], (i % 9) + (i % 3))
+            for i in range(1, 21)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [tuple(r) for r in
+           metadata_consistency_stats(_table(spark, sf, "documents")).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{sf}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(METADATA_CONSISTENCY_SQL).fetchall()]
+    assert got == want and len(got) == 2

@@ -6792,3 +6792,73 @@ SELECT source,
          AS top_share_permille
 FROM ranked GROUP BY source ORDER BY source
 """
+
+
+# ------------------------------------------ metadata consistency audit
+
+
+def metadata_consistency_stats(df: DataFrame) -> DataFrame:
+    """Stored-metadata vs recomputed-truth audit per source: does the
+    n_chars column actually equal length(text)?  Derived columns go
+    stale the moment any pipeline stage rewrites text without
+    refreshing them (the truncation/clean/redact stages all CAN) — and
+    every length-based gate downstream ([[robust_length_stats]],
+    [[ks_length_drift]], the Gopher rules) silently reads the lie.
+    This is the contract check that catches it at ingest.
+
+    Exactness: per-row delta = ``length(text) − n_chars`` (NULL text
+    counted separately); counts, max |delta| and the stale share are
+    exact integers.
+
+    Scale shape: one row-local projection + a per-source aggregate."""
+    delta = F.length(F.col("text")) - F.col("n_chars")
+    return (
+        df.select(
+            "source",
+            F.col("text").isNull().alias("null_text"),
+            delta.alias("delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("null_text").cast("long")).cast("long").alias("n_null_text"),
+            F.sum(
+                (~F.col("null_text") & (F.col("delta") != 0)).cast("long")
+            ).cast("long").alias("n_stale"),
+            F.max(F.when(~F.col("null_text"), F.abs(F.col("delta"))))
+            .cast("long")
+            .alias("max_abs_delta"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_null_text",
+            "n_stale",
+            F.expr("div(1000 * n_stale, n_docs)").alias("stale_permille"),
+            "max_abs_delta",
+        )
+        .orderBy("source")
+    )
+
+
+def q_metadata_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metadata_consistency_stats(table(spark, sf_dir, "documents"))
+
+
+METADATA_CONSISTENCY_SQL = """
+WITH base AS (
+  SELECT source, text IS NULL AS null_text,
+         length(text) - n_chars AS delta
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN null_text THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       CAST(SUM(CASE WHEN NOT null_text AND delta != 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stale,
+       CAST((1000 * SUM(CASE WHEN NOT null_text AND delta != 0 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS stale_permille,
+       CAST(MAX(CASE WHEN NOT null_text THEN ABS(delta) END) AS BIGINT)
+         AS max_abs_delta
+FROM base GROUP BY source ORDER BY source
+"""
