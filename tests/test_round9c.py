@@ -1342,7 +1342,7 @@ def test_fisher_matches_python_mirror(spark):
         # float32 storage: quantize the float32-rounded value like the engines
         import struct
         x32 = struct.unpack("f", struct.pack("f", x))[0]
-        return max(min(math.floor(x32 * FISHER_QSCALE), 2147483648), -2147483648)
+        return max(min(math.floor(x32 * FISHER_QSCALE), 2147483647), -2147483648)
 
     ssb = ssw = 0
     for d in range(64):

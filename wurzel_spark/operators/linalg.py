@@ -317,11 +317,13 @@ def embedding_norm_outliers(
     Everything above the histogram is metadata-sized."""
     from pyspark.sql import Window as W
 
-    two31 = F.lit(1 << 31).cast("long")
+    i32max = F.lit((1 << 31) - 1).cast("long")
+    i32min = F.lit(-(1 << 31)).cast("long")
     qs = F.transform(
         F.col(vec_col),
         lambda x: F.greatest(
-            F.least(F.floor(x.cast("double") * QSCALE).cast("long"), two31), -two31
+            F.least(F.floor(x.cast("double") * QSCALE).cast("long"), i32max),
+            i32min,
         ),
     )
     n2 = F.aggregate(
@@ -430,7 +432,7 @@ WITH per AS (
          list_sum(list_transform(
            list_transform(CAST(embedding AS DOUBLE[]),
                           x -> GREATEST(LEAST(CAST(floor(x * {QSCALE}) AS BIGINT),
-                                              2147483648), -2147483648)),
+                                              2147483647), -2147483648)),
            q -> CAST(q AS HUGEINT) * q)) AS n2
   FROM embeddings
   WHERE embedding IS NOT NULL
@@ -604,11 +606,13 @@ def embedding_centroid_stats(
     percentile/norm gates; the per-dim aggregate is 64 sum columns over
     one scan — no explode, map-side combine keeps the exchange at
     |labels|·64 integers."""
-    two31 = F.lit(1 << 31).cast("long")
+    i32max = F.lit((1 << 31) - 1).cast("long")
+    i32min = F.lit(-(1 << 31)).cast("long")
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.greatest(
-            F.least(F.floor(x.cast("double") * QSCALE).cast("long"), two31), -two31
+            F.least(F.floor(x.cast("double") * QSCALE).cast("long"), i32max),
+            i32min,
         ),
     )
     base = df.filter(
@@ -702,7 +706,7 @@ def q_embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _centroid_sql() -> str:
     qx = (
         f"GREATEST(LEAST(CAST(floor(embedding[i + 1] * {QSCALE}) AS BIGINT),"
-        " 2147483648), -2147483648)"
+        " 2147483647), -2147483648)"
     )
     return f"""
 WITH base AS (
@@ -801,7 +805,7 @@ def fisher_separability_stats(
     def qx(d: int):
         return F.expr(
             f"GREATEST(LEAST(CAST(floor(v[{d}] * {FISHER_QSCALE}) AS BIGINT),"
-            f" 2147483648), -2147483648)"
+            f" 2147483647), -2147483648)"
         )
 
     lbl = base.groupBy("lbl").agg(
@@ -871,7 +875,7 @@ def q_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fisher_sql() -> str:
     qx = (
         f"GREATEST(LEAST(CAST(floor(embedding[i + 1] * {FISHER_QSCALE}) AS BIGINT),"
-        " 2147483648), -2147483648)"
+        " 2147483647), -2147483648)"
     )
     return f"""
 WITH base AS (
@@ -1021,7 +1025,7 @@ def embedding_anisotropy(
     def qx(d: int):
         return F.expr(
             f"GREATEST(LEAST(CAST(floor(v[{d}] * {FISHER_QSCALE}) AS BIGINT),"
-            f" 2147483648), -2147483648)"
+            f" 2147483647), -2147483648)"
         )
 
     agg = base.groupBy().agg(
@@ -1058,7 +1062,7 @@ def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _anisotropy_sql() -> str:
     qx = (
         f"GREATEST(LEAST(CAST(floor(embedding[i + 1] * {FISHER_QSCALE}) AS BIGINT),"
-        " 2147483648), -2147483648)"
+        " 2147483647), -2147483648)"
     )
     return f"""
 WITH base AS (

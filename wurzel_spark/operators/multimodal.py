@@ -190,7 +190,12 @@ def _pnm_pixels(content: bytes) -> np.ndarray:
         start = pos
         while pos < len(content) and not content[pos : pos + 1].isspace():
             pos += 1
-        vals.append(int(content[start:pos]))
+        tok = content[start:pos]
+        # truncated-before-maxval or non-numeric header tokens must hit
+        # the documented refusal convention, not a bare ValueError
+        if not tok or not tok.isdigit():
+            raise NotImplementedError("malformed PNM header")
+        vals.append(int(tok))
     w, h, maxval = vals
     if w <= 0 or h <= 0 or maxval <= 0 or maxval > 65535:
         raise NotImplementedError("PNM header out of range")
@@ -212,6 +217,8 @@ def _pnm_pixels(content: bytes) -> np.ndarray:
         toks = content[pos:].split()
         if len(toks) < n_samples:
             raise NotImplementedError("truncated ascii PNM raster")
+        if not all(t.isdigit() for t in toks[:n_samples]):
+            raise NotImplementedError("malformed ascii PNM raster")
         arr = np.array([int(t) for t in toks[:n_samples]], dtype=np.int64)
     if arr.max(initial=0) > maxval:
         raise NotImplementedError("PNM sample exceeds maxval")

@@ -1891,7 +1891,14 @@ def value_hist(ev: DataFrame) -> DataFrame:
         "event_type",
         F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("v_milli"),
         "value",
-    ).filter(F.col("v_milli").isNotNull() & ~F.isnan(F.col("value")))
+    ).filter(
+        F.col("v_milli").isNotNull()
+        & ~F.isnan(F.col("value"))
+        # +/-Inf excluded like NaN: DuckDB's CAST(floor(inf*1000) AS
+        # BIGINT) raises, Spark's non-ANSI cast saturates to Long.MAX —
+        # neither is a value; both engines drop and count them together.
+        & (F.abs(F.col("value")) != float("inf"))
+    )
     return vals.groupBy("event_type", "v_milli").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -1939,7 +1946,7 @@ def _value_percentiles_sql() -> str:
 WITH vals AS (
   SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v_milli
   FROM events
-  WHERE value IS NOT NULL AND NOT isnan(value)
+  WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
 ), hist AS (
   SELECT event_type, v_milli, CAST(COUNT(*) AS BIGINT) AS c
   FROM vals GROUP BY event_type, v_milli
@@ -2667,14 +2674,14 @@ SESSION_DURATION_SQL = f"""
 WITH base AS (
   SELECT user_id, event_id, epoch_us(ts) AS us FROM events
 ), flagged AS (
-  SELECT user_id, us,
+  SELECT user_id, event_id, us,
          CASE WHEN us - LAG(us) OVER w IS NULL
               OR us - LAG(us) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
               THEN 1 ELSE 0 END AS is_new
   FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ), numbered AS (
   SELECT user_id, us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_seq
   FROM flagged
