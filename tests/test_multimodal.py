@@ -313,10 +313,16 @@ def test_jpeg_real_decode_with_pil_or_documented_fallback(spark):
         row = decode_images(assets, decoder="real").collect()[0]
         assert (row["width"], row["height"]) == (16, 24)
     else:
-        # Minimal JFIF header — enough to be recognizably non-PNG bytes.
+        # Without PIL, FFD8 bytes route through the builtin baseline
+        # decoder (operators/jpegcodec.py, round 10): a malformed stream
+        # still hits the DOCUMENTED refusal, never a crash of a
+        # different shape (real-decode coverage lives in test_jpeg.py).
         jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01" + b"\x00" * 32 + b"\xff\xd9"
-        with _pytest.raises(NotImplementedError, match="needs PIL"):
+        with _pytest.raises(NotImplementedError):
             _real_pixels(jpeg)
+        # and genuinely unknown magic still names the PIL escape hatch
+        with _pytest.raises(NotImplementedError, match="needs PIL"):
+            _real_pixels(b"GIF89a" + b"\x00" * 16)
 
 
 # ----------------------------------------- built-in PNM real decode

@@ -253,9 +253,13 @@ def _real_pixels(content: bytes, max_pixels: int | None = None) -> np.ndarray:
             px = _png_pixels(content)
         elif content[:2] in _PNM_MAGICS:
             px = _pnm_pixels(content)
+        elif content[:2] == b"\xff\xd8":
+            from wurzel_spark.operators.jpegcodec import jpeg_pixels
+
+            px = jpeg_pixels(content)
         else:
             raise NotImplementedError(
-                "real decode for non-PNG/PNM bytes needs PIL/opencv — "
+                "real decode for non-PNG/PNM/JPEG bytes needs PIL/opencv — "
                 "install pillow or plug a codec into _real_pixels"
             )
     if max_pixels is not None and px.shape[0] * px.shape[1] > max_pixels:
