@@ -807,11 +807,16 @@ def q_file_pruning_stats(
     window from integer percent clearing ``lo + div(span·pct, 100)``,
     and overlap tests on per-file min/max.
 
-    Scale shape: two global-order windows over the fact stream (the
-    corpus_shuffle cost class — range-partitioned sorts at scale; a
-    layout audit's honest cost is the sort it simulates), each folding
-    to file-grain rows before the 2-row readout."""
+    Scale shape: two TWO-PHASE total ranks over the fact stream (the
+    corpus_shuffle pattern — never a single-partition window): rows
+    range-bucket on the leading sort key via a 1-row broadcast bounds
+    panel, per-bucket counts fold to ≤1024 rows whose prefix sum is the
+    bucket offset, and the global position is offset + within-bucket
+    row_number — each layout then folds to file-grain rows before the
+    2-row readout."""
     from pyspark.sql import Window as W
+
+    _NB = 1024  # range buckets per layout (corpus_shuffle size class)
 
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -819,13 +824,13 @@ def q_file_pruning_stats(
             "div(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 86400000000)"
         ).alias("eday"),
     )
-    wg = W.partitionBy()
-    bounded = orders.select(
-        "o_orderkey",
-        "eday",
-        F.min("eday").over(wg).alias("d_lo"),
-        F.max("eday").over(wg).alias("d_hi"),
-    ).select(
+    panel = orders.agg(
+        F.min("eday").alias("d_lo"),
+        F.max("eday").alias("d_hi"),
+        F.min("o_orderkey").alias("k_lo"),
+        F.max("o_orderkey").alias("k_hi"),
+    )
+    bounded = orders.crossJoin(F.broadcast(panel)).select(
         "o_orderkey",
         "eday",
         F.expr(
@@ -834,17 +839,43 @@ def q_file_pruning_stats(
         F.expr(
             f"d_lo + div((d_hi - d_lo) * {PRUNE_WINDOW_HI_PCT}, 100)"
         ).alias("q_hi"),
+        "d_lo",
+        "d_hi",
+        "k_lo",
+        "k_hi",
     )
 
-    def files_for(order_cols, name):
-        w = W.partitionBy().orderBy(*order_cols)
+    def files_for(order_cols, lead, lo, hi, name):
+        # range bucket of the LEADING sort key: monotone in the key and a
+        # pure function of it, so bucket order == global sort order and
+        # tie groups never split across buckets
+        b = bounded.withColumn(
+            "__bkt",
+            F.expr(f"div(({lead} - {lo}) * {_NB}, {hi} - {lo} + 1)"),
+        )
+        counts = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__c"))
+        # prefix-sum offsets: a global window, but over the ≤{_NB}-row
+        # bucket-count aggregate (bounded-grain window guard, round 10)
+        woff = (
+            W.partitionBy()
+            .orderBy("__bkt")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "__bkt",
+            F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+        )
+        wrk = W.partitionBy("__bkt").orderBy(*order_cols)
         return (
-            bounded.select(
+            b.join(F.broadcast(offsets), "__bkt")
+            .withColumn("__rn", F.row_number().over(wrk))
+            .select(
                 "eday",
                 "q_lo",
                 "q_hi",
-                F.expr(f"div(row_number() OVER (ORDER BY {', '.join(order_cols)}) - 1,"
-                       f" {file_rows})").alias("fid"),
+                F.expr(
+                    f"div(__off + __rn - 1, {file_rows})"
+                ).alias("fid"),
             )
             .groupBy("fid")
             .agg(
@@ -875,8 +906,10 @@ def q_file_pruning_stats(
             .select(F.lit(name).alias("layout"), "n_files", "files_hit", "rows_hit")
         )
 
-    both = files_for(["o_orderkey"], "arrival").unionByName(
-        files_for(["eday", "o_orderkey"], "date_sorted")
+    both = files_for(
+        ["o_orderkey"], "o_orderkey", "k_lo", "k_hi", "arrival"
+    ).unionByName(
+        files_for(["eday", "o_orderkey"], "eday", "d_lo", "d_hi", "date_sorted")
     )
     return both.select(
         "layout",
@@ -959,32 +992,97 @@ def q_column_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for it.
 
     Exactness: runs count ``value ≠ lag(value)`` transitions over the
-    total arrival order (l_orderkey, l_linenumber) with NULL-safe
+    TOTAL order (l_orderkey, l_linenumber, then the audited columns —
+    the first two alone are not unique in the synthetic corpus, so the
+    audited columns break ties; rows still tied are identical in every
+    counted column and cannot affect any run count) with NULL-safe
     comparison; dict bits = ``length(bin(d − 1))`` for d ≥ 2 (exact
     ceil-log2 — both engines' bin() drops leading zeros); everything
     else is counts and floor-div permilles.
 
-    Scale shape: ONE sorted pass computes every column's lag from the
-    SAME window (never one sort per column), one aggregate with the
-    distinct counts, then a 4-row unpivot."""
+    Scale shape: the run count is SEGMENTED — rows range-bucket on
+    l_orderkey (pure function of the leading sort key, so buckets are
+    consecutive slices of the global order and an order's lines never
+    split), every column's lag comes from the SAME per-bucket window
+    (never a single-partition window over the fact table), per-bucket
+    run subtotals fold to ≤1024 rows, and the bucket-seam overcount is
+    corrected EXACTLY by comparing each bucket's first row against its
+    predecessor's last row (min/max structs) on the bounded bucket
+    table. Distinct counts ride a separate global aggregate (partial +
+    final, no window), then a 4-row unpivot."""
     from pyspark.sql import Window as W
+
+    _NB = 1024
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", *ENCODING_COLUMNS
     )
-    w = W.partitionBy().orderBy("l_orderkey", "l_linenumber")
-    lagged = li.select(
+    panel = li.agg(
+        F.min("l_orderkey").alias("k_lo"), F.max("l_orderkey").alias("k_hi")
+    )
+    b = li.crossJoin(F.broadcast(panel)).withColumn(
+        "__bkt", F.expr(f"div((l_orderkey - k_lo) * {_NB}, k_hi - k_lo + 1)")
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus —
+    # appending the audited columns makes the order TOTAL up to rows that
+    # are identical in every counted column, so the run count is
+    # well-defined and engine-independent (same determinism class as the
+    # session_duration tie-break; the oracle orders identically)
+    wb = W.partitionBy("__bkt").orderBy(
+        "l_orderkey", "l_linenumber", *ENCODING_COLUMNS
+    )
+    lagged = b.select(
+        "__bkt",
+        "l_orderkey",
+        "l_linenumber",
         *[
-            (~F.col(c).eqNullSafe(F.lag(c).over(w))).cast("long").alias(f"chg_{c}")
+            (~F.col(c).eqNullSafe(F.lag(c).over(wb))).cast("long").alias(f"chg_{c}")
             for c in ENCODING_COLUMNS
         ],
         *ENCODING_COLUMNS,
     )
-    agg = lagged.groupBy().agg(
+    edge = F.struct("l_orderkey", "l_linenumber", *ENCODING_COLUMNS)
+    per_bkt = lagged.groupBy("__bkt").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        *[F.sum(f"chg_{c}").cast("long").alias(f"runs_{c}") for c in ENCODING_COLUMNS],
-        *[F.countDistinct(c).cast("long").alias(f"nd_{c}") for c in ENCODING_COLUMNS],
+        *[
+            F.sum(f"chg_{c}").cast("long").alias(f"runs_{c}")
+            for c in ENCODING_COLUMNS
+        ],
+        F.min(edge).alias("__first"),
+        F.max(edge).alias("__last"),
     )
+    # seam correction on the ≤_NB-row bucket table: a bucket's first row
+    # was counted as `value IS NOT NULL` (lag NULL inside the bucket) but
+    # the GLOBAL lag is the previous bucket's last row — subtract the
+    # difference. Exact for NULLs too.
+    wseq = W.partitionBy().orderBy("__bkt")
+    seamed = per_bkt.withColumn("__prev_last", F.lag("__last").over(wseq))
+    runs = seamed.groupBy().agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        *[
+            (
+                F.sum(f"runs_{c}")
+                - F.sum(
+                    F.when(
+                        F.col("__prev_last").isNotNull(),
+                        F.col(f"__first.{c}").isNotNull().cast("long")
+                        - (
+                            ~F.col(f"__first.{c}").eqNullSafe(
+                                F.col(f"__prev_last.{c}")
+                            )
+                        ).cast("long"),
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias(f"runs_{c}")
+            for c in ENCODING_COLUMNS
+        ],
+    )
+    nd = li.groupBy().agg(
+        *[F.countDistinct(c).cast("long").alias(f"nd_{c}") for c in ENCODING_COLUMNS]
+    )
+    agg = runs.crossJoin(F.broadcast(nd))
     stack = ", ".join(
         f"'{c}', runs_{c}, nd_{c}" for c in ENCODING_COLUMNS
     )
@@ -1032,7 +1130,7 @@ WITH lagged AS (
   SELECT {", ".join(ENCODING_COLUMNS)},
          {chg}
   FROM lineitem
-  WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+  WINDOW w AS (ORDER BY l_orderkey, l_linenumber, {", ".join(ENCODING_COLUMNS)})
 ), agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
          {aggs}

@@ -2837,14 +2837,16 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 86400000000)"
         ).alias("eday"),
     )
-    wg = W.partitionBy()
-    flagged = orders.select(
-        "o_custkey",
-        "eday",
-        (F.min("eday").over(wg)
-         + F.expr("div(CAST(max(eday) OVER () - min(eday) OVER () AS BIGINT), 2)")
-         ).alias("mid"),
+    # span midpoint as a 1-row scalar panel broadcast back over the fact
+    # stream — never a global window (that would single-partition the
+    # whole orders table; bounded-grain window guard, round 10)
+    bounds = orders.agg(
+        (
+            F.min("eday")
+            + F.expr("div(CAST(max(eday) - min(eday) AS BIGINT), 2)")
+        ).alias("mid")
     )
+    flagged = orders.crossJoin(F.broadcast(bounds))
     per_cust = flagged.groupBy("o_custkey").agg(
         F.sum(F.when(F.col("eday") <= F.col("mid"), 1).otherwise(0))
         .cast("long")
