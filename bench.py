@@ -149,7 +149,10 @@ HEADLINE = [
     # round 4 (cont.): winnowing, training-data ordering, importance
     # resampling, product quantization, corpus profiling
     "winnow_fingerprints",
-    "winnow_overlap_pairs",
+    # winnow_overlap_pairs (md5-audit config) is NOT benched: the
+    # production twin winnow_overlap_pairs_fast below carries the
+    # family's headline cost (VERDICT r9 Next #6); the audit config
+    # stays registered and oracle-checked at sf0.01.
     "train_split_stats",
     "corpus_shuffle",
     "importance_sample",
@@ -161,7 +164,8 @@ HEADLINE = [
     "cluster_best_keep",
     "domain_cap_sample",
     "temperature_mixture_sample",
-    "bloom_decontam",
+    # bloom_decontam (md5-audit config): production twin
+    # bloom_decontam_fast is the benched entry (VERDICT r9 Next #6).
     "bpe_pair_counts",
     "zorder_layout_stats",
     "hll_distinct_stats",
@@ -230,7 +234,8 @@ HEADLINE = [
     "eval_sample_manifest",
     "proportional_interleave",
     "lsh_param_sweep",
-    "ngram_diversity_hll",
+    # ngram_diversity_hll (md5-audit config): production twin
+    # ngram_diversity_hll_fast is the benched entry (VERDICT r9 Next #6).
     # round 8: classifier-eval battery + DoReMi-lite mixture
     "score_calibration_bins",
     "tokenizer_fertility_stats",

@@ -86,6 +86,55 @@ def test_snapshot_writes_latest_and_skips_empty(spark, tmp_path):
     assert json.load(open(os.path.join(root, "latest.json"))) == latest
 
 
+def test_snapshot_partitioned_mode_and_manifest_flip(spark, tmp_path):
+    """Scale mode (round 10): partitioned JSONL dir + atomic manifest
+    flip. The manifest points at the new dir only after the distributed
+    write completed; the prior snapshot stays on disk (retirement is a
+    separate concern); empty input never flips the pointer."""
+    import glob
+
+    root = str(tmp_path / "snap_p")
+    df = _df(spark, range(64)).repartition(4)
+    m1 = write_snapshot(df, root, "2026-01-01T000000Z", partitioned=True)
+    assert m1["partitioned"] is True and m1["rows"] == 64
+    d1 = os.path.join(root, "2026-01-01T000000Z")
+    assert m1["path"] == d1 and os.path.isdir(d1)
+    parts = glob.glob(os.path.join(d1, "part-*"))
+    assert parts, "distributed write must emit part files"
+    rows = []
+    for p in parts:
+        rows += [json.loads(l) for l in open(p) if l.strip()]
+    assert sorted(r["doc_id"] for r in rows) == list(range(64))
+    man = json.load(open(os.path.join(root, "latest.manifest.json")))
+    assert man["path"] == d1 and man["rows"] == 64
+
+    # second snapshot flips the pointer; the first stays on disk
+    m2 = write_snapshot(df.filter("doc_id < 10"), root,
+                        "2026-01-02T000000Z", partitioned=True)
+    man2 = json.load(open(os.path.join(root, "latest.manifest.json")))
+    assert man2["path"] == m2["path"] and man2["rows"] == 10
+    assert os.path.isdir(d1)  # previous snapshot untouched
+
+    # empty input: no new dir, pointer keeps the last complete snapshot
+    m3 = write_snapshot(df.filter("doc_id < 0"), root,
+                        "2026-01-03T000000Z", partitioned=True)
+    assert m3["skipped"] is True
+    man3 = json.load(open(os.path.join(root, "latest.manifest.json")))
+    assert man3["path"] == m2["path"]
+    assert not os.path.exists(os.path.join(root, "2026-01-03T000000Z"))
+
+
+def test_snapshot_auto_gate_small_stays_single(spark, tmp_path):
+    """partitioned=None auto-selects: small outputs keep the reference's
+    single-JSON contract (manifest records the mode)."""
+    root = str(tmp_path / "snap_auto")
+    m = write_snapshot(_df(spark, range(4)), root, "2026-01-01T000000Z")
+    assert m["partitioned"] is False
+    assert os.path.exists(os.path.join(root, "latest.json"))
+    man = json.load(open(os.path.join(root, "latest.manifest.json")))
+    assert man["partitioned"] is False
+
+
 def test_kb_upload_and_prune(spark, tmp_path):
     root = str(tmp_path / "kb")
     client = LocalKBClient(root)

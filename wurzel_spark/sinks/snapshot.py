@@ -46,17 +46,32 @@ def write_snapshot(
         "skipped": False,
     }
     if partitioned:
+        # scale mode: distributed partitioned JSONL under <root>/<ts>/ —
+        # a globally range-sorted write (orderBy feeds a range exchange;
+        # each task writes its own part file, nothing funnels through
+        # the driver), then the pointer flip below publishes it
         path = os.path.join(root, timestamp)
         df.orderBy(df.columns[0]).write.mode("overwrite").json(path)
         manifest["path"] = path
+        manifest["partitioned"] = True
     else:
         path = os.path.join(root, f"{timestamp}.json")
         rows = [r.asDict(recursive=True) for r in df.orderBy(df.columns[0]).collect()]
         with open(path, "w") as f:
             json.dump(rows, f, sort_keys=True)
         manifest["path"] = path
-        shutil.copyfile(path, os.path.join(root, "latest.json"))
+        manifest["partitioned"] = False
+        tmp_latest = os.path.join(root, ".latest.json.tmp")
+        shutil.copyfile(path, tmp_latest)
+        os.replace(tmp_latest, os.path.join(root, "latest.json"))
 
-    with open(os.path.join(root, "latest.manifest.json"), "w") as f:
+    # the publish step is an ATOMIC pointer flip (the versioned-collection
+    # alias-flip convention, sinks/versioned.py): readers of
+    # latest.manifest.json see either the previous complete snapshot or
+    # the new complete one, never a half-written state — and the flip
+    # happens only after the data write above fully succeeded
+    tmp = os.path.join(root, ".latest.manifest.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(root, "latest.manifest.json"))
     return manifest
