@@ -5433,13 +5433,19 @@ def line_lang_partials(df: DataFrame, text_col: str = "text") -> DataFrame:
     an exchange; the (source, lang) unpivot runs on |sources| rows."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.split(c, "\n"), lambda ln: F.length(F.trim(ln)) > 0)
+    # tokenize ONCE per line (its own transform stage), then intersect
+    # the token array with each language's marker set — the tokenizer is
+    # the expensive per-line expression, and referencing it inside the
+    # per-language struct fields would evaluate it |langs| times per line
+    # (measured 3.73 s → ~2 s at sf0.1; perf census round 10)
+    toks = F.transform(lines, lambda ln: TXT.words(F.lower(ln)))
     counts = F.transform(
-        lines,
-        lambda ln: F.struct(
+        toks,
+        lambda ws: F.struct(
             *[
                 F.size(
                     F.array_intersect(
-                        TXT.words(F.lower(ln)),
+                        ws,
                         F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]),
                     )
                 ).alias(f"c_{lang}")
