@@ -281,14 +281,23 @@ def test_order_gap_plan(spark, sf_dir):
 
 
 def test_file_pruning_plan(spark, sf_dir):
-    """Reads only (o_orderkey, o_orderdate); the two layout branches are
-    global-order windows folding to file grain (corpus_shuffle cost
-    class, the audit's honest cost); no join, no Python."""
+    """Reads only (o_orderkey, o_orderdate). Round-10 shape: the file-id
+    ranks are TWO-PHASE (range-bucket + per-bucket row_number + prefix-
+    sum offsets) — NO unpartitioned window touches the fact stream; the
+    bounds panel and bucket offsets arrive by broadcast join only (never
+    a shuffle join); no Python."""
     from wurzel_spark.operators.layout import q_file_pruning_stats
 
-    t = _clean(q_file_pruning_stats(spark, sf_dir))
+    t = _clean(q_file_pruning_stats(spark, sf_dir), allow_cross_broadcast=True)
     _no_python(t)
-    assert "Join" not in t, t
+    assert "SortMergeJoin" not in t and "ShuffledHashJoin" not in t, t
+    # every row_number window over order rows must be bucket-partitioned:
+    # unpartitioned Window nodes may only carry the ≤1024-row offset
+    # prefix sums (they mention the bucket-count column, never eday/fid)
+    for m in re.finditer(r"\(\d+\) Window\n(.*?)(?:\n\n|\Z)", t, re.S):
+        blk = m.group(1)
+        if "row_number" in blk:
+            assert "__bkt" in blk, blk
     for s in re.findall(r"ReadSchema: struct<([^>]*)>", t):
         assert {c.split(":")[0] for c in s.split(",")} <= {
             "o_orderkey",
@@ -484,15 +493,23 @@ def test_value_percentiles_plan(spark, sf_dir):
 
 
 def test_column_encoding_plan(spark, sf_dir):
-    """ONE sorted pass computes every column's lag (a single Window node,
-    never one sort per column); no join; no Python."""
+    """Round-10 shape: the run count is SEGMENTED — every lag over
+    lineitem rows comes from ONE bucket-partitioned Window (a single
+    sorted pass for all four columns, never one sort per column, never
+    a single-partition window over the fact stream); the seam
+    correction's unpartitioned lag runs on the ≤1024-row bucket
+    aggregate only; the bounds panel arrives by broadcast; no Python."""
     from wurzel_spark.operators.layout import q_column_encoding_stats
 
-    t = _clean(q_column_encoding_stats(spark, sf_dir))
+    t = _clean(q_column_encoding_stats(spark, sf_dir), allow_cross_broadcast=True)
     _no_python(t)
-    assert "Join" not in t, t
-    # exactly one Window operator in the physical plan
-    assert len(re.findall(r"\(\d+\) Window\b", t)) == 1, t
+    assert "SortMergeJoin" not in t and "ShuffledHashJoin" not in t, t
+    # exactly two Window operators: the bucket-partitioned fact lag and
+    # the bucket-grain seam lag
+    wins = re.findall(r"\(\d+\) Window\n(.*?)(?:\n\n|\Z)", t, re.S)
+    assert len(wins) == 2, t
+    fact = [w for w in wins if "chg_" in w or "l_linenumber" in w]
+    assert fact and all("__bkt" in w for w in fact), wins
 
 
 def test_knn_plan(spark, sf_dir):
