@@ -192,7 +192,8 @@ def _rgb_to_ycbcr(rgb):
 
 
 def encode_color(rgb, subsample=False, q=None):
-    """Baseline color JFIF bytes; 4:4:4 or (subsample=True) 4:2:0."""
+    """Baseline color JFIF bytes; 4:4:4 or (subsample=True) 4:2:0.
+    For 4:2:2 fixtures see encode_color_422 below."""
     h, w, _ = rgb.shape
     q = np.ones(64, dtype=np.int64) if q is None else np.asarray(q, np.int64)
     y, cb, cr = _rgb_to_ycbcr(rgb)
@@ -257,6 +258,45 @@ def encode_color(rgb, subsample=False, q=None):
                     p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
                     preds[i],
                     q,
+                )
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_color_422(rgb, q=None):
+    """Baseline 4:2:2 color JFIF bytes (luma 2x1 per MCU, chroma halved
+    horizontally only) for an (h, w, 3) array with h%8 == 0, w%16 == 0."""
+    h, w, _ = rgb.shape
+    assert h % 8 == 0 and w % 16 == 0
+    q = np.ones(64, dtype=np.int64) if q is None else np.asarray(q, np.int64)
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    out = bytearray(b"\xff\xd8")
+    out += _tables_segments(q)
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x21, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    mcux, mcuy = w // 16, h // 8
+    cbs = cb.reshape(h, w // 2, 2).mean(axis=2).round()
+    crs = cr.reshape(h, w // 2, 2).mean(axis=2).round()
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for bx in range(2):
+                preds[0] = _encode_block(
+                    bw,
+                    y[my * 8 : my * 8 + 8,
+                      (mx * 2 + bx) * 8 : (mx * 2 + bx) * 8 + 8],
+                    preds[0],
+                    q,
+                )
+            for i, p in ((1, cbs), (2, crs)):
+                preds[i] = _encode_block(
+                    bw, p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], preds[i], q
                 )
     out += bw.flush()
     out += b"\xff\xd9"
@@ -443,3 +483,31 @@ def test_decode_images_real_on_jpeg(spark):
     assert abs(out[1]["mean_b"] - 30) <= 2
     assert out[2]["width"] == 8
     assert abs(out[2]["mean_g"] - 200) <= 1
+
+def test_color_422_constant_exact():
+    """4:2:2 with a constant color decodes to the exact color (chroma
+    halving is lossless on a constant plane); ±2 for color rounding."""
+    rgb = np.zeros((16, 32, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 60, 160, 220
+    px = jpeg_pixels(encode_color_422(rgb))
+    assert px.shape == (16, 32, 3)
+    for ch in range(3):
+        vals = np.unique(px[..., ch])
+        assert len(vals) == 1, (ch, vals)
+        assert abs(int(vals[0]) - int(rgb[0, 0, ch])) <= 2
+
+
+def test_color_422_smooth_bounded():
+    yy, xx = np.mgrid[0:16, 0:32]
+    rgb = np.stack(
+        [
+            (70 + yy * 3).astype(np.uint8),
+            (50 + xx).astype(np.uint8),
+            np.full_like(yy, 110, dtype=np.uint8),
+        ],
+        axis=2,
+    )
+    px = jpeg_pixels(encode_color_422(rgb))
+    assert px.shape == (16, 32, 3)
+    err = np.abs(px.astype(int) - rgb.astype(int))
+    assert err.max() <= 8, err.max()
