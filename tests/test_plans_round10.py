@@ -52,6 +52,14 @@ def _children(jnode):
     ch = jnode.children()
     for i in range(ch.size()):
         out.append(ch.apply(i))
+    # scalar/IN subqueries carry their own plans — a global window can
+    # hide there just as well as in the main tree
+    try:
+        sq = jnode.subqueries()
+        for i in range(sq.size()):
+            out.append(sq.apply(i))
+    except Exception:
+        pass
     return out
 
 
