@@ -120,3 +120,44 @@ def test_kcore_converges_before_round_cap(spark):
     a = sorted(map(tuple, graph_kcore(_pairs(spark, chain), k=2, rounds=8).collect()))
     b = sorted(map(tuple, graph_kcore(_pairs(spark, chain), k=2, rounds=16).collect()))
     assert a == b == []  # a pure chain has no 2-core
+
+
+def test_kcore_driver_and_distributed_paths_bit_equal(spark):
+    """Round-10 size gate: below KCORE_DRIVER_EDGE_GATE the peel runs
+    driver-side (the union-find precedent). Both paths must be
+    bit-equal on adversarial shapes — including an onion DEEPER than
+    the round cap, where the capped (non-converged) state is the
+    contract, not the true fixpoint."""
+    import itertools
+    import random
+
+    import wurzel_spark.operators.graph as G
+
+    def pairs(edges):
+        return spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+
+    cl1 = set(itertools.combinations(range(10, 14), 2))
+    cl2 = set(itertools.combinations(range(20, 25), 2))
+    rng = random.Random(7)
+    fixtures = [
+        {(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)},      # triangle + tail
+        {(0, i) for i in range(1, 8)},                  # star: empty 2-core
+        cl1 | cl2 | {(13, 20)},                         # bridged cliques
+        {tuple(sorted(rng.sample(range(40), 2))) for _ in range(120)},
+        {(i, i + 1) for i in range(30)},                # chain deeper than cap
+    ]
+    for edges in fixtures:
+        d = pairs(edges)
+        drv = [
+            tuple(r)
+            for r in G._kcore_driver(
+                d.localCheckpoint(), G.KCORE_K, G.KCORE_ROUNDS
+            ).collect()
+        ]
+        gate = G.KCORE_DRIVER_EDGE_GATE
+        try:
+            G.KCORE_DRIVER_EDGE_GATE = -1  # force the distributed loop
+            dist = [tuple(r) for r in G.graph_kcore(d).collect()]
+        finally:
+            G.KCORE_DRIVER_EDGE_GATE = gate
+        assert drv == dist, (sorted(edges)[:5], drv, dist)

