@@ -161,3 +161,38 @@ def test_kcore_driver_and_distributed_paths_bit_equal(spark):
         finally:
             G.KCORE_DRIVER_EDGE_GATE = gate
         assert drv == dist, (sorted(edges)[:5], drv, dist)
+
+
+def test_pagerank_driver_and_distributed_paths_bit_equal(spark):
+    """Round-10 size gate for quantized PageRank: driver and distributed
+    paths must be BIT-equal (the whole point of integer quantization) on
+    directed, bipartite-undirected, sink-heavy and random shapes."""
+    import random
+
+    import wurzel_spark.operators.graph as G
+
+    def edges_df(edges):
+        return spark.createDataFrame(sorted(edges), "src long, dst long")
+
+    rng = random.Random(11)
+    fixtures = [
+        {(1, 2), (2, 3), (3, 1)},                       # cycle
+        {(1, 2), (1, 3), (1, 4)},                       # star w/ sinks
+        {(i, 100 + i % 5) for i in range(20)}
+        | {(100 + i % 5, i) for i in range(20)},        # bipartite both ways
+        {(rng.randrange(30), rng.randrange(30)) for _ in range(150)},
+    ]
+    for edges in fixtures:
+        edges = {(a, b) for a, b in edges if a != b} or {(0, 1)}
+        d = edges_df(edges)
+        drv = [tuple(r) for r in G.quantized_pagerank(d).collect()]
+        gate = G.PAGERANK_DRIVER_EDGE_GATE
+        try:
+            G.PAGERANK_DRIVER_EDGE_GATE = -1  # force the distributed loop
+            dist = sorted(tuple(r) for r in G.quantized_pagerank(d).collect())
+        finally:
+            G.PAGERANK_DRIVER_EDGE_GATE = gate
+        assert sorted(drv) == dist, (sorted(edges)[:5], drv[:5], dist[:5])
+        # rank mass ≈ SCALE (floor drain only)
+        total = sum(r for _, r in drv)
+        assert 0 < total <= G.SCALE
