@@ -127,3 +127,18 @@ def test_bench_compact_line_fits_driver_tail_capture():
     small = bench.compact_line({"q1_pricing_summary": 0.315}, 0.01, 0.315, 0.08)
     sp = json.loads(small)
     assert sp["queries"] == {"q1prisum": 32} and "oth" not in sp
+
+
+def test_bench_headline_names_all_resolve():
+    """bench.py silently skips battery names missing from queries()
+    (qs.get(name) -> None) — a typo would drop a query from the
+    headline without any signal. Every HEADLINE name must resolve, and
+    no name may repeat."""
+    import bench
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))

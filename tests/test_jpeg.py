@@ -511,3 +511,37 @@ def test_color_422_smooth_bounded():
     assert px.shape == (16, 32, 3)
     err = np.abs(px.astype(int) - rgb.astype(int))
     assert err.max() <= 8, err.max()
+
+
+# ------------------------------------------------------------- property
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        seed=st.integers(0, 2**31 - 1),
+        ri=st.sampled_from([0, 1, 3]),
+    )
+    def test_property_gray_roundtrip_bounded(h, w, seed, ri):
+        """ANY grayscale image of ANY dimensions (MCU padding, crop,
+        restart intervals included) roundtrips through encode→decode
+        within the ±2 DCT-rounding bound under all-ones quantization —
+        and gray always replicates across channels."""
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8).astype(np.uint8)
+        px = jpeg_pixels(encode_gray(img, restart_interval=ri))
+        assert px.shape == (h, w, 3)
+        err = np.abs(px[:, :, 0].astype(int) - img.astype(int))
+        assert err.max() <= 2, (h, w, seed, ri, err.max())
+        assert (px[:, :, 0] == px[:, :, 1]).all()
+        assert (px[:, :, 1] == px[:, :, 2]).all()
