@@ -2850,9 +2850,16 @@ def dup_pair_evidence(
         .unionByName(top.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # ≤ 2·top_pairs docs' shingles; consumed by BOTH evidence sides —
-    # pin so the corpus shingle explode runs once for the pair of joins
-    pruned = grams.join(F.broadcast(ids), "id").localCheckpoint(eager=True)
+    # ≤ 2·top_pairs docs' shingles; the id prune applies BEFORE the
+    # explode (Catalyst does not push a join below a Generate, so
+    # filtering `grams` would shingle the whole corpus just to keep ~32
+    # docs) — then pin, since BOTH evidence sides consume it
+    pruned = (
+        _parallelize(df)
+        .join(F.broadcast(ids), df["doc_id"] == ids["id"])
+        .select("id", F.explode(shingles(F.col("text"), n)).alias("gram"))
+        .localCheckpoint(eager=True)
+    )
     # gram df still counts over the FULL corpus stream (rarity must be
     # global), but only the candidate pairs' grams can ever be cited —
     # semi-filtering the stream against that broadcast-small set first
