@@ -1,0 +1,123 @@
+"""Round-11 scale-hazard fixes (VERDICT r10 "What's wrong" #1/#2):
+
+1. curation_funnel_v2 must never checkpoint the fact-grain corpus —
+   every checkpointed RDD scan in its final plan carries only narrow
+   numeric gate-set columns (no string column ⇒ no `text`).
+2. DSIR's token-grain localCheckpoint is size-GATED with a two-scan
+   fallback; both paths are bit-equal.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wurzel_spark.operators import textstats
+from wurzel_spark.operators.selection import curation_funnel_v2
+from wurzel_spark.operators.textstats import (
+    _DSIR_CHECKPOINT_MAX_INPUT_BYTES,
+    _plan_size_bytes,
+    dsir_importance_scores,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _iter_jnodes(jnode):
+    stack = [jnode]
+    while stack:
+        n = stack.pop()
+        yield n
+        name = n.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(n.initialPlan())
+            continue
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        try:
+            sq = n.subqueries()
+            for i in range(sq.size()):
+                stack.append(sq.apply(i))
+        except Exception:
+            pass
+
+
+def _rdd_scan_schemas(df):
+    """[(simpleString, [dataType simpleString, ...])] for every
+    checkpointed/ExistingRDD scan in the executed plan."""
+    out = []
+    jplan = df._jdf.queryExecution().executedPlan()
+    for n in _iter_jnodes(jplan):
+        if "RDDScan" in n.getClass().getSimpleName():
+            types = []
+            attrs = n.output()
+            for i in range(attrs.size()):
+                types.append(attrs.apply(i).dataType().simpleString())
+            out.append((n.simpleString(200), types))
+    return out
+
+
+# ------------------------------ funnel: no fact-grain text checkpoint
+
+
+def test_curation_funnel_checkpoints_carry_no_string_column(spark):
+    """The funnel's checkpoint cuts are doc_id gate sets ONLY. A string
+    column in any checkpointed scan means the corpus text was pinned to
+    executor local disks — the r10 scale-killer this guards against."""
+    funnel = curation_funnel_v2(_docs(spark))
+    scans = _rdd_scan_schemas(funnel)
+    assert scans, "expected the gate-set checkpoints to appear as RDD scans"
+    offenders = [
+        (s, types) for s, types in scans if any("string" in t for t in types)
+    ]
+    assert not offenders, (
+        f"fact-grain checkpoint detected (string column pinned): {offenders}"
+    )
+
+
+def test_curation_funnel_result_unchanged(spark):
+    """The de-checkpointed funnel still produces the r5-certified stage
+    counts (monotone survivor funnel over the sf0.001 corpus)."""
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in curation_funnel_v2(_docs(spark)).collect()
+    }
+    assert list(rows) == ["0_all", "1_novel", "2_gated", "3_deduped"]
+    assert rows["0_all"] >= rows["1_novel"] >= rows["2_gated"] >= rows["3_deduped"]
+    assert rows["0_all"] == _docs(spark).count()
+
+
+# ------------------------------ DSIR: gated token-grain checkpoint
+
+
+def test_dsir_plan_size_estimate_is_metadata_only(spark):
+    est = _plan_size_bytes(_docs(spark))
+    assert est is not None and est > 0
+
+
+def test_dsir_gate_small_input_checkpoints(spark):
+    docs = _docs(spark)
+    assert _plan_size_bytes(docs) <= _DSIR_CHECKPOINT_MAX_INPUT_BYTES
+    scans = _rdd_scan_schemas(dsir_importance_scores(docs))
+    assert scans, "small input should take the checkpointed plan"
+
+
+def test_dsir_gate_large_input_two_scan_and_bit_equal(spark, monkeypatch):
+    """Forcing the gate shut (as a 100 TB input would) must remove the
+    token-grain checkpoint AND leave the result bit-identical."""
+    docs = _docs(spark)
+    pinned = dsir_importance_scores(docs).orderBy("doc_id").collect()
+    monkeypatch.setattr(
+        textstats, "_DSIR_CHECKPOINT_MAX_INPUT_BYTES", 0
+    )
+    unpinned_df = dsir_importance_scores(docs)
+    assert not _rdd_scan_schemas(unpinned_df), (
+        "gate shut ⇒ no localCheckpoint (no RDD scan) in the plan"
+    )
+    unpinned = unpinned_df.orderBy("doc_id").collect()
+    assert pinned == unpinned

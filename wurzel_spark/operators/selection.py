@@ -528,18 +528,21 @@ def curation_funnel_v2(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    docs = df.select("doc_id", "source", "text").localCheckpoint(eager=True)
-    # Each gate's ID set is checkpointed: the four stage counts below are
-    # branches of ONE union plan, and without a cut here branch 3 would
-    # re-evaluate novelty AND the gate from the corpus (novelty ~3×, gate
-    # ~2× total — profiled at 5.2× the oracle in r5). The sets are
-    # doc_id-only (8 B/row), tiny relative to the work they pin — and the
-    # two gates are INDEPENDENT (both read only the checkpointed corpus),
-    # so their jobs run concurrently from driver threads: funnel wall time
-    # is max(novelty, gate), not the sum (Spark's scheduler interleaves
-    # concurrent jobs across the executor cores; at 100 TB each job uses
-    # the whole cluster in turn, so concurrency costs nothing and saves
-    # the toy-scale job-floor serialization).
+    # The corpus frame is NOT checkpointed: checkpointing (doc_id, source,
+    # text) would materialize a second copy of the whole corpus on executor
+    # local disks at 100 TB, just to avoid a handful of column-pruned
+    # parquet re-scans that cost almost nothing. Each gate re-reads the
+    # pruned scan instead; only the doc_id GATE SETS below are
+    # checkpointed (8 B/row), which is what actually prevents branch 3 of
+    # the four-count union plan from re-evaluating novelty and the gate
+    # (novelty ~3×, gate ~2× — profiled at 5.2× the oracle in r5).
+    docs = df.select("doc_id", "source", "text")
+    # The two gates are INDEPENDENT (both read only the pruned corpus
+    # scan), so their jobs run concurrently from driver threads: funnel
+    # wall time is max(novelty, gate), not the sum (Spark's scheduler
+    # interleaves concurrent jobs across the executor cores; at 100 TB
+    # each job uses the whole cluster in turn, so concurrency costs
+    # nothing and saves the toy-scale job-floor serialization).
     with ThreadPoolExecutor(2) as pool:
         novel_f = pool.submit(
             lambda: ngram_novelty(docs)

@@ -1746,6 +1746,24 @@ QUALITY_MIXTURE_SQL = _quality_mixture_sql()
 
 DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
 _DSIR_BUCKETS = 8192
+# Token-grain checkpoint gate: pinning the hashed token stream costs
+# ~24 B/token (three longs) ≈ 4× the input text bytes. Below this input
+# size the pin is cheap and saves the second tokenize+hash scan; above
+# it (or when the size is unknown) the two-scan plan runs instead —
+# same gated-shortcut convention as dedup._DRIVER_UNION_FIND_MAX_EDGES
+# and the kmeans driver gate (similarity.py).
+_DSIR_CHECKPOINT_MAX_INPUT_BYTES = 1 << 28  # 256 MiB of input text
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for the frame's optimized plan —
+    metadata-only (parquet footer / relation stats), no job runs. None
+    when the estimate is unavailable; callers must treat None as TOO BIG
+    (the conservative path)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
 
 
 def dsir_importance_scores(
@@ -1790,11 +1808,16 @@ def dsir_importance_scores(
         (md5_prefix_hash(F.col("w")) % F.lit(n_buckets)).alias("b"),
     )
     # Two consumers (bucket counts, then per-doc scoring) are inherent to
-    # DSIR's two-pass estimator; pin the hashed stream so tokenize+hash —
-    # the expensive map — runs once. The pinned rows are three longs per
-    # token; at extreme scale where materializing beats recomputing stops
-    # holding, drop the checkpoint and pay the second scan instead.
-    toks = toks.localCheckpoint(eager=True)
+    # DSIR's two-pass estimator. Pinning the hashed stream makes
+    # tokenize+hash — the expensive map — run once, but the pinned rows
+    # are three longs PER TOKEN (larger than the corpus fact grain), so
+    # the pin is GATED on the metadata-only input-size estimate: small
+    # inputs checkpoint, large or unknown inputs fall through to the
+    # two-scan plan (the `toks` lineage is simply evaluated twice — both
+    # paths are bit-equal, equivalence-tested in tests/test_round11.py).
+    est = _plan_size_bytes(df)
+    if est is not None and est <= _DSIR_CHECKPOINT_MAX_INPUT_BYTES:
+        toks = toks.localCheckpoint(eager=True)
     is_tgt = F.col("source").isin(*target_sources)
     counts = toks.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_raw"),
