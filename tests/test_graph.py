@@ -145,9 +145,14 @@ def test_kcore_driver_and_distributed_paths_bit_equal(spark):
         cl1 | cl2 | {(13, 20)},                         # bridged cliques
         {tuple(sorted(rng.sample(range(40), 2))) for _ in range(120)},
         {(i, i + 1) for i in range(30)},                # chain deeper than cap
+        # ADVICE r10: duplicate, reversed-duplicate, and self-loop edges
+        # must not split the paths (driver sets dedupe implicitly; the
+        # distributed loop dedupes explicitly)
+        [(1, 2), (1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (4, 4), (8, 9)],
+        [(1, 1), (1, 2), (2, 1), (1, 2)],
     ]
     for edges in fixtures:
-        d = pairs(edges)
+        d = pairs(list(edges))
         drv = [
             tuple(r)
             for r in G._kcore_driver(

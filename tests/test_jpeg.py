@@ -545,3 +545,54 @@ if _HAVE_HYP:
         assert err.max() <= 2, (h, w, seed, ri, err.max())
         assert (px[:, :, 0] == px[:, :, 1]).all()
         assert (px[:, :, 1] == px[:, :, 2]).all()
+
+
+# ----------------------- round-11 ADVICE fixes: speed + refusal gaps
+
+
+def test_decode_speed_linear_in_entropy_bytes():
+    """ADVICE r10 (medium): the bit reader must not accrete consumed
+    bytes into one ever-growing bigint — that made decode time quadratic
+    in entropy-stream size (minutes for a realistic image). A 256x256
+    noise image (~50 KB of entropy data, no restart markers) must decode
+    in seconds, and still decode correctly."""
+    import time
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (256, 256), dtype=np.uint8).astype(np.uint8)
+    payload = encode_gray(img)
+    assert len(payload) > 30_000  # noise ⇒ a realistic entropy stream
+    t0 = time.monotonic()
+    px = jpeg_pixels(payload)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"quadratic bit-reader regression: {elapsed:.1f}s"
+    err = np.abs(px[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 2
+
+
+def _shrink_segment(payload: bytes, marker: bytes, new_len: int) -> bytes:
+    at = payload.find(marker)
+    assert at >= 0, marker
+    b = bytearray(payload)
+    struct.pack_into(">H", b, at + 2, new_len)
+    return bytes(b)
+
+
+@pytest.mark.parametrize(
+    "marker, new_len, ri, reason",
+    [
+        (b"\xff\xc0", 4, 0, "SOF shorter than its fixed header"),
+        (b"\xff\xc0", 8, 0, "SOF component list truncated"),
+        (b"\xff\xc4", 5, 0, "DHT shorter than counts table"),
+        (b"\xff\xdd", 2, 2, "DRI without the interval"),
+        (b"\xff\xda", 3, 0, "SOS component list truncated"),
+    ],
+)
+def test_truncated_segments_hit_refusal_convention(marker, new_len, ri, reason):
+    """ADVICE r10 (low): malformed/truncated segment headers must raise
+    the documented NotImplementedError refusal, never leak a bare
+    struct.error / ValueError / IndexError."""
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    payload = _shrink_segment(encode_gray(img, restart_interval=ri), marker, new_len)
+    with pytest.raises(NotImplementedError):
+        jpeg_pixels(payload)

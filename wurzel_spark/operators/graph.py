@@ -386,8 +386,12 @@ def _kcore_driver(pairs: DataFrame, k: int, rounds: int) -> DataFrame:
     stable round), so results are bit-equal."""
     spark = pairs.sparkSession
     adj: dict[int, set[int]] = {}
-    for r in pairs.select("id_a", "id_b").collect():
-        a, b = int(r["id_a"]), int(r["id_b"])
+    # Arrow-batched pull (toPandas), not py4j Row collect — the exact
+    # serialization bottleneck the pagerank twin already avoids; at the
+    # 1M-edge gate this is the difference between ~100 ms and seconds.
+    pdf = pairs.select("id_a", "id_b").toPandas()
+    for a, b in zip(pdf["id_a"].astype("int64"), pdf["id_b"].astype("int64")):
+        a, b = int(a), int(b)
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
     for _ in range(rounds):
@@ -395,9 +399,12 @@ def _kcore_driver(pairs: DataFrame, k: int, rounds: int) -> DataFrame:
         if not drop:
             break
         for u in drop:
-            for v in adj[u]:
-                adj[v].discard(u)
-            del adj[u]
+            # pop first: a self-loop would otherwise mutate adj[u] while
+            # iterating it, and a neighbor dropped earlier THIS round has
+            # already left adj (two adjacent sub-k nodes peel together).
+            for v in adj.pop(u):
+                if v in adj:
+                    adj[v].discard(u)
     out = sorted((u, len(nb)) for u, nb in adj.items() if nb)
     return spark.createDataFrame(out, "node long, core_deg long")
 
@@ -443,7 +450,11 @@ def graph_kcore(
     live = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-    live = live.localCheckpoint(eager=True)
+    # The driver twin's set-based adjacency counts a duplicate or
+    # non-canonical (b,a) repeat of an edge once; dedupe here so both
+    # paths stay bit-equal for ANY input, not just distinct id_a<id_b
+    # pairs (one shuffle over the already-small edge set).
+    live = live.distinct().localCheckpoint(eager=True)
     prev = live.count()
     for _ in range(rounds):
         deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))

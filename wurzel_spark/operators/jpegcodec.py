@@ -88,7 +88,11 @@ class _BitReader:
             else:
                 # a real marker inside bit-fill: the scan data ran out
                 raise NotImplementedError("JPEG entropy stream desync")
-        self.bits = (self.bits << 8) | b
+        # Keep only the still-unread low `nbits` bits before appending:
+        # without the mask every consumed byte accretes into one
+        # ever-growing bigint and each shift turns O(bytes consumed) —
+        # quadratic decode time on any realistically-sized scan.
+        self.bits = ((self.bits & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -190,6 +194,10 @@ def jpeg_pixels(content: bytes) -> np.ndarray:
                 ).astype(np.int64)
                 o += 65
         elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            # Refusal convention: malformed headers must hit
+            # NotImplementedError, never bare struct.error/ValueError.
+            if len(seg) < 6:
+                raise NotImplementedError("truncated JPEG SOF header")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -203,6 +211,8 @@ def jpeg_pixels(content: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"builtin JPEG decoder caps at {_MAX_JPEG_PIXELS} pixels"
                 )
+            if len(seg) < 6 + 3 * nc:
+                raise NotImplementedError("truncated JPEG SOF component list")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -223,6 +233,8 @@ def jpeg_pixels(content: bytes) -> np.ndarray:
         elif m == 0xC4:  # DHT
             o = 0
             while o < len(seg):
+                if o + 17 > len(seg):
+                    raise NotImplementedError("truncated JPEG DHT")
                 tc, th = seg[o] >> 4, seg[o] & 0x0F
                 counts = list(seg[o + 1 : o + 17])
                 n = sum(counts)
@@ -231,15 +243,21 @@ def jpeg_pixels(content: bytes) -> np.ndarray:
                 huff[(tc, th)] = _build_huffman(counts, seg[o + 17 : o + 17 + n])
                 o += 17 + n
         elif m == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise NotImplementedError("truncated JPEG DRI")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
                 raise NotImplementedError("JPEG SOS before SOF")
+            if len(seg) < 1:
+                raise NotImplementedError("truncated JPEG SOS header")
             ns = seg[0]
             if ns != len(frame["comps"]):
                 raise NotImplementedError(
                     "JPEG multi-scan/partial-scan unsupported (non-baseline)"
                 )
+            if len(seg) < 1 + 2 * ns:
+                raise NotImplementedError("truncated JPEG SOS component list")
             scan = []
             for s in range(ns):
                 cs, tdta = seg[1 + 2 * s : 3 + 2 * s]

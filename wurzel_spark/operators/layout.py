@@ -1027,9 +1027,15 @@ def q_column_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appending the audited columns makes the order TOTAL up to rows that
     # are identical in every counted column, so the run count is
     # well-defined and engine-independent (same determinism class as the
-    # session_duration tie-break; the oracle orders identically)
+    # session_duration tie-break; the oracle orders identically).
+    # NULL placement is pinned EXPLICITLY on both sides: Spark ASC
+    # defaults to NULLS FIRST but DuckDB ASC defaults to NULLS LAST, so
+    # a NULL inside a tie group would otherwise shuffle cross-engine
+    # adjacency (and hence run counts) despite the NULL-safe comparison.
     wb = W.partitionBy("__bkt").orderBy(
-        "l_orderkey", "l_linenumber", *ENCODING_COLUMNS
+        "l_orderkey",
+        "l_linenumber",
+        *[F.col(c).asc_nulls_first() for c in ENCODING_COLUMNS],
     )
     lagged = b.select(
         "__bkt",
@@ -1130,7 +1136,8 @@ WITH lagged AS (
   SELECT {", ".join(ENCODING_COLUMNS)},
          {chg}
   FROM lineitem
-  WINDOW w AS (ORDER BY l_orderkey, l_linenumber, {", ".join(ENCODING_COLUMNS)})
+  WINDOW w AS (ORDER BY l_orderkey, l_linenumber,
+               {", ".join(f"{c} ASC NULLS FIRST" for c in ENCODING_COLUMNS)})
 ), agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
          {aggs}
