@@ -73,6 +73,60 @@ def split_sentences(text: str) -> list[str]:
     return [p for p in out if p.strip()]
 
 
+# ------------------------- reference-faithful regex sentence strategy
+
+# The reference's RegexSentenceSplitter contract
+# (sentence_splitter.py:115-226): split after terminal punctuation
+# (. ! ? …) plus any closing quotes/brackets, only when the next
+# non-space token looks like a sentence start (optional opening
+# quote/paren, then capital or digit); merge back false positives from
+# known abbreviations, initials, dotted acronyms, decimals, ordinals
+# ("No. 5") and ellipses; newlines normalize to spaces and sentences
+# come back stripped. Re-expressed here to make the ported reference
+# case corpus (tests/sentence_case_corpus.py) exactly satisfiable;
+# the ENGINE strategies below keep their own (whitespace-preserving)
+# semantics because chunk goldens depend on them.
+_REF_SPLIT_RE = re.compile(
+    r"(?<=[.!?…])(?:['\")\]]*)(?=\s+(?=[“\"'(\[]?[A-Z0-9]))"
+)
+_REF_ABBREVS = frozenset(
+    "mr mrs ms dr prof sr jr sir madam st etc vs cf al ca resp "
+    "jan feb mar apr jun jul aug sep sept oct nov dec "
+    "no dept fig eq inc ltd".split()
+)
+_REF_TRAIL_WORD_RE = re.compile(r"([^\W\d_]+)\.\s*$", re.UNICODE)
+_REF_MERGE_RES = (
+    re.compile(r"(?:\b[A-Z]\.){1,3}\s*$"),   # initials / dotted acronym
+    re.compile(r"\d\.\d+\s*$"),              # decimal (3.14)
+    re.compile(r"\.\.\.\s*$"),               # ellipsis
+    re.compile(r"\bNo\.\s*\d+\s*$", re.I),   # ordinal (No. 5)
+)
+
+
+def _ref_merge_with_next(chunk: str) -> bool:
+    chunk = chunk.rstrip()
+    m = _REF_TRAIL_WORD_RE.search(chunk)
+    if m and m.group(1).lower() in _REF_ABBREVS:
+        return True
+    return any(p.search(chunk) for p in _REF_MERGE_RES)
+
+
+def split_sentences_ref(text: str) -> list[str]:
+    """Reference-parity regex sentence splitter (strategy 'regex-ref'):
+    passes the ported REGEX case corpus exactly
+    (tests/test_sentence_cases_ref.py)."""
+    normalized = re.sub(r"[ \t]*\n[ \t]*", " ", text.strip())
+    out: list[str] = []
+    for part in _REF_SPLIT_RE.split(normalized):
+        if not part:
+            continue
+        if out and _ref_merge_with_next(out[-1]):
+            out[-1] = out[-1].rstrip() + " " + part.lstrip()
+        else:
+            out.append(part)
+    return [s.strip() for s in out if s.strip()]
+
+
 # ----------------------------------- learned (punkt-style) sentence strategy
 
 _LAST_TOKEN_RE = re.compile(r"(\S+)$")
@@ -520,6 +574,8 @@ def sentence_splitter(strategy: str = "regex", abbreviations: frozenset[str] | N
     """
     if strategy == "regex":
         return split_sentences
+    if strategy == "regex-ref":
+        return split_sentences_ref
     if strategy == "punkt":
         ab = abbreviations or frozenset()
         return lambda text: split_sentences_learned(text, ab)
