@@ -143,3 +143,147 @@ def test_every_registered_query_bounds_global_windows(spark, registry):
         f"{len(failures)} queries run a global window over unbounded "
         f"grain: {failures}"
     )
+
+
+# ------------------- round-11: RUNTIME row bound behind the plan guard
+#
+# The guard above proves a bounding NODE exists below each global
+# window; this asserts the bounded input is actually small at sf0.1 —
+# defense against a rollup whose grain silently explodes (e.g. a
+# value-domain histogram over a continuous column), which would satisfy
+# the structural guard while still funneling fact-grain rows into one
+# partition (VERDICT r10 Next #7).
+
+SF_DIR_BIG = "/root/testdata/sf0.1"
+
+# Every registered query whose physical plan contains an unpartitioned
+# Window (discovered by the test below — a new global-window query must
+# be added here consciously). Largest legit grain today: rfm_segments'
+# customer-rank input, 14 999 rows at sf0.1.
+GLOBAL_WINDOW_WHITELIST = {
+    "slo_burn_stats",
+    "column_encoding_stats",
+    "bot_score_stats",
+    "score_lift_table",
+    "user_activity_fof",
+    "session_duration_stats",
+    "waterfill_sample_stats",
+    "tcloseness_release",
+    "benford_value_audit",
+    "ks_length_drift",
+    "rfm_segments",
+    "event_path_trigrams",
+    "event_hour_independence",
+    "file_pruning_stats",
+    "purchase_attribution",
+    "priority_sample",
+    "token_budget_waterfill",
+    "doremi_mixture_weights",
+}
+# Fact grains at sf0.1 start at ~60k (lineitem) — any histogram/rollup
+# grain that reaches this bound is an explosion, not a rollup.
+WINDOW_INPUT_ROW_BOUND = 65_536
+
+
+def _exec_children(jnode):
+    """Children through AQE/query-stage wrappers of an EXECUTED plan."""
+    name = jnode.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return [jnode.executedPlan()]
+    if "QueryStage" in name:
+        try:
+            return [jnode.plan()]
+        except Exception:
+            pass
+    out = []
+    ch = jnode.children()
+    for i in range(ch.size()):
+        out.append(ch.apply(i))
+    try:
+        sq = jnode.subqueries()
+        for i in range(sq.size()):
+            out.append(sq.apply(i))
+    except Exception:
+        pass
+    return out
+
+
+def _iter_exec_nodes(jnode):
+    stack = [jnode]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(_exec_children(n))
+
+
+def _window_input_rows(wnode) -> int:
+    """Rows that entered a global window: the first metric-bearing node
+    below it (the SinglePartition exchange's shuffleRecordsWritten, or an
+    aggregate's numOutputRows). -1 when no metric node exists below
+    (window directly over a checkpointed local scan — already bounded by
+    what produced it)."""
+    stack = _exec_children(wnode)
+    while stack:
+        c = stack.pop(0)
+        try:
+            it = c.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() in ("numOutputRows", "shuffleRecordsWritten"):
+                    return int(kv._2().value())
+        except Exception:
+            pass
+        stack = _exec_children(c) + stack
+    return -1
+
+
+def test_global_window_whitelist_is_exact(spark, registry):
+    """The whitelist is the DISCOVERED set: a query growing (or losing)
+    a global window must update it consciously."""
+    found = set()
+    for name, fn in registry.items():
+        jplan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan()
+        for n in _iter_nodes(jplan):
+            if n.getClass().getSimpleName() in (
+                "WindowExec",
+                "WindowInPandasExec",
+            ):
+                try:
+                    if n.partitionSpec().isEmpty():
+                        found.add(name)
+                except Exception:
+                    pass
+    assert found == GLOBAL_WINDOW_WHITELIST, (
+        f"added: {sorted(found - GLOBAL_WINDOW_WHITELIST)}, "
+        f"removed: {sorted(GLOBAL_WINDOW_WHITELIST - found)}"
+    )
+
+
+def test_global_window_inputs_bounded_at_sf01(spark, registry):
+    """Execute every whitelisted query at sf0.1 and assert the ACTUAL
+    row count entering each unpartitioned window stays at histogram
+    grain (≤ WINDOW_INPUT_ROW_BOUND)."""
+    offenders = {}
+    for name in sorted(GLOBAL_WINDOW_WHITELIST):
+        df = registry[name](spark, SF_DIR_BIG)
+        df.collect()
+        jplan = df._jdf.queryExecution().executedPlan()
+        rows = []
+        for n in _iter_exec_nodes(jplan):
+            if n.getClass().getSimpleName() in (
+                "WindowExec",
+                "WindowInPandasExec",
+            ):
+                try:
+                    if not n.partitionSpec().isEmpty():
+                        continue
+                except Exception:
+                    continue
+                rows.append(_window_input_rows(n))
+        too_big = [r for r in rows if r > WINDOW_INPUT_ROW_BOUND]
+        if too_big:
+            offenders[name] = rows
+    assert not offenders, (
+        f"global windows fed more than {WINDOW_INPUT_ROW_BOUND} rows at "
+        f"sf0.1: {offenders}"
+    )
