@@ -158,8 +158,11 @@ SF_DIR_BIG = "/root/testdata/sf0.1"
 
 # Every registered query whose physical plan contains an unpartitioned
 # Window (discovered by the test below — a new global-window query must
-# be added here consciously). Largest legit grain today: rfm_segments'
-# customer-rank input, 14 999 rows at sf0.1.
+# be added here consciously). rfm_segments left the list in r11: its
+# customer-grain ranks (the largest input, 14 999 rows at sf0.1, and a
+# grain that SCALES with the data) went two-phase bucketed. Largest
+# remaining legit grain: session_duration_stats' 1 720 duration
+# histogram rows.
 GLOBAL_WINDOW_WHITELIST = {
     "slo_burn_stats",
     "column_encoding_stats",
@@ -171,7 +174,6 @@ GLOBAL_WINDOW_WHITELIST = {
     "tcloseness_release",
     "benford_value_audit",
     "ks_length_drift",
-    "rfm_segments",
     "event_path_trigrams",
     "event_hour_independence",
     "file_pruning_stats",

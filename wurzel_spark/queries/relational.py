@@ -1939,12 +1939,20 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     remainder-distribution semantics to match across engines.
 
     Scale shape: one order-fact grouped aggregate to customer grain,
-    then three global-order windows over the CUSTOMER table (the
-    corpus_shuffle cost class — dimension-sized, not fact-sized; at
-    1000 executors the sort is range-partitioned and the ranks derive
-    from partition offsets), then a ≤125-group rollup."""
+    then — because CUSTOMER grain scales with the data (billions at
+    100 TB), never a global window over it — each of the three ranks is
+    TWO-PHASE like quality_percentile_gate / corpus_shuffle: rows
+    range-bucket on the rank key (bucket order == key order), per-bucket
+    counts collect to the driver (≤3·1025 longs, one job), prefix
+    offsets broadcast back, and each row_number window partitions by
+    its bucket — identical global ranks, no single-partition sort.
+    Then a ≤125-group rollup. The customer-grain frame is pinned
+    (4 longs/row — the quality-gate precedent, no strings) because five
+    branches (panel, counts, three ranked passes) would otherwise
+    re-run the order-fact aggregate."""
     from pyspark.sql import Window as W
 
+    _NB = 1024
     o = table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         # o_orderdate is TIMESTAMP_NTZ; cast through TIMESTAMP (session tz
@@ -1953,20 +1961,64 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("last_us"),
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).alias("cents"),
+    ).localCheckpoint(eager=True)
+    dims = {"r": "last_us", "f": "freq", "m": "cents"}
+    panel = cust.agg(
+        *[
+            agg(c).alias(f"{side}_{d}")
+            for d, c in dims.items()
+            for side, agg in (("lo", F.min), ("hi", F.max))
+        ]
     )
-    n = W.partitionBy()
-    scored = cust.select(
+    b = cust.crossJoin(F.broadcast(panel)).select(
         "o_custkey",
         "cents",
-        F.row_number().over(W.orderBy("last_us", "o_custkey")).alias("rn_r"),
-        F.row_number().over(W.orderBy("freq", "o_custkey")).alias("rn_f"),
-        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("rn_m"),
-        F.count(F.lit(1)).over(n).alias("n_cust"),
-    ).select(
+        *[F.col(c).alias(f"v_{d}") for d, c in dims.items()],
+        *[
+            F.expr(f"div(({c} - lo_{d}) * {_NB}, hi_{d} - lo_{d} + 1)").alias(
+                f"b_{d}"
+            )
+            for d, c in dims.items()
+        ],
+    )
+    # ONE collect fetches all three dims' bucket histograms (≤3·(NB+1)
+    # rows of longs) — prefix offsets per dim come back as broadcast
+    # join tables, the exact column_encoding/quality-gate discipline.
+    counts = (
+        b.select(F.lit("r").alias("d"), F.col("b_r").alias("bkt"))
+        .unionByName(b.select(F.lit("f").alias("d"), F.col("b_f").alias("bkt")))
+        .unionByName(b.select(F.lit("m").alias("d"), F.col("b_m").alias("bkt")))
+        .groupBy("d", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per_dim: dict[str, dict[int, int]] = {d: {} for d in dims}
+    for r in counts:
+        per_dim[r["d"]][r["bkt"]] = r["c"]
+    n_cust = sum(per_dim["r"].values())
+    # Offsets ride back as LITERAL arrays (bucket → rows before it), not
+    # join tables: ≤NB+1 longs per dim inlined into codegen — zero extra
+    # joins/shuffles, the broadcast-side cost the toy-scale bench pays
+    # for nothing.
+    ranked = b
+    for d in dims:
+        run, offs = 0, [0] * (_NB + 1)
+        for bk in range(_NB + 1):
+            offs[bk] = run
+            run += per_dim[d].get(bk, 0)
+        arr = "array(" + ",".join(f"{v}L" for v in offs) + ")"
+        w = W.partitionBy(f"b_{d}").orderBy(f"v_{d}", "o_custkey")
+        ranked = ranked.withColumn(
+            f"rn_{d}",
+            F.expr(f"element_at({arr}, CAST(b_{d} + 1 AS INT))")
+            + F.row_number().over(w),
+        )
+    scored = ranked.select(
         "cents",
-        F.expr("1 + div(5 * (rn_r - 1), n_cust)").alias("r_score"),
-        F.expr("1 + div(5 * (rn_f - 1), n_cust)").alias("f_score"),
-        F.expr("1 + div(5 * (rn_m - 1), n_cust)").alias("m_score"),
+        *[
+            F.expr(f"1 + div(5 * (rn_{d} - 1), {n_cust})").alias(f"{d}_score")
+            for d in dims
+        ],
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
