@@ -102,9 +102,27 @@ def main(out_dir: str = "/tmp/sfprobe", replicas: int = 10) -> None:
         ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)
         """
     )
+    # orders: replica r shifts order AND customer keys so the CUSTOMER
+    # population scales with the data — what the two-phase rfm ranks are
+    # sized by (r11; the old global-window rfm was excluded from the
+    # probe, the restructure is exactly what this measures).
+    n_ok, n_ck = con.execute(
+        f"SELECT MAX(o_orderkey) + 1, MAX(o_custkey) + 1 FROM '{SRC}/orders.parquet'"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT o.* REPLACE (o.o_orderkey + r.r * {n_ok} AS o_orderkey,
+                              o.o_custkey + r.r * {n_ck} AS o_custkey)
+          FROM '{SRC}/orders.parquet' o,
+               (SELECT unnest(range({replicas})) AS r) r
+          ORDER BY o_orderkey
+        ) TO '{out_dir}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
     print(
         f"wrote {out_dir}: {n_docs * replicas} docs, {n_vec * replicas} "
-        f"embeddings, {n_ev * replicas} events"
+        f"embeddings, {n_ev * replicas} events, 10x orders/customers"
     )
 
 

@@ -222,9 +222,13 @@ QUERIES = [
     # fd_violation_stats / iqr_outlier_stats EXCLUDED: read part/customer/
     # lineitem (zorder precedent); both are one grouped count + group-
     # sized tails per the plan guards.
-    # rfm_segments EXCLUDED: reads orders (zorder precedent); one
-    # fact-grain aggregate + dimension-sized global-order windows (the
-    # corpus_shuffle cost class).
+    # round-11: rfm went two-phase (bucketed ranks over a customer
+    # population that now SCALES in the probe dir — gen_scale_probe
+    # shifts custkeys per replica); probing it is the point of the
+    # restructure. curation_funnel_v2 joined after its fact-grain
+    # checkpoint removal.
+    "rfm_segments",
+    "curation_funnel_v2",
 ]
 
 
