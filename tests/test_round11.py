@@ -92,6 +92,45 @@ def test_curation_funnel_result_unchanged(spark):
     assert rows["0_all"] == _docs(spark).count()
 
 
+# -------------------- repo-wide: document text is NEVER checkpointed
+
+# Column names that mark an unbounded-document payload. Short
+# categorical strings (source, lang, event_type) and vocab-grain terms
+# (term, gram, w1/w2 — Heaps-sublinear) are fine to pin; a document
+# body never is (the r10 curation_funnel violation class).
+_TEXT_LIKE = {"text", "md", "markdown", "content", "body", "html", "clean_text"}
+
+
+def test_no_registered_query_checkpoints_document_text(spark):
+    """Walk every registered query's physical plan: no checkpointed
+    (RDD-scanned) frame may carry a text-like column. The round-10
+    fact-grain funnel checkpoint would have failed this."""
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF_DIR)
+        for s, types_names in _rdd_scan_cols(df):
+            bad = [c for c, _ in types_names if c.lower() in _TEXT_LIKE]
+            if bad:
+                offenders.setdefault(name, []).append((s, bad))
+    assert not offenders, f"document text pinned to executor disks: {offenders}"
+
+
+def _rdd_scan_cols(df):
+    out = []
+    jplan = df._jdf.queryExecution().executedPlan()
+    for n in _iter_jnodes(jplan):
+        if "RDDScan" in n.getClass().getSimpleName():
+            attrs = n.output()
+            cols = []
+            for i in range(attrs.size()):
+                a = attrs.apply(i)
+                cols.append((str(a.name()), str(a.dataType().simpleString())))
+            out.append((n.simpleString(120), cols))
+    return out
+
+
 # ------------------------------ DSIR: gated token-grain checkpoint
 
 
