@@ -47,19 +47,24 @@ def _iter_jnodes(jnode):
             pass
 
 
-def _rdd_scan_schemas(df):
-    """[(simpleString, [dataType simpleString, ...])] for every
-    checkpointed/ExistingRDD scan in the executed plan."""
+def _rdd_scan_cols(df):
+    """[(simpleString, [(name, dataType), ...])] for every checkpointed
+    (ExistingRDD) scan in the executed plan."""
     out = []
     jplan = df._jdf.queryExecution().executedPlan()
     for n in _iter_jnodes(jplan):
         if "RDDScan" in n.getClass().getSimpleName():
-            types = []
             attrs = n.output()
+            cols = []
             for i in range(attrs.size()):
-                types.append(attrs.apply(i).dataType().simpleString())
-            out.append((n.simpleString(200), types))
+                a = attrs.apply(i)
+                cols.append((str(a.name()), str(a.dataType().simpleString())))
+            out.append((n.simpleString(200), cols))
     return out
+
+
+def _rdd_scan_schemas(df):
+    return [(s, [t for _, t in cols]) for s, cols in _rdd_scan_cols(df)]
 
 
 # ------------------------------ funnel: no fact-grain text checkpoint
@@ -117,20 +122,6 @@ def test_no_registered_query_checkpoints_document_text(spark):
     assert not offenders, f"document text pinned to executor disks: {offenders}"
 
 
-def _rdd_scan_cols(df):
-    out = []
-    jplan = df._jdf.queryExecution().executedPlan()
-    for n in _iter_jnodes(jplan):
-        if "RDDScan" in n.getClass().getSimpleName():
-            attrs = n.output()
-            cols = []
-            for i in range(attrs.size()):
-                a = attrs.apply(i)
-                cols.append((str(a.name()), str(a.dataType().simpleString())))
-            out.append((n.simpleString(120), cols))
-    return out
-
-
 # ------------------------------ DSIR: gated token-grain checkpoint
 
 
@@ -144,6 +135,21 @@ def test_dsir_gate_small_input_checkpoints(spark):
     assert _plan_size_bytes(docs) <= _DSIR_CHECKPOINT_MAX_INPUT_BYTES
     scans = _rdd_scan_schemas(dsir_importance_scores(docs))
     assert scans, "small input should take the checkpointed plan"
+
+
+def test_rfm_customer_pin_gated_and_bit_equal(spark, monkeypatch):
+    """rfm_segments' customer-grain pin (4 longs/row but a grain that
+    scales with the data) rides the same size gate as DSIR: forcing the
+    gate shut must drop the checkpoint and leave the result identical."""
+    from wurzel_spark.queries.relational import rfm_segments
+
+    pinned_df = rfm_segments(spark, SF_DIR)
+    assert _rdd_scan_cols(pinned_df), "small input should pin the customer frame"
+    pinned = pinned_df.collect()
+    monkeypatch.setattr(textstats, "_DSIR_CHECKPOINT_MAX_INPUT_BYTES", 0)
+    unpinned_df = rfm_segments(spark, SF_DIR)
+    assert not _rdd_scan_cols(unpinned_df)
+    assert pinned == unpinned_df.collect()
 
 
 def test_dsir_gate_large_input_two_scan_and_bit_equal(spark, monkeypatch):

@@ -128,3 +128,22 @@ def test_overall_fidelity_floor():
     # 30/33 today: only em-dash starts and Greek «/capitals remain,
     # which the reference itself passes only with the spacy model.
     assert best >= 30, (best, total)
+
+
+def test_closer_drop_quirk_matches_reference():
+    """re.split discards the consumed closing quote between terminator
+    and split point — the reference's _split_re (non-capturing closer
+    group fed to re.split) does the identical thing, so this is CODE
+    parity, pinned so a well-meaning 'fix' surfaces as a conscious
+    divergence from the reference."""
+    import re
+
+    ref_split = re.compile(
+        r"(?<=[.!?…])" r"(?:['\")\]]*)" r"(?=\s+(?=[“\"'(\[]?[A-Z0-9]))"
+    )
+    text = 'He shouted "Go!" Then silence.'
+    ref_parts = [p.strip() for p in ref_split.split(text) if p.strip()]
+    assert split_sentences_ref(text) == ref_parts == [
+        'He shouted "Go!',
+        "Then silence.",
+    ]

@@ -16,8 +16,9 @@ edits (keeping a realistic near-dup band: Jaccard ≈ 1 - i/words).
 Deterministic (seeded per doc) so repeated probes are comparable.
 
 Usage: python tools/gen_scale_probe.py [out_dir] [replicas]
-Writes documents.parquet + embeddings.parquet under out_dir
-(default /tmp/sfprobe, replicas=10 → 50k docs / 20k embeddings).
+Writes documents/embeddings/events/orders parquet under out_dir
+(default /tmp/sfprobe, replicas=10 → 50k docs / 20k embeddings / 1M
+events / 1.5M orders with a 10x-scaled custkey domain).
 """
 
 from __future__ import annotations
@@ -122,7 +123,8 @@ def main(out_dir: str = "/tmp/sfprobe", replicas: int = 10) -> None:
     )
     print(
         f"wrote {out_dir}: {n_docs * replicas} docs, {n_vec * replicas} "
-        f"embeddings, {n_ev * replicas} events, 10x orders/customers"
+        f"embeddings, {n_ev * replicas} events, "
+        f"{replicas}x orders (custkey domain scaled {replicas}x)"
     )
 
 

@@ -86,6 +86,13 @@ def split_sentences(text: str) -> list[str]:
 # case corpus (tests/sentence_case_corpus.py) exactly satisfiable;
 # the ENGINE strategies below keep their own (whitespace-preserving)
 # semantics because chunk goldens depend on them.
+#
+# Known parity QUIRK (kept deliberately): re.split discards matched
+# non-captured text, so a closer between the terminator and the split
+# point ('Go!" Then') is CONSUMED — the reference's own _split_re does
+# exactly the same (its prose says closers attach to the left sentence;
+# its code drops them). Pinned by
+# tests/test_sentence_cases_ref.py::test_closer_drop_quirk_matches_reference.
 _REF_SPLIT_RE = re.compile(
     r"(?<=[.!?…])(?:['\")\]]*)(?=\s+(?=[“\"'(\[]?[A-Z0-9]))"
 )

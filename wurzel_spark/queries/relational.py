@@ -1946,11 +1946,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts collect to the driver (≤3·1025 longs, one job), prefix
     offsets broadcast back, and each row_number window partitions by
     its bucket — identical global ranks, no single-partition sort.
-    Then a ≤125-group rollup. The customer-grain frame is pinned
-    (4 longs/row — the quality-gate precedent, no strings) because five
-    branches (panel, counts, three ranked passes) would otherwise
-    re-run the order-fact aggregate."""
+    Then a ≤125-group rollup. The customer-grain frame (4 longs/row,
+    no strings) is pinned only below the DSIR-style input-size gate —
+    customer grain scales with the data, so above the gate the three
+    branches (panel, counts, ranked passes) re-run the order-fact
+    aggregate instead of pinning billions of rows to local disks."""
     from pyspark.sql import Window as W
+
+    from wurzel_spark.operators.textstats import (
+        _DSIR_CHECKPOINT_MAX_INPUT_BYTES,
+        _plan_size_bytes,
+    )
 
     _NB = 1024
     o = table(spark, sf_dir, "orders")
@@ -1961,7 +1967,10 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("last_us"),
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).alias("cents"),
-    ).localCheckpoint(eager=True)
+    )
+    est = _plan_size_bytes(o)
+    if est is not None and est <= _DSIR_CHECKPOINT_MAX_INPUT_BYTES:
+        cust = cust.localCheckpoint(eager=True)
     dims = {"r": "last_us", "f": "freq", "m": "cents"}
     panel = cust.agg(
         *[
