@@ -166,3 +166,89 @@ def test_dsir_gate_large_input_two_scan_and_bit_equal(spark, monkeypatch):
     )
     unpinned = unpinned_df.orderBy("doc_id").collect()
     assert pinned == unpinned
+
+
+# --------------------- rfm two-phase ranks == naive global ranks
+
+
+def test_rfm_two_phase_equals_naive_global_ranks(spark, tmp_path):
+    """The bucketed two-phase ranks must reproduce the naive
+    global-window quintiles EXACTLY on adversarial inputs: heavy ties
+    in freq/cents/last_us, skewed custkeys, single-customer edge,
+    n_cust not divisible by 5."""
+    import random
+
+    from pyspark.sql import Window as W
+    from wurzel_spark.queries.relational import _RFM_LABEL_CASE, rfm_segments
+
+    rng = random.Random(11)
+    fixtures = [
+        # (n_orders, n_cust) — ties guaranteed by tiny value domains
+        (400, 37),
+        (50, 50),
+        (200, 3),
+        (1, 1),
+    ]
+    for n_orders, n_cust in fixtures:
+        rows = [
+            (
+                i,
+                rng.randrange(n_cust),
+                "O",
+                float(rng.choice([10.0, 10.0, 99.99, 500.5])),
+                f"2024-0{rng.randrange(1, 5)}-0{rng.randrange(1, 9)} 00:00:00",
+                "1-URGENT",
+            )
+            for i in range(n_orders)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+        d = str(tmp_path / f"orders_{n_orders}_{n_cust}")
+        df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+        got = [tuple(r) for r in rfm_segments(spark, d).collect()]
+
+        # naive twin: the pre-r11 global-window formulation
+        cust = df.groupBy("o_custkey").agg(
+            F.max(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("last_us"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).alias(
+                "cents"
+            ),
+        )
+        scored = cust.select(
+            "cents",
+            F.row_number().over(W.orderBy("last_us", "o_custkey")).alias("rn_r"),
+            F.row_number().over(W.orderBy("freq", "o_custkey")).alias("rn_f"),
+            F.row_number().over(W.orderBy("cents", "o_custkey")).alias("rn_m"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n_cust"),
+        ).select(
+            "cents",
+            F.expr("1 + div(5 * (rn_r - 1), n_cust)").alias("r_score"),
+            F.expr("1 + div(5 * (rn_f - 1), n_cust)").alias("f_score"),
+            F.expr("1 + div(5 * (rn_m - 1), n_cust)").alias("m_score"),
+        )
+        want = [
+            tuple(r)
+            for r in scored.groupBy("r_score", "f_score", "m_score")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_customers"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .select(
+                "r_score",
+                "f_score",
+                "m_score",
+                F.expr(_RFM_LABEL_CASE).alias("segment"),
+                "n_customers",
+                "total_cents",
+            )
+            .orderBy("r_score", "f_score", "m_score")
+            .collect()
+        ]
+        assert got == want, (n_orders, n_cust)
