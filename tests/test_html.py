@@ -102,3 +102,18 @@ def test_spark_udfs(spark):
     assert "Hello" in out[0]["txt"]
     assert 'href="https://ex.com/rel/path"' in out[0]["norm"]
     assert out[1]["md"] is None and out[1]["txt"] is None
+
+
+def test_normalize_markdown_hard_breaks_mdformat_style():
+    """mdformat preserves trailing-double-space hard breaks as backslash
+    breaks; a bare rstrip would silently delete the break semantics.
+    Paragraph-final and heading trailing spaces still strip (mdformat
+    drops meaningless breaks there)."""
+    from wurzel_spark.functions.html import normalize_markdown as nm
+
+    assert nm("foo  \nbar\n") == "foo\\\nbar\n"
+    assert nm("foo  \n\nbar\n") == "foo\n\nbar\n"
+    assert nm("# Head  \nbody\n") == "# Head\nbody\n"
+    assert nm("foo\\\nbar\n") == "foo\\\nbar\n"  # idempotent form
+    # inside fences nothing changes
+    assert nm("```\nfoo  \nbar\n```\n") == "```\nfoo  \nbar\n```\n"

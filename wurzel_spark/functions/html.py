@@ -447,6 +447,19 @@ def normalize_markdown(md: str) -> str:
             out.append(line.rstrip())
             i += 1
             continue
+        # mdformat preserves trailing-double-space HARD breaks as a
+        # backslash break (a bare rstrip would silently delete the line
+        # break semantics); only mid-paragraph — a hard break before a
+        # blank/paragraph end is meaningless and mdformat drops it.
+        hard_break = (
+            line.rstrip("\n").endswith("  ")
+            and line.strip() != ""
+            and i + 1 < len(lines)
+            and lines[i + 1].strip() != ""
+            and not _SETEXT1_RE.match(lines[i + 1])
+            and not _SETEXT2_RE.match(lines[i + 1])
+            and not line.lstrip().startswith("#")
+        )
         line = line.rstrip()
         if not line:
             blanks += 1
@@ -480,6 +493,8 @@ def normalize_markdown(md: str) -> str:
         line = _HEADING_NORM_RE.sub(r"\1 ", line)
         line = _BULLET_NORM_RE.sub(r"\1-\2", line)
         line = _ORDERED_NORM_RE.sub(r"\1\2.\3", line)
+        if hard_break and not line.endswith("\\"):
+            line += "\\"
         out.append(line)
         i += 1
     joined = "\n".join(out)
