@@ -117,3 +117,62 @@ def test_normalize_markdown_hard_breaks_mdformat_style():
     assert nm("foo\\\nbar\n") == "foo\\\nbar\n"  # idempotent form
     # inside fences nothing changes
     assert nm("```\nfoo  \nbar\n```\n") == "```\nfoo  \nbar\n```\n"
+
+
+# ----- reference html2md contract cases (tests/to_markdown/html2md_test.py)
+
+
+def test_clean_html_replaces_img_with_alt_span():
+    out = H.clean_html(
+        '<div><img src="test.png" alt="AltText"><img src="noalt.png"><p>Other</p></div>'
+    )
+    assert "<img" not in out and "noalt.png" not in out
+    assert "<span>AltText</span>" in out
+    assert "<span></span>" in out  # img without alt
+    assert "<p>Other</p>" in out
+
+
+def test_clean_html_removes_js_footer_div():
+    out = H.clean_html(
+        '<div><div id="js-footer">Should be removed</div><div>Should stay</div></div>'
+    )
+    assert "Should be removed" not in out
+    assert "Should stay" in out
+
+
+def test_normalize_urls_link_script_mailto_data_empty():
+    out = H.normalize_urls(
+        '<link rel="stylesheet" href="/css/style.css"><script src="/js/app.js"></script>'
+        '<a href="mailto:test@example.com">Mail</a>'
+        '<img src="data:image/png;base64,abc123"><a href="">Empty</a><img src="">',
+        "https://example.com",
+    )
+    assert 'href="https://example.com/css/style.css"' in out
+    assert 'src="https://example.com/js/app.js"' in out
+    assert 'href="mailto:test@example.com"' in out
+    assert 'src="data:image/png;base64,abc123"' in out
+    assert 'href=""' in out and 'src=""' in out
+
+
+def test_to_markdown_reference_table_contract():
+    html = """
+    <html><body><h1>Sample Table</h1>
+    <table border="1"><thead><tr><th>Name</th><th>Age</th><th>City</th></tr></thead>
+    <tbody><tr><td>John</td><td>25</td><td>New York</td></tr>
+    <tr><td>Jane</td><td>30</td><td>London</td></tr></tbody></table>
+    <p>This is a paragraph after the table.</p></body></html>
+    """
+    md = H.to_markdown(html)
+    assert "| Name | Age | City |" in md
+    assert "| --- | --- | --- |" in md
+    assert "| John | 25 | New York |" in md
+    assert "| Jane | 30 | London |" in md
+    assert "# Sample Table" in md
+    assert "This is a paragraph after the table." in md
+
+
+def test_to_markdown_single_row_table_still_a_table():
+    md = H.to_markdown(
+        "<table><tr><td>Only</td><td>One</td><td>Row</td></tr></table>"
+    )
+    assert "| Only | One | Row |" in md

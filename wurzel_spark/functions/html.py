@@ -120,10 +120,34 @@ def _render_html(node: _Node) -> str:
     return "".join(out)
 
 
+def _clean_tree_ref(node: _Node) -> None:
+    """The reference clean_tree's two extra rules (html2md.py:143-155):
+    every <img> becomes <span>{alt}</span> (empty span without alt) and
+    <div id="js-footer"> subtrees are removed."""
+    new_children = []
+    for c in node.children:
+        if isinstance(c, _Node):
+            if c.tag == "img":
+                span = _Node("span", {})
+                alt = c.attrs.get("alt")
+                if alt:
+                    span.children.append(alt)
+                new_children.append(span)
+                continue
+            if c.tag == "div" and c.attrs.get("id") == "js-footer":
+                continue
+            _clean_tree_ref(c)
+        new_children.append(c)
+    node.children = new_children
+
+
 def clean_html(html: str) -> str:
-    """Drop script/style/svg/footer/nav/... subtrees (html2md.py:137-166)."""
+    """Drop script/style/svg/footer/nav/... subtrees, replace images with
+    their alt text in a <span>, drop the js-footer div
+    (html2md.py:137-166)."""
     tree = parse_html(html)
     _clean(tree)
+    _clean_tree_ref(tree)
     return _render_html(tree)
 
 
