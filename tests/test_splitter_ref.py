@@ -187,3 +187,27 @@ def test_german_faq_with_real_cl100k_vocab_if_available():
     assert {c["metadata"]["source_sha256_hash"] for c in chunks} == {GERMAN_FAQ_HASH}
     assert [int(c["metadata"]["chunk_index"]) for c in chunks] == list(range(5))
     assert {int(c["metadata"]["chunks_count"]) for c in chunks} == {5}
+
+
+def test_dont_repeat_header_variant():
+    """table_splitter_test.py:77-84 (repeat_table_header_row=False): the
+    header block appears only in the FIRST table-bearing chunk; later
+    chunks are bare body rows; no row is lost."""
+    case = "many_rows_table_dont_repeat_header"
+    text = (FIXDIR / case / "input.md").read_text()
+    chunks = split_markdown_document(
+        text, keywords="pytest", url="test", repeat_table_header_row=False
+    )
+    assert len(chunks) >= 2, "fixture must still split"
+    header_first_cell = _cells(_table_rows(text)[0])[0]
+    carrying = [
+        i
+        for i, c in enumerate(chunks)
+        if _table_rows(c["md"]) and _cells(_table_rows(c["md"])[0])[0] == header_first_cell
+    ]
+    assert carrying == [0], f"header repeated beyond chunk 0: {carrying}"
+    src_cells = {c for r in _table_rows(text) for c in _cells(r)}
+    out_cells = {
+        c for ch in chunks for r in _table_rows(ch["md"]) for c in _cells(r)
+    }
+    assert not {c for c in src_cells - out_cells if len(c) > 1}

@@ -277,12 +277,17 @@ def _parse_blocks(md: str) -> list[tuple[str, object, str]]:
 
 # ----------------------------------------------------- table splitting
 
-def split_markdown_table(table_md: str, token_limit: int, count) -> list[str]:
+def split_markdown_table(
+    table_md: str, token_limit: int, count, repeat_header: bool = True
+) -> list[str]:
     """Split an oversized markdown table at row boundaries; repeat the
     header (+ separator) per chunk; never split mid-row
     (markdown_table_splitter.py:48-66, :357, :455). An oversized single row
     is split at column boundaries (:166+), keeping the row's leading cells
-    together with a repeated header.
+    together with a repeated header. ``repeat_header=False`` mirrors the
+    reference's ``repeat_table_header_row=False``: the header block
+    appears only in the FIRST chunk, later chunks are bare body rows
+    (tests/data/splitter/table_splitter/many_rows_table_dont_repeat_header).
     """
     rows = [r for r in table_md.split("\n") if r.strip()]
     if len(rows) < 2:
@@ -296,11 +301,15 @@ def split_markdown_table(table_md: str, token_limit: int, count) -> list[str]:
     cur: list[str] = []
     cur_tokens = head_tokens
 
+    def head_for_next() -> str:
+        # without repetition only chunk 0 carries the header block
+        return head_block + "\n" if (repeat_header or not chunks) else ""
+
     def flush():
         nonlocal cur, cur_tokens
         if cur:
-            chunks.append(head_block + "\n" + "\n".join(cur))
-        cur, cur_tokens = [], head_tokens
+            chunks.append(head_for_next() + "\n".join(cur))
+        cur, cur_tokens = [], (head_tokens if repeat_header else 0)
 
     for row in body:
         rt = count(row)
@@ -312,12 +321,12 @@ def split_markdown_table(table_md: str, token_limit: int, count) -> list[str]:
             for cell in cells:
                 cand = "|" + "|".join(part + [cell]) + "|"
                 if part and head_tokens + count(cand) > token_limit:
-                    chunks.append(head_block + "\n" + "|" + "|".join(part) + "|")
+                    chunks.append(head_for_next() + "|" + "|".join(part) + "|")
                     part = [cell]
                 else:
                     part.append(cell)
             if part:
-                chunks.append(head_block + "\n" + "|" + "|".join(part) + "|")
+                chunks.append(head_for_next() + "|" + "|".join(part) + "|")
             continue
         if cur and cur_tokens + rt > token_limit:
             flush()
@@ -373,6 +382,7 @@ def _split_blocks(
     heading_path: list[str],
     token_limit: int,
     count,
+    repeat_table_header_row: bool = True,
 ) -> list[str]:
     """Recursive split: by child headings first (LEVEL_MAPPING order,
     semantic_splitter.py:372-445, :601-702), then structural packing.
@@ -408,7 +418,9 @@ def _split_blocks(
             if not sec:
                 continue
             path = heading_path + ([title] if title else [])
-            out.extend(_split_blocks(sec, path, token_limit, count))
+            out.extend(
+                _split_blocks(sec, path, token_limit, count, repeat_table_header_row)
+            )
         if out:
             return out
 
@@ -417,7 +429,9 @@ def _split_blocks(
     pieces: list[str] = []
     for kind, _, text in blocks:
         if kind == "table" and count(text) > token_limit:
-            pieces.extend(split_markdown_table(text, token_limit, count))
+            pieces.extend(
+                split_markdown_table(text, token_limit, count, repeat_table_header_row)
+            )
         elif kind == "para" and count(text) > token_limit:
             sents: list[str] = []
             for s in split_sentences(text):
@@ -443,9 +457,11 @@ def split_markdown_document(
     token_limit_buffer: int = DEFAULT_TOKEN_BUFFER,
     token_limit_min: int = DEFAULT_TOKEN_MIN,
     tokenizer_name: str = "regex",
+    repeat_table_header_row: bool = True,
 ) -> list[dict]:
     """Pure function MDC → list[MDC-chunk]
-    (semantic_splitter.py:800-812, defaults :183-186).
+    (semantic_splitter.py:800-812, defaults :183-186;
+    ``repeat_table_header_row`` as in the reference's SemanticSplitter).
     """
     count = TK.token_counter(tokenizer_name)
     source_hash = hashlib.sha256(md.encode("utf-8")).hexdigest()
@@ -454,7 +470,9 @@ def split_markdown_document(
         chunks = [md]
     else:
         blocks = _parse_blocks(md)
-        chunks = _split_blocks(blocks, [], token_limit, count)
+        chunks = _split_blocks(
+            blocks, [], token_limit, count, repeat_table_header_row
+        )
         # drop tiny chunks, merging into the previous chunk where possible
         # (:601-702 discard-with-logging; we merge-back to avoid data loss)
         merged: list[str] = []
