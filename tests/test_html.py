@@ -176,3 +176,20 @@ def test_to_markdown_single_row_table_still_a_table():
         "<table><tr><td>Only</td><td>One</td><td>Row</td></tr></table>"
     )
     assert "| Only | One | Row |" in md
+
+
+def test_to_markdown_reference_contract_cases():
+    """markdown_test.py contract: long page keeps heading + body text;
+    strict mode raises on empty conversion; images already removable."""
+    md = H.to_markdown(
+        "<html><body><header><h1>Welcome to My Webpage</h1></header>"
+        "<main><p>Lorem ipsum dolor sit amet, consectetur adipiscing elit.</p></main>"
+        "<footer><p>&copy; 2024</p></footer></body></html>"
+    )
+    assert "# Welcome to My Webpage" in md
+    assert "Lorem ipsum dolor sit amet" in md
+    r = H.to_markdown("<h1>hello-world</h1><p>text</p>.")
+    assert r.startswith("#") and "hello-world" in r and "text" in r
+    with pytest.raises(H.MarkdownConvertFailed):
+        H.to_markdown("<a></a>", strict=True)
+    assert H.to_markdown("<a></a>") == ""  # lenient default: dropped row

@@ -46,6 +46,10 @@ VOID_TAGS = {
 _BLOCK_TAGS = {
     "p", "div", "section", "article", "main", "body", "html", "ul", "ol",
     "li", "table", "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6",
+    # container tags that must recurse as BLOCKS: an <h1> inside <header>
+    # is still a heading (markdown_test.py:55-59), not inline text
+    "header", "aside", "figure", "figcaption", "hgroup", "details",
+    "summary", "fieldset", "address",
 }
 
 
@@ -346,14 +350,25 @@ def _list_items(node: _Node, ordered: bool, depth: int) -> list[str]:
     return items
 
 
-def to_markdown(html: str) -> str:
+class MarkdownConvertFailed(ValueError):
+    """Conversion produced no content (html2md.py raises the same on a
+    whitespace-empty result)."""
+
+
+def to_markdown(html: str, strict: bool = False) -> str:
     """HTML → Markdown (html2md.py:54-105's contract, pure Python).
     Deterministic text→text; whitespace collapsed, blocks separated by one
-    blank line.
+    blank line. ``strict=True`` mirrors the reference exactly: a
+    whitespace-empty conversion raises :class:`MarkdownConvertFailed`
+    (markdown_test.py:86-90); the default stays lenient because in the
+    distributed pipeline an empty page is a dropped row, not a failed job.
     """
     tree = parse_html(unescape_entities_safe(html))
     _clean(tree)
-    return "\n\n".join(_block(tree)).strip()
+    md = "\n\n".join(_block(tree)).strip()
+    if strict and not md.replace(" ", "").replace("\n", ""):
+        raise MarkdownConvertFailed(f"Failed to convert {html!r} to md")
+    return md
 
 
 def unescape_entities_safe(html: str) -> str:
