@@ -25,10 +25,15 @@ def test_defaults_stem_and_path(spark, md_folder):
     assert r["metadata"] is None
 
 
-def test_invalid_yaml_falls_back_to_whole_body(spark, md_folder):
+def test_invalid_yaml_strips_fence_keeps_defaults(spark, md_folder):
+    """Reference semantics (common.py:116-131, md_test.py case
+    '\\t url:'): a matching front-matter FENCE is always stripped from
+    the body; a YAML parse failure only resets the metadata, so
+    keywords/url fall back to stem/path defaults."""
     rows = {r["keywords"]: r for r in read_markdown_folder(spark, md_folder).collect()}
-    r = rows["bad_yaml"]
-    assert r["md"].startswith("---")  # whole file as md (common.py:117-131)
+    r = rows["bad_yaml"]  # keywords default = filename stem
+    assert r["md"].startswith("# Broken")
+    assert r["metadata"] is None
 
 
 def test_deprecated_topics_key(spark, md_folder):
@@ -47,3 +52,33 @@ def test_doc_metrics(spark, md_folder):
     r = m["some/file/path.md"]
     assert r["md_char_len"] > 0
     assert r["keywords_count"] == 2
+
+
+def test_reference_md_parsing_case_table(spark, tmp_path):
+    """The reference's 9-case front-matter table (md_test.py:11-52),
+    verbatim: url/keywords defaults, tab-indented invalid YAML, url-like
+    text in the body, deprecated handling."""
+    cases = [
+        ("---\n\nurl: myurl\n---\nText", "myurl", ""),
+        ("---\n\n   url: myurl\n---\nText", "myurl", ""),
+        ("---\n\n\t url: myurl\n---\nText", "", ""),  # invalid YAML
+        ("---\nurl: myurl\n---\nText", "myurl", ""),
+        ("---\n\nurl: myurl\n\nkeywords: bread\n---\nText", "myurl", "bread"),
+        ("---\n\nurl: myurl\n\nkeywords: bread,butter\n---\nText", "myurl", "bread,butter"),
+        ("---\n\n\nkeywords: bread,butter\n---\nText", "", "bread,butter"),
+        ("---\n\n\nkeywords: bread,butter\n\n---\nText\nurl:url_body", "", "bread,butter"),
+        ("---\n\n\nkeywords: bread,butter\nurl: url_header\n---\nText", "url_header", "bread,butter"),
+    ]
+    for i, (md, url, bread) in enumerate(cases):
+        d = tmp_path / f"case{i}"
+        d.mkdir()
+        (d / "file.md").write_text(md)
+        r = read_markdown_folder(spark, str(d), url_prefix="SPACE/").collect()[0]
+        if url:
+            assert r["url"] == url, i
+        else:
+            assert r["url"].startswith("SPACE/") and r["url"].endswith("file.md"), i
+        assert r["keywords"] == (bread or "file"), i
+        expected_md = "Text\nurl:url_body" if "url:url_body" in md else "Text"
+        assert r["md"] == expected_md, (i, r["md"])
+        assert r["metadata"] is None, i

@@ -46,14 +46,16 @@ def _parse_markdown_file(path: str, url_prefix: str):
     md, keywords, metadata = raw, None, None
     m = _FM_RE.match(raw)
     if m:
+        # fence always strips on a pattern match — a YAML failure only
+        # resets the metadata (common.py:116-131; md_test.py '\t url:')
+        md = m.group(2)
         try:
             import yaml
 
             data = yaml.safe_load(m.group(1))
         except Exception:
             data = None
-        if isinstance(data, dict) and m.group(2):
-            md = m.group(2)
+        if isinstance(data, dict):
             kw = data.get("keywords", data.get("topics"))
             keywords = str(kw) if kw is not None else None
             meta = data.get("metadata")

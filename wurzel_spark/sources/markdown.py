@@ -97,9 +97,15 @@ def read_markdown_folder(
         fm_body.alias("body"),
         _parse_front_matter(fm_yaml).alias("fm"),
     )
-    use_fm = F.col("fm.valid") & (F.length("body") > 0)
+    # The reference strips the front-matter FENCE whenever the pattern
+    # matches, even if the YAML inside fails to parse (common.py:116-131:
+    # md_body comes from the regex groups; a YAMLError only resets the
+    # metadata dict) — so the body choice keys on the MATCH, while the
+    # keywords/url/metadata defaults key on the PARSE.
+    matched = F.col("raw").rlike(_FM_RE)
+    use_fm = F.col("fm.valid")
     return parsed.select(
-        F.when(use_fm, F.col("body")).otherwise(F.col("raw")).alias("md"),
+        F.when(matched, F.col("body")).otherwise(F.col("raw")).alias("md"),
         F.coalesce(
             F.when(use_fm, F.col("fm.keywords")), F.col("stem")
         ).alias("keywords"),
