@@ -298,3 +298,23 @@ def test_kb_incremental_delta_publish(spark, tmp_path):
         doc_name("http://b", "Pipe"),
         doc_name("http://d", "Pipe"),
     }  # c pruned, a survived untouched
+
+
+def test_sha256_stamp_matches_reference_pinned_values(spark):
+    """The reference pins these exact digests (qdrant/tlsh_test.py:18-25)
+    for its get_available_hashes text_sha256_hash — our sink stamp must
+    be byte-identical."""
+    from pyspark.sql import functions as F
+    from wurzel_spark.functions import text as TXT
+
+    pinned = {
+        "example_text_1": "5840445c9d0a1457627eaa4718d48bbc5071782ac6df6d85dfef7f82a4dc01a6",
+        "example_text_2": "69cee72aa104c9a62e6ceb4e7cebdffef3ce0f385cbb807c4a587149bd9fc028",
+        "example_text_3": "7fde1636e509f9a34474f6dcdaddb66db7b09871ed6f934a384b3fb3b491a24e",
+    }
+    df = spark.createDataFrame([(t,) for t in pinned], "md string")
+    got = {
+        r["md"]: r["h"]
+        for r in df.select("md", TXT.sha256_hex(F.col("md")).alias("h")).collect()
+    }
+    assert got == pinned
