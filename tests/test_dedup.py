@@ -329,3 +329,32 @@ def test_decontamination_report_groups_by_benchmark(spark):
     assert out["suiteB"]["n_docs_hit"] == 1  # doc 2 only
     assert out["suiteA"]["n_span_hits"] >= 2
     assert out["suiteA"]["n_eval_spans"] == 1  # single 13-token eval doc
+
+
+def test_drop_duplication_step_reference_cases(spark):
+    """The reference's DropDuplicationStep case table
+    (tests/steps/drop_duplication_test.py): default key = md content;
+    DROP_BY_FIELDS '[\"url\"]' subset; '[\"*\"]' = all fields."""
+    from wurzel_spark.operators.dedup import exact_dedup
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, md, "dummy", url) for i, (md, url) in enumerate(rows)],
+            "doc_id long, md string, keywords string, url string",
+        )
+
+    all_fields = ["md", "keywords", "url"]
+    # 10 exact-equal documents -> 1 (default: content key)
+    d = docs([("##Hello World", "https:example.com/hello")] * 10)
+    assert exact_dedup(d, ["md"], "doc_id").count() == 1
+    # 10 different md -> 10
+    d = docs([(f"##Hello World {i}", "https:example.com/hello") for i in range(10)])
+    assert exact_dedup(d, ["md"], "doc_id").count() == 10
+    # DROP_BY_FIELDS ["url"]: different md, same url -> 1
+    assert exact_dedup(d, ["url"], "doc_id").count() == 1
+    # ["*"]: same md, different urls -> 10
+    d = docs([("##Hello World", f"https:example.com/hello{i}") for i in range(10)])
+    assert exact_dedup(d, all_fields, "doc_id").count() == 10
+    # ["*"]: fully identical -> 1
+    d = docs([("##Hello World", "https:example.com/hello")] * 10)
+    assert exact_dedup(d, all_fields, "doc_id").count() == 1
