@@ -193,3 +193,20 @@ def test_to_markdown_reference_contract_cases():
     with pytest.raises(H.MarkdownConvertFailed):
         H.to_markdown("<a></a>", strict=True)
     assert H.to_markdown("<a></a>") == ""  # lenient default: dropped row
+
+
+def test_hard_break_not_added_before_block_starters():
+    """Review r11: a paragraph-interrupting next line (heading, list,
+    fence, quote, table, thematic break) means the trailing spaces are
+    NOT a hard break — mdformat drops them; and table/heading/quote
+    lines never take a backslash (it would invalidate a GFM delimiter
+    row)."""
+    from wurzel_spark.functions.html import normalize_markdown as nm
+
+    assert nm("foo  \n# Head\nbody\n") == "foo\n# Head\nbody\n"
+    assert nm("foo  \n- item\n") == "foo\n- item\n"
+    assert nm("foo  \n> quote\n") == "foo\n> quote\n"
+    assert "\\" not in nm("| a | b |\n| --- | --- |  \n| 1 | 2 |\n")
+    assert nm("foo  \n***\n") == "foo\n***\n"
+    # the plain-continuation case still hard-breaks
+    assert nm("foo  \nbar\n") == "foo\\\nbar\n"

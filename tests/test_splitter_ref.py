@@ -211,3 +211,28 @@ def test_dont_repeat_header_variant():
         c for ch in chunks for r in _table_rows(ch["md"]) for c in _cells(r)
     }
     assert not {c for c in src_cells - out_cells if len(c) > 1}
+
+
+def test_no_repeat_header_uses_full_budget_for_cell_chunks():
+    """Review r11: with repeat_header=False, oversized-row cell packing
+    must not reserve header tokens it will never prepend."""
+    from wurzel_spark.operators.splitter import split_markdown_table
+
+    t = (
+        "| H1 | H2 | H3 | H4 | H5 | H6 |\n|---|---|---|---|---|---|\n| "
+        + " | ".join(f"cell{i}word" for i in range(40))
+        + " |"
+    )
+    count = len_words = lambda s: len(s.split())
+    off = split_markdown_table(t, 20, count, repeat_header=False)
+    on = split_markdown_table(t, 20, count)
+    assert len(off) < len(on)
+    # all 40 cells survive either way
+    for chunks in (off, on):
+        cells = {
+            c.strip()
+            for ch in chunks
+            for row in ch.splitlines()
+            for c in row.strip().strip("|").split("|")
+        }
+        assert all(f"cell{i}word" in cells for i in range(40))

@@ -366,7 +366,7 @@ def to_markdown(html: str, strict: bool = False) -> str:
     tree = parse_html(unescape_entities_safe(html))
     _clean(tree)
     md = "\n\n".join(_block(tree)).strip()
-    if strict and not md.replace(" ", "").replace("\n", ""):
+    if strict and not md:
         raise MarkdownConvertFailed(f"Failed to convert {html!r} to md")
     return md
 
@@ -488,16 +488,24 @@ def normalize_markdown(md: str) -> str:
             continue
         # mdformat preserves trailing-double-space HARD breaks as a
         # backslash break (a bare rstrip would silently delete the line
-        # break semantics); only mid-paragraph — a hard break before a
-        # blank/paragraph end is meaningless and mdformat drops it.
+        # break semantics); only mid-paragraph — when the NEXT line is a
+        # plain continuation. A blank line, setext underline, or any
+        # block starter (heading/list/table/quote/fence/thematic break)
+        # INTERRUPTS the paragraph, so the trailing spaces are not a
+        # break there and mdformat drops them; table/heading/quote lines
+        # themselves never take a backslash (it would invalidate a GFM
+        # delimiter row).
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
         hard_break = (
             line.rstrip("\n").endswith("  ")
             and line.strip() != ""
-            and i + 1 < len(lines)
-            and lines[i + 1].strip() != ""
-            and not _SETEXT1_RE.match(lines[i + 1])
-            and not _SETEXT2_RE.match(lines[i + 1])
-            and not line.lstrip().startswith("#")
+            and nxt.strip() != ""
+            and not _SETEXT1_RE.match(nxt)
+            and not _SETEXT2_RE.match(nxt)
+            and not _SETEXT_EXCLUDE_RE.match(nxt)
+            and not _THEMATIC_RE.match(nxt)
+            and not line.lstrip().startswith(("#", "|", ">"))
+            and not _THEMATIC_RE.match(line)
         )
         line = line.rstrip()
         if not line:

@@ -320,7 +320,9 @@ def split_markdown_table(
             part: list[str] = []
             for cell in cells:
                 cand = "|" + "|".join(part + [cell]) + "|"
-                if part and head_tokens + count(cand) > token_limit:
+                # budget only for a header that will actually be prepended
+                base = head_tokens if (repeat_header or not chunks) else 0
+                if part and base + count(cand) > token_limit:
                     chunks.append(head_for_next() + "|" + "|".join(part) + "|")
                     part = [cell]
                 else:

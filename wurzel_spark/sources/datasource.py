@@ -66,8 +66,16 @@ def _parse_markdown_file(path: str, url_prefix: str):
                 }
             url = data.get("url")
             if url is not None:
-                return (md, keywords or stem, str(url), metadata)
-    return (md, keywords or stem, url_prefix + os.path.abspath(path), metadata)
+                return (md, stem if keywords is None else keywords, str(url), metadata)
+    # default only on MISSING keywords (reference: metadata.get with a
+    # stem default) — an explicit empty string stays empty, matching the
+    # expression reader's NULL-only coalesce
+    return (
+        md,
+        stem if keywords is None else keywords,
+        url_prefix + os.path.abspath(path),
+        metadata,
+    )
 
 
 class _FilesPartition(InputPartition):
