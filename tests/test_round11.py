@@ -143,10 +143,12 @@ def test_rfm_customer_pin_gated_and_bit_equal(spark, monkeypatch):
     gate shut must drop the checkpoint and leave the result identical."""
     from wurzel_spark.queries.relational import rfm_segments
 
+    from wurzel_spark.operators import common
+
     pinned_df = rfm_segments(spark, SF_DIR)
     assert _rdd_scan_cols(pinned_df), "small input should pin the customer frame"
     pinned = pinned_df.collect()
-    monkeypatch.setattr(textstats, "_DSIR_CHECKPOINT_MAX_INPUT_BYTES", 0)
+    monkeypatch.setattr(common, "CHECKPOINT_MAX_INPUT_BYTES", 0)
     unpinned_df = rfm_segments(spark, SF_DIR)
     assert not _rdd_scan_cols(unpinned_df)
     assert pinned == unpinned_df.collect()

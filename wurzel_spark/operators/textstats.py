@@ -1749,21 +1749,16 @@ _DSIR_BUCKETS = 8192
 # Token-grain checkpoint gate: pinning the hashed token stream costs
 # ~24 B/token (three longs) ≈ 4× the input text bytes. Below this input
 # size the pin is cheap and saves the second tokenize+hash scan; above
-# it (or when the size is unknown) the two-scan plan runs instead —
-# same gated-shortcut convention as dedup._DRIVER_UNION_FIND_MAX_EDGES
-# and the kmeans driver gate (similarity.py).
-_DSIR_CHECKPOINT_MAX_INPUT_BYTES = 1 << 28  # 256 MiB of input text
-
-
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's sizeInBytes estimate for the frame's optimized plan —
-    metadata-only (parquet footer / relation stats), no job runs. None
-    when the estimate is unavailable; callers must treat None as TOO BIG
-    (the conservative path)."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return None
+# it (or when the size is unknown) the two-scan plan runs instead.
+# The gate helper + budget live in operators/common.py (shared with
+# rfm_segments' customer-grain pin); the module-level aliases stay so
+# existing tests can monkeypatch DSIR's gate independently.
+from wurzel_spark.operators.common import (  # noqa: E402
+    CHECKPOINT_MAX_INPUT_BYTES as _DSIR_CHECKPOINT_MAX_INPUT_BYTES,
+)
+from wurzel_spark.operators.common import (  # noqa: E402
+    plan_size_bytes as _plan_size_bytes,
+)
 
 
 def dsir_importance_scores(

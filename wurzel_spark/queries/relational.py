@@ -1924,6 +1924,109 @@ _RFM_LABEL_CASE = """CASE
   ELSE 'other' END"""
 
 
+# Per-window-partition row bound for rfm's bucketed ranks — the same
+# 65,536-row discipline the global-window whitelist test enforces
+# (tests/test_plans_round10.py). Buckets above this refine (sub-split).
+_RFM_BUCKET_CAP_ROWS = 1 << 16
+# Refinement rounds are bounded: each round strictly narrows every heavy
+# bucket's value/custkey sub-range ≥2×, so residual over-cap partitions
+# after the bound are possible only under adversarial key clustering —
+# and affect parallelism, never results.
+_RFM_MAX_REFINE_ROUNDS = 4
+
+
+def _rfm_bucket_histogram(b: DataFrame, dims: dict[str, str]):
+    """ONE job over the bucketed customer frame: per (dim, bucket) the
+    row count plus min/max of the rank value and the o_custkey
+    tie-break — the count drives the prefix-sum rank offsets, the
+    min/max bounds drive skew refinement. Collect size ≤ Σ buckets rows
+    of six longs."""
+    u = None
+    for d in dims:
+        part = b.select(
+            F.lit(d).alias("d"),
+            F.col(f"b_{d}").alias("bkt"),
+            F.col(f"v_{d}").alias("v"),
+            F.col("o_custkey").alias("ck"),
+        )
+        u = part if u is None else u.unionByName(part)
+    rows = (
+        u.groupBy("d", "bkt")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("v").alias("vlo"),
+            F.max("v").alias("vhi"),
+            F.min("ck").alias("klo"),
+            F.max("ck").alias("khi"),
+        )
+        .collect()
+    )
+    per_dim: dict[str, dict[int, dict[str, int]]] = {d: {} for d in dims}
+    for r in rows:
+        per_dim[r["d"]][r["bkt"]] = {
+            "c": r["c"],
+            "vlo": r["vlo"],
+            "vhi": r["vhi"],
+            "klo": r["klo"],
+            "khi": r["khi"],
+        }
+    n_cust = sum(s["c"] for s in per_dim[next(iter(dims))].values())
+    return per_dim, n_cust
+
+
+def _rfm_refine_exprs(d: str, stats: dict[int, dict[str, int]]) -> str:
+    """SQL expr mapping (b_d, v_d, o_custkey) → refined dense bucket id.
+
+    Buckets over the cap sub-split ``k`` ways (k ≈ 2·count/cap for
+    headroom against in-bucket non-uniformity): a single-value atom
+    splits on the o_custkey tie-break (order within an atom is by
+    custkey alone, so a custkey-range split keeps bucket order ==
+    composite (value, custkey) order); a multi-value bucket splits on
+    its OBSERVED value sub-range (strictly narrower than the parent
+    range, so rounds converge geometrically). New ids are prefix-sum
+    bases — dense, and monotone in the composite sort key by
+    construction. All arithmetic stays in bigint: post-round-1 value
+    spans are ≤ range/1024 and k ≤ 2n/cap, so (x − lo)·k stays far
+    under 2⁶³ even at 10⁹ customers."""
+    nb = max(stats) + 1
+    base = [0] * nb
+    ks = [1] * nb
+    lo = [0] * nb
+    span = [1] * nb
+    byck = [0] * nb
+    run = 0
+    for i in range(nb):
+        s = stats.get(i)
+        base[i] = run
+        if s is None or s["c"] <= _RFM_BUCKET_CAP_ROWS:
+            run += 1
+            continue
+        k = max(2, -((-2 * s["c"]) // _RFM_BUCKET_CAP_ROWS))
+        if s["vlo"] == s["vhi"]:
+            byck[i], lo[i], span[i] = 1, s["klo"], s["khi"] - s["klo"] + 1
+        else:
+            byck[i], lo[i], span[i] = 0, s["vlo"], s["vhi"] - s["vlo"] + 1
+        k = min(k, span[i])  # never more sub-buckets than distinct slots
+        ks[i] = k
+        run += k
+
+    def arr(vals):
+        return "array(" + ",".join(f"{v}L" for v in vals) + ")"
+
+    idx = f"CAST(b_{d} + 1 AS INT)"
+    k_at = f"element_at({arr(ks)}, {idx})"
+    x = (
+        f"(CASE WHEN element_at({arr(byck)}, {idx}) = 1"
+        f" THEN o_custkey ELSE v_{d} END)"
+    )
+    return (
+        f"element_at({arr(base)}, {idx})"
+        f" + (CASE WHEN {k_at} = 1 THEN 0L ELSE"
+        f" div(({x} - element_at({arr(lo)}, {idx})) * {k_at},"
+        f" element_at({arr(span)}, {idx})) END)"
+    )
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (Hughes 1994, the retention-marketing
     classic): quintile scores for Recency (last order date), Frequency
@@ -1946,17 +2049,26 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts collect to the driver (≤3·1025 longs, one job), prefix
     offsets broadcast back, and each row_number window partitions by
     its bucket — identical global ranks, no single-partition sort.
+    Buckets are SKEW-REFINED: value-range bucketing alone concentrates
+    atoms (a modal freq value, or a degenerate hi==lo domain) into one
+    data-scaling window partition, so buckets whose driver-side count
+    exceeds ``_RFM_BUCKET_CAP_ROWS`` are sub-split — by the o_custkey
+    tie-break when the bucket holds a single value (order within an
+    atom is by custkey alone, so a custkey-range split preserves bucket
+    order == composite (value, custkey) order), by the observed
+    value sub-range otherwise — iterating until every window partition
+    is bounded. Any monotone-in-(value, custkey) bucketing yields the
+    identical global rank, so refinement changes parallelism only,
+    never the result (equivalence- and bound-tested in
+    tests/test_round11.py / tests/test_round12.py).
     Then a ≤125-group rollup. The customer-grain frame (4 longs/row,
-    no strings) is pinned only below the DSIR-style input-size gate —
-    customer grain scales with the data, so above the gate the three
-    branches (panel, counts, ranked passes) re-run the order-fact
-    aggregate instead of pinning billions of rows to local disks."""
+    no strings) is pinned only below the shared input-size gate
+    (operators/common.py) — customer grain scales with the data, so
+    above the gate the branches re-run the order-fact aggregate instead
+    of pinning billions of rows to local disks."""
     from pyspark.sql import Window as W
 
-    from wurzel_spark.operators.textstats import (
-        _DSIR_CHECKPOINT_MAX_INPUT_BYTES,
-        _plan_size_bytes,
-    )
+    from wurzel_spark.operators import common
 
     _NB = 1024
     o = table(spark, sf_dir, "orders")
@@ -1968,8 +2080,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).alias("cents"),
     )
-    est = _plan_size_bytes(o)
-    if est is not None and est <= _DSIR_CHECKPOINT_MAX_INPUT_BYTES:
+    est = common.plan_size_bytes(o)
+    if est is not None and est <= common.CHECKPOINT_MAX_INPUT_BYTES:
         cust = cust.localCheckpoint(eager=True)
     dims = {"r": "last_us", "f": "freq", "m": "cents"}
     panel = cust.agg(
@@ -1991,30 +2103,42 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     # ONE collect fetches all three dims' bucket histograms (≤3·(NB+1)
-    # rows of longs) — prefix offsets per dim come back as broadcast
-    # join tables, the exact column_encoding/quality-gate discipline.
-    counts = (
-        b.select(F.lit("r").alias("d"), F.col("b_r").alias("bkt"))
-        .unionByName(b.select(F.lit("f").alias("d"), F.col("b_f").alias("bkt")))
-        .unionByName(b.select(F.lit("m").alias("d"), F.col("b_m").alias("bkt")))
-        .groupBy("d", "bkt")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    per_dim: dict[str, dict[int, int]] = {d: {} for d in dims}
-    for r in counts:
-        per_dim[r["d"]][r["bkt"]] = r["c"]
-    n_cust = sum(per_dim["r"].values())
+    # rows of longs) — per-bucket count plus min/max of the rank value
+    # and the custkey tie-break, which is exactly what the skew
+    # refinement needs to sub-split an oversized bucket.
+    per_dim, n_cust = _rfm_bucket_histogram(b, dims)
+    for _ in range(_RFM_MAX_REFINE_ROUNDS):
+        refines = {
+            d: _rfm_refine_exprs(d, per_dim[d])
+            for d in dims
+            if any(s["c"] > _RFM_BUCKET_CAP_ROWS for s in per_dim[d].values())
+        }
+        if not refines:
+            break
+        b = b.select(
+            "o_custkey",
+            "cents",
+            *[F.col(f"v_{d}") for d in dims],
+            *[
+                F.expr(refines[d]).alias(f"b_{d}")
+                if d in refines
+                else F.col(f"b_{d}")
+                for d in dims
+            ],
+        )
+        per_dim, n_cust = _rfm_bucket_histogram(b, dims)
     # Offsets ride back as LITERAL arrays (bucket → rows before it), not
-    # join tables: ≤NB+1 longs per dim inlined into codegen — zero extra
-    # joins/shuffles, the broadcast-side cost the toy-scale bench pays
-    # for nothing.
+    # join tables: ≤buckets+1 longs per dim inlined into codegen — zero
+    # extra joins/shuffles, the broadcast-side cost the toy-scale bench
+    # pays for nothing. (Bucket ids after refinement are dense prefix-sum
+    # assignments, so the array stays index-addressable.)
     ranked = b
     for d in dims:
-        run, offs = 0, [0] * (_NB + 1)
-        for bk in range(_NB + 1):
+        nb_d = max(per_dim[d], default=0) + 1
+        run, offs = 0, [0] * nb_d
+        for bk in range(nb_d):
             offs[bk] = run
-            run += per_dim[d].get(bk, 0)
+            run += per_dim[d].get(bk, {"c": 0})["c"]
         arr = "array(" + ",".join(f"{v}L" for v in offs) + ")"
         w = W.partitionBy(f"b_{d}").orderBy(f"v_{d}", "o_custkey")
         ranked = ranked.withColumn(
