@@ -37,7 +37,10 @@ def test_to_markdown_structure():
     assert "1. first" in md and "2. second" in md
     assert "```\ncode block\n  indented\n```" in md
     assert "| A | B |" in md and "| 1 | 2 |" in md
-    assert "![a pic](pic.png)" in md
+    # reference parity: to_markdown converts clean_html's output
+    # (html2md.py:94), so the img is already an alt-text span and the
+    # converter never emits an image token
+    assert "a pic" in md and "![a pic](pic.png)" not in md
     # dropped subtrees (clean_tree list)
     assert "alert" not in md and "color:red" not in md
     assert "contact us" not in md  # footer dropped
@@ -193,6 +196,34 @@ def test_to_markdown_reference_contract_cases():
     with pytest.raises(H.MarkdownConvertFailed):
         H.to_markdown("<a></a>", strict=True)
     assert H.to_markdown("<a></a>") == ""  # lenient default: dropped row
+
+
+def test_to_markdown_applies_clean_tree_rules():
+    """ADVICE r11: the reference's to_markdown converts clean_html's
+    output (html2md.py:94), so js-footer subtree text must not survive
+    into markdown and imgs become their alt text."""
+    md = H.to_markdown(
+        '<div><p>keep me</p><div id="js-footer">tracking junk</div>'
+        '<img src="x.png" alt="alt text"/></div>'
+    )
+    assert "keep me" in md
+    assert "tracking junk" not in md
+    assert "alt text" in md and "![" not in md
+
+
+def test_setext_underline_indented_up_to_three_spaces():
+    """ADVICE r11: CommonMark allows setext underlines indented 0-3
+    spaces — both the setext→ATX conversion and hard-break suppression
+    must tolerate that; 4+ spaces is indented code, untouched."""
+    from wurzel_spark.functions.html import normalize_markdown as nm
+
+    assert nm("title\n   ===\n") == "# title\n"
+    assert nm("title\n  ---\n") == "## title\n"
+    # trailing-double-space line followed by an indented underline is a
+    # heading, NOT a hard break — no spurious backslash
+    assert nm("title  \n   ===\n") == "# title\n"
+    # 4-space indent = code block context: not an underline
+    assert "# title" not in nm("title\n    ===\n")
 
 
 def test_hard_break_not_added_before_block_starters():

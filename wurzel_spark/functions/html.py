@@ -364,7 +364,12 @@ def to_markdown(html: str, strict: bool = False) -> str:
     distributed pipeline an empty page is a dropped row, not a failed job.
     """
     tree = parse_html(unescape_entities_safe(html))
+    # Parity with the reference pipeline: to_markdown converts
+    # clean_html's output (html2md.py:94 `cleaned_html = clean_html(html)`),
+    # so the clean_tree rules — img→alt-span, <div id="js-footer">
+    # subtree drop — apply before conversion, not just in clean_html.
     _clean(tree)
+    _clean_tree_ref(tree)
     md = "\n\n".join(_block(tree)).strip()
     if strict and not md:
         raise MarkdownConvertFailed(f"Failed to convert {html!r} to md")
@@ -438,8 +443,12 @@ _BULLET_NORM_RE = re.compile(r"(?m)^(\s*)[*+](\s+|$)")
 
 
 _FENCE_OPEN_RE = re.compile(r"^(\s*)(`{3,}|~{3,})(.*)$")
-_SETEXT1_RE = re.compile(r"^=+\s*$")
-_SETEXT2_RE = re.compile(r"^-{2,}\s*$")
+# CommonMark permits a setext underline indented up to 3 spaces (4+ is
+# an indented code block) — both the setext→ATX pass and hard-break
+# suppression must tolerate that indentation, or an indented underline
+# gets a spurious trailing backslash instead of heading treatment.
+_SETEXT1_RE = re.compile(r"^ {0,3}=+\s*$")
+_SETEXT2_RE = re.compile(r"^ {0,3}-{2,}\s*$")
 # lines that can NOT be setext heading content (already block markers)
 _SETEXT_EXCLUDE_RE = re.compile(
     r"^\s*(#|[-*+][ \t]|\d+[.)][ \t]|\||>|(`{3,}|~{3,}))"
