@@ -121,10 +121,29 @@ def main(out_dir: str = "/tmp/sfprobe", replicas: int = 10) -> None:
         ) TO '{out_dir}/orders.parquet' (FORMAT PARQUET)
         """
     )
+    # lineitem: l_orderkey shifts in lockstep with the scaled orders and
+    # l_suppkey shifts so the SUPPLIER population scales too — the
+    # bipartite purchase graph (supplier_pagerank) then grows 10x in
+    # nodes AND edges, the honest blow-up for the graph family (r12).
+    n_sk = con.execute(
+        f"SELECT MAX(l_suppkey) + 1 FROM '{SRC}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT l.* REPLACE (l.l_orderkey + r.r * {n_ok} AS l_orderkey,
+                              l.l_suppkey + r.r * {n_sk} AS l_suppkey)
+          FROM '{SRC}/lineitem.parquet' l,
+               (SELECT unnest(range({replicas})) AS r) r
+          ORDER BY l_orderkey
+        ) TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
     print(
         f"wrote {out_dir}: {n_docs * replicas} docs, {n_vec * replicas} "
         f"embeddings, {n_ev * replicas} events, "
-        f"{replicas}x orders (custkey domain scaled {replicas}x)"
+        f"{replicas}x orders (custkey domain scaled {replicas}x), "
+        f"{replicas}x lineitem (suppkey domain scaled {replicas}x)"
     )
 
 

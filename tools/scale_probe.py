@@ -229,6 +229,13 @@ QUERIES = [
     # checkpoint removal.
     "rfm_segments",
     "curation_funnel_v2",
+    # round-12: the standing heavy family joins the probe (VERDICT r11
+    # Next #3) — pagerank needed the scaled lineitem gen_scale_probe now
+    # writes (suppkey domain scales, so nodes AND edges grow 10x);
+    # incremental_cluster_members' star-compressed label fold reads only
+    # documents.
+    "supplier_pagerank",
+    "incremental_cluster_members",
 ]
 
 
