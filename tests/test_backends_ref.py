@@ -1,0 +1,731 @@
+"""Reference backend golden-artifact test corpus, ported (VERDICT r11
+Next #4).
+
+Behavioral assertions ported from the reference's
+tests/backend/test_backend_argo.py (1663 LoC) and test_backend_dvc.py
+(370 LoC) against this repo's manifest-driven generators
+(wurzel_spark/backends.py) and values loader (wurzel_spark/values.py).
+Step identity here is the manifest step name (the reference's
+DummyStep/DummyFollowStep class pair becomes a two-step manifest);
+divergences are pinned in backends.py's module docstring.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+import yaml
+
+from wurzel_spark.backends import (
+    RUN_ID_ENV,
+    ContainerConfig,
+    DvcConfig,
+    DvcTemplateValues,
+    EnvFromConfig,
+    ResourcesConfig,
+    S3ArtifactConfig,
+    SecretKeyRef,
+    SecretMapping,
+    SecretMount,
+    SecurityContextConfig,
+    TemplateValues,
+    TokenizerCacheConfig,
+    WorkflowConfig,
+    argo_config_from_values,
+    dvc_config_from_values,
+    dvc_settings_from_env,
+    generate_argo,
+    generate_dvc,
+    select_pipeline,
+    select_workflow,
+    write_env_file,
+)
+from wurzel_spark.manifest import Manifest
+from wurzel_spark.values import ValuesFileError, deep_merge_dicts, load_values
+
+# DummyStep >> DummyFollowStep as a manifest (conftest.py:DummyStep).
+PIPELINE_YAML = """
+pipeline: {name: test-pipeline}
+steps:
+  dummystep:
+    uses: dedup
+  dummyfollowstep:
+    uses: dedup
+    dependsOn: [dummystep]
+"""
+
+
+@pytest.fixture
+def manifest() -> Manifest:
+    return Manifest.from_yaml(PIPELINE_YAML)
+
+
+@pytest.fixture
+def sample_values_file(tmp_path: Path) -> Path:
+    """test_backend_argo.py:41-58 sample_values_file."""
+    content = {
+        "workflows": {
+            "test-workflow": {
+                "name": "test-wf",
+                "namespace": "test-ns",
+                "schedules": ["0 0 * * *"],
+                "container": {
+                    "image": "test-image:latest",
+                    "env": {"KEY1": "value1"},
+                },
+            }
+        },
+    }
+    file_path = tmp_path / "values.yaml"
+    file_path.write_text(yaml.safe_dump(content))
+    return file_path
+
+
+@pytest.fixture
+def override_values_file(tmp_path: Path) -> Path:
+    """test_backend_argo.py:61-75 override_values_file."""
+    content = {
+        "workflows": {
+            "test-workflow": {
+                "namespace": "override-ns",
+                "container": {"image": "override-image:v2"},
+            }
+        }
+    }
+    file_path = tmp_path / "override.yaml"
+    file_path.write_text(yaml.safe_dump(content))
+    return file_path
+
+
+def _argo(manifest, **kw) -> dict:
+    return yaml.safe_load(generate_argo(manifest, "m.yaml", **kw))
+
+
+def _wf_spec(doc: dict) -> dict:
+    spec = doc["spec"]
+    return spec.get("workflowSpec", spec)
+
+
+def _templates(doc: dict) -> dict[str, dict]:
+    return {t["name"]: t for t in _wf_spec(doc)["templates"]}
+
+
+# ---------------------------------------------------------------------------
+# Pydantic model behavior (test_backend_argo.py:83-249)
+# ---------------------------------------------------------------------------
+
+
+class TestConfigModels:
+    def test_secret_mapping(self):
+        m = SecretMapping(key="username", value="user.txt")
+        assert m.key == "username" and m.value == "user.txt"
+
+    def test_secret_mount_aliases(self):
+        # from/to aliases (backend_argo.py:78-83)
+        sm = SecretMount.model_validate(
+            {"from": "my-secret", "to": "/etc/secrets",
+             "mappings": [{"key": "k", "value": "v"}]}
+        )
+        assert sm.source == "my-secret"
+        assert sm.destination == Path("/etc/secrets")
+        assert sm.mappings[0].key == "k"
+
+    def test_env_from_defaults(self):
+        e = EnvFromConfig(name="my-secret")
+        assert e.kind == "secret" and e.prefix is None and e.optional is True
+
+    def test_env_from_configmap(self):
+        e = EnvFromConfig(kind="configMap", name="cm", prefix="P_", optional=False)
+        assert e.kind == "configMap" and e.prefix == "P_" and e.optional is False
+
+    def test_security_context_defaults(self):
+        ctx = SecurityContextConfig()
+        assert ctx.runAsNonRoot is True
+        assert ctx.runAsUser is None
+        assert ctx.allowPrivilegeEscalation is False
+        assert ctx.dropCapabilities == ["ALL"]
+        assert ctx.seccompProfileType == "RuntimeDefault"
+
+    def test_resources_defaults(self):
+        res = ResourcesConfig()
+        assert res.cpu_request == "100m"
+        assert res.cpu_limit is None
+        assert res.memory_request == "128Mi"
+        assert res.memory_limit == "512Mi"
+
+    def test_tokenizer_cache_defaults(self):
+        tc = TokenizerCacheConfig()
+        assert tc.enabled is False
+        assert tc.claimName == "tokenizer-cache-pvc"
+        assert tc.mountPath == "/cache/huggingface"
+        assert tc.readOnly is True and tc.createPvc is False
+        assert tc.accessModes == ["ReadWriteOnce"]
+
+    def test_container_defaults(self):
+        c = ContainerConfig()
+        assert c.env == {} and c.envFrom == [] and c.mountSecrets == []
+        assert c.tokenizerCache.enabled is False
+
+    def test_s3_artifact_defaults(self):
+        a = S3ArtifactConfig()
+        assert a.bucket == "wurzel-bucket"
+        assert a.endpoint == "s3.amazonaws.com"
+        assert a.insecure is False and a.accessKeySecret is None
+
+    def test_workflow_defaults(self):
+        w = WorkflowConfig()
+        assert w.name == "wurzel"
+        assert w.namespace == "argo-workflows"
+        assert w.schedules is None and w.schedule is None
+        assert w.entrypoint == "wurzel-pipeline"
+        assert w.serviceAccountName == "wurzel-service-account"
+        assert w.nodeSelector == {"kubernetes.io/arch": "amd64"}
+        assert w.podSpecPatch is None
+
+    def test_workflow_legacy_singular_schedule(self):
+        # normalize_schedule (backend_argo.py:192-199)
+        w = WorkflowConfig.model_validate({"schedule": "0 4 * * *"})
+        assert w.schedules == ["0 4 * * *"]
+        assert w.schedule == "0 4 * * *"
+
+    def test_workflow_legacy_schedule_list_and_none(self):
+        assert WorkflowConfig.model_validate(
+            {"schedule": ["0 1 * * *", "0 2 * * *"]}
+        ).schedules == ["0 1 * * *", "0 2 * * *"]
+        assert WorkflowConfig.model_validate({"schedule": None}).schedules is None
+
+    def test_workflow_schedules_key_wins_over_legacy(self):
+        w = WorkflowConfig.model_validate(
+            {"schedule": "0 1 * * *", "schedules": ["0 2 * * *"]}
+        )
+        assert w.schedules == ["0 2 * * *"]
+
+    def test_template_values_empty(self):
+        assert TemplateValues().workflows == {}
+
+    def test_dvc_config_defaults_and_custom(self):
+        assert DvcConfig().dataDir == Path("./data")
+        assert DvcConfig().encapsulateEnv is True
+        c = DvcConfig(dataDir=Path("./custom"), encapsulateEnv=False)
+        assert c.dataDir == Path("./custom") and c.encapsulateEnv is False
+
+    def test_dvc_settings_from_env(self, monkeypatch):
+        monkeypatch.setenv("DVCBACKEND__DATA_DIR", "./env-data")
+        monkeypatch.setenv("DVCBACKEND__ENCAPSULATE_ENV", "false")
+        cfg = dvc_settings_from_env()
+        assert cfg.dataDir == Path("./env-data")
+        assert cfg.encapsulateEnv is False
+
+
+# ---------------------------------------------------------------------------
+# deep_merge_dicts / load_values (test_backend_argo.py:251-485)
+# ---------------------------------------------------------------------------
+
+
+class TestDeepMergeDicts:
+    def test_nested_merge(self):
+        base = {"a": {"x": 1, "y": 2}, "b": 1}
+        override = {"a": {"y": 3, "z": 4}, "c": 2}
+        merged = deep_merge_dicts(base, override)
+        assert merged == {"a": {"x": 1, "y": 3, "z": 4}, "b": 1, "c": 2}
+
+    def test_override_replaces_non_dicts(self):
+        assert deep_merge_dicts({"a": [1, 2]}, {"a": [3]}) == {"a": [3]}
+        assert deep_merge_dicts({"a": {"x": 1}}, {"a": "scalar"}) == {"a": "scalar"}
+
+    def test_inputs_not_mutated(self):
+        base = {"a": {"x": 1}}
+        override = {"a": {"y": 2}}
+        deep_merge_dicts(base, override)
+        assert base == {"a": {"x": 1}} and override == {"a": {"y": 2}}
+
+
+class TestLoadValues:
+    def test_single_file(self, sample_values_file):
+        values = load_values([sample_values_file], TemplateValues)
+        wf = values.workflows["test-workflow"]
+        assert wf.name == "test-wf" and wf.namespace == "test-ns"
+        assert wf.schedules == ["0 0 * * *"]
+        assert wf.container.image == "test-image:latest"
+        assert wf.container.env == {"KEY1": "value1"}
+
+    def test_multiple_files_merge(self, sample_values_file, override_values_file):
+        values = load_values(
+            [sample_values_file, override_values_file], TemplateValues
+        )
+        wf = values.workflows["test-workflow"]
+        assert wf.namespace == "override-ns"          # overridden
+        assert wf.container.image == "override-image:v2"  # overridden
+        assert wf.name == "test-wf"                   # from base
+        assert wf.container.env == {"KEY1": "value1"}  # nested merge keeps base
+
+    def test_empty_file(self, tmp_path):
+        f = tmp_path / "empty.yaml"
+        f.write_text("")
+        assert load_values([f], TemplateValues).workflows == {}
+
+    def test_missing_file_raises(self, tmp_path):
+        with pytest.raises(ValuesFileError, match="does not exist"):
+            load_values([tmp_path / "nope.yaml"], TemplateValues)
+
+    def test_non_mapping_raises(self, tmp_path):
+        f = tmp_path / "list.yaml"
+        f.write_text("- a\n- b\n")
+        with pytest.raises(ValuesFileError, match="must start with a mapping"):
+            load_values([f], TemplateValues)
+
+    def test_invalid_yaml_raises(self, tmp_path):
+        f = tmp_path / "bad.yaml"
+        f.write_text("a: [unclosed\n")
+        with pytest.raises(ValuesFileError, match="Failed to parse YAML"):
+            load_values([f], TemplateValues)
+
+    def test_dvc_values(self, tmp_path):
+        # test_backend_dvc.py:44-56 sample_dvc_values_file
+        f = tmp_path / "values.yaml"
+        f.write_text(
+            yaml.safe_dump(
+                {"dvc": {"test-pipeline": {"dataDir": "./custom-data",
+                                           "encapsulateEnv": False}}}
+            )
+        )
+        values = load_values([f], DvcTemplateValues)
+        assert values.dvc["test-pipeline"].dataDir == Path("./custom-data")
+        assert values.dvc["test-pipeline"].encapsulateEnv is False
+        # override file merges field-wise (test_backend_dvc.py:152-157)
+        o = tmp_path / "override.yaml"
+        o.write_text(
+            yaml.safe_dump({"dvc": {"test-pipeline": {"dataDir": "./override-data"}}})
+        )
+        merged = load_values([f, o], DvcTemplateValues)
+        assert merged.dvc["test-pipeline"].dataDir == Path("./override-data")
+        assert merged.dvc["test-pipeline"].encapsulateEnv is False
+
+
+class TestSelectWorkflowAndPipeline:
+    def test_select_workflow_by_name(self):
+        values = TemplateValues(
+            workflows={
+                "w1": WorkflowConfig(name="one"),
+                "w2": WorkflowConfig(name="two"),
+            }
+        )
+        assert select_workflow(values, "w2").name == "two"
+
+    def test_select_workflow_first_when_no_name(self):
+        values = TemplateValues(workflows={"first": WorkflowConfig(name="one")})
+        assert select_workflow(values, None).name == "one"
+
+    def test_select_workflow_default_when_empty(self):
+        assert select_workflow(TemplateValues(), None).name == "wurzel"
+
+    def test_select_workflow_missing_raises(self):
+        with pytest.raises(ValueError, match="not found in values"):
+            select_workflow(TemplateValues(workflows={"a": WorkflowConfig()}), "b")
+
+    def test_select_pipeline_by_name_first_default_missing(self):
+        values = DvcTemplateValues(
+            dvc={"p1": DvcConfig(dataDir=Path("./d1")),
+                 "p2": DvcConfig(dataDir=Path("./d2"))}
+        )
+        assert select_pipeline(values, "p2").dataDir == Path("./d2")
+        assert select_pipeline(values, None).dataDir == Path("./d1")
+        assert select_pipeline(DvcTemplateValues(), None).dataDir == Path("./data")
+        with pytest.raises(ValueError, match="not found in values"):
+            select_pipeline(values, "nonexistent")
+
+    def test_from_values_factories(self, sample_values_file, tmp_path):
+        cfg = argo_config_from_values([sample_values_file], "test-workflow")
+        assert cfg.name == "test-wf"
+        f = tmp_path / "dvals.yaml"
+        f.write_text(yaml.safe_dump({"dvc": {"p": {"dataDir": "./cd"}}}))
+        assert dvc_config_from_values([f], "p").dataDir == Path("./cd")
+        assert dvc_config_from_values([f]).dataDir == Path("./cd")  # first
+
+
+# ---------------------------------------------------------------------------
+# DVC generation (test_backend_dvc.py:227-370)
+# ---------------------------------------------------------------------------
+
+
+class TestDvcGenerate:
+    def test_generates_valid_yaml_with_both_stages(self, manifest):
+        data = yaml.safe_load(generate_dvc(manifest, "m.yaml"))
+        assert "stages" in data
+        assert "dummystep" in data["stages"]
+        assert "dummyfollowstep" in data["stages"]
+
+    def test_run_id_stage(self, manifest):
+        # backend_dvc.py:256-268: the generate_run_id stage seeds
+        # WURZEL_*_RUN_ID for every step; steps read it back via cat
+        data = yaml.safe_load(generate_dvc(manifest, "m.yaml"))
+        rid = data["stages"]["generate_run_id"]
+        assert rid["always_changed"] is True
+        assert rid["outs"] == ["data/.wurzel_run_id"]
+        step_cmd = data["stages"]["dummystep"]["cmd"]
+        assert f'export {RUN_ID_ENV}="$(cat ' in step_cmd
+        assert f'echo "${RUN_ID_ENV}"' in step_cmd
+        # run-id output is a dep of every step (backend_dvc.py:218)
+        assert "data/.wurzel_run_id" in data["stages"]["dummyfollowstep"]["deps"]
+
+    def test_uses_config_data_dir(self, manifest):
+        cfg = DvcConfig(dataDir=Path("./custom-output"))
+        data = yaml.safe_load(generate_dvc(manifest, "m.yaml", config=cfg))
+        assert "custom-output/dummystep" in data["stages"]["dummystep"]["outs"][0]
+
+    def test_env_data_dir(self, manifest, monkeypatch):
+        monkeypatch.setenv("DVCBACKEND__DATA_DIR", "./env-output")
+        data = yaml.safe_load(generate_dvc(manifest, "m.yaml"))
+        assert "env-output/dummystep" in data["stages"]["dummystep"]["outs"][0]
+
+    def test_always_changed_mirrors_is_leaf(self, manifest):
+        data = yaml.safe_load(generate_dvc(manifest, "m.yaml"))
+        assert data["stages"]["dummystep"]["always_changed"] is True
+        assert data["stages"]["dummyfollowstep"]["always_changed"] is False
+
+    def test_encapsulate_env_flag(self, manifest):
+        cfg = DvcConfig(encapsulateEnv=False)
+        data = yaml.safe_load(generate_dvc(manifest, "m.yaml", config=cfg))
+        assert "--no-encapsulate-env" in data["stages"]["dummystep"]["cmd"]
+        data2 = yaml.safe_load(generate_dvc(manifest, "m.yaml"))
+        assert "--no-encapsulate-env" not in data2["stages"]["dummystep"]["cmd"]
+
+
+class TestWriteEnvFile:
+    def test_valid_keys_written(self, tmp_path):
+        env_file = write_env_file({"FOO": "bar", "MY_VAR": "hello"}, tmp_path)
+        content = env_file.read_text()
+        assert "export FOO='bar'" in content
+        assert "export MY_VAR='hello'" in content
+
+    def test_quote_escaping(self, tmp_path):
+        env_file = write_env_file({"Q": "it's"}, tmp_path)
+        assert "export Q='it'\\''s'" in env_file.read_text()
+
+    @pytest.mark.parametrize(
+        "bad_key",
+        ["FOO; rm -rf /", "1INVALID", "foo", "MY VAR", "KEY\nINJECT", ""],
+    )
+    def test_invalid_key_raises_value_error(self, tmp_path, bad_key):
+        # test_backend_dvc.py:341-356 injection guard
+        with pytest.raises(ValueError, match="environment variable"):
+            write_env_file({bad_key: "value"}, tmp_path)
+
+    def test_env_file_path_is_quoted_in_command(self, manifest, tmp_path):
+        # test_backend_dvc.py:358-370: a dataDir with spaces must be
+        # shell-quoted where the cmd sources the env file
+        import shlex
+
+        data_dir = tmp_path / "my data dir"
+        cfg = DvcConfig(dataDir=data_dir)
+        out = yaml.safe_load(
+            generate_dvc(manifest, "m.yaml", config=cfg, env_vars={"MY_VAR": "v"})
+        )
+        cmd = out["stages"]["dummystep"]["cmd"]
+        assert shlex.quote(str(data_dir / ".wurzel_env")) in cmd
+        # the env file is also a dep so DVC re-runs on env change
+        assert str(data_dir / ".wurzel_env") in out["stages"]["dummystep"]["deps"]
+
+
+# ---------------------------------------------------------------------------
+# Argo generation (test_backend_argo.py:716-1663)
+# ---------------------------------------------------------------------------
+
+
+class TestArgoGenerate:
+    def test_generates_valid_yaml(self, manifest):
+        manifests = list(yaml.safe_load_all(generate_argo(manifest, "m.yaml")))
+        assert len(manifests) >= 1
+        assert manifests[0]["kind"] in ("CronWorkflow", "Workflow")
+
+    @pytest.mark.parametrize(
+        "schedules,expected_kind",
+        [
+            (["0 0 * * *"], "CronWorkflow"),
+            (["0 4 * * *"], "CronWorkflow"),
+            (["*/15 * * * *"], "CronWorkflow"),
+            (["0 0 1 * *"], "CronWorkflow"),
+            (None, "Workflow"),
+        ],
+    )
+    def test_workflow_kind_based_on_schedule(self, manifest, schedules, expected_kind):
+        doc = _argo(manifest, config=WorkflowConfig(schedules=schedules))
+        assert doc["kind"] == expected_kind
+        if schedules:
+            assert doc["spec"]["schedules"] == schedules
+        else:
+            assert "schedules" not in doc["spec"]
+
+    @pytest.mark.parametrize(
+        "name,namespace,sa",
+        [
+            ("test-wf", "test-ns", "test-sa"),
+            ("my-pipeline", "production", "prod-sa"),
+        ],
+    )
+    def test_workflow_metadata(self, manifest, name, namespace, sa):
+        doc = _argo(
+            manifest,
+            config=WorkflowConfig(name=name, namespace=namespace,
+                                  serviceAccountName=sa),
+        )
+        assert doc["metadata"]["name"] == name
+        assert doc["metadata"]["namespace"] == namespace
+        assert _wf_spec(doc)["serviceAccountName"] == sa
+
+    def test_retry_strategy_on_error(self, manifest):
+        doc = _argo(manifest)
+        task_templates = [t for t in _templates(doc).values() if t.get("container")]
+        assert task_templates
+        for t in task_templates:
+            assert t["retryStrategy"] == {"limit": 4, "retryPolicy": "OnError"}
+
+    def test_artifact_properties(self, manifest):
+        # test_backend_argo.py:862-874
+        doc = _argo(manifest)
+        art = _templates(doc)["wurzel-run-template-dummystep"]["outputs"]["artifacts"][0]
+        assert art["name"] == "wurzel-artifact-dummystep"
+        assert art["s3"]["key"] == "argo-workflows/{{workflow.name}}/dummystep"
+        assert art["s3"]["bucket"] == "wurzel-bucket"
+        assert "dummystep" in art["path"]
+        assert art["archive"] == {"none": {}} and art["recurseMode"] is True
+
+    def test_default_data_dir_in_artifact_path(self, manifest):
+        doc = _argo(manifest)
+        art = _templates(doc)["wurzel-run-template-dummystep"]["outputs"]["artifacts"][0]
+        assert art["path"].startswith("/usr/app")  # WorkflowConfig.dataDir default
+
+    def test_container_env_wins_over_manifest_env(self, manifest):
+        # reference: merged_env = {**manifest_env, **container.env}
+        cfg = WorkflowConfig(container=ContainerConfig(env={"K": "container"}))
+        doc = _argo(manifest, env={"K": "global"}, config=cfg)
+        env = {
+            e["name"]: e["value"]
+            for e in _templates(doc)["wurzel-run-template-dummystep"]["container"]["env"]
+        }
+        assert env["K"] == "container"
+        assert env[RUN_ID_ENV] == "{{workflow.uid}}"
+
+    def test_hf_home_env_when_tokenizer_cache_enabled(self, manifest):
+        # test_backend_argo.py:971-1138 tokenizer-cache battery
+        cfg = WorkflowConfig(
+            container=ContainerConfig(
+                tokenizerCache=TokenizerCacheConfig(enabled=True)
+            )
+        )
+        doc = _argo(manifest, config=cfg)
+        tpl = _templates(doc)["wurzel-run-template-dummystep"]
+        env = {e["name"]: e["value"] for e in tpl["container"]["env"]}
+        assert env["HF_HOME"] == "/cache/huggingface"
+        mounts = tpl["container"]["volumeMounts"]
+        assert {"name": "tokenizer-cache", "mountPath": "/cache/huggingface",
+                "readOnly": True} in mounts
+        vols = _wf_spec(doc)["volumes"]
+        assert {"name": "tokenizer-cache",
+                "persistentVolumeClaim": {"claimName": "tokenizer-cache-pvc"}} in vols
+
+    def test_tokenizer_cache_create_pvc(self, manifest):
+        cfg = WorkflowConfig(
+            container=ContainerConfig(
+                tokenizerCache=TokenizerCacheConfig(
+                    enabled=True, createPvc=True, storageSize="5Gi",
+                    storageClassName="fast",
+                )
+            )
+        )
+        doc = _argo(manifest, config=cfg)
+        claims = _wf_spec(doc)["volumeClaimTemplates"]
+        assert claims[0]["metadata"]["name"] == "tokenizer-cache"
+        assert claims[0]["spec"]["resources"]["requests"]["storage"] == "5Gi"
+        assert claims[0]["spec"]["storageClassName"] == "fast"
+        assert claims[0]["spec"]["accessModes"] == ["ReadWriteOnce"]
+        assert "volumes" not in _wf_spec(doc)  # no PVC volume when templated
+
+    def test_no_hf_home_when_disabled(self, manifest):
+        doc = _argo(manifest)
+        tpl = _templates(doc)["wurzel-run-template-dummystep"]
+        env_names = [e["name"] for e in tpl["container"]["env"]]
+        assert "HF_HOME" not in env_names
+        assert "volumeMounts" not in tpl["container"]
+
+    def test_mount_secrets_volumes_and_mounts(self, manifest):
+        # test_backend_argo.py:548-651 build-volumes battery
+        cfg = WorkflowConfig(
+            container=ContainerConfig(
+                mountSecrets=[
+                    SecretMount.model_validate(
+                        {
+                            "from": "creds",
+                            "to": "/etc/creds",
+                            "mappings": [
+                                {"key": "user", "value": "user.txt"},
+                                {"key": "pass", "value": "pass.txt"},
+                            ],
+                        }
+                    )
+                ]
+            )
+        )
+        doc = _argo(manifest, config=cfg)
+        vols = _wf_spec(doc)["volumes"]
+        assert {"name": "secret-mount-0", "secret": {"secretName": "creds"}} in vols
+        mounts = _templates(doc)["wurzel-run-template-dummystep"]["container"][
+            "volumeMounts"
+        ]
+        assert {"name": "secret-mount-0", "mountPath": "/etc/creds/user.txt",
+                "subPath": "user"} in mounts
+        assert {"name": "secret-mount-0", "mountPath": "/etc/creds/pass.txt",
+                "subPath": "pass"} in mounts
+
+    def test_env_from_secret_configmap_and_refs(self, manifest):
+        # test_backend_argo.py:652-715 build-env-from battery
+        cfg = WorkflowConfig(
+            container=ContainerConfig(
+                envFrom=[
+                    EnvFromConfig(kind="secret", name="s1", prefix="S_"),
+                    EnvFromConfig(kind="configMap", name="c1", optional=False),
+                ],
+                secretRef=["s2"],
+                configMapRef=["c2"],
+            )
+        )
+        doc = _argo(manifest, config=cfg)
+        env_from = _templates(doc)["wurzel-run-template-dummystep"]["container"][
+            "envFrom"
+        ]
+        assert {"secretRef": {"name": "s1", "optional": True}, "prefix": "S_"} in env_from
+        assert {"configMapRef": {"name": "c1", "optional": False}} in env_from
+        assert {"secretRef": {"name": "s2", "optional": True}} in env_from
+        assert {"configMapRef": {"name": "c2", "optional": True}} in env_from
+
+    def test_pod_security_context(self, manifest):
+        # test_backend_argo.py:1139-1282 security-context battery
+        cfg = WorkflowConfig(
+            podSecurityContext=SecurityContextConfig(
+                runAsUser=1000, runAsGroup=2000, fsGroup=3000,
+                fsGroupChangePolicy="OnRootMismatch",
+                supplementalGroups=[4000],
+            )
+        )
+        doc = _argo(manifest, config=cfg)
+        ctx = _wf_spec(doc)["securityContext"]
+        assert ctx["runAsNonRoot"] is True
+        assert ctx["runAsUser"] == 1000 and ctx["runAsGroup"] == 2000
+        assert ctx["fsGroup"] == 3000
+        assert ctx["fsGroupChangePolicy"] == "OnRootMismatch"
+        assert ctx["supplementalGroups"] == [4000]
+        assert ctx["seccompProfile"] == {"type": "RuntimeDefault"}
+
+    def test_container_security_context(self, manifest):
+        cfg = WorkflowConfig(
+            container=ContainerConfig(
+                securityContext=SecurityContextConfig(
+                    runAsUser=1001, readOnlyRootFilesystem=True,
+                    dropCapabilities=["ALL", "NET_RAW"],
+                )
+            )
+        )
+        doc = _argo(manifest, config=cfg)
+        ctx = _templates(doc)["wurzel-run-template-dummystep"]["container"][
+            "securityContext"
+        ]
+        assert ctx["runAsNonRoot"] is True and ctx["runAsUser"] == 1001
+        assert ctx["allowPrivilegeEscalation"] is False
+        assert ctx["readOnlyRootFilesystem"] is True
+        assert ctx["capabilities"] == {"drop": ["ALL", "NET_RAW"]}
+
+    def test_container_resources(self, manifest):
+        cfg = WorkflowConfig(
+            container=ContainerConfig(
+                resources=ResourcesConfig(
+                    cpu_request="250m", cpu_limit="1",
+                    memory_request="256Mi", memory_limit="1Gi",
+                )
+            )
+        )
+        doc = _argo(manifest, config=cfg)
+        res = _templates(doc)["wurzel-run-template-dummystep"]["container"]["resources"]
+        assert res == {
+            "requests": {"cpu": "250m", "memory": "256Mi"},
+            "limits": {"cpu": "1", "memory": "1Gi"},
+        }
+
+    def test_default_resources(self, manifest):
+        doc = _argo(manifest)
+        res = _templates(doc)["wurzel-run-template-dummystep"]["container"]["resources"]
+        assert res == {
+            "requests": {"cpu": "100m", "memory": "128Mi"},
+            "limits": {"memory": "512Mi"},
+        }
+
+    def test_node_selector_default_amd64(self, manifest):
+        doc = _argo(manifest)
+        assert _wf_spec(doc)["nodeSelector"] == {"kubernetes.io/arch": "amd64"}
+
+    def test_annotations(self, manifest):
+        cfg = WorkflowConfig(
+            annotations={"team": "data"},
+            container=ContainerConfig(annotations={"sidecar": "off"}),
+        )
+        doc = _argo(manifest, config=cfg)
+        assert doc["metadata"]["annotations"] == {"team": "data"}
+        tpl = _templates(doc)["wurzel-run-template-dummystep"]
+        assert tpl["metadata"]["annotations"] == {"sidecar": "off"}
+
+    def test_pod_spec_patch(self, manifest):
+        patch = "containers:\n- name: main\n"
+        doc = _argo(manifest, config=WorkflowConfig(podSpecPatch=patch))
+        assert _wf_spec(doc)["podSpecPatch"] == patch
+        assert "podSpecPatch" not in _wf_spec(_argo(manifest))  # default absent
+
+    def test_command_is_full_token_list(self, manifest):
+        # backend_argo.py:539-541: Container(command=cli tokens)
+        doc = _argo(manifest)
+        cmd = _templates(doc)["wurzel-run-template-dummystep"]["container"]["command"]
+        assert cmd[:4] == ["python", "-m", "wurzel_spark", "run"]
+        assert "--only" in cmd and "dummystep" in cmd
+
+    def test_task_dependencies_wired(self, manifest):
+        doc = _argo(manifest)
+        tasks = {t["name"]: t for t in _templates(doc)["wurzel-pipeline"]["dag"]["tasks"]}
+        assert "dependencies" not in tasks["dummystep"]
+        assert tasks["dummyfollowstep"]["dependencies"] == ["dummystep"]
+        # follower's inputs mirror its dependency's output artifact
+        ins = _templates(doc)["wurzel-run-template-dummyfollowstep"]["inputs"][
+            "artifacts"
+        ]
+        assert ins[0]["name"] == "wurzel-artifact-dummystep"
+        assert ins[0]["s3"]["key"] == "argo-workflows/{{workflow.name}}/dummystep"
+
+    def test_artifact_secret_refs_and_mode(self, manifest):
+        cfg = WorkflowConfig(
+            artifacts=S3ArtifactConfig(
+                bucket="b", endpoint="e", insecure=True, defaultMode=0o640,
+                accessKeySecret=SecretKeyRef(name="s3", key="ak"),
+                secretKeySecret=SecretKeyRef(name="s3", key="sk"),
+            )
+        )
+        doc = _argo(manifest, config=cfg)
+        art = _templates(doc)["wurzel-run-template-dummystep"]["outputs"]["artifacts"][0]
+        assert art["s3"]["accessKeySecret"] == {"name": "s3", "key": "ak"}
+        assert art["s3"]["secretKeySecret"] == {"name": "s3", "key": "sk"}
+        assert art["s3"]["insecure"] is True
+        assert art["mode"] == 0o640
+
+    def test_values_file_end_to_end(self, manifest, sample_values_file):
+        # test_backend_argo.py:1283-1350 integration: values -> config ->
+        # generated manifest carries image/env/namespace/schedules
+        cfg = argo_config_from_values([sample_values_file], "test-workflow")
+        doc = _argo(manifest, config=cfg)
+        assert doc["kind"] == "CronWorkflow"
+        assert doc["spec"]["schedules"] == ["0 0 * * *"]
+        assert doc["metadata"]["name"] == "test-wf"
+        assert doc["metadata"]["namespace"] == "test-ns"
+        tpl = _templates(doc)["wurzel-run-template-dummystep"]
+        assert tpl["container"]["image"] == "test-image:latest"
+        env = {e["name"]: e["value"] for e in tpl["container"]["env"]}
+        assert env["KEY1"] == "value1"
+
+    def test_determinism(self, manifest):
+        assert generate_argo(manifest, "m.yaml") == generate_argo(manifest, "m.yaml")

@@ -132,28 +132,37 @@ steps:
 
 def test_generate_dvc_golden_structure(md_folder):
     """Golden-structure check modeled on the reference's backend tests
-    (tests/backend/test_backend_dvc.py): per-step stages, CLI re-entry cmds,
-    dir-level deps/outs, always_changed on leaves."""
+    (tests/backend/test_backend_dvc.py): the generate_run_id stage, per-step
+    stages with run-id-sourcing CLI re-entry cmds, manifest+run-id+dir deps,
+    always_changed mirroring is_leaf()."""
     import yaml as _yaml
 
-    from wurzel_spark.backends import generate_dvc
+    from wurzel_spark.backends import RUN_ID_ENV, generate_dvc
 
     m = _manifest(md_folder)
     doc = _yaml.safe_load(generate_dvc(m, "m.yaml", data_dir="data"))
-    assert list(doc["stages"]) == ["source", "dedup", "split"]
+    assert list(doc["stages"]) == ["generate_run_id", "source", "dedup", "split"]
+    rid = doc["stages"]["generate_run_id"]
+    assert rid["outs"] == ["data/.wurzel_run_id"] and rid["always_changed"] is True
+    assert f'export {RUN_ID_ENV}="dvc-$(date' in rid["cmd"]
     src = doc["stages"]["source"]
-    assert src["always_changed"] is True and "deps" not in src
+    assert src["always_changed"] is True  # leaf re-runs every invocation
+    assert src["deps"] == ["m.yaml", "data/.wurzel_run_id"]
     assert src["outs"] == ["data/source"]
     ded = doc["stages"]["dedup"]
-    assert ded["deps"] == ["data/source"] and ded["outs"] == ["data/dedup"]
+    assert ded["always_changed"] is False  # non-leaf memoizes via deps
+    assert ded["deps"] == ["m.yaml", "data/.wurzel_run_id", "data/source"]
+    assert ded["outs"] == ["data/dedup"]
     assert "--only dedup" in ded["cmd"] and "python -m wurzel_spark run" in ded["cmd"]
+    assert f'export {RUN_ID_ENV}="$(cat data/.wurzel_run_id)"' in ded["cmd"]
     # determinism: identical input -> identical artifact text
     assert generate_dvc(m, "m.yaml") == generate_dvc(m, "m.yaml")
 
 
 def test_generate_argo_cron_and_dag(md_folder):
-    """Schedule in the manifest -> CronWorkflow; DAG dependencies mirror the
-    step graph (reference: tests/backend/test_backend_argo.py)."""
+    """Schedule in the manifest -> CronWorkflow with a schedules LIST; DAG
+    dependencies mirror the step graph (reference:
+    tests/backend/test_backend_argo.py)."""
     import yaml as _yaml
 
     from wurzel_spark.backends import generate_argo
@@ -161,18 +170,24 @@ def test_generate_argo_cron_and_dag(md_folder):
     m = _manifest(md_folder)
     doc = _yaml.safe_load(generate_argo(m, "m.yaml"))
     assert doc["kind"] == "CronWorkflow"
-    assert doc["spec"]["schedule"] == "0 3 * * *"
+    assert doc["spec"]["schedules"] == ["0 3 * * *"]
+    assert doc["metadata"]["name"] == "demo"
     wf = doc["spec"]["workflowSpec"]
+    assert wf["entrypoint"] == "wurzel-pipeline"
+    assert wf["templates"][0]["name"] == "wurzel-pipeline"
     tasks = {t["name"]: t for t in wf["templates"][0]["dag"]["tasks"]}
     assert set(tasks) == {"source", "dedup", "split"}
+    assert tasks["split"]["template"] == "wurzel-run-template-split"
     assert "dependencies" not in tasks["source"]
     assert tasks["dedup"]["dependencies"] == ["source"]
     assert tasks["split"]["dependencies"] == ["dedup"]
-    # no schedule -> plain Workflow with generateName
+    # no schedule -> plain Workflow, named metadata (reference uses the
+    # config/workflow name for both kinds, backend_argo.py:468-484)
     m.schedule = None
     doc2 = _yaml.safe_load(generate_argo(m, "m.yaml"))
     assert doc2["kind"] == "Workflow"
-    assert doc2["metadata"]["generateName"] == "demo-"
+    assert doc2["metadata"]["name"] == "demo"
+    assert "schedules" not in doc2["spec"]
 
 
 def test_run_only_single_step_reentry(spark, md_folder, tmp_path):
@@ -229,55 +244,85 @@ def test_generate_argo_per_step_env_and_artifacts(md_folder):
     wiring keyed by workflow name, and the retry strategy."""
     import yaml as _yaml
 
-    from wurzel_spark.backends import ArgoArtifactConfig, RUN_ID_ENV, generate_argo
+    from wurzel_spark.backends import (
+        RUN_ID_ENV,
+        S3ArtifactConfig,
+        SecretKeyRef,
+        WorkflowConfig,
+        generate_argo,
+    )
 
     m = _manifest(md_folder)
-    art = ArgoArtifactConfig(
-        bucket="curation-artifacts",
-        endpoint="minio:9000",
-        insecure=True,
-        access_key_secret=("s3-creds", "accesskey"),
-        secret_key_secret=("s3-creds", "secretkey"),
+    config = WorkflowConfig(
+        name="demo",
+        schedules=["0 3 * * *"],
+        dataDir="data",
+        artifacts=S3ArtifactConfig(
+            bucket="curation-artifacts",
+            endpoint="minio:9000",
+            insecure=True,
+            accessKeySecret=SecretKeyRef(name="s3-creds", key="accesskey"),
+            secretKeySecret=SecretKeyRef(name="s3-creds", key="secretkey"),
+        ),
     )
     doc = _yaml.safe_load(
         generate_argo(
             m, "m.yaml", env={"LOG_LEVEL": "info", "SPLIT__TOKEN_LIMIT": "64"},
-            artifacts=art,
+            config=config,
         )
     )
     wf = doc["spec"]["workflowSpec"]
     tpl = {t["name"]: t for t in wf["templates"]}
-    assert set(tpl) == {"pipeline", "step-source", "step-dedup", "step-split"}
+    assert set(tpl) == {
+        "wurzel-pipeline",
+        "wurzel-run-template-source",
+        "wurzel-run-template-dedup",
+        "wurzel-run-template-split",
+    }
 
     # (a) per-step env: split's manifest setting becomes SPLIT__TOKEN_LIMIT,
     # and the GLOBAL env override wins the collision (container.env wins)
-    env = {e["name"]: e["value"] for e in tpl["step-split"]["container"]["env"]}
+    split_tpl = tpl["wurzel-run-template-split"]
+    env = {e["name"]: e["value"] for e in split_tpl["container"]["env"]}
     assert env["SPLIT__TOKEN_LIMIT"] == "64"  # global won over manifest's 128
     assert env["LOG_LEVEL"] == "info"
     assert env[RUN_ID_ENV] == "{{workflow.uid}}"
-    src_env = {e["name"]: e["value"] for e in tpl["step-source"]["container"]["env"]}
+    src_env = {
+        e["name"]: e["value"]
+        for e in tpl["wurzel-run-template-source"]["container"]["env"]
+    }
     assert src_env["SOURCE__PATH"]  # manifest setting exported per-step
 
     # (b) artifacts: outputs on every step, inputs mirror dependencies,
     # key namespaced by workflow name, secrets referenced not inlined
-    out = tpl["step-dedup"]["outputs"]["artifacts"][0]
+    out = tpl["wurzel-run-template-dedup"]["outputs"]["artifacts"][0]
     assert out["s3"]["key"] == "argo-workflows/{{workflow.name}}/dedup"
     assert out["s3"]["bucket"] == "curation-artifacts"
     assert out["s3"]["accessKeySecret"] == {"name": "s3-creds", "key": "accesskey"}
     assert out["archive"] == {"none": {}} and out["recurseMode"] is True
-    ins = tpl["step-split"]["inputs"]["artifacts"]
-    assert [a["s3"]["key"] for a in ins] == ["argo-workflows/{{workflow.name}}/dedup"]
+    ins = split_tpl["inputs"]["artifacts"]
+    assert [a["s3"]["key"] for a in ins] == [
+        "argo-workflows/{{workflow.name}}/dedup"
+    ]
     assert ins[0]["path"] == "data/dedup"  # restored where the CLI reads it
-    assert "inputs" not in tpl["step-source"]  # leaf has no input artifacts
+    assert "inputs" not in tpl["wurzel-run-template-source"]  # leaf: no inputs
 
     # (c) retry strategy (reference: limit 4, OnError)
-    assert tpl["step-dedup"]["retryStrategy"] == {"limit": 4, "retryPolicy": "OnError"}
+    assert tpl["wurzel-run-template-dedup"]["retryStrategy"] == {
+        "limit": 4,
+        "retryPolicy": "OnError",
+    }
 
-    # without artifacts: no artifact blocks, env still per-step
+    # without an explicit config: artifacts still emitted with the
+    # reference's defaults (backend_argo.py always wires S3 artifacts)
     doc2 = _yaml.safe_load(generate_argo(m, "m.yaml"))
     tpl2 = {t["name"]: t for t in doc2["spec"]["workflowSpec"]["templates"]}
-    assert "outputs" not in tpl2["step-split"]
-    assert any(e["name"] == "SPLIT__TOKEN_LIMIT" for e in tpl2["step-split"]["container"]["env"])
+    out2 = tpl2["wurzel-run-template-split"]["outputs"]["artifacts"][0]
+    assert out2["s3"]["bucket"] == "wurzel-bucket"
+    assert any(
+        e["name"] == "SPLIT__TOKEN_LIMIT"
+        for e in tpl2["wurzel-run-template-split"]["container"]["env"]
+    )
 
 
 def test_argo_env_round_trips_into_settings(md_folder, monkeypatch):
@@ -290,7 +335,7 @@ def test_argo_env_round_trips_into_settings(md_folder, monkeypatch):
     m = _manifest(md_folder)
     doc = _yaml.safe_load(generate_argo(m, "m.yaml"))
     tpl = {t["name"]: t for t in doc["spec"]["workflowSpec"]["templates"]}
-    for e in tpl["step-split"]["container"]["env"]:
+    for e in tpl["wurzel-run-template-split"]["container"]["env"]:
         monkeypatch.setenv(e["name"], e["value"])
     # round-trip INCLUDING type: Argo exports str(128), env_settings
     # coerces it back to the int the local run passes (ADVICE r6)

@@ -29,7 +29,13 @@ def _cmd_run(args) -> int:
         if not args.materialize_dir:
             print("--only requires --materialize-dir", file=sys.stderr)
             return 2
-        df = run_single_step(spark, m, args.only, args.materialize_dir)
+        df = run_single_step(
+            spark,
+            m,
+            args.only,
+            args.materialize_dir,
+            encapsulate=not args.no_encapsulate_env,
+        )
         print(f"{args.only}: {df.count()} rows, schema={df.schema.simpleString()}")
         return 0
     outs = run_manifest(spark, m, materialize_dir=args.materialize_dir)
@@ -93,6 +99,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--materialize-dir", default=None)
     r.add_argument("--out", default=None)
     r.add_argument("--only", default=None, help="run a single step (backend re-entry)")
+    r.add_argument(
+        "--no-encapsulate-env",
+        action="store_true",
+        help="skip per-step env encapsulation (DVC encapsulateEnv: false)",
+    )
     r.set_defaults(fn=_cmd_run)
 
     g = sub.add_parser("generate", help="emit a DVC/Argo backend artifact")

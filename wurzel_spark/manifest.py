@@ -354,10 +354,12 @@ def step_env_encapsulation(settings: dict):
         os.environ.update(old)
 
 
-def _execute_step(spark, manifest, name, inputs, chain=None):
+def _execute_step(spark, manifest, name, inputs, chain=None, encapsulate=True):
     """One step through the middleware chain (SURVEY §3.4): secrets resolve
     before the fn sees its settings; prometheus times/pushes around it;
-    settings are env-encapsulated for the step's duration."""
+    settings are env-encapsulated for the step's duration (skippable via
+    ``encapsulate=False`` — the reference's ``dont_encapsulate`` /
+    DVC ``encapsulateEnv: false`` knob, backend_dvc.py:64-69)."""
     from wurzel_spark.metrics import resolve_run_id
     from wurzel_spark.middleware import StepContext, chain_from_env
 
@@ -371,6 +373,8 @@ def _execute_step(spark, manifest, name, inputs, chain=None):
     )
 
     def _run(c):
+        if not encapsulate:
+            return fn(spark, inputs, **c.settings)
         with step_env_encapsulation(c.settings):
             return fn(spark, inputs, **c.settings)
 
@@ -398,7 +402,11 @@ def run_manifest(
 
 
 def run_single_step(
-    spark: SparkSession, manifest: Manifest, step: str, materialize_dir: str
+    spark: SparkSession,
+    manifest: Manifest,
+    step: str,
+    materialize_dir: str,
+    encapsulate: bool = True,
 ) -> DataFrame:
     """Single-step re-entry for generated backend artifacts (SURVEY §3.2).
 
@@ -411,7 +419,7 @@ def run_single_step(
     inputs = [
         spark.read.parquet(os.path.join(materialize_dir, d)) for d in spec.depends_on
     ]
-    df = _execute_step(spark, manifest, step, inputs)
+    df = _execute_step(spark, manifest, step, inputs, encapsulate=encapsulate)
     path = os.path.join(materialize_dir, step)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
