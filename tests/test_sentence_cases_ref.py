@@ -17,10 +17,12 @@ BOUNDARIES are what this corpus checks.
 
 Recorded divergences (all are cases the reference itself only passes
 with the spacy model, i.e. its own regex splitter shares them):
-  - em-dash sentence starts ("—Okay") — not in any lookahead set;
+  - em-dash starts, Greek «, Greek capitals and the Greek question
+    mark — CLOSED in r12 for regex-ref (extended lookahead,
+    splitter.py:_REF_SPLIT_RE); the engine strategies keep the
+    reference-regex behavior;
   - German/Polish/Croatian „quote starts — regex-ref mirrors the
     reference lookahead (no „); the engine regex strategy handles them;
-  - Greek « and Greek capitals — no strategy's lookahead covers them;
   - "Smith v. Jones" legal citation + "Inc." — regex-ref merges per the
     reference abbreviation list only partially;
   - "p.m. Amazing" / "No. 5" / "Sept. 2020" — the ENGINE regex strategy
@@ -70,13 +72,17 @@ _PINNED = {
         "pl": (4, 4, ()),
         "el": (1, 3, (1, 2)),
     },
+    # r12 (VERDICT r11 Next #5): regex-ref's lookahead gained em-dash
+    # starts, Greek « openers, Greek capitals, and the Greek question
+    # mark (';' before a Greek-capital start only) — basic 7 and el 1/2
+    # moved to passing; the reference regex contract stays 4/4 exact.
     "regex-ref": {
         "regex": (4, 4, ()),
-        "basic": (12, 14, (7, 13)),
+        "basic": (13, 14, (13,)),
         "de": (4, 5, (2,)),
         "hr": (2, 3, (1,)),
         "pl": (3, 4, (1,)),
-        "el": (1, 3, (1, 2)),
+        "el": (3, 3, ()),
     },
     "learned": {
         "regex": (1, 4, (0, 1, 2)),
@@ -125,9 +131,9 @@ def test_overall_fidelity_floor():
                 for fn in _STRATEGIES.values()
             ):
                 best += 1
-    # 30/33 today: only em-dash starts and Greek «/capitals remain,
-    # which the reference itself passes only with the spacy model.
-    assert best >= 30, (best, total)
+    # 33/33 since r12: regex-ref's extended lookahead (em-dash, Greek
+    # «/capitals/question mark) closed the last three spacy-only cases.
+    assert best == total == 33, (best, total)
 
 
 def test_closer_drop_quirk_matches_reference():

@@ -93,8 +93,19 @@ def split_sentences(text: str) -> list[str]:
 # exactly the same (its prose says closers attach to the left sentence;
 # its code drops them). Pinned by
 # tests/test_sentence_cases_ref.py::test_closer_drop_quirk_matches_reference.
+# Sentence-start lookahead (r12, VERDICT r11 Next #5): beyond the
+# reference regex's Latin capitals/digits, regex-ref also accepts
+# em-dash dialogue starts ("—Okay"), Greek « openers, and Greek capital
+# letters (Α-Ω + accented) — the three corpus cases the reference itself
+# passes only with the spacy model. The Greek question mark is written
+# as ASCII ';' in the corpus (and in common Greek text), so ';' is a
+# terminator ONLY when the next sentence starts Greek — an English
+# semicolon before a Latin capital never splits.
+_REF_GREEK_CAPS = "ΆΈ-ΊΌΎΏΑ-Ω"
 _REF_SPLIT_RE = re.compile(
-    r"(?<=[.!?…])(?:['\")\]]*)(?=\s+(?=[“\"'(\[]?[A-Z0-9]))"
+    r"(?:(?<=[.!?…])(?:['\")\]]*)"
+    rf"(?=\s+(?=[“\"'(\[«—]?[A-Z0-9{_REF_GREEK_CAPS}]))"
+    rf"|(?<=;)(?=\s+(?=«?[{_REF_GREEK_CAPS}])))"
 )
 _REF_ABBREVS = frozenset(
     "mr mrs ms dr prof sr jr sir madam st etc vs cf al ca resp "
