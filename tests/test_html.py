@@ -226,6 +226,50 @@ def test_setext_underline_indented_up_to_three_spaces():
     assert "# title" not in nm("title\n    ===\n")
 
 
+def test_table_reflow_mdformat_shapes():
+    """r12 (VERDICT r11 Next #6): pipe tables reflow the way
+    mdformat-tables renders them — columns padded to the widest cell
+    (min 3), delimiter dashes stretched to the column width, alignment
+    markers preserved and applied to cell padding."""
+    from wurzel_spark.functions.html import normalize_markdown as nm
+
+    assert nm("| H1 | H2 |\n|---|---|\n| x | y |\n| longcell | z |\n") == (
+        "| H1       | H2  |\n"
+        "| -------- | --- |\n"
+        "| x        | y   |\n"
+        "| longcell | z   |\n"
+    )
+    # alignment: left pads right, right pads left, center splits
+    assert nm("| a | bb |\n|:--|--:|\n| ccc | d |\n") == (
+        "| a   |  bb |\n| :-- | --: |\n| ccc |   d |\n"
+    )
+    assert nm("| h |\n|:-:|\n| xxxxx |\n") == "|   h   |\n| :---: |\n| xxxxx |\n"
+    # idempotent (the normalize_markdown property contract)
+    t = "| a | bb |\n|:--|--:|\n| ccc | d |\n"
+    assert nm(nm(t)) == nm(t)
+    # East-Asian wide chars count 2 columns (wcwidth rule)
+    assert nm("| 名前 | v |\n|---|---|\n| ab | c |\n") == (
+        "| 名前 | v   |\n| ---- | --- |\n| ab   | c   |\n"
+    )
+
+
+def test_table_reflow_pinned_divergences():
+    """Pinned divergence from mdformat: a ragged table (row cell count
+    ≠ header cell count) passes through VERBATIM — mdformat's GFM parser
+    would truncate the extra cells, and silently dropping cell data is
+    the one mdformat behavior a data pipeline must not replicate.
+    Fenced tables stay untouched; delimiter-less pipe lines are not
+    tables."""
+    from wurzel_spark.functions.html import normalize_markdown as nm
+
+    ragged = "| a | b |\n|---|---|\n| 1 | 2 | 3 |\n"
+    assert nm(ragged) == ragged
+    fenced = "```\n| a | b |\n|---|---|\n| 1 | 2 |\n```\n"
+    assert nm(fenced) == fenced
+    no_delim = "| just | pipes |\nplain text\n"
+    assert nm(no_delim) == no_delim
+
+
 def test_hard_break_not_added_before_block_starters():
     """Review r11: a paragraph-interrupting next line (heading, list,
     fence, quote, table, thematic break) means the trailing spaces are

@@ -456,6 +456,104 @@ _SETEXT_EXCLUDE_RE = re.compile(
 _THEMATIC_RE = re.compile(r"^\s*((\*[ \t]*){3,}|(-[ \t]*){3,}|(_[ \t]*){3,})$")
 _ORDERED_NORM_RE = re.compile(r"^(\s*)(\d+)\)([ \t])")
 
+# ------------------------- pipe-table reflow (mdformat-tables parity)
+
+_TABLE_DELIM_RE = re.compile(r"^\s{0,3}\|?\s*:?-+:?\s*(\|\s*:?-+:?\s*)*\|?\s*$")
+_TABLE_ROW_RE = re.compile(r"^\s{0,3}\S.*\|")
+_CELL_SPLIT_RE = re.compile(r"(?<!\\)\|")
+
+
+def _table_cells(line: str) -> list[str]:
+    """Split a pipe-table row into stripped cells; leading/trailing
+    boundary pipes are delimiters, escaped pipes stay cell content."""
+    parts = _CELL_SPLIT_RE.split(line.strip())
+    if parts and parts[0].strip() == "":
+        parts = parts[1:]
+    if parts and parts[-1].strip() == "":
+        parts = parts[:-1]
+    return [p.strip() for p in parts]
+
+
+def _cell_width(s: str) -> int:
+    """Display width: East-Asian wide/fullwidth chars count 2 (the
+    wcwidth rule mdformat-tables pads by)."""
+    import unicodedata
+
+    return sum(2 if unicodedata.east_asian_width(ch) in ("W", "F") else 1 for ch in s)
+
+
+def _reflow_table(lines: list[str]) -> list[str]:
+    """mdformat-tables normalization: every column padded to its widest
+    cell (min 3), alignment markers preserved and applied (none/left →
+    ljust, right → rjust, center → centered), delimiter dashes stretched
+    to the column width (``---``, ``:--``, ``--:``, ``:-:`` shapes)."""
+    rows = [_table_cells(ln) for ln in lines]
+    header, delim, body = rows[0], rows[1], rows[2:]
+    aligns = []
+    for cell in delim:
+        left, right = cell.startswith(":"), cell.endswith(":")
+        aligns.append(
+            "center" if left and right else "left" if left else "right" if right else ""
+        )
+    ncols = len(header)
+    widths = [
+        max(3, *(_cell_width(r[c]) for r in [header, *body]))
+        for c in range(ncols)
+    ]
+
+    def pad(cell: str, width: int, align: str) -> str:
+        gap = width - _cell_width(cell)
+        if align == "right":
+            return " " * gap + cell
+        if align == "center":
+            return " " * (gap // 2) + cell + " " * (gap - gap // 2)
+        return cell + " " * gap
+
+    def delim_cell(width: int, align: str) -> str:
+        if align == "left":
+            return ":" + "-" * (width - 1)
+        if align == "right":
+            return "-" * (width - 1) + ":"
+        if align == "center":
+            return ":" + "-" * (width - 2) + ":"
+        return "-" * width
+
+    out = ["| " + " | ".join(pad(c, w, a) for c, w, a in zip(header, widths, aligns)) + " |"]
+    out.append("| " + " | ".join(delim_cell(w, a) for w, a in zip(widths, aligns)) + " |")
+    for r in body:
+        out.append(
+            "| " + " | ".join(pad(c, w, a) for c, w, a in zip(r, widths, aligns)) + " |"
+        )
+    return out
+
+
+def _try_reflow_table(lines: list[str], i: int) -> tuple[list[str], int] | None:
+    """If ``lines[i:]`` starts a GFM pipe table (header row, delimiter
+    row with the same cell count, body rows while they keep that cell
+    count), return (reflowed lines, lines consumed). Tables whose rows
+    DISAGREE on cell count are left verbatim — mdformat's parser would
+    truncate extra cells, and silently dropping cell data is the one
+    mdformat behavior a data pipeline must not replicate (pinned in
+    tests/test_html.py)."""
+    line = lines[i]
+    if "|" not in line or not _TABLE_ROW_RE.match(line) or _TABLE_DELIM_RE.match(line):
+        return None
+    if i + 1 >= len(lines) or not _TABLE_DELIM_RE.match(lines[i + 1]):
+        return None
+    header = _table_cells(line)
+    delim = _table_cells(lines[i + 1])
+    if not header or len(header) != len(delim):
+        return None
+    block = [line, lines[i + 1]]
+    j = i + 2
+    while j < len(lines) and "|" in lines[j] and lines[j].strip():
+        cells = _table_cells(lines[j])
+        if len(cells) != len(header):
+            return None  # ragged table: leave the whole block verbatim
+        block.append(lines[j])
+        j += 1
+    return _reflow_table(block), j - i
+
 
 def normalize_markdown(md: str) -> str:
     """mdformat-lite normalization (reference semantic_splitter.py:107-119
@@ -494,6 +592,14 @@ def normalize_markdown(md: str) -> str:
             blanks = 0
             out.append(line.rstrip())
             i += 1
+            continue
+        # pipe tables reflow as a unit (mdformat-tables parity, r12)
+        t = _try_reflow_table(lines, i)
+        if t is not None:
+            reflowed, consumed = t
+            blanks = 0
+            out.extend(reflowed)
+            i += consumed
             continue
         # mdformat preserves trailing-double-space HARD breaks as a
         # backslash break (a bare rstrip would silently delete the line
