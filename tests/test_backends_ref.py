@@ -729,3 +729,160 @@ class TestArgoGenerate:
 
     def test_determinism(self, manifest):
         assert generate_argo(manifest, "m.yaml") == generate_argo(manifest, "m.yaml")
+
+
+# ---------------------------------------------------------------------------
+# Run-id plumbing (test_backend_run_id.py)
+# ---------------------------------------------------------------------------
+
+
+class TestRunId:
+    def test_resolve_run_id_reads_artifact_env(self, monkeypatch):
+        # r12 mining find: the generated artifacts export
+        # WURZEL_SPARK_RUN_ID; resolve_run_id must read it (it read only
+        # the reference's WURZEL_RUN_ID name before)
+        from wurzel_spark.metrics import resolve_run_id
+
+        monkeypatch.delenv("WURZEL_RUN_ID", raising=False)
+        monkeypatch.setenv(RUN_ID_ENV, "run-123")
+        assert resolve_run_id() == "run-123"
+        # reference name stays a compatibility alias
+        monkeypatch.delenv(RUN_ID_ENV)
+        monkeypatch.setenv("WURZEL_RUN_ID", "legacy-run")
+        assert resolve_run_id() == "legacy-run"
+
+    def test_dvc_run_id_in_all_stages(self, manifest):
+        # test_backend_run_id.py:116-150: every step cmd sources the
+        # run id; the generate_run_id stage uses the timestamp fallback
+        data = yaml.safe_load(generate_dvc(manifest, "m.yaml"))
+        for name, stage in data["stages"].items():
+            assert RUN_ID_ENV in stage["cmd"], name
+        assert 'dvc-$(date +%Y%m%d-%H%M%S)-$$' in data["stages"]["generate_run_id"]["cmd"]
+
+    def test_argo_run_id_in_all_tasks(self, manifest):
+        # test_backend_run_id.py:165-209: every container template
+        # injects {{workflow.uid}} as the run id env var
+        doc = _argo(manifest)
+        templates = [t for t in _templates(doc).values() if t.get("container")]
+        assert len(templates) == 2
+        for t in templates:
+            env = {e["name"]: e["value"] for e in t["container"]["env"]}
+            assert env[RUN_ID_ENV] == "{{workflow.uid}}"
+
+
+# ---------------------------------------------------------------------------
+# from_values end-to-end (test_backend_from_values.py) + edge cases
+# ---------------------------------------------------------------------------
+
+
+class TestFromValuesEndToEnd:
+    def _values(self, tmp_path, payload) -> Path:
+        f = tmp_path / "values.yaml"
+        f.write_text(yaml.safe_dump(payload))
+        return f
+
+    def test_security_context_from_values(self, manifest, tmp_path):
+        # test_backend_from_values.py:218-247
+        f = self._values(
+            tmp_path,
+            {
+                "workflows": {
+                    "wf": {
+                        "podSecurityContext": {"runAsUser": 1000, "fsGroup": 2000},
+                        "container": {
+                            "securityContext": {"readOnlyRootFilesystem": True}
+                        },
+                    }
+                }
+            },
+        )
+        cfg = argo_config_from_values([f], "wf")
+        doc = _argo(manifest, config=cfg)
+        assert _wf_spec(doc)["securityContext"]["runAsUser"] == 1000
+        assert _wf_spec(doc)["securityContext"]["fsGroup"] == 2000
+        ctx = _templates(doc)["wurzel-run-template-dummystep"]["container"][
+            "securityContext"
+        ]
+        assert ctx["readOnlyRootFilesystem"] is True
+
+    def test_resources_and_s3_from_values(self, manifest, tmp_path):
+        # test_backend_from_values.py:193-276
+        f = self._values(
+            tmp_path,
+            {
+                "workflows": {
+                    "wf": {
+                        "container": {
+                            "resources": {"cpu_request": "2", "memory_limit": "4Gi"}
+                        },
+                        "artifacts": {"bucket": "my-bucket", "insecure": True},
+                    }
+                }
+            },
+        )
+        doc = _argo(manifest, config=argo_config_from_values([f], "wf"))
+        tpl = _templates(doc)["wurzel-run-template-dummystep"]
+        assert tpl["container"]["resources"]["requests"]["cpu"] == "2"
+        assert tpl["container"]["resources"]["limits"]["memory"] == "4Gi"
+        art = tpl["outputs"]["artifacts"][0]
+        assert art["s3"]["bucket"] == "my-bucket" and art["s3"]["insecure"] is True
+
+    def test_env_from_config_from_values(self, manifest, tmp_path):
+        # test_backend_from_values.py:339-366
+        f = self._values(
+            tmp_path,
+            {
+                "workflows": {
+                    "wf": {
+                        "container": {
+                            "envFrom": [
+                                {"kind": "secret", "name": "app-secrets",
+                                 "prefix": "APP_"}
+                            ]
+                        }
+                    }
+                }
+            },
+        )
+        doc = _argo(manifest, config=argo_config_from_values([f], "wf"))
+        env_from = _templates(doc)["wurzel-run-template-dummystep"]["container"][
+            "envFrom"
+        ]
+        assert {"secretRef": {"name": "app-secrets", "optional": True},
+                "prefix": "APP_"} in env_from
+
+    def test_invalid_workflow_name_raises(self, tmp_path):
+        f = self._values(tmp_path, {"workflows": {"a": {}}})
+        with pytest.raises(ValueError, match="not found in values"):
+            argo_config_from_values([f], "nonexistent")
+
+    def test_empty_workflows_gives_defaults(self, tmp_path):
+        f = self._values(tmp_path, {"workflows": {}})
+        assert argo_config_from_values([f]).name == "wurzel"
+
+    def test_error_message_includes_file_path(self, tmp_path):
+        # test_values.py:34-41
+        missing = tmp_path / "missing.yaml"
+        with pytest.raises(ValuesFileError, match=str(missing)):
+            load_values([missing], TemplateValues)
+
+    def test_deeply_nested_data_dir(self, manifest, tmp_path):
+        # test_backend_edge_cases.py:72-80
+        deep = Path("a/b/c/d/e/data")
+        data = yaml.safe_load(
+            generate_dvc(manifest, "m.yaml", config=DvcConfig(dataDir=deep))
+        )
+        assert data["stages"]["dummystep"]["outs"] == [f"{deep}/dummystep"]
+
+    def test_long_step_name(self):
+        # test_backend_edge_cases.py:49-60
+        long_name = "step" + "x" * 80
+        m = Manifest.from_yaml(
+            f"pipeline: {{name: p}}\nsteps:\n  {long_name}: {{uses: dedup}}\n"
+        )
+        data = yaml.safe_load(generate_dvc(m, "m.yaml"))
+        assert long_name in data["stages"]
+        doc = yaml.safe_load(generate_argo(m, "m.yaml"))
+        assert f"wurzel-run-template-{long_name}" in {
+            t["name"] for t in doc["spec"]["templates"]
+        }

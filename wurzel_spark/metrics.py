@@ -35,7 +35,12 @@ _GAUGES = (
 def resolve_run_id(spark: SparkSession | None = None, run_id: str | None = None) -> str:
     if run_id:
         return run_id
-    env = os.environ.get("WURZEL_RUN_ID")
+    # WURZEL_SPARK_RUN_ID is what the generated DVC/Argo artifacts
+    # export (backends.RUN_ID_ENV) — found in the r12 reference-test
+    # mining: resolving only the reference's WURZEL_RUN_ID name meant a
+    # container launched from our own artifact never saw its run id.
+    # The reference name stays as a compatibility alias.
+    env = os.environ.get("WURZEL_SPARK_RUN_ID") or os.environ.get("WURZEL_RUN_ID")
     if env:
         return env
     if spark is not None:
