@@ -78,6 +78,42 @@ def _cmd_env(args) -> int:
     return 0
 
 
+def _cmd_validate(args) -> int:
+    """Aggregated semantic validation (reference ManifestValidator,
+    wurzel/manifest/validator.py): print EVERY error — dangling refs,
+    cycles, unresolvable `uses`, unregistered middlewares — instead of
+    failing on the first, exit 1 when any exist."""
+    import yaml as _yaml
+
+    from wurzel_spark.manifest import Manifest, ManifestValidator, StepSpec
+
+    data = _yaml.safe_load(open(args.manifest, encoding="utf-8").read()) or {}
+    # build the Manifest WITHOUT the fail-fast structural validate so the
+    # validator can report every problem at once
+    steps = {}
+    for name, spec in (data.get("steps") or {}).items():
+        steps[name] = StepSpec(
+            name=name,
+            uses=str(spec.get("uses", "")),
+            depends_on=list(spec.get("dependsOn", []) or []),
+            settings=dict(spec.get("settings", {}) or {}),
+        )
+    pipeline = data.get("pipeline") or {}
+    manifest = Manifest(
+        name=pipeline.get("name", "pipeline"),
+        steps=steps,
+        schedule=pipeline.get("schedule"),
+    )
+    errors = ManifestValidator(manifest).validate_all(
+        middlewares=args.middlewares.split(",") if args.middlewares else None
+    )
+    for e in errors:
+        print(e)
+    if not errors:
+        print("OK")
+    return 1 if errors else 0
+
+
 def _cmd_generate(args) -> int:
     from wurzel_spark.backends import generate_argo, generate_dvc
     from wurzel_spark.manifest import Manifest
@@ -112,6 +148,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--data-dir", default="data")
     g.add_argument("--image", default="spark:latest")
     g.set_defaults(fn=_cmd_generate)
+
+    v = sub.add_parser("validate", help="aggregate all manifest errors")
+    v.add_argument("manifest")
+    v.add_argument(
+        "--middlewares", default=None,
+        help="comma-separated middleware names to check against the registry",
+    )
+    v.set_defaults(fn=_cmd_validate)
 
     i = sub.add_parser("inspect", help="show the step graph")
     i.add_argument("manifest")

@@ -153,6 +153,97 @@ class Manifest:
         return merged
 
 
+class ManifestValidator:
+    """Non-raising semantic validation (reference
+    wurzel/manifest/validator.py): every check returns a list of
+    human-readable error strings — an empty list means clean — and
+    ``validate_all`` aggregates them so a user sees EVERY problem in one
+    pass instead of fixing them raise-by-raise. ``Manifest.validate``
+    (raising, used at parse time) keeps its fail-fast contract on the
+    structural subset."""
+
+    def __init__(self, manifest: "Manifest") -> None:
+        self._m = manifest
+
+    def validate_step_refs(self) -> list[str]:
+        """Errors for any dependsOn naming an undefined step
+        (validator.py:50-58)."""
+        errors: list[str] = []
+        for s in self._m.steps.values():
+            for dep in s.depends_on:
+                if dep not in self._m.steps:
+                    errors.append(
+                        f"Step '{s.name}' depends on '{dep}', "
+                        "which is not defined in steps."
+                    )
+        return errors
+
+    def validate_no_cycles(self) -> list[str]:
+        """Errors for dependency cycles, including self-references;
+        undefined refs are SKIPPED here (validator.py:60-90 line-47
+        continue) — validate_step_refs reports those separately."""
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = {n: WHITE for n in self._m.steps}
+        errors: list[str] = []
+
+        def dfs(n: str, path: list[str]) -> None:
+            color[n] = GRAY
+            for dep in self._m.steps[n].depends_on:
+                if dep not in self._m.steps:
+                    continue
+                if color[dep] == GRAY:
+                    errors.append(f"Cycle detected: {' -> '.join([*path, n, dep])}")
+                elif color[dep] == WHITE:
+                    dfs(dep, [*path, n])
+            color[n] = BLACK
+
+        for n in self._m.steps:
+            if color[n] == WHITE:
+                dfs(n, [])
+        return errors
+
+    def validate_uses(self) -> list[str]:
+        """Errors for any step ``uses`` that neither names a registry
+        entry nor imports as 'module:callable' (the analog of the
+        reference's validate_class_paths, validator.py:92-110)."""
+        errors: list[str] = []
+        for s in self._m.steps.values():
+            try:
+                _resolve(s.uses)
+            except (ManifestError, ImportError, AttributeError) as exc:
+                errors.append(f"Step '{s.name}': cannot resolve '{s.uses}': {exc}")
+        return errors
+
+    def validate_middleware_names(self, middlewares: list[str] | None = None) -> list[str]:
+        """Errors for middleware names absent from the registry
+        (validator.py:112-124). Checks the given names, or the
+        MIDDLEWARES env selection the run would use."""
+        from wurzel_spark.middleware import MIDDLEWARE_REGISTRY
+
+        names = middlewares
+        if names is None:
+            names = [
+                n.strip()
+                for n in os.environ.get("MIDDLEWARES", "").split(",")
+                if n.strip()
+            ]
+        return [
+            f"Middleware '{n}' is not registered "
+            f"(registry: {sorted(MIDDLEWARE_REGISTRY)})."
+            for n in names
+            if n not in MIDDLEWARE_REGISTRY
+        ]
+
+    def validate_all(self, middlewares: list[str] | None = None) -> list[str]:
+        """Every check's errors, aggregated (validator.py:126-137)."""
+        return [
+            *self.validate_step_refs(),
+            *self.validate_no_cycles(),
+            *self.validate_uses(),
+            *self.validate_middleware_names(middlewares),
+        ]
+
+
 def _coerce_env(raw: str, current) -> object:
     """Coerce an env-override string to the type of the manifest value it
     replaces (pydantic-settings' env parsing, the subset the reference's
