@@ -151,6 +151,71 @@ class TestValidateAll:
         assert any("no.such:Module" in e for e in errors)
 
 
+ENV_YAML = """
+pipeline: {name: demo}
+steps:
+  source:
+    uses: markdown_source
+    settings: {path: null}
+  split:
+    uses: split
+    dependsOn: [source]
+    settings: {token_limit: 128}
+"""
+
+
+def _run_cli(argv, tmp_path, yaml_text=ENV_YAML, env=None):
+    import os
+
+    mf = tmp_path / "m.yaml"
+    mf.write_text(yaml_text)
+    return subprocess.run(
+        [sys.executable, "-m", "wurzel_spark", *argv, str(mf)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        env={**os.environ, **(env or {})},
+    )
+
+
+class TestEnvCmdModes:
+    """Reference env_cmd modes ported (tests/cli/main_test.py:171-248):
+    required/optional flagging, --only-required filter, --gen-env file
+    emission seeded from env-or-default, --check exit semantics."""
+
+    def test_listing_marks_required_and_optional(self, tmp_path):
+        r = _run_cli(["env"], tmp_path)
+        assert "SOURCE__PATH (required)" in r.stdout
+        assert "SPLIT__TOKEN_LIMIT (optional) default=128" in r.stdout
+
+    def test_only_required_filters_optional(self, tmp_path):
+        r = _run_cli(["env", "--only-required"], tmp_path)
+        assert "SOURCE__PATH" in r.stdout
+        assert "SPLIT__TOKEN_LIMIT" not in r.stdout
+
+    def test_gen_env_seeds_from_environment_and_defaults(self, tmp_path):
+        r = _run_cli(
+            ["env", "--gen-env"], tmp_path, env={"SOURCE__PATH": "/tmp/custom"}
+        )
+        assert "# Generated env vars" in r.stdout
+        assert "# source" in r.stdout and "# split" in r.stdout
+        assert "SOURCE__PATH=/tmp/custom" in r.stdout
+        assert "SPLIT__TOKEN_LIMIT=128" in r.stdout
+
+    def test_gen_env_empty_when_no_default_no_env(self, tmp_path):
+        r = _run_cli(["env", "--gen-env"], tmp_path)
+        assert "SOURCE__PATH=\n" in r.stdout
+
+    def test_check_failure_lists_missing_and_exits_one(self, tmp_path):
+        r = _run_cli(["env", "--check"], tmp_path)
+        assert r.returncode == 1
+        assert "Missing environment variables" in r.stdout
+        assert "SOURCE__PATH" in r.stdout
+
+    def test_check_success(self, tmp_path):
+        r = _run_cli(["env", "--check"], tmp_path, env={"SOURCE__PATH": "/tmp"})
+        assert r.returncode == 0
+        assert "All required environment variables are set." in r.stdout
+
+
 def test_cli_validate_aggregates_and_exits_nonzero(tmp_path):
     bad = tmp_path / "bad.yaml"
     bad.write_text(

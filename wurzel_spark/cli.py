@@ -67,14 +67,56 @@ def _cmd_inspect(args) -> int:
 
 
 def _cmd_env(args) -> int:
-    """Print the env vars each step would read ({STEP}__{FIELD},
-    core/settings.py:44)."""
+    """The env vars each step would read ({STEP}__{FIELD},
+    core/settings.py:44), with the reference env_cmd's three modes
+    (cli/_main.py:514-570): the default listing marks required vs
+    optional (required = manifest value null — no default to fall back
+    on); ``--gen-env`` emits .env content seeded from the current
+    environment or the manifest defaults; ``--check`` exits 1 listing
+    required vars missing from the environment."""
+    import os
+
     from wurzel_spark.manifest import Manifest
 
     m = Manifest.from_file(args.manifest)
+    rows = []  # (step, var, default, required)
     for name in m.topo_order():
-        for k in m.steps[name].settings:
-            print(f"{name.upper()}__{k.upper()}")
+        for k, v in m.steps[name].settings.items():
+            var = f"{name.upper()}__{k.upper()}"
+            required = v is None
+            if args.only_required and not required:
+                continue
+            rows.append((name, var, v, required))
+
+    if args.check:
+        missing = [var for _, var, _, req in rows if req and var not in os.environ]
+        if missing:
+            print("Missing environment variables:")
+            for var in missing:
+                print(f"  {var}")
+            print("Hint: run 'python -m wurzel_spark env --gen-env' "
+                  "to see the expected values.")
+            return 1
+        print("All required environment variables are set.")
+        return 0
+
+    if args.gen_env:
+        print("# Generated env vars\n")
+        current_step = None
+        for step, var, default, _req in rows:
+            if step != current_step:
+                if current_step is not None:
+                    print()
+                print(f"# {step}")
+                current_step = step
+            value = os.environ.get(var, "" if default is None else str(default))
+            print(f"{var}={value}")
+        print()
+        return 0
+
+    for _step, var, default, required in rows:
+        flag = "required" if required else "optional"
+        print(f"{var} ({flag}) default={'-' if default is None else default}")
     return 0
 
 
@@ -162,6 +204,12 @@ def main(argv: list[str] | None = None) -> int:
     i.set_defaults(fn=_cmd_inspect)
 
     e = sub.add_parser("env", help="list env vars the steps read")
+    e.add_argument("--gen-env", action="store_true",
+                   help="emit .env content instead of a listing")
+    e.add_argument("--check", action="store_true",
+                   help="exit 1 if required env vars are missing")
+    e.add_argument("--only-required", action="store_true",
+                   help="hide optional (defaulted) variables")
     e.add_argument("manifest")
     e.set_defaults(fn=_cmd_env)
 
