@@ -874,6 +874,40 @@ class TestFromValuesEndToEnd:
         )
         assert data["stages"]["dummystep"]["outs"] == [f"{deep}/dummystep"]
 
+    def test_backend_discovery(self):
+        # test_backend_utils.py: registry lookup + fresh dict per call
+        from wurzel_spark.backends import (
+            get_all_backends,
+            get_available_backends,
+            get_backend_by_name,
+        )
+
+        all_b = get_all_backends()
+        assert set(all_b) == {"dvc", "argo"}
+        assert get_all_backends() is not all_b  # fresh dict each call
+        assert get_available_backends() == all_b  # no optional deps here
+        assert get_backend_by_name("dvc") is all_b["dvc"]
+        with pytest.raises(ValueError, match="unknown backend"):
+            get_backend_by_name("nonexistent")
+
+    def test_branching_pipeline_dvc(self):
+        # test_backend_integration.py:92-112: fan-out + fan-in deps all
+        # present in the generated stages
+        m = Manifest.from_yaml(
+            "pipeline: {name: p}\n"
+            "steps:\n"
+            "  src: {uses: dedup}\n"
+            "  left: {uses: dedup, dependsOn: [src]}\n"
+            "  right: {uses: dedup, dependsOn: [src]}\n"
+            "  join: {uses: dedup, dependsOn: [left, right]}\n"
+        )
+        data = yaml.safe_load(generate_dvc(m, "m.yaml"))
+        stages = data["stages"]
+        assert set(stages) == {"generate_run_id", "src", "left", "right", "join"}
+        assert "data/src" in stages["left"]["deps"]
+        assert "data/src" in stages["right"]["deps"]
+        assert {"data/left", "data/right"} <= set(stages["join"]["deps"])
+
     def test_long_step_name(self):
         # test_backend_edge_cases.py:49-60
         long_name = "step" + "x" * 80

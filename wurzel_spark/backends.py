@@ -676,7 +676,7 @@ def generate_argo(
             "annotations": config.annotations or None,
         }
     )
-    if config.schedules:
+    if config.schedules:  # noqa: SIM108 — two full document shapes
         doc = {
             "apiVersion": "argoproj.io/v1alpha1",
             "kind": "CronWorkflow",
@@ -694,3 +694,37 @@ def generate_argo(
             "spec": workflow_spec,
         }
     return yaml.safe_dump(doc, sort_keys=False)
+
+
+# ---------------------------------------------------------------------------
+# Backend discovery (executors/backend/__init__.py: get_all_backends /
+# get_available_backends / get_backend_by_name)
+# ---------------------------------------------------------------------------
+
+#: name → generator fn. Both backends emit YAML text directly (no hera /
+#: dvc client needed), so unlike the reference neither has an optional
+#: dependency gate — is-available is unconditionally True for both.
+_BACKENDS = {"dvc": generate_dvc, "argo": generate_argo}
+
+
+def get_all_backends() -> dict:
+    """Every registered backend generator, as a fresh dict per call."""
+    return dict(_BACKENDS)
+
+
+def get_available_backends() -> dict:
+    """Backends usable in this environment — here: all of them (the
+    reference filters ArgoBackend on hera; we generate the manifest
+    YAML without it)."""
+    return dict(_BACKENDS)
+
+
+def get_backend_by_name(name: str):
+    """Generator for ``name``; raises ValueError naming the registry on
+    an unknown backend (the reference's lookup contract)."""
+    try:
+        return _BACKENDS[name]
+    except KeyError as exc:
+        raise ValueError(
+            f"unknown backend '{name}' (available: {sorted(_BACKENDS)})"
+        ) from exc
