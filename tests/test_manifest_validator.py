@@ -216,6 +216,35 @@ class TestEnvCmdModes:
         assert "All required environment variables are set." in r.stdout
 
 
+def test_env_settings_nested_delimiter(monkeypatch):
+    """Reference nested-settings semantics (core/settings.py:42
+    env_nested_delimiter='__', tests/settings/base_test.py:40-170):
+    {STEP}__{OUTER}__{INNER} descends into a dict-valued setting,
+    coerced against the nested default; manifest defaults stay
+    unmutated; a path whose first segment is NOT a dict stays flat."""
+    m = Manifest.from_yaml(
+        "pipeline: {name: d}\n"
+        "steps:\n"
+        "  tune:\n"
+        "    uses: dedup\n"
+        "    settings:\n"
+        "      http: {timeout: 30, retries: {max: 3}}\n"
+        "      flat: 1\n"
+    )
+    monkeypatch.setenv("TUNE__HTTP__TIMEOUT", "60")
+    monkeypatch.setenv("TUNE__HTTP__RETRIES__MAX", "9")
+    monkeypatch.setenv("TUNE__FLAT", "2")
+    monkeypatch.setenv("TUNE__NEW__THING", "x")
+    s = m.env_settings("tune")
+    assert s["http"]["timeout"] == 60  # coerced to int via nested default
+    assert s["http"]["retries"]["max"] == 9
+    assert s["flat"] == 2
+    assert s["new__thing"] == "x"  # no dict default to descend → flat key
+    # copy-on-write: the manifest defaults are untouched
+    assert m.steps["tune"].settings["http"]["timeout"] == 30
+    assert m.steps["tune"].settings["http"]["retries"]["max"] == 3
+
+
 def test_cli_validate_aggregates_and_exits_nonzero(tmp_path):
     bad = tmp_path / "bad.yaml"
     bad.write_text(

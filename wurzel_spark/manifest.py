@@ -142,14 +142,27 @@ class Manifest:
         override is coerced against the type of the manifest value it
         replaces, so a step function receives identical kwargs whether
         the manifest runs locally (native int/bool/list) or re-enters
-        under Argo (env strings)."""
+        under Argo (env strings).
+
+        Nested settings use the reference's ``__`` delimiter
+        (core/settings.py:42 env_nested_delimiter): when a setting's
+        manifest value is a dict, ``{STEP}__{OUTER}__{INNER}`` descends
+        into it instead of creating a flat ``outer__inner`` key, with
+        each level copied so the manifest defaults stay unmutated."""
         spec = self.steps[step]
         merged = dict(spec.settings)
         prefix = f"{step.upper()}__"
         for k, v in os.environ.items():
-            if k.startswith(prefix):
-                field = k[len(prefix):].lower()
-                merged[field] = _coerce_env(v, merged.get(field))
+            if not k.startswith(prefix):
+                continue
+            path = k[len(prefix):].lower().split("__")
+            node = merged
+            while len(path) > 1 and isinstance(node.get(path[0]), dict):
+                node[path[0]] = dict(node[path[0]])  # copy-on-write per level
+                node = node[path[0]]
+                path = path[1:]
+            field = "__".join(path)
+            node[field] = _coerce_env(v, node.get(field))
         return merged
 
 
