@@ -283,7 +283,7 @@ def test_wonderful_orphan_rollback():
 
 class FakeElevenLabs:
     def __init__(self):
-        self.docs = []  # {id, name, type}
+        self.docs = []  # {id, name, type, content}
         self.next_id = 0
 
     def get(self, url, params=None, timeout=None):
@@ -292,11 +292,22 @@ class FakeElevenLabs:
 
     def post(self, url, json=None, timeout=None):
         self.next_id += 1
-        self.docs.append({"id": f"d{self.next_id}", "name": json["name"], "type": "text"})
+        doc_id = f"d{self.next_id}"
+        self.docs.append(
+            {"id": doc_id, "name": json["name"], "type": "text", "content": json["text"]}
+        )
+        return FakeResp(body={"id": doc_id})
+
+    def request(self, method, url, json=None, timeout=None, **kw):
+        assert method == "PATCH"
+        doc_id = url.rsplit("/", 1)[1]
+        for d in self.docs:
+            if d["id"] == doc_id:
+                d["content"] = json["content"]
         return FakeResp()
 
     def delete(self, url, params=None, timeout=None):
-        doc_id = url.rsplit("/", 1)[1]
+        doc_id = url.rsplit("/", 1)[1].split("?")[0]
         self.docs = [d for d in self.docs if d["id"] != doc_id]
         return FakeResp()
 
@@ -311,12 +322,16 @@ def test_elevenlabs_scoped_names_and_dedupe():
     # foreign doc outside the scope is invisible
     server.docs.append({"id": "zz", "name": "other", "type": "text"})
     assert kb.list_docs("h1") == ["pfx-h1a"]
-    # re-upsert replaces (delete+create), never duplicates
+    # re-upsert PATCHes in place (stable id), never duplicates
     kb.upsert_doc("a", {"history": "h1", "md": "A2"})
-    assert [d["name"] for d in server.docs if d["name"].startswith("pfx-")] == ["pfx-h1a"]
+    mine = [d for d in server.docs if d["name"].startswith("pfx-")]
+    assert [(d["id"], d["name"], d["content"]) for d in mine] == [("d1", "pfx-h1a", "A2")]
     # duplicate names in the namespace: keep first, delete rest on listing
     server.docs.append({"id": "dup", "name": "pfx-h1a", "type": "text"})
-    assert kb.list_docs("h1") == ["pfx-h1a"]
+    kb2 = ElevenLabsKBClient(  # fresh client → fresh listing (cache is per-run)
+        base_url="https://11", api_key="k", name_prefix="pfx-", session_factory=lambda: server
+    )
+    assert kb2.list_docs("h1") == ["pfx-h1a"]
     assert not any(d["id"] == "dup" for d in server.docs)
 
 

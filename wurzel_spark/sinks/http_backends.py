@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from logging import getLogger
 from typing import Any, Callable
 
-from wurzel_spark.sinks.kb import KBClient, retry_call
+from wurzel_spark.sinks.kb import KBClient, NonRetryableError, _is_read_timeout, retry_call
 from wurzel_spark.sinks.versioned import CollectionBackend
 
 log = getLogger(__name__)
@@ -462,12 +462,24 @@ class ElevenLabsKBClient(KBClient):
     Listing pages through ``GET /v1/convai/knowledge-base`` filtering to
     ``type == "text"`` docs whose name starts with the prefix+tag scope;
     duplicate names keep the first id seen and delete the rest
-    (step.py:189-223). Deletes pass ``force`` when configured.
+    (step.py:189-233). The prefix filter is applied CLIENT-side, never via
+    the API's ``search`` param (step.py:172-177: search is not guaranteed
+    to return every match, which created duplicates in practice). When
+    ``parent_folder_id`` is set it scopes BOTH creates and the listing —
+    step.py:184-187: creates file under the folder, so an unscoped listing
+    would miss them next run and duplicate every document.
+
+    Updates PATCH ``{"content": ...}`` in place (step.py:262-264) so the
+    document id — and any agent attachment to it — stays stable; deletes
+    always carry an explicit ``force`` flag (step.py:266-272). A create is
+    never retried after a read timeout (step.py:104-116): the server may
+    already have processed it, and re-sending would duplicate the document.
     """
 
     base_url: str
     api_key: str
     name_prefix: str = ""
+    parent_folder_id: str = ""
     force_delete: bool = False
     page_size: int = 100
     timeout: float = 30.0
@@ -484,12 +496,29 @@ class ElevenLabsKBClient(KBClient):
     def _scope(self, tag: str) -> str:
         return f"{self.name_prefix}{tag}" if tag else self.name_prefix
 
+    def scoped_name(self, name: str, tag: str) -> str:
+        scope = self._scope(tag)
+        return name if name.startswith(scope) else f"{scope}{name}"
+
+    def _cache(self) -> dict[str, dict[str, str]]:
+        if getattr(self, "_listing_cache", None) is None:
+            self._listing_cache: dict[str, dict[str, str]] = {}
+        return self._listing_cache
+
     def _list_existing(self, tag: str) -> dict[str, str]:
+        """One paged listing per (client, tag); creates/deletes keep the
+        cache current so an n-doc run issues one listing, not n
+        (step.py:317 lists once per run for the same reason)."""
+        cache = self._cache()
+        if tag in cache:
+            return cache[tag]
         existing: dict[str, str] = {}
         cursor = None
         scope = self._scope(tag)
         while True:
             params: dict[str, Any] = {"page_size": self.page_size, "types": "text"}
+            if self.parent_folder_id:
+                params["parent_folder_id"] = self.parent_folder_id
             if cursor:
                 params["cursor"] = cursor
             resp = self._session().get(
@@ -500,6 +529,9 @@ class ElevenLabsKBClient(KBClient):
             out = _check(resp)
             for doc in out.get("documents", []):
                 if doc.get("type") != "text":
+                    # don't trust the server-side types filter alone
+                    # (step.py:213-218) — a leaked folder/url doc must never
+                    # be PATCHed or pruned
                     continue
                 name = doc["name"]
                 if scope and not name.startswith(scope):
@@ -511,6 +543,7 @@ class ElevenLabsKBClient(KBClient):
                 existing[name] = doc["id"]
             cursor = out.get("next_cursor")
             if not out.get("has_more") or not cursor:
+                cache[tag] = existing
                 return existing
 
     def list_docs(self, tag: str) -> list[str]:
@@ -520,29 +553,51 @@ class ElevenLabsKBClient(KBClient):
         tag = payload.get("history", "")
         full_name = name if name.startswith(self._scope(tag)) else f"{self._scope(tag)}{name}"
         existing = self._list_existing(tag)
+        content = payload.get("md") or payload.get("text", "")
         if full_name in existing:
-            self._delete_id(existing[full_name])  # update = replace (flat namespace)
-        resp = self._session().post(
-            f"{self.base_url}/v1/convai/knowledge-base/text",
-            json={"name": full_name, "text": payload.get("md") or payload.get("text", "")},
-            timeout=self.timeout,
-        )
-        _check(resp)
+            # update-in-place keeps the document id (and any agent
+            # attachment) stable — step.py:262-264
+            resp = self._session().request(
+                "PATCH",
+                f"{self.base_url}/v1/convai/knowledge-base/{existing[full_name]}",
+                json={"content": content},
+                timeout=self.timeout,
+            )
+            _check(resp)
+            return
+        body: dict[str, Any] = {"name": full_name, "text": content}
+        if self.parent_folder_id:
+            body["parent_folder_id"] = self.parent_folder_id
+        try:
+            resp = self._session().post(
+                f"{self.base_url}/v1/convai/knowledge-base/text",
+                json=body,
+                timeout=self.timeout,
+            )
+        except Exception as e:
+            if _is_read_timeout(e):
+                # the server may already have created the document;
+                # re-sending would duplicate it (step.py:104-116,257-259)
+                raise NonRetryableError(str(e)) from e
+            raise
+        out = _check(resp)
+        if out.get("id"):
+            existing[full_name] = out["id"]
 
     def _delete_id(self, doc_id: str) -> None:
-        params = {"force": "true"} if self.force_delete else {}
         resp = self._session().delete(
             f"{self.base_url}/v1/convai/knowledge-base/{doc_id}",
-            params=params,
+            params={"force": "true" if self.force_delete else "false"},
             timeout=self.timeout,
         )
         _check(resp)
 
     def delete_doc(self, name: str) -> None:
-        for tag in ("",):
+        for tag in list(self._cache()) or ("",):
             existing = self._list_existing(tag)
             if name in existing:
                 self._delete_id(existing[name])
+                del existing[name]
                 return
 
 

@@ -50,13 +50,105 @@ def doc_name_col(url, history: str):
     )
 
 
+def history_tag(*chain: str) -> str:
+    """Lineage scope tag from an upstream step chain — elevenlabs/step.py:144-165.
+
+    ``("SourceA", "KBStep")`` → ``"SourceA-KBStep/"``; empty chain → ``""``
+    (no extra scoping, matching a step run outside the executor).
+    """
+    tag = "-".join(c for c in chain if c)
+    return f"{tag}/" if tag else ""
+
+
+def url_doc_name(url: str, idx: int, prefix: str = "", tag: str = "") -> str:
+    """Reference-exact ElevenLabs document name (elevenlabs/step.py:235-250):
+    mirror the URL path so the same URL always maps to the same document,
+    e.g. ``https://example.com/tmcz/baze/magenta-wi-fi`` →
+    ``tmcz/baze/magenta-wi-fi``; no path → ``document_{idx:04d}``. Prefixed
+    with NAME_PREFIX and the history tag so distinct upstream sources never
+    collide in the update-in-place / prune namespace.
+
+    :func:`doc_name` (sha256 of url+lineage) stays the generic sink default —
+    index-based fallbacks are retry-fragile for distributed uploads — but
+    this is the name a reference user sees in the ElevenLabs workspace.
+    """
+    from urllib.parse import urlparse
+
+    name = f"document_{idx:04d}"
+    if url:
+        path = urlparse(url).path.strip("/")
+        if path:
+            name = path
+    return f"{prefix}{tag}{name}"
+
+
+def url_doc_name_col(url, idx, prefix: str = "", tag: str = ""):
+    """Column twin of :func:`url_doc_name` — JVM-side parse_url/regexp, no
+    Python UDF. ``idx`` is a Column (e.g. a precomputed stable index)."""
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(F.coalesce(url, F.lit("")), F.lit("PATH")), F.lit("")),
+        r"^/+|/+$",
+        "",
+    )
+    base = F.when(path != "", path).otherwise(
+        F.concat(F.lit("document_"), F.lpad(idx.cast("string"), 4, "0"))
+    )
+    return F.concat(F.lit(f"{prefix}{tag}"), base)
+
+
+class NonRetryableError(RuntimeError):
+    """An error that must NOT be retried — e.g. a read timeout on a create:
+    the server may already have processed the request, so re-sending risks a
+    duplicate (elevenlabs/step.py:104-116). Raised by clients to stop
+    :func:`retry_call` from re-sending a non-idempotent call."""
+
+
+def _is_read_timeout(exc: Exception) -> bool:
+    """True for a read-timeout-class error (request reached the server but
+    the response never arrived — the one case where retrying a create is
+    unsafe). Connect timeouts are NOT read timeouts: the request never got
+    out, so re-sending is always safe (elevenlabs/step.py:104-123)."""
+    try:
+        import requests
+
+        if isinstance(exc, requests.exceptions.ConnectTimeout):
+            return False
+        return isinstance(exc, requests.exceptions.ReadTimeout | requests.exceptions.Timeout)
+    except ImportError:  # pragma: no cover — requests is present on this box
+        return type(exc).__name__ in {"ReadTimeout", "Timeout"}
+
+
+def _should_retry(exc: Exception) -> bool:
+    """Typed retry discriminator (elevenlabs/step.py:104-123):
+
+    - :class:`NonRetryableError` — never (the client judged re-sending unsafe)
+    - HTTP 429 / 5xx — transient server-side, retry
+    - other HTTP 4xx — permanent client error, never retry
+    - connection-class / unknown errors — retry (the request may not have
+      reached the server at all)
+    """
+    if isinstance(exc, NonRetryableError):
+        return False
+    status = getattr(exc, "status", None)
+    if status is None:
+        resp = getattr(exc, "response", None)
+        status = getattr(resp, "status_code", None)
+    if isinstance(status, int):
+        return status == 429 or status >= 500
+    return True
+
+
 def retry_call(fn, *args, max_retries: int = MAX_RETRIES, base: float = BACKOFF_BASE):
-    """Full-jitter exponential backoff (elevenlabs/step.py:108-121)."""
+    """Full-jitter exponential backoff (elevenlabs/step.py:125-142).
+
+    Only transient errors are retried (see :func:`_should_retry`); permanent
+    HTTP 4xx errors and :class:`NonRetryableError` propagate immediately.
+    """
     for attempt in range(max_retries + 1):
         try:
             return fn(*args)
-        except Exception:
-            if attempt == max_retries:
+        except Exception as exc:
+            if attempt == max_retries or not _should_retry(exc):
                 raise
             time.sleep(random.uniform(0, base * (2**attempt)))
 
@@ -72,6 +164,15 @@ class KBClient:
 
     def delete_doc(self, name: str) -> None:
         raise NotImplementedError
+
+    def scoped_name(self, name: str, tag: str) -> str:
+        """The full remote name this client stores ``name`` under for
+        lineage ``tag``. Dialects that prefix names (ElevenLabs: NAME_PREFIX
+        + history tag, elevenlabs/step.py:199) override this so the sink's
+        prune can compare remote listings against input names in the SAME
+        namespace — comparing scoped against unscoped names makes every
+        just-uploaded doc look stale and prunes the whole namespace."""
+        return name
 
     def sync(self) -> None:  # wonderful/step.py:151 fire-and-forget
         pass
@@ -152,7 +253,13 @@ class KBUploaderSink:
             remote_df = spark.createDataFrame(
                 [(n,) for n in remote] or [(None,)], "name string"
             ).filter(F.col("name").isNotNull())
-            current = df.select(doc_name_col(F.col("url"), history).alias("name")).distinct()
+            # compare in the client's namespace: listings return SCOPED
+            # names (prefix + lineage tag), so scope the input names the
+            # same way before the anti-join
+            scope = client.scoped_name("", history)
+            current = df.select(
+                F.concat(F.lit(scope), doc_name_col(F.col("url"), history)).alias("name")
+            ).distinct()
             stale = remote_df.join(current, "name", "left_anti")
             # KB listings are service-bounded (thousands of docs, not data
             # rows) — the collect() here is a small control-plane result.
@@ -201,8 +308,9 @@ class KBUploaderSink:
             remote_df = spark.createDataFrame(
                 [(n,) for n in remote] or [(None,)], "name string"
             ).filter(F.col("name").isNotNull())
+            scope = client.scoped_name("", history)
             current = new_df.select(
-                doc_name_col(F.col("url"), history).alias("name")
+                F.concat(F.lit(scope), doc_name_col(F.col("url"), history)).alias("name")
             ).distinct()
             stale = remote_df.join(current, "name", "left_anti")
             for row in stale.collect():
