@@ -382,11 +382,16 @@ class WonderfulKBClient(KBClient):
         return _check(resp)
 
     def _files(self) -> dict[str, str]:
-        result = self._api("GET", f"/knowledgebases/{self.kb_id}/files")
-        files = result.get("data", result)
-        if isinstance(files, list):
-            return {f["name"]: f["id"] for f in files}
-        return {}
+        """{filename: file_id}; fetched once per client and kept current by
+        creates/deletes — the reference lists once per run for the same
+        reason (step.py:337)."""
+        if getattr(self, "_files_cache", None) is None:
+            result = self._api("GET", f"/knowledgebases/{self.kb_id}/files")
+            files = result.get("data", result)
+            self._files_cache: dict[str, str] = (
+                {f["name"]: f["id"] for f in files} if isinstance(files, list) else {}
+            )
+        return self._files_cache
 
     def list_docs(self, tag: str) -> list[str]:
         return sorted(self._files())
@@ -405,11 +410,18 @@ class WonderfulKBClient(KBClient):
             )
             _check(resp)
             return
-        created = self._api(
-            "POST",
-            f"/knowledgebases/{self.kb_id}/files",
-            {"filename": name, "contentType": "text/markdown"},
-        )
+        try:
+            created = self._api(
+                "POST",
+                f"/knowledgebases/{self.kb_id}/files",
+                {"filename": name, "contentType": "text/markdown"},
+            )
+        except Exception as e:
+            if _is_read_timeout(e):
+                # the record may already exist server-side; re-sending would
+                # duplicate it (step.py:248-259)
+                raise NonRetryableError(str(e)) from e
+            raise
         rec = created.get("data", created)
         try:
             put = self._bare().put(
@@ -425,20 +437,32 @@ class WonderfulKBClient(KBClient):
                 self._api(
                     "DELETE",
                     f"/knowledgebases/{self.kb_id}/files",
-                    {"file_ids": [rec["id"]]},
+                    {"file_ids": [rec.get("id")]},
                 )
             except Exception:  # noqa: BLE001 — rollback must never mask the cause
                 log.warning("could not roll back orphaned record %s", rec.get("id"))
             raise
+        existing[name] = rec.get("id")
 
     def delete_doc(self, name: str) -> None:
         existing = self._files()
-        if name in existing:
+        if name not in existing:
+            return
+        try:
             self._api(
                 "DELETE",
                 f"/knowledgebases/{self.kb_id}/files",
                 {"file_ids": [existing[name]]},
             )
+        except Exception as e:
+            if not _is_read_timeout(e):
+                raise
+            # the DELETE is slow server-side; a read timeout almost always
+            # means the server is still completing it — treat as deleted,
+            # retrying only piles load on the endpoint (step.py:189-206)
+            log.info("delete of %s timed out (read); assuming the server completes it", name)
+        finally:
+            existing.pop(name, None)
 
     def sync(self) -> None:
         url = f"{self.base_url}/api/v1/knowledgebases/{self.kb_id}/sync"

@@ -25,9 +25,12 @@ import hashlib
 import random
 import time
 from dataclasses import dataclass, field
+from logging import getLogger
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = getLogger(__name__)
 
 MAX_RETRIES = 3  # wonderful/step.py:67
 BACKOFF_BASE = 0.5  # wonderful/step.py:68
@@ -60,29 +63,31 @@ def history_tag(*chain: str) -> str:
     return f"{tag}/" if tag else ""
 
 
-def url_doc_name(url: str, idx: int, prefix: str = "", tag: str = "") -> str:
-    """Reference-exact ElevenLabs document name (elevenlabs/step.py:235-250):
-    mirror the URL path so the same URL always maps to the same document,
-    e.g. ``https://example.com/tmcz/baze/magenta-wi-fi`` →
+def url_doc_name(url: str, idx: int, prefix: str = "", tag: str = "", ext: str = "") -> str:
+    """Reference-exact URL-mirror document name (elevenlabs/step.py:235-250,
+    wonderful/step.py:234-243): mirror the URL path so the same URL always
+    maps to the same document, e.g.
+    ``https://example.com/tmcz/baze/magenta-wi-fi`` →
     ``tmcz/baze/magenta-wi-fi``; no path → ``document_{idx:04d}``. Prefixed
     with NAME_PREFIX and the history tag so distinct upstream sources never
-    collide in the update-in-place / prune namespace.
+    collide in the update-in-place / prune namespace. ``ext=".md"`` gives
+    the Wonderful dialect (extension appended unless already present).
 
     :func:`doc_name` (sha256 of url+lineage) stays the generic sink default —
     index-based fallbacks are retry-fragile for distributed uploads — but
-    this is the name a reference user sees in the ElevenLabs workspace.
+    this is the name a reference user sees in the remote workspace.
     """
     from urllib.parse import urlparse
 
-    name = f"document_{idx:04d}"
+    name = f"document_{idx:04d}{ext}"
     if url:
         path = urlparse(url).path.strip("/")
         if path:
-            name = path
+            name = path if (not ext or path.endswith(ext)) else path + ext
     return f"{prefix}{tag}{name}"
 
 
-def url_doc_name_col(url, idx, prefix: str = "", tag: str = ""):
+def url_doc_name_col(url, idx, prefix: str = "", tag: str = "", ext: str = ""):
     """Column twin of :func:`url_doc_name` — JVM-side parse_url/regexp, no
     Python UDF. ``idx`` is a Column (e.g. a precomputed stable index)."""
     path = F.regexp_replace(
@@ -90,8 +95,12 @@ def url_doc_name_col(url, idx, prefix: str = "", tag: str = ""):
         r"^/+|/+$",
         "",
     )
+    if ext:
+        path = F.when(
+            (path != "") & ~path.endswith(ext), F.concat(path, F.lit(ext))
+        ).otherwise(path)
     base = F.when(path != "", path).otherwise(
-        F.concat(F.lit("document_"), F.lpad(idx.cast("string"), 4, "0"))
+        F.concat(F.lit("document_"), F.lpad(idx.cast("string"), 4, "0"), F.lit(ext))
     )
     return F.concat(F.lit(f"{prefix}{tag}"), base)
 
@@ -225,16 +234,78 @@ class LocalKBClient(KBClient):
 class KBUploaderSink:
     """Generic passthrough KB sink: upload every doc, optionally prune
     remote docs (same lineage) that are no longer in the input.
+
+    ``exclude_url_substr`` drops docs whose URL contains the substring
+    (case-insensitive) from the upload AND from the prune keep-set, so the
+    KB mirrors the filtered input — the reference's hardcoded "neverejn"
+    non-public filter generalized (wonderful/step.py:328-333: matches both
+    Czech genders neverejny/neverejna via the stem).
     """
 
     client_factory: object  # Callable[[], KBClient], picklable
     history: str = ""
     prune: bool = True
+    exclude_url_substr: str = ""
     uploaded_names: list = field(default_factory=list)
+
+    def _uploadable(self, df: DataFrame) -> DataFrame:
+        """The rows that actually go to the KB: excluded URLs dropped, one
+        row per doc name (two inputs mapping to the same name must issue
+        one upsert, not a create race — wonderful/step.py:158-178,346).
+        Name grain == doc grain, so the dedupe window is partitioned."""
+        from pyspark.sql import Window
+
+        if self.exclude_url_substr:
+            df = df.filter(
+                ~F.lower(F.coalesce(F.col("url"), F.lit(""))).contains(
+                    self.exclude_url_substr.lower()
+                )
+            )
+        order = next(
+            (F.col(c).desc_nulls_last() for c in ("md", "text") if c in df.columns),
+            F.col("url"),
+        )
+        w = Window.partitionBy(doc_name_col(F.col("url"), self.history)).orderBy(order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _prune_stale(self, client, data_df: DataFrame) -> None:
+        """Best-effort prune: per-doc failures are logged, never raised
+        (elevenlabs/step.py:284-305, wonderful/step.py:207-231 — a prune
+        failure must not fail a run whose uploads already persisted)."""
+        history = self.history
+        remote = client.list_docs(history)
+        spark = data_df.sparkSession
+        remote_df = spark.createDataFrame(
+            [(n,) for n in remote] or [(None,)], "name string"
+        ).filter(F.col("name").isNotNull())
+        # compare in the client's namespace: listings return SCOPED
+        # names (prefix + lineage tag), so scope the input names the
+        # same way before the anti-join
+        scope = client.scoped_name("", history)
+        current = data_df.select(
+            F.concat(F.lit(scope), doc_name_col(F.col("url"), history)).alias("name")
+        ).distinct()
+        stale = remote_df.join(current, "name", "left_anti")
+        # KB listings are service-bounded (thousands of docs, not data
+        # rows) — the collect() here is a small control-plane result.
+        failed = 0
+        for row in stale.collect():
+            try:
+                retry_call(client.delete_doc, row["name"])
+            except Exception as e:  # noqa: BLE001 — best-effort by contract
+                failed += 1
+                log.warning("failed to prune %s: %s", row["name"], e)
+        if failed:
+            log.warning("%d stale doc(s) could not be pruned", failed)
 
     def write(self, df: DataFrame) -> DataFrame:
         history = self.history
         factory = self.client_factory
+        to_upload = self._uploadable(df)
 
         def upload(rows) -> None:
             client = factory()
@@ -244,27 +315,12 @@ class KBUploaderSink:
                 payload = {**d, "history": history, "name": name}
                 retry_call(client.upsert_doc, name, payload)
 
-        df.foreachPartition(upload)
+        to_upload.foreachPartition(upload)
 
         if self.prune:
-            client = factory()
-            remote = client.list_docs(history)
-            spark = df.sparkSession
-            remote_df = spark.createDataFrame(
-                [(n,) for n in remote] or [(None,)], "name string"
-            ).filter(F.col("name").isNotNull())
-            # compare in the client's namespace: listings return SCOPED
-            # names (prefix + lineage tag), so scope the input names the
-            # same way before the anti-join
-            scope = client.scoped_name("", history)
-            current = df.select(
-                F.concat(F.lit(scope), doc_name_col(F.col("url"), history)).alias("name")
-            ).distinct()
-            stale = remote_df.join(current, "name", "left_anti")
-            # KB listings are service-bounded (thousands of docs, not data
-            # rows) — the collect() here is a small control-plane result.
-            for row in stale.collect():
-                retry_call(client.delete_doc, row["name"])
+            # keep-set = what was uploaded (the filtered input): the KB
+            # mirrors the input minus exclusions, before the sync re-index
+            self._prune_stale(factory(), to_upload)
 
         client = factory()
         client.sync()
@@ -302,19 +358,9 @@ class KBUploaderSink:
         delta.foreachPartition(upload)
 
         if self.prune:
-            client = factory()
-            remote = client.list_docs(history)
-            spark = new_df.sparkSession
-            remote_df = spark.createDataFrame(
-                [(n,) for n in remote] or [(None,)], "name string"
-            ).filter(F.col("name").isNotNull())
-            scope = client.scoped_name("", history)
-            current = new_df.select(
-                F.concat(F.lit(scope), doc_name_col(F.col("url"), history)).alias("name")
-            ).distinct()
-            stale = remote_df.join(current, "name", "left_anti")
-            for row in stale.collect():
-                retry_call(client.delete_doc, row["name"])
+            # prune against the FULL new snapshot (not the delta) so
+            # unchanged docs survive and removed docs disappear
+            self._prune_stale(factory(), new_df)
 
         client = factory()
         client.sync()
