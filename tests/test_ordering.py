@@ -51,13 +51,24 @@ def test_corpus_shuffle_matches_naive_global_rank(spark):
 
 
 def test_corpus_shuffle_plan_has_no_global_window(spark, sf_dir):
-    """The window must partition by the hash bucket — a Window node with
-    an empty partition spec would serialize the corpus through one task."""
+    """The corpus-grain rank window must partition by the hash bucket —
+    a row_number with an empty partition spec would serialize the corpus
+    through one task. Since r12 the bucket OFFSETS ride the plan as a
+    global running sum over the ≤_N_BUCKETS-row count table (replacing
+    the offsets collect job), so exactly one SinglePartition exchange is
+    expected — carrying bucket-count rows, never corpus rows (the
+    GLOBAL_WINDOW_WHITELIST runtime bound asserts the row count)."""
+    import re
+
     df = corpus_shuffle(table(spark, sf_dir, "documents")).select(
         "doc_id", "shuffle_pos"
     )
     t = plan_text(df)
-    assert "Exchange SinglePartition" not in t, t
+    # the corpus rank window stays bucket-partitioned
+    assert re.search(r"row_number\(\) windowspecdefinition\(__bkt", t), t
+    # only the bounded offsets branch may run single-partition (formatted
+    # plans print the partitioning as an Arguments: line)
+    assert t.count("SinglePartition") == 1, t
 
 
 def test_split_leakage_detects_cross_split_duplicate(spark):

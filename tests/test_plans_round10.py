@@ -164,6 +164,17 @@ SF_DIR_BIG = "/root/testdata/sf0.1"
 # remaining legit grain: session_duration_stats' 1 720 duration
 # histogram rows.
 GLOBAL_WINDOW_WHITELIST = {
+    # r12: the two-phase-rank family's bucket OFFSETS moved in-plan — a
+    # running sum over the fixed ≤1024-row (≤ bands·1024 for curriculum)
+    # bucket-count table replaces the per-query offsets-collect driver
+    # job. Grain is bounded by construction (fixed bucket count), which
+    # is exactly what the runtime row bound below certifies.
+    "corpus_shuffle",
+    "curriculum_order",
+    # (shuffle_run_stats consumes corpus_shuffle but its run-length
+    # projection lets Catalyst prune the rank off the offsets branch —
+    # the walker finds no global window there)
+    "training_shard_stats",
     "slo_burn_stats",
     "column_encoding_stats",
     "bot_score_stats",

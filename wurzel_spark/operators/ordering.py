@@ -86,20 +86,23 @@ def corpus_shuffle(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     b = df.withColumn("__h", h).withColumn(
         "__bkt", F.floor(F.col("__h") / F.lit(4294967296 // _N_BUCKETS))
     )
-    counts = {
-        int(r["__bkt"]): int(r["c"])
-        for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    run, offsets = 0, {}
-    for k in sorted(counts):
-        offsets[k] = run
-        run += counts[k]
-    odf = df.sparkSession.createDataFrame(
-        sorted(offsets.items()), "__bkt long, __off long"
+    # Cumulative bucket offsets ride the plan as a BOUNDED global window
+    # over the ≤ _N_BUCKETS-row count table (fixed 1024 buckets by
+    # construction — GLOBAL_WINDOW_WHITELIST class) broadcast back to the
+    # rows, instead of a separate collect job + driver fold: one job, no
+    # driver barrier, identical offsets (r12; same trick in
+    # curriculum_order).
+    cum = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__bkt", F.coalesce(F.sum("__c").over(cum), F.lit(0)).alias("__off")
+        )
     )
     w = W.partitionBy("__bkt").orderBy("__h", id_col)
     return (
-        b.join(F.broadcast(odf), "__bkt")
+        b.join(F.broadcast(offs), "__bkt")
         .withColumn("shuffle_pos", F.col("__off") + F.row_number().over(w))
         .drop("__h", "__bkt", "__off")
     )
@@ -306,24 +309,24 @@ def curriculum_order(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             + F.floor(F.col("__h") / F.lit(4294967296 // _N_BUCKETS)),
         )
     )
-    # ~40 B/row projection pinned so the bucket-count collect and the
+    # ~40 B/row projection pinned so the bucket-count branch and the
     # final ranked plan don't each re-run the corpus word-split (the
     # bm25/sequence_pack census pattern, r6)
     b = b.localCheckpoint(eager=True)
-    counts = {
-        int(r["__bkt"]): int(r["c"])
-        for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    run, offsets = 0, {}
-    for k in sorted(counts):
-        offsets[k] = run
-        run += counts[k]
-    odf = df.sparkSession.createDataFrame(
-        sorted(offsets.items()), "__bkt long, __off long"
+    # bounded in-plan offsets (≤ bands·_N_BUCKETS count rows — see
+    # corpus_shuffle): the former collect job + driver fold becomes a
+    # global window over the tiny count table, broadcast back
+    cum = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__bkt", F.coalesce(F.sum("__c").over(cum), F.lit(0)).alias("__off")
+        )
     )
     w = W.partitionBy("__bkt").orderBy("__h", id_col)
     return (
-        b.join(F.broadcast(odf), "__bkt")
+        b.join(F.broadcast(offs), "__bkt")
         .withColumn("curriculum_pos", F.col("__off") + F.row_number().over(w))
         .select(id_col, "n_words", "band", "curriculum_pos")
     )

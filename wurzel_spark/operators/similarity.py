@@ -657,9 +657,16 @@ def kmeans_train(
     # checkpoint once so 4+ assignment passes scan materialized rows
     # instead of re-running the parquet scan + Arrow conversion each time
     emb = emb.localCheckpoint(eager=False)
-    n_vec = emb.count()
-    dim_probe = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    # one agg job yields both gate inputs (was: a count job + a limit(1)
+    # dim-probe job); min(size) is deterministic where limit(1) was
+    # arbitrary-first, and the gate only routes between two paths that
+    # are equivalence-tested bit-equal, so the routing input may be any
+    # fixed function of the data
+    probe = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.min(F.size(vec_col)).alias("d")
+    ).first()
+    n_vec = int(probe["n"])
+    dim = int(probe["d"]) if probe["d"] is not None else 0
     if n_vec * max(dim, 1) <= max_driver_elems:
         return _kmeans_train_driver(
             spark, emb, k, max_iters, id_col, vec_col, reseed_empty
@@ -1312,9 +1319,15 @@ def pq_codebook(
         for s in range(m):
             cw = [float(x) for x in r[1][s * dsub : (s + 1) * dsub]]
             data.append((s, int(r[0]), cw, _self_dot(cw)))
-    return emb.sparkSession.createDataFrame(
+    out = emb.sparkSession.createDataFrame(
         data, "sub int, code int, cw array<double>, cww double"
     )
+    # The codebook is DRIVER-built; carry the local rows on the frame so
+    # pq_encode can skip the createDataFrame→collect round trip (one
+    # scheduled job per encode). Private, best-effort — any codebook
+    # frame without the attribute still collects.
+    out._pq_local_rows = data
+    return out
 
 
 def _sub_l2(sv, cw):
@@ -1356,9 +1369,15 @@ def pq_encode(
     # ((svv − 2·<sv,cw>) + cww) matches term for term; np.argmin's
     # first-minimum rule IS min_by(code, struct(d2, code))'s tie-to-lower
     # (codewords are code-ordered). pq_code_stats stays oracle-hash-green.
-    cb_rows = sorted(
-        ((r["sub"], r["code"], list(r["cw"])) for r in codebook.collect())
-    )
+    local = getattr(codebook, "_pq_local_rows", None)
+    if local is not None:
+        # driver-built codebook (pq_codebook): reuse its rows instead of
+        # collecting the frame we just created from them
+        cb_rows = sorted((s, c, list(cw)) for (s, c, cw, _cww) in local)
+    else:
+        cb_rows = sorted(
+            ((r["sub"], r["code"], list(r["cw"])) for r in codebook.collect())
+        )
     if not cb_rows:
         # Empty codebook (e.g. no corpus ids < ksub seeded it): there is
         # nothing to assign — return an empty, correctly-typed frame
@@ -2327,17 +2346,30 @@ def bitext_margin_pairs(
         )
 
     a, b = _side(src_lang, "src_id"), _side(tgt_lang, "tgt_id")
-    n_a, n_b = a.count(), b.count()
-    n_seed = emb.filter(F.col("vec_id") < n_planes).count()
+    # ONE grouped count replaces the two per-side count() jobs (each was
+    # a full docs⨝emb pass), and ONE bounded seed collect (≤ n_planes
+    # rows) yields both the seed count and the plane vectors — 4 driver
+    # jobs / 4 input passes folded into 2.
+    side_counts = {
+        r["lang"]: r["c"]
+        for r in docs.filter(F.col("lang").isin(src_lang, tgt_lang))
+        .join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_a = int(side_counts.get(src_lang, 0))
+    n_b = int(side_counts.get(tgt_lang, 0))
+    seed_rows = (
+        emb.filter(F.col("vec_id") < n_planes).orderBy("vec_id").collect()
+    )
+    n_seed = len(seed_rows)
     planes_used = min(bands * _bitext_bits(min(n_a, n_b)), n_seed)
     bits = planes_used // bands
     planes_used = bits * bands
-    planes = [
-        r["embedding"]
-        for r in emb.filter(F.col("vec_id") < planes_used)
-        .orderBy("vec_id")
-        .collect()
-    ]
+    # same rows as filter(vec_id < planes_used): planes_used ≤ n_planes,
+    # and on sparse id spaces the id predicate (not a row count) decides
+    planes = [r["embedding"] for r in seed_rows if r["vec_id"] < planes_used]
 
     def _banded(side: DataFrame, idc: str) -> DataFrame:
         bucketed = hyperplane_lsh_buckets(side, planes, idc, f"{idc}_vec")

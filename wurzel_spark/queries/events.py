@@ -325,17 +325,20 @@ def psi_from_type_counts(counts: DataFrame) -> DataFrame:
     (streaming/drift.py), so the two cannot diverge."""
     days = counts.select("day").distinct()
     types = counts.select("event_type").distinct()
-    n_types = types.count()
+    # |T| rides the plan as a broadcast 1-row aggregate instead of a
+    # separate count() driver job (which re-ran the whole counts subtree
+    # as an extra pass over the input)
+    n_types_df = types.agg(F.count(F.lit(1)).alias("__n_types"))
     grid = (
         days.crossJoin(F.broadcast(types))
         .join(counts, ["day", "event_type"], "left")
         .select("day", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     )
     totals = grid.groupBy("day").agg(F.sum("c").alias("n"))
-    g = grid.join(totals, "day")
+    g = grid.join(totals, "day").crossJoin(F.broadcast(n_types_df))
     w = W.partitionBy("event_type").orderBy("day")
     p = (F.col("c") + F.lit(1)).cast("double") / (
-        F.col("n") + F.lit(n_types)
+        F.col("n") + F.col("__n_types")
     ).cast("double")
     paired = (
         g.withColumn("p", p)

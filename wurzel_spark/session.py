@@ -56,6 +56,17 @@ def get_spark(
     # Only force a master when none is configured (cluster submit wins).
     if not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
+    # Scale-dependent settings stay parameterised: deployment-specific
+    # overrides ride $SPARK_GRAFT_EXTRA_CONF as ';'-separated k=v pairs
+    # (e.g. shuffle partitions / advisory sizes sized to a real cluster)
+    # with the local defaults above untouched, so the driver's bench
+    # stays comparable while a production submit can retune without a
+    # code change.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
