@@ -909,7 +909,15 @@ def _union_find_members(spark: SparkSession, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for src, dst in edges.collect():
+    # Arrow-batched pull (toPandas), not py4j Row collect — the same
+    # serialization fix the pagerank/k-core twins carry; at the 1M-edge
+    # gate this is ~100 ms instead of seconds.
+    pdf = edges.toPandas()
+    cols = list(pdf.columns)
+    for src, dst in zip(
+        pdf[cols[0]].astype("int64"), pdf[cols[1]].astype("int64")
+    ):
+        src, dst = int(src), int(dst)
         if src not in parent:
             parent[src] = src
         if dst not in parent:
@@ -2267,10 +2275,13 @@ def ngram_jaccard_prefix_pairs(
     sh = docs_arr.select("id", "n", F.explode("arr").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
     if hot_df is not None:
-        # Vocabulary-sized table consumed by BOTH the probe aggregate and
-        # (on the hot path) the prefix-rank join — checkpoint so the
-        # group-by executes once, not once per action.
-        dfreq = dfreq.localCheckpoint(eager=True)
+        # Probe WITHOUT materializing the vocabulary table: the tame path
+        # (the common case — every registered corpus takes it) never uses
+        # dfreq, so checkpointing it first paid a materialization job for
+        # nothing (r12; one job + one executor-disk write saved). The hot
+        # path re-derives dfreq from the checkpointed shingles and pins
+        # it below — one extra vocab-grain grouping only on corpora that
+        # already pay the full prefix machinery.
         max_dfc = dfreq.agg(F.max("dfc")).collect()[0][0] or 0
         if max_dfc <= hot_df:
             # Tame corpus: the d² hazard is bounded by hot_df² per

@@ -162,14 +162,33 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
-        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    )
-    # `pairs` is distinct and the +10^9 supplier offset makes the two
-    # union branches disjoint (src<10^9 in one, ≥10^9 in the other), so
-    # `edges` is distinct by construction — skip quantized_pagerank's
-    # defensive dedup shuffle.
-    ranks = quantized_pagerank(edges, assume_distinct=True)
+    # The undirected bipartite graph is the pair set mirrored, so only
+    # the HALF-sized pair list is checkpointed and (below the gate)
+    # pulled — the mirror is two array concats, driver-side. `pairs` is
+    # distinct and the +10^9 supplier offset makes the two directions
+    # disjoint (src<10^9 one way, ≥10^9 the other), so the union is
+    # distinct by construction either way.
+    pairs = pairs.localCheckpoint(eager=True)
+    if 2 * pairs.count() <= PAGERANK_DRIVER_EDGE_GATE:
+        import pandas as pd
+
+        half = pairs.toPandas()
+        cust = half["cust"].to_numpy()
+        supp = half["supp"].to_numpy()
+        import numpy as np
+
+        pdf = pd.DataFrame(
+            {
+                "src": np.concatenate([cust, supp]),
+                "dst": np.concatenate([supp, cust]),
+            }
+        )
+        ranks = _pagerank_driver(spark, pdf, N_ITERS)
+    else:
+        edges = pairs.select(
+            F.col("cust").alias("src"), F.col("supp").alias("dst")
+        ).union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        ranks = quantized_pagerank(edges, assume_distinct=True)
     return (
         ranks.orderBy(F.desc("rank_scaled"), F.asc("node")).limit(100)
     )
