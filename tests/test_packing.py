@@ -67,6 +67,29 @@ def test_pack_invariants(spark, sf_dir):
             pos += r["n_tok"]
 
 
+def test_two_level_prefix_sum_matches_reference(spark, monkeypatch):
+    """r12: bucket offsets ride the plan via a two-level scan. Shrink the
+    bucket/superbucket widths so a small frame exercises MANY buckets AND
+    many superbuckets (incl. sparse ids straddling both boundaries), and
+    check against the straight Python exclusive prefix sum."""
+    from wurzel_spark.operators import packing
+
+    monkeypatch.setattr(packing, "_PREFIX_BUCKET", 4)
+    monkeypatch.setattr(packing, "_PREFIX_SUPER", 3)
+    ids = [0, 1, 3, 4, 7, 11, 12, 13, 25, 26, 40, 41, 97]
+    vals = [5, 1, 7, 2, 9, 4, 8, 3, 6, 2, 11, 1, 13]
+    df = spark.createDataFrame(list(zip(ids, vals)), "doc_id long, n long")
+    got = {
+        r["doc_id"]: r["off"]
+        for r in packing._exclusive_prefix_sum(df, "doc_id", "n", "off").collect()
+    }
+    run, want = 0, {}
+    for i, v in zip(ids, vals):
+        want[i] = run
+        run += v
+    assert got == want
+
+
 def test_pack_skips_empty_docs(spark):
     df = _docs(spark, {0: 2, 2: 3}).union(
         spark.createDataFrame([(1, "   ")], "doc_id bigint, text string")

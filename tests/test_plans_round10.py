@@ -171,6 +171,13 @@ GLOBAL_WINDOW_WHITELIST = {
     # is exactly what the runtime row bound below certifies.
     "corpus_shuffle",
     "curriculum_order",
+    # r12: sequence_pack's bucket OFFSETS moved in-plan the same way,
+    # via a two-LEVEL scan — the global window runs over SUPERBUCKET
+    # totals (one row per 2^26 docs, aggregate-bounded; ~1 row at
+    # sf0.1), replacing the bucket-totals driver collect that scaled as
+    # n/8192.
+    "sequence_pack",
+    "sequence_pack_stats",
     # (shuffle_run_stats consumes corpus_shuffle but its run-length
     # projection lets Catalyst prune the rank off the offsets branch —
     # the walker finds no global window there)

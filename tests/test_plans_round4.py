@@ -63,19 +63,34 @@ def test_semdedup_single_cell_degenerate(spark, sf_dir):
     assert {r["cell"] for r in kept} == {0}
 
 
-def test_sequence_pack_no_global_window(spark, sf_dir):
-    """The prefix sum must partition by bucket — a global-order window
-    (Window with no PARTITION BY) would serialize the corpus through one
-    partition. The plan's Window node must carry a partition spec."""
+def test_sequence_pack_doc_window_stays_bucket_partitioned(spark, sf_dir):
+    """The prefix sum's doc-grain window must partition by bucket — a
+    global-order window there would serialize the corpus through one
+    partition. Since r12 the bucket offsets ride the plan via a
+    two-level scan, so exactly ONE unpartitioned window is allowed: the
+    superbucket-grain offsets window (one row per 2^26 docs),
+    whitelisted + runtime-row-bounded by test_plans_round10."""
     df = sequence_pack_stats(table(spark, sf_dir, "documents"))
-    t = plan_text(df)
     _no_nested_loop(df)
-    for line in t.splitlines():
-        if "Window" in line and "windowspecdefinition" in line.lower():
-            # spark prints 'windowspecdefinition(part_cols..., order...)';
-            # a global window would have no partition columns before the
-            # ordering spec — our bucket column must appear
-            assert "__bkt" in line, line
+    jplan = df._jdf.queryExecution().executedPlan()
+    partitioned, global_ = [], []
+    stack = [jplan]
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            stack.append(n.initialPlan())
+            continue
+        if n.getClass().getSimpleName() == "WindowExec":
+            spec = n.simpleString(300)
+            (global_ if n.partitionSpec().isEmpty() else partitioned).append(spec)
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    # doc-grain window (ordered by doc_id) partitions by __bkt; the
+    # bucket-totals window partitions by __sbkt
+    assert any("doc_id" in s and "__bkt" in s for s in partitioned), partitioned
+    assert len(global_) == 1, global_
+    assert "__sbkt" in global_[0], global_[0]
 
 
 # ------------------------- round-4 cont.: selection / bloom / layout plans

@@ -10,11 +10,15 @@ data loader, so it's first-class here alongside dedup/quality/sampling.
 Scale notes: the only global dependency is an EXCLUSIVE prefix sum of
 per-doc token counts in doc order. A naive window (`ORDER BY doc_id` with
 no partition) serializes the corpus through one partition — the classic
-single-partition-window hazard. :func:`_exclusive_prefix_sum` runs the
-textbook two-phase form instead: per-bucket subtotals (map-side combine,
-one tiny row per bucket), driver-side cumsum over the bucket totals
-(thousands of longs — size-guarded like a broadcast join), then a
-within-bucket window whose partitions are bucket-bounded. Everything
+single-partition-window hazard. :func:`_exclusive_prefix_sum` runs a
+two-LEVEL scan entirely in-plan instead: per-bucket subtotals (map-side
+combine, one tiny row per 8k docs), a within-SUPERBUCKET exclusive
+window over bucket totals (≤8 192 rows per partition), and a global
+exclusive window over the superbucket totals — whose grain is
+n / 2²⁶ docs, i.e. ≤65 536 rows up to ~4.4×10¹² docs (a third level
+applies beyond that). Offsets join back on the same ``__bkt``
+partitioning the within-bucket window needs anyway, so no driver
+round-trip and no data-scaling broadcast/collect remain. Everything
 downstream is row-local integer arithmetic + a ≤2-element explode.
 """
 
@@ -27,33 +31,52 @@ from wurzel_spark.functions import text as TXT
 from wurzel_spark.tables import table
 
 _PREFIX_BUCKET = 1 << 13  # docs per cumsum bucket (id-range, order-preserving)
+_PREFIX_SUPER = 1 << 13  # buckets per superbucket (level-2 scan fan-in)
 
 
 def _exclusive_prefix_sum(
     df: DataFrame, order_col: str, val_col: str, out_col: str
 ) -> DataFrame:
     """Adds ``out_col`` = sum of ``val_col`` over all rows strictly before
-    this one in ``order_col`` order, without a global-order window.
+    this one in ``order_col`` order, without a global-order window and
+    without a driver round-trip.
 
     Buckets by ``order_col`` value range (any deterministic order-respecting
     bucketing works; value range needs no extra shuffle key). Bucket
-    subtotals collect to the driver — one long per 8k docs, ~15k rows at
-    1B docs — the same size-guard class as the union-find edge cap.
+    offsets are computed IN-PLAN by a two-level scan: an exclusive window
+    over bucket totals partitioned by superbucket (≤``_PREFIX_SUPER`` rows
+    per partition), plus a global exclusive window over the superbucket
+    totals — aggregate-bounded, superbucket grain (one row per
+    ``_PREFIX_BUCKET·_PREFIX_SUPER`` = 2²⁶ docs). The offsets join back on
+    ``__bkt``, the same key the within-bucket window shuffles by.
     """
     from pyspark.sql import Window as W
 
     bucket = F.floor(F.col(order_col) / F.lit(_PREFIX_BUCKET)).alias("__bkt")
     b = df.select(F.col(order_col), F.col(val_col), bucket)
-    totals = {
-        int(r["__bkt"]): int(r["t"])
-        for r in b.groupBy("__bkt").agg(F.sum(val_col).alias("t")).collect()
-    }
-    run, offsets = 0, {}
-    for k in sorted(totals):
-        offsets[k] = run
-        run += totals[k]
-    odf = df.sparkSession.createDataFrame(
-        sorted(offsets.items()), "__bkt long, __bkt_off long"
+    totals = (
+        b.groupBy("__bkt")
+        .agg(F.sum(val_col).alias("__t"))
+        .withColumn("__sbkt", F.floor(F.col("__bkt") / F.lit(_PREFIX_SUPER)))
+    )
+    w_in = (
+        W.partitionBy("__sbkt").orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_super = W.orderBy("__sbkt").rowsBetween(W.unboundedPreceding, -1)
+    super_off = (
+        totals.groupBy("__sbkt")
+        .agg(F.sum("__t").alias("__st"))
+        .withColumn("__s_off", F.coalesce(F.sum("__st").over(w_super), F.lit(0)))
+        .drop("__st")
+    )
+    odf = (
+        totals.withColumn(
+            "__in_off", F.coalesce(F.sum("__t").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(super_off), "__sbkt")
+        .select(
+            "__bkt", (F.col("__s_off") + F.col("__in_off")).alias("__bkt_off")
+        )
     )
     w = (
         W.partitionBy("__bkt")
@@ -61,7 +84,7 @@ def _exclusive_prefix_sum(
         .rowsBetween(W.unboundedPreceding, -1)
     )
     return (
-        b.join(F.broadcast(odf), "__bkt")
+        b.join(odf, "__bkt")
         .withColumn(
             out_col,
             F.col("__bkt_off") + F.coalesce(F.sum(val_col).over(w), F.lit(0)),
