@@ -124,6 +124,18 @@ def shingle_hashes(text_col, n: int = 3):
     )
 
 
+def _shingle_hashes_from_whs(whs_col, n: int = 3):
+    """:func:`shingle_hashes`, starting from an ALREADY-computed word-hash
+    array column — the shared-corpus-pass path (lsh_recall_audit): values
+    are identical by construction, since shingle_hashes(text) IS this
+    expression applied to _word_hashes(text). The transform(array(...))
+    wrapper is the same let-binding: the whs expression appears exactly
+    once in the plan even after projection collapse inlines it."""
+    return F.element_at(
+        F.transform(F.array(whs_col), lambda hs: _shingle_hashes_from(hs, n)), 1
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,6 +144,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     sort: bool = True,
     max_df: int | None = None,
+    wh: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
@@ -153,9 +166,17 @@ def ngram_jaccard_pairs(
     # along through the join and no separate size-aggregate joins are needed
     # — the text→shingle pipeline is evaluated once per join side instead of
     # three times, with zero extra shuffles.
-    sh = _parallelize(df).select(
-        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("arr")
-    ).select("id", F.size("arr").alias("n"), F.explode("arr").alias("shingle"))
+    # ``wh`` (optional, (id, whs) word-hash frame) is the shared-corpus-pass
+    # input: shingle hashes derive from it instead of re-splitting text —
+    # identical values (see _shingle_hashes_from_whs). Default None keeps
+    # the standalone plan byte-for-byte unchanged.
+    if wh is not None:
+        base = wh.select("id", _shingle_hashes_from_whs(F.col("whs"), n).alias("arr"))
+    else:
+        base = _parallelize(df).select(
+            F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("arr")
+        )
+    sh = base.select("id", F.size("arr").alias("n"), F.explode("arr").alias("shingle"))
     if max_df is not None:
         # hyper-frequent shingles form a SMALL set (by definition each
         # appears in many docs) → broadcast anti-join; sizes recomputed so
@@ -351,6 +372,7 @@ def minhash_banded_signatures(
     num_hashes: int = 32,
     n: int = 3,
     bands: int = 8,
+    wh: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature, bhs): MinHash signature plus its LSH band hashes,
     both from the ONE Arrow kernel pass — the band fold costs a few
@@ -374,9 +396,11 @@ def minhash_banded_signatures(
         bhs = _band_hashes_rows(sig, bands, rows_per_band)
         return pd.DataFrame({"signature": list(sig), "bhs": list(bhs)})
 
-    base = _parallelize(df).select(
-        F.col(id_col).alias("id"), _word_hashes(F.col(text_col)).alias("whs")
-    ).filter(F.size("whs") > 0)
+    if wh is None:
+        wh = _parallelize(df).select(
+            F.col(id_col).alias("id"), _word_hashes(F.col(text_col)).alias("whs")
+        )
+    base = wh.filter(F.size("whs") > 0)
     return base.select("id", _sig_bands("whs").alias("c")).select(
         "id", F.col("c.signature").alias("signature"), F.col("c.bhs").alias("bhs")
     )
@@ -445,6 +469,7 @@ def _verify_jaccard_pairs(
     text_col: str,
     threshold: float,
     n: int,
+    wh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
 
@@ -464,10 +489,22 @@ def _verify_jaccard_pairs(
         .union(cands.select(F.col("id_b")))
         .distinct()
     )
-    needed = df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi")
-    sh = _parallelize(needed).select(
-        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh")
-    )
+    if wh is not None:
+        # shared-corpus-pass path: candidate docs' shingles derive from the
+        # (id, whs) word-hash frame — no second text scan/split.
+        needed_wh = wh.join(
+            F.broadcast(cand_ids), F.col("id") == F.col("cid"), "left_semi"
+        )
+        sh = needed_wh.select(
+            "id", _shingle_hashes_from_whs(F.col("whs"), n).alias("sh")
+        )
+    else:
+        needed = df.join(
+            F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
+        )
+        sh = _parallelize(needed).select(
+            F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh")
+        )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -490,23 +527,28 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     n: int = 3,
     sigs: DataFrame | None = None,
+    wh: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: signatures → band candidates → exact
     Jaccard verification on candidates only. Pass precomputed ``sigs``
     (from build_near_dup_index) to skip the signature kernel — the
     streaming path computes signatures ONCE per batch and feeds all
-    three consumers.
+    three consumers. Pass ``wh`` ((id, whs) word hashes) to derive both
+    the signatures and the candidate verification from one shared corpus
+    pass (lsh_recall_audit).
     """
     rows_per_band = num_hashes // bands
     if sigs is None:
-        sigs = minhash_banded_signatures(df, id_col, text_col, num_hashes, n, bands)
+        sigs = minhash_banded_signatures(
+            df, id_col, text_col, num_hashes, n, bands, wh=wh
+        )
     # Materialize the (small) candidate list once: it feeds the id filter
     # and the pair join below, and without this the whole signature+banding
     # pipeline would be recomputed per use. localCheckpoint keeps it
     # distributed (executor block storage); on a long-lived cluster use a
     # checkpoint dir instead for lineage resilience.
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint()
-    return _verify_jaccard_pairs(df, cands, id_col, text_col, threshold, n)
+    return _verify_jaccard_pairs(df, cands, id_col, text_col, threshold, n, wh=wh)
 
 
 # -------------------------------------------------------------- SimHash
@@ -2279,9 +2321,12 @@ def ngram_jaccard_prefix_pairs(
         # (the common case — every registered corpus takes it) never uses
         # dfreq, so checkpointing it first paid a materialization job for
         # nothing (r12; one job + one executor-disk write saved). The hot
-        # path re-derives dfreq from the checkpointed shingles and pins
-        # it below — one extra vocab-grain grouping only on corpora that
-        # already pay the full prefix machinery.
+        # path re-derives dfreq from the checkpointed shingles UNPINNED —
+        # the vocab-grain grouping runs twice there (probe action + final
+        # plan), deliberately: vocab grain scales with the corpus, so a
+        # checkpoint would pin a data-scaling table (the convention bans
+        # that), and only corpora that already pay the full prefix
+        # machinery see the extra grouping.
         max_dfc = dfreq.agg(F.max("dfc")).collect()[0][0] or 0
         if max_dfc <= hot_df:
             # Tame corpus: the d² hazard is bounded by hot_df² per
@@ -2757,18 +2802,40 @@ def lsh_recall_audit(
 
     Scale shape: both pair sets are the already-bounded family outputs;
     the audit adds one full-outer join on the canonical (id_a, id_b) key
-    and a single global aggregate.
+    and a single global aggregate. Both families start from the same
+    per-word xxhash64 pass over the corpus; below the shared
+    ``CHECKPOINT_MAX_INPUT_BYTES`` gate the (id, word-hash-array) frame
+    is pinned ONCE and fed to both sides (plus the LSH candidate
+    verification), collapsing three text→split→hash scans into one.
+    Above the gate — or when the size estimate is unavailable — the pin
+    would scale with the corpus (8 B/word), so the unpinned fall-through
+    keeps the two independent map-only passes of the 100 TB plan
+    (the DSIR/rfm gated-shortcut convention; both paths are bit-equal —
+    _shingle_hashes_from_whs is shingle_hashes by construction,
+    equivalence-tested in tests/).
     """
+    from wurzel_spark.operators.common import (
+        CHECKPOINT_MAX_INPUT_BYTES,
+        plan_size_bytes,
+    )
     from wurzel_spark.operators.dedup import (  # self-import for clarity
         minhash_dedup_pairs,
         ngram_jaccard_pairs,
     )
 
+    est = plan_size_bytes(docs)
+    wh = None
+    if est is not None and est <= CHECKPOINT_MAX_INPUT_BYTES:
+        wh = (
+            _parallelize(docs)
+            .select(F.col("doc_id").alias("id"), _word_hashes(F.col("text")).alias("whs"))
+            .localCheckpoint(eager=True)
+        )
     kw = {"max_df": max_df} if max_df is not None else {}
-    exact = ngram_jaccard_pairs(docs, threshold=threshold, **kw).select(
+    exact = ngram_jaccard_pairs(docs, threshold=threshold, wh=wh, **kw).select(
         "id_a", "id_b", F.lit(1).alias("in_exact")
     )
-    lsh = minhash_dedup_pairs(docs, threshold=threshold).select(
+    lsh = minhash_dedup_pairs(docs, threshold=threshold, wh=wh).select(
         "id_a", "id_b", F.lit(1).alias("in_lsh")
     )
     both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
