@@ -18,9 +18,11 @@ classifier (operators/classifier.py). The quantization error vs real
 PageRank is ≤ in-degree ulps of 10⁻¹² per iteration — far below any
 ranking decision.
 
-Scale shape: one iteration = one keyed shuffle (contributions grouped by
-dst) + a broadcast-size degree table join; iterations are a driver loop
-over a lineage-checkpointed frame. Rounds are fixed (k), not
+Scale shape: the fixed k iterations are unrolled into ONE plan over the
+checkpointed edge list — the degree-annotated adjacency subtree is
+identical in every iteration, so AQE stage reuse exchanges the edge set
+once for the whole run and each iteration adds only node-grain work
+(rank join + contributions grouped by dst). Rounds are fixed (k), not
 convergence-probed — the reproducibility contract needs a deterministic
 iteration count.
 
@@ -112,13 +114,27 @@ def quantized_pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    # The k iterations are UNROLLED into one plan (guide §2): with a
+    # per-iteration localCheckpoint, every iteration re-exchanged the
+    # full EDGE set into its rank join (a checkpoint scan comes back as
+    # UnknownPartitioning — nothing co-partitions across jobs), so k
+    # iterations paid k edge-grain shuffles + k scheduled jobs. In the
+    # single unrolled plan the degree-annotated adjacency subtree
+    # (edge exchange + deg aggregate over the SAME checkpointed e) is
+    # canonically identical in every iteration, so AQE stage reuse
+    # materializes it ONCE and the remaining per-iteration work is
+    # node-grain only (rank join + contribution groupBy — whose output
+    # partitioning on `node` feeds the next iteration's join without a
+    # re-exchange). Lineage depth is bounded: k is a fixed constant
+    # (the reproducibility contract), exactly like the oracle's
+    # unrolled r1..r3 CTEs.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = e.join(deg, "src")
     base = (15 * SCALE) // (100 * n)
     ranks = nodes.withColumn("rank_scaled", F.lit(SCALE // n).cast("long"))
     for _ in range(n_iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 # everything in bigint: 85·rank ≤ 8.5e13 ≪ 2^63
@@ -141,7 +157,6 @@ def quantized_pagerank(
                     "rank_scaled"
                 ),
             )
-            .localCheckpoint(eager=True)  # cut per-iteration lineage
         )
     return ranks
 
