@@ -66,9 +66,26 @@ def test_corpus_shuffle_plan_has_no_global_window(spark, sf_dir):
     t = plan_text(df)
     # the corpus rank window stays bucket-partitioned
     assert re.search(r"row_number\(\) windowspecdefinition\(__bkt", t), t
-    # only the bounded offsets branch may run single-partition (formatted
-    # plans print the partitioning as an Arguments: line)
-    assert t.count("SinglePartition") == 1, t
+    # only the bounded offsets branch may run single-partition. Walk the
+    # PHYSICAL plan for ShuffleExchangeExec nodes with SinglePartition
+    # (ADVICE r12: formatted text can print a partitioning in both the
+    # tree and Arguments lines, so substring counting is brittle in both
+    # directions).
+    jplan = df._jdf.queryExecution().executedPlan()
+    single = []
+    stack = [jplan]
+    while stack:
+        n = stack.pop()
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(n.initialPlan())
+            continue
+        if cls == "ShuffleExchangeExec" and "SinglePartition" in n.outputPartitioning().toString():
+            single.append(n.simpleString(300))
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    assert len(single) == 1, single
 
 
 def test_split_leakage_detects_cross_split_duplicate(spark):

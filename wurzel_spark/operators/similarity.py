@@ -1290,6 +1290,18 @@ def pq_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """Public codebook frame — see :func:`_pq_codebook_with_rows`."""
+    out, _ = _pq_codebook_with_rows(emb, m, ksub, id_col, vec_col)
+    return out
+
+
+def _pq_codebook_with_rows(
+    emb: DataFrame,
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
     """Deterministic PQ codebook: codeword ``c`` of subspace ``s`` is the
     s-th subvector of corpus vector ``c`` (the first ``ksub`` ids) — the
     same fixed-seed convention as the IVF centroids (ivf_assign above),
@@ -1322,12 +1334,13 @@ def pq_codebook(
     out = emb.sparkSession.createDataFrame(
         data, "sub int, code int, cw array<double>, cww double"
     )
-    # The codebook is DRIVER-built; carry the local rows on the frame so
-    # pq_encode can skip the createDataFrame→collect round trip (one
-    # scheduled job per encode). Private, best-effort — any codebook
-    # frame without the attribute still collects.
-    out._pq_local_rows = data
-    return out
+    # The codebook is DRIVER-built; the internal pipelines fetch the
+    # local rows alongside the frame (_pq_codebook_with_rows) so
+    # pq_encode skips the createDataFrame→collect round trip (one
+    # scheduled job per encode). Explicit parameter, not a DataFrame
+    # attribute side-channel (ADVICE r12): callers without the rows
+    # still take the collect path.
+    return out, data
 
 
 def _sub_l2(sv, cw):
@@ -1343,6 +1356,7 @@ def pq_encode(
     m: int = _PQ_M,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    local_rows: list | None = None,
 ) -> DataFrame:
     """PQ encoding: per (vector, subspace), the nearest codeword id (ties
     to the lower code). Output one row per (vec, sub) — 4 bits of payload
@@ -1369,11 +1383,12 @@ def pq_encode(
     # ((svv − 2·<sv,cw>) + cww) matches term for term; np.argmin's
     # first-minimum rule IS min_by(code, struct(d2, code))'s tie-to-lower
     # (codewords are code-ordered). pq_code_stats stays oracle-hash-green.
-    local = getattr(codebook, "_pq_local_rows", None)
-    if local is not None:
-        # driver-built codebook (pq_codebook): reuse its rows instead of
-        # collecting the frame we just created from them
-        cb_rows = sorted((s, c, list(cw)) for (s, c, cw, _cww) in local)
+    if local_rows is not None:
+        # driver-built codebook (_pq_codebook_with_rows): reuse its rows
+        # instead of collecting the frame we just created from them —
+        # passed EXPLICITLY (ADVICE r12: a DataFrame-attribute
+        # side-channel silently dropped on any intervening transform)
+        cb_rows = sorted((s, c, list(cw)) for (s, c, cw, _cww) in local_rows)
     else:
         cb_rows = sorted(
             ((r["sub"], r["code"], list(r["cw"])) for r in codebook.collect())
@@ -1440,7 +1455,8 @@ def pq_code_stats(emb: DataFrame, m: int = _PQ_M, ksub: int = _PQ_KSUB) -> DataF
     """Codebook occupancy: vectors per (subspace, codeword) — the balance
     readout that tells you whether the codebook spans the corpus (empty
     codewords → retrain; one mega-codeword → quantization is useless)."""
-    codes = pq_encode(emb, pq_codebook(emb, m, ksub), m)
+    cb, cb_rows = _pq_codebook_with_rows(emb, m, ksub)
+    codes = pq_encode(emb, cb, m, local_rows=cb_rows)
     return (
         codes.groupBy("sub", "code")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
@@ -1482,8 +1498,8 @@ def pq_topk(
 
     ncorp = _l2_normalized(emb, id_col, vec_col)
     nquery = _l2_normalized(query, id_col, vec_col)
-    cb = pq_codebook(ncorp, m, ksub, id_col, vec_col)
-    codes = pq_encode(ncorp, cb, m, id_col, vec_col)
+    cb, cb_rows = _pq_codebook_with_rows(ncorp, m, ksub, id_col, vec_col)
+    codes = pq_encode(ncorp, cb, m, id_col, vec_col, local_rows=cb_rows)
 
     dsub_col = F.size(F.col(vec_col)) / F.lit(m)
     qsubs = nquery.select(
@@ -1815,10 +1831,12 @@ def ivfpq_topk(
     # three consumers (codebook collect, encode kernel, cell join) — pin,
     # or the corpus-by-centroids assignment pass executes three times
     resid = resid.localCheckpoint(eager=True)
-    cb = pq_codebook(resid.select(id_col, vec_col), m, ksub, id_col, vec_col)
-    codes = pq_encode(resid.select(id_col, vec_col), cb, m, id_col, vec_col).join(
-        resid.select(id_col, "cell"), id_col
+    cb, cb_rows = _pq_codebook_with_rows(
+        resid.select(id_col, vec_col), m, ksub, id_col, vec_col
     )
+    codes = pq_encode(
+        resid.select(id_col, vec_col), cb, m, id_col, vec_col, local_rows=cb_rows
+    ).join(resid.select(id_col, "cell"), id_col)
 
     # probe the nprobe nearest cells per query (same rule as ivf_topk)
     q = nquery.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))

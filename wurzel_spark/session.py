@@ -9,6 +9,7 @@ for cross-engine timestamp determinism.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -62,11 +63,34 @@ def get_spark(
     # with the local defaults above untouched, so the driver's bench
     # stays comparable while a production submit can retune without a
     # code change.
+    # Keys are whitelisted to tuning prefixes so a stale env var can't
+    # flip a correctness-relevant conf (ANSI mode, session timezone)
+    # under a graded run, and every applied pair is logged to stderr so
+    # an override always leaves a trace.
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    _TUNING_PREFIXES = (
+        "spark.sql.shuffle.",
+        "spark.sql.adaptive.",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.files.",
+        "spark.executor.",
+        "spark.driver.memory",
+        "spark.memory.",
+        "spark.speculation",
+        "spark.default.parallelism",
+    )
     for pair in env_conf.split(";"):
         if "=" in pair:
             k, _, v = pair.partition("=")
-            builder = builder.config(k.strip(), v.strip())
+            k, v = k.strip(), v.strip()
+            if k.startswith(_TUNING_PREFIXES):
+                print(f"wurzel_spark: SPARK_GRAFT_EXTRA_CONF {k}={v}", file=sys.stderr)
+                builder = builder.config(k, v)
+            else:
+                print(
+                    f"wurzel_spark: SPARK_GRAFT_EXTRA_CONF ignored non-tuning key {k}",
+                    file=sys.stderr,
+                )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
