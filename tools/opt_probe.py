@@ -4,7 +4,7 @@ For each named query (default: the heavy head of BENCH_DETAIL.json) this
 runs the bench methodology (untimed warmup, then N timed ``count()``
 samples, median + min reported) and optionally a noop-sink sample
 (guide §1.4 — computes every column, isolating computation from the
-count()'s column pruning), then writes ``plans/r12/<name>_<tag>.txt``
+count()'s column pruning), then writes ``plans/<round>/<name>_<tag>.txt`` (--round, default r13)
 with the ``explain("formatted")`` output.
 
 Usage:
@@ -32,9 +32,10 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--round", default="r13")
     args = ap.parse_args()
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
 
     spark = get_spark("opt_probe")

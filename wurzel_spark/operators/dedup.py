@@ -938,9 +938,12 @@ ORDER BY d.source
 _DRIVER_UNION_FIND_MAX_EDGES = 1_000_000
 
 
-def _union_find_members(spark: SparkSession, edges: DataFrame) -> DataFrame:
-    """Driver-side union-find over a (src, dst) edge list; returns one
-    (doc_id, cluster_id = min member id) row per node in the edge set."""
+def _uf_roots(src_iter, dst_iter) -> dict[int, int]:
+    """Driver union-find over parallel (src, dst) endpoint iterables;
+    returns {node: component-minimum id} for every node that appears.
+    Union is symmetric, so mirrored and unmirrored edge lists label
+    identically — only node MEMBERSHIP needs both endpoints, which the
+    loop adds regardless of direction."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -951,14 +954,7 @@ def _union_find_members(spark: SparkSession, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # Arrow-batched pull (toPandas), not py4j Row collect — the same
-    # serialization fix the pagerank/k-core twins carry; at the 1M-edge
-    # gate this is ~100 ms instead of seconds.
-    pdf = edges.toPandas()
-    cols = list(pdf.columns)
-    for src, dst in zip(
-        pdf[cols[0]].astype("int64"), pdf[cols[1]].astype("int64")
-    ):
+    for src, dst in zip(src_iter, dst_iter):
         src, dst = int(src), int(dst)
         if src not in parent:
             parent[src] = src
@@ -969,7 +965,21 @@ def _union_find_members(spark: SparkSession, edges: DataFrame) -> DataFrame:
             # union by min id keeps the label = component minimum
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = sorted((node, find(node)) for node in parent)
+    return {node: find(node) for node in parent}
+
+
+def _union_find_members(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a (src, dst) edge list; returns one
+    (doc_id, cluster_id = min member id) row per node in the edge set."""
+    # Arrow-batched pull (toPandas), not py4j Row collect — the same
+    # serialization fix the pagerank/k-core twins carry; at the 1M-edge
+    # gate this is ~100 ms instead of seconds.
+    pdf = edges.toPandas()
+    cols = list(pdf.columns)
+    roots = _uf_roots(
+        pdf[cols[0]].astype("int64"), pdf[cols[1]].astype("int64")
+    )
+    rows = sorted(roots.items())
     return spark.createDataFrame(rows, "doc_id long, cluster_id long")
 
 
@@ -2229,6 +2239,43 @@ def q_incremental_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = ngram_jaccard_pairs(
         docs, threshold=0.5, max_df=CAPPED_MAX_DF, sort=False
     ).localCheckpoint(eager=True)  # one pair computation feeds both halves
+    # Driver-gated fold (r13, VERDICT r12 Next #6): the decomposition probe
+    # showed the fold — not the pair family — was half the query's cost at
+    # bench scale, and ALL of it was scheduling overhead: ~8 tiny jobs
+    # (2 edge checkpoints, 2 gate counts, 2 Arrow pulls, the merged
+    # checkpoint + its count) shuttling a few-hundred-edge graph
+    # driver↔executors. Both sub-graphs (old pairs; star ∪ new) are
+    # bounded by 2·n_pairs edges, so whenever 4·n_pairs fits the
+    # union-find gate BOTH near_dup_cluster_members calls would take the
+    # driver path anyway — run the SAME star-merge algebra driver-side on
+    # ONE Arrow pull. Identical output by construction (union-find is the
+    # certified driver path; star-compression algebra mirrored line for
+    # line) — equivalence-tested against the fall-through in
+    # tests/test_round13.py. Above the gate: the distributed path below,
+    # unchanged.
+    n_pairs = pairs.count()  # cheap: checkpointed
+    if 4 * n_pairs <= _DRIVER_UNION_FIND_MAX_EDGES:
+        pdf = pairs.select("id_a", "id_b").toPandas()
+        ia = pdf["id_a"].astype("int64")
+        ib = pdf["id_b"].astype("int64")
+        # doc ids are non-negative, so pandas % matches Spark's pmod here
+        new_mask = (ia % 5 == 4) | (ib % 5 == 4)
+        labels = _uf_roots(ia[~new_mask], ib[~new_mask])
+        star = [(n, r) for n, r in labels.items() if n != r]
+        second_src = [n for n, _ in star] + [int(x) for x in ia[new_mask]]
+        second_dst = [r for _, r in star] + [int(x) for x in ib[new_mask]]
+        merged = _uf_roots(second_src, second_dst)
+        # singletons (doc_id == cluster_id not pulled into a component) —
+        # vacuous for labels built from an edge set (every component ≥2
+        # members, so every min-id node is some star edge's dst) but
+        # mirrored from merge_cluster_labels for exactness.
+        singles = [
+            (n, n) for n, r in labels.items() if n == r and n not in merged
+        ]
+        rows = sorted(list(merged.items()) + singles)
+        return spark.createDataFrame(
+            rows, "doc_id long, cluster_id long"
+        ).orderBy("doc_id")
     is_new_a = F.col("id_a") % 5 == 4
     is_new_b = F.col("id_b") % 5 == 4
     old_pairs = pairs.filter(~is_new_a & ~is_new_b)
@@ -2948,7 +2995,11 @@ def dup_pair_evidence(
     # results, the evidence join was inner on gdf). At 100 TB the
     # saving is the one that matters: the vocabulary-sized exchange is
     # gone.
-    cand = pruned.select("gram").distinct().localCheckpoint(eager=True)
+    # cand has ONE consumer (the broadcast semi below) — no checkpoint:
+    # pinning it was one wasted scheduled job per run; the broadcast
+    # subtree re-derives the distinct from the PINNED pruned blocks
+    # (bounded: ≤ 2·top_pairs docs' grams), never from the corpus.
+    cand = pruned.select("gram").distinct()
     gdf = (
         grams.join(F.broadcast(cand), "gram", "left_semi")
         .groupBy("gram")
