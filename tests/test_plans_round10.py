@@ -126,15 +126,14 @@ def registry():
     return entry.queries()
 
 
-def test_every_registered_query_bounds_global_windows(spark, registry):
+def test_every_registered_query_bounds_global_windows(spark, registered_dfs):
     """All 286 registered queries: every unpartitioned Window sits above
-    an aggregate / group-limit / bounded-dim subtree."""
+    an aggregate / group-limit / bounded-dim subtree. (Plans come from
+    the shared session-scoped build — see conftest.registered_dfs.)"""
     failures = {}
-    for name, fn in registry.items():
-        try:
-            df = fn(spark, SF_DIR)
-        except Exception as ex:  # plan construction itself must not fail
-            failures[name] = f"plan build failed: {ex}"
+    for name, df in registered_dfs.items():
+        if isinstance(df, Exception):  # plan construction itself must not fail
+            failures[name] = f"plan build failed: {df}"
             continue
         bad = _unbounded_global_windows(df)
         if bad:
@@ -257,12 +256,15 @@ def _window_input_rows(wnode) -> int:
     return -1
 
 
-def test_global_window_whitelist_is_exact(spark, registry):
+def test_global_window_whitelist_is_exact(spark, registered_dfs):
     """The whitelist is the DISCOVERED set: a query growing (or losing)
-    a global window must update it consciously."""
+    a global window must update it consciously. (Shared plan build —
+    conftest.registered_dfs; build failures are the bounds test's job.)"""
     found = set()
-    for name, fn in registry.items():
-        jplan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan()
+    for name, df in registered_dfs.items():
+        if isinstance(df, Exception):
+            continue
+        jplan = df._jdf.queryExecution().executedPlan()
         for n in _iter_nodes(jplan):
             if n.getClass().getSimpleName() in (
                 "WindowExec",

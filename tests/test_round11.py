@@ -106,15 +106,16 @@ def test_curation_funnel_result_unchanged(spark):
 _TEXT_LIKE = {"text", "md", "markdown", "content", "body", "html", "clean_text"}
 
 
-def test_no_registered_query_checkpoints_document_text(spark):
+def test_no_registered_query_checkpoints_document_text(spark, registered_dfs):
     """Walk every registered query's physical plan: no checkpointed
     (RDD-scanned) frame may carry a text-like column. The round-10
-    fact-grain funnel checkpoint would have failed this."""
-    import __spark_entry__ as entry
-
+    fact-grain funnel checkpoint would have failed this. (Shared plan
+    build — conftest.registered_dfs; build failures are the round-10
+    bounds test's job.)"""
     offenders = {}
-    for name, fn in entry.queries().items():
-        df = fn(spark, SF_DIR)
+    for name, df in registered_dfs.items():
+        if isinstance(df, Exception):
+            continue
         for s, types_names in _rdd_scan_cols(df):
             bad = [c for c, _ in types_names if c.lower() in _TEXT_LIKE]
             if bad:
